@@ -1,0 +1,102 @@
+"""Cube population (the reference's "initial aggregation pipeline").
+
+``build_cube`` turns a source DataFrame into the cube's cell table:
+
+    source → [filter] → project(dim exprs, measure inputs)
+           → groupBy(dims) → agg(decomposed partials)
+
+All declarative — Catalyst plans it as a partial (map-side) + final
+hash aggregate with one shuffle on the dimension tuple, parquet scan
+pruned to exactly the referenced columns, filter pushed to the scan.
+
+Scale notes (100 TB source):
+- The shuffle is O(|cells|) after map-side combine, not O(|rows|) —
+  cube dimension cardinality, not source size, is the cost driver.
+- Skewed dimension values are handled by AQE skew handling; the agg
+  itself is a hash agg with spill, no row explosion.
+- Cell tables are written partitioned by the coarsest time dimension
+  (see catalog.py) so incremental maintenance and time-sliced queries
+  touch few files.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mongo_olap_spark.cube.spec import CubeSpec, Measure
+from mongo_olap_spark.functions.expressions import SUM_DECIMAL
+
+
+def _measure_aggs(m: Measure, mult: str | None = None) -> list:
+    """Aggregate expressions for one measure's storage columns.
+
+    With ``mult`` (a ±1 multiplicity column), produces *signed* partials
+    for incremental maintenance: sum(x*mult), sum(mult) — insert adds,
+    delete retracts. Without it, plain build aggregates.
+    """
+    n = m.name
+    src = F.expr(m.source_path) if m.op != "count" else None
+    if mult is not None:
+        sign = F.col(mult).cast("long")
+        if m.op == "count":
+            return [F.sum(sign).alias(f"{n}_cnt")]
+        if m.op == "sum":
+            return [F.sum(src.cast(SUM_DECIMAL) * sign).alias(f"{n}_sum")]
+        if m.op == "avg":
+            return [
+                F.sum(src.cast(SUM_DECIMAL) * sign).alias(f"{n}_sum"),
+                F.sum(F.when(src.isNotNull(), sign).otherwise(F.lit(0))).alias(f"{n}_cnt"),
+            ]
+        # min/max: valid for the *insert* rows of the batch; a delete
+        # touching a min/max cube forces a cell recompute (streaming/ivm).
+        if m.op == "min":
+            return [F.min(F.when(sign > 0, src)).alias(f"{n}_min")]
+        if m.op == "max":
+            return [F.max(F.when(sign > 0, src)).alias(f"{n}_max")]
+        raise AssertionError(m.op)
+    if m.op == "count":
+        return [F.count(F.lit(1)).alias(f"{n}_cnt")]
+    if m.op == "sum":
+        return [F.sum(src.cast(SUM_DECIMAL)).alias(f"{n}_sum")]
+    if m.op == "avg":
+        return [
+            F.sum(src.cast(SUM_DECIMAL)).alias(f"{n}_sum"),
+            F.count(src).alias(f"{n}_cnt"),
+        ]
+    if m.op == "min":
+        return [F.min(src).alias(f"{n}_min")]
+    if m.op == "max":
+        return [F.max(src).alias(f"{n}_max")]
+    raise AssertionError(m.op)
+
+
+def cell_aggs(spec: CubeSpec, mult: str | None = None) -> list:
+    aggs: list = []
+    for m in spec.measures:
+        aggs.extend(_measure_aggs(m, mult))
+    return aggs
+
+
+def build_cube(spark: SparkSession, spec: CubeSpec, source: DataFrame) -> DataFrame:
+    """Materialize the cube cells for ``spec`` from ``source``."""
+    df = source
+    if spec.filter_sql:
+        df = df.filter(spec.filter_sql)
+    dims = [d.expr() for d in spec.dimensions]
+    df = df.groupBy(*dims).agg(*cell_aggs(spec))
+    return df
+
+
+def delta_cells(spec: CubeSpec, cdc: DataFrame, mult_col: str = "mult") -> DataFrame:
+    """Aggregate a CDC micro-batch into signed cell deltas.
+
+    ``cdc`` carries the source columns plus ``mult_col`` ∈ {+1, −1}
+    (insert/delete; an update is a −1/+1 pair). Output schema matches
+    the cube cell table, ready for merge_cells().
+    """
+    df = cdc
+    if spec.filter_sql:
+        df = df.filter(spec.filter_sql)
+    dims = [d.expr() for d in spec.dimensions]
+    return df.groupBy(*dims).agg(*cell_aggs(spec, mult=mult_col))

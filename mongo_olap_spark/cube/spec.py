@@ -1,0 +1,188 @@
+"""Cube definitions.
+
+The reference domain's core abstraction: a *cube* is a named
+pre-aggregation of a source collection into **dimensions** (group-by
+paths, time paths bucketed to a granularity) × **measures**
+(re-aggregable accumulators). The reference configures these as JSON
+documents; here a ``CubeSpec`` is a plain dataclass that is also
+round-trippable to JSON (``to_json``/``from_json``) so a config-driven
+deployment works the same way.
+
+Design decision carried over from the domain (SURVEY.md §1.1): a cube
+cell must be **re-aggregable** — any rollup of cells to a dimension
+subset must equal direct aggregation of the source. Hence:
+
+- ``avg`` is never stored; it is *decomposed* to (sum, count) at spec
+  level and derived at query time (sum/count);
+- sums are stored as exact DECIMAL partials (see functions.expressions
+  — bit-stable under any re-partitioning / incremental merge order);
+- min/max are stored as-is (re-aggregable under inserts; NOT
+  maintainable under deletes — flagged via ``delete_safe``).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_GRANULARITIES = ("year", "quarter", "month", "week", "day", "hour", "minute")
+
+#: measure ops and whether a delete (retraction) can be applied
+#: incrementally to the stored partial.
+_OPS = {
+    "count": True,
+    "sum": True,
+    "avg": True,  # stored as (sum, count) — both signed-mergeable
+    "min": False,
+    "max": False,
+}
+
+
+def _ident(name: str) -> str:
+    if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name):
+        raise ValueError(f"invalid identifier: {name!r}")
+    return name
+
+
+@dataclass(frozen=True)
+class Dimension:
+    """Group-by key. ``path`` is a source column path or any SQL scalar
+    expression (the $project-before-$group capability);
+    ``granularity`` bucketizes a timestamp path (year/…/minute)."""
+
+    name: str
+    path: str | None = None  # defaults to name
+    granularity: str | None = None
+
+    def __post_init__(self):
+        _ident(self.name)
+        if self.granularity is not None and self.granularity not in _GRANULARITIES:
+            raise ValueError(f"granularity must be one of {_GRANULARITIES}")
+
+    @property
+    def source_path(self) -> str:
+        return self.path or self.name
+
+    def expr(self) -> Column:
+        c = F.expr(self.source_path)
+        if self.granularity:
+            c = F.date_trunc(self.granularity, c)
+        return c.alias(self.name)
+
+    def sql(self) -> str:
+        """ANSI-SQL twin of :meth:`expr` (DuckDB-compatible)."""
+        if self.granularity:
+            return f"CAST(date_trunc('{self.granularity}', {self.source_path}) AS TIMESTAMP) AS {self.name}"
+        return f"{self.source_path} AS {self.name}"
+
+
+@dataclass(frozen=True)
+class Measure:
+    """An accumulator: op ∈ count/sum/avg/min/max over a source path
+    (count needs no path). Storage columns per op:
+
+    - count → ``<name>_cnt``
+    - sum   → ``<name>_sum`` (DECIMAL partial)
+    - avg   → ``<name>_sum`` + ``<name>_cnt`` (decomposed)
+    - min   → ``<name>_min`` ; max → ``<name>_max``
+    """
+
+    name: str
+    op: str
+    path: str | None = None
+
+    def __post_init__(self):
+        _ident(self.name)
+        if self.op not in _OPS:
+            raise ValueError(f"op must be one of {sorted(_OPS)}")
+        if self.op != "count" and not (self.path or self.name):
+            raise ValueError(f"measure {self.name}: op {self.op} needs a path")
+
+    @property
+    def source_path(self) -> str:
+        return self.path or self.name
+
+    @property
+    def delete_safe(self) -> bool:
+        return _OPS[self.op]
+
+    def storage_cols(self) -> list[str]:
+        n = self.name
+        return {
+            "count": [f"{n}_cnt"],
+            "sum": [f"{n}_sum"],
+            "avg": [f"{n}_sum", f"{n}_cnt"],
+            "min": [f"{n}_min"],
+            "max": [f"{n}_max"],
+        }[self.op]
+
+
+@dataclass(frozen=True)
+class CubeSpec:
+    """A cube: source table name + dims + measures (+ optional
+    pre-aggregation filter, the ``$match`` stage of the population
+    pipeline)."""
+
+    name: str
+    source: str
+    dimensions: tuple[Dimension, ...] = field(default_factory=tuple)
+    measures: tuple[Measure, ...] = field(default_factory=tuple)
+    filter_sql: str | None = None  # WHERE clause on the source, ANSI SQL
+
+    def __post_init__(self):
+        _ident(self.name)
+        names = [d.name for d in self.dimensions] + [m.name for m in self.measures]
+        if len(set(names)) != len(names):
+            raise ValueError(f"cube {self.name}: duplicate dim/measure names")
+        if not self.measures:
+            raise ValueError(f"cube {self.name}: at least one measure required")
+
+    @property
+    def dim_names(self) -> list[str]:
+        return [d.name for d in self.dimensions]
+
+    @property
+    def delete_safe(self) -> bool:
+        """True iff every measure partial supports signed (retraction)
+        merge — i.e. the cube can be maintained under CDC deletes."""
+        return all(m.delete_safe for m in self.measures)
+
+    def measure(self, name: str) -> Measure:
+        for m in self.measures:
+            if m.name == name:
+                return m
+        raise KeyError(f"cube {self.name}: no measure {name!r}")
+
+    # -- JSON config round-trip (the reference domain is config-driven) --
+
+    def to_json(self) -> str:
+        return json.dumps(
+            {
+                "name": self.name,
+                "source": self.source,
+                "filter_sql": self.filter_sql,
+                "dimensions": [
+                    {"name": d.name, "path": d.path, "granularity": d.granularity}
+                    for d in self.dimensions
+                ],
+                "measures": [
+                    {"name": m.name, "op": m.op, "path": m.path} for m in self.measures
+                ],
+            },
+            indent=2,
+        )
+
+    @staticmethod
+    def from_json(s: str) -> "CubeSpec":
+        d = json.loads(s)
+        return CubeSpec(
+            name=d["name"],
+            source=d["source"],
+            filter_sql=d.get("filter_sql"),
+            dimensions=tuple(Dimension(**x) for x in d.get("dimensions", [])),
+            measures=tuple(Measure(**x) for x in d.get("measures", [])),
+        )

@@ -1,0 +1,171 @@
+"""Expression library: Mongo aggregation-expression surface → native
+Spark Column expressions, plus numerically-deterministic aggregate
+helpers.
+
+Two concerns live here:
+
+1. **Deterministic aggregation** (``dsum``/``davg``). Summing doubles
+   is order-dependent in the low bits, and a distributed engine does
+   not promise a summation order — so ``sum(double)`` can differ
+   between Spark and any oracle (and between two Spark runs with
+   different partitioning). Cubes make this worse: a rollup of cell
+   partials must equal a direct aggregation. We therefore sum through
+   ``DECIMAL(38, 6)``: the double→decimal cast is unambiguous (a
+   binary double can never sit exactly on a decimal half-boundary for
+   scale ≥ 1), decimal addition is exact and associative, and the
+   final cast back to double is deterministic. This is also the right
+   call at 100 TB — it makes cube partials *bit-stable* under
+   re-partitioning, AQE re-planning and incremental maintenance.
+
+2. **Mongo semantics deltas** (`mongo_*` helpers). Spark 4.x runs in
+   ANSI mode: division by zero and overflow raise, while the MongoDB
+   aggregation language (the reference's query language) yields
+   null/error-free values. ``try_*`` variants restore the
+   null-propagating behavior. String indexing is 0-based in Mongo
+   ($substrCP) and 1-based in Spark — `mongo_substr` normalizes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: Decimal type wide enough for any testbed sum and any plausible cube
+#: partial at 100 TB (32 integer digits).
+SUM_DECIMAL = "decimal(38,6)"
+
+
+def dsum(col: Column | str, alias: str | None = None) -> Column:
+    """Order-independent, engine-portable sum of a double column.
+
+    ``CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE)`` — exact decimal
+    accumulation, deterministic double at the end.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    out = F.sum(c.cast(SUM_DECIMAL)).cast("double")
+    return out.alias(alias) if alias else out
+
+
+def dsum_dec(col: Column | str) -> Column:
+    """Decimal-typed exact sum (for cube partials that must re-aggregate)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(SUM_DECIMAL))
+
+
+def davg(col: Column | str, alias: str | None = None) -> Column:
+    """avg decomposed as exact-sum / count (the cube-safe form)."""
+    c = F.col(col) if isinstance(col, str) else col
+    out = F.sum(c.cast(SUM_DECIMAL)).cast("double") / F.count(c)
+    return out.alias(alias) if alias else out
+
+
+def dsum_sql(expr: str) -> str:
+    """DuckDB-side twin of :func:`dsum` for oracle SQL strings."""
+    return f"CAST(SUM(CAST(({expr}) AS DECIMAL(38,6))) AS DOUBLE)"
+
+
+def davg_sql(expr: str) -> str:
+    return f"CAST(SUM(CAST(({expr}) AS DECIMAL(38,6))) AS DOUBLE) / COUNT({expr})"
+
+
+# ---------------------------------------------------------------------------
+# Vector expressions (used by similarity search; native, codegen'd —
+# no Python UDF in the hot path).
+# ---------------------------------------------------------------------------
+
+def dot(a: Column | str, b: Column | str) -> Column:
+    """Dot product of two array<numeric> columns, JVM-side.
+
+    ``aggregate(zip_with(a, b, (x,y)->x*y), 0.0, (s,v)->s+v)`` — stays
+    inside whole-stage codegen; no serialization to Python.
+    """
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    prods = F.zip_with(ca, cb, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda s, v: s + v)
+
+
+def norm(a: Column | str) -> Column:
+    ca = F.col(a) if isinstance(a, str) else a
+    sq = F.aggregate(
+        ca, F.lit(0.0), lambda s, v: s + v.cast("double") * v.cast("double")
+    )
+    return F.sqrt(sq)
+
+
+def cosine(a: Column | str, b: Column | str) -> Column:
+    """Cosine similarity of two vectors; null-safe on zero norms."""
+    return F.try_divide(dot(a, b), norm(a) * norm(b))
+
+
+# ---------------------------------------------------------------------------
+# Mongo-expression semantics helpers ($-operator surface with Mongo's
+# forgiving null behavior, mapped per SURVEY.md §2.2).
+# ---------------------------------------------------------------------------
+
+def mongo_divide(a: Column, b: Column) -> Column:
+    """$divide: null on divide-by-zero instead of ANSI error."""
+    return F.try_divide(a, b)
+
+
+def mongo_mod(a: Column, b: Column) -> Column:
+    """$mod: null on zero divisor."""
+    return F.when(b != 0, a % b)
+
+
+def mongo_substr(s: Column, start: Column | int, length: Column | int) -> Column:
+    """$substrCP is 0-based; Spark substring is 1-based."""
+    start_c = F.lit(start) if isinstance(start, int) else start
+    length_c = F.lit(length) if isinstance(length, int) else length
+    return F.substring(s, start_c + F.lit(1), length_c)
+
+
+def mongo_index_of(s: Column, sub: Column | str) -> Column:
+    """$indexOfCP: 0-based index, -1 when absent (Spark instr: 1-based, 0)."""
+    sub_c = F.lit(sub) if isinstance(sub, str) else sub
+    return F.instr(s, sub_c) - F.lit(1)
+
+
+def mongo_if_null(a: Column, default: Column) -> Column:
+    """$ifNull."""
+    return F.coalesce(a, default)
+
+
+def mongo_cond(pred: Column, then: Column, otherwise: Column) -> Column:
+    """$cond."""
+    return F.when(pred, then).otherwise(otherwise)
+
+
+def mongo_switch(branches: list[tuple[Column, Column]], default: Column) -> Column:
+    """$switch: chained WHEN."""
+    expr = None
+    for pred, val in branches:
+        expr = F.when(pred, val) if expr is None else expr.when(pred, val)
+    return expr.otherwise(default) if expr is not None else default
+
+
+def mongo_to_int(c: Column) -> Column:
+    """$toInt with onError:null ≈ try_cast."""
+    return c.try_cast("int")
+
+
+def mongo_exists(c: Column) -> Column:
+    """$exists under the missing≡null decision (SURVEY.md §1.2)."""
+    return c.isNotNull()
+
+
+def mongo_ne(a: Column, b: Column) -> Column:
+    """$ne matches documents where the field is missing/null; Spark's
+    ``!=`` is null-rejecting. Null-safe variant: NOT (a <=> b)."""
+    return ~a.eqNullSafe(b)
+
+
+def mongo_elem_match(arr: Column, pred) -> Column:
+    """$elemMatch: any element satisfies pred."""
+    return F.exists(arr, pred)
+
+
+def mongo_all(arr: Column, values: list) -> Column:
+    """$all: array contains every value."""
+    vals = F.array(*[F.lit(v) for v in values])
+    return F.size(F.array_intersect(arr, vals)) == len(values)

@@ -1,0 +1,364 @@
+"""T1 — cube core queries (SURVEY.md §2.1, C1–C18).
+
+Each query exercises one operator of the cube lifecycle: source scan
+with pushdown, pre-aggregation filter, projection, time bucketing,
+cube build, the accumulator set (count/sum/avg-decomposed/min/max),
+slice/dice on cube cells, rollup to a dimension subset, sort/limit.
+
+The flagship (``entry()``) is q_cube_build: a TPC-H-Q1-shaped cube on
+lineitem — dims (l_returnflag × l_linestatus), re-aggregable measures
+— built through the cube layer (spec → build → query), proving the
+decompose/re-aggregate contract end-to-end against a plain-SQL oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mongo_olap_spark.cube import CubeSpec, Dimension, Measure, build_cube, query_cube
+from mongo_olap_spark.functions.expressions import davg, davg_sql, dsum, dsum_sql
+from mongo_olap_spark.queries import register
+from mongo_olap_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# Cube specs used by the manifest (also exercised by tests/)
+# ---------------------------------------------------------------------------
+
+#: TPC-H Q1 as a cube: the reference's "pre-aggregate a collection into
+#: dims × measures" in its most canonical form.
+PRICING_CUBE = CubeSpec(
+    name="lineitem_pricing",
+    source="lineitem",
+    filter_sql="l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'",
+    dimensions=(Dimension("l_returnflag"), Dimension("l_linestatus")),
+    measures=(
+        Measure("sum_qty", "sum", "l_quantity"),
+        Measure("sum_base_price", "sum", "l_extendedprice"),
+        Measure("sum_disc_price", "sum", "l_extendedprice * (1 - l_discount)"),
+        Measure("sum_charge", "sum", "l_extendedprice * (1 - l_discount) * (1 + l_tax)"),
+        Measure("avg_qty", "avg", "l_quantity"),
+        Measure("avg_price", "avg", "l_extendedprice"),
+        Measure("avg_disc", "avg", "l_discount"),
+        Measure("count_order", "count"),
+    ),
+)
+
+#: Daily events cube — the streaming/IVM test target (FIXTURES.md §b).
+EVENTS_CUBE = CubeSpec(
+    name="events_daily",
+    source="events",
+    dimensions=(
+        Dimension("event_type"),
+        Dimension("day", path="ts", granularity="day"),
+    ),
+    measures=(
+        Measure("n", "count"),
+        Measure("total_value", "sum", "value"),
+        Measure("avg_value", "avg", "value"),
+    ),
+)
+
+
+# ---------------------------------------------------------------------------
+# C3 — $match pre-aggregation filter (TPC-H-Q6-shaped predicates)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_filter",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount >= CAST(0.05 AS DOUBLE) AND l_discount <= CAST(0.07 AS DOUBLE)
+      AND l_quantity < CAST(24 AS DOUBLE)
+    """,
+)
+def q_filter(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24.0)
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount")
+
+
+# ---------------------------------------------------------------------------
+# C2/S2 — $project / $addFields: computed fields, conditionals, strings
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_project",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INT)  AS o_year,
+           CAST(month(o_orderdate) AS INT) AS o_month,
+           upper(o_orderpriority)          AS priority_uc,
+           CASE WHEN o_totalprice < 50000 THEN 'low'
+                WHEN o_totalprice < 150000 THEN 'mid'
+                ELSE 'high' END            AS price_band,
+           o_totalprice * 0.9              AS net_price
+    FROM orders
+    """,
+)
+def q_project(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("o_year"),
+        F.month("o_orderdate").alias("o_month"),
+        F.upper("o_orderpriority").alias("priority_uc"),
+        F.when(F.col("o_totalprice") < 50000, "low")
+        .when(F.col("o_totalprice") < 150000, "mid")
+        .otherwise("high")
+        .alias("price_band"),
+        (F.col("o_totalprice") * 0.9).alias("net_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# C4/S6 — $unwind: array → rows
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_explode",
+    oracle="""
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token
+    FROM documents
+    WHERE doc_id % 100 = 0
+    """,
+)
+def q_explode(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.filter(F.col("doc_id") % 100 == 0)
+        .select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# C5 — time-bucket dimension
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_time_bucket",
+    oracle=f"""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           COUNT(*) AS n_events,
+           {dsum_sql('value')} AS total_value
+    FROM events
+    GROUP BY 1
+    """,
+)
+def q_time_bucket(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum("value", "total_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# C6–C10 — cube build with the full accumulator set (FLAGSHIP)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_cube_build",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {dsum_sql('l_quantity')}       AS sum_qty,
+           {dsum_sql('l_extendedprice')}  AS sum_base_price,
+           {dsum_sql('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+           {dsum_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+           {davg_sql('l_quantity')}       AS avg_qty,
+           {davg_sql('l_extendedprice')}  AS avg_price,
+           {davg_sql('l_discount')}       AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_cube_build(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    cells = build_cube(spark, PRICING_CUBE, li)
+    return query_cube(cells, PRICING_CUBE)
+
+
+# ---------------------------------------------------------------------------
+# C7–C10 — individual accumulators over direct aggregation
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_agg_count",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_agg_count(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+@register(
+    "q_agg_sum",
+    oracle=f"""
+    SELECT n_name,
+           {dsum_sql('c_acctbal')} AS total_acctbal,
+           COUNT(*) AS n_customers
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def q_agg_sum(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    # nation is a 25-row dim at every scale factor: always broadcast.
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(dsum("c_acctbal", "total_acctbal"), F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@register(
+    "q_agg_avg",
+    oracle=f"""
+    SELECT event_type,
+           {davg_sql('value')} AS avg_value,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_agg_avg(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        davg("value", "avg_value"), F.count(F.lit(1)).alias("n")
+    )
+
+
+@register(
+    "q_agg_minmax",
+    oracle="""
+    SELECT o_orderpriority,
+           min(o_totalprice) AS min_price,
+           max(o_totalprice) AS max_price,
+           min(o_orderdate)  AS first_date,
+           max(o_orderdate)  AS last_date
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q_agg_minmax(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+        F.min("o_orderdate").alias("first_date"),
+        F.max("o_orderdate").alias("last_date"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# C14 — cube slice/dice (filters on dimension values, answered from cells)
+# ---------------------------------------------------------------------------
+
+_SLICE_WHERE = (
+    "event_type IN ('click', 'purchase') "
+    "AND day >= TIMESTAMP '2024-01-05 00:00:00' "
+    "AND day < TIMESTAMP '2024-01-20 00:00:00'"
+)
+
+
+@register(
+    "q_cube_slice",
+    oracle=f"""
+    SELECT event_type,
+           CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           COUNT(*) AS n,
+           {dsum_sql('value')} AS total_value,
+           {davg_sql('value')} AS avg_value
+    FROM events
+    WHERE event_type IN ('click', 'purchase')
+      AND ts >= TIMESTAMP '2024-01-05 00:00:00'
+      AND ts <  TIMESTAMP '2024-01-20 00:00:00'
+    GROUP BY 1, 2
+    """,
+)
+def q_cube_slice(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    cells = build_cube(spark, EVENTS_CUBE, e)
+    return query_cube(cells, EVENTS_CUBE, where=_SLICE_WHERE)
+
+
+# ---------------------------------------------------------------------------
+# C15 — rollup to a dimension subset (sum of sums / counts; derived avg)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_cube_rollup",
+    oracle=f"""
+    SELECT event_type,
+           COUNT(*) AS n,
+           {dsum_sql('value')} AS total_value,
+           {davg_sql('value')} AS avg_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_cube_rollup(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    cells = build_cube(spark, EVENTS_CUBE, e)
+    return query_cube(cells, EVENTS_CUBE, group_by=["event_type"])
+
+
+# ---------------------------------------------------------------------------
+# C16/S4/S5 — sort / limit / offset (deterministic via unique tiebreak)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_topk",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def q_topk(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    # TakeOrderedAndProject: top-k never sorts the full table.
+    return (
+        o.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q_sort",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer
+    ORDER BY c_acctbal DESC, c_custkey
+    LIMIT 100 OFFSET 10
+    """,
+)
+def q_sort(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.select("c_custkey", "c_name", "c_acctbal")
+        .orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+        .offset(10)
+        .limit(100)
+    )

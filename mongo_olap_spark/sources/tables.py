@@ -1,0 +1,80 @@
+"""Source connectors.
+
+The reference domain's source is a MongoDB collection (documents);
+this testbed's source is driver-generated parquet. The loader is the
+single seam where a real deployment would swap in
+``spark.read.format("mongodb")`` (or any Spark DataSource) — every
+operator downstream sees only a DataFrame.
+
+Scale notes (100 TB): parquet scans here benefit from Catalyst
+predicate pushdown + column pruning for free because we never
+materialize the raw table — callers chain filters/selects onto the
+returned DataFrame lazily. For a partitioned lake layout, the same
+``spark.read.parquet(dir)`` picks up hive-style partition columns and
+dynamic partition pruning without code changes.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: Dimension-like tables small enough to broadcast-join at ANY scale
+#: factor (region=5, nation=25 rows always; supplier/part/customer grow
+#: with sf but stay << fact tables). Used by query code to hint
+#: broadcast joins instead of shuffles.
+BROADCAST_TABLES = ("region", "nation", "supplier")
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _ensure_session_conf(spark: SparkSession) -> None:
+    """Settings any session must carry to read this lake correctly,
+    applied defensively because the driver may hand us its own session:
+
+    - ``events.parquet`` stores TIMESTAMP(NANOS) which Spark's
+      vectorized reader rejects; the legacy conf reads it as LongType
+      (epoch nanos) and the loader converts (values are µs-aligned —
+      verified — so the conversion is lossless);
+    - UTC session time zone for engine/oracle timestamp comparability.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one source table as a DataFrame (lazy; no scan yet)."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    _ensure_session_conf(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        from pyspark.sql import functions as F
+
+        # integer div — ts is epoch-nanos (~1.7e18), beyond double precision
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view so ``spark.sql`` works on it."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
