@@ -1,0 +1,215 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale design (the whole point — dedup is O(n²) done naively):
+
+- **exact**: hash-groupBy on the content key. One shuffle keyed by the
+  (hashed) content; at 100 TB group on ``md5(text)`` rather than raw
+  text so shuffle rows stay small.
+- **MinHash+LSH**: per doc compute k minhashes over word shingles
+  (native expressions: xxhash64 per shingle per seed, array min —
+  no Python in the loop), split signatures into b bands, explode to
+  (band_id, band_hash) keys, self-join on the band key. Only documents
+  agreeing on ≥1 full band meet in a shuffle bucket — candidate pairs
+  ≈ O(near-dups), not O(n²). Exact Jaccard then verifies candidates.
+- **SimHash**: 64-bit signature via per-token hash bit-voting;
+  near-dups = signatures within Hamming distance d. Banding the 64
+  bits into (64/d')-bit keys gives the same LSH-style candidate join.
+- **n-gram Jaccard**: exact pairwise similarity, usable only after
+  blocking (here: a band/bucket key); provided as the verifier.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def word_shingles(text: Column | str, k: int = 3) -> Column:
+    """Distinct k-word shingles of a space-tokenized text column."""
+    c = F.col(text) if isinstance(text, str) else text
+    toks = F.split(c, " ")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    shingle = lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k))  # noqa: E731
+    return F.array_distinct(
+        F.when(n >= k, F.transform(idx, shingle)).otherwise(F.array(F.concat_ws(" ", toks)))
+    )
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
+    """k independent minhashes: min over shingles of xxhash64(seed, s).
+
+    xxhash64 is a native Catalyst expression (the same family Spark
+    uses for shuffle hashing) — deterministic across runs/executors.
+    """
+    sigs = [
+        F.array_min(F.transform(shingles, lambda s: F.xxhash64(F.lit(i), s)))
+        for i in range(num_hashes)
+    ]
+    return F.array(*sigs)
+
+
+def lsh_bands(signature: Column, num_bands: int = 4) -> Column:
+    """Split a k-length signature into bands; hash each band to one
+    long. Returns array<struct<band_id int, band_hash long>>."""
+    # signature length must be divisible by num_bands
+    per = F.size(signature) / num_bands
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_bands - 1)),
+        lambda b: F.struct(
+            b.cast("int").alias("band_id"),
+            F.xxhash64(F.concat_ws(",", F.transform(
+                F.slice(signature, (b * per + 1).cast("int"), per.cast("int")),
+                lambda x: x.cast("string"),
+            ))).alias("band_hash"),
+        ),
+    )
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard over two *distinct-element* arrays."""
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    union = F.size(F.array_union(a, b)).cast("double")
+    return inter / union
+
+
+def exact_dedup(df: DataFrame, key: Column | str, id_col: str) -> DataFrame:
+    """Exact dedup: one survivor (min id) per content key + dup count."""
+    k = F.col(key) if isinstance(key, str) else key
+    return df.groupBy(k.alias("content_key")).agg(
+        F.min(id_col).alias("keep_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+def minhash_near_dup_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    shingle_k: int = 3,
+    num_hashes: int = 16,
+    num_bands: int = 4,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Near-duplicate pairs (id_a < id_b, jaccard ≥ threshold) via
+    MinHash banding; exact-Jaccard verified on candidates only."""
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        word_shingles(text_col, shingle_k).alias("shingles"),
+    ).withColumn("sig", minhash_signature(F.col("shingles"), num_hashes))
+    banded = base.select(
+        "id", "shingles", F.explode(lsh_bands(F.col("sig"), num_bands)).alias("band")
+    ).select("id", "shingles", "band.band_id", "band.band_hash")
+    left = banded.alias("a")
+    right = banded.alias("b")
+    cand = (
+        left.join(
+            right,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.shingles").alias("sh_a"),
+            F.col("b.shingles").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+#: literal long with only bit j set, j = 0..63 (bit 63 is the sign bit)
+_BIT_MASKS = [(1 << j) if j < 63 else -(1 << 63) for j in range(64)]
+
+
+def simhash64(text: Column | str) -> Column:
+    """64-bit SimHash of the token stream, fully native:
+
+    For each bit position j, vote +1/−1 per token according to bit j
+    of xxhash64(token); the signature sets bit j iff the vote is > 0.
+    One aggregate over a 64-slot vote array — no UDF, no shuffle.
+    (Bit tests use a literal mask array: shiftright needs a literal
+    shift amount in Spark, so ``h & mask_j`` replaces ``(h >> j) & 1``.)
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    toks = F.split(c, " ")
+    masks = F.array(*[F.lit(m).cast("long") for m in _BIT_MASKS])
+    zeros = F.array_repeat(F.lit(0).cast("long"), 64)
+    votes = F.aggregate(
+        toks,
+        zeros,
+        lambda acc, t: F.zip_with(
+            acc,
+            masks,
+            lambda a, m: a + F.when(F.xxhash64(t).bitwiseAND(m) != 0, 1).otherwise(-1),
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(
+            votes,
+            masks,
+            lambda v, m: F.when(v > 0, m).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc.bitwiseOR(x),
+    )
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_dup_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    max_hamming: int = 3,
+    num_bands: int = 4,
+) -> DataFrame:
+    """SimHash near-dup pairs: band the 64-bit signature into
+    ``num_bands`` chunks (pigeonhole: distance ≤ max_hamming < num_bands
+    ⇒ some band identical), join per band, verify Hamming distance."""
+    bits_per = 64 // num_bands
+    base = docs.select(F.col(id_col).alias("id"), simhash64(text_col).alias("sig"))
+    band_cols = []
+    for b in range(num_bands):
+        band_cols.append(
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.shiftright(F.col("sig"), b * bits_per)
+                .bitwiseAND(F.lit((1 << bits_per) - 1))
+                .alias("band_key"),
+            )
+        )
+    banded = base.select("id", "sig", F.explode(F.array(*band_cols)).alias("band")).select(
+        "id", "sig", "band.band_id", "band.band_key"
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn("hamming", hamming64(F.col("sig_a"), F.col("sig_b")))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

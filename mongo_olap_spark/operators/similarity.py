@@ -1,0 +1,132 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, same semantics (top-k cosine neighbors):
+
+- **exact brute force** — query-set ⋈ corpus with a native dot-product
+  expression (zip_with + aggregate: JVM codegen, no Python). Cost
+  O(|Q|·|C|·dim); right when |Q| is small or as the verification
+  oracle. The corpus side streams: broadcast the (small) query set,
+  so the big side is never shuffled and the top-k per query is a
+  partial-aggregate (map-side) + final merge.
+- **LSH-bucketed (random hyperplane / SRP)** — signature = sign bits
+  of h random projections; band the bits; candidates = bucket
+  collisions; exact cosine re-rank on candidates. Recall tunable by
+  (bits, bands); at 100 TB this is the only viable shape: shuffle is
+  O(|buckets|) and each bucket fits memory. IVF (k-means coarse
+  quantizer) has the same plumbing with learned centroids instead of
+  random planes.
+
+The random hyperplanes are derived deterministically from xxhash64 so
+runs are reproducible without shipping a model artifact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from mongo_olap_spark.functions.expressions import cosine
+
+
+def knn_exact(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    round_digits: int | None = 5,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for every query vector.
+
+    Rounding before ranking (default 5 dp) makes the ranking stable
+    under float summation-order differences; ties break on neighbor id.
+    """
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    sim = cosine(F.col("q_vec"), F.col("c_vec"))
+    if round_digits is not None:
+        sim = F.round(sim, round_digits)
+    pairs = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sim.alias("sim"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )
+
+
+def srp_signature(vec, *, bits: int = 16, dim: int = 64, seed: int = 42):
+    """Signed-random-projection bit signature as array<int> of 0/1.
+
+    Plane weights are pseudo-random ±1 derived from xxhash64(seed, bit,
+    component) — deterministic, no model state, and a ±1 hyperplane
+    preserves the cosine-LSH property (collision prob = 1 − θ/π).
+    """
+    comp = F.sequence(F.lit(0), F.lit(dim - 1))
+    def bit_expr(b):
+        # dot(vec, plane_b) where plane_b[j] = ±1 from a hash
+        prods = F.zip_with(
+            vec,
+            comp,
+            lambda x, j: x.cast("double")
+            * (F.when(F.xxhash64(F.lit(seed), F.lit(b), j).bitwiseAND(F.lit(1)) == 1, 1.0).otherwise(-1.0)),
+        )
+        s = F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
+        return F.when(s >= 0, 1).otherwise(0)
+    return F.array(*[bit_expr(b) for b in range(bits)])
+
+
+def knn_lsh(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    bits: int = 16,
+    num_bands: int = 4,
+    dim: int = 64,
+    round_digits: int | None = 5,
+) -> DataFrame:
+    """Approximate top-k: SRP signature → banded buckets → exact cosine
+    re-rank within candidates. Same output schema as knn_exact (a
+    query may return < k rows when recall misses — that's the
+    documented tradeoff)."""
+    per = bits // num_bands
+
+    def banded(df: DataFrame, prefix: str) -> DataFrame:
+        band_cols = [
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.concat_ws("", *[F.element_at(F.col("_sig"), b * per + j + 1).cast("string") for j in range(per)]).alias("band_key"),
+            )
+            for b in range(num_bands)
+        ]
+        return (
+            df.select(F.col(id_col).alias(f"{prefix}_id"), F.col(vec_col).alias(f"{prefix}_vec"))
+            .withColumn("_sig", srp_signature(F.col(f"{prefix}_vec"), bits=bits, dim=dim))
+            .select(f"{prefix}_id", f"{prefix}_vec", F.explode(F.array(*band_cols)).alias("band"))
+            .select(f"{prefix}_id", f"{prefix}_vec", "band.band_id", "band.band_key")
+        )
+
+    qb = banded(queries, "query")
+    cb = banded(corpus, "neighbor")
+    cand = (
+        qb.join(cb, ["band_id", "band_key"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    sim = cosine(F.col("query_vec"), F.col("neighbor_vec"))
+    if round_digits is not None:
+        sim = F.round(sim, round_digits)
+    w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        cand.select("query_id", "neighbor_id", sim.alias("sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )

@@ -1,1 +1,325 @@
-"""Placeholder — populated in a later milestone."""
+"""T3 — LLM-training-data pipeline operators (SURVEY.md §2.3).
+
+Dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard), similarity
+search (exact brute-force + SRP-LSH), text analysis (token counts,
+quality score, language ID, fingerprints), JSON prop extraction, and
+the multimodal binary-column plumbing.
+
+The on-disk ``documents`` table has no duplicates (all 500 texts are
+distinct), so dedup queries build a *deterministic* duplicated corpus
+inline — exact copies for ``doc_id % 7 == 0`` (ids +1_000_000) and
+near-copies with the last 3 words dropped for ``doc_id % 11 == 0``
+(ids +2_000_000). Both engines construct the identical corpus, so the
+oracle checks the full dedup semantics, not just plumbing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mongo_olap_spark.functions.expressions import davg_sql
+from mongo_olap_spark.operators import dedup as dd
+from mongo_olap_spark.operators import multimodal as mm
+from mongo_olap_spark.operators import similarity as sim
+from mongo_olap_spark.operators import text as tx
+from mongo_olap_spark.queries import register
+from mongo_olap_spark.sources.tables import load_table
+
+
+# ---------------------------------------------------------------------------
+# duplicated-corpus constructors (Spark + SQL twins)
+# ---------------------------------------------------------------------------
+
+def _dup_corpus(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    exact_copies = d.filter(F.col("doc_id") % 7 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    return d.unionByName(exact_copies)
+
+
+_DUP_CORPUS_SQL = """
+    SELECT doc_id, text, source FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000, text, source FROM documents WHERE doc_id % 7 = 0
+"""
+
+
+def _near_dup_corpus(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    toks = F.split("text", " ")
+    near = (
+        d.filter(F.col("doc_id") % 11 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 2_000_000)
+        .withColumn(
+            "text",
+            F.concat_ws(" ", F.slice(toks, 1, F.greatest(F.size(toks) - 3, F.lit(1)))),
+        )
+    )
+    return d.unionByName(near)
+
+
+# ---------------------------------------------------------------------------
+# X1 — exact dedup (hash-groupBy on content fingerprint)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_dedup_exact",
+    oracle=f"""
+    WITH corpus AS ({_DUP_CORPUS_SQL})
+    SELECT md5(text) AS fingerprint,
+           min(doc_id) AS keep_id,
+           COUNT(*) AS n_copies
+    FROM corpus
+    GROUP BY 1
+    """,
+)
+def q_dedup_exact(spark, sf_dir):
+    corpus = _dup_corpus(spark, sf_dir)
+    # group on md5(text), not raw text: shuffle rows stay small at 100 TB
+    return corpus.groupBy(F.md5("text").alias("fingerprint")).agg(
+        F.min("doc_id").alias("keep_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X2 — near-dup dedup: MinHash+LSH and SimHash (rows-only: the banding
+# internals aren't ANSI SQL; pytest checks planted-pair recall)
+# ---------------------------------------------------------------------------
+
+@register("q_dedup_minhash")
+def q_dedup_minhash(spark, sf_dir):
+    corpus = _near_dup_corpus(spark, sf_dir)
+    return dd.minhash_near_dup_pairs(corpus, threshold=0.5).orderBy("id_a", "id_b")
+
+
+@register("q_dedup_simhash")
+def q_dedup_simhash(spark, sf_dir):
+    corpus = _near_dup_corpus(spark, sf_dir)
+    return dd.simhash_near_dup_pairs(corpus, max_hamming=6, num_bands=8).orderBy(
+        "id_a", "id_b"
+    )
+
+
+# ---------------------------------------------------------------------------
+# X2' — n-gram Jaccard with blocking, exact (oracle-checkable twin of
+# the verification stage the LSH paths use)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_dedup_ngram",
+    oracle=f"""
+    WITH corpus AS ({_DUP_CORPUS_SQL}),
+    sh AS (
+      SELECT doc_id, source,
+             list_distinct(list_transform(
+               range(1, greatest(len(string_split(text,' ')) - 2, 1) + 1),
+               i -> concat_ws(' ', string_split(text,' ')[i],
+                                   string_split(text,' ')[i+1],
+                                   string_split(text,' ')[i+2])
+             )) AS shingles
+      FROM corpus
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.shingles, b.shingles))) AS jaccard
+    FROM sh a JOIN sh b
+      ON a.source = b.source AND b.doc_id > a.doc_id
+    WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.5
+    """,
+)
+def q_dedup_ngram(spark, sf_dir):
+    corpus = _dup_corpus(spark, sf_dir)
+    sh = corpus.select(
+        "doc_id", "source", dd.word_shingles("text", 3).alias("shingles")
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.source") == F.col("b.source"))
+        & (F.col("b.doc_id") > F.col("a.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("id_a"),
+        F.col("b.doc_id").alias("id_b"),
+        dd.jaccard(F.col("a.shingles"), F.col("b.shingles")).alias("jaccard"),
+    )
+    return pairs.filter(F.col("jaccard") >= 0.5)
+
+
+# ---------------------------------------------------------------------------
+# X3 — similarity search: exact kNN (oracle) + SRP-LSH (rows-only)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_knn",
+    oracle="""
+    SELECT query_id, neighbor_id, sim, rank FROM (
+      SELECT query_id, neighbor_id, sim,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY sim DESC, neighbor_id) AS INT) AS rank
+      FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                            CAST(c.embedding AS DOUBLE[])), 5) AS sim
+        FROM embeddings q, embeddings c
+        WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id
+      )
+    ) WHERE rank <= 10
+    """,
+)
+def q_knn(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return sim.knn_exact(queries, emb, k=10)
+
+
+@register("q_knn_lsh")
+def q_knn_lsh(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return sim.knn_lsh(queries, emb, k=10, bits=16, num_bands=8).orderBy(
+        "query_id", "rank"
+    )
+
+
+# ---------------------------------------------------------------------------
+# X4 — text analysis
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_text_stats",
+    oracle=f"""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+           {davg_sql('n_chars')} AS avg_chars,
+           COUNT(DISTINCT source) AS n_sources
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def q_text_stats(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    from mongo_olap_spark.functions.expressions import davg
+
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(tx.token_count("text").cast("long")).alias("total_tokens"),
+        davg("n_chars", "avg_chars"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+
+
+@register(
+    "q_token_count",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(lower(text), '{tx.BPE_REGEX}')) AS INT) AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def q_token_count(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        tx.token_count("text").alias("n_ws_tokens"),
+        tx.bpe_token_count("text").cast("int").alias("n_bpe_tokens"),
+    )
+
+
+_QUALITY_SQL = """
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+           (CAST(length(text) AS DOUBLE) - (len(string_split(text, ' ')) - 1))
+             / len(string_split(text, ' ')) AS avg_token_len,
+           CAST(len(list_filter(string_split(text, ' '),
+                t -> list_contains(['the','of','and','a','to','in','is','it','that','for'], t)))
+                AS DOUBLE) / len(string_split(text, ' ')) AS stopword_ratio
+    FROM documents
+"""
+
+
+@register("q_quality_score", oracle=_QUALITY_SQL)
+def q_quality_score(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        tx.token_count("text").alias("n_tokens"),
+        tx.avg_token_len("text").alias("avg_token_len"),
+        tx.stopword_ratio("text").alias("stopword_ratio"),
+    )
+
+
+@register("q_lang_id")
+def q_lang_id(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        "lang",
+        tx.lang_id("text").alias("lang_pred"),
+        tx.quality_score("text").alias("quality"),
+        tx.rolling_hash("text").alias("rhash"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "q_fingerprint",
+    oracle="""
+    SELECT doc_id, md5(text) AS fp_md5 FROM documents
+    """,
+)
+def q_fingerprint(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", tx.fingerprint_md5("text").alias("fp_md5"))
+
+
+# ---------------------------------------------------------------------------
+# X6 — JSON prop extraction (dynamic-schema columns)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_json_extract",
+    oracle="""
+    SELECT event_type,
+           COUNT(CAST(json_extract_string(props, '$.k') AS INT)) AS n_with_k,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+           min(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
+           max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_json_extract(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return e.groupBy("event_type").agg(
+        F.count(k).alias("n_with_k"),
+        F.sum(k).alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X5 — multimodal binary plumbing (Arrow-batched mapInPandas stage with
+# deterministic fake features; oracle checks the full path)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_multimodal",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(list_sum(list_transform(range(1, least(length(text), 64) + 1),
+                                        i -> unicode(text[i]))) AS DOUBLE) / 255.0 AS feature0,
+           CAST(octet_length(encode(text)) % 997 AS DOUBLE) / 997.0 AS feature1
+    FROM documents
+    """,
+)
+def q_multimodal(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    payloads = mm.attach_binary_payload(d)
+    return mm.extract_features(payloads)

@@ -1,1 +1,75 @@
-"""Placeholder — populated in a later milestone."""
+"""C11–C13 — incremental cube maintenance as oracle-checkable queries.
+
+The trick that makes IVM *fully* SQL-checkable: the CDC fixture has a
+closed-form net state (streaming/cdc.py), and correct incremental
+maintenance is invisible — the maintained cube must equal a direct
+aggregation of the net source. So the oracle is plain GROUP BY SQL
+over the appropriate WHERE, while the Spark side actually runs
+build → delta → signed merge.
+
+q_incr_insert: base cube from the first 20 days, then the remaining
+days applied as insert deltas. Oracle: aggregate over ALL events.
+
+q_incr_delete: base cube from all inserts, then the CDC deletes
+(event_id % 10 == 9) applied as −1 retractions (cells hitting zero
+rows are evicted). Oracle: aggregate over surviving events only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mongo_olap_spark.cube import build_cube, query_cube
+from mongo_olap_spark.cube.build import delta_cells
+from mongo_olap_spark.cube.ivm import merge_cells
+from mongo_olap_spark.functions.expressions import davg_sql, dsum_sql
+from mongo_olap_spark.queries import register
+from mongo_olap_spark.queries.core import EVENTS_CUBE
+from mongo_olap_spark.sources.tables import load_table
+from mongo_olap_spark.streaming.cdc import cdc_from_events
+
+_SPLIT_TS = "2024-01-21 00:00:00"
+
+
+@register(
+    "q_incr_insert",
+    oracle=f"""
+    SELECT event_type,
+           CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           COUNT(*) AS n,
+           {dsum_sql('value')} AS total_value,
+           {davg_sql('value')} AS avg_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_incr_insert(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    base = e.filter(F.col("ts") < F.lit(_SPLIT_TS).cast("timestamp"))
+    tail = e.filter(F.col("ts") >= F.lit(_SPLIT_TS).cast("timestamp"))
+    cells = build_cube(spark, EVENTS_CUBE, base)
+    deltas = delta_cells(EVENTS_CUBE, tail.withColumn("mult", F.lit(1)))
+    merged = merge_cells(cells, deltas, EVENTS_CUBE)
+    return query_cube(merged, EVENTS_CUBE)
+
+
+@register(
+    "q_incr_delete",
+    oracle=f"""
+    SELECT event_type,
+           CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           COUNT(*) AS n,
+           {dsum_sql('value')} AS total_value,
+           {davg_sql('value')} AS avg_value
+    FROM events
+    WHERE event_id % 10 <> 9
+    GROUP BY 1, 2
+    """,
+)
+def q_incr_delete(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    cdc = cdc_from_events(e)
+    cells = build_cube(spark, EVENTS_CUBE, cdc.filter(F.col("op") == "insert"))
+    deltas = delta_cells(EVENTS_CUBE, cdc.filter(F.col("op") == "delete"))
+    merged = merge_cells(cells, deltas, EVENTS_CUBE)
+    return query_cube(merged, EVENTS_CUBE)

@@ -1,0 +1,58 @@
+"""CDC fixture: a change-stream-shaped view over the ``events`` table.
+
+The reference domain consumes MongoDB change streams
+(``operationType ∈ insert/update/replace/delete``, ``documentKey``,
+``fullDocument``, ordered, resumable). This environment has no
+MongoDB, so the deterministic testbed mapping (FIXTURES.md §b,
+refined) is:
+
+- every event row yields an ``insert`` at stream time = its own ``ts``;
+- rows with ``event_id % 10 == 9`` additionally yield a ``delete`` of
+  the same document 12 hours later — so the *net* state is
+  ``events WHERE event_id % 10 <> 9``, which gives IVM tests and the
+  driver's SQL oracle a closed-form truth.
+
+Shape notes: ``stream_ts`` is the change-stream position (clusterTime
+— ordering/watermark column); the document's own fields, including its
+``ts``, ride inline (a delete retracts from the cell its *document*
+maps to, so deletes must carry the pre-image fields — MongoDB's
+``fullDocumentBeforeChange``). A real deployment swaps this module for
+``spark.readStream.format("mongodb")`` mapped to the same shape;
+everything downstream (delta_cells → merge_cells) is source-agnostic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: document columns carried through the stream (the cube projection input)
+DOC_COLS = ("event_id", "ts", "user_id", "event_type", "value", "props")
+
+CDC_SCHEMA = (
+    "op STRING, stream_ts TIMESTAMP, event_id BIGINT, ts TIMESTAMP, "
+    "user_id BIGINT, event_type STRING, value DOUBLE, props STRING, mult INT"
+)
+
+
+def cdc_from_events(events: DataFrame) -> DataFrame:
+    """Expand an events DataFrame into the deterministic CDC stream,
+    ordered by ``stream_ts``."""
+    inserts = events.select(
+        F.lit("insert").alias("op"),
+        F.col("ts").alias("stream_ts"),
+        *DOC_COLS,
+        F.lit(1).alias("mult"),
+    )
+    deletes = events.filter(F.col("event_id") % 10 == 9).select(
+        F.lit("delete").alias("op"),
+        (F.col("ts") + F.expr("interval 12 hours")).alias("stream_ts"),
+        *DOC_COLS,
+        F.lit(-1).alias("mult"),
+    )
+    return inserts.unionByName(deletes)
+
+
+def net_events(events: DataFrame) -> DataFrame:
+    """The ground-truth surviving documents after the CDC stream."""
+    return events.filter(F.col("event_id") % 10 != 9)
