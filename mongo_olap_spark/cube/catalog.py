@@ -42,6 +42,9 @@ class CubeCatalog:
     def _cells_path(self, name: str) -> str:
         return os.path.join(self._dir(name), "cells")
 
+    def _schema_path(self, name: str) -> str:
+        return os.path.join(self._dir(name), "cells_schema.json")
+
     # -- catalog ops (reference: create/list/drop cube) ------------------
     def list_cubes(self) -> list[str]:
         return sorted(
@@ -73,7 +76,20 @@ class CubeCatalog:
         return self.cells(name)
 
     def cells(self, name: str) -> DataFrame:
-        return self.spark.read.parquet(self._cells_path(name))
+        """Current cell table. An empty cube (no parquet files yet —
+        e.g. created from an empty source before streaming starts)
+        reads as an empty DataFrame with the recorded cell schema."""
+        from pyspark.sql.types import StructType
+
+        with open(self._schema_path(name)) as f:
+            schema = StructType.fromJson(json.load(f))
+        path = self._cells_path(name)
+        has_data = os.path.isdir(path) and any(
+            f.endswith(".parquet") for _, _, fs in os.walk(path) for f in fs
+        )
+        if not has_data:
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.schema(schema).parquet(path)
 
     # -- storage ---------------------------------------------------------
     def partition_dim(self, spec: CubeSpec) -> str | None:
@@ -85,6 +101,8 @@ class CubeCatalog:
         return min(timed, key=lambda d: order[d.granularity]).name
 
     def _write_cells(self, spec: CubeSpec, cells: DataFrame) -> None:
+        with open(self._schema_path(spec.name), "w") as f:
+            json.dump(cells.schema.jsonValue(), f)
         writer = cells.write.mode("overwrite")
         pdim = self.partition_dim(spec)
         if pdim is not None:

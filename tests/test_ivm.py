@@ -1,0 +1,132 @@
+"""IVM equivalence properties (SURVEY.md §5.3): applying CDC deltas
+incrementally — in any batch partitioning/order — must equal a batch
+rebuild of the net state, exactly."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from mongo_olap_spark.cube import CubeSpec, Dimension, Measure, build_cube, query_cube
+from mongo_olap_spark.cube.build import delta_cells
+from mongo_olap_spark.cube.ivm import merge_cells, recompute_cells, row_count_col
+from mongo_olap_spark.queries.core import EVENTS_CUBE
+from mongo_olap_spark.streaming.cdc import cdc_from_events, net_events
+
+
+def rows_set(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def test_incremental_equals_rebuild_random_batches(spark, events):
+    """Split the CDC stream into k random contiguous batches (seeded),
+    apply sequentially, compare to the batch build of net state."""
+    rng = random.Random(42)
+    cdc = cdc_from_events(events).orderBy("stream_ts").cache()
+    n = cdc.count()
+    cuts = sorted(rng.sample(range(1, n), 4))
+    bounds = [0, *cuts, n]
+
+    indexed = cdc.withColumn(
+        "rn", F.row_number().over(W.orderBy("stream_ts", "event_id", "op"))
+    ).cache()
+
+    cells = build_cube(spark, EVENTS_CUBE, events.limit(0))  # empty cube
+    for lo, hi in zip(bounds, bounds[1:]):
+        batch = indexed.filter((F.col("rn") > lo) & (F.col("rn") <= hi))
+        deltas = delta_cells(EVENTS_CUBE, batch)
+        cells = merge_cells(cells, deltas, EVENTS_CUBE).localCheckpoint(eager=True)
+
+    expected = build_cube(spark, EVENTS_CUBE, net_events(events))
+    assert rows_set(query_cube(cells, EVENTS_CUBE)) == rows_set(
+        query_cube(expected, EVENTS_CUBE)
+    )
+
+
+def test_update_is_delete_plus_insert(spark, events):
+    """C13: an update event = (−1 old doc, +1 new doc); cube must land
+    on the post-update state."""
+    base = events.limit(200).cache()
+    cells = build_cube(spark, EVENTS_CUBE, base)
+    # update: every 'error' event re-typed to 'view' with value doubled
+    old = base.filter(F.col("event_type") == "error")
+    new = old.withColumn("value", F.col("value") * 2).withColumn(
+        "event_type", F.lit("view")
+    )
+    pair = old.withColumn("mult", F.lit(-1)).unionByName(new.withColumn("mult", F.lit(1)))
+    merged = merge_cells(cells, delta_cells(EVENTS_CUBE, pair), EVENTS_CUBE)
+
+    post = base.filter(F.col("event_type") != "error").unionByName(new)
+    expected = build_cube(spark, EVENTS_CUBE, post)
+    assert rows_set(query_cube(merged, EVENTS_CUBE)) == rows_set(
+        query_cube(expected, EVENTS_CUBE)
+    )
+
+
+def test_zero_cells_evicted(spark, events):
+    one_day = events.filter(F.date_trunc("day", "ts") == "2024-01-03 00:00:00").cache()
+    cells = build_cube(spark, EVENTS_CUBE, one_day)
+    n_cells = cells.count()
+    assert n_cells > 0
+    # retract everything
+    deltas = delta_cells(EVENTS_CUBE, one_day.withColumn("mult", F.lit(-1)))
+    merged = merge_cells(cells, deltas, EVENTS_CUBE)
+    assert merged.count() == 0
+
+
+MINMAX_CUBE = CubeSpec(
+    name="events_minmax",
+    source="events",
+    dimensions=(Dimension("event_type"),),
+    measures=(
+        Measure("n", "count"),
+        Measure("lo", "min", "value"),
+        Measure("hi", "max", "value"),
+    ),
+)
+
+
+def test_minmax_insert_only_merge(spark, events):
+    half1 = events.filter(F.col("event_id") % 2 == 0)
+    half2 = events.filter(F.col("event_id") % 2 == 1)
+    cells = build_cube(spark, MINMAX_CUBE, half1)
+    deltas = delta_cells(MINMAX_CUBE, half2.withColumn("mult", F.lit(1)))
+    merged = merge_cells(cells, deltas, MINMAX_CUBE)
+    expected = build_cube(spark, MINMAX_CUBE, events)
+    assert rows_set(query_cube(merged, MINMAX_CUBE)) == rows_set(
+        query_cube(expected, MINMAX_CUBE)
+    )
+
+
+def test_minmax_delete_requires_recompute(spark, events):
+    """Deleting the current max must repair via recompute_cells — the
+    merged min/max alone would be stale."""
+    cells = build_cube(spark, MINMAX_CUBE, events)
+    # delete the global max-value row of each event_type
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("event_type").orderBy(F.desc("value"))
+    doomed = events.withColumn("r", F.row_number().over(w)).filter("r = 1").drop("r")
+    deltas = delta_cells(MINMAX_CUBE, doomed.withColumn("mult", F.lit(-1)))
+    merged = merge_cells(cells, deltas, MINMAX_CUBE)
+    touched = doomed.select("event_type").distinct()
+    survivors = events.join(doomed.select("event_id"), "event_id", "left_anti")
+    repaired = recompute_cells(MINMAX_CUBE, survivors, merged, touched)
+    expected = build_cube(spark, MINMAX_CUBE, survivors)
+    assert rows_set(query_cube(repaired, MINMAX_CUBE)) == rows_set(
+        query_cube(expected, MINMAX_CUBE)
+    )
+
+
+def test_row_count_col_requires_count_or_avg():
+    spec = CubeSpec(
+        name="only_minmax",
+        source="t",
+        dimensions=(Dimension("d"),),
+        measures=(Measure("lo", "min", "x"),),
+    )
+    with pytest.raises(ValueError, match="count or avg"):
+        row_count_col(spec)

@@ -1,0 +1,171 @@
+"""T3 operator unit tests: planted-duplicate recall for the LSH paths,
+language-ID on real multilingual samples, hash determinism, LSH-kNN
+recall vs the exact oracle, multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mongo_olap_spark.operators import dedup as dd
+from mongo_olap_spark.operators import multimodal as mm
+from mongo_olap_spark.operators import similarity as sim
+from mongo_olap_spark.operators import text as tx
+from mongo_olap_spark.sources.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents").cache()
+
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+
+def _planted_near_dups(docs):
+    toks = F.split("text", " ")
+    near = (
+        docs.filter(F.col("doc_id") % 11 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 2_000_000)
+        .withColumn(
+            "text",
+            F.concat_ws(" ", F.slice(toks, 1, F.greatest(F.size(toks) - 3, F.lit(1)))),
+        )
+    )
+    return docs.select("doc_id", "text", "source").unionByName(
+        near.select("doc_id", "text", "source")
+    )
+
+
+def test_minhash_finds_all_planted_pairs(spark, docs):
+    corpus = _planted_near_dups(docs)
+    planted = {
+        (r.doc_id, r.doc_id + 2_000_000)
+        for r in docs.filter(F.col("doc_id") % 11 == 0).select("doc_id").collect()
+    }
+    pairs = dd.minhash_near_dup_pairs(corpus, threshold=0.5)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    missing = planted - got
+    # banding (16 hashes, 4 bands) at jaccard ~0.9 → recall ~1; allow 1 miss
+    assert len(missing) <= 1, f"missed planted pairs: {sorted(missing)[:5]}"
+    for r in pairs.collect():
+        assert r.jaccard >= 0.5
+
+
+def test_simhash_close_on_perturbed_docs(spark, docs):
+    corpus = _planted_near_dups(docs)
+    planted = {
+        (r.doc_id, r.doc_id + 2_000_000)
+        for r in docs.filter(F.col("doc_id") % 11 == 0).select("doc_id").collect()
+    }
+    pairs = dd.simhash_near_dup_pairs(corpus, max_hamming=10, num_bands=8)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    found = planted & got
+    # SimHash is coarser than MinHash; expect the large majority found
+    assert len(found) >= 0.7 * len(planted)
+
+
+def test_simhash_deterministic(spark, docs):
+    a = docs.select(dd.simhash64("text").alias("s")).collect()
+    b = docs.select(dd.simhash64("text").alias("s")).collect()
+    assert a == b
+
+
+def test_word_shingles_short_doc(spark):
+    df = spark.createDataFrame([("a b",), ("x",)], ["text"])
+    out = df.select(dd.word_shingles("text", 3).alias("sh")).collect()
+    assert out[0].sh == ["a b"]
+    assert out[1].sh == ["x"]
+
+
+# ---------------------------------------------------------------------------
+# similarity
+# ---------------------------------------------------------------------------
+
+def test_knn_lsh_recall_vs_exact(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings").cache()
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = sim.knn_exact(queries, emb, k=10)
+    approx = sim.knn_lsh(queries, emb, k=10, bits=16, num_bands=8)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    # 8 bands × 2 bits is permissive banding — recall should be high
+    assert recall >= 0.8, f"LSH recall {recall:.2f}"
+
+
+def test_knn_self_excluded_and_k_bounded(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = sim.knn_exact(emb.filter(F.col("vec_id") < 3), emb, k=5).collect()
+    assert all(r.query_id != r.neighbor_id for r in out)
+    assert all(1 <= r.rank <= 5 for r in out)
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r.query_id, []).append(r.rank)
+    assert all(sorted(v) == list(range(1, 6)) for v in per_q.values())
+
+
+# ---------------------------------------------------------------------------
+# text
+# ---------------------------------------------------------------------------
+
+def test_lang_id_on_real_samples(spark):
+    samples = [
+        ("the cat sat on the mat and it is happy", "en"),
+        ("el perro corre en la calle y se va por un rato", "es"),
+        ("der hund ist nicht mit den kindern zu hause", "de"),
+        ("le chat est dans la maison et il mange pour une heure", "fr"),
+        ("zzz qqq www", "und"),
+    ]
+    df = spark.createDataFrame(samples, ["text", "expected"])
+    out = df.select("expected", tx.lang_id("text").alias("got")).collect()
+    for r in out:
+        assert r.got == r.expected, r
+
+
+def test_rolling_hash_order_sensitive(spark):
+    df = spark.createDataFrame([("aa bbb c",), ("c bbb aa",)], ["text"])
+    h = [r.h for r in df.select(tx.rolling_hash("text").alias("h")).collect()]
+    assert h[0] != h[1]  # order matters
+    again = [r.h for r in df.select(tx.rolling_hash("text").alias("h")).collect()]
+    assert h == again  # deterministic
+
+
+def test_quality_score_bounds(spark, docs):
+    out = docs.select(tx.quality_score("text").alias("q")).agg(
+        F.min("q").alias("lo"), F.max("q").alias("hi")
+    ).collect()[0]
+    assert 0.0 <= out.lo <= out.hi <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# multimodal
+# ---------------------------------------------------------------------------
+
+def test_multimodal_features_stable_under_repartition(spark, docs):
+    payloads = mm.attach_binary_payload(docs.select("doc_id", "text"))
+    a = {tuple(r) for r in mm.extract_features(payloads).collect()}
+    b = {tuple(r) for r in mm.extract_features(payloads.repartition(7)).collect()}
+    assert a == b
+    assert len(a) == docs.count()
+
+
+def test_multimodal_metadata_struct(spark, docs):
+    payloads = mm.attach_binary_payload(docs.select("doc_id", "text"))
+    row = payloads.select("media_meta.modality", "media_meta.source_uri").first()
+    assert row.modality == "text"
+    assert row.source_uri.startswith("testdata://documents/")
+
+
+def test_decode_image_is_explicit_stub():
+    with pytest.raises(NotImplementedError):
+        mm.decode_image(None)
+
+
+def test_repartition_by_bytes(spark, docs):
+    payloads = mm.attach_binary_payload(docs.select("doc_id", "text"))
+    sized = payloads.withColumn("n", F.length("payload"))
+    out = mm.repartition_by_bytes(sized, "n", target_bytes_per_partition=10_000)
+    assert out.rdd.getNumPartitions() >= 2
+    assert out.count() == docs.count()
