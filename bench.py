@@ -1,0 +1,78 @@
+"""Benchmark harness — runs every declared query at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {"q_filter": sec, ...}, "sf": 0.1}
+
+Timing protocol: one JVM-warmup pass of the flagship query, then each
+query timed as full plan execution + result materialization
+(``collect`` of up to ROW_CAP rows — row-returning queries like
+q_project are capped so the bench measures engine work, not driver
+result transfer). ``value`` is the sum of per-query seconds.
+
+Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS,
+BENCH_QUERIES (comma-separated subset), BENCH_REPEAT (default 1;
+per-query min over repeats when >1).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+ROW_CAP = 100_000
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    repeat = int(os.environ.get("BENCH_REPEAT", "1"))
+    only = {q for q in os.environ.get("BENCH_QUERIES", "").split(",") if q}
+
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    import __spark_entry__ as ent
+    from mongo_olap_spark.session import get_spark
+
+    spark = get_spark("bench")
+    qs = ent.queries()
+
+    # JVM/codegen warmup (not timed)
+    qs["q_cube_build"](spark, sf_dir).limit(1).collect()
+
+    timings: dict[str, float] = {}
+    for qid in sorted(qs):
+        if only and qid not in only:
+            continue
+        best = None
+        for _ in range(max(repeat, 1)):
+            t0 = time.perf_counter()
+            df = qs[qid](spark, sf_dir)
+            df.limit(ROW_CAP).collect()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[qid] = round(best, 4)
+
+    out = {
+        "metric": "total wall-clock sec across declared queries (collect<=100k rows each)",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "config": {
+            "master": spark.sparkContext.master,
+            "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),
+            "aqe": spark.conf.get("spark.sql.adaptive.enabled"),
+        },
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -93,14 +93,35 @@ def minhash_near_dup_pairs(
     threshold: float = 0.6,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, jaccard ≥ threshold) via
-    MinHash banding; exact-Jaccard verified on candidates only."""
-    base = docs.select(
+    MinHash banding; exact-Jaccard verified on candidates only.
+
+    Signatures are computed by explode → groupBy with one ``min`` per
+    hash function: plain codegen'd aggregates. (A per-row
+    transform/aggregate fold is interpreted per element in Spark —
+    ~10× slower at scale.) One shuffle keyed by doc id, then the band
+    self-join shuffles only O(postings) band keys.
+    """
+    per = num_hashes // num_bands
+    sh = docs.select(
         F.col(id_col).alias("id"),
         word_shingles(text_col, shingle_k).alias("shingles"),
-    ).withColumn("sig", minhash_signature(F.col("shingles"), num_hashes))
-    banded = base.select(
-        "id", "shingles", F.explode(lsh_bands(F.col("sig"), num_bands)).alias("band")
-    ).select("id", "shingles", "band.band_id", "band.band_hash")
+    )
+    posts = sh.select("id", "shingles", F.explode("shingles").alias("s"))
+    sigs = posts.groupBy("id").agg(
+        F.first("shingles").alias("shingles"),
+        *[F.min(F.xxhash64(F.lit(i), F.col("s"))).alias(f"h{i}") for i in range(num_hashes)],
+    )
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.xxhash64(*[F.col(f"h{b * per + j}") for j in range(per)]).alias("band_hash"),
+        )
+        for b in range(num_bands)
+    ]
+    # candidate join is ids-only: shingle arrays never ride the shuffle
+    banded = sigs.select("id", F.explode(F.array(*band_structs)).alias("band")).select(
+        "id", "band.band_id", "band.band_hash"
+    )
     left = banded.alias("a")
     right = banded.alias("b")
     cand = (
@@ -110,18 +131,18 @@ def minhash_near_dup_pairs(
             & (F.col("a.band_hash") == F.col("b.band_hash"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.shingles").alias("sh_a"),
-            F.col("b.shingles").alias("sh_b"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    return (
-        cand.withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+    # re-attach shingles only for surviving candidate pairs
+    shs = sigs.select("id", "shingles")
+    verified = (
+        cand.join(shs.withColumnsRenamed({"id": "id_a", "shingles": "sh_a"}), "id_a")
+        .join(shs.withColumnsRenamed({"id": "id_b", "shingles": "sh_b"}), "id_b")
+        .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
+    )
+    return verified.filter(F.col("jaccard") >= threshold).select(
+        "id_a", "id_b", "jaccard"
     )
 
 
@@ -139,16 +160,18 @@ def simhash64(text: Column | str) -> Column:
     shift amount in Spark, so ``h & mask_j`` replaces ``(h >> j) & 1``.)
     """
     c = F.col(text) if isinstance(text, str) else text
-    toks = F.split(c, " ")
+    # hash each token ONCE (hoisted out of the 64-bit vote loop — the
+    # lambda engine does not CSE a loop-invariant xxhash64 on its own)
+    hashes = F.transform(F.split(c, " "), lambda t: F.xxhash64(t))
     masks = F.array(*[F.lit(m).cast("long") for m in _BIT_MASKS])
     zeros = F.array_repeat(F.lit(0).cast("long"), 64)
     votes = F.aggregate(
-        toks,
+        hashes,
         zeros,
-        lambda acc, t: F.zip_with(
+        lambda acc, h: F.zip_with(
             acc,
             masks,
-            lambda a, m: a + F.when(F.xxhash64(t).bitwiseAND(m) != 0, 1).otherwise(-1),
+            lambda a, m: a + F.when(h.bitwiseAND(m) != 0, 1).otherwise(-1),
         ),
     )
     return F.aggregate(
@@ -166,6 +189,38 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def simhash_signatures(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, sig) via the scale path: explode tokens, hash once, 64
+    codegen'd vote sums per doc, assemble the signature from the vote
+    columns. Same result as :func:`simhash64` (property-tested), but
+    plain aggregates instead of per-element interpreted lambdas —
+    the difference between minutes and hours at 100 TB."""
+    from functools import reduce
+
+    posts = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    ).select("id", F.xxhash64("tok").alias("h"))
+    votes = posts.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.col("h").bitwiseAND(F.lit(m).cast("long")) != 0, 1).otherwise(-1)
+            ).alias(f"v{j}")
+            for j, m in enumerate(_BIT_MASKS)
+        ]
+    )
+    sig = reduce(
+        lambda a, b: a.bitwiseOR(b),
+        [
+            F.when(F.col(f"v{j}") > 0, F.lit(m).cast("long")).otherwise(F.lit(0).cast("long"))
+            for j, m in enumerate(_BIT_MASKS)
+        ],
+    )
+    return votes.select("id", sig.alias("sig"))
+
+
 def simhash_near_dup_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -178,7 +233,7 @@ def simhash_near_dup_pairs(
     ``num_bands`` chunks (pigeonhole: distance ≤ max_hamming < num_bands
     ⇒ some band identical), join per band, verify Hamming distance."""
     bits_per = 64 // num_bands
-    base = docs.select(F.col(id_col).alias("id"), simhash64(text_col).alias("sig"))
+    base = simhash_signatures(docs, id_col, text_col)
     band_cols = []
     for b in range(num_bands):
         band_cols.append(

@@ -1,0 +1,182 @@
+"""Aggregate routing: answer a query from the smallest sufficient cube.
+
+The reference's reason to exist is answering aggregate queries from
+materialized cells instead of rescanning raw documents. This router is
+that decision, engine-side (SURVEY.md §4.1 — a plain-Python planner;
+no custom Catalyst rule needed, because the rewrite happens *before*
+a DataFrame is built, so Catalyst still plans/optimizes whatever we
+choose):
+
+    request {source, group_by, measures, where?}
+      → candidate cubes: same source; dims ⊇ group_by (+ filter cols);
+        measures ⊇ requested; pre-agg filter compatible
+      → pick the candidate with the fewest cells (cheapest rollup)
+      → else fall back to direct aggregation of the source
+
+A time-bucketed group_by (e.g. day) is served by any cube whose time
+dim is at the same-or-finer granularity on the same path — a month
+rollup reads a day cube (never the reverse).
+
+Filter compatibility is conservative: the request's ``where`` must
+reference dimension columns only (cells are already aggregated — a
+measure-level or raw-column predicate can't be applied post-hoc).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+
+from mongo_olap_spark.cube.catalog import CubeCatalog
+from mongo_olap_spark.cube.query import query_cube
+from mongo_olap_spark.cube.spec import _GRANULARITIES, CubeSpec
+
+#: finer-to-coarser ordering index (year coarsest)
+_GRAN_ORDER = {g: i for i, g in enumerate(_GRANULARITIES)}
+
+
+@dataclass(frozen=True)
+class AggregateRequest:
+    """A client aggregate query in cube vocabulary: group_by names may
+    be plain dims or ``(path, granularity)`` time buckets."""
+
+    source: str
+    group_by: tuple = ()  # str dim-paths or (path, granularity) pairs
+    measures: tuple = ()  # measure names as (name, op, path) or names
+    where: str | None = None  # predicate over group_by outputs only
+    filter_sql: str | None = None  # pre-aggregation source filter
+
+
+def _where_columns(where: str) -> set[str]:
+    return set(re.findall(r"[A-Za-z_][A-Za-z0-9_]*", where))
+
+
+@dataclass
+class RoutingDecision:
+    cube: str | None  # None = fall back to source scan
+    reason: str
+    rewritten_group_by: list = field(default_factory=list)
+
+
+class CubeRouter:
+    def __init__(self, catalog: CubeCatalog):
+        self.catalog = catalog
+
+    # -- candidate test -----------------------------------------------------
+    def _serves(self, spec: CubeSpec, req: AggregateRequest) -> tuple[bool, list, str]:
+        if spec.source != req.source:
+            return False, [], "different source"
+        if (spec.filter_sql or None) != (req.filter_sql or None):
+            # a cube built over a filtered subset answers only queries
+            # with the identical pre-filter
+            return False, [], "pre-aggregation filter differs"
+        dim_by_path = {d.source_path: d for d in spec.dimensions}
+        dim_names = set(spec.dim_names)
+        rewritten = []
+        for g in req.group_by:
+            if isinstance(g, tuple):
+                path, gran = g
+                d = dim_by_path.get(path)
+                if d is None or d.granularity is None:
+                    return False, [], f"no time dim on {path}"
+                if _GRAN_ORDER[d.granularity] < _GRAN_ORDER[gran]:
+                    return False, [], f"cube too coarse on {path} ({d.granularity} < {gran})"
+                rewritten.append((d.name, gran))
+            else:
+                if g in dim_names:
+                    rewritten.append(g)
+                elif g in dim_by_path:
+                    rewritten.append(dim_by_path[g].name)
+                else:
+                    return False, [], f"dimension {g} not in cube"
+        have = {m.name for m in spec.measures}
+        for m in req.measures:
+            name = m if isinstance(m, str) else m[0]
+            if name not in have:
+                return False, [], f"measure {name} not in cube"
+        if req.where is not None:
+            allowed = set(dim_names)
+            # conservative: every identifier in the predicate that is a
+            # column must be a dimension name
+            refs = _where_columns(req.where) & self._all_known_columns()
+            if not refs <= allowed:
+                return False, [], "where references non-dimension columns"
+        return True, rewritten, "ok"
+
+    def _all_known_columns(self) -> set[str]:
+        cols: set[str] = set()
+        for name in self.catalog.list_cubes():
+            spec = self.catalog.get_spec(name)
+            cols |= set(spec.dim_names)
+            cols |= {m.name for m in spec.measures}
+            cols |= {m.source_path for m in spec.measures if m.path}
+            cols |= {d.source_path for d in spec.dimensions}
+        return cols
+
+    # -- routing ------------------------------------------------------------
+    def route(self, req: AggregateRequest) -> RoutingDecision:
+        candidates: list[tuple[int, str, list]] = []
+        for name in self.catalog.list_cubes():
+            spec = self.catalog.get_spec(name)
+            ok, rewritten, why = self._serves(spec, req)
+            if ok:
+                # cost proxy: cell count (cheap driver-side metadata read)
+                n_cells = self.catalog.cells(name).count()
+                candidates.append((n_cells, name, rewritten))
+        if not candidates:
+            return RoutingDecision(None, "no cube serves the request")
+        n, name, rewritten = min(candidates)
+        return RoutingDecision(name, f"smallest sufficient cube ({n} cells)", rewritten)
+
+    def execute(self, req: AggregateRequest, source_df: DataFrame | None = None) -> DataFrame:
+        """Route and run. Falls back to direct aggregation over
+        ``source_df`` when no cube qualifies (the reference would
+        rescan the collection)."""
+        from pyspark.sql import functions as F
+
+        decision = self.route(req)
+        if decision.cube is not None:
+            spec = self.catalog.get_spec(decision.cube)
+            cells = self.catalog.cells(decision.cube)
+            # time re-bucketing: a coarser request granularity over a finer
+            # stored dim truncates the stored dim value again
+            gb_exprs, gb_names = [], []
+            for g in decision.rewritten_group_by:
+                if isinstance(g, tuple):
+                    name, gran = g
+                    gb_exprs.append(F.date_trunc(gran, F.col(name)).alias(name))
+                    gb_names.append(name)
+                else:
+                    gb_exprs.append(F.col(g))
+                    gb_names.append(g)
+            filtered = cells.filter(req.where) if req.where else cells
+            regrouped = filtered.select(
+                *gb_exprs, *[c for c in cells.columns if c not in gb_names]
+            )
+            measures = [m if isinstance(m, str) else m[0] for m in req.measures] or None
+            return query_cube(regrouped, spec, group_by=gb_names, measures=measures)
+        if source_df is None:
+            raise ValueError(f"no cube serves request and no source_df given: {decision.reason}")
+        # direct fallback: build the aggregation from the request
+        from mongo_olap_spark.cube.build import build_cube
+        from mongo_olap_spark.cube.spec import Dimension, Measure
+
+        dims = tuple(
+            Dimension(name=(g if isinstance(g, str) else f"{g[0]}_{g[1]}"),
+                      path=(None if isinstance(g, str) else g[0]),
+                      granularity=(None if isinstance(g, str) else g[1]))
+            for g in req.group_by
+        )
+        measures = tuple(
+            Measure(*m) if isinstance(m, tuple) else Measure(m, "count")
+            for m in req.measures
+        )
+        tmp = CubeSpec(
+            name="adhoc", source=req.source, dimensions=dims,
+            measures=measures, filter_sql=req.filter_sql,
+        )
+        cells = build_cube(None, tmp, source_df)
+        filtered = cells.filter(req.where) if req.where else cells
+        return query_cube(filtered, tmp)

@@ -96,8 +96,10 @@ def q_dedup_minhash(spark, sf_dir):
 
 @register("q_dedup_simhash")
 def q_dedup_simhash(spark, sf_dir):
+    # 4 bands × 16-bit keys: selective buckets (65k keys) and a
+    # pigeonhole guarantee for hamming ≤ 3 — the scale-sane setting.
     corpus = _near_dup_corpus(spark, sf_dir)
-    return dd.simhash_near_dup_pairs(corpus, max_hamming=6, num_bands=8).orderBy(
+    return dd.simhash_near_dup_pairs(corpus, max_hamming=3, num_bands=4).orderBy(
         "id_a", "id_b"
     )
 
@@ -131,21 +133,40 @@ def q_dedup_simhash(spark, sf_dir):
     """,
 )
 def q_dedup_ngram(spark, sf_dir):
+    # Inverted-index shingle join — the scalable exact-Jaccard shape:
+    # explode distinct shingles, self-join on the shingle (pairs only
+    # materialize when they share ≥1 shingle — required by j ≥ 0.5),
+    # count shared postings, derive jaccard from set sizes. Shuffle is
+    # O(postings), never O(block²) like an all-pairs block join.
     corpus = _dup_corpus(spark, sf_dir)
     sh = corpus.select(
         "doc_id", "source", dd.word_shingles("text", 3).alias("shingles")
+    ).withColumn("n_sh", F.size("shingles"))
+    posts = sh.select(
+        "doc_id", "source", "n_sh", F.explode("shingles").alias("shingle")
     )
-    a, b = sh.alias("a"), sh.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.source") == F.col("b.source"))
-        & (F.col("b.doc_id") > F.col("a.doc_id")),
-    ).select(
-        F.col("a.doc_id").alias("id_a"),
-        F.col("b.doc_id").alias("id_b"),
-        dd.jaccard(F.col("a.shingles"), F.col("b.shingles")).alias("jaccard"),
+    a, b = posts.alias("a"), posts.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("b.doc_id") > F.col("a.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
     )
-    return pairs.filter(F.col("jaccard") >= 0.5)
+    jac = F.col("n_shared").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_shared")
+    )
+    return shared.select("id_a", "id_b", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= 0.5
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,103 @@
+"""Cube routing: requests hit the smallest sufficient cube; coarser
+time granularities re-bucket finer cubes; unsatisfiable requests fall
+back to source aggregation — always with identical results."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mongo_olap_spark.cube import CubeCatalog, CubeSpec, Dimension, Measure
+from mongo_olap_spark.functions.expressions import davg, dsum
+from mongo_olap_spark.plans import AggregateRequest, CubeRouter
+from mongo_olap_spark.queries.core import EVENTS_CUBE
+
+
+def rows_set(df):
+    return {tuple(r) for r in df.collect()}
+
+
+@pytest.fixture(scope="module")
+def catalog(spark, events, tmp_path_factory):
+    cat = CubeCatalog(spark, str(tmp_path_factory.mktemp("cubes")))
+    cat.create(EVENTS_CUBE, events)  # (event_type, day) — fine cube
+    coarse = CubeSpec(
+        name="events_monthly",
+        source="events",
+        dimensions=(Dimension("month", path="ts", granularity="month"),),
+        measures=(Measure("n", "count"), Measure("total_value", "sum", "value")),
+    )
+    cat.create(coarse, events)
+    return cat
+
+
+def test_routes_to_smallest_sufficient_cube(catalog):
+    router = CubeRouter(catalog)
+    d = router.route(
+        AggregateRequest(source="events", group_by=(("ts", "month"),), measures=("n",))
+    )
+    # both cubes can serve a monthly count; the monthly cube is smaller
+    assert d.cube == "events_monthly"
+
+    d2 = router.route(
+        AggregateRequest(source="events", group_by=("event_type",), measures=("n",))
+    )
+    assert d2.cube == "events_daily"
+
+
+def test_coarse_request_rebuckets_fine_cube(spark, events, catalog):
+    router = CubeRouter(catalog)
+    req = AggregateRequest(
+        source="events",
+        group_by=("event_type", ("ts", "month")),
+        measures=("n", "total_value"),
+    )
+    d = router.route(req)
+    assert d.cube == "events_daily"  # monthly cube lacks event_type
+    got = router.execute(req)
+    direct = events.groupBy(
+        "event_type", F.date_trunc("month", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"), dsum("value", "total_value"))
+    assert rows_set(got.select("event_type", "day", "n", "total_value")) == rows_set(direct)
+
+
+def test_too_coarse_cube_rejected(catalog):
+    router = CubeRouter(catalog)
+    d = router.route(
+        AggregateRequest(source="events", group_by=(("ts", "hour"),), measures=("n",))
+    )
+    # day cube cannot serve hourly buckets; no cube qualifies
+    assert d.cube is None
+
+
+def test_fallback_to_source(spark, events, catalog):
+    router = CubeRouter(catalog)
+    req = AggregateRequest(
+        source="events", group_by=("user_id",), measures=(("n", "count", None),)
+    )
+    assert router.route(req).cube is None
+    got = router.execute(req, source_df=events)
+    direct = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    assert rows_set(got) == rows_set(direct)
+
+
+def test_dimension_filter_served_measure_filter_rejected(catalog):
+    router = CubeRouter(catalog)
+    ok = router.route(
+        AggregateRequest(
+            source="events",
+            group_by=("event_type",),
+            measures=("n",),
+            where="event_type IN ('view', 'click')",
+        )
+    )
+    assert ok.cube == "events_daily"
+    bad = router.route(
+        AggregateRequest(
+            source="events",
+            group_by=("event_type",),
+            measures=("n",),
+            where="value > 10",  # raw measure column — not answerable from cells
+        )
+    )
+    assert bad.cube is None
