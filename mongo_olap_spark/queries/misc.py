@@ -1,0 +1,264 @@
+"""Remaining pipeline stages (SURVEY.md §2.2): $sample (deterministic
+hash-order variant), $replaceRoot, the date-expression surface,
+sessionization (gap-based), $graphLookup (iterative self-join to
+fixpoint — oracle: recursive CTE), $facet, and a sliding-window
+aggregation (streaming-surface op run on the batch table; rows-only).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from mongo_olap_spark.functions.expressions import dsum, dsum_sql
+from mongo_olap_spark.queries import register
+from mongo_olap_spark.sources.tables import load_table
+
+
+# ---------------------------------------------------------------------------
+# S17 — $sample. Mongo's is nondeterministic; the engine's testable
+# variant is hash-ordered pseudo-random sampling (stable across engines
+# and runs — md5 of the key). df.sample(fraction, seed) also exists but
+# its row set is partitioning-dependent, i.e. not portable.
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_sample",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey
+    LIMIT 100
+    """,
+)
+def q_sample(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_totalprice")
+        .orderBy(F.md5(F.col("o_orderkey").cast("string")), F.col("o_orderkey"))
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# S16 — $replaceRoot / $replaceWith: build a subdocument, promote it.
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_replace_root",
+    oracle="""
+    SELECT o_orderkey AS okey,
+           CAST(year(o_orderdate) AS INT) AS oyear,
+           o_totalprice AS price
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    """,
+)
+def q_replace_root(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    nested = o.filter(F.col("o_orderstatus") == "F").select(
+        F.struct(
+            F.col("o_orderkey").alias("okey"),
+            F.year("o_orderdate").alias("oyear"),
+            F.col("o_totalprice").alias("price"),
+        ).alias("doc")
+    )
+    return nested.select("doc.*")
+
+
+# ---------------------------------------------------------------------------
+# Date-expression surface ($year…$dateDiff / $dateAdd / $dateToString)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_datetime",
+    oracle="""
+    SELECT event_id,
+           CAST(year(ts) AS INT)      AS y,
+           CAST(month(ts) AS INT)     AS mo,
+           CAST(dayofmonth(ts) AS INT) AS d,
+           CAST(hour(ts) AS INT)      AS h,
+           CAST(minute(ts) AS INT)    AS mi,
+           CAST(dayofweek(ts) + 1 AS INT) AS dow,   -- DuckDB 0=Sun; Spark 1=Sun
+           CAST(dayofyear(ts) AS INT) AS doy,
+           CAST(week(ts) AS INT)      AS iso_week,
+           strftime(ts, '%Y-%m-%d')   AS day_str,
+           ts + INTERVAL 7 DAY        AS plus_week,
+           CAST(date_diff('day', TIMESTAMP '2024-01-01 00:00:00', ts) AS INT) AS days_since_start
+    FROM events
+    WHERE event_id < 500
+    """,
+)
+def q_datetime(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    return e.select(
+        "event_id",
+        F.year("ts").alias("y"),
+        F.month("ts").alias("mo"),
+        F.dayofmonth("ts").alias("d"),
+        F.hour("ts").alias("h"),
+        F.minute("ts").alias("mi"),
+        F.dayofweek("ts").alias("dow"),
+        F.dayofyear("ts").alias("doy"),
+        F.weekofyear("ts").alias("iso_week"),
+        F.date_format("ts", "yyyy-MM-dd").alias("day_str"),
+        F.expr("ts + interval 7 days").alias("plus_week"),
+        F.expr(
+            "timestampdiff(DAY, timestamp '2024-01-01 00:00:00', ts)"
+        ).cast("int").alias("days_since_start"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sessionization: gap > 30 min starts a new session (lag + cumsum —
+# the batch twin of streaming session_window; one shuffle on user_id).
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_sessionize",
+    oracle=f"""
+    WITH marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    sessions AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM marked
+    )
+    SELECT user_id, CAST(session_id AS INT) AS session_id,
+           COUNT(*) AS n_events,
+           min(ts) AS session_start,
+           max(ts) AS session_end,
+           {dsum_sql('value')} AS session_value
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+)
+def q_sessionize(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = W.partitionBy("user_id").orderBy("ts").rowsBetween(W.unboundedPreceding, 0)
+    marked = e.withColumn(
+        "new_session",
+        F.when(
+            (F.col("ts").cast("long") - F.lag(F.col("ts")).over(w).cast("long") > 1800)
+            | F.lag("ts").over(w).isNull(),
+            1,
+        ).otherwise(0),
+    )
+    sessions = marked.withColumn("session_id", F.sum("new_session").over(wrun).cast("int"))
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        dsum("value", "session_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# S9 — $graphLookup: bounded-depth transitive closure by iterative
+# self-join (Spark has no recursive SQL; the driver loop IS the public
+# pattern — each iteration is one broadcast-able equi join). Edge table:
+# supplier chain s → s−1 (deterministic, testdata-derived). Oracle:
+# DuckDB recursive CTE.
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_graph_lookup",
+    oracle="""
+    WITH RECURSIVE hops AS (
+      SELECT s_suppkey AS start_key, s_suppkey AS node, 0 AS depth
+      FROM supplier WHERE s_suppkey % 10 = 0
+      UNION ALL
+      SELECT h.start_key, e.dst, h.depth + 1
+      FROM hops h
+      JOIN (SELECT s_suppkey AS src, s_suppkey - 1 AS dst
+            FROM supplier WHERE s_suppkey > 0) e ON e.src = h.node
+      WHERE h.depth < 3
+    )
+    SELECT start_key, node, CAST(depth AS INT) AS depth
+    FROM hops WHERE depth > 0
+    """,
+)
+def q_graph_lookup(spark, sf_dir):
+    from mongo_olap_spark.operators.graph import graph_lookup
+
+    s = load_table(spark, sf_dir, "supplier")
+    edges = (
+        s.filter(F.col("s_suppkey") > 0)
+        .select(F.col("s_suppkey").alias("src"), (F.col("s_suppkey") - 1).alias("dst"))
+    )
+    starts = s.filter(F.col("s_suppkey") % 10 == 0).select(
+        F.col("s_suppkey").alias("start_key")
+    )
+    return graph_lookup(starts, edges, max_depth=3)
+
+
+# ---------------------------------------------------------------------------
+# S15 — $facet: several sub-pipelines over one cached input, results
+# labeled and unioned (each facet is independently a plain aggregate,
+# so the union is oracle-checkable).
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_facet",
+    oracle=f"""
+    SELECT 'by_type' AS facet, event_type AS key,
+           COUNT(*) AS n, {dsum_sql('value')} AS total
+    FROM events GROUP BY event_type
+    UNION ALL
+    SELECT 'by_day', strftime(CAST(date_trunc('day', ts) AS TIMESTAMP), '%Y-%m-%d'),
+           COUNT(*), {dsum_sql('value')}
+    FROM events GROUP BY 2
+    UNION ALL
+    SELECT 'overall', 'all', COUNT(*), {dsum_sql('value')} FROM events
+    """,
+)
+def q_facet(spark, sf_dir):
+    from mongo_olap_spark.operators.facet import facet
+
+    e = load_table(spark, sf_dir, "events")
+    facets = facet(
+        e,
+        by_type=lambda df: df.groupBy(F.col("event_type").alias("key")).agg(
+            F.count(F.lit(1)).alias("n"), dsum("value", "total")
+        ),
+        by_day=lambda df: df.groupBy(
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("key")
+        ).agg(F.count(F.lit(1)).alias("n"), dsum("value", "total")),
+        overall=lambda df: df.groupBy(F.lit("all").alias("key")).agg(
+            F.count(F.lit(1)).alias("n"), dsum("value", "total")
+        ),
+    )
+    out = None
+    for name, fdf in facets.items():
+        labeled = fdf.select(F.lit(name).alias("facet"), "key", "n", "total")
+        out = labeled if out is None else out.unionByName(labeled)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Sliding-window aggregation (streaming surface op on the batch table;
+# window() emits overlapping buckets → rows-only, verified in pytest)
+# ---------------------------------------------------------------------------
+
+@register("q_sliding_window")
+def q_sliding_window(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 day", "6 hours").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value", "total_value"))
+        .select(
+            F.col("w.start").alias("w_start"),
+            F.col("w.end").alias("w_end"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )

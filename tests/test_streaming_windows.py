@@ -1,0 +1,133 @@
+"""Streaming window surface: tumbling/sliding/session windows and
+watermark late-data semantics (SURVEY.md §2.2 streaming table)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mongo_olap_spark.streaming.cdc import CDC_SCHEMA, cdc_from_events
+
+
+@pytest.fixture(scope="module")
+def stream_dir(spark, events, tmp_path_factory):
+    path = tmp_path_factory.mktemp("wstream")
+    cdc = cdc_from_events(events).filter(F.col("op") == "insert")
+    cdc.withColumn("d", F.dayofmonth("stream_ts")).repartition("d").drop("d").write.mode(
+        "overwrite"
+    ).parquet(str(path / "s"))
+    return str(path / "s")
+
+
+def _run(spark, stream_df, name):
+    q = (
+        stream_df.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def test_sliding_window_stream_matches_batch(spark, events, stream_dir):
+    stream = spark.readStream.schema(CDC_SCHEMA).parquet(stream_dir)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 day", "6 hours").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    got = _run(spark, agg, "slide_test")
+    batch = events.groupBy(F.window("ts", "1 day", "6 hours").alias("w")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    # append mode emits only windows closed by the watermark; every
+    # emitted window must match the batch computation exactly
+    got_rows = {(r.w.start, r.w.end): r.n for r in got.collect()}
+    batch_rows = {(r.w.start, r.w.end): r.n for r in batch.collect()}
+    assert got_rows
+    for k, v in got_rows.items():
+        assert batch_rows[k] == v
+    # each event lands in 4 sliding windows (1d / 6h)
+    assert sum(batch_rows.values()) == events.count() * 4
+
+
+def test_session_window_stream(spark, events, stream_dir):
+    stream = spark.readStream.schema(CDC_SCHEMA).parquet(stream_dir)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    got = _run(spark, agg, "session_test")
+    # closed sessions must match the batch sessionization count for the
+    # same (user, start): compare against q_sessionize's session starts
+    from mongo_olap_spark.queries import QUERIES
+
+    batch = QUERIES["q_sessionize"](spark, "/root/testdata/sf0.001")
+    batch_rows = {(r.user_id, r.session_start): r.n_events for r in batch.collect()}
+    got_rows = {(r.user_id, r.w.start): r.n for r in got.collect()}
+    assert got_rows
+    mismatches = {k: (v, batch_rows.get(k)) for k, v in got_rows.items() if batch_rows.get(k) != v}
+    assert not mismatches, dict(list(mismatches.items())[:5])
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Rows older than the watermark when their window is already
+    closed are dropped — documented allowed-lateness behavior."""
+    import pandas as pd
+
+    rows = [
+        ("2024-01-01 00:05:00", 1.0),
+        ("2024-01-01 02:00:00", 1.0),  # watermark → 01:50 (next batch)
+        ("2024-01-01 03:00:00", 1.0),  # watermark → 02:50; [00:00) evicted
+        ("2024-01-01 00:10:00", 1.0),  # late beyond watermark → dropped
+        ("2024-01-01 04:00:00", 1.0),
+    ]
+    import os
+    import time
+
+    base = time.time() - 3600
+    for i, (ts, v) in enumerate(rows):
+        pdf = pd.DataFrame({"ts": [pd.Timestamp(ts)], "value": [v]})
+        spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / f"f{i}")
+        )
+        # the file stream orders batches by modification time — make it
+        # strictly increasing so files replay in event order
+        for root, _, files in os.walk(tmp_path / f"f{i}"):
+            for fname in files:
+                os.utime(os.path.join(root, fname), (base + i * 10, base + i * 10))
+    # feed files one per micro-batch in event order
+    stream = (
+        spark.readStream.schema("ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "f*"))
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("late_test")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    dropped = sum(
+        (p["stateOperators"][0].get("numRowsDroppedByWatermark", 0) if p["stateOperators"] else 0)
+        for p in q.recentProgress
+    )
+    got = {
+        r.w.start.isoformat(): r.n
+        for r in spark.sql("SELECT * FROM late_test").collect()
+    }
+    # files stream in event order (mtimes), so the watermark passes the
+    # [00:00,01:00) window (and its state is evicted) before the late
+    # 00:10 row arrives → Spark drops it and the window stays final
+    assert dropped == 1, q.recentProgress
+    assert got.get("2024-01-01T00:00:00") == 1, got
