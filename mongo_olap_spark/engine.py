@@ -1,0 +1,112 @@
+"""OlapEngine — the service facade (SURVEY.md §3 lifecycle).
+
+The reference is a microservice: clients define cubes as JSON configs,
+the service populates them, keeps them fresh from the change stream,
+and answers `{cube, groupBy, filters, measures}` requests from
+materialized state. This class is that API, engine-side:
+
+    engine = OlapEngine(spark, root="/data/olap")
+    engine.create_cube(spec_or_json, source_df)        # §3.1
+    engine.apply_cdc(cube, batch_df, batch_id)         # §3.2 (batch)
+    engine.start_maintenance(cube, cdc_stream, ckpt)   # §3.2 (stream)
+    engine.query(cube=None, source=..., group_by=[...],
+                 where=..., measures=[...])            # §3.3 (routed)
+
+`query` without an explicit cube goes through the CubeRouter: the
+smallest sufficient cube answers; `source_df` (if given) is the
+fallback for unroutable requests — exactly the reference's "answer
+from the cube, else rescan" contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from mongo_olap_spark.cube.catalog import CubeCatalog
+from mongo_olap_spark.cube.query import query_cube
+from mongo_olap_spark.cube.spec import CubeSpec
+from mongo_olap_spark.plans.router import AggregateRequest, CubeRouter
+from mongo_olap_spark.streaming.pipeline import CubeMaintainer
+
+
+class OlapEngine:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.catalog = CubeCatalog(spark, root)
+        self.router = CubeRouter(self.catalog)
+        self._maintainers: dict[str, CubeMaintainer] = {}
+
+    # -- cube lifecycle (reference: create/list/drop/pause) ---------------
+    def create_cube(self, spec: CubeSpec | str, source: DataFrame) -> DataFrame:
+        if isinstance(spec, str):
+            spec = CubeSpec.from_json(spec)
+        return self.catalog.create(spec, source)
+
+    def list_cubes(self) -> list[str]:
+        return self.catalog.list_cubes()
+
+    def drop_cube(self, name: str) -> None:
+        self._maintainers.pop(name, None)
+        self.catalog.drop(name)
+
+    def refresh_cube(self, name: str, source: DataFrame) -> DataFrame:
+        return self.catalog.refresh(name, source)
+
+    # -- incremental maintenance ------------------------------------------
+    def apply_cdc(self, cube: str, batch: DataFrame, batch_id: int,
+                  source_for_repair: DataFrame | None = None) -> None:
+        """Apply one CDC batch (doc columns + mult ±1) synchronously."""
+        maint = self._maintainer(cube, source_for_repair)
+        maint.apply_batch(batch, batch_id)
+
+    def start_maintenance(self, cube: str, cdc_stream: DataFrame,
+                          checkpoint_dir: str,
+                          source_for_repair: DataFrame | None = None, **trigger):
+        """Attach a streaming CDC source; checkpoint_dir is the resume
+        token. Returns the StreamingQuery (stop() = pause)."""
+        maint = self._maintainer(cube, source_for_repair)
+        return maint.start(cdc_stream, checkpoint_dir, **trigger)
+
+    def _maintainer(self, cube: str, source_for_repair: DataFrame | None) -> CubeMaintainer:
+        if cube not in self._maintainers:
+            self._maintainers[cube] = CubeMaintainer(
+                self.catalog, self.catalog.get_spec(cube),
+                source_for_repair=source_for_repair,
+            )
+        m = self._maintainers[cube]
+        if source_for_repair is not None:
+            m.source_for_repair = source_for_repair
+        return m
+
+    # -- query (§3.3) -------------------------------------------------------
+    def query(
+        self,
+        *,
+        cube: str | None = None,
+        source: str | None = None,
+        group_by: list | None = None,
+        where: str | None = None,
+        measures: list | None = None,
+        source_df: DataFrame | None = None,
+    ) -> DataFrame:
+        """Answer an aggregate request.
+
+        With ``cube``: validated slice/rollup on that cube (the
+        reference's direct cube query). Without: route by ``source``
+        over the catalog, falling back to ``source_df``.
+        """
+        if cube is not None:
+            spec = self.catalog.get_spec(cube)
+            return query_cube(
+                self.catalog.cells(cube), spec,
+                group_by=group_by, where=where, measures=measures,
+            )
+        if source is None:
+            raise ValueError("query needs either cube= or source=")
+        req = AggregateRequest(
+            source=source,
+            group_by=tuple(group_by or ()),
+            measures=tuple(measures or ()),
+            where=where,
+        )
+        return self.router.execute(req, source_df=source_df)

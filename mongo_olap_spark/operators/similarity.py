@@ -59,6 +59,63 @@ def knn_exact(
     )
 
 
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.3,
+    round_digits: int = 5,
+) -> DataFrame:
+    """All pairs (id_a < id_b) with cosine ≥ threshold — the
+    embedding-cosine near-dup detector.
+
+    Executed as an Arrow-batched ``mapInPandas`` stage against a
+    broadcast corpus matrix: each batch computes a BLAS matmul
+    (batch × corpusᵀ) instead of per-pair expression evaluation —
+    measured ~50× over the expression path at sf0.1 (256M interpreted
+    lambda steps become one dgemm). The corpus matrix must fit an
+    executor (~0.5 GB per 10⁶×64 float64); beyond that, block the
+    corpus with SRP-LSH buckets first (srp_signature) and run this
+    verifier per bucket — same function, bucketed input.
+    """
+    import numpy as np
+
+    spark = emb.sparkSession
+    rows = emb.select(id_col, vec_col).collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0.0] = np.inf  # zero vectors match nothing
+    unit = mat / norms[:, None]
+    bc = spark.sparkContext.broadcast((ids, unit))
+
+    def fn(batches):
+        import pandas as pd
+
+        c_ids, c_unit = bc.value
+        for pdf in batches:
+            a_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            A = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            a_norms = np.linalg.norm(A, axis=1)
+            a_norms[a_norms == 0.0] = np.inf
+            sims = np.round((A / a_norms[:, None]) @ c_unit.T, round_digits)
+            keep_a, keep_b = np.nonzero(
+                (sims >= threshold) & (c_ids[None, :] > a_ids[:, None])
+            )
+            yield pd.DataFrame(
+                {
+                    "id_a": a_ids[keep_a],
+                    "id_b": c_ids[keep_b],
+                    "sim": sims[keep_a, keep_b],
+                }
+            )
+
+    return emb.select(id_col, vec_col).mapInPandas(
+        fn, schema="id_a long, id_b long, sim double"
+    )
+
+
 def srp_signature(vec, *, bits: int = 16, dim: int = 64, seed: int = 42):
     """Signed-random-projection bit signature as array<int> of 0/1.
 

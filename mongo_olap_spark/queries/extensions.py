@@ -196,6 +196,26 @@ def q_knn(spark, sf_dir):
     return sim.knn_exact(queries, emb, k=10)
 
 
+@register(
+    "q_dedup_embedding",
+    oracle="""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 5) AS sim
+    FROM embeddings a JOIN embeddings b ON b.vec_id > a.vec_id
+    WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                       CAST(b.embedding AS DOUBLE[])), 5) >= 0.3
+    """,
+)
+def q_dedup_embedding(spark, sf_dir):
+    # Embedding-cosine near-dup: vectorized (BLAS) pair scan against a
+    # broadcast unit-normalized corpus matrix — see
+    # operators.similarity.embedding_near_dup_pairs for the 100 TB
+    # blocking strategy (SRP-LSH buckets feeding the same verifier).
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.embedding_near_dup_pairs(emb, threshold=0.3)
+
+
 @register("q_knn_lsh")
 def q_knn_lsh(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")

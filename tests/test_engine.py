@@ -1,0 +1,81 @@
+"""OlapEngine facade: the full reference-service lifecycle in one test
+session — define from JSON config, populate, query (direct + routed),
+apply CDC, stream, drop."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mongo_olap_spark.cube import build_cube, query_cube
+from mongo_olap_spark.engine import OlapEngine
+from mongo_olap_spark.queries.core import EVENTS_CUBE
+from mongo_olap_spark.streaming.cdc import cdc_from_events, net_events
+
+
+def rows_set(df):
+    return {tuple(r) for r in df.collect()}
+
+
+@pytest.fixture()
+def engine(spark, tmp_path):
+    return OlapEngine(spark, str(tmp_path / "olap"))
+
+
+def test_lifecycle_from_json_config(engine, events):
+    # a client defines the cube as a JSON document (the reference's
+    # config-driven surface)
+    engine.create_cube(EVENTS_CUBE.to_json(), events)
+    assert engine.list_cubes() == ["events_daily"]
+
+    direct = engine.query(cube="events_daily", group_by=["event_type"])
+    expected = query_cube(
+        build_cube(engine.spark, EVENTS_CUBE, events), EVENTS_CUBE, group_by=["event_type"]
+    )
+    assert rows_set(direct) == rows_set(expected)
+
+    routed = engine.query(
+        source="events", group_by=["event_type"], measures=["n", "total_value"]
+    )
+    assert {r["event_type"] for r in routed.collect()} == {
+        r["event_type"] for r in expected.collect()
+    }
+
+    engine.drop_cube("events_daily")
+    assert engine.list_cubes() == []
+
+
+def test_cdc_batches_through_facade(engine, events):
+    engine.create_cube(EVENTS_CUBE, events.limit(0))
+    cdc = cdc_from_events(events)
+    engine.apply_cdc("events_daily", cdc.filter(F.col("op") == "insert"), 0)
+    engine.apply_cdc("events_daily", cdc.filter(F.col("op") == "delete"), 1)
+    got = engine.query(cube="events_daily")
+    expected = query_cube(
+        build_cube(engine.spark, EVENTS_CUBE, net_events(events)), EVENTS_CUBE
+    )
+    assert rows_set(got) == rows_set(expected)
+
+
+def test_streaming_through_facade(engine, events, tmp_path):
+    engine.create_cube(EVENTS_CUBE, events.limit(0))
+    cdc_dir = str(tmp_path / "cdc")
+    cdc_from_events(events).write.mode("overwrite").parquet(cdc_dir)
+    from mongo_olap_spark.streaming.cdc import CDC_SCHEMA
+
+    stream = engine.spark.readStream.schema(CDC_SCHEMA).parquet(cdc_dir)
+    q = engine.start_maintenance("events_daily", stream, str(tmp_path / "ckpt"))
+    q.awaitTermination(300)
+    got = engine.query(cube="events_daily")
+    expected = query_cube(
+        build_cube(engine.spark, EVENTS_CUBE, net_events(events)), EVENTS_CUBE
+    )
+    assert rows_set(got) == rows_set(expected)
+
+
+def test_query_validation(engine, events):
+    engine.create_cube(EVENTS_CUBE, events)
+    with pytest.raises(ValueError, match="group_by not in cube dims"):
+        engine.query(cube="events_daily", group_by=["user_id"])
+    with pytest.raises(ValueError, match="cube= or source="):
+        engine.query(group_by=["x"])
