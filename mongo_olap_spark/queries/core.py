@@ -323,6 +323,33 @@ def q_cube_rollup(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Lattice: all rollup levels materialized in one pass (grouping sets);
+# the day-level slice is answered with zero query-time aggregation.
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_cube_lattice",
+    oracle=f"""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           COUNT(*) AS n,
+           {dsum_sql('value')} AS total_value,
+           {davg_sql('value')} AS avg_value
+    FROM events
+    GROUP BY 1
+    """,
+)
+def q_cube_lattice(spark, sf_dir):
+    from mongo_olap_spark.cube.lattice import build_cube_lattice, query_lattice
+
+    e = load_table(spark, sf_dir, "events")
+    cells = build_cube_lattice(
+        spark, EVENTS_CUBE, e,
+        levels=[("event_type", "day"), ("event_type",), ("day",), ()],
+    )
+    return query_lattice(cells, EVENTS_CUBE, group_by=["day"])
+
+
+# ---------------------------------------------------------------------------
 # C16/S4/S5 — sort / limit / offset (deterministic via unique tiebreak)
 # ---------------------------------------------------------------------------
 

@@ -344,6 +344,42 @@ def q_json_extract(spark, sf_dir):
     )
 
 
+@register(
+    "q_json_struct",
+    oracle=f"""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           {davg_sql("CAST(json_extract_string(props, '$.k') AS BIGINT)")} AS avg_k
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+    GROUP BY event_type
+    """,
+)
+def q_json_struct(spark, sf_dir):
+    # Typed dynamic-schema path: infer the props schema once (cube-
+    # define time in a real deployment — persisted with the spec), then
+    # from_json ONCE into a struct; downstream predicates/aggregates
+    # run on typed columns (prunable, no per-access JSON re-parsing
+    # like get_json_object incurs).
+    from mongo_olap_spark.functions.expressions import davg
+    from mongo_olap_spark.sources.json_props import infer_props_schema, with_typed_props
+
+    e = load_table(spark, sf_dir, "events")
+    schema = infer_props_schema(e, "props")
+    typed = with_typed_props(e, schema)
+    k = F.col("props_t.k").cast("long")
+    return (
+        typed.filter(k > 50)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(k).alias("sum_k"),
+            davg(k, "avg_k"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # X5 — multimodal binary plumbing (Arrow-batched mapInPandas stage with
 # deterministic fake features; oracle checks the full path)
