@@ -133,9 +133,14 @@ def q_agg_topn(spark, sf_dir):
 
 @register("q_agg_approx")
 def q_agg_approx(spark, sf_dir):
+    # Note: keep the distinct aggregate in its own plan — mixing
+    # countDistinct with percentile_approx in one agg forces an Expand
+    # + sort-fallback (measured ~10× slower); two hash aggs + a
+    # broadcast join of tiny results is the fast shape.
     e = load_table(spark, sf_dir, "events")
-    return e.groupBy("event_type").agg(
+    approx = e.groupBy("event_type").agg(
         F.approx_count_distinct("user_id").alias("approx_users"),
-        F.countDistinct("user_id").alias("exact_users"),
         F.percentile_approx("value", 0.5).alias("approx_p50"),
     )
+    exact = e.groupBy("event_type").agg(F.countDistinct("user_id").alias("exact_users"))
+    return approx.join(F.broadcast(exact), "event_type")

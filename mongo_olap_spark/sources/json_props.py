@@ -33,8 +33,28 @@ def infer_props_schema(
     union-merges per-row schemas, widening conflicts). This is the
     samplePoolSize idiom of the reference domain's connector."""
     sampled = df.select(col).where(F.col(col).isNotNull()).limit(sample_rows)
-    strings = sampled.rdd.map(lambda r: r[0])
-    return df.sparkSession.read.json(strings).schema
+    try:
+        strings = sampled.rdd.map(lambda r: r[0])
+        return df.sparkSession.read.json(strings).schema
+    except Exception:
+        # Spark Connect has no RDD API: fall back to schema_of_json on a
+        # driver-side sample (same union-merge rule, done in Python)
+        rows = [r[0] for r in sampled.collect()]
+        merged: dict[str, T.DataType] = {}
+        for s in rows:
+            ddl = df.sparkSession.range(1).select(
+                F.schema_of_json(F.lit(s)).alias("d")
+            ).first().d
+            parsed = T._parse_datatype_string(ddl)
+            if not isinstance(parsed, T.StructType):
+                continue
+            for field in parsed.fields:
+                prev = merged.get(field.name)
+                if prev is None:
+                    merged[field.name] = field.dataType
+                elif prev != field.dataType:
+                    merged[field.name] = T.StringType()
+        return T.StructType([T.StructField(k, v, True) for k, v in sorted(merged.items())])
 
 
 def with_typed_props(
