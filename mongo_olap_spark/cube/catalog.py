@@ -68,6 +68,34 @@ class CubeCatalog:
         self._write_cells(spec, cells)
         return self.cells(spec.name)
 
+    def create_lattice(
+        self, spec: CubeSpec, source: DataFrame, levels: list[tuple[str, ...]] | None = None
+    ) -> DataFrame:
+        """Define + populate a multi-level (grouping-sets) cube in one
+        pass; queries against materialized levels need no re-aggregation
+        (cube/lattice.py)."""
+        from mongo_olap_spark.cube.lattice import build_cube_lattice
+
+        os.makedirs(self._dir(spec.name), exist_ok=True)
+        with open(self._spec_path(spec.name), "w") as f:
+            f.write(spec.to_json())
+        names = spec.dim_names
+        levels = levels or [tuple(names[:i]) for i in range(len(names), -1, -1)]
+        with open(os.path.join(self._dir(spec.name), "lattice.json"), "w") as f:
+            json.dump({"levels": [list(lv) for lv in levels]}, f)
+        cells = build_cube_lattice(self.spark, spec, source, levels=levels)
+        self._write_cells(spec, cells)
+        return self.cells(spec.name)
+
+    def lattice_levels(self, name: str) -> list[tuple[str, ...]] | None:
+        """The materialized dim subsets of a lattice cube, or None for
+        a plain (single-level) cube."""
+        path = os.path.join(self._dir(name), "lattice.json")
+        if not os.path.exists(path):
+            return None
+        with open(path) as f:
+            return [tuple(lv) for lv in json.load(f)["levels"]]
+
     def refresh(self, name: str, source: DataFrame) -> DataFrame:
         """Full rebuild (the fallback when incremental isn't applicable)."""
         spec = self.get_spec(name)

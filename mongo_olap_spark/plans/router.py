@@ -74,7 +74,7 @@ class CubeRouter:
             return False, [], "pre-aggregation filter differs"
         dim_by_path = {d.source_path: d for d in spec.dimensions}
         dim_names = set(spec.dim_names)
-        rewritten = []
+        rewritten: list = []
         for g in req.group_by:
             if isinstance(g, tuple):
                 path, gran = g
@@ -103,6 +103,15 @@ class CubeRouter:
             refs = _where_columns(req.where) & self._all_known_columns()
             if not refs <= allowed:
                 return False, [], "where references non-dimension columns"
+        # a lattice cube serves only group_bys some materialized level covers
+        levels = self.catalog.lattice_levels(spec.name)
+        if levels is not None:
+            needed = {g if isinstance(g, str) else g[0] for g in rewritten}
+            # where-filtered dims must also be present in the level
+            if req.where is not None:
+                needed |= _where_columns(req.where) & dim_names
+            if not any(needed <= set(lv) for lv in levels):
+                return False, [], f"no lattice level covers {sorted(needed)}"
         return True, rewritten, "ok"
 
     def _all_known_columns(self) -> set[str]:
@@ -140,6 +149,18 @@ class CubeRouter:
         if decision.cube is not None:
             spec = self.catalog.get_spec(decision.cube)
             cells = self.catalog.cells(decision.cube)
+            levels = self.catalog.lattice_levels(decision.cube)
+            if levels is not None:
+                # slice to the finest materialized level covering the
+                # request, then treat it as a plain cell table
+                from mongo_olap_spark.cube.lattice import LEVEL_COL, level_mask
+
+                needed = {g if isinstance(g, str) else g[0] for g in decision.rewritten_group_by}
+                if req.where is not None:
+                    needed |= _where_columns(req.where) & set(spec.dim_names)
+                covering = [lv for lv in levels if needed <= set(lv)]
+                best = min(covering, key=len)  # coarsest covering level = fewest cells
+                cells = cells.filter(F.col(LEVEL_COL) == level_mask(spec, list(best))).drop(LEVEL_COL)
             # time re-bucketing: a coarser request granularity over a finer
             # stored dim truncates the stored dim value again
             gb_exprs, gb_names = [], []

@@ -1,0 +1,89 @@
+"""Physical-plan regression guards: the properties that make these
+queries survive 100 TB are asserted on the plan text, so a future
+refactor that silently loses a pushdown / broadcast / top-k shape
+fails CI rather than the cluster."""
+
+from __future__ import annotations
+
+import pytest
+
+from mongo_olap_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, qid: str) -> str:
+    return QUERIES[qid](spark, SF)._jdf.queryExecution().executedPlan().toString()
+
+
+def test_cube_build_is_partial_final_single_exchange(spark):
+    plan = plan_of(spark, "q_cube_build")
+    assert "partial_sum" in plan  # map-side combine before the shuffle
+    assert plan.count("Exchange hashpartitioning") == 1
+    # column pruning: untouched wide columns never reach the scan
+    assert "l_comment" not in plan and "l_orderkey" not in plan
+
+
+def test_filter_pushed_to_parquet(spark):
+    plan = plan_of(spark, "q_filter")
+    assert "PushedFilters" in plan
+    # the shipdate range reaches the scan, not a post-scan Filter only
+    scan_line = next(l for l in plan.splitlines() if "PushedFilters" in l)
+    assert "l_shipdate" in scan_line
+
+
+def test_dim_join_broadcasts(spark):
+    plan = plan_of(spark, "q_agg_sum")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # nation must never shuffle customer
+
+
+def test_topk_uses_take_ordered(spark):
+    plan = plan_of(spark, "q_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort [" not in plan  # no global sort for a limit-10
+
+
+def test_range_join_is_not_nested_loop(spark):
+    plan = plan_of(spark, "q_join_theta")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan  # bucketized equi probe
+
+
+def test_semi_anti_join_shapes(spark):
+    semi = plan_of(spark, "q_join_semi")
+    anti = plan_of(spark, "q_join_anti")
+    assert "LeftSemi" in semi
+    assert "LeftAnti" in anti
+
+
+def test_no_rowwise_python_udf_in_native_queries(spark):
+    # every query except the explicitly-Python multimodal stage stays
+    # JVM-side: no BatchEvalPython (row-at-a-time UDF) anywhere, and
+    # Arrow evaluation only in q_multimodal / q_dedup_embedding
+    for qid in QUERIES:
+        plan = plan_of(spark, qid)
+        assert "BatchEvalPython" not in plan, qid
+        if qid not in ("q_multimodal", "q_dedup_embedding"):
+            assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan, qid
+
+
+def test_lattice_build_single_scan(spark):
+    from mongo_olap_spark.cube.lattice import build_cube_lattice
+    from mongo_olap_spark.queries.core import EVENTS_CUBE
+    from mongo_olap_spark.sources.tables import load_table
+
+    # no-op filter defeats the shared session's cache-plan matching
+    # (other tests cache the identical lattice build, and Spark would
+    # substitute the whole subtree, hiding the build plan under test)
+    e = load_table(spark, SF, "events").filter("event_id >= -1")
+    plan = (
+        build_cube_lattice(spark, EVENTS_CUBE, e)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # one source scan (file scan, or a cache scan if events is cached —
+    # whose lineage string still shows the original FileScan)
+    inmem = plan.count("InMemoryTableScan")
+    n_scans = inmem if inmem else plan.count("FileScan parquet")
+    assert n_scans == 1, plan
+    assert "Expand" in plan  # grouping sets expansion, not per-level scans

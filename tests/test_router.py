@@ -81,6 +81,41 @@ def test_fallback_to_source(spark, events, catalog):
     assert rows_set(got) == rows_set(direct)
 
 
+def test_lattice_cube_routed_and_level_sliced(spark, events, tmp_path):
+    from mongo_olap_spark.cube import CubeCatalog
+    from mongo_olap_spark.functions.expressions import davg, dsum
+
+    cat = CubeCatalog(spark, str(tmp_path / "lat"))
+    cat.create_lattice(EVENTS_CUBE, events)  # rollup chain: (et,day),(et),()
+    router = CubeRouter(cat)
+    req = AggregateRequest(
+        source="events", group_by=("event_type",), measures=("n", "total_value", "avg_value")
+    )
+    assert router.route(req).cube == "events_daily"
+    got = router.execute(req)
+    direct = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), dsum("value", "total_value"), davg("value", "avg_value")
+    )
+    assert rows_set(got) == rows_set(direct)
+    # day-only isn't a materialized level, but the finest level covers
+    # it — served by rolling up (event_type, day) over event_type
+    day_req = AggregateRequest(source="events", group_by=(("ts", "day"),), measures=("n",))
+    assert router.route(day_req).cube == "events_daily"
+    got_day = router.execute(day_req)
+    direct_day = events.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    assert rows_set(got_day) == rows_set(direct_day)
+
+    # a lattice missing any covering level refuses rather than answers wrongly
+    cat2 = CubeCatalog(spark, str(tmp_path / "lat2"))
+    partial = EVENTS_CUBE
+    cat2.drop("events_daily")
+    cat2.create_lattice(partial, events, levels=[("event_type",), ()])
+    router2 = CubeRouter(cat2)
+    assert router2.route(day_req).cube is None
+
+
 def test_dimension_filter_served_measure_filter_rejected(catalog):
     router = CubeRouter(catalog)
     ok = router.route(
