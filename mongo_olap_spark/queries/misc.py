@@ -244,6 +244,93 @@ def q_facet(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Pivot / unpivot — the OLAP-layer reshape pair (Mongo emulates pivot
+# with $group+$arrayToObject; Spark has it natively). Oracle states the
+# pivot as conditional aggregation, the engine uses .pivot() — same
+# semantics, Catalyst plans one aggregate either way.
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_pivot",
+    oracle=f"""
+    SELECT l_returnflag,
+           {dsum_sql("CASE WHEN l_linestatus = 'O' THEN l_quantity END")} AS qty_O,
+           {dsum_sql("CASE WHEN l_linestatus = 'F' THEN l_quantity END")} AS qty_F
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_pivot(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(dsum("l_quantity"))
+        .withColumnsRenamed({"O": "qty_O", "F": "qty_F"})
+    )
+
+
+@register(
+    "q_unpivot",
+    oracle="""
+    SELECT o_orderkey, 'price' AS metric, o_totalprice AS value FROM orders WHERE o_orderkey < 1000
+    UNION ALL
+    SELECT o_orderkey, 'year', CAST(year(o_orderdate) AS DOUBLE) FROM orders WHERE o_orderkey < 1000
+    """,
+)
+def q_unpivot(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 1000)
+    wide = o.select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("price"),
+        F.year("o_orderdate").cast("double").alias("year"),
+    )
+    return wide.unpivot(
+        "o_orderkey", ["price", "year"], "metric", "value"
+    )
+
+
+# ---------------------------------------------------------------------------
+# $text-style search: conjunctive term match + term-frequency score
+# over an inverted index (tokenize → explode → postings). No FTS
+# engine: the relational shape IS the scale path (postings shuffle
+# once; scoring is an aggregate).
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_text_search",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    hits AS (
+      SELECT doc_id,
+             SUM(CASE WHEN tok = 'spark' THEN 1 ELSE 0 END) AS tf_spark,
+             SUM(CASE WHEN tok = 'join' THEN 1 ELSE 0 END)  AS tf_join
+      FROM toks GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST(tf_spark AS INT) AS tf_spark,
+           CAST(tf_join AS INT)  AS tf_join,
+           CAST(tf_spark + tf_join AS INT) AS score
+    FROM hits
+    WHERE tf_spark > 0 AND tf_join > 0
+    """,
+)
+def q_text_search(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    hits = toks.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("tok") == "spark", 1).otherwise(0)).cast("int").alias("tf_spark"),
+        F.sum(F.when(F.col("tok") == "join", 1).otherwise(0)).cast("int").alias("tf_join"),
+    )
+    return (
+        hits.filter((F.col("tf_spark") > 0) & (F.col("tf_join") > 0))
+        .withColumn("score", (F.col("tf_spark") + F.col("tf_join")).cast("int"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # Sliding-window aggregation (streaming surface op on the batch table;
 # window() emits overlapping buckets → rows-only, verified in pytest)
 # ---------------------------------------------------------------------------

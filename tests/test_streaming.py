@@ -61,6 +61,35 @@ def test_batch_replay_is_idempotent(spark, events, tmp_path):
     assert rows_set(cat.cells(EVENTS_CUBE.name)) != once
 
 
+def test_multi_cube_single_pass(spark, events, cdc_dir, tmp_path):
+    """One CDC stream maintains two cubes; both land on batch truth."""
+    from mongo_olap_spark.cube import CubeSpec, Dimension, Measure
+    from mongo_olap_spark.streaming.pipeline import MultiCubeMaintainer
+
+    hourly = CubeSpec(
+        name="events_hourly_user",
+        source="events",
+        dimensions=(Dimension("user_bucket", path="user_id % 10"),),
+        measures=(Measure("n", "count"), Measure("total_value", "sum", "value")),
+    )
+    cat = CubeCatalog(spark, str(tmp_path / "cubes"))
+    cat.create(EVENTS_CUBE, events.limit(0))
+    cat.create(hourly, events.limit(0))
+    maint = MultiCubeMaintainer(cat, [EVENTS_CUBE, hourly])
+    stream = (
+        spark.readStream.schema(CDC_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(cdc_dir)
+    )
+    q = maint.start(stream, str(tmp_path / "ckpt"))
+    q.awaitTermination(300)
+    net = net_events(events)
+    for spec in (EVENTS_CUBE, hourly):
+        got = query_cube(cat.cells(spec.name), spec)
+        want = query_cube(build_cube(spark, spec, net), spec)
+        assert rows_set(got) == rows_set(want), spec.name
+
+
 def test_update_mode_aggregation_smoke(spark, events, cdc_dir):
     stream = spark.readStream.schema(CDC_SCHEMA).parquet(cdc_dir)
     q = update_mode_aggregation(
