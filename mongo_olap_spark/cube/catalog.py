@@ -1,17 +1,43 @@
-"""Cube catalog: create/list/drop/refresh + parquet cell storage.
+"""Cube catalog: create/list/drop/refresh + snapshot-manifest cell storage.
 
 The reference stores cube state back into MongoDB collections and
-tracks a resume token per cube. Here: cells are parquet tables under a
-catalog root, one directory per cube, partitioned by the coarsest time
-dimension when present (partition pruning for time-sliced queries and
-cheap partition-scoped rewrite during incremental maintenance); specs
-are JSON sidecars; the streaming resume position is the Spark
-checkpoint dir (streaming/pipeline.py).
+tracks a resume token per cube. Here: cells are parquet files under a
+catalog root, one directory per cube, with a **manifest pointer**
+providing snapshot isolation without a table format dependency
+(a mini Delta/Iceberg, same commit protocol):
 
-Scale notes: overwrite-on-refresh writes are atomic per Spark's file
-committer; at real scale the same class swaps parquet for Delta/
-Iceberg (MERGE, snapshot isolation) behind this interface — callers
-only see DataFrames.
+    <root>/<cube>/
+      cube.json            # spec
+      cells_schema.json    # cell schema (read with explicit schema)
+      lattice.json         # materialized levels (lattice cubes)
+      data/w<version>/     # immutable write directories
+        __p=<key>/…parquet #   one dir per time partition (or flat)
+      manifest.json        # THE snapshot pointer — atomic os.replace
+
+A manifest lists, per partition key, the directory holding that
+partition's current files, plus driver-side statistics (row counts,
+lattice level counts) and the streaming idempotency watermark
+(``last_batch_id``). Commits write new data into a fresh ``w<N>`` dir
+and flip ``manifest.json`` with one atomic rename:
+
+- **readers never see partial state** — a reader that resolved the
+  old manifest keeps reading the old (immutable, not-yet-vacuumed)
+  files; one that resolves the new manifest sees the complete commit
+  including the watermark (no torn cells/watermark pair → replayed
+  micro-batches are exactly-once, not just at-least-once);
+- **incremental maintenance is partition-scoped** — a commit may
+  replace only the partitions a delta touched; untouched partitions
+  are carried over *by reference* (their files are not rewritten —
+  per-batch write cost is O(|touched|), not O(|all cells|));
+- **routing is metadata-only** — per-partition row counts come from
+  parquet footers at write time, so the router's cost proxy is a
+  driver-side dict lookup, never a Spark job.
+
+Partition keys are engine-formatted strings (``yyyy-MM-ddTHH.mm.ss``
+or ``__NULL__``) — filesystem-safe by construction, so the directory
+name equals the key and nothing ever parses Spark's escaping.
+
+Old write dirs are retained until ``vacuum()`` (time-travel-free GC).
 """
 
 from __future__ import annotations
@@ -20,10 +46,37 @@ import json
 import os
 import shutil
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from mongo_olap_spark.cube.build import build_cube
 from mongo_olap_spark.cube.spec import CubeSpec
+
+#: manifest key for the single pseudo-partition of an unpartitioned cube
+FLAT_KEY = "__all__"
+#: partition-key string for a NULL time dimension value
+NULL_KEY = "__NULL__"
+#: filesystem-safe timestamp format (no colons/spaces — never escaped)
+_KEY_FMT = "yyyy-MM-dd'T'HH.mm.ss"
+
+
+def partition_key_col(pdim: str | Column) -> Column:
+    """The engine's partition-key string for a time-dimension column."""
+    c = F.col(pdim) if isinstance(pdim, str) else pdim
+    return F.coalesce(F.date_format(c, _KEY_FMT), F.lit(NULL_KEY))
+
+
+def _dir_rows(path: str) -> int:
+    """Row count of every parquet file under ``path`` from footers —
+    driver-side metadata only, no Spark job."""
+    import pyarrow.parquet as pq
+
+    total = 0
+    for dirpath, _, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += pq.ParquetFile(os.path.join(dirpath, f)).metadata.num_rows
+    return total
 
 
 class CubeCatalog:
@@ -39,11 +92,29 @@ class CubeCatalog:
     def _spec_path(self, name: str) -> str:
         return os.path.join(self._dir(name), "cube.json")
 
-    def _cells_path(self, name: str) -> str:
-        return os.path.join(self._dir(name), "cells")
-
     def _schema_path(self, name: str) -> str:
         return os.path.join(self._dir(name), "cells_schema.json")
+
+    def _manifest_path(self, name: str) -> str:
+        return os.path.join(self._dir(name), "manifest.json")
+
+    # -- manifest -------------------------------------------------------
+    def manifest(self, name: str) -> dict | None:
+        try:
+            with open(self._manifest_path(name)) as f:
+                return json.load(f)
+        except (OSError, ValueError):
+            return None
+
+    def _commit_manifest(self, name: str, manifest: dict) -> None:
+        """Atomic pointer flip: full JSON to a temp file, one rename."""
+        path = self._manifest_path(name)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=1)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, path)
 
     # -- catalog ops (reference: create/list/drop cube) ------------------
     def list_cubes(self) -> list[str]:
@@ -65,7 +136,7 @@ class CubeCatalog:
         with open(self._spec_path(spec.name), "w") as f:
             f.write(spec.to_json())
         cells = build_cube(self.spark, spec, source)
-        self._write_cells(spec, cells)
+        self._write_snapshot(spec, cells)
         return self.cells(spec.name)
 
     def create_lattice(
@@ -84,7 +155,7 @@ class CubeCatalog:
         with open(os.path.join(self._dir(spec.name), "lattice.json"), "w") as f:
             json.dump({"levels": [list(lv) for lv in levels]}, f)
         cells = build_cube_lattice(self.spark, spec, source, levels=levels)
-        self._write_cells(spec, cells)
+        self._write_snapshot(spec, cells, lattice=True)
         return self.cells(spec.name)
 
     def lattice_levels(self, name: str) -> list[tuple[str, ...]] | None:
@@ -100,24 +171,57 @@ class CubeCatalog:
         """Full rebuild (the fallback when incremental isn't applicable)."""
         spec = self.get_spec(name)
         cells = build_cube(self.spark, spec, source)
-        self._write_cells(spec, cells)
+        self._write_snapshot(spec, cells, lattice=self.lattice_levels(name) is not None)
         return self.cells(name)
 
-    def cells(self, name: str) -> DataFrame:
-        """Current cell table. An empty cube (no parquet files yet —
-        e.g. created from an empty source before streaming starts)
-        reads as an empty DataFrame with the recorded cell schema."""
+    # -- reads ----------------------------------------------------------
+    def _cell_schema(self, name: str):
         from pyspark.sql.types import StructType
 
         with open(self._schema_path(name)) as f:
-            schema = StructType.fromJson(json.load(f))
-        path = self._cells_path(name)
-        has_data = os.path.isdir(path) and any(
-            f.endswith(".parquet") for _, _, fs in os.walk(path) for f in fs
-        )
-        if not has_data:
+            return StructType.fromJson(json.load(f))
+
+    def cells(self, name: str) -> DataFrame:
+        """Current cell table (the manifest's snapshot). An empty cube
+        reads as an empty DataFrame with the recorded cell schema."""
+        return self._read_partitions(name, None)
+
+    def cells_for_partitions(self, name: str, keys: list[str]) -> DataFrame:
+        """The snapshot restricted to the given partition keys —
+        file-level pruning (only those directories are listed/read),
+        the read half of partition-scoped maintenance."""
+        return self._read_partitions(name, keys)
+
+    def _read_partitions(self, name: str, keys: list[str] | None) -> DataFrame:
+        schema = self._cell_schema(name)
+        m = self.manifest(name)
+        parts = (m or {}).get("partitions", {})
+        if keys is not None:
+            parts = {k: v for k, v in parts.items() if k in set(keys)}
+        paths = [os.path.join(self._dir(name), p["path"]) for p in parts.values()]
+        if not paths:
             return self.spark.createDataFrame([], schema)
-        return self.spark.read.schema(schema).parquet(path)
+        return self.spark.read.schema(schema).parquet(*paths)
+
+    # -- statistics (metadata-only routing) ------------------------------
+    def cell_count(self, name: str) -> int | None:
+        """Total cells from manifest statistics — no Spark job."""
+        m = self.manifest(name)
+        if m is None:
+            return None
+        return sum(p["rows"] for p in m.get("partitions", {}).values())
+
+    def level_counts(self, name: str) -> dict[int, int] | None:
+        """Per-lattice-level cell counts (level mask → rows), recorded
+        at create/refresh time; None for plain cubes."""
+        m = self.manifest(name)
+        if m is None or m.get("level_counts") is None:
+            return None
+        return {int(k): v for k, v in m["level_counts"].items()}
+
+    def last_batch_id(self, name: str) -> int:
+        m = self.manifest(name)
+        return -1 if m is None else m.get("last_batch_id", -1)
 
     # -- storage ---------------------------------------------------------
     def partition_dim(self, spec: CubeSpec) -> str | None:
@@ -128,14 +232,160 @@ class CubeCatalog:
             return None
         return min(timed, key=lambda d: order[d.granularity]).name
 
-    def _write_cells(self, spec: CubeSpec, cells: DataFrame) -> None:
+    def _next_write_dir(self, name: str, version: int) -> str:
+        rel = os.path.join("data", f"w{version}")
+        os.makedirs(os.path.join(self._dir(name), "data"), exist_ok=True)
+        return rel
+
+    def _write_data(self, spec: CubeSpec, cells: DataFrame, rel_dir: str) -> dict[str, dict]:
+        """Write a cell DataFrame into ``rel_dir``; returns the new
+        partition entries {key: {path, rows}} (rows from parquet
+        footers — no Spark job)."""
+        abs_dir = os.path.join(self._dir(spec.name), rel_dir)
+        pdim = self.partition_dim(spec)
+        if pdim is None:
+            cells.write.mode("overwrite").parquet(abs_dir)
+            rows = _dir_rows(abs_dir)
+            return {FLAT_KEY: {"path": rel_dir, "rows": rows}} if rows else {}
+        # one directory per engine-formatted key; __p never reaches the
+        # data files (partition column) while the real time dim column
+        # stays in the data, so reads need no dirname parsing
+        (
+            cells.withColumn("__p", partition_key_col(pdim))
+            .write.mode("overwrite")
+            .partitionBy("__p")
+            .parquet(abs_dir)
+        )
+        entries: dict[str, dict] = {}
+        for d in os.listdir(abs_dir):
+            if d.startswith("__p="):
+                key = d[len("__p="):]
+                rel = os.path.join(rel_dir, d)
+                entries[key] = {
+                    "path": rel,
+                    "rows": _dir_rows(os.path.join(self._dir(spec.name), rel)),
+                }
+        return entries
+
+    def _write_snapshot(
+        self,
+        spec: CubeSpec,
+        cells: DataFrame,
+        *,
+        lattice: bool = False,
+        batch_id: int | None = None,
+    ) -> None:
+        """Full snapshot: all partitions from this write."""
         with open(self._schema_path(spec.name), "w") as f:
             json.dump(cells.schema.jsonValue(), f)
-        writer = cells.write.mode("overwrite")
-        pdim = self.partition_dim(spec)
-        if pdim is not None:
-            writer = writer.partitionBy(pdim)
-        writer.parquet(self._cells_path(spec.name))
+        prev = self.manifest(spec.name)
+        version = (prev or {}).get("version", 0) + 1
+        rel_dir = self._next_write_dir(spec.name, version)
+        if lattice:
+            # level stats need a (write-time-only) group count; cache so
+            # the stats pass doesn't recompute the lattice aggregation
+            cells = cells.localCheckpoint(eager=True)
+        entries = self._write_data(spec, cells, rel_dir)
+        level_counts = None
+        if lattice:
+            from mongo_olap_spark.cube.lattice import LEVEL_COL
 
-    def overwrite_cells(self, name: str, cells: DataFrame) -> None:
-        self._write_cells(self.get_spec(name), cells)
+            level_counts = {
+                str(r[0]): r[1]
+                for r in cells.groupBy(LEVEL_COL).count().collect()
+            }
+        self._commit_manifest(
+            spec.name,
+            {
+                "version": version,
+                "partitions": entries,
+                "level_counts": level_counts,
+                "last_batch_id": (
+                    batch_id
+                    if batch_id is not None
+                    else (prev or {}).get("last_batch_id", -1)
+                ),
+            },
+        )
+
+    def commit_partitions(
+        self,
+        name: str,
+        cells: DataFrame,
+        touched_keys: list[str],
+        *,
+        batch_id: int | None = None,
+    ) -> None:
+        """Partition-scoped commit: ``cells`` holds the new content of
+        the touched partitions ONLY; every other partition is carried
+        over by reference (files untouched on disk). A touched key with
+        no surviving cells simply leaves the new manifest (eviction).
+        The idempotency watermark commits atomically with the data."""
+        spec = self.get_spec(name)
+        prev = self.manifest(name) or {"version": 0, "partitions": {}, "level_counts": None}
+        version = prev["version"] + 1
+        rel_dir = self._next_write_dir(name, version)
+        new_entries = self._write_data(spec, cells, rel_dir)
+        unexpected = set(new_entries) - set(touched_keys)
+        if unexpected:
+            raise ValueError(
+                f"commit_partitions: write produced partitions outside the "
+                f"declared touched set: {sorted(unexpected)}"
+            )
+        partitions = {
+            k: v for k, v in prev["partitions"].items() if k not in set(touched_keys)
+        }
+        partitions.update(new_entries)
+        manifest = {
+            "version": version,
+            "partitions": partitions,
+            "level_counts": prev.get("level_counts"),
+            "last_batch_id": (
+                batch_id if batch_id is not None else prev.get("last_batch_id", -1)
+            ),
+        }
+        self._commit_manifest(name, manifest)
+
+    def overwrite_cells(
+        self, name: str, cells: DataFrame, *, batch_id: int | None = None
+    ) -> None:
+        """Full-snapshot replacement (refresh semantics). The batch
+        watermark, when given, commits atomically with the data."""
+        spec = self.get_spec(name)
+        self._write_snapshot(
+            spec,
+            cells,
+            lattice=self.lattice_levels(name) is not None,
+            batch_id=batch_id,
+        )
+
+    def vacuum(self, name: str) -> list[str]:
+        """Delete write directories no longer referenced by the current
+        manifest. Safe any time readers re-resolve the manifest per
+        query; with long-lived readers, run with a grace delay."""
+        m = self.manifest(name)
+        if m is None:
+            return []
+        live = {
+            os.path.normpath(p["path"]) for p in m["partitions"].values()
+        }
+        data_dir = os.path.join(self._dir(name), "data")
+        removed: list[str] = []
+        if not os.path.isdir(data_dir):
+            return removed
+        for w in os.listdir(data_dir):
+            wrel = os.path.join("data", w)
+            wabs = os.path.join(data_dir, w)
+            if wrel in live:
+                continue  # a flat snapshot still referenced whole
+            # partition-granular: reclaim unreferenced __p dirs, then
+            # the write dir itself once nothing live remains inside
+            for d in os.listdir(wabs):
+                prel = os.path.join(wrel, d)
+                if d.startswith("__p=") and prel not in live:
+                    shutil.rmtree(os.path.join(wabs, d), ignore_errors=True)
+                    removed.append(prel)
+            if not any(d.startswith("__p=") for d in os.listdir(wabs)):
+                shutil.rmtree(wabs, ignore_errors=True)
+                removed.append(wrel)
+        return removed

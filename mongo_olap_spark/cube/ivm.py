@@ -108,9 +108,21 @@ def recompute_cells(
     pruned = source
     if spec.filter_sql:
         pruned = pruned.filter(spec.filter_sql)
-    # materialize the cell key on each source row, keep touched cells only
+    # materialize the cell key on each source row, keep touched cells
+    # only — null-safe join conditions throughout (dimensions may
+    # legitimately be null, exactly as merge_cells joins; plain
+    # equality would drop null-dim source rows from the semi-join AND
+    # keep the stale null-dim cell through the anti-join)
     pruned = pruned.withColumns({d.name: d.expr() for d in spec.dimensions})
-    pruned = pruned.join(F.broadcast(touched), on=dims, how="left_semi")
+
+    def null_safe_on(left: str, right: str):
+        return reduce(
+            lambda a, b: a & b,
+            [F.col(f"{left}.{k}").eqNullSafe(F.col(f"{right}.{k}")) for k in dims],
+        )
+
+    t = F.broadcast(touched.alias("t"))
+    pruned = pruned.alias("s").join(t, null_safe_on("s", "t"), "left_semi")
     rebuilt = pruned.groupBy(*dims).agg(*cell_aggs(spec))
-    kept = cells.join(F.broadcast(touched), on=dims, how="left_anti")
+    kept = cells.alias("c").join(t, null_safe_on("c", "t"), "left_anti")
     return kept.unionByName(rebuilt)

@@ -91,11 +91,27 @@ class CubeRouter:
                     rewritten.append(dim_by_path[g].name)
                 else:
                     return False, [], f"dimension {g} not in cube"
-        have = {m.name for m in spec.measures}
+        have = {m.name: m for m in spec.measures}
         for m in req.measures:
-            name = m if isinstance(m, str) else m[0]
-            if name not in have:
+            if isinstance(m, str):
+                if m not in have:
+                    return False, [], f"measure {m} not in cube"
+                continue
+            # (name, op[, path]) request: the cube's measure must match
+            # op AND source path — matching by name alone would silently
+            # answer with the cube's semantics while a source-scan
+            # fallback would honor the request's (ADVICE r1)
+            name, op, *rest = m
+            path = rest[0] if rest else None
+            mine = have.get(name)
+            if mine is None:
                 return False, [], f"measure {name} not in cube"
+            if mine.op != op:
+                return False, [], f"measure {name}: op {mine.op} != requested {op}"
+            if path is not None and mine.source_path != path:
+                return False, [], (
+                    f"measure {name}: path {mine.source_path} != requested {path}"
+                )
         if req.where is not None:
             allowed = set(dim_names)
             # conservative: every identifier in the predicate that is a
@@ -124,6 +140,32 @@ class CubeRouter:
             cols |= {d.source_path for d in spec.dimensions}
         return cols
 
+    # -- cost model (metadata only — routing must launch NO Spark job) ------
+    def _cost(self, spec: CubeSpec, req: AggregateRequest, rewritten: list) -> int:
+        """Cells this cube would scan to answer the request, resolved
+        from manifest statistics recorded at create/refresh/maintain
+        time (catalog.cell_count / level_counts). The per-request
+        ``cells().count()`` job of r1 is gone (VERDICT r1 next-steps
+        #3, ADVICE r1): a missing statistic falls back to a one-time
+        count only for legacy tables with no manifest."""
+        levels = self.catalog.lattice_levels(spec.name)
+        if levels is not None:
+            per_level = self.catalog.level_counts(spec.name)
+            if per_level is not None:
+                from mongo_olap_spark.cube.lattice import level_mask
+
+                needed = {g if isinstance(g, str) else g[0] for g in rewritten}
+                if req.where is not None:
+                    needed |= _where_columns(req.where) & set(spec.dim_names)
+                covering = [lv for lv in levels if needed <= set(lv)]
+                return min(
+                    per_level.get(level_mask(spec, list(lv)), 0) for lv in covering
+                )
+        n = self.catalog.cell_count(spec.name)
+        if n is None:  # pre-manifest table: pay the count once
+            n = self.catalog.cells(spec.name).count()
+        return n
+
     # -- routing ------------------------------------------------------------
     def route(self, req: AggregateRequest) -> RoutingDecision:
         candidates: list[tuple[int, str, list]] = []
@@ -131,9 +173,7 @@ class CubeRouter:
             spec = self.catalog.get_spec(name)
             ok, rewritten, why = self._serves(spec, req)
             if ok:
-                # cost proxy: cell count (cheap driver-side metadata read)
-                n_cells = self.catalog.cells(name).count()
-                candidates.append((n_cells, name, rewritten))
+                candidates.append((self._cost(spec, req, rewritten), name, rewritten))
         if not candidates:
             return RoutingDecision(None, "no cube serves the request")
         n, name, rewritten = min(candidates)

@@ -5,15 +5,24 @@
 
     readStream(cdc) → foreachBatch(batch):
         deltas = delta_cells(spec, batch)            # signed partials
-        merged = merge_cells(current_cells, deltas)  # §4.3 MERGE
+        merged = merge_cells(touched_cells, deltas)  # §4.3 MERGE
         [recompute_cells(...) for min/max cubes hit by deletes]
-        swap cell table; record batch id
+        commit touched partitions + batch id (one atomic manifest flip)
+
+**Partition-scoped**: with a time-partitioned cell table, only the
+partitions the delta touches are read, merged, and rewritten — the
+per-batch write cost is O(|touched cells|), not O(|all cells|);
+untouched partitions are carried by manifest reference and their
+files never move (asserted byte-identical in tests).
 
 Exactly-once: Spark's checkpoint gives at-least-once foreachBatch
-delivery; idempotency comes from the ``__batch_id`` high-watermark —
-a replayed batch id is skipped. (This is the public foreachBatch-MERGE
-idiom; with Delta/Iceberg the swap becomes a transactional MERGE and
-the watermark a txn property.)
+delivery; idempotency comes from the batch-id high-watermark stored
+*inside the manifest* — data and watermark commit with one atomic
+rename, so a crash anywhere leaves either the old snapshot+watermark
+(batch replays onto unchanged state) or the new pair (replay skipped).
+(This is the public foreachBatch-MERGE idiom; with Delta/Iceberg the
+manifest flip becomes a transactional MERGE and the watermark a txn
+property.)
 
 Path A (no deletes in the domain) is also provided:
 ``update_mode_aggregation`` — plain streaming groupBy/agg with
@@ -23,14 +32,11 @@ is exactly why Path B above exists (SURVEY.md §4.3).
 
 from __future__ import annotations
 
-import json
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mongo_olap_spark.cube.build import delta_cells
-from mongo_olap_spark.cube.catalog import CubeCatalog
+from mongo_olap_spark.cube.catalog import CubeCatalog, partition_key_col
 from mongo_olap_spark.cube.ivm import affected_cells, merge_cells, recompute_cells
 from mongo_olap_spark.cube.spec import CubeSpec
 
@@ -49,28 +55,30 @@ class CubeMaintainer:
         self.catalog = catalog
         self.spec = spec
         self.source_for_repair = source_for_repair
-        self._state_path = os.path.join(catalog.root, spec.name, "maintainer.json")
-
-    # -- idempotency watermark -------------------------------------------
-    def _last_batch(self) -> int:
-        try:
-            with open(self._state_path) as f:
-                return json.load(f)["last_batch_id"]
-        except (OSError, KeyError, ValueError):
-            return -1
-
-    def _record_batch(self, batch_id: int) -> None:
-        os.makedirs(os.path.dirname(self._state_path), exist_ok=True)
-        with open(self._state_path, "w") as f:
-            json.dump({"last_batch_id": batch_id}, f)
 
     # -- the micro-batch body ---------------------------------------------
     def apply_batch(self, batch: DataFrame, batch_id: int) -> None:
-        if batch_id <= self._last_batch():
+        if batch_id <= self.catalog.last_batch_id(self.spec.name):
             return  # replayed batch — idempotent skip
         spec = self.spec
         deltas = delta_cells(spec, batch)
-        cells = self.catalog.cells(spec.name)
+        pdim = self.catalog.partition_dim(spec)
+
+        if pdim is not None:
+            # partition-scoped: resolve the (few) touched partition keys
+            # driver-side, read ONLY those partitions' files, and commit
+            # only them — O(|touched|) per batch. The key strings come
+            # from the same expression the writer uses, so they agree
+            # byte-for-byte with the manifest keys.
+            deltas = deltas.cache()
+            touched_keys = [
+                r[0] for r in deltas.select(partition_key_col(pdim)).distinct().collect()
+            ]
+            cells = self.catalog.cells_for_partitions(spec.name, touched_keys)
+        else:
+            touched_keys = None
+            cells = self.catalog.cells(spec.name)
+
         merged = merge_cells(cells, deltas, spec)
 
         if not spec.delete_safe:
@@ -84,11 +92,16 @@ class CubeMaintainer:
                 touched = affected_cells(spec, delta_cells(spec, batch.filter(F.col("mult") < 0)))
                 merged = recompute_cells(spec, self.source_for_repair, merged, touched)
 
-        # materialize before overwriting the table we just read
-        # (parquet has no MVCC; Delta MERGE removes this at deployment)
-        merged = merged.localCheckpoint(eager=True)
-        self.catalog.overwrite_cells(spec.name, merged)
-        self._record_batch(batch_id)
+        # no checkpoint/MVCC dance: the commit writes NEW immutable
+        # files and flips the manifest pointer (data + watermark in one
+        # atomic rename); the files `merged` reads stay in place
+        if touched_keys is not None:
+            self.catalog.commit_partitions(
+                spec.name, merged, touched_keys, batch_id=batch_id
+            )
+            deltas.unpersist()
+        else:
+            self.catalog.overwrite_cells(spec.name, merged, batch_id=batch_id)
 
     # -- stream wiring ------------------------------------------------------
     def start(self, cdc_stream: DataFrame, checkpoint_dir: str, **trigger):

@@ -104,9 +104,15 @@ def test_catalog_lifecycle(spark, events, tmp_path):
     cells = cat.create(EVENTS_CUBE, events)
     assert cat.list_cubes() == ["events_daily"]
     assert cat.get_spec("events_daily") == EVENTS_CUBE
-    # partitioned by the day dimension on disk
+    # partitioned by the day dimension on disk: one manifest entry +
+    # one physical directory per day key
     assert cat.partition_dim(EVENTS_CUBE) == "day"
-    assert any(p.name.startswith("day=") for p in (tmp_path / "cubes" / "events_daily" / "cells").iterdir())
+    manifest = cat.manifest("events_daily")
+    assert len(manifest["partitions"]) > 1
+    for entry in manifest["partitions"].values():
+        assert (tmp_path / "cubes" / "events_daily" / entry["path"]).is_dir()
+    # statistics recorded at write time agree with an actual count
+    assert cat.cell_count("events_daily") == cells.count()
     # round-trip: rollup from disk == direct
     rolled = query_cube(cells, EVENTS_CUBE, group_by=["event_type"])
     assert rolled.count() == events.select("event_type").distinct().count()

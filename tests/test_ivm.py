@@ -130,3 +130,35 @@ def test_row_count_col_requires_count_or_avg():
     )
     with pytest.raises(ValueError, match="count or avg"):
         row_count_col(spec)
+
+
+def test_minmax_recompute_repairs_null_dim_cells(spark, events):
+    """ADVICE r1: recompute_cells must join null-safely — deleting the
+    max inside a NULL-valued dimension cell has to repair that cell,
+    not keep the stale one."""
+    nulled = events.withColumn(
+        "event_type",
+        F.when(F.col("event_id") % 3 == 0, None).otherwise(F.col("event_type")),
+    ).cache()
+    cells = build_cube(spark, MINMAX_CUBE, nulled)
+    # delete the max-value row of the NULL cell specifically
+    w = W.partitionBy("event_type").orderBy(F.desc("value"))
+    doomed = (
+        nulled.filter(F.col("event_type").isNull())
+        .withColumn("r", F.row_number().over(w))
+        .filter("r = 1")
+        .drop("r")
+    )
+    deltas = delta_cells(MINMAX_CUBE, doomed.withColumn("mult", F.lit(-1)))
+    merged = merge_cells(cells, deltas, MINMAX_CUBE)
+    touched = doomed.select("event_type").distinct()  # one row, NULL dim
+    survivors = nulled.join(doomed.select("event_id"), "event_id", "left_anti")
+    repaired = recompute_cells(MINMAX_CUBE, survivors, merged, touched)
+    expected = build_cube(spark, MINMAX_CUBE, survivors)
+    assert rows_set(query_cube(repaired, MINMAX_CUBE)) == rows_set(
+        query_cube(expected, MINMAX_CUBE)
+    )
+    # the NULL cell's max actually changed (the repair did real work)
+    null_hi = {r.hi_max for r in repaired.filter(F.col("event_type").isNull()).collect()}
+    stale_hi = {r.hi_max for r in cells.filter(F.col("event_type").isNull()).collect()}
+    assert null_hi != stale_hi

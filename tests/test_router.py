@@ -136,3 +136,54 @@ def test_dimension_filter_served_measure_filter_rejected(catalog):
         )
     )
     assert bad.cube is None
+
+
+def test_route_is_metadata_only(catalog, monkeypatch):
+    """VERDICT r1 #3: route() must launch zero Spark jobs — cost comes
+    from manifest statistics, never a cells().count()."""
+    router = CubeRouter(catalog)
+
+    def boom(name):
+        raise AssertionError("route() must not read cell data")
+
+    monkeypatch.setattr(catalog, "cells", boom)
+    monkeypatch.setattr(catalog, "cells_for_partitions", boom)
+    d = router.route(
+        AggregateRequest(source="events", group_by=(("ts", "month"),), measures=("n",))
+    )
+    assert d.cube == "events_monthly"
+    d2 = router.route(
+        AggregateRequest(source="events", group_by=("event_type",), measures=("n",))
+    )
+    assert d2.cube == "events_daily"
+
+
+def test_measure_op_path_mismatch_rejected(catalog):
+    """ADVICE r1: a (name, op, path) request whose op or path differs
+    from the cube's measure must fall back, not silently answer with
+    the cube's semantics."""
+    router = CubeRouter(catalog)
+    ok = router.route(
+        AggregateRequest(
+            source="events",
+            group_by=("event_type",),
+            measures=(("total_value", "sum", "value"),),
+        )
+    )
+    assert ok.cube == "events_daily"
+    wrong_op = router.route(
+        AggregateRequest(
+            source="events",
+            group_by=("event_type",),
+            measures=(("total_value", "min", "value"),),
+        )
+    )
+    assert wrong_op.cube is None
+    wrong_path = router.route(
+        AggregateRequest(
+            source="events",
+            group_by=("event_type",),
+            measures=(("total_value", "sum", "user_id"),),
+        )
+    )
+    assert wrong_path.cube is None

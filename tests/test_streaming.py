@@ -102,3 +102,83 @@ def test_update_mode_aggregation_smoke(spark, events, cdc_dir):
     assert got.select("day").distinct().count() == events.select(
         F.date_trunc("day", "ts")
     ).distinct().count()
+
+
+# ---------------------------------------------------------------------------
+# Snapshot-manifest storage properties (VERDICT r1 next-steps #2/#6)
+# ---------------------------------------------------------------------------
+
+def _file_hashes(root):
+    import hashlib
+    import os
+
+    out = {}
+    for dirpath, _, files in os.walk(root):
+        for f in files:
+            p = os.path.join(dirpath, f)
+            with open(p, "rb") as fh:
+                out[p] = hashlib.md5(fh.read()).hexdigest()
+    return out
+
+
+def test_time_local_batch_rewrites_only_touched_partitions(spark, events, tmp_path):
+    """A batch touching one day must leave every other partition's
+    manifest entry AND on-disk files byte-identical, and commit the
+    data + watermark in exactly one manifest version."""
+    cat = CubeCatalog(spark, str(tmp_path / "cubes"))
+    cat.create(EVENTS_CUBE, events)
+    name = EVENTS_CUBE.name
+    m0 = cat.manifest(name)
+    hashes0 = _file_hashes(str(tmp_path / "cubes"))
+
+    one_day = events.filter(F.date_trunc("day", "ts") == "2024-01-03 00:00:00")
+    batch = cdc_from_events(one_day).filter(F.col("op") == "insert").limit(40)
+    CubeMaintainer(cat, EVENTS_CUBE).apply_batch(batch, 0)
+
+    m1 = cat.manifest(name)
+    touched = "2024-01-03T00.00.00"
+    assert m1["version"] == m0["version"] + 1  # ONE commit: data + watermark
+    assert m1["last_batch_id"] == 0
+    assert m1["partitions"][touched]["path"] != m0["partitions"][touched]["path"]
+    for key, entry in m1["partitions"].items():
+        if key != touched:
+            assert entry == m0["partitions"][key], key
+    # untouched partitions' files did not move or change
+    hashes1 = _file_hashes(str(tmp_path / "cubes"))
+    for key, entry in m0["partitions"].items():
+        if key == touched:
+            continue
+        prefix = str(tmp_path / "cubes" / name / entry["path"])
+        old = {p: h for p, h in hashes0.items() if p.startswith(prefix)}
+        assert old and all(hashes1.get(p) == h for p, h in old.items()), key
+    # and the result is still exact vs a full rebuild
+    merged_src = events.unionByName(batch.drop("op", "mult", "stream_ts"))
+    expected = build_cube(spark, EVENTS_CUBE, merged_src)
+    assert rows_set(query_cube(cat.cells(name), EVENTS_CUBE)) == rows_set(
+        query_cube(expected, EVENTS_CUBE)
+    )
+    # statistics stay consistent with the data (metadata-only routing)
+    assert cat.cell_count(name) == cat.cells(name).count()
+
+
+def test_reader_snapshot_survives_concurrent_commit_and_vacuum(spark, events, tmp_path):
+    """A DataFrame resolved before a commit keeps reading the OLD
+    snapshot's files (they are immutable and not yet vacuumed); after
+    vacuum the new snapshot remains intact."""
+    cat = CubeCatalog(spark, str(tmp_path / "cubes"))
+    cat.create(EVENTS_CUBE, events)
+    name = EVENTS_CUBE.name
+    old_reader = cat.cells(name)  # resolves the v1 manifest's file list
+    before = rows_set(old_reader)
+
+    one_day = events.filter(F.date_trunc("day", "ts") == "2024-01-03 00:00:00")
+    batch = cdc_from_events(one_day).filter(F.col("op") == "insert").limit(40)
+    CubeMaintainer(cat, EVENTS_CUBE).apply_batch(batch, 7)
+
+    # maintenance committed underneath the reader: same answer
+    assert rows_set(old_reader) == before
+    new_rows = rows_set(cat.cells(name))
+    assert new_rows != before
+    removed = cat.vacuum(name)
+    assert removed  # the superseded write dir was reclaimed
+    assert rows_set(cat.cells(name)) == new_rows
