@@ -1,9 +1,12 @@
 """S19/S20 — $setWindowFields surface + $densify/$fill (SURVEY.md §2.2).
 
 rank/dense_rank/row_number, frame aggregates (running + moving),
-$shift (lag/lead), as-of enrichment (the window-based as-of join), and
-gap-fill: day spine via sequence+explode, counts imputed to 0, values
-carried forward with last(ignorenulls) — LOCF.
+$shift (lag/lead), as-of enrichment (the window-based as-of join),
+$covariancePop/Samp over frames, $derivative/$integral (lag deltas /
+running trapezoid), $expMovingAvg (grouped Arrow stage — inherently
+sequential), and gap-fill: day spine via sequence+explode, counts
+imputed to 0, values carried forward with last(ignorenulls) — LOCF —
+or linearly interpolated between anchors ($linearFill).
 
 Frame sums go through the exact-decimal cast so running totals are
 bit-stable regardless of how the engine evaluates the frame
@@ -213,3 +216,262 @@ def q_fill(spark, sf_dir):
             F.last("total_value", ignorenulls=True).over(w).alias("total_locf"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# $covariancePop / $covarianceSamp over a moving frame: trailing-5
+# autocovariance of value with its previous value per user. The frame
+# sums (Σx, Σy, Σxy, n) accumulate in exact DECIMAL — the repo's frame
+# policy: engines disagree on frame-sum association order (sequential
+# vs segment tree), decimals make any order bit-identical — and the
+# covariance formula then runs on the (identical) doubles, so the
+# result is hash-exact with no tolerance. Native covar_pop over a
+# frame is NOT hash-stable across engines (one-pass vs two-pass).
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_window_covar",
+    oracle="""
+    WITH lagged AS (
+      SELECT event_id, user_id, ts, value,
+             lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pv
+      FROM events
+    ),
+    summed AS (
+      SELECT event_id, user_id,
+             CAST(sum(CASE WHEN pv IS NOT NULL THEN CAST(value AS DECIMAL(38,6)) END) OVER f AS DOUBLE) AS sx,
+             CAST(sum(CAST(pv AS DECIMAL(38,6))) OVER f AS DOUBLE) AS sy,
+             CAST(sum(CAST(value AS DECIMAL(18,6)) * CAST(pv AS DECIMAL(18,6))) OVER f AS DOUBLE) AS sxy,
+             CAST(count(pv) OVER f AS DOUBLE) AS n
+      FROM lagged
+      WINDOW f AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, user_id,
+           CASE WHEN n > 0 THEN (sxy - sx * sy / n) / n END AS cov_pop,
+           CASE WHEN n > 1 THEN (sxy - sx * sy / n) / (n - 1) END AS cov_samp
+    FROM summed
+    """,
+)
+def q_window_covar(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    wo = W.partitionBy("user_id").orderBy("ts", "event_id")
+    f = wo.rowsBetween(-4, 0)
+    pv = F.lag("value").over(wo)
+    lagged = e.select("event_id", "user_id", "ts", "value", pv.alias("pv"))
+    sx = F.sum(F.when(F.col("pv").isNotNull(), F.col("value").cast(SUM_DECIMAL))).over(f).cast("double")
+    sy = F.sum(F.col("pv").cast(SUM_DECIMAL)).over(f).cast("double")
+    # decimal × decimal (raw casts only — casting a *computed* double
+    # to decimal is not tie-stable across engines)
+    sxy = F.sum(
+        F.col("value").cast("decimal(18,6)") * F.col("pv").cast("decimal(18,6)")
+    ).over(f).cast("double")
+    n = F.count("pv").over(f).cast("double")
+    summed = lagged.select(
+        "event_id", "user_id",
+        sx.alias("sx"), sy.alias("sy"), sxy.alias("sxy"), n.alias("n"),
+    )
+    core = F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")
+    return summed.select(
+        "event_id",
+        "user_id",
+        F.when(F.col("n") > 0, core / F.col("n")).alias("cov_pop"),
+        F.when(F.col("n") > 1, core / (F.col("n") - 1)).alias("cov_samp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# $derivative / $integral: rate of change between consecutive events
+# (per-second) and the running trapezoid integral. The derivative is a
+# bare IEEE division of identical inputs (hash-exact with no rounding).
+# The integral accumulates (v + pv)·Δt_µs exactly in decimal — raw
+# value casts and integer microseconds only, products and sums all
+# decimal — and divides by 2·10⁶ once, in double, at the end.
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_window_deriv",
+    oracle="""
+    WITH lagged AS (
+      SELECT event_id, user_id, ts, value,
+             lag(value) OVER w AS pv,
+             lag(ts)    OVER w AS pts
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_id, user_id, value,
+           (value - pv) / nullif(epoch(ts) - epoch(pts), 0) AS deriv,
+           CAST(sum(CAST((CAST(round(value * 100) AS BIGINT)
+                          + CAST(round(pv * 100) AS BIGINT))
+                         * (epoch_us(ts) - epoch_us(pts)) AS DECIMAL(38,0)))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) / 2e8 AS integral
+    FROM lagged
+    """,
+)
+def q_window_deriv(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(W.unboundedPreceding, 0)
+    dt = F.col("ts").cast("double") - F.lag("ts").over(w).cast("double")
+    dt_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    # integer units: value has ≤2 decimals (centi-units are exact) and
+    # Δt is exact µs — each trapezoid term fits int64, the running sum
+    # accumulates in DECIMAL(38,0), and the single final division back
+    # to value·seconds happens in double (engine-identical)
+    vu = F.round(F.col("value") * 100).cast("long")
+    pvu = F.round(F.lag("value").over(w) * 100).cast("long")
+    trap = ((vu + pvu) * dt_us).cast("decimal(38,0)")
+    return e.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.try_divide(F.col("value") - F.lag("value").over(w), F.nullif(dt, F.lit(0.0))).alias("deriv"),
+        (F.sum(trap).over(wrun).cast("double") / F.lit(2e8)).alias("integral"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# $expMovingAvg — inherently sequential recursion (ema_i = α·v_i +
+# (1−α)·ema_{i−1}); no closed form survives long partitions without
+# overflow, and ANSI SQL has no recursive window, so the engine runs
+# it as a grouped Arrow stage: one shuffle on the partition key, a
+# vectorized pandas ewm per group. Rows-only for the driver; exactness
+# vs the reference recursion is property-tested (tests/test_windows_ops).
+# ---------------------------------------------------------------------------
+
+EMA_ALPHA = 0.25
+
+
+def exp_moving_avg(
+    df, part_col: str, order_cols: list[str], value_col: str, *, alpha: float = EMA_ALPHA
+):
+    """$expMovingAvg over (partition, order): appends ``ema``."""
+    import pandas as pd  # noqa: F401 — documents the Arrow dependency
+
+    out_fields = df.schema.fields
+
+    def fn(pdf):
+        pdf = pdf.sort_values(order_cols)
+        pdf["ema"] = pdf[value_col].ewm(alpha=alpha, adjust=False).mean().round(6)
+        return pdf
+
+    schema = df.sparkSession.createDataFrame([], df.schema).withColumn(
+        "ema", F.lit(0.0)
+    ).schema
+    return df.groupBy(part_col).applyInPandas(fn, schema=schema)
+
+
+@register("q_window_ema")
+def q_window_ema(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    return exp_moving_avg(e, "user_id", ["ts", "event_id"], "value").orderBy(
+        "user_id", "ts", "event_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# $linearFill — interpolate missing daily values between non-null
+# anchors (the other half of $fill next to LOCF). Same day-spine as
+# q_fill; prev/next anchor value+position via ignore-nulls frame
+# window, then straight-line arithmetic. Outside the anchors the value
+# stays null (Mongo's $linearFill contract).
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_fill_linear",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             {dsum_sql('value')} AS v
+      FROM events
+      WHERE value >= 98
+      GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT CAST(date_trunc('day', min(ts)) AS TIMESTAMP) AS d0,
+             CAST(date_trunc('day', max(ts)) AS TIMESTAMP) AS d1
+      FROM events
+    ),
+    spine AS (
+      SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day FROM bounds
+    ),
+    grid AS (
+      SELECT t.event_type, s.day, d.v,
+             CAST(row_number() OVER (PARTITION BY t.event_type ORDER BY s.day) AS BIGINT) AS rn
+      FROM (SELECT DISTINCT event_type FROM events) t
+      CROSS JOIN spine s
+      LEFT JOIN daily d ON d.event_type = t.event_type AND d.day = s.day
+    ),
+    anch AS (
+      SELECT event_type, day, v, rn,
+             last_value(v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY rn
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+             last_value(CASE WHEN v IS NOT NULL THEN rn END IGNORE NULLS)
+               OVER (PARTITION BY event_type ORDER BY rn
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prn,
+             first_value(v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY rn
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+             first_value(CASE WHEN v IS NOT NULL THEN rn END IGNORE NULLS)
+               OVER (PARTITION BY event_type ORDER BY rn
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nrn
+      FROM grid
+    )
+    SELECT event_type, day,
+           round(CASE
+             WHEN v IS NOT NULL THEN v
+             WHEN pv IS NOT NULL AND nv IS NOT NULL
+               THEN pv + (nv - pv) * (rn - prn) / (nrn - prn)
+             ELSE NULL END, 6) AS v_lin
+    FROM anch
+    """,
+)
+def q_fill_linear(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.filter(F.col("value") >= 98)
+        .groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg(dsum("value", "v"))
+    )
+    bounds = e.agg(
+        F.date_trunc("day", F.min("ts")).alias("d0"),
+        F.date_trunc("day", F.max("ts")).alias("d1"),
+    )
+    spine = bounds.select(
+        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day")
+    )
+    types = e.select("event_type").distinct()
+    wo = W.partitionBy("event_type").orderBy("rn")
+    back = wo.rowsBetween(W.unboundedPreceding, 0)
+    fwd = wo.rowsBetween(0, W.unboundedFollowing)
+    grid = (
+        types.crossJoin(F.broadcast(spine))
+        .join(daily, ["event_type", "day"], "left")
+        .withColumn(
+            "rn",
+            F.row_number().over(W.partitionBy("event_type").orderBy("day")).cast("long"),
+        )
+    )
+    anchored = grid.select(
+        "event_type",
+        "day",
+        "v",
+        "rn",
+        F.last("v", ignorenulls=True).over(back).alias("pv"),
+        F.last(F.when(F.col("v").isNotNull(), F.col("rn")), ignorenulls=True).over(back).alias("prn"),
+        F.first("v", ignorenulls=True).over(fwd).alias("nv"),
+        F.first(F.when(F.col("v").isNotNull(), F.col("rn")), ignorenulls=True).over(fwd).alias("nrn"),
+    )
+    lin = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(
+            F.col("pv").isNotNull() & F.col("nv").isNotNull(),
+            F.col("pv")
+            + (F.col("nv") - F.col("pv"))
+            * (F.col("rn") - F.col("prn"))
+            / (F.col("nrn") - F.col("prn")),
+        )
+    )
+    return anchored.select("event_type", "day", F.round(lin, 6).alias("v_lin"))
