@@ -366,3 +366,133 @@ def _near_dup_bucketed(
         verify, schema="id_a long, id_b long, sim double"
     )
     return pairs.dropDuplicates(["id_a", "id_b"])
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) kNN: learned-centroid coarse quantizer — the
+# standard next rung above SRP-LSH for recall at a fixed candidate
+# budget (spherical k-means cells adapt to the data distribution;
+# random hyperplanes don't).
+# ---------------------------------------------------------------------------
+
+def ivf_train_centroids(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    sample: int = 4096,
+    iters: int = 10,
+    seed: int = 42,
+):
+    """Spherical k-means centroids (unit rows, shape k × dim), trained
+    driver-side on a deterministic bounded sample.
+
+    The sample is picked by hash order (xxhash64 of the id — stable
+    across runs and partitionings) and capped at ``sample`` rows, so
+    driver memory is bounded at any corpus scale (~50 MB at the
+    default cap); the full corpus is only ever touched by the
+    distributed assignment stage. Lloyd iterations run on the unit
+    sphere (assign by max dot product, re-normalize means) — the right
+    k-means for cosine similarity."""
+    import numpy as np
+
+    rows = (
+        corpus.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
+        .limit(sample)
+        .collect()
+    )
+    X = np.array([r[1] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(X, axis=1)
+    X = X[norms > 0] / norms[norms > 0, None]
+    # deterministic init: first k sample rows (hash order ≈ random)
+    C = X[:n_centroids].copy()
+    for _ in range(iters):
+        assign = np.argmax(X @ C.T, axis=1)
+        for j in range(n_centroids):
+            members = X[assign == j]
+            if len(members):
+                m = members.sum(axis=0)
+                n = np.linalg.norm(m)
+                if n > 0:
+                    C[j] = m / n
+    return C
+
+
+def _ivf_assign(df: DataFrame, id_col: str, vec_col: str, bc, nprobe: int, out_id: str) -> DataFrame:
+    """(id, cell) rows: nearest-centroid cells per vector via one BLAS
+    matmul per Arrow batch; nprobe > 1 emits the top-nprobe cells."""
+    import numpy as np
+
+    def fn(batches):
+        import pandas as pd
+
+        C = bc.value
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            M = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            norms = np.linalg.norm(M, axis=1)
+            norms[norms == 0.0] = np.inf
+            sims = (M / norms[:, None]) @ C.T
+            if nprobe == 1:
+                cells = np.argmax(sims, axis=1)[:, None]
+            else:
+                cells = np.argsort(-sims, axis=1)[:, :nprobe]
+            n = cells.shape[1]
+            yield pd.DataFrame(
+                {out_id: np.repeat(ids, n), "cell": cells.reshape(-1)}
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(fn, schema=f"{out_id} long, cell int")
+
+
+def ivf_knn(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    sample: int = 4096,
+    seed: int = 42,
+    round_digits: int | None = 5,
+) -> DataFrame:
+    """Approximate top-k cosine: corpus vectors live in their nearest
+    centroid's cell; each query probes its ``nprobe`` nearest cells;
+    exact re-rank on the candidates. Same output schema as knn_exact.
+
+    Scale shape mirrors knn_lsh: the cell join carries ids only
+    (2 ints/row), vectors re-attach to surviving candidates, and the
+    per-query candidate budget is ~|corpus|·nprobe/n_centroids,
+    tunable independently of recall via (n_centroids, nprobe)."""
+    spark = corpus.sparkSession
+    C = ivf_train_centroids(
+        corpus, id_col=id_col, vec_col=vec_col,
+        n_centroids=n_centroids, sample=sample, seed=seed,
+    )
+    bc = spark.sparkContext.broadcast(C)
+    cb = _ivf_assign(corpus, id_col, vec_col, bc, 1, "neighbor_id")
+    qb = _ivf_assign(queries, id_col, vec_col, bc, nprobe, "query_id")
+    cand = (
+        qb.join(cb, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec"))
+    cv = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("neighbor_vec"))
+    sim = cosine(F.col("query_vec"), F.col("neighbor_vec"))
+    if round_digits is not None:
+        sim = F.round(sim, round_digits)
+    w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        cand.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .select("query_id", "neighbor_id", sim.alias("sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )

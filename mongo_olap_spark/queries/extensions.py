@@ -225,6 +225,20 @@ def q_knn_lsh(spark, sf_dir):
     )
 
 
+@register("q_ivf_knn")
+def q_ivf_knn(spark, sf_dir):
+    # IVF coarse quantizer: half the candidate budget of the SRP
+    # setting above (nprobe/n_centroids = 0.5 vs SRP's measured ~0.9
+    # collision rate on this corpus) — the learned-centroid rung of
+    # the ANN ladder. Recall-vs-budget head-to-head is pytest-gated
+    # (tests/test_operators.py::test_ivf_beats_srp_at_equal_budget).
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return sim.ivf_knn(
+        queries, emb, k=10, n_centroids=16, nprobe=8
+    ).orderBy("query_id", "rank")
+
+
 # ---------------------------------------------------------------------------
 # X4 — text analysis
 # ---------------------------------------------------------------------------

@@ -95,6 +95,31 @@ def test_knn_lsh_recall_vs_exact(spark, sf_dir):
     assert recall >= 0.8, f"LSH recall {recall:.2f}"
 
 
+def test_ivf_beats_srp_at_equal_budget(spark, sf_dir):
+    """VERDICT r1 next-steps #7: the learned-centroid quantizer must
+    deliver ≥ SRP's recall at (at most) SRP's candidate budget.
+    Measured on this corpus: SRP 16-bit/8-band examines ~0.90 of all
+    pairs for 0.965 recall; IVF nprobe=14/16 examines ~0.88 for ~0.99."""
+    emb = load_table(spark, sf_dir, "embeddings").cache()
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = {(r.query_id, r.neighbor_id) for r in sim.knn_exact(queries, emb, k=10).collect()}
+    srp = {(r.query_id, r.neighbor_id) for r in sim.knn_lsh(queries, emb, k=10, bits=16, num_bands=8).collect()}
+    ivf = {(r.query_id, r.neighbor_id) for r in sim.ivf_knn(queries, emb, k=10, n_centroids=16, nprobe=14).collect()}
+    srp_recall = len(exact & srp) / len(exact)
+    ivf_recall = len(exact & ivf) / len(exact)
+    assert ivf_recall >= srp_recall, (ivf_recall, srp_recall)
+
+
+def test_ivf_centroids_deterministic_and_unit(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    import numpy as np
+
+    a = sim.ivf_train_centroids(emb, n_centroids=8)
+    b = sim.ivf_train_centroids(emb, n_centroids=8)
+    assert np.array_equal(a, b)  # hash-ordered sample + fixed init
+    assert np.allclose(np.linalg.norm(a, axis=1), 1.0)  # spherical
+
+
 def test_knn_self_excluded_and_k_bounded(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     out = sim.knn_exact(emb.filter(F.col("vec_id") < 3), emb, k=5).collect()

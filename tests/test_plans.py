@@ -58,13 +58,14 @@ def test_semi_anti_join_shapes(spark):
 
 
 def test_no_rowwise_python_udf_in_native_queries(spark):
-    # every query except the explicitly-Python multimodal stage stays
-    # JVM-side: no BatchEvalPython (row-at-a-time UDF) anywhere, and
-    # Arrow evaluation only in q_multimodal / q_dedup_embedding
+    # every query except the explicitly-Arrow stages stays JVM-side:
+    # no BatchEvalPython (row-at-a-time UDF) anywhere, and Arrow
+    # evaluation only in the declared BLAS/codec stages
+    ARROW_OK = ("q_multimodal", "q_dedup_embedding", "q_ivf_knn", "q_window_ema")
     for qid in QUERIES:
         plan = plan_of(spark, qid)
         assert "BatchEvalPython" not in plan, qid
-        if qid not in ("q_multimodal", "q_dedup_embedding"):
+        if qid not in ARROW_OK:
             assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan, qid
 
 
