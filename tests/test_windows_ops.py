@@ -46,14 +46,17 @@ def test_ema_matches_reference_recursion(spark):
         )
 
 
-def test_ema_is_grouped_arrow_stage(spark):
+def test_ema_is_partition_sorted_arrow_stream(spark):
     plan = (
         q_window_ema(spark, SF)
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
     )
-    assert "FlatMapGroupsInPandas" in plan  # one shuffle on the key, Arrow batches
+    # one shuffle on the key, then a per-partition Arrow stream (cost
+    # per batch, not per group — many small keys stay cheap)
+    assert "MapInPandas" in plan
+    assert "Exchange hashpartitioning" in plan
     assert "BatchEvalPython" not in plan  # never row-at-a-time Python
 
 
