@@ -79,6 +79,35 @@ def _dir_rows(path: str) -> int:
     return total
 
 
+def _dir_level_rows(path: str) -> dict[str, int]:
+    """Per-lattice-level row counts for a partition dir: a driver-side
+    pyarrow read of ONLY the level column (cells are small relative to
+    their source; one int column of one partition is trivial)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from mongo_olap_spark.cube.lattice import LEVEL_COL
+
+    counts: dict[str, int] = {}
+    for dirpath, _, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                col = pq.read_table(
+                    os.path.join(dirpath, f), columns=[LEVEL_COL]
+                )[LEVEL_COL]
+                for v, n in zip(*np.unique(col.to_numpy(), return_counts=True)):
+                    counts[str(int(v))] = counts.get(str(int(v)), 0) + int(n)
+    return counts
+
+
+def _sum_level_rows(entries: dict[str, dict]) -> dict[str, int]:
+    totals: dict[str, int] = {}
+    for e in entries.values():
+        for lv, n in e.get("level_rows", {}).items():
+            totals[lv] = totals.get(lv, 0) + n
+    return totals
+
+
 class CubeCatalog:
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
@@ -237,16 +266,24 @@ class CubeCatalog:
         os.makedirs(os.path.join(self._dir(name), "data"), exist_ok=True)
         return rel
 
-    def _write_data(self, spec: CubeSpec, cells: DataFrame, rel_dir: str) -> dict[str, dict]:
+    def _write_data(
+        self, spec: CubeSpec, cells: DataFrame, rel_dir: str, *, lattice: bool = False
+    ) -> dict[str, dict]:
         """Write a cell DataFrame into ``rel_dir``; returns the new
-        partition entries {key: {path, rows}} (rows from parquet
-        footers — no Spark job)."""
+        partition entries {key: {path, rows[, level_rows]}} (rows from
+        parquet footers; lattice level counts from a driver-side read
+        of the level column only — no Spark job either way)."""
         abs_dir = os.path.join(self._dir(spec.name), rel_dir)
         pdim = self.partition_dim(spec)
         if pdim is None:
             cells.write.mode("overwrite").parquet(abs_dir)
             rows = _dir_rows(abs_dir)
-            return {FLAT_KEY: {"path": rel_dir, "rows": rows}} if rows else {}
+            if not rows:
+                return {}
+            entry = {"path": rel_dir, "rows": rows}
+            if lattice:
+                entry["level_rows"] = _dir_level_rows(abs_dir)
+            return {FLAT_KEY: entry}
         # one directory per engine-formatted key; __p never reaches the
         # data files (partition column) while the real time dim column
         # stays in the data, so reads need no dirname parsing
@@ -261,10 +298,10 @@ class CubeCatalog:
             if d.startswith("__p="):
                 key = d[len("__p="):]
                 rel = os.path.join(rel_dir, d)
-                entries[key] = {
-                    "path": rel,
-                    "rows": _dir_rows(os.path.join(self._dir(spec.name), rel)),
-                }
+                pabs = os.path.join(self._dir(spec.name), rel)
+                entries[key] = {"path": rel, "rows": _dir_rows(pabs)}
+                if lattice:
+                    entries[key]["level_rows"] = _dir_level_rows(pabs)
         return entries
 
     def _write_snapshot(
@@ -281,19 +318,8 @@ class CubeCatalog:
         prev = self.manifest(spec.name)
         version = (prev or {}).get("version", 0) + 1
         rel_dir = self._next_write_dir(spec.name, version)
-        if lattice:
-            # level stats need a (write-time-only) group count; cache so
-            # the stats pass doesn't recompute the lattice aggregation
-            cells = cells.localCheckpoint(eager=True)
-        entries = self._write_data(spec, cells, rel_dir)
-        level_counts = None
-        if lattice:
-            from mongo_olap_spark.cube.lattice import LEVEL_COL
-
-            level_counts = {
-                str(r[0]): r[1]
-                for r in cells.groupBy(LEVEL_COL).count().collect()
-            }
+        entries = self._write_data(spec, cells, rel_dir, lattice=lattice)
+        level_counts = _sum_level_rows(entries) if lattice else None
         self._commit_manifest(
             spec.name,
             {
@@ -322,10 +348,11 @@ class CubeCatalog:
         no surviving cells simply leaves the new manifest (eviction).
         The idempotency watermark commits atomically with the data."""
         spec = self.get_spec(name)
+        lattice = self.lattice_levels(name) is not None
         prev = self.manifest(name) or {"version": 0, "partitions": {}, "level_counts": None}
         version = prev["version"] + 1
         rel_dir = self._next_write_dir(name, version)
-        new_entries = self._write_data(spec, cells, rel_dir)
+        new_entries = self._write_data(spec, cells, rel_dir, lattice=lattice)
         unexpected = set(new_entries) - set(touched_keys)
         if unexpected:
             raise ValueError(
@@ -336,10 +363,17 @@ class CubeCatalog:
             k: v for k, v in prev["partitions"].items() if k not in set(touched_keys)
         }
         partitions.update(new_entries)
+        # lattice stats stay exact under maintenance: every entry carries
+        # per-level rows, so the totals are a dict sum (falls back to the
+        # previous totals only for pre-lattice-stats legacy entries)
+        if lattice and all("level_rows" in e for e in partitions.values()):
+            level_counts = _sum_level_rows(partitions)
+        else:
+            level_counts = prev.get("level_counts")
         manifest = {
             "version": version,
             "partitions": partitions,
-            "level_counts": prev.get("level_counts"),
+            "level_counts": level_counts,
             "last_batch_id": (
                 batch_id if batch_id is not None else prev.get("last_batch_id", -1)
             ),

@@ -50,7 +50,13 @@ def row_count_col(spec: CubeSpec) -> str:
     )
 
 
-def merge_cells(cells: DataFrame, deltas: DataFrame, spec: CubeSpec) -> DataFrame:
+def merge_cells(
+    cells: DataFrame,
+    deltas: DataFrame,
+    spec: CubeSpec,
+    *,
+    extra_keys: tuple[str, ...] = (),
+) -> DataFrame:
     """Merge signed cell deltas into the current cell table.
 
     Pure DataFrame plan: full-outer join on the dimension tuple
@@ -58,8 +64,14 @@ def merge_cells(cells: DataFrame, deltas: DataFrame, spec: CubeSpec) -> DataFram
     addition, empty-cell eviction. This is the ``MERGE INTO`` of §4.3
     expressed without a transactional table format; swap in Delta's
     MERGE at deployment for in-place upsert.
+
+    ``extra_keys`` joins additional key columns beyond the dims —
+    lattice cubes pass ``(LEVEL_COL,)`` so each materialized level's
+    cells merge independently (a coarse level's aggregated-away dims
+    are NULL by construction; the level id disambiguates them from
+    genuinely-NULL dim values).
     """
-    dims = spec.dim_names
+    dims = [*spec.dim_names, *extra_keys]
     c, d = cells.alias("c"), deltas.alias("d")
     if dims:
         cond = reduce(

@@ -67,6 +67,28 @@ def build_cube_lattice(
     return grouped.agg(*cell_aggs(spec), F.grouping_id().cast("int").alias(LEVEL_COL))
 
 
+def delta_cells_lattice(
+    spec: CubeSpec,
+    cdc: DataFrame,
+    levels: list[tuple[str, ...]],
+    mult_col: str = "mult",
+) -> DataFrame:
+    """Signed cell deltas for EVERY materialized level in one pass —
+    the lattice twin of build.delta_cells: the same grouping-sets
+    expansion as the build, with ±1-signed partials. One scan of the
+    micro-batch, one Expand, one aggregate; merge on
+    (dims, __level) keeps each level's cells independent."""
+    df = cdc
+    if spec.filter_sql:
+        df = df.filter(spec.filter_sql)
+    names = spec.dim_names
+    df = df.withColumns({d.name: d.expr() for d in spec.dimensions})
+    grouped = df.groupingSets([list(lv) for lv in levels], *names)
+    return grouped.agg(
+        *cell_aggs(spec, mult=mult_col), F.grouping_id().cast("int").alias(LEVEL_COL)
+    )
+
+
 def finalize_exprs(spec: CubeSpec, measures: list[str] | None = None):
     """Row-wise measure finalization for rows that already are one
     group each (an exact lattice-level hit): no aggregation needed."""

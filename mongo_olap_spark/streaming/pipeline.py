@@ -61,6 +61,9 @@ class CubeMaintainer:
         if batch_id <= self.catalog.last_batch_id(self.spec.name):
             return  # replayed batch — idempotent skip
         spec = self.spec
+        levels = self.catalog.lattice_levels(spec.name)
+        if levels is not None:
+            return self._apply_batch_lattice(batch, batch_id, levels)
         deltas = delta_cells(spec, batch)
         pdim = self.catalog.partition_dim(spec)
 
@@ -95,6 +98,49 @@ class CubeMaintainer:
         # no checkpoint/MVCC dance: the commit writes NEW immutable
         # files and flips the manifest pointer (data + watermark in one
         # atomic rename); the files `merged` reads stay in place
+        if touched_keys is not None:
+            self.catalog.commit_partitions(
+                spec.name, merged, touched_keys, batch_id=batch_id
+            )
+            deltas.unpersist()
+        else:
+            self.catalog.overwrite_cells(spec.name, merged, batch_id=batch_id)
+
+    def _apply_batch_lattice(
+        self, batch: DataFrame, batch_id: int, levels: list[tuple[str, ...]]
+    ) -> None:
+        """Incremental maintenance of a multi-level (grouping-sets)
+        cube: ONE signed grouping-sets aggregation of the micro-batch
+        delivers deltas for every materialized level; the merge keys on
+        (dims, __level). Partition-scoping still applies — levels that
+        aggregate the time dim away live in the NULL time partition,
+        which is small by construction (coarse levels have few cells).
+
+        min/max lattice cubes reject deletes: per-level cell recompute
+        is a rebuild in disguise — use a plain cube + lattice rebuild,
+        or a delete-safe measure set, for that workload."""
+        from mongo_olap_spark.cube.lattice import LEVEL_COL, delta_cells_lattice
+
+        spec = self.spec
+        if not spec.delete_safe:
+            has_deletes = batch.filter(F.col("mult") < 0).limit(1).count() > 0
+            if has_deletes:
+                raise ValueError(
+                    f"lattice cube {spec.name} has min/max measures; deletes are "
+                    "not incrementally maintainable per level — refresh instead"
+                )
+        deltas = delta_cells_lattice(spec, batch, levels)
+        pdim = self.catalog.partition_dim(spec)
+        if pdim is not None:
+            deltas = deltas.cache()
+            touched_keys = [
+                r[0] for r in deltas.select(partition_key_col(pdim)).distinct().collect()
+            ]
+            cells = self.catalog.cells_for_partitions(spec.name, touched_keys)
+        else:
+            touched_keys = None
+            cells = self.catalog.cells(spec.name)
+        merged = merge_cells(cells, deltas, spec, extra_keys=(LEVEL_COL,))
         if touched_keys is not None:
             self.catalog.commit_partitions(
                 spec.name, merged, touched_keys, batch_id=batch_id

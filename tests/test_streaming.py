@@ -211,3 +211,74 @@ def test_update_mode_with_rocksdb_state_store(spark, events, cdc_dir):
         )
     finally:
         spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+# ---------------------------------------------------------------------------
+# Lattice incremental maintenance (round 2): one signed grouping-sets
+# pass maintains every materialized level; level stats stay exact.
+# ---------------------------------------------------------------------------
+
+def test_lattice_incremental_equals_lattice_rebuild(spark, events, tmp_path):
+    from mongo_olap_spark.cube.lattice import LEVEL_COL, build_cube_lattice, query_lattice
+
+    cat = CubeCatalog(spark, str(tmp_path / "cubes"))
+    half1 = events.filter(F.col("event_id") % 2 == 0)
+    half2 = events.filter(F.col("event_id") % 2 == 1)
+    cat.create_lattice(EVENTS_CUBE, half1)
+    name = EVENTS_CUBE.name
+    maint = CubeMaintainer(cat, EVENTS_CUBE)
+
+    batch = cdc_from_events(half2).filter(F.col("op") == "insert")
+    maint.apply_batch(batch, 0)
+
+    got = cat.cells(name)
+    want = build_cube_lattice(spark, EVENTS_CUBE, events)
+    # exact per-level equality of the full cell state (partials included)
+    cols = sorted(got.columns)
+    assert rows_set(got.select(*cols)) == rows_set(want.select(*cols))
+    # every level still answers exactly like a fresh build
+    for gb in (["event_type", "day"], ["event_type"], []):
+        g = query_lattice(got, EVENTS_CUBE, group_by=gb)
+        w = query_lattice(want, EVENTS_CUBE, group_by=gb)
+        assert rows_set(g) == rows_set(w), gb
+    # level statistics stayed exact under maintenance (metadata only)
+    stats = cat.level_counts(name)
+    actual = {r[0]: r[1] for r in got.groupBy(LEVEL_COL).count().collect()}
+    assert stats == actual
+
+
+def test_lattice_deletes_retract_per_level(spark, events, tmp_path):
+    from mongo_olap_spark.cube.lattice import build_cube_lattice
+
+    cat = CubeCatalog(spark, str(tmp_path / "cubes"))
+    cat.create_lattice(EVENTS_CUBE, events)
+    name = EVENTS_CUBE.name
+    maint = CubeMaintainer(cat, EVENTS_CUBE)
+    doomed = events.filter(F.col("event_id") % 5 == 0)
+    maint.apply_batch(doomed.withColumn("op", F.lit("delete"))
+                      .withColumn("mult", F.lit(-1))
+                      .withColumn("stream_ts", F.col("ts")), 0)
+    survivors = events.filter(F.col("event_id") % 5 != 0)
+    got = cat.cells(name)
+    want = build_cube_lattice(spark, EVENTS_CUBE, survivors)
+    cols = sorted(got.columns)
+    assert rows_set(got.select(*cols)) == rows_set(want.select(*cols))
+
+
+def test_lattice_minmax_rejects_deletes(spark, events, tmp_path):
+    from mongo_olap_spark.cube import CubeSpec, Dimension, Measure
+
+    spec = CubeSpec(
+        name="lat_minmax",
+        source="events",
+        dimensions=(Dimension("event_type"),),
+        measures=(Measure("n", "count"), Measure("hi", "max", "value")),
+    )
+    cat = CubeCatalog(spark, str(tmp_path / "cubes"))
+    cat.create_lattice(spec, events)
+    maint = CubeMaintainer(cat, spec)
+    bad = events.limit(5).withColumn("mult", F.lit(-1))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not incrementally maintainable"):
+        maint.apply_batch(bad, 0)
