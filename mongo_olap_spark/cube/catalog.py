@@ -286,9 +286,15 @@ class CubeCatalog:
             return {FLAT_KEY: entry}
         # one directory per engine-formatted key; __p never reaches the
         # data files (partition column) while the real time dim column
-        # stays in the data, so reads need no dirname parsing
+        # stays in the data, so reads need no dirname parsing.
+        # repartition on the key first: each partition dir gets one
+        # file per owning task instead of one per shuffle partition —
+        # cell tables are small relative to their sources, and without
+        # this a k-day cube writes k × shuffle_partitions tiny files
+        # (measured 5× slower create + slower reads/footer stats).
         (
             cells.withColumn("__p", partition_key_col(pdim))
+            .repartition(F.col("__p"))
             .write.mode("overwrite")
             .partitionBy("__p")
             .parquet(abs_dir)

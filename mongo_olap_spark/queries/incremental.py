@@ -73,3 +73,56 @@ def q_incr_delete(spark, sf_dir):
     deltas = delta_cells(EVENTS_CUBE, cdc.filter(F.col("op") == "delete"))
     merged = merge_cells(cells, deltas, EVENTS_CUBE)
     return query_cube(merged, EVENTS_CUBE)
+
+
+# ---------------------------------------------------------------------------
+# §4.1 aggregate routing, end-to-end under the oracle: define two cubes
+# (daily fine / monthly coarse), route a monthly request — the router
+# must pick the coarse cube from manifest statistics alone — and serve
+# it by rollup. Correct routing is *invisible*: the answer must equal a
+# direct aggregation of the source, which is exactly what the oracle
+# states. A routing regression (wrong cube, stale cells, broken
+# re-bucketing) breaks the hash.
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_route_cube",
+    oracle=f"""
+    SELECT CAST(date_trunc('month', ts) AS TIMESTAMP) AS month,
+           COUNT(*) AS n,
+           {dsum_sql('value')} AS total_value
+    FROM events
+    GROUP BY 1
+    """,
+)
+def q_route_cube(spark, sf_dir):
+    import os
+    import tempfile
+
+    from mongo_olap_spark.cube import CubeCatalog, CubeSpec, Dimension, Measure
+    from mongo_olap_spark.plans import AggregateRequest, CubeRouter
+
+    root = os.path.join(
+        tempfile.gettempdir(), "mongo_olap_route", sf_dir.strip("/").replace("/", "_")
+    )
+    cat = CubeCatalog(spark, root)
+    e = load_table(spark, sf_dir, "events")
+    monthly = CubeSpec(
+        name="events_monthly_route",
+        source="events",
+        dimensions=(Dimension("month", path="ts", granularity="month"),),
+        measures=(Measure("n", "count"), Measure("total_value", "sum", "value")),
+    )
+    cat.drop(EVENTS_CUBE.name)
+    cat.drop(monthly.name)
+    cat.create(EVENTS_CUBE, e)
+    cat.create(monthly, e)
+    router = CubeRouter(cat)
+    req = AggregateRequest(
+        source="events", group_by=(("ts", "month"),), measures=("n", "total_value")
+    )
+    decision = router.route(req)
+    # both cubes serve a monthly rollup; manifest stats must pick the
+    # smaller — fail loudly rather than silently serving the fine cube
+    assert decision.cube == monthly.name, decision
+    return router.execute(req)
