@@ -131,3 +131,66 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     # 00:10 row arrives → Spark drops it and the window stays final
     assert dropped == 1, q.recentProgress
     assert got.get("2024-01-01T00:00:00") == 1, got
+
+
+def test_custom_stateful_sessionize_matches_batch(spark, events, stream_dir, tmp_path):
+    """applyInPandasWithState sessionization: every emitted session is
+    final and must exactly match the batch sessionizer's output for
+    sessions the watermark has closed; no session is emitted twice."""
+    from pyspark.sql import Window as W
+
+    from mongo_olap_spark.streaming.sessionize import streaming_sessionize
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(stream_dir)
+    )
+    q = (
+        streaming_sessionize(stream, gap_seconds=1800, watermark="30 minutes")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sess_custom")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = spark.sql("SELECT * FROM sess_custom")
+    rows = {tuple(r) for r in got.collect()}
+    assert len(rows) == got.count()  # exactly-once per closed session
+
+    # batch truth: same gap rule over the full table
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(W.unboundedPreceding, 0)
+    marked = events.withColumn(
+        "new_session",
+        F.when(
+            (F.col("ts").cast("long") - F.lag("ts").over(w).cast("long") > 1800)
+            | F.lag("ts").over(w).isNull(),
+            1,
+        ).otherwise(0),
+    )
+    batch = (
+        marked.withColumn("sid", F.sum("new_session").over(wrun))
+        .groupBy("user_id", "sid")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("session_value"),
+        )
+    )
+    batch_rows = {
+        (r.user_id, r.session_start, r.session_end, r.n_events, round(r.session_value, 6))
+        for r in batch.collect()
+    }
+    got_rows = {
+        (r.user_id, r.session_start, r.session_end, r.n_events, round(r.session_value, 6))
+        for r in got.collect()
+    }
+    # every emitted session is a true batch session …
+    assert got_rows <= batch_rows, sorted(got_rows - batch_rows)[:3]
+    # … and the stream emitted the large majority (only sessions still
+    # open at the final watermark may be withheld)
+    assert len(got_rows) >= 0.8 * len(batch_rows), (len(got_rows), len(batch_rows))
