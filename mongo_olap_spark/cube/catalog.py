@@ -128,21 +128,35 @@ class CubeCatalog:
         return os.path.join(self._dir(name), "manifest.json")
 
     # -- manifest -------------------------------------------------------
-    def manifest(self, name: str) -> dict | None:
+    def manifest(self, name: str, version: int | None = None) -> dict | None:
+        """The current snapshot manifest, or a historical one by
+        version (time travel — valid until ``vacuum`` reclaims the
+        files that snapshot references)."""
+        path = (
+            self._manifest_path(name)
+            if version is None
+            else os.path.join(self._dir(name), "manifests", f"v{version}.json")
+        )
         try:
-            with open(self._manifest_path(name)) as f:
+            with open(path) as f:
                 return json.load(f)
         except (OSError, ValueError):
             return None
 
     def _commit_manifest(self, name: str, manifest: dict) -> None:
-        """Atomic pointer flip: full JSON to a temp file, one rename."""
+        """Atomic pointer flip: full JSON to a temp file, one rename.
+        Every committed manifest is also retained under ``manifests/``
+        (a few hundred bytes each) for snapshot time travel."""
         path = self._manifest_path(name)
         tmp = path + ".tmp"
         with open(tmp, "w") as f:
             json.dump(manifest, f, indent=1)
             f.flush()
             os.fsync(f.fileno())
+        hist_dir = os.path.join(self._dir(name), "manifests")
+        os.makedirs(hist_dir, exist_ok=True)
+        with open(os.path.join(hist_dir, f"v{manifest['version']}.json"), "w") as f:
+            json.dump(manifest, f, indent=1)
         os.replace(tmp, path)
 
     # -- catalog ops (reference: create/list/drop cube) ------------------
@@ -210,10 +224,13 @@ class CubeCatalog:
         with open(self._schema_path(name)) as f:
             return StructType.fromJson(json.load(f))
 
-    def cells(self, name: str) -> DataFrame:
-        """Current cell table (the manifest's snapshot). An empty cube
-        reads as an empty DataFrame with the recorded cell schema."""
-        return self._read_partitions(name, None)
+    def cells(self, name: str, *, version: int | None = None) -> DataFrame:
+        """Current cell table (the manifest's snapshot), or a past
+        snapshot by ``version`` — files are immutable, so a historical
+        manifest is readable until ``vacuum`` reclaims what only it
+        references. An empty cube reads as an empty DataFrame with the
+        recorded cell schema."""
+        return self._read_partitions(name, None, version=version)
 
     def cells_for_partitions(self, name: str, keys: list[str]) -> DataFrame:
         """The snapshot restricted to the given partition keys —
@@ -221,9 +238,11 @@ class CubeCatalog:
         the read half of partition-scoped maintenance."""
         return self._read_partitions(name, keys)
 
-    def _read_partitions(self, name: str, keys: list[str] | None) -> DataFrame:
+    def _read_partitions(
+        self, name: str, keys: list[str] | None, *, version: int | None = None
+    ) -> DataFrame:
         schema = self._cell_schema(name)
-        m = self.manifest(name)
+        m = self.manifest(name, version)
         parts = (m or {}).get("partitions", {})
         if keys is not None:
             parts = {k: v for k, v in parts.items() if k in set(keys)}
@@ -428,4 +447,18 @@ class CubeCatalog:
             if not any(d.startswith("__p=") for d in os.listdir(wabs)):
                 shutil.rmtree(wabs, ignore_errors=True)
                 removed.append(wrel)
+        # historical manifests whose snapshot referenced a reclaimed
+        # path are no longer readable — drop them so time travel never
+        # resolves to missing files
+        hist_dir = os.path.join(self._dir(name), "manifests")
+        if removed and os.path.isdir(hist_dir):
+            gone = set(removed)
+            for f in os.listdir(hist_dir):
+                with open(os.path.join(hist_dir, f)) as fh:
+                    hm = json.load(fh)
+                refs = {os.path.normpath(p["path"]) for p in hm["partitions"].values()}
+                if refs & gone or any(
+                    any(r.startswith(g + os.sep) for g in gone) for r in refs
+                ):
+                    os.unlink(os.path.join(hist_dir, f))
         return removed

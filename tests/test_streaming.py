@@ -282,3 +282,25 @@ def test_lattice_minmax_rejects_deletes(spark, events, tmp_path):
 
     with _pytest.raises(ValueError, match="not incrementally maintainable"):
         maint.apply_batch(bad, 0)
+
+
+def test_snapshot_time_travel(spark, events, tmp_path):
+    """Historical manifests stay readable until vacuum reclaims their
+    files; after vacuum the stale versions are dropped, never dangling."""
+    cat = CubeCatalog(spark, str(tmp_path / "cubes"))
+    cat.create(EVENTS_CUBE, events)
+    name = EVENTS_CUBE.name
+    v1 = cat.manifest(name)["version"]
+    before = rows_set(cat.cells(name))
+
+    one_day = events.filter(F.date_trunc("day", "ts") == "2024-01-03 00:00:00")
+    batch = cdc_from_events(one_day).filter(F.col("op") == "insert").limit(40)
+    CubeMaintainer(cat, EVENTS_CUBE).apply_batch(batch, 0)
+
+    # read the PAST snapshot by version: exactly the pre-batch state
+    assert rows_set(cat.cells(name, version=v1)) == before
+    assert rows_set(cat.cells(name)) != before
+    cat.vacuum(name)
+    # v1 referenced a reclaimed partition dir -> dropped, not dangling
+    assert cat.manifest(name, version=v1) is None
+    assert rows_set(cat.cells(name)) != before  # current still intact
