@@ -103,6 +103,65 @@ def lang_id(text: Column | str) -> Column:
     return F.when(best.score > 0, best.lang).otherwise(F.lit("und"))
 
 
+def dup_word_fraction(text: Column | str) -> Column:
+    """Gopher-style repetition signal: fraction of tokens that are
+    repeats of an earlier token (1 − distinct/total). Pure array
+    expressions (split / array_distinct / size) — no explode, no
+    shuffle, no lambda; at 100 TB this pipelines inside the scan."""
+    toks = tokens(text)
+    return (
+        F.lit(1.0)
+        - F.size(F.array_distinct(toks)).cast("double") / F.size(toks).cast("double")
+    )
+
+
+def dup_ngram_fraction(text: Column | str, n: int = 2) -> Column:
+    """Fraction of duplicate n-grams (1 − distinct/total), null when
+    the document has fewer than n tokens. The n-gram array is built
+    with arrays_zip over shifted slices — native expressions, not
+    lambda HOFs, so the whole thing stays in whole-stage codegen."""
+    toks = tokens(text)
+    cnt = F.size(toks) - F.lit(n - 1)
+    shifted = [F.slice(toks, F.lit(i + 1), cnt) for i in range(n)]
+    grams = F.arrays_zip(*shifted)
+    return F.when(
+        cnt >= 1,
+        F.lit(1.0) - F.size(F.array_distinct(grams)).cast("double") / cnt.cast("double"),
+    )
+
+
+#: PII scrub patterns (pattern, replacement), applied in order. The
+#: regexes use only constructs with identical semantics in Java
+#: (Spark) and RE2 (DuckDB oracle): character classes, greedy
+#: quantifiers — no backrefs or lookarounds.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[a-z0-9._%+\-]+@[a-z0-9.\-]+\.[a-z][a-z]+", "<EMAIL>"),
+    # bare digit runs first, so the phone pattern (which would also
+    # match them) only fires on separator-containing shapes
+    (r"[0-9]{6,}", "<NUM>"),
+    (r"\+?[0-9][0-9 ()\-]{5,}[0-9]", "<PHONE>"),
+)
+
+
+def scrub_pii(text: Column | str) -> Column:
+    """Mask email / phone-shaped / long-digit substrings — the
+    standard pre-training redaction pass. A chain of native
+    regexp_replace calls (JVM regex, one pass each, no UDF)."""
+    c = F.col(text) if isinstance(text, str) else text
+    for pat, repl in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, repl)
+    return c
+
+
+def clean_text(text: Column | str) -> Column:
+    """Canonical LLM-corpus normalization: PII scrub → lowercase →
+    collapse whitespace runs → trim. All native expressions."""
+    c = scrub_pii(text)
+    c = F.lower(c)
+    c = F.regexp_replace(c, r"\s+", " ")
+    return F.trim(c)
+
+
 def fingerprint_md5(text: Column | str) -> Column:
     """Stable content fingerprint (hex md5) — engine-portable."""
     c = F.col(text) if isinstance(text, str) else text

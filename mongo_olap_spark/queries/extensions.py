@@ -414,3 +414,104 @@ def q_multimodal(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     payloads = mm.attach_binary_payload(d)
     return mm.extract_features(payloads)
+
+
+# ---------------------------------------------------------------------------
+# X4 — repetition metrics (Gopher-style quality signals): fraction of
+# duplicate words and duplicate bigrams per document. Spark side is
+# pure array expressions (split / slice / arrays_zip / array_distinct)
+# — no explode, no shuffle, no lambda HOF — so the whole metric
+# pipelines inside the parquet scan at any scale. The oracle replays
+# the same counts via unnest + lead (DuckDB can't list_distinct struct
+# lists).
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_repetition",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    base AS (
+      SELECT doc_id, len(t) AS n, len(list_distinct(t)) AS nd FROM toks
+    ),
+    flat AS (
+      SELECT doc_id, unnest(t) AS tok, unnest(generate_series(1, len(t))) AS ord
+      FROM toks
+    ),
+    big AS (
+      SELECT doc_id,
+             tok || ' ' || lead(tok) OVER (PARTITION BY doc_id ORDER BY ord) AS bg
+      FROM flat
+    ),
+    bstats AS (
+      SELECT doc_id, count(bg) AS nb, count(DISTINCT bg) AS nbd
+      FROM big GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           1 - CAST(nd AS DOUBLE) / CAST(n AS DOUBLE) AS dup_word_frac,
+           CASE WHEN nb >= 1
+                THEN 1 - CAST(nbd AS DOUBLE) / CAST(nb AS DOUBLE) END AS dup_bigram_frac
+    FROM base b JOIN bstats USING (doc_id)
+    """,
+)
+def q_repetition(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        tx.dup_word_fraction("text").alias("dup_word_frac"),
+        tx.dup_ngram_fraction("text", 2).alias("dup_bigram_frac"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X4 — corpus cleaning / PII scrub: the standard pre-training redaction
+# + normalization pass (mask emails, phone-shaped runs, long digit
+# runs; lowercase; collapse whitespace). The query plants PII-shaped
+# strings derived from the table itself (both engines build the same
+# input) so the scrub provably fires; md5 of the cleaned text makes the
+# comparison hash-exact. The regexes use only Java/RE2-identical
+# constructs (operators/text.py PII_PATTERNS).
+# ---------------------------------------------------------------------------
+
+_CLEAN_INPUT_SQL = (
+    "text || ' Reach user' || CAST(doc_id AS VARCHAR) || '@example.com  or call"
+    " +1 555 014-2 id ' || lpad(CAST(doc_id AS VARCHAR), 9, '7')"
+)
+
+@register(
+    "q_text_clean",
+    oracle=f"""
+    WITH raw AS (SELECT doc_id, {_CLEAN_INPUT_SQL} AS t FROM documents),
+    scrubbed AS (
+      SELECT doc_id,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(t,
+                   '[a-z0-9._%+\\-]+@[a-z0-9.\\-]+\\.[a-z][a-z]+', '<EMAIL>', 'g'),
+                 '[0-9]{{6,}}', '<NUM>', 'g'),
+               '\\+?[0-9][0-9 ()\\-]{{5,}}[0-9]', '<PHONE>', 'g') AS t
+      FROM raw
+    ),
+    clean AS (
+      SELECT doc_id, trim(regexp_replace(lower(t), '\\s+', ' ', 'g')) AS t
+      FROM scrubbed
+    )
+    SELECT doc_id, md5(t) AS clean_md5, length(t) AS clean_len FROM clean
+    """,
+)
+def q_text_clean(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" Reach user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com  or call +1 555 014-2 id "),
+        F.lpad(F.col("doc_id").cast("string"), 9, "7"),
+    )
+    clean = tx.clean_text(raw)
+    return d.select(
+        "doc_id",
+        F.md5(clean).alias("clean_md5"),
+        F.length(clean).alias("clean_len"),
+    )

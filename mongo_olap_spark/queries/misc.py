@@ -347,3 +347,54 @@ def q_sliding_window(spark, sf_dir):
             "total_value",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# S21 — $redact: conditional document-tree pruning. Formerly a declared
+# non-goal; implemented round 2 as a plan-time recursive walk
+# (operators/redact.py) that emits one nested CASE/struct expression —
+# redact costs a projection, not a per-document interpreter. The query
+# nests events into doc{meta{level, inner{level, tag}}, payload{level,
+# value}} and applies the ACL-style level gate (prune >= 2, keep == 0,
+# else descend); the oracle replays the same decisions as scalar CASE
+# arithmetic. KEEP is observable: meta.level == 0 stops the descent, so
+# inner survives even when inner.level would prune.
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_redact",
+    oracle="""
+    SELECT event_id,
+           CASE WHEN user_id % 3 = 2 THEN NULL
+                WHEN user_id % 3 = 0 THEN event_type
+                WHEN event_id % 3 = 2 THEN NULL
+                ELSE event_type END AS tag,
+           CASE WHEN CAST(floor(value) AS BIGINT) % 3 >= 2 THEN NULL
+                ELSE value END AS pay_value
+    FROM events
+    """,
+)
+def q_redact(spark, sf_dir):
+    from mongo_olap_spark.operators.redact import level_gate, redact_document
+
+    e = load_table(spark, sf_dir, "events")
+    doc = F.struct(
+        F.struct(
+            (F.col("user_id") % 3).alias("level"),
+            F.struct(
+                (F.col("event_id") % 3).alias("level"),
+                F.col("event_type").alias("tag"),
+            ).alias("inner"),
+        ).alias("meta"),
+        F.struct(
+            (F.floor("value").cast("bigint") % 3).alias("level"),
+            F.col("value").alias("value"),
+        ).alias("payload"),
+    )
+    nested = e.select("event_id", doc.alias("doc"))
+    redacted = redact_document(nested, "doc", level_gate(prune_at=2, keep_at=0))
+    return redacted.select(
+        "event_id",
+        F.col("doc.meta.inner.tag").alias("tag"),
+        F.col("doc.payload.value").alias("pay_value"),
+    )

@@ -507,3 +507,52 @@ def q_fill_linear(spark, sf_dir):
         )
     )
     return anchored.select("event_type", "day", F.round(lin, 6).alias("v_lin"))
+
+
+# ---------------------------------------------------------------------------
+# $densify with bounds:"partition": generate the missing day rows
+# *within each partition's own [min, max] range* (vs q_fill's
+# full-range grid — these are the two bounds modes of the stage).
+# Spark-first shape: aggregate each partition's bounds, then
+# sequence() + explode generates the spine per partition — the row
+# generation is distributed with the partition keys, no driver loop
+# and no cross join. At 100 TB the spine size is O(partitions ×
+# days-in-range), never O(|events|).
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_densify",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT event_type, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1
+    ),
+    spine AS (
+      SELECT event_type, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+      FROM bounds
+    )
+    SELECT s.event_type, s.day, COALESCE(d.n, 0) AS n
+    FROM spine s LEFT JOIN daily d ON s.event_type = d.event_type AND s.day = d.day
+    """,
+)
+def q_densify(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    spine = (
+        daily.groupBy("event_type")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select(
+            "event_type",
+            F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day"),
+        )
+    )
+    return (
+        spine.join(daily, ["event_type", "day"], "left")
+        .select("event_type", "day", F.coalesce("n", F.lit(0)).alias("n"))
+    )

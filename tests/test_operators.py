@@ -194,3 +194,95 @@ def test_repartition_by_bytes(spark, docs):
     out = mm.repartition_by_bytes(sized, "n", target_bytes_per_partition=10_000)
     assert out.rdd.getNumPartitions() >= 2
     assert out.count() == docs.count()
+
+
+# ---------------------------------------------------------------------------
+# $redact (operators/redact.py)
+# ---------------------------------------------------------------------------
+
+def test_redact_prune_keep_descend(spark):
+    from mongo_olap_spark.operators.redact import level_gate, redact_document
+
+    rows = [
+        # (id, meta_level, inner_level) — inner.tag = "t<id>"
+        (1, 0, 2),  # KEEP at meta: inner survives even though inner would prune
+        (2, 1, 2),  # DESCEND at meta, PRUNE at inner
+        (3, 1, 1),  # DESCEND both: tag survives
+        (4, 2, 0),  # PRUNE at meta: whole subtree null
+    ]
+    df = spark.createDataFrame(rows, "id int, ml int, il int").select(
+        "id",
+        F.struct(
+            F.col("ml").alias("level"),
+            F.struct(
+                F.col("il").alias("level"),
+                F.concat(F.lit("t"), F.col("id")).alias("tag"),
+            ).alias("inner"),
+        ).alias("doc"),
+    )
+    out = redact_document(df, "doc", level_gate(prune_at=2, keep_at=0))
+    got = {r["id"]: r["tag"] for r in out.select("id", "doc.inner.tag").collect()}
+    assert got == {1: "t1", 2: None, 3: "t3", 4: None}
+
+
+def test_redact_array_of_structs(spark):
+    from mongo_olap_spark.operators.redact import level_gate, redact_document
+
+    df = spark.createDataFrame([(1,)], "id int").select(
+        "id",
+        F.array(
+            F.struct(F.lit(1).alias("level"), F.lit("a").alias("v")),
+            F.struct(F.lit(2).alias("level"), F.lit("b").alias("v")),
+        ).alias("docs"),
+    )
+    out = redact_document(df, "docs", level_gate(prune_at=2, keep_at=0))
+    [row] = out.collect()
+    assert [e["v"] if e else None for e in row["docs"]] == ["a", None]
+
+
+def test_redact_plan_is_expression_only(spark):
+    """The redact walk must compile to a plain Project — no Python
+    evaluation node in the physical plan."""
+    from mongo_olap_spark.operators.redact import level_gate, redact_document
+
+    df = spark.range(10).select(
+        "id", F.struct(F.lit(1).alias("level"), F.col("id").alias("v")).alias("doc")
+    )
+    out = redact_document(df, "doc", level_gate())
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "BatchEval" not in plan
+
+
+# ---------------------------------------------------------------------------
+# repetition + cleaning (operators/text.py round-2 additions)
+# ---------------------------------------------------------------------------
+
+def test_repetition_fractions(spark):
+    df = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "x x x x"), (3, "solo")], "doc_id int, text string"
+    )
+    got = {
+        r["doc_id"]: (r["w"], r["b"])
+        for r in df.select(
+            "doc_id",
+            tx.dup_word_fraction("text").alias("w"),
+            tx.dup_ngram_fraction("text", 2).alias("b"),
+        ).collect()
+    }
+    # doc 1: 5 tokens 3 distinct; 4 bigrams (a b, b a, a b, b c) 3 distinct
+    assert got[1] == (pytest.approx(0.4), pytest.approx(0.25))
+    # doc 2: 4 tokens 1 distinct; 3 bigrams 1 distinct
+    assert got[2] == (pytest.approx(0.75), pytest.approx(2 / 3))
+    # doc 3: single token -> no bigrams -> null
+    assert got[3] == (pytest.approx(0.0), None)
+
+
+def test_scrub_pii_masks_and_preserves(spark):
+    df = spark.createDataFrame(
+        [(1, "mail me at bob.smith+x@corp.io or +1 (555) 123-4567 id 123456789 ok")],
+        "id int, text string",
+    )
+    [row] = df.select(tx.clean_text("text").alias("t")).collect()
+    assert "<email>" in row["t"] and "<phone>" in row["t"] and "<num>" in row["t"]
+    assert "bob" not in row["t"] and "555" not in row["t"]
+    assert row["t"].startswith("mail me at")
