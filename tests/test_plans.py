@@ -117,3 +117,38 @@ def test_lattice_build_single_scan(spark):
     n_scans = inmem if inmem else plan.count("FileScan parquet")
     assert n_scans == 1, plan
     assert "Expand" in plan  # grouping sets expansion, not per-level scans
+
+def test_star_join_broadcasts_dims_and_pushes_date_filter(spark, sf_dir):
+    """The six-table star join must broadcast the nation×region dim
+    (no shuffle for small sides) and push the orders date filter into
+    the scan, not evaluate it post-join."""
+    from mongo_olap_spark.queries import QUERIES
+
+    plan = (
+        QUERIES["q_star_join"](spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "PushedFilters: [IsNotNull(o_orderdate)" in plan or "o_orderdate" in plan
+
+
+def test_chunk_and_logprob_have_no_python_nodes(spark, sf_dir):
+    from mongo_olap_spark.queries import QUERIES
+
+    for qid in ("q_chunk", "q_unigram_logprob", "q_repetition", "q_text_clean"):
+        plan = (
+            QUERIES[qid](spark, sf_dir)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Python" not in plan, qid
+        assert "lambdafunction" not in plan.lower(), qid
+
+
+def test_unigram_logprob_broadcasts_freq_table(spark, sf_dir):
+    from mongo_olap_spark.queries import QUERIES
+
+    plan = (
+        QUERIES["q_unigram_logprob"](spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
