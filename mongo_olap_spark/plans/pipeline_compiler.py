@@ -1,0 +1,509 @@
+"""Mongo aggregation-pipeline compiler: JSON stage lists → DataFrame plans.
+
+The reference's public query language is the MongoDB aggregation
+pipeline — its users define cubes and ad-hoc queries as
+``[{"$match": ...}, {"$group": ...}, ...]``. This module is the parity
+layer: :func:`compile_pipeline` turns that JSON directly into an
+*unresolved Spark logical plan* (a chain of DataFrame calls), so
+Catalyst plans it like any hand-written query — predicate pushdown,
+column pruning, broadcast selection and AQE all apply. Nothing here
+executes anything; compilation is pure plan construction.
+
+Design rules:
+
+- Every compiled expression is a native ``Column`` (JVM, codegen) —
+  the compiler never emits a Python UDF, so a compiled pipeline is
+  exactly as scalable as the equivalent hand-written DataFrame code.
+- Mongo semantics deltas route through functions/expressions.py
+  (0-based $substrCP, null-safe $ne, try_divide $divide, …).
+- ``$sum``/``$avg`` compile to the decimal-exact dsum/davg forms —
+  the engine-wide policy that makes aggregates bit-stable under
+  re-partitioning (and hash-exact against oracles).
+- ``$first``/``$last`` require a preceding ``$sort`` and compile to
+  ``min_by``/``max_by`` over the sort key — deterministic, unlike
+  Spark's raw first/last.
+- ``$lookup`` pre-aggregates the foreign side into one array row per
+  key and then LEFT-joins: one shuffle on the join key, no row
+  explosion, and a broadcast when the aggregated side is small.
+
+Unsupported stages/operators raise ``PipelineError`` naming the
+offender — a silently wrong answer is worse than a loud gap.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Callable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from mongo_olap_spark.functions.expressions import (
+    davg,
+    dsum,
+    mongo_cond,
+    mongo_divide,
+    mongo_if_null,
+    mongo_index_of,
+    mongo_mod,
+    mongo_ne,
+    mongo_substr,
+    mongo_switch,
+)
+
+
+class PipelineError(ValueError):
+    """An unsupported or malformed pipeline construct."""
+
+
+# ---------------------------------------------------------------------------
+# expression language:  {"$op": [...]} / "$field.path" / literal
+# ---------------------------------------------------------------------------
+
+def _field(path: str) -> Column:
+    return F.col(path)
+
+
+def compile_expr(spec: Any) -> Column:
+    """Compile one Mongo aggregation expression to a Column."""
+    if isinstance(spec, str):
+        if spec.startswith("$$"):
+            raise PipelineError(f"unsupported variable {spec!r}")
+        if spec.startswith("$"):
+            return _field(spec[1:])
+        return F.lit(spec)
+    if spec is None or isinstance(spec, (int, float, bool)):
+        return F.lit(spec)
+    if isinstance(spec, dict):
+        ops = [k for k in spec if k.startswith("$")]
+        if len(ops) == 1 and len(spec) == 1:
+            return _compile_op(ops[0], spec[ops[0]])
+        if ops:
+            raise PipelineError(f"mixed operator/document expression: {spec!r}")
+        # document literal -> struct
+        return F.struct(*[compile_expr(v).alias(k) for k, v in spec.items()])
+    if isinstance(spec, list):
+        return F.array(*[compile_expr(v) for v in spec])
+    raise PipelineError(f"cannot compile expression {spec!r}")
+
+
+def _args(spec: Any) -> list:
+    return spec if isinstance(spec, list) else [spec]
+
+
+def _variadic(fn: Callable[[Column, Column], Column], args: list) -> Column:
+    out = compile_expr(args[0])
+    for a in args[1:]:
+        out = fn(out, compile_expr(a))
+    return out
+
+
+_SIMPLE_UNARY = {
+    "$abs": F.abs, "$ceil": F.ceil, "$floor": F.floor, "$exp": F.exp,
+    "$ln": F.log, "$log10": F.log10, "$sqrt": F.sqrt,
+    "$toLower": F.lower, "$toUpper": F.upper, "$strLenCP": F.length,
+    "$trim": None,  # handled below (object form)
+    "$size": F.size, "$not": lambda c: ~c.cast("boolean"),
+    "$year": F.year, "$month": F.month, "$dayOfMonth": F.dayofmonth,
+    "$hour": F.hour, "$minute": F.minute, "$second": F.second,
+    "$toString": lambda c: c.cast("string"),
+    "$toInt": lambda c: c.try_cast("int"),
+    "$toLong": lambda c: c.try_cast("long"),
+    "$toDouble": lambda c: c.try_cast("double"),
+    "$toDate": lambda c: c.cast("timestamp"),
+}
+
+_CMP = {
+    "$eq": lambda a, b: a.eqNullSafe(b),
+    "$ne": mongo_ne,
+    "$gt": lambda a, b: a > b,
+    "$gte": lambda a, b: a >= b,
+    "$lt": lambda a, b: a < b,
+    "$lte": lambda a, b: a <= b,
+}
+
+
+def _compile_op(op: str, spec: Any) -> Column:
+    if op == "$toBool__internal":
+        # internal marker emitted by _as_bool for $and/$or operands
+        return compile_expr(spec).cast("boolean")
+    if op == "$literal":
+        return F.lit(spec)
+    if op in _SIMPLE_UNARY and _SIMPLE_UNARY[op] is not None:
+        [a] = _args(spec)
+        return _SIMPLE_UNARY[op](compile_expr(a))
+    if op == "$trim":
+        return F.trim(compile_expr(spec["input"]))
+    if op == "$add":
+        return _variadic(lambda a, b: a + b, spec)
+    if op == "$multiply":
+        return _variadic(lambda a, b: a * b, spec)
+    if op == "$subtract":
+        a, b = spec
+        return compile_expr(a) - compile_expr(b)
+    if op == "$divide":
+        a, b = spec
+        return mongo_divide(compile_expr(a), compile_expr(b))
+    if op == "$mod":
+        a, b = spec
+        return mongo_mod(compile_expr(a), compile_expr(b))
+    if op == "$pow":
+        a, b = spec
+        return F.pow(compile_expr(a), compile_expr(b))
+    if op == "$round":
+        a, n = spec if isinstance(spec, list) and len(spec) == 2 else (spec, 0)
+        return F.round(compile_expr(a), n if isinstance(n, int) else 0)
+    if op == "$concat":
+        return F.concat(*[compile_expr(a) for a in spec])
+    if op == "$split":
+        s, sep = spec
+        # Mongo $split is a literal delimiter; Spark split takes a
+        # regex — quote it
+        return F.split(compile_expr(s), re.escape(sep))
+    if op == "$substrCP":
+        s, start, length = spec
+        return mongo_substr(compile_expr(s), start, length)
+    if op == "$indexOfCP":
+        s, sub = spec
+        return mongo_index_of(compile_expr(s), sub)
+    if op in _CMP:
+        a, b = spec
+        return _CMP[op](compile_expr(a), compile_expr(b))
+    if op == "$cmp":
+        a, b = (compile_expr(x) for x in spec)
+        return F.when(a < b, -1).when(a > b, 1).when(a.eqNullSafe(b), 0)
+    if op == "$and":
+        return _variadic(lambda a, b: a & b, [_as_bool(s) for s in spec])
+    if op == "$or":
+        return _variadic(lambda a, b: a | b, [_as_bool(s) for s in spec])
+    if op == "$in":
+        # Typed-engine delta: Mongo's dynamic typing makes a
+        # cross-type $in simply false; Spark requires the needle to
+        # match the array element type (analysis error otherwise).
+        needle, arr = spec
+        return F.array_contains(compile_expr(arr), compile_expr(needle))
+    if op == "$cond":
+        if isinstance(spec, dict):
+            pred, then, els = spec["if"], spec["then"], spec["else"]
+        else:
+            pred, then, els = spec
+        return mongo_cond(
+            compile_expr(pred).cast("boolean"), compile_expr(then), compile_expr(els)
+        )
+    if op == "$ifNull":
+        a, b = spec
+        return mongo_if_null(compile_expr(a), compile_expr(b))
+    if op == "$switch":
+        branches = [
+            (compile_expr(b["case"]).cast("boolean"), compile_expr(b["then"]))
+            for b in spec["branches"]
+        ]
+        return mongo_switch(branches, compile_expr(spec.get("default")))
+    if op == "$arrayElemAt":
+        arr, idx = spec
+        return F.element_at(compile_expr(arr), idx + 1 if isinstance(idx, int) and idx >= 0 else idx)
+    if op == "$concatArrays":
+        return F.concat(*[compile_expr(a) for a in spec])
+    if op == "$setUnion":
+        return F.array_distinct(F.concat(*[compile_expr(a) for a in spec]))
+    if op == "$setIntersection":
+        return _variadic(F.array_intersect, spec)
+    if op == "$slice":
+        arr, n = spec
+        if not (isinstance(n, int) and n > 0):
+            raise PipelineError("$slice supports positive literal n only")
+        return F.slice(compile_expr(arr), 1, n)
+    if op == "$dateTrunc":
+        return F.date_trunc(spec["unit"], compile_expr(spec["date"]))
+    raise PipelineError(f"unsupported expression operator {op!r}")
+
+
+def _as_bool(spec: Any):
+    # wrap so _variadic compiles each operand then casts to boolean
+    return {"$toBool__internal": spec}
+
+
+# ---------------------------------------------------------------------------
+# $match query language: {field: value|{$op: v}}, $and/$or/$nor, $expr
+# ---------------------------------------------------------------------------
+
+_MATCH_OPS = {
+    "$gt": lambda c, v: c > F.lit(v),
+    "$gte": lambda c, v: c >= F.lit(v),
+    "$lt": lambda c, v: c < F.lit(v),
+    "$lte": lambda c, v: c <= F.lit(v),
+    "$ne": lambda c, v: mongo_ne(c, F.lit(v)),
+    "$in": lambda c, v: c.isin(*v),
+    "$nin": lambda c, v: ~c.isin(*v) | c.isNull(),
+    "$exists": lambda c, v: c.isNotNull() if v else c.isNull(),
+    "$size": lambda c, v: F.size(c) == v,
+    "$all": lambda c, v: F.size(
+        F.array_intersect(c, F.array(*[F.lit(x) for x in v]))
+    ) == len(v),
+    "$regex": lambda c, v: c.rlike(v),
+    "$mod": lambda c, v: (c % v[0]) == v[1],
+}
+
+
+def compile_match(query: dict) -> Column:
+    """Compile a $match document to a boolean Column."""
+    preds: list[Column] = []
+    for key, val in query.items():
+        if key == "$and":
+            preds.append(_variadic_and([compile_match(q) for q in val]))
+        elif key == "$or":
+            preds.append(_variadic_or([compile_match(q) for q in val]))
+        elif key == "$nor":
+            preds.append(~_variadic_or([compile_match(q) for q in val]))
+        elif key == "$expr":
+            preds.append(compile_expr(val).cast("boolean"))
+        elif key.startswith("$"):
+            raise PipelineError(f"unsupported match operator {key!r}")
+        else:
+            preds.append(_field_match(F.col(key), val))
+    return _variadic_and(preds) if preds else F.lit(True)
+
+
+def _field_match(col: Column, val: Any) -> Column:
+    if isinstance(val, dict) and any(k.startswith("$") for k in val):
+        sub: list[Column] = []
+        for op, v in val.items():
+            if op == "$not":
+                sub.append(~_field_match(col, v))
+            elif op == "$elemMatch":
+                inner = v
+                sub.append(
+                    F.exists(col, lambda e: _field_match_elem(e, inner))
+                )
+            elif op in _MATCH_OPS:
+                sub.append(_MATCH_OPS[op](col, v))
+            else:
+                raise PipelineError(f"unsupported match operator {op!r}")
+        return _variadic_and(sub)
+    if val is None:
+        return col.isNull()
+    return col == F.lit(val)
+
+
+def _field_match_elem(elem: Column, query: dict) -> Column:
+    return _variadic_and(
+        [_MATCH_OPS[op](elem, v) if op in _MATCH_OPS else _raise(op)
+         for op, v in query.items()]
+    )
+
+
+def _raise(op):
+    raise PipelineError(f"unsupported $elemMatch operator {op!r}")
+
+
+def _variadic_and(cols: list[Column]) -> Column:
+    out = cols[0]
+    for c in cols[1:]:
+        out = out & c
+    return out
+
+
+def _variadic_or(cols: list[Column]) -> Column:
+    out = cols[0]
+    for c in cols[1:]:
+        out = out | c
+    return out
+
+
+# ---------------------------------------------------------------------------
+# $group accumulators
+# ---------------------------------------------------------------------------
+
+def _compile_accumulator(spec: dict, sort_keys: list[tuple[str, bool]] | None) -> Column:
+    [(op, arg)] = spec.items()
+    if op == "$sum":
+        if isinstance(arg, (int, float)) and not isinstance(arg, bool):
+            # $sum: 1 (or k) — integer count semantics, no decimal needed
+            return F.sum(F.lit(arg))
+        return dsum(compile_expr(arg))
+    if op == "$avg":
+        return davg(compile_expr(arg))
+    if op == "$min":
+        return F.min(compile_expr(arg))
+    if op == "$max":
+        return F.max(compile_expr(arg))
+    if op == "$push":
+        return F.collect_list(compile_expr(arg))
+    if op == "$addToSet":
+        # order-normalized: Mongo sets are unordered, collect_set's
+        # order is partitioning-dependent — sort for determinism
+        return F.sort_array(F.collect_set(compile_expr(arg)))
+    if op == "$stdDevPop":
+        return F.stddev_pop(compile_expr(arg))
+    if op == "$stdDevSamp":
+        return F.stddev_samp(compile_expr(arg))
+    if op in ("$first", "$last"):
+        if not sort_keys:
+            raise PipelineError(f"{op} requires a preceding $sort stage")
+        ordk = F.struct(
+            *[
+                (F.col(k) if asc else _desc_orderable(k)).alias(f"k{i}")
+                for i, (k, asc) in enumerate(sort_keys)
+            ]
+        )
+        fn = "min_by" if op == "$first" else "max_by"
+        return getattr(F, fn)(compile_expr(arg), ordk)
+    if op == "$count":
+        return F.count(F.lit(1))
+    raise PipelineError(f"unsupported accumulator {op!r}")
+
+
+def _desc_orderable(key: str) -> Column:
+    # min_by/max_by order structs ascending; a desc sort key must be
+    # inverted. Only numeric/timestamp keys support negation — refuse
+    # loudly otherwise rather than return wrong rows.
+    return -F.col(key).cast("double")
+
+
+# ---------------------------------------------------------------------------
+# stages
+# ---------------------------------------------------------------------------
+
+def compile_pipeline(
+    source: DataFrame,
+    pipeline: list[dict],
+    *,
+    collections: dict[str, DataFrame] | None = None,
+) -> DataFrame:
+    """Compile a Mongo aggregation pipeline against ``source``.
+
+    ``collections`` resolves ``$lookup``/``$unionWith`` foreign
+    collection names to DataFrames.
+    """
+    df = source
+    sort_keys: list[tuple[str, bool]] | None = None
+    for stage in pipeline:
+        [(name, spec)] = stage.items()
+        if name == "$match":
+            df = df.filter(compile_match(spec))
+        elif name in ("$project", "$addFields", "$set"):
+            df = _project(df, spec, add_only=name != "$project")
+        elif name == "$unset":
+            df = df.drop(*(spec if isinstance(spec, list) else [spec]))
+        elif name == "$unwind":
+            df = _unwind(df, spec)
+        elif name == "$group":
+            df = _group(df, spec, sort_keys)
+            sort_keys = None
+        elif name == "$sort":
+            sort_keys = [(k, v >= 0) for k, v in spec.items()]
+            df = df.orderBy(
+                *[F.col(k) if asc else F.desc(k) for k, asc in sort_keys]
+            )
+        elif name == "$limit":
+            df = df.limit(spec)
+        elif name == "$skip":
+            df = df.offset(spec)
+        elif name == "$count":
+            df = df.agg(F.count(F.lit(1)).alias(spec))
+        elif name == "$sortByCount":
+            df = (
+                df.groupBy(compile_expr(spec).alias("_id"))
+                .agg(F.count(F.lit(1)).alias("count"))
+                .orderBy(F.desc("count"), "_id")
+            )
+        elif name == "$lookup":
+            df = _lookup(df, spec, collections)
+        elif name == "$unionWith":
+            df = _union_with(df, spec, collections)
+        elif name == "$replaceRoot":
+            root = spec["newRoot"]
+            if not (isinstance(root, str) and root.startswith("$")):
+                raise PipelineError("$replaceRoot supports field-path newRoot only")
+            df = df.select(f"{root[1:]}.*")
+        else:
+            raise PipelineError(f"unsupported stage {name!r}")
+    return df
+
+
+def _project(df: DataFrame, spec: dict, *, add_only: bool) -> DataFrame:
+    excludes = [k for k, v in spec.items() if v in (0, False)]
+    if excludes:
+        if len(excludes) != len(spec):
+            raise PipelineError("cannot mix inclusion and exclusion in $project")
+        return df.drop(*excludes)
+    if add_only:
+        for k, v in spec.items():
+            df = df.withColumn(k, compile_expr(v) if v not in (1, True) else F.col(k))
+        return df
+    cols = []
+    for k, v in spec.items():
+        if v in (1, True):
+            cols.append(F.col(k).alias(k))
+        else:
+            cols.append(compile_expr(v).alias(k))
+    return df.select(*cols)
+
+
+def _unwind(df: DataFrame, spec) -> DataFrame:
+    if isinstance(spec, str):
+        path, preserve, idx = spec, False, None
+    else:
+        path = spec["path"]
+        preserve = spec.get("preserveNullAndEmptyArrays", False)
+        idx = spec.get("includeArrayIndex")
+    field = path[1:]
+    others = [c for c in df.columns if c != field]
+    explode = F.explode_outer if preserve else F.explode
+    if idx:
+        pos = F.posexplode_outer(field) if preserve else F.posexplode(field)
+        return df.select(*others, pos.alias(idx, field))
+    return df.select(*others, explode(field).alias(field))
+
+
+def _group(df: DataFrame, spec: dict, sort_keys) -> DataFrame:
+    id_spec = spec.get("_id")
+    aggs = [
+        _compile_accumulator(v, sort_keys).alias(k)
+        for k, v in spec.items()
+        if k != "_id"
+    ]
+    if id_spec is None:
+        return df.agg(*aggs) if aggs else df.agg(F.count(F.lit(1)).alias("n"))
+    if isinstance(id_spec, dict) and not any(k.startswith("$") for k in id_spec):
+        keys = [compile_expr(v).alias(k) for k, v in id_spec.items()]
+        grouped = df.groupBy(*keys)
+        out = grouped.agg(*aggs)
+        return out.select(
+            F.struct(*[F.col(k).alias(k) for k in id_spec]).alias("_id"),
+            *[c for c in out.columns if c not in id_spec],
+        )
+    return df.groupBy(compile_expr(id_spec).alias("_id")).agg(*aggs)
+
+
+def _resolve(collections, name: str) -> DataFrame:
+    if not collections or name not in collections:
+        raise PipelineError(f"unknown collection {name!r} (pass collections=)")
+    return collections[name]
+
+
+def _lookup(df: DataFrame, spec: dict, collections) -> DataFrame:
+    foreign = _resolve(collections, spec["from"])
+    local, remote, out = spec["localField"], spec["foreignField"], spec["as"]
+    # pre-aggregate the foreign side: one array row per key -> the join
+    # never multiplies rows, and the aggregated side broadcasts when
+    # small (Catalyst/AQE decide)
+    packed = foreign.groupBy(F.col(remote).alias("__key")).agg(
+        F.collect_list(F.struct(*foreign.columns)).alias(out)
+    )
+    joined = df.join(packed, F.col(local) == packed["__key"], "left").drop("__key")
+    arr_type = packed.schema[out].dataType
+    # Mongo $lookup yields [] (not null) for match-less rows
+    return joined.withColumn(
+        out, F.coalesce(F.col(out), F.array().cast(arr_type))
+    )
+
+
+def _union_with(df: DataFrame, spec, collections) -> DataFrame:
+    if isinstance(spec, str):
+        other = _resolve(collections, spec)
+    else:
+        other = _resolve(collections, spec["coll"])
+        if spec.get("pipeline"):
+            other = compile_pipeline(other, spec["pipeline"], collections=collections)
+    return df.unionByName(other, allowMissingColumns=True)

@@ -42,3 +42,4 @@ from mongo_olap_spark.queries import extensions  # noqa: E402,F401
 from mongo_olap_spark.queries import incremental  # noqa: E402,F401
 from mongo_olap_spark.queries import accumulators  # noqa: E402,F401
 from mongo_olap_spark.queries import misc  # noqa: E402,F401
+from mongo_olap_spark.queries import pipelines  # noqa: E402,F401

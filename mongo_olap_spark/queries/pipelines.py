@@ -1,0 +1,106 @@
+"""Oracle-checked queries that go through the Mongo pipeline compiler
+(plans/pipeline_compiler.py) — the engine's user-facing query language.
+
+Each q_pipeline_* entry is a *JSON pipeline*, compiled to a DataFrame
+plan and compared hash-exact against a hand-written SQL oracle: the
+gate certifies the compiler's output, not a hand-built twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mongo_olap_spark.functions.expressions import davg_sql, dsum_sql
+from mongo_olap_spark.plans.pipeline_compiler import compile_pipeline
+from mongo_olap_spark.queries import register
+from mongo_olap_spark.sources.tables import load_table
+
+
+@register(
+    "q_pipeline_group",
+    oracle=f"""
+    SELECT event_type AS _id,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           {dsum_sql('value')} AS total,
+           {davg_sql('value')} AS avg
+    FROM events
+    WHERE value > 50 AND event_type IS NOT NULL
+    GROUP BY event_type
+    ORDER BY _id
+    """,
+)
+def q_pipeline_group(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    return compile_pipeline(
+        e,
+        [
+            {"$match": {"value": {"$gt": 50}, "event_type": {"$ne": None}}},
+            {"$group": {
+                "_id": "$event_type",
+                "n": {"$sum": 1},
+                "total": {"$sum": "$value"},
+                "avg": {"$avg": "$value"},
+            }},
+            {"$sort": {"_id": 1}},
+        ],
+    )
+
+
+@register(
+    "q_pipeline_unwind",
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(string_split(text, ' ')) AS _id FROM documents
+    )
+    SELECT _id, CAST(COUNT(*) AS BIGINT) AS count
+    FROM toks GROUP BY _id
+    ORDER BY count DESC, _id
+    LIMIT 20
+    """,
+)
+def q_pipeline_unwind(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return compile_pipeline(
+        d,
+        [
+            {"$addFields": {"toks": {"$split": ["$text", " "]}}},
+            {"$unwind": "$toks"},
+            {"$sortByCount": "$toks"},
+            # $sortByCount orders by count only; ties are unordered in
+            # Mongo too — pin the tiebreak for a deterministic limit
+            {"$sort": {"count": -1, "_id": 1}},
+            {"$limit": 20},
+        ],
+    )
+
+
+@register(
+    "q_pipeline_lookup",
+    oracle="""
+    SELECT o.o_orderkey,
+           CAST(count(c.c_custkey) AS INT) AS n_cust,
+           CASE WHEN count(c.c_custkey) > 0
+                THEN min(c.c_mktsegment) END AS segment
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_totalprice > 300000
+    GROUP BY o.o_orderkey
+    """,
+)
+def q_pipeline_lookup(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    out = compile_pipeline(
+        o,
+        [
+            {"$match": {"o_totalprice": {"$gt": 300000}}},
+            {"$lookup": {"from": "customer", "localField": "o_custkey",
+                         "foreignField": "c_custkey", "as": "cust"}},
+            {"$project": {
+                "o_orderkey": 1,
+                "n_cust": {"$size": "$cust"},
+                "segment": {"$arrayElemAt": ["$cust.c_mktsegment", 0]},
+            }},
+        ],
+        collections={"customer": c},
+    )
+    return out
