@@ -42,6 +42,19 @@ class OlapEngine:
             spec = CubeSpec.from_json(spec)
         return self.catalog.create(spec, source)
 
+    def create_cube_from_pipeline(
+        self, name: str, source_name: str, pipeline: list[dict], source: DataFrame
+    ) -> DataFrame:
+        """Define a cube from a Mongo ``[$match?, $group]`` pipeline —
+        the reference's JSON cube-config flow. The pipeline prefix
+        becomes filter_sql, `_id` the dimensions, accumulators the
+        measures; the cube then gets the full stack (IVM, lattice,
+        routing) like any spec-defined cube."""
+        from mongo_olap_spark.plans.pipeline_compiler import cube_spec_from_pipeline
+
+        spec = cube_spec_from_pipeline(name, source_name, pipeline)
+        return self.catalog.create(spec, source)
+
     def list_cubes(self) -> list[str]:
         return self.catalog.list_cubes()
 

@@ -416,6 +416,19 @@ def compile_pipeline(
             if not (isinstance(root, str) and root.startswith("$")):
                 raise PipelineError("$replaceRoot supports field-path newRoot only")
             df = df.select(f"{root[1:]}.*")
+        elif name == "$bucket":
+            df = _bucket(df, spec)
+        elif name == "$bucketAuto":
+            df = _bucket_auto(df, spec)
+        elif name == "$facet":
+            df = _facet(df, spec, collections)
+        elif name == "$graphLookup":
+            df = _graph_lookup(df, spec, collections)
+        elif name in ("$out", "$merge"):
+            raise PipelineError(
+                f"{name} executes a write — run the compiled pipeline and "
+                "pass the result to CubeCatalog/DataFrameWriter explicitly"
+            )
         else:
             raise PipelineError(f"unsupported stage {name!r}")
     return df
@@ -507,3 +520,239 @@ def _union_with(df: DataFrame, spec, collections) -> DataFrame:
         if spec.get("pipeline"):
             other = compile_pipeline(other, spec["pipeline"], collections=collections)
     return df.unionByName(other, allowMissingColumns=True)
+
+
+# ---------------------------------------------------------------------------
+# extended stages: $bucket / $bucketAuto / $facet / $graphLookup / $out
+# (wired into compile_pipeline via _EXTENDED_STAGES below)
+# ---------------------------------------------------------------------------
+
+def _bucket(df: DataFrame, spec: dict) -> DataFrame:
+    group_expr = compile_expr(spec["groupBy"])
+    bounds = spec["boundaries"]
+    default = spec.get("default")
+    bucket = None
+    for lo, hi in zip(bounds, bounds[1:]):
+        cond = (group_expr >= F.lit(lo)) & (group_expr < F.lit(hi))
+        bucket = F.when(cond, F.lit(lo)) if bucket is None else bucket.when(cond, F.lit(lo))
+    bucket = bucket.otherwise(F.lit(default)) if default is not None else bucket
+    out_spec = spec.get("output", {"count": {"$sum": 1}})
+    aggs = [_compile_accumulator(v, None).alias(k) for k, v in out_spec.items()]
+    grouped = df.groupBy(bucket.alias("_id")).agg(*aggs)
+    if default is None:
+        # docs outside the boundaries error in Mongo; without a default
+        # we drop the null bucket rather than silently grouping them
+        grouped = grouped.filter(F.col("_id").isNotNull())
+    return grouped
+
+
+def _bucket_auto(df: DataFrame, spec: dict) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    group_expr = compile_expr(spec["groupBy"])
+    n = spec["buckets"]
+    out_spec = spec.get("output", {"count": {"$sum": 1}})
+    aggs = [_compile_accumulator(v, None).alias(k) for k, v in out_spec.items()]
+    w = W.orderBy(group_expr)
+    bucketed = df.withColumn("__bucket", F.ntile(n).over(w))
+    return (
+        bucketed.groupBy("__bucket")
+        .agg(
+            F.struct(
+                F.min(group_expr).alias("min"), F.max(group_expr).alias("max")
+            ).alias("_id"),
+            *aggs,
+        )
+        .drop("__bucket")
+    )
+
+
+def _facet(df: DataFrame, spec: dict, collections) -> DataFrame:
+    # Mongo $facet emits ONE document: {facet_name: [results...], ...}.
+    # Compile each sub-pipeline over the same (cached) input, pack each
+    # result into a single array row, cross-join the singletons.
+    from mongo_olap_spark.operators.facet import facet as facet_op
+
+    fs = facet_op(
+        df,
+        **{
+            name: (lambda d, p=sub: compile_pipeline(d, p, collections=collections))
+            for name, sub in spec.items()
+        },
+    )
+    packed = None
+    for name in spec:
+        sub = fs[name]
+        one = sub.agg(F.collect_list(F.struct(*sub.columns)).alias(name))
+        packed = one if packed is None else packed.crossJoin(one)
+    return packed
+
+
+def _graph_lookup(df: DataFrame, spec: dict, collections) -> DataFrame:
+    from mongo_olap_spark.operators.graph import graph_lookup
+
+    foreign = _resolve(collections, spec["from"])
+    start = spec["startWith"]
+    if not (isinstance(start, str) and start.startswith("$")):
+        raise PipelineError("$graphLookup supports field-path startWith only")
+    start_field = start[1:]
+    conn_from, conn_to, out = (
+        spec["connectFromField"], spec["connectToField"], spec["as"],
+    )
+    max_depth = spec.get("maxDepth", 3)
+    # traversal value graph: frontier v matches docs with connectTo == v,
+    # which emit their connectFrom as the next frontier
+    edges = foreign.select(
+        F.col(conn_to).alias("src"), F.col(conn_from).alias("dst")
+    )
+    # Mongo maxDepth counts recursions past the initial lookup: docs
+    # are matched for frontier values at depths 0..maxDepth, so we
+    # traverse maxDepth value-hops and match docs on {start} ∪ reached.
+    starts = df.select(F.col(start_field).alias("start_key")).distinct()
+    reached = graph_lookup(
+        starts, edges, max_depth=max_depth, src_col="src", dst_col="dst"
+    )
+    # matched docs: connectTo ∈ {start} ∪ reached nodes (Mongo returns
+    # the documents, not the values)
+    hit_vals = starts.select(
+        F.col("start_key"), F.col("start_key").alias("val")
+    ).unionByName(reached.select("start_key", F.col("node").alias("val")))
+    docs = hit_vals.join(
+        foreign, hit_vals["val"] == foreign[conn_to]
+    ).drop("val")
+    packed = docs.groupBy("start_key").agg(
+        F.collect_list(F.struct(*foreign.columns)).alias(out)
+    )
+    joined = df.join(
+        packed, F.col(start_field) == packed["start_key"], "left"
+    ).drop("start_key")
+    arr_type = packed.schema[out].dataType
+    return joined.withColumn(out, F.coalesce(F.col(out), F.array().cast(arr_type)))
+
+
+# ---------------------------------------------------------------------------
+# cube definition from a pipeline — the reference's cube-config flow:
+# a cube IS a [$match?, $group] pipeline over a collection. This
+# translates that prefix into a CubeSpec (dims/measures/filter_sql) so
+# pipeline-defined cubes get the whole cube stack: materialization,
+# IVM with retraction, lattice rollups and metadata routing.
+# ---------------------------------------------------------------------------
+
+_MATCH_SQL_OPS = {"$gt": ">", "$gte": ">=", "$lt": "<", "$lte": "<="}
+
+
+def match_to_sql(query: dict) -> str:
+    """ANSI-SQL WHERE twin of the supported $match subset (scalar
+    comparisons, $in, $ne, $exists, $and/$or) — what CubeSpec stores
+    as ``filter_sql``."""
+    parts: list[str] = []
+    for key, val in query.items():
+        if key == "$and":
+            parts.append("(" + " AND ".join(match_to_sql(q) for q in val) + ")")
+        elif key == "$or":
+            parts.append("(" + " OR ".join(match_to_sql(q) for q in val) + ")")
+        elif key.startswith("$"):
+            raise PipelineError(f"cannot express {key!r} as cube filter_sql")
+        else:
+            parts.append(_field_sql(key, val))
+    return " AND ".join(parts) if parts else "TRUE"
+
+
+def _sql_lit(v: Any) -> str:
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    return repr(v)
+
+
+def _field_sql(field: str, val: Any) -> str:
+    if isinstance(val, dict) and any(k.startswith("$") for k in val):
+        sub = []
+        for op, v in val.items():
+            if op in _MATCH_SQL_OPS:
+                sub.append(f"{field} {_MATCH_SQL_OPS[op]} {_sql_lit(v)}")
+            elif op == "$in":
+                sub.append(f"{field} IN ({', '.join(_sql_lit(x) for x in v)})")
+            elif op == "$ne":
+                sub.append(
+                    f"({field} IS NULL OR {field} <> {_sql_lit(v)})"
+                    if v is not None else f"{field} IS NOT NULL"
+                )
+            elif op == "$exists":
+                sub.append(f"{field} IS NOT NULL" if v else f"{field} IS NULL")
+            else:
+                raise PipelineError(f"cannot express {op!r} as cube filter_sql")
+        return "(" + " AND ".join(sub) + ")"
+    if val is None:
+        return f"{field} IS NULL"
+    return f"{field} = {_sql_lit(val)}"
+
+
+def cube_spec_from_pipeline(name: str, source: str, pipeline: list[dict]):
+    """Translate a ``[$match?, $group]`` pipeline into a CubeSpec.
+
+    ``_id`` must be a document ``{dim: "$path" | {"$dateTrunc": ...}}``
+    (named dimensions — the cube needs stable dim names); accumulators
+    map $sum:1→count, $sum→sum, $avg→avg, $min/$max→min/max.
+    """
+    from mongo_olap_spark.cube.spec import CubeSpec, Dimension, Measure
+
+    filter_sql: str | None = None
+    group: dict | None = None
+    for stage in pipeline:
+        [(sname, spec)] = stage.items()
+        if sname == "$match":
+            if group is not None or filter_sql is not None:
+                raise PipelineError("cube pipeline must be [$match?, $group]")
+            filter_sql = match_to_sql(spec)
+        elif sname == "$group":
+            if group is not None:
+                raise PipelineError("cube pipeline supports one $group")
+            group = spec
+        else:
+            raise PipelineError(
+                f"cube pipelines support [$match?, $group] only (got {sname})"
+            )
+    if group is None:
+        raise PipelineError("cube pipeline needs a $group stage")
+
+    id_spec = group.get("_id")
+    if not isinstance(id_spec, dict) or any(k.startswith("$") for k in id_spec):
+        raise PipelineError("cube $group._id must be a {dim: expr} document")
+    dims = []
+    for dim_name, dspec in id_spec.items():
+        if isinstance(dspec, str) and dspec.startswith("$"):
+            dims.append(Dimension(dim_name, path=dspec[1:]))
+        elif isinstance(dspec, dict) and set(dspec) == {"$dateTrunc"}:
+            dt = dspec["$dateTrunc"]
+            date = dt["date"]
+            if not (isinstance(date, str) and date.startswith("$")):
+                raise PipelineError("$dateTrunc date must be a field path")
+            dims.append(
+                Dimension(dim_name, path=date[1:], granularity=dt["unit"])
+            )
+        else:
+            raise PipelineError(f"unsupported cube dimension expr {dspec!r}")
+
+    measures = []
+    for mname, mspec in group.items():
+        if mname == "_id":
+            continue
+        [(op, arg)] = mspec.items()
+        if op == "$sum" and isinstance(arg, (int, float)) and not isinstance(arg, bool):
+            measures.append(Measure(mname, "count"))
+        elif op in ("$sum", "$avg", "$min", "$max"):
+            if not (isinstance(arg, str) and arg.startswith("$")):
+                raise PipelineError(f"accumulator {op} needs a field path")
+            measures.append(Measure(mname, op[1:], path=arg[1:]))
+        else:
+            raise PipelineError(f"unsupported cube accumulator {op!r}")
+
+    return CubeSpec(
+        name=name, source=source,
+        dimensions=tuple(dims), measures=tuple(measures),
+        filter_sql=filter_sql,
+    )

@@ -104,3 +104,29 @@ def q_pipeline_lookup(spark, sf_dir):
         collections={"customer": c},
     )
     return out
+
+
+@register(
+    "q_pipeline_bucket",
+    oracle=f"""
+    SELECT CASE WHEN o_totalprice >= 0 AND o_totalprice < 100000 THEN 0
+                WHEN o_totalprice >= 100000 AND o_totalprice < 250000 THEN 100000
+                WHEN o_totalprice >= 250000 AND o_totalprice < 400000 THEN 250000
+                ELSE -1 END AS _id,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           {dsum_sql('o_totalprice')} AS total
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def q_pipeline_bucket(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    return compile_pipeline(
+        o,
+        [{"$bucket": {
+            "groupBy": "$o_totalprice",
+            "boundaries": [0, 100000, 250000, 400000],
+            "default": -1,
+            "output": {"n": {"$sum": 1}, "total": {"$sum": "$o_totalprice"}},
+        }}],
+    )

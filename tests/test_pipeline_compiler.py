@@ -217,3 +217,116 @@ def test_compiled_pipeline_has_no_python_nodes(events):
     assert "Python" not in plan
     # the value filter must reach the scan
     assert "PushedFilters" in plan
+
+
+def test_bucket_stage(orders):
+    out = compile_pipeline(
+        orders,
+        [{"$bucket": {
+            "groupBy": "$o_totalprice",
+            "boundaries": [0, 100000, 200000, 300000],
+            "default": -1,
+            "output": {"n": {"$sum": 1}, "total": {"$sum": "$o_totalprice"}},
+        }}],
+    )
+    rows = {r["_id"]: r["n"] for r in out.collect()}
+    assert set(rows) <= {0, 100000, 200000, -1}
+    assert sum(rows.values()) == orders.count()
+
+
+def test_bucket_auto_stage(orders):
+    out = compile_pipeline(
+        orders,
+        [{"$bucketAuto": {"groupBy": "$o_totalprice", "buckets": 4}}],
+    )
+    rows = out.collect()
+    assert len(rows) == 4
+    total = sum(r["count"] for r in rows)
+    assert total == orders.count()
+    # equi-height: bucket sizes within 1 of each other
+    sizes = [r["count"] for r in rows]
+    assert max(sizes) - min(sizes) <= 1
+    # _id carries {min, max} bounds
+    assert all(r["_id"]["min"] <= r["_id"]["max"] for r in rows)
+
+
+def test_facet_stage_single_document(events):
+    out = compile_pipeline(
+        events,
+        [{"$facet": {
+            "by_type": [{"$group": {"_id": "$event_type", "n": {"$sum": 1}}}],
+            "extremes": [{"$match": {"value": {"$gt": 99.9}}},
+                          {"$project": {"event_id": 1}}],
+        }}],
+    )
+    [row] = out.collect()
+    assert sum(f["n"] for f in row["by_type"]) == events.count()
+    n_extreme = events.filter(F.col("value") > 99.9).count()
+    assert len(row["extremes"]) == n_extreme
+
+
+def test_graph_lookup_stage(spark):
+    flights = spark.createDataFrame(
+        [("JFK", "LHR"), ("LHR", "CDG"), ("CDG", "SIN"), ("SIN", "SYD")],
+        "src string, dst string",
+    )
+    airports = spark.createDataFrame(
+        [("JFK",), ("LHR",), ("CDG",), ("SIN",), ("SYD",)], "airport string"
+    )
+    # Mongo shape: from=flights, startWith=$airport,
+    # connectFromField=dst, connectToField=src
+    out = compile_pipeline(
+        airports,
+        [{"$graphLookup": {
+            "from": "flights", "startWith": "$airport",
+            "connectFromField": "dst", "connectToField": "src",
+            "as": "reachable", "maxDepth": 2,
+        }}],
+        collections={"flights": flights},
+    )
+    got = {r["airport"]: sorted(x["dst"] for x in r["reachable"])
+           for r in out.collect()}
+    # from JFK within 3 hops (maxDepth 2 recursions past the start):
+    # JFK->LHR, LHR->CDG, CDG->SIN
+    assert got["JFK"] == ["CDG", "LHR", "SIN"]
+    assert got["SYD"] == []
+
+
+def test_out_refuses(events):
+    with pytest.raises(PipelineError, match="executes a write"):
+        compile_pipeline(events, [{"$out": "somewhere"}])
+
+
+def test_cube_spec_from_pipeline_and_engine(spark, sf_dir, tmp_path):
+    from mongo_olap_spark.engine import OlapEngine
+    from mongo_olap_spark.plans.pipeline_compiler import cube_spec_from_pipeline
+
+    pipeline = [
+        {"$match": {"value": {"$gt": 10}}},
+        {"$group": {
+            "_id": {"etype": "$event_type",
+                    "day": {"$dateTrunc": {"date": "$ts", "unit": "day"}}},
+            "n": {"$sum": 1},
+            "total": {"$sum": "$value"},
+            "avg_v": {"$avg": "$value"},
+        }},
+    ]
+    spec = cube_spec_from_pipeline("pipe_cube", "events", pipeline)
+    assert spec.filter_sql == "(value > 10)"
+    assert [d.name for d in spec.dimensions] == ["etype", "day"]
+    assert {m.name: m.op for m in spec.measures} == {
+        "n": "count", "total": "sum", "avg_v": "avg"
+    }
+
+    events = load_table(spark, sf_dir, "events")
+    engine = OlapEngine(spark, str(tmp_path / "olap"))
+    engine.create_cube_from_pipeline("pipe_cube", "events", pipeline, events)
+    got = engine.query(
+        cube="pipe_cube", group_by=["etype"], measures=["n", "total"]
+    )
+    exp = (
+        events.filter(F.col("value") > 10)
+        .groupBy(F.col("event_type").alias("etype"))
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value", "total"))
+    )
+    assert _rows(got.select("etype", "n", "total")) == _rows(exp)
