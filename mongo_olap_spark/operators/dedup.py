@@ -36,6 +36,51 @@ def word_shingles(text: Column | str, k: int = 3) -> Column:
     )
 
 
+def shingle_posts(
+    docs: DataFrame,
+    id_cols: tuple[str, ...] = ("doc_id",),
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Distinct k-shingle postings as 8-byte hashes: one row per
+    (ids…, shingle-hash).
+
+    The scale shape for everything shingle-based: posexplode the
+    token stream, window-lead the next k−1 tokens, hash the tuple —
+    every expression whole-stage-codegen (no per-element lambda; a
+    ``transform``-built shingle array is interpreted per element and
+    ~4× slower measured at sf0.1), and the posting that rides every
+    downstream shuffle is an int64, not a 20–40-byte string. Docs
+    shorter than k tokens contribute one whole-text shingle
+    (concat_ws skips the null leads), matching the array-based
+    fallback semantics.
+    """
+    from pyspark.sql import Window as W
+
+    toks = docs.select(
+        *id_cols, F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "tok")
+    )
+    w = W.partitionBy(*id_cols).orderBy("pos")
+    lead_names = [f"t{j}" for j in range(1, k)]
+    trip = toks.select(
+        *id_cols,
+        "pos",
+        "tok",
+        *[F.lead("tok", j).over(w).alias(n) for n, j in zip(lead_names, range(1, k))],
+    )
+    last = F.col(lead_names[-1])
+    full_hash = F.xxhash64("tok", *lead_names)
+    short_hash = F.xxhash64(F.concat_ws(" ", "tok", *lead_names[:-1]))
+    return (
+        trip.filter(last.isNotNull() | (F.col("pos") == 0))
+        .select(
+            *id_cols,
+            F.when(last.isNotNull(), full_hash).otherwise(short_hash).alias("h"),
+        )
+        .distinct()
+    )
+
+
 def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
     """k independent minhashes: min over shingles of xxhash64(seed, s).
 
@@ -95,21 +140,22 @@ def minhash_near_dup_pairs(
     """Near-duplicate pairs (id_a < id_b, jaccard ≥ threshold) via
     MinHash banding; exact-Jaccard verified on candidates only.
 
-    Signatures are computed by explode → groupBy with one ``min`` per
-    hash function: plain codegen'd aggregates. (A per-row
+    Signatures are computed from hashed shingle postings
+    (:func:`shingle_posts` — codegen'd, int64 keys) with one ``min``
+    per hash function: plain codegen'd aggregates. (A per-row
     transform/aggregate fold is interpreted per element in Spark —
     ~10× slower at scale.) One shuffle keyed by doc id, then the band
-    self-join shuffles only O(postings) band keys.
+    self-join shuffles only O(postings) band keys; exact Jaccard for
+    candidates is counted on the same postings — shingle arrays never
+    exist anywhere in the plan.
     """
     per = num_hashes // num_bands
-    sh = docs.select(
-        F.col(id_col).alias("id"),
-        word_shingles(text_col, shingle_k).alias("shingles"),
+    posts = shingle_posts(
+        docs.select(F.col(id_col).alias("id"), text_col), ("id",), text_col, shingle_k
     )
-    posts = sh.select("id", "shingles", F.explode("shingles").alias("s"))
     sigs = posts.groupBy("id").agg(
-        F.first("shingles").alias("shingles"),
-        *[F.min(F.xxhash64(F.lit(i), F.col("s"))).alias(f"h{i}") for i in range(num_hashes)],
+        F.count(F.lit(1)).alias("n_sh"),
+        *[F.min(F.xxhash64(F.lit(i), F.col("h"))).alias(f"h{i}") for i in range(num_hashes)],
     )
     band_structs = [
         F.struct(
@@ -134,12 +180,28 @@ def minhash_near_dup_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    # re-attach shingles only for surviving candidate pairs
-    shs = sigs.select("id", "shingles")
+    # exact-Jaccard verify on candidates, counted over postings: join
+    # the candidate pairs back onto the posting index (ids+int64 only)
+    # and count shared hashes — no shingle arrays anywhere
+    pa = cand.join(posts.withColumnsRenamed({"id": "id_a"}), "id_a")
+    shared = (
+        pa.join(
+            posts.withColumnsRenamed({"id": "id_b"}), ["id_b", "h"], "inner"
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    nsh = sigs.select("id", "n_sh")
     verified = (
-        cand.join(shs.withColumnsRenamed({"id": "id_a", "shingles": "sh_a"}), "id_a")
-        .join(shs.withColumnsRenamed({"id": "id_b", "shingles": "sh_b"}), "id_b")
-        .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
+        cand.join(shared, ["id_a", "id_b"], "left")
+        .na.fill({"n_shared": 0})
+        .join(nsh.withColumnsRenamed({"id": "id_a", "n_sh": "n_a"}), "id_a")
+        .join(nsh.withColumnsRenamed({"id": "id_b", "n_sh": "n_b"}), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_shared").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_shared")),
+        )
     )
     return verified.filter(F.col("jaccard") >= threshold).select(
         "id_a", "id_b", "jaccard"

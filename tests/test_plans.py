@@ -152,3 +152,16 @@ def test_unigram_logprob_broadcasts_freq_table(spark, sf_dir):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_shingle_posts_codegen_no_lambda(spark, sf_dir):
+    """The shingle posting builder must stay lambda-free (posexplode +
+    lead windows + xxhash64 — all codegen) and emit int64 keys."""
+    from mongo_olap_spark.operators.dedup import shingle_posts
+    from mongo_olap_spark.sources.tables import load_table
+
+    posts = shingle_posts(load_table(spark, sf_dir, "documents"))
+    assert dict(posts.dtypes)["h"] == "bigint"
+    plan = posts._jdf.queryExecution().executedPlan().toString()
+    assert "lambdafunction" not in plan.lower()
+    assert "Python" not in plan
