@@ -416,6 +416,8 @@ def compile_pipeline(
             if not (isinstance(root, str) and root.startswith("$")):
                 raise PipelineError("$replaceRoot supports field-path newRoot only")
             df = df.select(f"{root[1:]}.*")
+        elif name == "$setWindowFields":
+            df = _set_window_fields(df, spec)
         elif name == "$bucket":
             df = _bucket(df, spec)
         elif name == "$bucketAuto":
@@ -756,3 +758,110 @@ def cube_spec_from_pipeline(name: str, source: str, pipeline: list[dict]):
         dimensions=tuple(dims), measures=tuple(measures),
         filter_sql=filter_sql,
     )
+
+
+# ---------------------------------------------------------------------------
+# $setWindowFields — the window stage (S19). partitionBy/sortBy map to
+# a WindowSpec; each output field is a window operator. Documents
+# windows: ["unbounded", N] / [N, "current"] row frames map to
+# rowsBetween; omitted window means the Mongo defaults (whole
+# partition for aggregates, cumulative for rank-like).
+# ---------------------------------------------------------------------------
+
+def _window_spec(spec: dict, need_order: bool):
+    from pyspark.sql import Window as W
+
+    part = spec.get("partitionBy")
+    sort = spec.get("sortBy") or {}
+    if need_order and not sort:
+        raise PipelineError("this window operator requires sortBy")
+    keys = []
+    if part is not None:
+        if not (isinstance(part, str) and part.startswith("$")):
+            raise PipelineError("$setWindowFields partitionBy must be a field path")
+        keys.append(part[1:])
+    w = W.partitionBy(*keys) if keys else W.partitionBy()
+    if sort:
+        w = w.orderBy(*[F.col(k) if v >= 0 else F.desc(k) for k, v in sort.items()])
+    return w
+
+
+def _frame_bounds(window: dict):
+    from pyspark.sql import Window as W
+
+    docs = window.get("documents")
+    if docs is None:
+        return None
+
+    def bound(x, unbounded):
+        if x == "unbounded":
+            return unbounded
+        if x == "current":
+            return 0
+        if isinstance(x, int):
+            return x
+        raise PipelineError(f"bad window bound {x!r}")
+
+    lo, hi = docs
+    return bound(lo, W.unboundedPreceding), bound(hi, W.unboundedFollowing)
+
+
+_WINDOW_AGGS = {"$sum", "$avg", "$min", "$max", "$count", "$push"}
+_WINDOW_RANKS = {"$rank": F.rank, "$denseRank": F.dense_rank,
+                 "$documentNumber": F.row_number}
+
+
+def _set_window_fields(df: DataFrame, spec: dict) -> DataFrame:
+    out_fields = spec.get("output", {})
+    cols = [F.col(c) for c in df.columns]
+    for name, raw_spec in out_fields.items():
+        field_spec = dict(raw_spec)
+        window = field_spec.pop("window", None)
+        [(op, arg)] = field_spec.items()
+        if op in _WINDOW_RANKS:
+            w = _window_spec(spec, need_order=True)
+            expr = _WINDOW_RANKS[op]().over(w)
+        elif op == "$shift":
+            w = _window_spec(spec, need_order=True)
+            by = arg.get("by", 1)
+            default = arg.get("default")
+            fn = F.lag if by < 0 else F.lead
+            expr = fn(compile_expr(arg["output"]), abs(by),
+                      default if default is not None else None).over(w)
+        elif op in _WINDOW_AGGS:
+            # aggregates: whole partition unless a documents frame or
+            # sortBy (Mongo: sortBy alone => cumulative frame)
+            from pyspark.sql import Window as W
+
+            w = _window_spec(spec, need_order=False)
+            bounds = _frame_bounds(window) if window else None
+            if bounds is not None:
+                w = w.rowsBetween(*bounds)
+            elif spec.get("sortBy"):
+                w = w.rowsBetween(W.unboundedPreceding, 0)
+            # .over() must attach to the aggregate itself, so the
+            # decimal-exact sum/avg forms are built inline (dsum/davg
+            # wrap the aggregate in a cast, which can't take .over)
+            from mongo_olap_spark.functions.expressions import SUM_DECIMAL
+
+            if op == "$count":
+                expr = F.count(F.lit(1)).over(w)
+            elif op == "$sum":
+                c = compile_expr(arg)
+                expr = F.sum(c.cast(SUM_DECIMAL)).over(w).cast("double")
+            elif op == "$avg":
+                c = compile_expr(arg)
+                expr = (
+                    F.sum(c.cast(SUM_DECIMAL)).over(w).cast("double")
+                    / F.count(c).over(w)
+                )
+            elif op == "$min":
+                expr = F.min(compile_expr(arg)).over(w)
+            elif op == "$max":
+                expr = F.max(compile_expr(arg)).over(w)
+            else:  # $push
+                expr = F.collect_list(compile_expr(arg)).over(w)
+        else:
+            raise PipelineError(f"unsupported window operator {op!r}")
+        cols.append(expr.alias(name))
+    return df.select(*cols)

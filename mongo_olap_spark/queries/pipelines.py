@@ -130,3 +130,34 @@ def q_pipeline_bucket(spark, sf_dir):
             "output": {"n": {"$sum": 1}, "total": {"$sum": "$o_totalprice"}},
         }}],
     )
+
+
+@register(
+    "q_pipeline_window",
+    oracle="""
+    SELECT event_id, user_id, value,
+           CAST(row_number() OVER w AS INT) AS rn,
+           CAST(sum(CAST(value AS DECIMAL(38,6))) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS running,
+           lag(value) OVER w AS prev_v
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q_pipeline_window(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    out = compile_pipeline(
+        e,
+        [{"$setWindowFields": {
+            "partitionBy": "$user_id",
+            "sortBy": {"ts": 1, "event_id": 1},
+            "output": {
+                "rn": {"$documentNumber": {}},
+                "running": {"$sum": "$value"},
+                "prev_v": {"$shift": {"output": "$value", "by": -1}},
+            },
+        }}],
+    )
+    return out.select("event_id", "user_id", "value", "rn", "running", "prev_v")

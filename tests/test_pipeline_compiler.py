@@ -330,3 +330,36 @@ def test_cube_spec_from_pipeline_and_engine(spark, sf_dir, tmp_path):
         .agg(F.count(F.lit(1)).alias("n"), dsum("value", "total"))
     )
     assert _rows(got.select("etype", "n", "total")) == _rows(exp)
+
+
+def test_set_window_fields(events):
+    out = compile_pipeline(
+        events,
+        [{"$setWindowFields": {
+            "partitionBy": "$user_id",
+            "sortBy": {"ts": 1},
+            "output": {
+                "rn": {"$documentNumber": {}},
+                "running": {"$sum": "$value"},
+                "prev_v": {"$shift": {"output": "$value", "by": -1}},
+                "trail3": {"$avg": "$value",
+                            "window": {"documents": [-2, "current"]}},
+            },
+        }}],
+    )
+    from pyspark.sql import Window as W
+
+    from mongo_olap_spark.functions.expressions import SUM_DECIMAL
+
+    w = W.partitionBy("user_id").orderBy("ts")
+    cum = w.rowsBetween(W.unboundedPreceding, 0)
+    tr3 = w.rowsBetween(-2, 0)
+    v = F.col("value").cast(SUM_DECIMAL)
+    exp = events.select(
+        *events.columns,
+        F.row_number().over(w).alias("rn"),
+        F.sum(v).over(cum).cast("double").alias("running"),
+        F.lag("value", 1).over(w).alias("prev_v"),
+        (F.sum(v).over(tr3).cast("double") / F.count("value").over(tr3)).alias("trail3"),
+    )
+    assert _rows(out) == _rows(exp)
