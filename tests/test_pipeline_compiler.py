@@ -363,3 +363,43 @@ def test_set_window_fields(events):
         (F.sum(v).over(tr3).cast("double") / F.count("value").over(tr3)).alias("trail3"),
     )
     assert _rows(out) == _rows(exp)
+
+
+def test_compiled_pipeline_runs_on_a_stream(spark, sf_dir, tmp_path):
+    """Continuous aggregation from a JSON pipeline: the same compiled
+    plan drives a Structured Streaming source in update mode — stage
+    compilation is source-agnostic plan construction."""
+    events = load_table(spark, sf_dir, "events")
+    src_dir = str(tmp_path / "stream_src")
+    events.limit(2000).write.parquet(src_dir)
+    stream = spark.readStream.schema(events.schema).parquet(src_dir)
+
+    out = compile_pipeline(
+        stream,
+        [
+            {"$match": {"value": {"$gt": 50}}},
+            {"$group": {"_id": "$event_type", "n": {"$sum": 1},
+                        "total": {"$sum": "$value"}}},
+        ],
+    )
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("pipe_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from pipe_stream").collect()
+    exp = {
+        (r["_id"], r["n"]) for r in compile_pipeline(
+            spark.read.parquet(src_dir),
+            [
+                {"$match": {"value": {"$gt": 50}}},
+                {"$group": {"_id": "$event_type", "n": {"$sum": 1},
+                            "total": {"$sum": "$value"}}},
+            ],
+        ).collect()
+    }
+    assert {(r["_id"], r["n"]) for r in got} == exp

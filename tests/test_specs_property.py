@@ -67,3 +67,54 @@ def test_storage_cols_unique_and_typed(spec):
 @settings(max_examples=200, deadline=None)
 def test_delete_safe_iff_no_minmax(spec):
     assert spec.delete_safe == all(m.op not in ("min", "max") for m in spec.measures)
+
+
+# ---------------------------------------------------------------------------
+# compile_match ↔ match_to_sql agreement (hypothesis): random $match
+# documents filter the same rows through the Spark compiler and the
+# SQL twin (checked via Spark's own SQL engine on the same frame).
+# ---------------------------------------------------------------------------
+
+import hypothesis.strategies as st
+from hypothesis import given, settings
+
+_FIELDS = ["user_id", "value"]
+
+_scalar_clause = st.sampled_from(_FIELDS).flatmap(
+    lambda f: st.one_of(
+        st.builds(lambda v: {f: {"$gt": v}}, st.integers(0, 100)),
+        st.builds(lambda v: {f: {"$lte": v}}, st.integers(0, 100)),
+        st.builds(lambda vs: {f: {"$in": vs}}, st.lists(st.integers(0, 20), min_size=1, max_size=4)),
+        st.builds(lambda v: {f: {"$ne": v}}, st.integers(0, 100)),
+        st.builds(lambda: {f: {"$exists": True}}),
+    )
+)
+
+_match_doc = st.recursive(
+    _scalar_clause,
+    lambda children: st.one_of(
+        st.builds(lambda a, b: {"$and": [a, b]}, children, children),
+        st.builds(lambda a, b: {"$or": [a, b]}, children, children),
+    ),
+    max_leaves=4,
+)
+
+
+@settings(max_examples=15, deadline=None)
+@given(_match_doc)
+def test_compile_match_agrees_with_sql_twin(match_doc):
+    from pyspark.sql import functions as F
+
+    from mongo_olap_spark.plans.pipeline_compiler import compile_match, match_to_sql
+    from mongo_olap_spark.session import get_spark
+
+    spark = get_spark()
+    df = spark.range(200).select(
+        (F.col("id") % 17).alias("user_id"), (F.col("id") % 101).alias("value")
+    )
+    df.createOrReplaceTempView("prop_match_t")
+    n_compiled = df.filter(compile_match(match_doc)).count()
+    n_sql = spark.sql(
+        f"SELECT count(*) AS n FROM prop_match_t WHERE {match_to_sql(match_doc)}"
+    ).collect()[0]["n"]
+    assert n_compiled == n_sql
