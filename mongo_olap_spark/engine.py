@@ -123,3 +123,55 @@ class OlapEngine:
             where=where,
         )
         return self.router.execute(req, source_df=source_df)
+
+    def query_pipeline(
+        self,
+        source: str,
+        pipeline: list[dict],
+        source_df: DataFrame | None = None,
+    ) -> DataFrame:
+        """Serve a Mongo aggregation pipeline — the reference's full
+        loop: a routable ``[$match?, $group]`` aggregate is answered
+        from the smallest sufficient cube (metadata-only routing, zero
+        source scan); anything else compiles directly over
+        ``source_df``. Output columns carry the pipeline's own dim and
+        accumulator names either way."""
+        from mongo_olap_spark.plans.pipeline_compiler import (
+            PipelineError,
+            compile_pipeline,
+            cube_spec_from_pipeline,
+        )
+
+        try:
+            shape = cube_spec_from_pipeline("q", source, pipeline)
+        except PipelineError:
+            if source_df is None:
+                raise
+            return compile_pipeline(source_df, pipeline)
+        req = AggregateRequest(
+            source=source,
+            group_by=tuple(
+                (d.source_path, d.granularity) if d.granularity else d.source_path
+                for d in shape.dimensions
+            ),
+            measures=tuple(
+                (m.name, m.op, m.path) if m.path else (m.name, m.op)
+                for m in shape.measures
+            ),
+            filter_sql=shape.filter_sql,
+        )
+        decision = self.router.route(req)  # metadata-only
+        out = self.router.execute(req, source_df=source_df)
+        if decision.cube is not None:
+            cur = [
+                g if isinstance(g, str) else g[0]
+                for g in decision.rewritten_group_by
+            ]
+        else:
+            cur = [
+                g if isinstance(g, str) else f"{g[0]}_{g[1]}" for g in req.group_by
+            ]
+        for old, new in zip(cur, [d.name for d in shape.dimensions]):
+            if old != new:
+                out = out.withColumnRenamed(old, new)
+        return out

@@ -403,3 +403,49 @@ def test_compiled_pipeline_runs_on_a_stream(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert {(r["_id"], r["n"]) for r in got} == exp
+
+
+def test_query_pipeline_routes_to_cube_and_falls_back(spark, sf_dir, tmp_path):
+    """The full serving loop: a routable [$match?, $group] pipeline is
+    answered from the cube (no source scan — source_df=None), a
+    rollup to a dim subset routes too, and a non-aggregate pipeline
+    falls back to direct compilation."""
+    from mongo_olap_spark.engine import OlapEngine
+
+    events = load_table(spark, sf_dir, "events")
+    engine = OlapEngine(spark, str(tmp_path / "olap"))
+    pipeline = [
+        {"$group": {
+            "_id": {"etype": "$event_type",
+                    "day": {"$dateTrunc": {"date": "$ts", "unit": "day"}}},
+            "n": {"$sum": 1},
+            "total": {"$sum": "$value"},
+        }},
+    ]
+    engine.create_cube_from_pipeline("serve_cube", "events", pipeline, events)
+
+    # identical pipeline: served from the cube, source_df=None proves it
+    got = engine.query_pipeline("events", pipeline)
+    exp = events.groupBy(
+        F.col("event_type").alias("etype"),
+        F.date_trunc("day", "ts").alias("day"),
+    ).agg(F.count(F.lit(1)).alias("n"), dsum("value", "total"))
+    assert _rows(got.select("etype", "day", "n", "total")) == _rows(exp)
+
+    # coarser rollup (drop the time dim): still served from the cube
+    rollup = [{"$group": {"_id": {"etype": "$event_type"}, "n": {"$sum": 1}}}]
+    got2 = engine.query_pipeline("events", rollup)
+    exp2 = events.groupBy(F.col("event_type").alias("etype")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    assert _rows(got2.select("etype", "n")) == _rows(exp2)
+
+    # non-aggregate pipeline: compiles over source_df
+    flat = engine.query_pipeline(
+        "events", [{"$match": {"value": {"$gt": 99}}}], source_df=events
+    )
+    assert flat.count() == events.filter(F.col("value") > 99).count()
+
+    # non-aggregate with no source_df: loud error, not a wrong answer
+    with pytest.raises(Exception):
+        engine.query_pipeline("events", [{"$match": {"value": {"$gt": 99}}}])
