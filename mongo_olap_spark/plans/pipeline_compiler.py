@@ -418,6 +418,10 @@ def compile_pipeline(
             df = df.select(f"{root[1:]}.*")
         elif name == "$setWindowFields":
             df = _set_window_fields(df, spec)
+        elif name == "$densify":
+            df = _densify(df, spec)
+        elif name == "$fill":
+            df = _fill(df, spec)
         elif name == "$bucket":
             df = _bucket(df, spec)
         elif name == "$bucketAuto":
@@ -865,3 +869,90 @@ def _set_window_fields(df: DataFrame, spec: dict) -> DataFrame:
             raise PipelineError(f"unsupported window operator {op!r}")
         cols.append(expr.alias(name))
     return df.select(*cols)
+
+
+# ---------------------------------------------------------------------------
+# $densify / $fill — gap-fill stages (S20), compiled onto the same
+# native shapes as the hand-written operators (sequence + explode for
+# row generation; last(ignorenulls)/anchor interpolation over windows
+# for imputation).
+# ---------------------------------------------------------------------------
+
+_DENSIFY_UNITS = {"day": 86400, "hour": 3600, "minute": 60, "second": 1}
+
+
+def _densify(df: DataFrame, spec: dict) -> DataFrame:
+    field = spec["field"]
+    rng = spec["range"]
+    step, unit = rng["step"], rng.get("unit")
+    bounds = rng.get("bounds", "full")
+    part_fields = [
+        p[1:] if p.startswith("$") else p for p in spec.get("partitionByFields", [])
+    ]
+    is_time = unit is not None
+    if is_time and unit not in _DENSIFY_UNITS:
+        raise PipelineError(f"unsupported $densify unit {unit!r}")
+    lo, hi = F.min(field).alias("__d0"), F.max(field).alias("__d1")
+    if bounds == "partition":
+        # each partition densifies over its own [min, max]
+        if not part_fields:
+            raise PipelineError('bounds:"partition" needs partitionByFields')
+        bounds_df = df.groupBy(*part_fields).agg(lo, hi)
+    elif bounds == "full":
+        # every partition spans the global range: aggregate bounds
+        # once, cross-join onto the (broadcast-sized) partition keys
+        glob = df.agg(lo, hi)
+        bounds_df = (
+            df.select(*part_fields).distinct().crossJoin(F.broadcast(glob))
+            if part_fields else glob
+        )
+    else:
+        raise PipelineError(f"unsupported $densify bounds {bounds!r}")
+    step_expr = (
+        f"interval {step * _DENSIFY_UNITS[unit]} seconds" if is_time else str(step)
+    )
+    spine = bounds_df.select(
+        *part_fields,
+        F.explode(F.expr(f"sequence(__d0, __d1, {step_expr})")).alias(field),
+    )
+    return spine.join(df, part_fields + [field], "left")
+
+
+def _fill(df: DataFrame, spec: dict) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    sort = spec.get("sortBy") or {}
+    if not sort:
+        raise PipelineError("$fill requires sortBy")
+    part = spec.get("partitionBy")
+    keys = []
+    if part is not None:
+        if not (isinstance(part, str) and part.startswith("$")):
+            raise PipelineError("$fill partitionBy must be a field path")
+        keys.append(part[1:])
+    order = [F.col(k) if v >= 0 else F.desc(k) for k, v in sort.items()]
+    w = (W.partitionBy(*keys) if keys else W.partitionBy()).orderBy(*order)
+    back = w.rowsBetween(W.unboundedPreceding, 0)
+    fwd = w.rowsBetween(0, W.unboundedFollowing)
+    # row number for linear interpolation distance
+    rn = F.row_number().over(w)
+    out_df = df
+    for name, how in spec.get("output", {}).items():
+        c = F.col(name)
+        if "value" in how:
+            filled = F.coalesce(c, compile_expr(how["value"]))
+        elif how.get("method") == "locf":
+            filled = F.last(c, ignorenulls=True).over(back)
+        elif how.get("method") == "linear":
+            pv = F.last(c, ignorenulls=True).over(back)
+            prn = F.last(F.when(c.isNotNull(), rn), ignorenulls=True).over(back)
+            nv = F.first(c, ignorenulls=True).over(fwd)
+            nrn = F.first(F.when(c.isNotNull(), rn), ignorenulls=True).over(fwd)
+            filled = F.when(c.isNotNull(), c).when(
+                pv.isNotNull() & nv.isNotNull(),
+                pv + (nv - pv) * (rn - prn) / (nrn - prn),
+            )
+        else:
+            raise PipelineError(f"unsupported $fill method for {name!r}: {how}")
+        out_df = out_df.withColumn(name, filled)
+    return out_df

@@ -161,3 +161,42 @@ def q_pipeline_window(spark, sf_dir):
         }}],
     )
     return out.select("event_id", "user_id", "value", "rn", "running", "prev_v")
+
+
+@register(
+    "q_pipeline_densify",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type AS etype, date_trunc('day', ts) AS day,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (SELECT etype, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1),
+    spine AS (
+      SELECT etype, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+      FROM bounds
+    )
+    SELECT s.etype, s.day, COALESCE(d.n, 0) AS n
+    FROM spine s LEFT JOIN daily d ON s.etype = d.etype AND s.day = d.day
+    """,
+)
+def q_pipeline_densify(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    out = compile_pipeline(
+        e,
+        [
+            {"$group": {
+                "_id": {"etype": "$event_type",
+                        "day": {"$dateTrunc": {"date": "$ts", "unit": "day"}}},
+                "n": {"$sum": 1},
+            }},
+            {"$project": {"etype": "$_id.etype", "day": "$_id.day", "n": 1}},
+            {"$densify": {"field": "day",
+                           "partitionByFields": ["etype"],
+                           "range": {"step": 1, "unit": "day",
+                                     "bounds": "partition"}}},
+            {"$fill": {"partitionBy": "$etype", "sortBy": {"day": 1},
+                        "output": {"n": {"value": 0}}}},
+        ],
+    )
+    return out.select("etype", "day", "n")

@@ -449,3 +449,54 @@ def test_query_pipeline_routes_to_cube_and_falls_back(spark, sf_dir, tmp_path):
     # non-aggregate with no source_df: loud error, not a wrong answer
     with pytest.raises(Exception):
         engine.query_pipeline("events", [{"$match": {"value": {"$gt": 99}}}])
+
+
+def test_densify_and_fill_stages(events):
+    out = compile_pipeline(
+        events,
+        [
+            {"$group": {
+                "_id": {"etype": "$event_type",
+                        "day": {"$dateTrunc": {"date": "$ts", "unit": "day"}}},
+                "n": {"$sum": 1},
+            }},
+            {"$project": {"etype": "$_id.etype", "day": "$_id.day", "n": 1}},
+            {"$densify": {"field": "day",
+                           "partitionByFields": ["etype"],
+                           "range": {"step": 1, "unit": "day",
+                                     "bounds": "partition"}}},
+            {"$fill": {"partitionBy": "$etype", "sortBy": {"day": 1},
+                        "output": {"n": {"value": 0}}}},
+        ],
+    )
+    daily = events.groupBy(
+        F.col("event_type").alias("etype"),
+        F.date_trunc("day", "ts").alias("day"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    spine = (
+        daily.groupBy("etype")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select("etype", F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day"))
+    )
+    exp = spine.join(daily, ["etype", "day"], "left").select(
+        "etype", "day", F.coalesce("n", F.lit(0)).alias("n")
+    )
+    assert _rows(out.select("etype", "day", "n")) == _rows(exp)
+
+
+def test_fill_locf_and_linear(spark):
+    df = spark.createDataFrame(
+        [(1, 1, 10.0), (1, 2, None), (1, 3, None), (1, 4, 40.0), (2, 1, None)],
+        "grp int, seq int, v double",
+    )
+    out = compile_pipeline(
+        df.withColumn("v2", F.col("v")),
+        [{"$fill": {"partitionBy": "$grp", "sortBy": {"seq": 1},
+                     "output": {"v": {"method": "locf"},
+                                "v2": {"method": "linear"}}}}],
+    )
+    got = {(r["grp"], r["seq"]): (r["v"], r["v2"]) for r in out.collect()}
+    assert got[(1, 2)] == (10.0, 20.0)   # locf holds, linear interpolates
+    assert got[(1, 3)] == (10.0, 30.0)
+    assert got[(1, 4)] == (40.0, 40.0)
+    assert got[(2, 1)] == (None, None)   # no anchors -> stays null
