@@ -75,3 +75,36 @@ def query_cube(
     if where is not None:
         df = df.filter(where)
     return df.groupBy(*group_by).agg(*measure_rollup_exprs(spec, measures))
+
+
+def hybrid_query(
+    cells: DataFrame,
+    spec: CubeSpec,
+    tail: DataFrame,
+    group_by: list[str] | None = None,
+    measures: list[str] | None = None,
+) -> DataFrame:
+    """Lambda-style serving: one answer from historical cells + the
+    raw tail the cube has not absorbed yet.
+
+    The reference keeps cubes fresh asynchronously, so at query time
+    the materialized state lags the source by the un-applied tail
+    (events past the maintenance watermark) [REF: fill — SURVEY.md §0].
+    Rather than forcing the client to choose stale-but-fast (cells) or
+    fresh-but-slow (source scan), aggregate the tail into cell-shaped
+    partials (same ``cell_aggs`` as the builder), union with the stored
+    cells, and roll up once. Because sums are exact DECIMAL partials,
+    the merged answer is bit-identical to aggregating the full source.
+
+    Scale notes: the cells side scans O(|cells|) (partition-pruned on
+    the time dim); the tail side scans only the post-watermark slice —
+    at 100 TB that is minutes of data, not the corpus. One shuffle
+    total: both sides produce partials keyed on the same dims, the
+    union re-aggregates with a single exchange.
+    """
+    from mongo_olap_spark.cube.build import build_cube
+
+    tail_cells = build_cube(tail.sparkSession, spec, tail)
+    cols = spec.dim_names + [c for m in spec.measures for c in m.storage_cols()]
+    combined = cells.select(*cols).unionByName(tail_cells.select(*cols))
+    return query_cube(combined, spec, group_by=group_by, measures=measures)

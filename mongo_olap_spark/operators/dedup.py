@@ -330,3 +330,77 @@ def simhash_near_dup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    *,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    node_col: str = "node",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Resolve near-dup *pairs* into duplicate *groups*: connected
+    components by iterative min-label propagation.
+
+    Every node starts labeled with itself; each round a node adopts the
+    minimum label among itself and its neighbors. At fixpoint the label
+    is the minimum id reachable in the component — the canonical
+    group id. Mirrors the reference's dup-group resolution step
+    (pairs → clusters) [REF: fill — see SURVEY.md §0].
+
+    Scale notes: each round is ONE shuffle of |E| (join edges with
+    labels) plus one of |V| — no all-pairs blowup, and dup graphs are
+    shallow (near-dup components are cliques-ish, diameter ≪ 10), so
+    rounds ≈ O(diameter). Edges and per-round labels are
+    ``localCheckpoint``-ed: lineage stays O(1) instead of growing one
+    join per round, and the (possibly expensive) pair-generation plan
+    upstream runs exactly once. For adversarially deep graphs switch to
+    alternating large/small-star (Kiveris et al., "Connected
+    Components in MapReduce and Beyond"), which converges in
+    O(log² n); dup resolution does not need it.
+
+    ``pairs``: one row per undirected edge (id_a, id_b).
+    ``nodes``: one row per corpus member (node id) — singletons come
+    out labeled with themselves, so the output covers the whole corpus.
+    Returns (node, group_id).
+    """
+    half = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = half.unionByName(
+        half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    # Iterate ONLY over nodes that touch an edge. In a deduplicated
+    # corpus almost every doc is a singleton; keeping them out of the
+    # loop shrinks every per-round shuffle from |corpus| to |dup
+    # subgraph| (orders of magnitude at 100 TB). Singletons rejoin as
+    # their own group at the end, costing one broadcast-ish left join.
+    # eager=False: materialization piggybacks on the first round's
+    # convergence count instead of costing a separate job per round
+    labels = edges.select(
+        F.col("src").alias("node"), F.col("src").alias("comp")
+    ).distinct().localCheckpoint(eager=False)
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(
+                labels.withColumnRenamed("node", "dst_node"),
+                F.col("dst") == F.col("dst_node"),
+            )
+            .groupBy("src")
+            .agg(F.min("comp").alias("nbr_comp"))
+            .withColumnRenamed("src", "node")
+        )
+        stepped = labels.join(nbr_min, "node", "left").select(
+            "node",
+            F.col("comp").alias("old_comp"),
+            F.least(F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))).alias("comp"),
+        ).localCheckpoint(eager=False)
+        changed = stepped.filter(F.col("comp") != F.col("old_comp")).count()
+        labels = stepped.select("node", "comp")
+        if changed == 0:
+            break
+    return (
+        nodes.select(F.col(node_col).alias("node"))
+        .join(labels, "node", "left")
+        .select("node", F.coalesce("comp", F.col("node")).alias("group_id"))
+    )

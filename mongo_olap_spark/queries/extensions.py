@@ -145,6 +145,12 @@ def q_dedup_ngram(spark, sf_dir):
     # and a halved-plus exchange at 100 TB. Hash collisions
     # (~n²/2⁶⁴ < 1e-6 corpus-wide) could only overcount n_shared.
     corpus = _dup_corpus(spark, sf_dir)
+    return _ngram_pairs(corpus)
+
+
+def _ngram_pairs(corpus, threshold: float = 0.5):
+    """Exact Jaccard near-dup pairs over an inverted shingle index
+    (the q_dedup_ngram plan, factored for reuse by group resolution)."""
     posts = dd.shingle_posts(corpus, ("doc_id", "source"), "text", 3)
     nsh = posts.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = posts.alias("a"), posts.alias("b")
@@ -174,7 +180,7 @@ def q_dedup_ngram(spark, sf_dir):
             F.broadcast(nsh.withColumnsRenamed({"doc_id": "id_b", "n_sh": "n_b"})), "id_b"
         )
         .select("id_a", "id_b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= 0.5)
+        .filter(F.col("jaccard") >= threshold)
     )
 
 
@@ -624,4 +630,132 @@ def q_unigram_logprob(spark, sf_dir):
             F.sum(logp).cast("double").alias("logprob"),
             F.count(F.lit(1)).alias("n_tok"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# X2'' — dup-GROUP resolution: pairs → connected components → canonical
+# doc per group. The full dedup story a training-data pipeline needs:
+# after pair generation, transitively close (A~B, B~C ⇒ one group) and
+# keep one survivor per group. Oracle: DuckDB recursive CTE computes
+# the same transitive closure — fully SQL-checkable, planted dups and
+# all.
+# ---------------------------------------------------------------------------
+
+_FULL_DUP_CORPUS_SQL = """
+    SELECT doc_id, text, source FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000, text, source FROM documents WHERE doc_id % 7 = 0
+    UNION ALL
+    SELECT doc_id + 2000000,
+           array_to_string(list_slice(string_split(text, ' '), 1,
+             greatest(len(string_split(text, ' ')) - 3, 1)), ' ') AS text,
+           source
+    FROM documents WHERE doc_id % 11 = 0
+"""
+
+_CC_ORACLE_PREFIX = f"""
+    WITH RECURSIVE corpus AS ({_FULL_DUP_CORPUS_SQL}),
+    sh AS (
+      SELECT doc_id, source,
+             list_distinct(list_transform(
+               range(1, greatest(len(string_split(text,' ')) - 2, 1) + 1),
+               i -> concat_ws(' ', string_split(text,' ')[i],
+                                   string_split(text,' ')[i+1],
+                                   string_split(text,' ')[i+2])
+             )) AS shingles
+      FROM corpus
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b
+        ON a.source = b.source AND b.doc_id > a.doc_id
+      WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+               / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.5
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    reach(node, r) AS (
+      SELECT doc_id, doc_id FROM corpus
+      UNION
+      SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.node
+    ),
+    groups AS (
+      SELECT node AS doc_id, min(r) AS group_id FROM reach GROUP BY node
+    )
+"""
+
+
+def _full_dup_corpus(spark, sf_dir):
+    """Base docs + exact copies (+1M ids) + truncated near-copies
+    (+2M ids) — exact and near dups chain into one component."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    exact = d.filter(F.col("doc_id") % 7 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    toks = F.split("text", " ")
+    near = (
+        d.filter(F.col("doc_id") % 11 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 2_000_000)
+        .withColumn(
+            "text",
+            F.concat_ws(" ", F.slice(toks, 1, F.greatest(F.size(toks) - 3, F.lit(1)))),
+        )
+    )
+    return d.unionByName(exact).unionByName(near)
+
+
+@register(
+    "q_dup_groups",
+    oracle=_CC_ORACLE_PREFIX + "SELECT doc_id, group_id FROM groups",
+)
+def q_dup_groups(spark, sf_dir):
+    corpus = _full_dup_corpus(spark, sf_dir)
+    pairs = _ngram_pairs(corpus)
+    return dd.connected_components(
+        pairs, corpus.select(F.col("doc_id").alias("node"))
+    ).withColumnRenamed("node", "doc_id")
+
+
+@register(
+    "q_dedup_keep",
+    oracle=_CC_ORACLE_PREFIX
+    + """
+    SELECT group_id, keep_id, n_members FROM (
+      SELECT g.group_id, c.doc_id AS keep_id,
+             row_number() OVER (PARTITION BY g.group_id
+                                ORDER BY len(c.text) DESC, c.doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY g.group_id) AS n_members
+      FROM groups g JOIN corpus c ON g.doc_id = c.doc_id
+    ) WHERE rn = 1
+    """,
+)
+def q_dedup_keep(spark, sf_dir):
+    # canonical survivor per dup group: longest text, then smallest id
+    # (deterministic). The group dim is tiny relative to the corpus, so
+    # the join shuffles |corpus| rows once; the window partitions are
+    # dup groups (bounded), never a hot key.
+    from pyspark.sql import Window
+
+    corpus = _full_dup_corpus(spark, sf_dir)
+    pairs = _ngram_pairs(corpus)
+    groups = dd.connected_components(
+        pairs, corpus.select(F.col("doc_id").alias("node"))
+    ).withColumnRenamed("node", "doc_id")
+    joined = groups.join(corpus, "doc_id")
+    w = Window.partitionBy("group_id").orderBy(
+        F.length("text").desc(), F.col("doc_id")
+    )
+    return (
+        joined.select(
+            "group_id",
+            F.col("doc_id").alias("keep_id"),
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(Window.partitionBy("group_id")).alias("n_members"),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
     )

@@ -126,3 +126,32 @@ def q_route_cube(spark, sf_dir):
     # smaller — fail loudly rather than silently serving the fine cube
     assert decision.cube == monthly.name, decision
     return router.execute(req)
+
+
+# ---------------------------------------------------------------------------
+# §4.1' lambda serving: the maintained cube lags the source by an
+# un-applied tail; hybrid_query answers from cells + tail partials in
+# one shuffle. Correct hybrid serving is invisible — the answer must
+# equal a direct aggregation of the WHOLE source, which is the oracle.
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_route_hybrid",
+    oracle=f"""
+    SELECT event_type,
+           CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           COUNT(*) AS n,
+           {dsum_sql('value')} AS total_value,
+           {davg_sql('value')} AS avg_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_route_hybrid(spark, sf_dir):
+    from mongo_olap_spark.cube.query import hybrid_query
+
+    e = load_table(spark, sf_dir, "events")
+    historical = e.filter(F.col("ts") < F.lit(_SPLIT_TS).cast("timestamp"))
+    tail = e.filter(F.col("ts") >= F.lit(_SPLIT_TS).cast("timestamp"))
+    cells = build_cube(spark, EVENTS_CUBE, historical)
+    return hybrid_query(cells, EVENTS_CUBE, tail)

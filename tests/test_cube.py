@@ -135,3 +135,23 @@ def test_all_dim_subsets_consistent(spark, events):
                 davg("value", "avg_value"),
             )
             assert rows_set(rolled) == rows_set(direct), subset
+
+
+def test_hybrid_query_bit_identical_to_full_build(spark, sf_dir):
+    """Cells from the historical half + raw tail must answer exactly
+    like a cube built over the whole source (lambda serving is
+    invisible to correctness)."""
+    from pyspark.sql import functions as F
+
+    from mongo_olap_spark.cube import build_cube, query_cube
+    from mongo_olap_spark.cube.query import hybrid_query
+    from mongo_olap_spark.queries.core import EVENTS_CUBE
+    from mongo_olap_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    cut = F.lit("2024-01-21 00:00:00").cast("timestamp")
+    cells = build_cube(spark, EVENTS_CUBE, e.filter(F.col("ts") < cut))
+    hybrid = hybrid_query(cells, EVENTS_CUBE, e.filter(F.col("ts") >= cut))
+    full = query_cube(build_cube(spark, EVENTS_CUBE, e), EVENTS_CUBE)
+    assert hybrid.exceptAll(full).count() == 0
+    assert full.exceptAll(hybrid).count() == 0

@@ -286,3 +286,39 @@ def test_scrub_pii_masks_and_preserves(spark):
     assert "<email>" in row["t"] and "<phone>" in row["t"] and "<num>" in row["t"]
     assert "bob" not in row["t"] and "555" not in row["t"]
     assert row["t"].startswith("mail me at")
+
+
+# ---------------------------------------------------------------------------
+# connected components (dup-group resolution)
+# ---------------------------------------------------------------------------
+
+def test_connected_components_chain_and_singletons(spark):
+    # chain 1-2-3-4 (diameter 3), pair 10-11, singletons 20 and 21
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long"
+    )
+    nodes = spark.createDataFrame(
+        [(i,) for i in [1, 2, 3, 4, 10, 11, 20, 21]], "node long"
+    )
+    got = {
+        (r.node, r.group_id)
+        for r in dd.connected_components(pairs, nodes).collect()
+    }
+    assert got == {
+        (1, 1), (2, 1), (3, 1), (4, 1),
+        (10, 10), (11, 10),
+        (20, 20), (21, 21),
+    }
+
+
+def test_connected_components_merges_across_shared_member(spark):
+    # two pair-clusters sharing node 5 collapse into one component
+    pairs = spark.createDataFrame(
+        [(5, 7), (5, 9), (9, 3)], "id_a long, id_b long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in [3, 5, 7, 9]], "node long")
+    got = {
+        (r.node, r.group_id)
+        for r in dd.connected_components(pairs, nodes).collect()
+    }
+    assert got == {(3, 3), (5, 3), (7, 3), (9, 3)}
