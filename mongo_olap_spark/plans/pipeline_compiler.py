@@ -432,8 +432,9 @@ def compile_pipeline(
             df = _graph_lookup(df, spec, collections)
         elif name in ("$out", "$merge"):
             raise PipelineError(
-                f"{name} executes a write — run the compiled pipeline and "
-                "pass the result to CubeCatalog/DataFrameWriter explicitly"
+                f"{name} executes a write — use execute_pipeline(source, "
+                "pipeline, store) for a trailing $out/$merge, or pass the "
+                "compiled result to CubeCatalog/DataFrameWriter explicitly"
             )
         else:
             raise PipelineError(f"unsupported stage {name!r}")
@@ -956,3 +957,119 @@ def _fill(df: DataFrame, spec: dict) -> DataFrame:
             raise PipelineError(f"unsupported $fill method for {name!r}: {how}")
         out_df = out_df.withColumn(name, filled)
     return out_df
+
+
+# ---------------------------------------------------------------------------
+# $out / $merge — terminal write stages ([MONGO-DOC] semantics; the
+# reference persists pipeline results into named collections)
+# ---------------------------------------------------------------------------
+
+def merge_documents(
+    existing: DataFrame,
+    incoming: DataFrame,
+    on: str | list[str],
+    *,
+    when_matched: str = "merge",
+    when_not_matched: str = "insert",
+) -> DataFrame:
+    """Mongo $merge as a pure DataFrame transform (no write).
+
+    whenMatched: ``replace`` (incoming row wins) | ``keepExisting`` |
+    ``merge`` (incoming's columns overwrite; existing-only columns
+    survive) | ``fail``. whenNotMatched: ``insert`` | ``discard`` |
+    ``fail``. ``fail`` modes validate eagerly with a bounded probe —
+    Mongo aborts the write mid-stream; we refuse before writing at all.
+
+    Plan shape: ONE full-outer join on the merge keys; every branch is
+    a column-level projection over it — no second pass, no Python.
+    Broadcast is left to AQE: the incoming side of a $merge is usually
+    a small delta, exactly the side AQE turns into a broadcast join.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    for k in keys:
+        if k not in existing.columns or k not in incoming.columns:
+            raise PipelineError(f"$merge: on-field {k!r} missing from a side")
+    # presence markers, not key-nullability: merge keys may legally be
+    # NULL (eqNullSafe matches them), so null keys can't signal absence
+    e = existing.withColumn("_e_present", F.lit(True)).alias("e")
+    i = incoming.withColumn("_i_present", F.lit(True)).alias("i")
+    cond = None
+    for k in keys:
+        c = F.col(f"e.{k}").eqNullSafe(F.col(f"i.{k}"))
+        cond = c if cond is None else (cond & c)
+    joined = e.join(i, cond, "full_outer")
+    matched = F.col("e._e_present").isNotNull() & F.col("i._i_present").isNotNull()
+    i_only = F.col("e._e_present").isNull()
+
+    if when_matched == "fail":
+        if joined.filter(matched).limit(1).count() > 0:
+            raise PipelineError("$merge whenMatched=fail: matching documents exist")
+    if when_not_matched == "fail":
+        if joined.filter(i_only).limit(1).count() > 0:
+            raise PipelineError(
+                "$merge whenNotMatched=fail: incoming documents have no match"
+            )
+
+    out_cols: list = []
+    e_cols, i_cols = set(existing.columns), set(incoming.columns)
+    for name in list(existing.columns) + [
+        c for c in incoming.columns if c not in e_cols
+    ]:
+        ec = F.col(f"e.{name}") if name in e_cols else F.lit(None)
+        ic = F.col(f"i.{name}") if name in i_cols else F.lit(None)
+        if name in keys:
+            col = F.when(i_only, ic).otherwise(ec)
+        elif when_matched == "replace":
+            col = F.when(matched | i_only, ic).otherwise(ec)
+        elif when_matched == "keepExisting" or name not in i_cols:
+            col = F.when(i_only, ic).otherwise(ec)
+        else:  # merge: incoming column overwrites on match
+            col = F.when(matched | i_only, ic).otherwise(ec)
+        out_cols.append(col.alias(name))
+    if when_not_matched == "discard":
+        # drop incoming-only rows: keep rows that existed before
+        return joined.filter(~i_only).select(*out_cols)
+    return joined.select(*out_cols)
+
+
+def execute_pipeline(
+    source: DataFrame,
+    pipeline: list[dict],
+    store,
+    *,
+    collections: dict[str, DataFrame] | None = None,
+) -> int:
+    """Run a pipeline whose LAST stage is $out or $merge; commit the
+    result into ``store`` (ParquetCollectionStore) atomically; return
+    the committed version. All other stages compile as usual."""
+    if not pipeline or next(iter(pipeline[-1])) not in ("$out", "$merge"):
+        raise PipelineError("execute_pipeline requires a trailing $out/$merge stage")
+    [(name, spec)] = pipeline[-1].items()
+    df = compile_pipeline(source, pipeline[:-1], collections=collections)
+    if name == "$out":
+        target = spec if isinstance(spec, str) else spec["coll"]
+        return store.write(target, df)
+    target = spec["into"] if isinstance(spec, dict) else spec
+    if isinstance(target, dict):
+        target = target["coll"]
+    on = spec.get("on", "_id") if isinstance(spec, dict) else "_id"
+    when_matched = spec.get("whenMatched", "merge") if isinstance(spec, dict) else "merge"
+    when_not_matched = (
+        spec.get("whenNotMatched", "insert") if isinstance(spec, dict) else "insert"
+    )
+    if not store.exists(target):
+        if when_not_matched == "discard":
+            df = df.limit(0)
+        elif when_not_matched == "fail":
+            raise PipelineError(
+                "$merge whenNotMatched=fail: target collection does not exist"
+            )
+        return store.write(target, df)
+    merged = merge_documents(
+        store.read(target),
+        df,
+        on,
+        when_matched=when_matched,
+        when_not_matched=when_not_matched,
+    )
+    return store.write(target, merged)

@@ -56,3 +56,32 @@ def cdc_from_events(events: DataFrame) -> DataFrame:
 def net_events(events: DataFrame) -> DataFrame:
     """The ground-truth surviving documents after the CDC stream."""
     return events.filter(F.col("event_id") % 10 != 9)
+
+
+def dedup_changes(
+    stream: DataFrame,
+    *,
+    keys: tuple[str, ...] = ("op", "event_id"),
+    event_time: str = "stream_ts",
+    delay: str = "1 hour",
+) -> DataFrame:
+    """Exactly-once ingestion guard: drop replayed change events.
+
+    At-least-once transports (resumed change streams, Kafka re-reads)
+    can deliver the same change twice; applying a duplicate insert
+    double-counts a cell. ``dropDuplicatesWithinWatermark`` keys the
+    state store on (op, document key) and expires state once the
+    watermark passes ``delay`` — bounded state, unlike a plain
+    ``dropDuplicates`` whose state grows forever on a stream. The
+    transport must re-deliver duplicates within ``delay`` of the
+    original (true for checkpoint-resume replays, which re-send a
+    suffix of the recent stream).
+
+    Works on batch DataFrames too (falls back to plain
+    dropDuplicates semantics there — Spark handles both).
+    """
+    if stream.isStreaming:
+        return stream.withWatermark(event_time, delay).dropDuplicatesWithinWatermark(
+            list(keys)
+        )
+    return stream.dropDuplicates(list(keys))

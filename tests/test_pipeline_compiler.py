@@ -500,3 +500,97 @@ def test_fill_locf_and_linear(spark):
     assert got[(1, 3)] == (10.0, 30.0)
     assert got[(1, 4)] == (40.0, 40.0)
     assert got[(2, 1)] == (None, None)   # no anchors -> stays null
+
+
+# ---------------------------------------------------------------------------
+# $out / $merge terminal write stages
+# ---------------------------------------------------------------------------
+
+def _store(spark, tmp_path):
+    from mongo_olap_spark.sources.store import ParquetCollectionStore
+
+    return ParquetCollectionStore(spark, str(tmp_path / "store"))
+
+
+def test_out_writes_versioned_snapshot(spark, tmp_path):
+    from mongo_olap_spark.plans.pipeline_compiler import execute_pipeline
+
+    store = _store(spark, tmp_path)
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "_id long, v string")
+    v = execute_pipeline(df, [{"$match": {"_id": {"$gte": 1}}}, {"$out": "t"}], store)
+    assert v == 1
+    assert {(r._id, r.v) for r in store.read("t").collect()} == {(1, "a"), (2, "b")}
+    # second $out supersedes atomically; old snapshot stays readable
+    execute_pipeline(df.limit(1), [{"$out": "t"}], store)
+    assert store.version("t") == 2
+    assert store.read("t", version=1).count() == 2
+
+
+def test_merge_semantics(spark, tmp_path):
+    from mongo_olap_spark.plans.pipeline_compiler import execute_pipeline
+
+    store = _store(spark, tmp_path)
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20)], "_id long, v string, w long"
+    )
+    store.write("t", base)
+    inc = spark.createDataFrame([(2, "B"), (3, "C")], "_id long, v string")
+    # default: whenMatched=merge (incoming cols overwrite, w survives),
+    # whenNotMatched=insert
+    execute_pipeline(inc, [{"$merge": {"into": "t", "on": "_id"}}], store)
+    got = {(r._id, r.v, r.w) for r in store.read("t").collect()}
+    assert got == {(1, "a", 10), (2, "B", 20), (3, "C", None)}
+
+
+def test_merge_keep_existing_and_discard(spark, tmp_path):
+    from mongo_olap_spark.plans.pipeline_compiler import execute_pipeline
+
+    store = _store(spark, tmp_path)
+    store.write("t", spark.createDataFrame([(1, "a"), (2, "b")], "_id long, v string"))
+    inc = spark.createDataFrame([(2, "B"), (3, "C")], "_id long, v string")
+    execute_pipeline(
+        inc,
+        [{"$merge": {"into": "t", "on": "_id",
+                     "whenMatched": "keepExisting",
+                     "whenNotMatched": "discard"}}],
+        store,
+    )
+    got = {(r._id, r.v) for r in store.read("t").collect()}
+    assert got == {(1, "a"), (2, "b")}
+
+
+def test_merge_fail_modes(spark, tmp_path):
+    from mongo_olap_spark.plans.pipeline_compiler import (
+        PipelineError,
+        execute_pipeline,
+    )
+
+    store = _store(spark, tmp_path)
+    store.write("t", spark.createDataFrame([(1, "a")], "_id long, v string"))
+    dup = spark.createDataFrame([(1, "A")], "_id long, v string")
+    new = spark.createDataFrame([(9, "Z")], "_id long, v string")
+    with pytest.raises(PipelineError, match="whenMatched=fail"):
+        execute_pipeline(
+            dup, [{"$merge": {"into": "t", "on": "_id", "whenMatched": "fail"}}], store
+        )
+    with pytest.raises(PipelineError, match="whenNotMatched=fail"):
+        execute_pipeline(
+            new,
+            [{"$merge": {"into": "t", "on": "_id", "whenNotMatched": "fail"}}],
+            store,
+        )
+    # failed merges must not have committed anything
+    assert store.version("t") == 1
+
+
+def test_merge_replace_null_safe_keys(spark, tmp_path):
+    from mongo_olap_spark.plans.pipeline_compiler import merge_documents
+
+    e = spark.createDataFrame([(None, "old"), (1, "one")], "_id long, v string")
+    i = spark.createDataFrame([(None, "new")], "_id long, v string")
+    got = {
+        (r._id, r.v)
+        for r in merge_documents(e, i, "_id", when_matched="replace").collect()
+    }
+    # NULL key matches NULL key (eqNullSafe), so the null-id doc is replaced
+    assert got == {(None, "new"), (1, "one")}

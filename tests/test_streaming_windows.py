@@ -194,3 +194,53 @@ def test_custom_stateful_sessionize_matches_batch(spark, events, stream_dir, tmp
     # … and the stream emitted the large majority (only sessions still
     # open at the final watermark may be withheld)
     assert len(got_rows) >= 0.8 * len(batch_rows), (len(got_rows), len(batch_rows))
+
+
+def test_stream_dedup_within_watermark_drops_replays(spark, events, tmp_path):
+    """A replayed suffix of the change stream must not double-apply:
+    dropDuplicatesWithinWatermark keyed on (op, event_id) suppresses
+    the re-delivered rows while keeping state bounded."""
+    from mongo_olap_spark.streaming.cdc import dedup_changes
+
+    cdc = cdc_from_events(events).filter(F.col("op") == "insert").limit(200)
+    # transport replays the most recent half of what it already sent
+    replayed = cdc.orderBy(F.desc("stream_ts")).limit(100)
+    path = str(tmp_path / "dupstream")
+    cdc.unionAll(replayed).write.mode("overwrite").parquet(path)
+
+    stream = spark.readStream.schema(CDC_SCHEMA).parquet(path)
+    got = _run(spark, dedup_changes(stream, delay="30 days"), "dedup_stream")
+    assert got.count() == 200
+    assert got.select("event_id").distinct().count() == 200
+
+
+def test_stream_stream_interval_join(spark, events, tmp_path):
+    """Stream-stream equi join with an event-time interval bound: each
+    delete matches its own insert 12h earlier; watermarks on both
+    sides keep the join state bounded."""
+    cdc = cdc_from_events(events)
+    ins_path, del_path = str(tmp_path / "ins"), str(tmp_path / "del")
+    cdc.filter(F.col("op") == "insert").write.mode("overwrite").parquet(ins_path)
+    cdc.filter(F.col("op") == "delete").write.mode("overwrite").parquet(del_path)
+    expected = cdc.filter(F.col("op") == "delete").count()
+
+    ins = (
+        spark.readStream.schema(CDC_SCHEMA)
+        .parquet(ins_path)
+        .selectExpr("event_id AS i_id", "stream_ts AS i_ts")
+        .withWatermark("i_ts", "1 hour")
+    )
+    dels = (
+        spark.readStream.schema(CDC_SCHEMA)
+        .parquet(del_path)
+        .selectExpr("event_id AS d_id", "stream_ts AS d_ts")
+        .withWatermark("d_ts", "1 hour")
+    )
+    joined = ins.join(
+        dels,
+        F.expr(
+            "i_id = d_id AND d_ts BETWEEN i_ts AND i_ts + interval 13 hours"
+        ),
+    )
+    got = _run(spark, joined, "ss_join")
+    assert got.count() == expected
