@@ -46,8 +46,22 @@ def main() -> None:
     # JVM/codegen warmup (not timed)
     qs["q_cube_build"](spark, sf_dir).limit(1).collect()
 
+    def _hygiene(i: int) -> None:
+        # A query that caches/persists state (facet sets, iterative
+        # label propagation, graph frontiers) must not bill its
+        # leftovers to the NEXT query's wall clock: clear the cache
+        # registry every query and nudge the JVM collector every few —
+        # without this, one long bench session shows 5-10x spikes on
+        # whichever query happens to absorb the GC/cleaner debt.
+        spark.catalog.clearCache()
+        if i % 8 == 7:
+            try:
+                spark.sparkContext._jvm.System.gc()
+            except Exception:
+                pass
+
     timings: dict[str, float] = {}
-    for qid in sorted(qs):
+    for i, qid in enumerate(sorted(qs)):
         if only and qid not in only:
             continue
         best = None
@@ -58,6 +72,7 @@ def main() -> None:
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
         timings[qid] = round(best, 4)
+        _hygiene(i)
 
     out = {
         "metric": "total wall-clock sec across declared queries (collect<=100k rows each)",

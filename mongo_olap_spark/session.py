@@ -1,15 +1,17 @@
 """SparkSession factory tuned for this engine.
 
-Local-mode testing runs on ``local[$SPARK_GRAFT_CPUS]``. The default
-is 16 task threads, NOT the VM's 32 vCPUs: a local-mode JVM also runs
-GC threads, the driver, shuffle IO, and (for the Arrow stages) a
-Python worker per task slot — at 32 task threads on 32 vCPUs the box
-oversubscribes and measured throughput *degrades run-over-run*
-(minhash: 13 s → 42 s across three consecutive runs at local[32];
-steady ~5 s at local[16]). Leaving headroom is the same sizing rule a
-real cluster uses (executor cores < machine cores). Driver heap
-defaults to 32g (``SPARK_GRAFT_DRIVER_MEM``) — GC churn at 16g was
-measurably slower on the aggregate-heavy queries.
+Local-mode testing runs on ``local[$SPARK_GRAFT_CPUS]`` (default 32,
+the VM's vCPU count). An earlier round sized this down to 16 after
+observing run-over-run degradation at 32 (minhash 13 s → 42 s across
+consecutive runs); the actual root cause was CROSS-QUERY STATE, not
+thread oversubscription — long bench sessions accumulated cached
+DataFrames, checkpoint blocks, and GC debt, and whichever query ran
+next absorbed the pauses. With per-query cache hygiene in bench.py
+(clearCache + periodic collector nudge) local[32] is stable and
+1.5-2× faster on the shuffle-heavy dedup suite than local[16]
+(measured: 86 queries 100 s vs 169 s at sf0.1). Driver heap defaults
+to 32g (``SPARK_GRAFT_DRIVER_MEM``) — GC churn at 16g was measurably
+slower on the aggregate-heavy queries.
 
 The remaining settings are what we would ship to a 1000-executor
 cluster: AQE on (runtime coalescing, skew-join splitting), UTC session
@@ -29,9 +31,9 @@ from pyspark.sql import SparkSession
 
 
 def get_spark(app_name: str = "mongo_olap_spark", *, shuffle_partitions: int | None = None) -> SparkSession:
-    cpus = os.environ.get("SPARK_GRAFT_CPUS", "16")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     if shuffle_partitions is None:
-        shuffle_partitions = max(int(cpus) if cpus.isdigit() else 16, 8)
+        shuffle_partitions = max(int(cpus) if cpus.isdigit() else 32, 8)
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
