@@ -182,3 +182,24 @@ def rolling_hash(text: Column | str, base: int = 257, mod: int = 1_000_000_007) 
         ),
         lambda acc: acc.h,
     )
+
+
+def quality_flags(
+    text: Column | str,
+    *,
+    min_tokens: int = 30,
+    min_stopword_ratio: float = 0.03,
+    max_avg_token_len: float = 8.0,
+) -> Column:
+    """Rule-bundle quality filter: array of failed rule names (empty =
+    keep). The composition layer of the per-signal scores above — a
+    training-data pipeline filters on `size(flags) == 0` and keeps the
+    reasons column for drop-rate dashboards per rule. All native
+    Column expressions (codegen end-to-end)."""
+    return F.array_compact(
+        F.array(
+            F.when(token_count(text) < min_tokens, F.lit("too_short")),
+            F.when(stopword_ratio(text) < min_stopword_ratio, F.lit("low_stopword")),
+            F.when(avg_token_len(text) > max_avg_token_len, F.lit("long_tokens")),
+        )
+    )

@@ -430,6 +430,13 @@ def compile_pipeline(
             df = _facet(df, spec, collections)
         elif name == "$graphLookup":
             df = _graph_lookup(df, spec, collections)
+        elif name == "$sample":
+            # Mongo samples pseudo-randomly; the engine-wide sampling
+            # policy (queries/misc.q_sample) is deterministic hash
+            # order instead — the row set is a pure function of the
+            # data, portable across partitionings and engines.
+            size = spec["size"] if isinstance(spec, dict) else int(spec)
+            df = df.orderBy(F.xxhash64(*[F.col(c) for c in df.columns])).limit(size)
         elif name in ("$out", "$merge"):
             raise PipelineError(
                 f"{name} executes a write — use execute_pipeline(source, "

@@ -759,3 +759,34 @@ def q_dedup_keep(spark, sf_dir):
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# X4' — composed quality filter: keep/drop with per-rule reasons (the
+# decision layer a training-data pipeline runs over the raw signals)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_quality_filter",
+    oracle=f"""
+    WITH q AS ({_QUALITY_SQL})
+    SELECT doc_id,
+           COALESCE(array_to_string(
+             list_filter([CASE WHEN n_tokens < 30 THEN 'too_short' END,
+                          CASE WHEN stopword_ratio < 0.03 THEN 'low_stopword' END,
+                          CASE WHEN avg_token_len > 8 THEN 'long_tokens' END],
+                         x -> x IS NOT NULL), ','), '') AS reasons,
+           (n_tokens >= 30 AND stopword_ratio >= 0.03 AND avg_token_len <= 8) AS keep
+    FROM q
+    """,
+)
+def q_quality_filter(spark, sf_dir):
+    # reasons serialized to a csv string (repo comparer policy for
+    # array columns — see q_agg_collect); empty string = keep
+    d = load_table(spark, sf_dir, "documents")
+    flags = tx.quality_flags("text")
+    return d.select(
+        "doc_id",
+        F.array_join(flags, ",").alias("reasons"),
+        (F.size(flags) == 0).alias("keep"),
+    )

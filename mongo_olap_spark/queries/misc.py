@@ -398,3 +398,36 @@ def q_redact(spark, sf_dir):
         F.col("doc.meta.inner.tag").alias("tag"),
         F.col("doc.payload.value").alias("pay_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# $sample, stratified: fixed-size per-stratum sample. Same portability
+# policy as q_sample — md5-hash order, not rand(): the row set is a
+# pure function of the data, so it is identical across engines,
+# partitionings, and runs. Scale: one shuffle on the stratum key; the
+# per-stratum window never materializes more than its partition.
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_sample_stratified",
+    oracle="""
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents
+    ) WHERE rn <= 50
+    """,
+)
+def q_sample_stratified(spark, sf_dir):
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        d.select("doc_id", "source", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 50)
+        .drop("rn")
+    )

@@ -594,3 +594,14 @@ def test_merge_replace_null_safe_keys(spark, tmp_path):
     }
     # NULL key matches NULL key (eqNullSafe), so the null-id doc is replaced
     assert got == {(None, "new"), (1, "one")}
+
+
+def test_sample_stage_deterministic(spark):
+    from mongo_olap_spark.plans.pipeline_compiler import compile_pipeline
+
+    df = spark.range(1000).withColumn("v", F.col("id") * 2)
+    a = compile_pipeline(df, [{"$sample": {"size": 25}}]).collect()
+    b = compile_pipeline(df.repartition(7), [{"$sample": {"size": 25}}]).collect()
+    assert len(a) == 25
+    # deterministic: same rows regardless of partitioning
+    assert {r.id for r in a} == {r.id for r in b}
