@@ -790,3 +790,64 @@ def q_quality_filter(spark, sf_dir):
         F.array_join(flags, ",").alias("reasons"),
         (F.size(flags) == 0).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X4'' — benchmark decontamination: flag training docs sharing ≥ K
+# distinct 5-gram shingles with any doc of an eval/benchmark set. The
+# testbed plants the leak deterministically: the "benchmark" is a
+# verbatim copy (+3M ids) of every doc_id % 50 == 0 — both engines
+# build the identical eval set, so the oracle checks the detection
+# semantics end-to-end.
+#
+# Scale shape: the benchmark set is SMALL (thousands of eval items vs
+# a 100 TB corpus), so its postings broadcast; the corpus-side posting
+# stream probes the broadcast map-side — the ONLY shuffle is the pair
+# aggregation over matching postings, O(|matches|), never O(|corpus|²)
+# and never a corpus-wide shuffle.
+# ---------------------------------------------------------------------------
+
+_SHINGLE5_SQL = """
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(string_split(text,' ')) - 4, 1) + 1),
+               i -> concat_ws(' ', string_split(text,' ')[i],
+                                   string_split(text,' ')[i+1],
+                                   string_split(text,' ')[i+2],
+                                   string_split(text,' ')[i+3],
+                                   string_split(text,' ')[i+4])
+             )) AS shingles
+      FROM {src}
+"""
+
+
+@register(
+    "q_decontaminate",
+    oracle=f"""
+    WITH sh AS ({_SHINGLE5_SQL.format(src="documents")}),
+    ev AS (
+      SELECT doc_id + 3000000 AS eval_id, shingles
+      FROM sh WHERE doc_id % 50 = 0
+    )
+    SELECT t.doc_id, e.eval_id,
+           CAST(len(list_intersect(t.shingles, e.shingles)) AS BIGINT) AS n_shared
+    FROM sh t JOIN ev e
+      ON len(list_intersect(t.shingles, e.shingles)) >= 3
+    """,
+)
+def q_decontaminate(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    evals = d.filter(F.col("doc_id") % 50 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 3_000_000
+    )
+    posts = dd.shingle_posts(d, ("doc_id",), "text", 5)
+    ev_posts = (
+        dd.shingle_posts(evals, ("doc_id",), "text", 5)
+        .withColumnsRenamed({"doc_id": "eval_id", "h": "eh"})
+    )
+    return (
+        posts.join(F.broadcast(ev_posts), F.col("h") == F.col("eh"))
+        .groupBy("doc_id", "eval_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= 3)
+    )

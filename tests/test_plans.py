@@ -165,3 +165,17 @@ def test_shingle_posts_codegen_no_lambda(spark, sf_dir):
     plan = posts._jdf.queryExecution().executedPlan().toString()
     assert "lambdafunction" not in plan.lower()
     assert "Python" not in plan
+
+
+def test_decontaminate_probes_broadcast_index(spark):
+    # the benchmark set must broadcast: corpus postings probe it
+    # map-side; a SortMergeJoin here would shuffle the whole corpus
+    plan = plan_of(spark, "q_decontaminate")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_dup_groups_has_no_cartesian(spark):
+    plan = plan_of(spark, "q_dup_groups")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
