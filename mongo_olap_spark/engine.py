@@ -101,15 +101,34 @@ class OlapEngine:
         where: str | None = None,
         measures: list | None = None,
         source_df: DataFrame | None = None,
+        tail: DataFrame | None = None,
     ) -> DataFrame:
         """Answer an aggregate request.
 
         With ``cube``: validated slice/rollup on that cube (the
         reference's direct cube query). Without: route by ``source``
         over the catalog, falling back to ``source_df``.
+
+        ``tail`` (cube mode): raw source rows the maintenance stream
+        has not absorbed yet — lambda serving; the answer reflects
+        cells + tail exactly as if the cube were fully caught up
+        (cube/query.hybrid_query; bit-identical by decimal partials).
         """
         if cube is not None:
             spec = self.catalog.get_spec(cube)
+            if tail is not None:
+                from mongo_olap_spark.cube.query import hybrid_query
+
+                cells = self.catalog.cells(cube)
+                if where is not None:
+                    raise ValueError(
+                        "hybrid query: apply dimension filters after the "
+                        "merge (where= filters cells only, which would "
+                        "desync the tail side)"
+                    )
+                return hybrid_query(
+                    cells, spec, tail, group_by=group_by, measures=measures
+                )
             return query_cube(
                 self.catalog.cells(cube), spec,
                 group_by=group_by, where=where, measures=measures,

@@ -79,3 +79,14 @@ def test_query_validation(engine, events):
         engine.query(cube="events_daily", group_by=["user_id"])
     with pytest.raises(ValueError, match="cube= or source="):
         engine.query(group_by=["x"])
+
+def test_hybrid_serving_through_facade(engine, events):
+    """A cube built on the historical half plus a raw tail must answer
+    exactly like a fully-caught-up cube (lambda serving)."""
+    cut = F.lit("2024-01-21 00:00:00").cast("timestamp")
+    engine.create_cube(EVENTS_CUBE, events.filter(F.col("ts") < cut))
+    got = engine.query(cube="events_daily", tail=events.filter(F.col("ts") >= cut))
+    expected = query_cube(build_cube(engine.spark, EVENTS_CUBE, events), EVENTS_CUBE)
+    assert rows_set(got) == rows_set(expected)
+    with pytest.raises(ValueError, match="hybrid query"):
+        engine.query(cube="events_daily", tail=events, where="day IS NOT NULL")
