@@ -418,6 +418,28 @@ class CubeCatalog:
             batch_id=batch_id,
         )
 
+    def compact(self, name: str) -> int:
+        """Rewrite the current snapshot into one fresh write directory
+        and drop everything it superseded.
+
+        Streaming maintenance leaves the live snapshot scattered over
+        many per-batch write dirs (each partition points at whichever
+        dir last touched it); readers are correct but pay manifest
+        breadth and lose locality, and the data tree accumulates
+        orphans between vacuums. Compaction = overwrite_cells with the
+        cube's own current content (same decimal partials — cells are
+        re-written, never re-aggregated, so the result is
+        bit-identical), preserving the idempotency watermark, then
+        vacuum. Returns the number of directories reclaimed.
+
+        Scale: one job over O(|cells|) — cheap next to any source
+        scan; schedule it like any table-maintenance task (the same
+        role OPTIMIZE/rewrite_data_files plays for Delta/Iceberg).
+        """
+        cells = self.cells(name).localCheckpoint()  # read fully before overwrite
+        self.overwrite_cells(name, cells, batch_id=self.last_batch_id(name))
+        return len(self.vacuum(name))
+
     def vacuum(self, name: str) -> list[str]:
         """Delete write directories no longer referenced by the current
         manifest. Safe any time readers re-resolve the manifest per

@@ -155,3 +155,34 @@ def q_route_hybrid(spark, sf_dir):
     tail = e.filter(F.col("ts") >= F.lit(_SPLIT_TS).cast("timestamp"))
     cells = build_cube(spark, EVENTS_CUBE, historical)
     return hybrid_query(cells, EVENTS_CUBE, tail)
+
+
+# ---------------------------------------------------------------------------
+# C13 — IVM update: a change-stream update is a −1 retraction of the
+# pre-image plus a +1 insert of the post-image through the SAME signed
+# merge as inserts/deletes. Closed-form truth: every event_id % 10 == 5
+# doubles its value, so the oracle aggregates the post-update state
+# directly — correct update maintenance is invisible.
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_incr_update",
+    oracle=f"""
+    SELECT event_type,
+           CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           COUNT(*) AS n,
+           {dsum_sql("CASE WHEN event_id % 10 = 5 THEN value * 2 ELSE value END")} AS total_value,
+           {davg_sql("CASE WHEN event_id % 10 = 5 THEN value * 2 ELSE value END")} AS avg_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_incr_update(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    cells = build_cube(spark, EVENTS_CUBE, e)
+    upd = e.filter(F.col("event_id") % 10 == 5)
+    pre = upd.withColumn("mult", F.lit(-1))
+    post = upd.withColumn("value", F.col("value") * 2).withColumn("mult", F.lit(1))
+    deltas = delta_cells(EVENTS_CUBE, pre.unionByName(post))
+    merged = merge_cells(cells, deltas, EVENTS_CUBE)
+    return query_cube(merged, EVENTS_CUBE)

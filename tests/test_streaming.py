@@ -304,3 +304,37 @@ def test_snapshot_time_travel(spark, events, tmp_path):
     # v1 referenced a reclaimed partition dir -> dropped, not dangling
     assert cat.manifest(name, version=v1) is None
     assert rows_set(cat.cells(name)) != before  # current still intact
+
+
+def test_compact_preserves_cells_and_reclaims_dirs(spark, events, tmp_path):
+    """After several partition-scoped commits the snapshot spans many
+    write dirs; compact() must rewrite it into one, keep the cell
+    table bit-identical, keep the batch watermark, and reclaim the
+    superseded directories."""
+    import os
+
+    from mongo_olap_spark.cube import CubeCatalog
+    from mongo_olap_spark.queries.core import EVENTS_CUBE
+    from mongo_olap_spark.streaming.pipeline import CubeMaintainer
+
+    cat = CubeCatalog(spark, str(tmp_path / "olap"))
+    cat.create(EVENTS_CUBE, events.limit(0))
+    maint = CubeMaintainer(cat, EVENTS_CUBE)
+    for i, day in enumerate([5, 12, 19, 26]):
+        batch = events.filter(F.dayofmonth("ts") == day).withColumn("mult", F.lit(1))
+        maint.apply_batch(batch, i)
+    before = {tuple(r) for r in cat.cells(EVENTS_CUBE.name).collect()}
+    n_dirs_before = len(
+        {p["path"].split(os.sep)[1] for p in cat.manifest(EVENTS_CUBE.name)["partitions"].values()}
+    )
+    assert n_dirs_before > 1  # scattered across per-batch write dirs
+
+    reclaimed = cat.compact(EVENTS_CUBE.name)
+    assert reclaimed > 0
+    after_manifest = cat.manifest(EVENTS_CUBE.name)
+    n_dirs_after = len(
+        {p["path"].split(os.sep)[1] for p in after_manifest["partitions"].values()}
+    )
+    assert n_dirs_after == 1
+    assert after_manifest["last_batch_id"] == 3  # watermark preserved
+    assert {tuple(r) for r in cat.cells(EVENTS_CUBE.name).collect()} == before
