@@ -238,6 +238,38 @@ class CubeCatalog:
         the read half of partition-scoped maintenance."""
         return self._read_partitions(name, keys)
 
+    def cells_in_range(self, name: str, lo=None, hi=None) -> DataFrame:
+        """File-level pruning for a time-range slice ``[lo, hi)``.
+
+        Partition keys are fixed-width ``yyyy-MM-dd'T'HH.mm.ss``
+        strings, so lexicographic order IS time order and the range
+        compare runs driver-side over manifest keys — only matching
+        partition directories are ever listed or read. A time slice
+        over a year-partitioned decade of cells touches one partition
+        dir, not all of them; this is the cube-side analogue of
+        parquet partition pruning. NULL-dim cells are excluded (a time
+        range cannot match them). ``lo``/``hi`` take datetimes or
+        preformatted key strings; None leaves that bound open.
+        """
+        def fmt(x):
+            return x if (x is None or isinstance(x, str)) else x.strftime(
+                "%Y-%m-%dT%H.%M.%S"
+            )
+
+        lo, hi = fmt(lo), fmt(hi)
+        m = self.manifest(name) or {}
+        if FLAT_KEY in m.get("partitions", {}):
+            # unpartitioned cube: nothing to prune — scan + filter
+            return self.cells(name)
+        keys = [
+            k
+            for k in m.get("partitions", {})
+            if k != NULL_KEY
+            and (lo is None or k >= lo)
+            and (hi is None or k < hi)
+        ]
+        return self._read_partitions(name, keys)
+
     def _read_partitions(
         self, name: str, keys: list[str] | None, *, version: int | None = None
     ) -> DataFrame:

@@ -102,6 +102,7 @@ class OlapEngine:
         measures: list | None = None,
         source_df: DataFrame | None = None,
         tail: DataFrame | None = None,
+        time_range: tuple | None = None,
     ) -> DataFrame:
         """Answer an aggregate request.
 
@@ -113,9 +114,35 @@ class OlapEngine:
         has not absorbed yet — lambda serving; the answer reflects
         cells + tail exactly as if the cube were fully caught up
         (cube/query.hybrid_query; bit-identical by decimal partials).
+
+        ``time_range`` (cube mode): ``(lo, hi)`` half-open slice on
+        the cube's partition dimension. Serves from
+        ``cells_in_range`` — only matching partition directories are
+        read (file-level pruning), then the exact dim filter applies
+        on top for sub-partition precision.
         """
         if cube is not None:
             spec = self.catalog.get_spec(cube)
+            if time_range is not None:
+                from pyspark.sql import functions as F
+
+                pdim = self.catalog.partition_dim(spec)
+                if pdim is None:
+                    raise ValueError(
+                        f"cube {cube} has no time dimension to range-slice"
+                    )
+                lo, hi = time_range
+                cells = self.catalog.cells_in_range(cube, lo, hi)
+                cond = F.lit(True)
+                if lo is not None:
+                    cond = cond & (F.col(pdim) >= F.lit(lo))
+                if hi is not None:
+                    cond = cond & (F.col(pdim) < F.lit(hi))
+                if where is not None:
+                    cond = cond & F.expr(where)
+                return query_cube(
+                    cells, spec, group_by=group_by, where=cond, measures=measures
+                )
             if tail is not None:
                 from mongo_olap_spark.cube.query import hybrid_query
 

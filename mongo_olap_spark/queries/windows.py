@@ -556,3 +556,25 @@ def q_densify(spark, sf_dir):
         spine.join(daily, ["event_type", "day"], "left")
         .select("event_type", "day", F.coalesce("n", F.lit(0)).alias("n"))
     )
+
+
+# ---------------------------------------------------------------------------
+# ntile: per-group quantile bucketing (the $setWindowFields rank
+# family's percentile sibling; partitioned windows — no global sort).
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_ntile",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           CAST(ntile(10) OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice, o_orderkey) AS INT) AS decile
+    FROM orders
+    """,
+)
+def q_ntile(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey", "o_orderpriority", F.ntile(10).over(w).alias("decile")
+    )

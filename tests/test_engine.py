@@ -90,3 +90,29 @@ def test_hybrid_serving_through_facade(engine, events):
     assert rows_set(got) == rows_set(expected)
     with pytest.raises(ValueError, match="hybrid query"):
         engine.query(cube="events_daily", tail=events, where="day IS NOT NULL")
+
+
+def test_time_range_serving_prunes_partitions(engine, events):
+    """A time-sliced cube query must (a) read only the matching
+    partition dirs driver-side and (b) answer exactly like a full-scan
+    filter."""
+    from datetime import datetime
+
+    engine.create_cube(EVENTS_CUBE, events)
+    lo, hi = datetime(2024, 1, 10), datetime(2024, 1, 15)
+
+    pruned = engine.catalog.cells_in_range("events_daily", lo, hi)
+    n_parts = len(engine.catalog.manifest("events_daily")["partitions"])
+    n_files = pruned.inputFiles()
+    assert len(n_files) < n_parts  # strictly fewer dirs than the cube has
+    assert pruned.count() > 0
+
+    got = engine.query(
+        cube="events_daily", group_by=["event_type"], time_range=(lo, hi)
+    )
+    expected = engine.query(
+        cube="events_daily",
+        group_by=["event_type"],
+        where="day >= '2024-01-10' AND day < '2024-01-15'",
+    )
+    assert rows_set(got) == rows_set(expected)
