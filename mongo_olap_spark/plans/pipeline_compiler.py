@@ -510,6 +510,8 @@ def _resolve(collections, name: str) -> DataFrame:
 
 
 def _lookup(df: DataFrame, spec: dict, collections) -> DataFrame:
+    if "pipeline" in spec:
+        return _lookup_pipeline(df, spec, collections)
     foreign = _resolve(collections, spec["from"])
     local, remote, out = spec["localField"], spec["foreignField"], spec["as"]
     # pre-aggregate the foreign side: one array row per key -> the join
@@ -524,6 +526,108 @@ def _lookup(df: DataFrame, spec: dict, collections) -> DataFrame:
     return joined.withColumn(
         out, F.coalesce(F.col(out), F.array().cast(arr_type))
     )
+
+
+def _contains_var(node) -> bool:
+    """Does an expression tree reference a $$let-variable?"""
+    if isinstance(node, str):
+        return node.startswith("$$")
+    if isinstance(node, dict):
+        return any(_contains_var(v) for v in node.values())
+    if isinstance(node, list):
+        return any(_contains_var(v) for v in node)
+    return False
+
+
+def _lookup_pipeline(df: DataFrame, spec: dict, collections) -> DataFrame:
+    """Correlated $lookup (``from``/``let``/``pipeline`` form).
+
+    Mongo evaluates the sub-pipeline per local document; the Spark-first
+    compile turns the correlation into a relational join instead:
+
+    - $$var equality conjuncts of the leading ``$match.$expr`` become
+      JOIN KEYS (the foreign side pre-aggregates per key — one array
+      row per key, so the join never multiplies local rows and the
+      packed side broadcasts when small, exactly like the
+      localField/foreignField path);
+    - conjuncts that reference no $$var are FOREIGN PRE-FILTERS,
+      applied before packing (pushdown);
+    - a trailing ``$project`` (inclusion form) prunes the foreign
+      columns that enter the packed array.
+
+    Non-equality $$var predicates would force a per-local-row
+    evaluation (no pre-aggregation possible) — refused by name rather
+    than silently compiled into a row-multiplying join. $eq follows
+    Mongo semantics (null == null matches): eqNullSafe keys.
+    """
+    foreign = _resolve(collections, spec["from"])
+    let, out = spec.get("let", {}), spec["as"]
+    pipeline = spec.get("pipeline") or []
+    if not pipeline or "$match" not in pipeline[0]:
+        raise PipelineError("$lookup pipeline form requires a leading $match")
+    match = pipeline[0]["$match"]
+    if set(match.keys()) != {"$expr"}:
+        raise PipelineError("$lookup pipeline $match must be a single $expr")
+    conjuncts = (
+        match["$expr"]["$and"]
+        if isinstance(match["$expr"], dict) and "$and" in match["$expr"]
+        else [match["$expr"]]
+    )
+    eq_keys: list[tuple[str, str]] = []  # (foreign field, let var)
+    pre_filters = []
+    for c in conjuncts:
+        if not _contains_var(c):
+            pre_filters.append(c)
+            continue
+        ok = isinstance(c, dict) and list(c) == ["$eq"] and len(c["$eq"]) == 2
+        a, b = (c["$eq"] + [None, None])[:2] if ok else (None, None)
+        if ok and isinstance(a, str) and isinstance(b, str):
+            if a.startswith("$$") and b.startswith("$") and not b.startswith("$$"):
+                a, b = b, a
+            if b.startswith("$$") and a.startswith("$") and not a.startswith("$$"):
+                var = b[2:]
+                if var not in let:
+                    raise PipelineError(f"$lookup: undefined let variable {var!r}")
+                eq_keys.append((a[1:], var))
+                continue
+        raise PipelineError(
+            "$lookup pipeline form supports $$var only in field == $$var "
+            f"equality conjuncts (got {c!r})"
+        )
+    if not eq_keys:
+        raise PipelineError("$lookup pipeline form needs >=1 field == $$var key")
+    rest = pipeline[1:]
+    project = None
+    if rest and list(rest[-1]) == ["$project"]:
+        project, rest = rest[-1]["$project"], rest[:-1]
+    if rest:
+        raise PipelineError(
+            "$lookup pipeline form supports [$match, $project?] only "
+            f"(unsupported stages: {[list(s)[0] for s in rest]})"
+        )
+
+    f = foreign
+    for flt in pre_filters:
+        f = f.filter(compile_expr(flt).cast("boolean"))
+    if project is not None:
+        keep = [k for k, v in project.items() if v in (1, True)]
+        # join keys must survive until packing even if projected away
+        f = f.select(*dict.fromkeys(keep + [k for k, _ in eq_keys]))
+        arr_cols = keep
+    else:
+        arr_cols = list(foreign.columns)
+
+    key_aliases = [f"__k{i}" for i in range(len(eq_keys))]
+    packed = f.groupBy(
+        *[F.col(field).alias(al) for (field, _), al in zip(eq_keys, key_aliases)]
+    ).agg(F.collect_list(F.struct(*[F.col(c) for c in arr_cols])).alias(out))
+    cond = None
+    for (_, var), al in zip(eq_keys, key_aliases):
+        c = compile_expr(let[var]).eqNullSafe(packed[al])
+        cond = c if cond is None else (cond & c)
+    joined = df.join(packed, cond, "left").drop(*key_aliases)
+    arr_type = packed.schema[out].dataType
+    return joined.withColumn(out, F.coalesce(F.col(out), F.array().cast(arr_type)))
 
 
 def _union_with(df: DataFrame, spec, collections) -> DataFrame:

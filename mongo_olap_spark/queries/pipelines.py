@@ -200,3 +200,41 @@ def q_pipeline_densify(spark, sf_dir):
         ],
     )
     return out.select("etype", "day", "n")
+
+
+@register(
+    "q_pipeline_lookup_expr",
+    oracle="""
+    SELECT c.c_custkey, CAST(COALESCE(b.n_big, 0) AS INT) AS n_big
+    FROM customer c LEFT JOIN (
+      SELECT o_custkey, COUNT(*) AS n_big
+      FROM orders WHERE o_totalprice > 300000
+      GROUP BY o_custkey
+    ) b ON c.c_custkey = b.o_custkey
+    """,
+)
+def q_pipeline_lookup_expr(spark, sf_dir):
+    # correlated $lookup (from/let/pipeline): the $$var equality
+    # becomes a join key, the price predicate a foreign pre-filter,
+    # the $project an array-column prune — all before packing
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return compile_pipeline(
+        c,
+        [
+            {"$lookup": {
+                "from": "orders",
+                "let": {"ck": "$c_custkey"},
+                "pipeline": [
+                    {"$match": {"$expr": {"$and": [
+                        {"$eq": ["$o_custkey", "$$ck"]},
+                        {"$gt": ["$o_totalprice", 300000]},
+                    ]}}},
+                    {"$project": {"o_orderkey": 1, "o_totalprice": 1}},
+                ],
+                "as": "big_orders",
+            }},
+            {"$project": {"c_custkey": 1, "n_big": {"$size": "$big_orders"}}},
+        ],
+        collections={"orders": o},
+    )

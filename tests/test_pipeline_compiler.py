@@ -605,3 +605,77 @@ def test_sample_stage_deterministic(spark):
     assert len(a) == 25
     # deterministic: same rows regardless of partitioning
     assert {r.id for r in a} == {r.id for r in b}
+
+
+# ---------------------------------------------------------------------------
+# $lookup pipeline form (from/let/pipeline with $expr correlation)
+# ---------------------------------------------------------------------------
+
+def test_lookup_pipeline_form(spark, sf_dir):
+    from mongo_olap_spark.plans.pipeline_compiler import compile_pipeline
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    orders = load_table(spark, sf_dir, "orders")
+    got = compile_pipeline(
+        cust,
+        [
+            {"$lookup": {
+                "from": "orders",
+                "let": {"ck": "$c_custkey"},
+                "pipeline": [
+                    {"$match": {"$expr": {"$and": [
+                        {"$eq": ["$o_custkey", "$$ck"]},
+                        {"$gt": ["$o_totalprice", 300000]},
+                    ]}}},
+                    {"$project": {"o_orderkey": 1, "o_totalprice": 1}},
+                ],
+                "as": "big_orders",
+            }},
+            {"$project": {"c_custkey": 1, "n_big": {"$size": "$big_orders"}}},
+        ],
+        collections={"orders": orders},
+    )
+    expected = (
+        cust.join(
+            orders.filter(F.col("o_totalprice") > 300000)
+            .groupBy("o_custkey")
+            .agg(F.count(F.lit(1)).alias("n_big")),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left",
+        )
+        .select("c_custkey", F.coalesce("n_big", F.lit(0)).alias("n_big"))
+    )
+    assert {(r.c_custkey, r.n_big) for r in got.collect()} == {
+        (r.c_custkey, r.n_big) for r in expected.collect()
+    }
+    # match-less rows carry [] (Mongo), so $size is 0, and row count
+    # is preserved (the packed join never multiplies local rows)
+    assert got.count() == cust.count()
+
+
+def test_lookup_pipeline_form_refusals(spark, sf_dir):
+    from mongo_olap_spark.plans.pipeline_compiler import (
+        PipelineError,
+        compile_pipeline,
+    )
+
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+
+    def run(pipeline):
+        compile_pipeline(
+            cust,
+            [{"$lookup": {"from": "orders", "let": {"ck": "$c_custkey"},
+                          "pipeline": pipeline, "as": "x"}}],
+            collections={"orders": orders},
+        )
+
+    with pytest.raises(PipelineError, match="leading"):
+        run([{"$limit": 5}])
+    with pytest.raises(PipelineError, match="equality conjuncts"):
+        run([{"$match": {"$expr": {"$gt": ["$o_custkey", "$$ck"]}}}])
+    with pytest.raises(PipelineError, match="unsupported stages"):
+        run([{"$match": {"$expr": {"$eq": ["$o_custkey", "$$ck"]}}},
+             {"$sort": {"o_totalprice": -1}}])
+    with pytest.raises(PipelineError, match="undefined let"):
+        run([{"$match": {"$expr": {"$eq": ["$o_custkey", "$$nope"]}}}])
