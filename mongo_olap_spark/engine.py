@@ -31,10 +31,33 @@ from mongo_olap_spark.streaming.pipeline import CubeMaintainer
 
 class OlapEngine:
     def __init__(self, spark: SparkSession, root: str):
+        import os
+
+        from mongo_olap_spark.sources.store import ParquetCollectionStore
+
         self.spark = spark
         self.catalog = CubeCatalog(spark, root)
         self.router = CubeRouter(self.catalog)
+        self.store = ParquetCollectionStore(spark, os.path.join(root, "collections"))
         self._maintainers: dict[str, CubeMaintainer] = {}
+
+    # -- materialized collections ($out / $merge) -------------------------
+    def materialize_pipeline(
+        self,
+        source_df: DataFrame,
+        pipeline: list[dict],
+        *,
+        collections: dict[str, DataFrame] | None = None,
+    ) -> int:
+        """Run a pipeline whose last stage is $out or $merge and commit
+        the result into the engine's collection store (atomic snapshot
+        swap). Returns the committed version; read back with
+        ``engine.store.read(name)``."""
+        from mongo_olap_spark.plans.pipeline_compiler import execute_pipeline
+
+        return execute_pipeline(
+            source_df, pipeline, self.store, collections=collections
+        )
 
     # -- cube lifecycle (reference: create/list/drop/pause) ---------------
     def create_cube(self, spec: CubeSpec | str, source: DataFrame) -> DataFrame:

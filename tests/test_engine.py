@@ -116,3 +116,26 @@ def test_time_range_serving_prunes_partitions(engine, events):
         where="day >= '2024-01-10' AND day < '2024-01-15'",
     )
     assert rows_set(got) == rows_set(expected)
+
+
+def test_materialize_pipeline_into_store(engine, events):
+    v = engine.materialize_pipeline(
+        events,
+        [
+            {"$group": {"_id": "$event_type", "n": {"$sum": 1}}},
+            {"$out": "type_counts"},
+        ],
+    )
+    assert v == 1
+    got = engine.store.read("type_counts")
+    assert got.count() == events.select("event_type").distinct().count()
+    # incremental refresh through $merge: re-materialize only one type
+    engine.materialize_pipeline(
+        events.filter(F.col("event_type").isNotNull()),
+        [
+            {"$group": {"_id": "$event_type", "n": {"$sum": 1}}},
+            {"$merge": {"into": "type_counts", "on": "_id"}},
+        ],
+    )
+    assert engine.store.version("type_counts") == 2
+    assert engine.store.read("type_counts").count() == got.count()

@@ -679,3 +679,57 @@ def test_lookup_pipeline_form_refusals(spark, sf_dir):
              {"$sort": {"o_totalprice": -1}}])
     with pytest.raises(PipelineError, match="undefined let"):
         run([{"$match": {"$expr": {"$eq": ["$o_custkey", "$$nope"]}}}])
+
+
+# ---------------------------------------------------------------------------
+# merge_documents property: Spark plan == pure-Python document model
+# ---------------------------------------------------------------------------
+
+def _model_merge(existing, incoming, when_matched, when_not_matched):
+    """Reference model: dict-of-docs upsert with Mongo $merge rules."""
+    out = {k: dict(v) for k, v in existing.items()}
+    for k, doc in incoming.items():
+        if k in out:
+            if when_matched == "replace":
+                out[k] = dict(doc)
+            elif when_matched == "merge":
+                out[k].update(doc)
+            # keepExisting: no-op
+        else:
+            if when_not_matched == "insert":
+                out[k] = dict(doc)
+            # discard: no-op
+    return out
+
+
+@pytest.mark.parametrize("when_matched", ["replace", "keepExisting", "merge"])
+@pytest.mark.parametrize("when_not_matched", ["insert", "discard"])
+def test_merge_documents_matches_model(spark, when_matched, when_not_matched):
+    import hypothesis.strategies as st
+    from hypothesis import given, settings
+
+    from mongo_olap_spark.plans.pipeline_compiler import merge_documents
+
+    keys = st.integers(min_value=0, max_value=6)
+    vals = st.one_of(st.none(), st.integers(min_value=-5, max_value=5))
+    side = st.dictionaries(keys, st.fixed_dictionaries({"v": vals, "w": vals}), max_size=5)
+
+    @given(e=side, i=side)
+    @settings(max_examples=12, deadline=None)
+    def check(e, i):
+        edf = spark.createDataFrame(
+            [(k, d["v"], d["w"]) for k, d in e.items()], "_id long, v long, w long"
+        )
+        idf = spark.createDataFrame(
+            [(k, d["v"], d["w"]) for k, d in i.items()], "_id long, v long, w long"
+        )
+        got = {
+            r._id: {"v": r.v, "w": r.w}
+            for r in merge_documents(
+                edf, idf, "_id",
+                when_matched=when_matched, when_not_matched=when_not_matched,
+            ).collect()
+        }
+        assert got == _model_merge(e, i, when_matched, when_not_matched)
+
+    check()
