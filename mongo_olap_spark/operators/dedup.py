@@ -399,6 +399,14 @@ def connected_components(
         labels = stepped.select("node", "comp")
         if changed == 0:
             break
+    else:
+        # an unconverged result would silently split components —
+        # refuse loudly; a legitimate deep graph needs a bigger budget
+        # (or the large/small-star variant noted above)
+        raise RuntimeError(
+            f"connected_components: no fixpoint after {max_iter} rounds "
+            f"({changed} labels still changing) — raise max_iter"
+        )
     return (
         nodes.select(F.col(node_col).alias("node"))
         .join(labels, "node", "left")

@@ -64,11 +64,35 @@ def _field(path: str) -> Column:
     return F.col(path)
 
 
+#: lexical scope for $$vars of $map/$filter/$reduce (and $let) — a
+#: stack of {name: Column} frames; compilation is single-threaded plan
+#: construction, so a module-level stack is safe
+_VAR_SCOPE: list[dict[str, Column]] = []
+
+
+class _bind:
+    def __init__(self, **vars_: Column):
+        self.frame = vars_
+
+    def __enter__(self):
+        _VAR_SCOPE.append(self.frame)
+
+    def __exit__(self, *exc):
+        _VAR_SCOPE.pop()
+
+
+def _lookup_var(name: str) -> Column:
+    for frame in reversed(_VAR_SCOPE):
+        if name in frame:
+            return frame[name]
+    raise PipelineError(f"unsupported variable $${name}")
+
+
 def compile_expr(spec: Any) -> Column:
     """Compile one Mongo aggregation expression to a Column."""
     if isinstance(spec, str):
         if spec.startswith("$$"):
-            raise PipelineError(f"unsupported variable {spec!r}")
+            return _lookup_var(spec[2:])
         if spec.startswith("$"):
             return _field(spec[1:])
         return F.lit(spec)
@@ -215,6 +239,57 @@ def _compile_op(op: str, spec: Any) -> Column:
         return F.slice(compile_expr(arr), 1, n)
     if op == "$dateTrunc":
         return F.date_trunc(spec["unit"], compile_expr(spec["date"]))
+    if op == "$dateAdd":
+        return F.timestamp_add(
+            spec["unit"].upper(),
+            compile_expr(spec["amount"]),
+            compile_expr(spec["startDate"]),
+        )
+    if op == "$dateDiff":
+        return F.timestamp_diff(
+            spec["unit"].upper(),
+            compile_expr(spec["startDate"]),
+            compile_expr(spec["endDate"]),
+        )
+    if op == "$setDifference":
+        a, b = spec
+        return F.array_except(compile_expr(a), compile_expr(b))
+    # -- array higher-order functions. The lambda body compiles with
+    # the loop variable bound in _VAR_SCOPE, so nested $map/$filter
+    # shadow correctly. Spark evaluates HOF lambdas interpreted
+    # per-element — fine for user-facing document reshaping; the
+    # engine's own hot paths (shingles, signatures) use the
+    # explode+codegen shapes instead (operators/dedup.py).
+    if op == "$map":
+        var = spec.get("as", "this")
+
+        def _map_body(x: Column) -> Column:
+            with _bind(**{var: x}):
+                return compile_expr(spec["in"])
+
+        return F.transform(compile_expr(spec["input"]), _map_body)
+    if op == "$filter":
+        var = spec.get("as", "this")
+
+        def _filter_body(x: Column) -> Column:
+            with _bind(**{var: x}):
+                return compile_expr(spec["cond"]).cast("boolean")
+
+        return F.filter(compile_expr(spec["input"]), _filter_body)
+    if op == "$reduce":
+        def _reduce_body(acc: Column, x: Column) -> Column:
+            with _bind(value=acc, this=x):
+                return compile_expr(spec["in"])
+
+        return F.aggregate(
+            compile_expr(spec["input"]),
+            compile_expr(spec["initialValue"]),
+            _reduce_body,
+        )
+    if op == "$let":
+        bound = {k: compile_expr(v) for k, v in spec["vars"].items()}
+        with _bind(**bound):
+            return compile_expr(spec["in"])
     raise PipelineError(f"unsupported expression operator {op!r}")
 
 

@@ -238,3 +238,39 @@ def q_pipeline_lookup_expr(spark, sf_dir):
         ],
         collections={"orders": o},
     )
+
+
+@register(
+    "q_pipeline_array",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(list_filter(string_split(text, ' '),
+                                t -> length(t) > 5)) AS INT) AS n_long,
+           CAST(list_aggregate(list_transform(string_split(text, ' '),
+                                              t -> length(t)), 'sum')
+                AS BIGINT) AS total_len
+    FROM documents
+    """,
+)
+def q_pipeline_array(spark, sf_dir):
+    # $filter/$size and $reduce with $$value/$$this — the array HOF
+    # surface compiled to native transform/filter/aggregate Columns
+    d = load_table(spark, sf_dir, "documents")
+    toks = {"$split": ["$text", " "]}
+    return compile_pipeline(
+        d,
+        [
+            {"$project": {
+                "doc_id": 1,
+                "n_long": {"$size": {"$filter": {
+                    "input": toks, "as": "t",
+                    "cond": {"$gt": [{"$strLenCP": "$$t"}, 5]},
+                }}},
+                "total_len": {"$toLong": {"$reduce": {
+                    "input": toks,
+                    "initialValue": 0,
+                    "in": {"$add": ["$$value", {"$strLenCP": "$$this"}]},
+                }}},
+            }},
+        ],
+    )

@@ -322,3 +322,13 @@ def test_connected_components_merges_across_shared_member(spark):
         for r in dd.connected_components(pairs, nodes).collect()
     }
     assert got == {(3, 3), (5, 3), (7, 3), (9, 3)}
+
+
+def test_connected_components_refuses_unconverged(spark):
+    # a 5-chain needs ~4 rounds; max_iter=1 must refuse, not mislabel
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "id_a long, id_b long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(1, 6)], "node long")
+    with pytest.raises(RuntimeError, match="no fixpoint"):
+        dd.connected_components(pairs, nodes, max_iter=1).collect()

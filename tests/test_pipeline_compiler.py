@@ -733,3 +733,62 @@ def test_merge_documents_matches_model(spark, when_matched, when_not_matched):
         assert got == _model_merge(e, i, when_matched, when_not_matched)
 
     check()
+
+
+# ---------------------------------------------------------------------------
+# array HOFs / date arithmetic / $let
+# ---------------------------------------------------------------------------
+
+def test_map_filter_reduce_let(spark):
+    from mongo_olap_spark.plans.pipeline_compiler import compile_expr
+
+    df = spark.createDataFrame([([1, 2, 3, 4], 10)], "xs array<int>, base int")
+    got = df.select(
+        compile_expr({"$map": {"input": "$xs", "as": "x",
+                               "in": {"$multiply": ["$$x", 2]}}}).alias("doubled"),
+        compile_expr({"$filter": {"input": "$xs", "as": "x",
+                                  "cond": {"$gte": ["$$x", 3]}}}).alias("big"),
+        compile_expr({"$reduce": {"input": "$xs", "initialValue": 0,
+                                  "in": {"$add": ["$$value", "$$this"]}}}).alias("sum"),
+        compile_expr({"$let": {"vars": {"b": "$base"},
+                               "in": {"$map": {"input": "$xs", "as": "x",
+                                               "in": {"$add": ["$$x", "$$b"]}}}}}).alias("shifted"),
+        # nested $map: inner var shadows outer
+        compile_expr({"$map": {"input": "$xs", "as": "x",
+                               "in": {"$size": {"$filter": {
+                                   "input": "$xs", "as": "y",
+                                   "cond": {"$lt": ["$$y", "$$x"]}}}}}}).alias("n_less"),
+    ).first()
+    assert got.doubled == [2, 4, 6, 8]
+    assert got.big == [3, 4]
+    assert got.sum == 10
+    assert got.shifted == [11, 12, 13, 14]
+    assert got.n_less == [0, 1, 2, 3]
+
+
+def test_date_add_diff(spark):
+    from mongo_olap_spark.plans.pipeline_compiler import compile_expr
+
+    df = spark.createDataFrame(
+        [("2024-01-01 00:00:00", "2024-01-11 06:00:00")], "a string, b string"
+    ).selectExpr("CAST(a AS TIMESTAMP) a", "CAST(b AS TIMESTAMP) b")
+    got = df.select(
+        compile_expr({"$dateAdd": {"startDate": "$a", "unit": "day",
+                                   "amount": 3}}).alias("plus3"),
+        compile_expr({"$dateDiff": {"startDate": "$a", "endDate": "$b",
+                                    "unit": "day"}}).alias("days"),
+        compile_expr({"$setDifference": [[1, 2, 3], [2]]}).alias("diff"),
+    ).first()
+    assert str(got.plus3) == "2024-01-04 00:00:00"
+    assert got.days == 10
+    assert got.diff == [1, 3]
+
+
+def test_undefined_var_still_refuses(spark):
+    from mongo_olap_spark.plans.pipeline_compiler import (
+        PipelineError,
+        compile_expr,
+    )
+
+    with pytest.raises(PipelineError, match="unsupported variable"):
+        compile_expr({"$add": ["$$nope", 1]})
