@@ -290,6 +290,21 @@ def _compile_op(op: str, spec: Any) -> Column:
         bound = {k: compile_expr(v) for k, v in spec["vars"].items()}
         with _bind(**bound):
             return compile_expr(spec["in"])
+    if op == "$regexMatch":
+        if not isinstance(spec.get("regex"), str):
+            raise PipelineError("$regexMatch requires a literal regex")
+        return compile_expr(spec["input"]).rlike(spec["regex"])
+    if op == "$dateToString":
+        fmt = spec.get("format", "%Y-%m-%dT%H:%M:%S.%LZ")
+        for mongo, jvm in (("%Y", "yyyy"), ("%m", "MM"), ("%d", "dd"),
+                           ("%H", "HH"), ("%M", "mm"), ("%S", "ss"),
+                           ("%L", "SSS"), ("%j", "DDD"), ("%%", "%")):
+            fmt = fmt.replace(mongo, jvm)
+        if "%" in fmt:
+            raise PipelineError(
+                f"$dateToString: unsupported format specifier in {spec['format']!r}"
+            )
+        return F.date_format(compile_expr(spec["date"]), fmt)
     raise PipelineError(f"unsupported expression operator {op!r}")
 
 
@@ -425,6 +440,21 @@ def _compile_accumulator(spec: dict, sort_keys: list[tuple[str, bool]] | None) -
         return getattr(F, fn)(compile_expr(arg), ordk)
     if op == "$count":
         return F.count(F.lit(1))
+    if op == "$median":
+        return F.median(compile_expr(arg["input"] if isinstance(arg, dict) else arg))
+    if op == "$percentile":
+        ps = arg["p"]
+        return F.percentile(
+            compile_expr(arg["input"]), F.array(*[F.lit(float(p)) for p in ps])
+        )
+    if op in ("$minN", "$maxN"):
+        n = arg["n"]
+        if not (isinstance(n, int) and n > 0):
+            raise PipelineError(f"{op} requires a positive literal n")
+        asc = op == "$minN"
+        return F.slice(
+            F.sort_array(F.collect_list(compile_expr(arg["input"])), asc=asc), 1, n
+        )
     raise PipelineError(f"unsupported accumulator {op!r}")
 
 

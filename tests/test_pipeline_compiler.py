@@ -792,3 +792,38 @@ def test_undefined_var_still_refuses(spark):
 
     with pytest.raises(PipelineError, match="unsupported variable"):
         compile_expr({"$add": ["$$nope", 1]})
+
+
+def test_extended_accumulators_and_string_ops(spark):
+    from mongo_olap_spark.plans.pipeline_compiler import compile_pipeline, compile_expr
+
+    df = spark.createDataFrame(
+        [("a", float(v)) for v in [1, 3, 5, 7, 9]] + [("b", 2.0), ("b", 4.0)],
+        "k string, v double",
+    )
+    got = {
+        r._id: r
+        for r in compile_pipeline(
+            df,
+            [{"$group": {
+                "_id": "$k",
+                "med": {"$median": {"input": "$v"}},
+                "pcts": {"$percentile": {"input": "$v", "p": [0.5, 1.0]}},
+                "lo2": {"$minN": {"input": "$v", "n": 2}},
+                "hi2": {"$maxN": {"input": "$v", "n": 2}},
+            }}],
+        ).collect()
+    }
+    assert got["a"].med == 5.0 and got["b"].med == 3.0
+    assert got["a"].pcts == [5.0, 9.0]
+    assert got["a"].lo2 == [1.0, 3.0] and got["a"].hi2 == [9.0, 7.0]
+    assert got["b"].lo2 == [2.0, 4.0]
+
+    row = spark.createDataFrame(
+        [("abc-42", "2024-03-05 07:08:09")], "s string, t string"
+    ).selectExpr("s", "CAST(t AS TIMESTAMP) t").select(
+        compile_expr({"$regexMatch": {"input": "$s", "regex": r"-\d+$"}}).alias("m"),
+        compile_expr({"$dateToString": {"date": "$t", "format": "%Y/%m/%d %H:%M"}}).alias("d"),
+    ).first()
+    assert row.m is True
+    assert row.d == "2024/03/05 07:08"
