@@ -851,3 +851,57 @@ def q_decontaminate(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= 3)
     )
+
+
+# ---------------------------------------------------------------------------
+# X4''' — vocabulary build: top-k tokens by corpus frequency with
+# cumulative coverage share (the tokenizer-training precursor). One
+# explode + one count shuffle + one tiny window over k rows.
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_vocab",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    freq AS (
+      SELECT token, COUNT(*) AS n FROM tok GROUP BY token
+    ),
+    tot AS (SELECT SUM(n) AS total FROM freq)
+    SELECT token, n,
+           CAST(SUM(n) OVER (ORDER BY n DESC, token
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) / (SELECT total FROM tot) AS coverage
+    FROM freq
+    ORDER BY n DESC, token
+    LIMIT 200
+    """,
+)
+def q_vocab(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    freq = (
+        d.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # corpus-total joined as a 1-row broadcast literal, not a collect
+    total = freq.agg(F.sum("n").alias("total"))
+    # top-k FIRST (TakeOrderedAndProject — never a global sort), THEN
+    # the cumulative window over just k rows: rank-i coverage only
+    # depends on the rows above it, so limiting before the unpartitioned
+    # window is answer-identical and keeps the single-reducer frame at
+    # k rows instead of the whole vocabulary
+    top = freq.orderBy(F.desc("n"), "token").limit(200)
+    w = W.orderBy(F.desc("n"), "token").rowsBetween(W.unboundedPreceding, 0)
+    return (
+        top.crossJoin(F.broadcast(total))
+        .select(
+            "token",
+            "n",
+            (F.sum("n").over(w).cast("double") / F.col("total")).alias("coverage"),
+        )
+        .orderBy(F.desc("n"), "token")
+    )

@@ -578,3 +578,31 @@ def q_ntile(spark, sf_dir):
     return o.select(
         "o_orderkey", "o_orderpriority", F.ntile(10).over(w).alias("decile")
     )
+
+
+# ---------------------------------------------------------------------------
+# rolling median: an aggregate (not rank) function over a sliding row
+# frame — partitioned per user, so no global sort; the frame is 7 rows.
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_window_median",
+    oracle="""
+    SELECT event_id, user_id,
+           round(quantile_cont(value, 0.5) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS med7
+    FROM events
+    """,
+)
+def q_window_median(spark, sf_dir):
+    # 6-dp round: linear-interpolated median is non-associative float
+    # math (same policy as q_agg_stats percentiles). percentile(x,.5)
+    # rather than median(): Spark allows the former over a row frame.
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-6, 0)
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(F.expr("percentile(value, 0.5)").over(w), 6).alias("med7"),
+    )
