@@ -905,3 +905,46 @@ def q_vocab(spark, sf_dir):
         )
         .orderBy(F.desc("n"), "token")
     )
+
+
+# ---------------------------------------------------------------------------
+# X4'''' — sequence packing layout: concat-and-chunk the corpus into
+# fixed token-budget training bins. Each doc's start offset in the
+# per-source token stream is a window prefix-sum; bin id and offset
+# within the bin are arithmetic on it — fully deterministic, no
+# bin-state iteration, one shuffle on the stream key.
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_pack",
+    oracle="""
+    SELECT doc_id, source, n_tokens,
+           CAST(FLOOR(start_tok / 2048) AS BIGINT) AS bin_id,
+           CAST(start_tok % 2048 AS BIGINT) AS bin_offset
+    FROM (
+      SELECT doc_id, source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) - CAST(len(string_split(text, ' ')) AS BIGINT) AS start_tok
+      FROM documents
+    )
+    """,
+)
+def q_pack(spark, sf_dir, bin_tokens: int = 2048):
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    n = tx.token_count("text").cast("long")
+    w = W.partitionBy("source").orderBy("doc_id").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    start = (F.sum(n).over(w) - n).alias("start_tok")
+    return d.select("doc_id", "source", n.alias("n_tokens"), start).select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.floor(F.col("start_tok") / bin_tokens).alias("bin_id"),
+        (F.col("start_tok") % bin_tokens).alias("bin_offset"),
+    )

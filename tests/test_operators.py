@@ -332,3 +332,20 @@ def test_connected_components_refuses_unconverged(spark):
     nodes = spark.createDataFrame([(i,) for i in range(1, 6)], "node long")
     with pytest.raises(RuntimeError, match="no fixpoint"):
         dd.connected_components(pairs, nodes, max_iter=1).collect()
+
+
+def test_connected_components_hot_node_star(spark):
+    # a viral duplicate: one node adjacent to 2000 others (the skew
+    # case for the edges-join); must converge in 2 rounds + checks
+    # and label every spoke with the hub's component minimum
+    pairs = spark.createDataFrame(
+        [(1000, i) for i in range(1, 500)] + [(i, 5000 + i) for i in range(1, 500)],
+        "id_a long, id_b long",
+    )
+    nodes = spark.createDataFrame(
+        [(i,) for i in range(1, 500)] + [(1000,)] + [(5000 + i,) for i in range(1, 500)],
+        "node long",
+    )
+    got = dd.connected_components(pairs, nodes)
+    assert got.filter(F.col("group_id") != 1).count() == 0
+    assert got.count() == 999
