@@ -366,6 +366,8 @@ def connected_components(
     out labeled with themselves, so the output covers the whole corpus.
     Returns (node, group_id).
     """
+    if max_iter < 1:
+        raise ValueError("connected_components: max_iter must be >= 1")
     half = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     edges = half.unionByName(
         half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
