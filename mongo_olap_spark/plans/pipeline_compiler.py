@@ -622,6 +622,8 @@ def _lookup(df: DataFrame, spec: dict, collections) -> DataFrame:
     # pre-aggregate the foreign side: one array row per key -> the join
     # never multiplies rows, and the aggregated side broadcasts when
     # small (Catalyst/AQE decide)
+    if out in df.columns:
+        df = df.drop(out)  # Mongo $lookup overwrites an existing as-field
     packed = foreign.groupBy(F.col(remote).alias("__key")).agg(
         F.collect_list(F.struct(*foreign.columns)).alias(out)
     )
@@ -722,6 +724,8 @@ def _lookup_pipeline(df: DataFrame, spec: dict, collections) -> DataFrame:
     else:
         arr_cols = list(foreign.columns)
 
+    if out in df.columns:
+        df = df.drop(out)  # Mongo $lookup overwrites an existing as-field
     key_aliases = [f"__k{i}" for i in range(len(eq_keys))]
     packed = f.groupBy(
         *[F.col(field).alias(al) for (field, _), al in zip(eq_keys, key_aliases)]
@@ -1207,6 +1211,11 @@ def merge_documents(
             raise PipelineError(f"$merge: on-field {k!r} missing from a side")
     # presence markers, not key-nullability: merge keys may legally be
     # NULL (eqNullSafe matches them), so null keys can't signal absence
+    for reserved in ("_e_present", "_i_present"):
+        if reserved in existing.columns or reserved in incoming.columns:
+            raise PipelineError(
+                f"$merge: column name {reserved!r} is reserved by the merge"
+            )
     e = existing.withColumn("_e_present", F.lit(True)).alias("e")
     i = incoming.withColumn("_i_present", F.lit(True)).alias("i")
     cond = None

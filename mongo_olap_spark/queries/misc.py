@@ -431,3 +431,79 @@ def q_sample_stratified(spark, sf_dir):
         .filter(F.col("rn") <= 50)
         .drop("rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# cohort retention: first-seen day × active day matrix — the classic
+# event-analytics rollup the reference's cube domain serves. The
+# cohort dim is a per-user aggregate joined back (broadcast — users
+# ≪ events), then one count-distinct grouping.
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_retention",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, CAST(date_trunc('day', min(ts)) AS TIMESTAMP) AS cohort
+      FROM events GROUP BY user_id
+    )
+    SELECT f.cohort,
+           CAST(date_trunc('day', e.ts) AS TIMESTAMP) AS active_day,
+           COUNT(DISTINCT e.user_id) AS n_users
+    FROM events e JOIN first_seen f ON e.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+)
+def q_retention(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    first_seen = e.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("cohort")
+    )
+    return (
+        e.join(F.broadcast(first_seen), "user_id")
+        .groupBy("cohort", F.date_trunc("day", "ts").alias("active_day"))
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# anomaly pick: per-user top-3 deviations from the user's median.
+# Rank-based rather than z-threshold on purpose: |v − median| is one
+# exactly-rounded subtraction from engine-identical inputs, so the
+# ordering (and the oracle hash) is deterministic — a float z-score
+# THRESHOLD would make row membership depend on last-bit float
+# differences between engines.
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_anomaly",
+    oracle="""
+    SELECT user_id, event_id, value FROM (
+      SELECT user_id, event_id, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY abs(value - med) DESC, event_id) AS rn
+      FROM (
+        SELECT user_id, event_id, value,
+               quantile_cont(value, 0.5) OVER (PARTITION BY user_id) AS med
+        FROM events
+      )
+    ) WHERE rn <= 3
+    """,
+)
+def q_anomaly(spark, sf_dir):
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    wmed = Window.partitionBy("user_id")
+    wrank = Window.partitionBy("user_id").orderBy(
+        F.abs(F.col("value") - F.col("med")).desc(), F.col("event_id")
+    )
+    return (
+        e.select(
+            "user_id", "event_id", "value",
+            F.expr("percentile(value, 0.5)").over(wmed).alias("med"),
+        )
+        .withColumn("rn", F.row_number().over(wrank))
+        .filter(F.col("rn") <= 3)
+        .select("user_id", "event_id", "value")
+    )

@@ -827,3 +827,30 @@ def test_extended_accumulators_and_string_ops(spark):
     ).first()
     assert row.m is True
     assert row.d == "2024/03/05 07:08"
+
+
+def test_lookup_overwrites_existing_as_field(spark):
+    from mongo_olap_spark.plans.pipeline_compiler import compile_pipeline
+
+    local = spark.createDataFrame([(1, "old")], "k long, hits string")
+    foreign = spark.createDataFrame([(1, 9)], "fk long, v long")
+    got = compile_pipeline(
+        local,
+        [{"$lookup": {"from": "f", "localField": "k",
+                      "foreignField": "fk", "as": "hits"}}],
+        collections={"f": foreign},
+    )
+    assert got.columns.count("hits") == 1
+    assert got.first().hits[0].v == 9
+
+
+def test_merge_reserved_marker_collision_refused(spark):
+    from mongo_olap_spark.plans.pipeline_compiler import (
+        PipelineError,
+        merge_documents,
+    )
+
+    e = spark.createDataFrame([(1, True)], "_id long, _e_present boolean")
+    i = spark.createDataFrame([(1, False)], "_id long, _e_present boolean")
+    with pytest.raises(PipelineError, match="reserved"):
+        merge_documents(e, i, "_id")
