@@ -507,3 +507,50 @@ def q_anomaly(spark, sf_dir):
         .filter(F.col("rn") <= 3)
         .select("user_id", "event_id", "value")
     )
+
+
+# ---------------------------------------------------------------------------
+# ordered funnel: users reaching view → click → purchase in timestamp
+# order. One groupBy(user) with conditional-min stage times, one tiny
+# final aggregate — no joins, no window, two shuffles total.
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_funnel",
+    oracle="""
+    WITH stage AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT COUNT(*) FILTER (WHERE t_view IS NOT NULL) AS n_view,
+           COUNT(*) FILTER (WHERE t_click > t_view) AS n_click_after_view,
+           COUNT(*) FILTER (WHERE t_purchase > t_click AND t_click > t_view)
+             AS n_full_funnel
+    FROM stage
+    """,
+)
+def q_funnel(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+
+    def stage_min(t):
+        return F.min(F.when(F.col("event_type") == t, F.col("ts"))).alias(f"t_{t}")
+
+    stages = e.groupBy("user_id").agg(
+        stage_min("view"), stage_min("click"), stage_min("purchase")
+    )
+    return stages.agg(
+        F.count(F.when(F.col("t_view").isNotNull(), 1)).alias("n_view"),
+        F.count(F.when(F.col("t_click") > F.col("t_view"), 1)).alias(
+            "n_click_after_view"
+        ),
+        F.count(
+            F.when(
+                (F.col("t_purchase") > F.col("t_click"))
+                & (F.col("t_click") > F.col("t_view")),
+                1,
+            )
+        ).alias("n_full_funnel"),
+    )
