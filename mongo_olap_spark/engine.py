@@ -149,12 +149,39 @@ class OlapEngine:
             if time_range is not None:
                 from pyspark.sql import functions as F
 
+                if tail is not None:
+                    raise ValueError(
+                        "query: tail= and time_range= cannot combine — the "
+                        "tail side is not range-pruned, so the answer would "
+                        "silently mix a sliced cube with an unsliced tail"
+                    )
                 pdim = self.catalog.partition_dim(spec)
                 if pdim is None:
                     raise ValueError(
                         f"cube {cube} has no time dimension to range-slice"
                     )
-                lo, hi = time_range
+                # bounds may arrive as preformatted partition-key strings
+                # ('yyyy-MM-ddTHH.MM.SS'); the exact filter below compares
+                # against the TIMESTAMP dim column, where that dotted
+                # string would cast to NULL and silently match nothing —
+                # parse strings back to datetimes first
+                from datetime import datetime
+
+                def _parse(b):
+                    if not isinstance(b, str):
+                        return b
+                    for pat in ("%Y-%m-%dT%H.%M.%S", "%Y-%m-%dT%H:%M:%S",
+                                "%Y-%m-%d %H:%M:%S", "%Y-%m-%d"):
+                        try:
+                            return datetime.strptime(b, pat)
+                        except ValueError:
+                            continue
+                    raise ValueError(
+                        f"time_range: cannot parse bound {b!r} (expected a "
+                        "datetime or 'yyyy-MM-ddTHH.mm.ss' key string)"
+                    )
+
+                lo, hi = _parse(time_range[0]), _parse(time_range[1])
                 cells = self.catalog.cells_in_range(cube, lo, hi)
                 cond = F.lit(True)
                 if lo is not None:

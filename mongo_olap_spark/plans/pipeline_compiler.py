@@ -115,6 +115,55 @@ def _args(spec: Any) -> list:
     return spec if isinstance(spec, list) else [spec]
 
 
+#: Mongo $dateToString specifier → JVM DateTimeFormatter pattern letters
+_DATE_SPECS = {
+    "Y": "yyyy", "m": "MM", "d": "dd", "H": "HH", "M": "mm",
+    "S": "ss", "L": "SSS", "j": "DDD",
+}
+
+
+def _mongo_date_format(fmt: str) -> str:
+    """Translate a Mongo $dateToString format to a JVM pattern.
+
+    Scanned as a token stream, not text substitution: every
+    non-specifier character (including 'T', the literal 'Z' in the
+    default format, and '%' produced by '%%') is single-quoted so the
+    JVM formatter emits it verbatim instead of treating letters as
+    pattern letters or rendering a zone offset. Unknown specifiers
+    refuse by name (checked per token, so '%%' can no longer mask or
+    be masked by the leftover-'%' scan).
+    """
+    out: list[str] = []
+    lit: list[str] = []
+
+    def flush():
+        if lit:
+            out.append("'" + "".join(lit).replace("'", "''") + "'")
+            lit.clear()
+
+    i = 0
+    while i < len(fmt):
+        if fmt[i] == "%":
+            if i + 1 >= len(fmt):
+                raise PipelineError(f"$dateToString: trailing '%' in {fmt!r}")
+            nxt = fmt[i + 1]
+            if nxt == "%":
+                lit.append("%")
+            elif nxt in _DATE_SPECS:
+                flush()
+                out.append(_DATE_SPECS[nxt])
+            else:
+                raise PipelineError(
+                    f"$dateToString: unsupported format specifier %{nxt} in {fmt!r}"
+                )
+            i += 2
+        else:
+            lit.append(fmt[i])
+            i += 1
+    flush()
+    return "".join(out)
+
+
 def _variadic(fn: Callable[[Column, Column], Column], args: list) -> Column:
     out = compile_expr(args[0])
     for a in args[1:]:
@@ -246,10 +295,32 @@ def _compile_op(op: str, spec: Any) -> Column:
             compile_expr(spec["startDate"]),
         )
     if op == "$dateDiff":
+        # Mongo counts unit-BOUNDARY CROSSINGS (23:59 → 00:01 next day
+        # is 1 day); Spark's timestamp_diff counts complete elapsed
+        # units. Truncating both endpoints to the unit first makes the
+        # elapsed count equal the crossing count.
+        unit = spec["unit"].lower()
+        start, end = compile_expr(spec["startDate"]), compile_expr(spec["endDate"])
+        if unit == "week":
+            # week boundaries depend on startOfWeek (Mongo default
+            # Sunday; Spark date_trunc truncates to Monday) — count
+            # whole weeks since an anchor date that falls on that day
+            anchors = {
+                "sunday": "1970-01-04", "monday": "1970-01-05",
+                "tuesday": "1970-01-06", "wednesday": "1970-01-07",
+                "thursday": "1970-01-01", "friday": "1970-01-02",
+                "saturday": "1970-01-03",
+            }
+            sow = str(spec.get("startOfWeek", "sunday")).lower()
+            if sow not in anchors:
+                raise PipelineError(f"$dateDiff: unknown startOfWeek {sow!r}")
+            a = F.lit(anchors[sow]).cast("date")
+            return (
+                F.floor(F.datediff(end.cast("date"), a) / 7)
+                - F.floor(F.datediff(start.cast("date"), a) / 7)
+            ).cast("long")
         return F.timestamp_diff(
-            spec["unit"].upper(),
-            compile_expr(spec["startDate"]),
-            compile_expr(spec["endDate"]),
+            unit.upper(), F.date_trunc(unit, start), F.date_trunc(unit, end)
         )
     if op == "$setDifference":
         a, b = spec
@@ -295,15 +366,7 @@ def _compile_op(op: str, spec: Any) -> Column:
             raise PipelineError("$regexMatch requires a literal regex")
         return compile_expr(spec["input"]).rlike(spec["regex"])
     if op == "$dateToString":
-        fmt = spec.get("format", "%Y-%m-%dT%H:%M:%S.%LZ")
-        for mongo, jvm in (("%Y", "yyyy"), ("%m", "MM"), ("%d", "dd"),
-                           ("%H", "HH"), ("%M", "mm"), ("%S", "ss"),
-                           ("%L", "SSS"), ("%j", "DDD"), ("%%", "%")):
-            fmt = fmt.replace(mongo, jvm)
-        if "%" in fmt:
-            raise PipelineError(
-                f"$dateToString: unsupported format specifier in {spec['format']!r}"
-            )
+        fmt = _mongo_date_format(spec.get("format", "%Y-%m-%dT%H:%M:%S.%LZ"))
         return F.date_format(compile_expr(spec["date"]), fmt)
     raise PipelineError(f"unsupported expression operator {op!r}")
 
@@ -718,6 +781,13 @@ def _lookup_pipeline(df: DataFrame, spec: dict, collections) -> DataFrame:
         f = f.filter(compile_expr(flt).cast("boolean"))
     if project is not None:
         keep = [k for k, v in project.items() if v in (1, True)]
+        if not keep:
+            # exclusion-form ({"_id": 0}) would pack zero-field structs;
+            # refuse by name like the compiler's other unsupported shapes
+            raise PipelineError(
+                "$lookup pipeline $project supports inclusion form only "
+                f"(got {project!r} with no included fields)"
+            )
         # join keys must survive until packing even if projected away
         f = f.select(*dict.fromkeys(keep + [k for k, _ in eq_keys]))
         arr_cols = keep
@@ -774,14 +844,18 @@ def _bucket(df: DataFrame, spec: dict) -> DataFrame:
 
 
 def _bucket_auto(df: DataFrame, spec: dict) -> DataFrame:
-    from pyspark.sql import Window as W
+    # Equi-height via exact global rank (range-partitioned two-pass,
+    # operators/ranking.py) — same buckets as an unpartitioned ntile
+    # window but no task ever holds the whole collection.
+    from mongo_olap_spark.operators.ranking import scalable_ntile
 
     group_expr = compile_expr(spec["groupBy"])
     n = spec["buckets"]
     out_spec = spec.get("output", {"count": {"$sum": 1}})
     aggs = [_compile_accumulator(v, None).alias(k) for k, v in out_spec.items()]
-    w = W.orderBy(group_expr)
-    bucketed = df.withColumn("__bucket", F.ntile(n).over(w))
+    bucketed = scalable_ntile(
+        df.withColumn("__bkey", group_expr), n, ["__bkey"], bucket_col="__bucket"
+    ).drop("__bkey")
     return (
         bucketed.groupBy("__bucket")
         .agg(

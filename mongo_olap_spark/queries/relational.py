@@ -288,12 +288,15 @@ def q_bucket(spark, sf_dir):
     """,
 )
 def q_bucket_auto(spark, sf_dir):
-    from pyspark.sql import Window as W
+    # Equi-height buckets WITHOUT the single-partition global-sort
+    # window: exact global rank via range-partitioned two-pass
+    # (operators/ranking.py), then ntile membership by arithmetic.
+    # Bit-identical to ntile(8) OVER (ORDER BY ...), bounded tasks.
+    from mongo_olap_spark.operators.ranking import scalable_ntile
 
     o = load_table(spark, sf_dir, "orders")
-    w = W.orderBy("o_totalprice", "o_orderkey")
     return (
-        o.withColumn("bucket", F.ntile(8).over(w))
+        scalable_ntile(o, 8, ["o_totalprice", "o_orderkey"], bucket_col="bucket")
         .groupBy("bucket")
         .agg(
             F.count(F.lit(1)).alias("n"),

@@ -395,7 +395,35 @@ def exp_moving_avg(
     )
 
 
-@register("q_window_ema")
+@register(
+    "q_window_ema",
+    # Exact oracle (VERDICT r2 item 5): with α=0.25 both α and 1−α are
+    # dyadic, so pandas ewm(adjust=False), the plain β·acc+α·x fold,
+    # and DuckDB's list_reduce left-fold are BIT-identical (verified:
+    # same IEEE ops in the same order; the ewm normalizer α+β is
+    # exactly 1.0). The engine's .round(6) is numpy's rint(x·1e6)/1e6
+    # (half-to-even ON THE SCALED DOUBLE); DuckDB's round/round_even
+    # compute x·1e6+0.5 and drift an ulp on dyadic EMA values that sit
+    # exactly on the 7th-decimal half, so the CASE below spells out
+    # rint itself. The prefix-list window makes the oracle O(n²) per
+    # partition — fine for the single-node gate, never for the engine.
+    oracle="""
+    SELECT event_id, user_id, ts, value,
+           CASE WHEN frac > 0.5 THEN (f + 1) / 1e6
+                WHEN frac < 0.5 THEN f / 1e6
+                WHEN CAST(f AS BIGINT) % 2 = 0 THEN f / 1e6
+                ELSE (f + 1) / 1e6 END AS ema
+    FROM (
+      SELECT *, floor(s) AS f, s - floor(s) AS frac FROM (
+        SELECT event_id, user_id, ts, value,
+               list_reduce(
+                 list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 (acc, x) -> 0.75 * acc + 0.25 * x) * 1e6 AS s
+        FROM events))
+    ORDER BY user_id, ts, event_id
+    """,
+)
 def q_window_ema(spark, sf_dir):
     e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
     return exp_moving_avg(e, "user_id", ["ts", "event_id"], "value").orderBy(

@@ -64,9 +64,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType
 
-        # integer div — ts is epoch-nanos (~1.7e18), beyond double precision
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # The lake has shipped events.ts as TIMESTAMP(NANOS) (read as
+        # epoch-nanos long under the legacy conf) and as TIMESTAMP(µs)
+        # (read as timestamp_ntz). Normalize both to TimestampType so
+        # the engine sees one type regardless of which writer produced
+        # the file. Integer div for the nanos case — ~1.7e18 is beyond
+        # double precision.
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        else:
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -118,6 +118,34 @@ def test_time_range_serving_prunes_partitions(engine, events):
     assert rows_set(got) == rows_set(expected)
 
 
+def test_time_range_accepts_key_strings_and_fences_tail(engine, events):
+    """ADVICE r2: string bounds in the partition-key format must slice
+    exactly like datetimes (previously the dotted string cast to NULL
+    against the timestamp dim and silently matched nothing), and
+    tail= + time_range= must refuse instead of silently ignoring tail."""
+    from datetime import datetime
+
+    engine.create_cube(EVENTS_CUBE, events)
+    lo, hi = datetime(2024, 1, 10), datetime(2024, 1, 15)
+    want = rows_set(engine.query(
+        cube="events_daily", group_by=["event_type"], time_range=(lo, hi)
+    ))
+    assert want  # the slice is non-empty, so a silent empty would show
+    got = engine.query(
+        cube="events_daily",
+        group_by=["event_type"],
+        time_range=("2024-01-10T00.00.00", "2024-01-15T00.00.00"),
+    )
+    assert rows_set(got) == want
+
+    with pytest.raises(ValueError, match="cannot parse bound"):
+        engine.query(cube="events_daily", time_range=("not-a-date", None))
+    with pytest.raises(ValueError, match="cannot combine"):
+        engine.query(
+            cube="events_daily", tail=events, time_range=(lo, hi)
+        )
+
+
 def test_materialize_pipeline_into_store(engine, events):
     v = engine.materialize_pipeline(
         events,

@@ -854,3 +854,85 @@ def test_merge_reserved_marker_collision_refused(spark):
     i = spark.createDataFrame([(1, False)], "_id long, _e_present boolean")
     with pytest.raises(PipelineError, match="reserved"):
         merge_documents(e, i, "_id")
+
+
+def test_date_to_string_default_format_and_escapes(spark):
+    """ADVICE r2: the default Mongo format has a literal 'T' and 'Z' —
+    both must be emitted verbatim (not parsed as pattern letters / zone
+    offset), and '%%' is a literal percent, not an error."""
+    from mongo_olap_spark.plans.pipeline_compiler import (
+        PipelineError, compile_expr, _mongo_date_format,
+    )
+
+    df = spark.createDataFrame([("2024-03-05 07:08:09.123",)], "t string")
+    df = df.selectExpr("CAST(t AS TIMESTAMP) t")
+    row = df.select(
+        compile_expr({"$dateToString": {"date": "$t"}}).alias("iso"),
+        compile_expr(
+            {"$dateToString": {"date": "$t", "format": "%d%%ile of %Y"}}
+        ).alias("pct"),
+    ).first()
+    assert row.iso == "2024-03-05T07:08:09.123Z"
+    assert row.pct == "05%ile of 2024"
+
+    with pytest.raises(PipelineError, match="unsupported format specifier %Q"):
+        _mongo_date_format("%Y-%Q")
+    with pytest.raises(PipelineError, match="trailing"):
+        _mongo_date_format("%Y-%")
+
+
+def test_date_diff_counts_boundary_crossings(spark):
+    """ADVICE r2: Mongo $dateDiff counts unit-boundary crossings —
+    23:59 to 00:01 next day is 1 day even though <24h elapsed."""
+    from mongo_olap_spark.plans.pipeline_compiler import compile_expr
+
+    df = spark.createDataFrame(
+        [("2024-01-01 23:59:00", "2024-01-02 00:01:00")], "a string, b string"
+    ).selectExpr("CAST(a AS TIMESTAMP) a", "CAST(b AS TIMESTAMP) b")
+    got = df.select(
+        *[
+            compile_expr(
+                {"$dateDiff": {"startDate": "$a", "endDate": "$b", "unit": u}}
+            ).alias(u)
+            for u in ("day", "month", "hour", "minute")
+        ]
+    ).first()
+    assert got.day == 1  # crossed one midnight
+    assert got.month == 0
+    assert got.hour == 1  # 23:xx -> 00:xx crosses one hour boundary
+    assert got.minute == 2
+
+    # week crossings honor startOfWeek: 2024-01-06 is a Saturday,
+    # 2024-01-07 a Sunday — Sunday start sees a crossing, Monday not
+    wk = spark.createDataFrame(
+        [("2024-01-06", "2024-01-07")], "a string, b string"
+    ).selectExpr("CAST(a AS TIMESTAMP) a", "CAST(b AS TIMESTAMP) b")
+    got = wk.select(
+        compile_expr({"$dateDiff": {"startDate": "$a", "endDate": "$b",
+                                    "unit": "week"}}).alias("sun"),
+        compile_expr({"$dateDiff": {"startDate": "$a", "endDate": "$b",
+                                    "unit": "week",
+                                    "startOfWeek": "monday"}}).alias("mon"),
+    ).first()
+    assert got.sun == 1 and got.mon == 0
+
+
+def test_lookup_pipeline_exclusion_project_refuses(spark):
+    from mongo_olap_spark.plans.pipeline_compiler import (
+        PipelineError, compile_pipeline,
+    )
+
+    local = spark.createDataFrame([(1,)], "k long")
+    foreign = spark.createDataFrame([(1, 9)], "fk long, v long")
+    with pytest.raises(PipelineError, match="inclusion form only"):
+        compile_pipeline(
+            local,
+            [{"$lookup": {
+                "from": "f", "as": "hits", "let": {"kk": "$k"},
+                "pipeline": [
+                    {"$match": {"$expr": {"$eq": ["$fk", "$$kk"]}}},
+                    {"$project": {"fk": 0}},
+                ],
+            }}],
+            collections={"f": foreign},
+        )

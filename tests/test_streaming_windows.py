@@ -244,3 +244,28 @@ def test_stream_stream_interval_join(spark, events, tmp_path):
     )
     got = _run(spark, joined, "ss_join")
     assert got.count() == expected
+
+
+def test_stream_dedup_keeps_distinct_changes_to_same_doc(spark, events, tmp_path):
+    """ADVICE r2: keying dedup on (op, doc id) conflated two legitimate
+    distinct changes to one document inside the watermark. With the
+    per-change ``change_id`` (resume-token analogue) the guard drops
+    only true replays."""
+    from mongo_olap_spark.streaming.cdc import dedup_changes
+
+    base = cdc_from_events(events).filter(F.col("op") == "insert").limit(50)
+    # second legitimate change to each doc: same (op, event_id),
+    # different change_id and stream position
+    second = base.withColumn(
+        "change_id", F.col("change_id") + 1_000_000
+    ).withColumn("stream_ts", F.col("stream_ts") + F.expr("interval 5 minutes"))
+    replay = base  # exact replay of the first delivery
+    path = str(tmp_path / "two_changes")
+    base.unionAll(second).unionAll(replay).write.mode("overwrite").parquet(path)
+
+    stream = spark.readStream.schema(CDC_SCHEMA).parquet(path)
+    got = _run(spark, dedup_changes(stream, delay="30 days"), "dedup_changes2")
+    # both distinct changes survive; the replay is dropped
+    assert got.count() == 100
+    per_doc = got.groupBy("event_id").count().select("count").distinct().collect()
+    assert [r["count"] for r in per_doc] == [2]
