@@ -26,11 +26,26 @@ which makes the static number mostly moot).
 from __future__ import annotations
 
 import os
+import sys
 
 from pyspark.sql import SparkSession
 
 
+def _pin_worker_python() -> None:
+    """Worker python MUST be the driver's interpreter. Spark resolves
+    workers from $PYSPARK_PYTHON or bare ``python3`` on PATH; this box
+    carries several interpreters and PATH order has flipped between
+    rounds, which surfaces as PYTHON_VERSION_MISMATCH in any RDD /
+    pandas-UDF stage (this box even ships PYSPARK_PYTHON=python, a
+    relative name whose resolution moved between rounds — so we
+    OVERRIDE, not setdefault). Pinning to sys.executable is correct in
+    local mode by construction (same host, same env)."""
+    os.environ["PYSPARK_PYTHON"] = sys.executable
+    os.environ["PYSPARK_DRIVER_PYTHON"] = sys.executable
+
+
 def get_spark(app_name: str = "mongo_olap_spark", *, shuffle_partitions: int | None = None) -> SparkSession:
+    _pin_worker_python()
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     if shuffle_partitions is None:
         shuffle_partitions = max(int(cpus) if cpus.isdigit() else 32, 8)

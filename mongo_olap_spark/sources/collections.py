@@ -38,9 +38,21 @@ def infer_collection_schema(
     spark: SparkSession, path: str, *, sample_rows: int = 10_000
 ) -> StructType:
     """Schema of a JSON-lines collection from a bounded row sample —
-    never a full scan. Persist the result; re-infer only on migration."""
+    never a full scan. Persist the result; re-infer only on migration.
+
+    Stays JVM-side: the sampled lines feed DataFrameReader.json as a
+    Dataset<String> through py4j instead of a Python RDD, so inference
+    spawns no Python workers (and is immune to driver/worker
+    interpreter skew)."""
     sampled = spark.read.text(path).limit(sample_rows)
-    return spark.read.json(sampled.rdd.map(lambda r: r.value)).schema
+    jvm = spark._jvm
+    # text() already yields the single 'value' column, so the Dataset
+    # converts to Dataset<String> directly (py4j can't call the
+    # varargs select(String...))
+    jds = getattr(sampled._jdf, "as")(jvm.org.apache.spark.sql.Encoders.STRING())
+    return StructType.fromJson(
+        __import__("json").loads(spark._jsparkSession.read().json(jds).schema().json())
+    )
 
 
 def read_collection(

@@ -54,6 +54,13 @@ def _ensure_session_conf(spark: SparkSession) -> None:
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # the driver may hand us a session built before our factory ran;
+    # worker-python pinning is env-var-only and workers spawn lazily,
+    # so it still lands as long as a table loads before the first
+    # Python stage executes
+    from mongo_olap_spark.session import _pin_worker_python
+
+    _pin_worker_python()
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
