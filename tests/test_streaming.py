@@ -152,7 +152,7 @@ def test_time_local_batch_rewrites_only_touched_partitions(spark, events, tmp_pa
         old = {p: h for p, h in hashes0.items() if p.startswith(prefix)}
         assert old and all(hashes1.get(p) == h for p, h in old.items()), key
     # and the result is still exact vs a full rebuild
-    merged_src = events.unionByName(batch.drop("op", "mult", "stream_ts"))
+    merged_src = events.unionByName(batch.drop("op", "mult", "stream_ts", "change_id"))
     expected = build_cube(spark, EVENTS_CUBE, merged_src)
     assert rows_set(query_cube(cat.cells(name), EVENTS_CUBE)) == rows_set(
         query_cube(expected, EVENTS_CUBE)
