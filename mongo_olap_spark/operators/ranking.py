@@ -8,10 +8,15 @@ item 1). Equi-height bucket membership, however, is pure arithmetic on
 the global rank, and the global rank itself is computable with bounded
 tasks using the classic range-partitioned two-pass scheme:
 
-1. **boundaries** (one narrow pass): ``approx_percentile`` of the order
-   key yields ~P split points. Accuracy affects only partition BALANCE,
-   never correctness — every row with the same key value lands in the
-   same range, and ranges respect the key order.
+1. **boundaries** (one narrow pass): ~P split points of the order key.
+   For numeric/timestamp/date keys these come from
+   ``approx_percentile`` over a monotone double image of the key; for
+   string keys (where a double cast would REORDER values — "12" < "9"
+   as strings but not as numbers) they come from an exact uniform
+   sample compared under the key's native ordering. Boundary accuracy
+   affects only partition BALANCE, never correctness — the range id is
+   a weakly monotone function of the key value, so ties always share a
+   range and range order agrees with key order.
 2. **offsets** (one narrow pass): exact per-range row counts, collected
    to the driver (P integers) and folded back in as an array literal of
    cumulative offsets.
@@ -20,47 +25,138 @@ tasks using the classic range-partitioned two-pass scheme:
    ``global_rank = offset[range] + local_rank``. Each window partition
    holds ~N/P rows, so no task ever sees the whole collection.
 
+The range id is ``size(filter(bounds_array, b -> b <= key))`` — one
+constant-size expression over a literal array, so the plan stays inside
+whole-stage codegen at any ``num_ranges`` (the earlier CASE chain grew
+one branch per range: fine at 32, a 1024-branch expression at 1024).
+
 The resulting bucket assignment is bit-identical to the
 single-partition ``ntile`` (same total order, same rank arithmetic),
 which is what keeps q_bucket_auto hash-exact against the DuckDB oracle
 while the plan survives a 1000-executor scale-up.
 
-Degenerate keys (all-equal, or a type ``approx_percentile`` cannot
-digest after a double cast) collapse to one range — the old
-single-partition behavior — rather than failing; numeric/date keys,
-the universal $bucketAuto case, always spread.
+Key types ``approx_percentile``/sampling cannot digest (arrays,
+structs, maps), all-equal keys, and ``num_ranges <= 1`` collapse to one
+range — the old single-partition behavior — rather than failing.
+
+Determinism requirement: the three passes (boundaries, counts, final
+window) each re-evaluate ``df``. If the upstream plan is
+non-deterministic (``rand()`` columns, source files changing mid-query)
+the collected counts can disagree with the rows the final window sees.
+Pass ``cache=True`` to persist the keyed input across the passes; the
+default is off because at 100 TB two extra *column-pruned* scans (the
+boundary and count passes read only the key) are far cheaper than
+materializing the full keyed dataset to executor memory/disk.
 """
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple, Union
+from typing import Optional, Sequence, Tuple, Union
 
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 ColumnOrName = Union[Column, str]
+
+_DOUBLE_CASTABLE = (
+    T.ByteType,
+    T.ShortType,
+    T.IntegerType,
+    T.LongType,
+    T.FloatType,
+    T.DoubleType,
+    T.DecimalType,
+    T.BooleanType,
+    T.TimestampType,
+)
+try:  # Spark 3.4+
+    _DOUBLE_CASTABLE = _DOUBLE_CASTABLE + (T.TimestampNTZType,)
+except AttributeError:  # pragma: no cover - older Spark
+    pass
 
 
 def _as_column(c: ColumnOrName) -> Column:
     return c if isinstance(c, Column) else F.col(c)
 
 
-def _range_id(key: Column, bounds: list) -> Column:
-    """Monotone range id: number of boundaries strictly below *key*.
+def _key_image(key: Column, dtype: T.DataType) -> Optional[Column]:
+    """A double-typed, weakly monotone image of *key* under the key's
+    NATIVE ordering, or None when no such cast exists.
+
+    Strings are deliberately excluded: ``CAST(string AS double)`` both
+    reorders ("9" > "12" numerically) and nulls out non-numeric values,
+    which silently corrupted ranks before round 4. ``CAST(date AS
+    double)`` is not a legal Spark cast at all — dates go through
+    ``unix_date`` (days since epoch), as the analyzer error suggests.
+    """
+    if isinstance(dtype, T.DateType):
+        return F.unix_date(key).cast("double")
+    if isinstance(dtype, _DOUBLE_CASTABLE):
+        return key.cast("double")
+    return None
+
+
+def _range_id(image: Column, bounds: list) -> Column:
+    """Monotone range id: number of boundaries at-or-below *image*.
 
     A function of the key VALUE only, so ties always share a range and
     range order agrees with key order — the invariants that make the
     per-range local rank + offset equal the true global rank. NULLs map
-    to range 0, matching Spark's ASC NULLS FIRST default.
+    to range 0 (``b <= NULL`` is NULL, which ``filter`` drops),
+    matching Spark's ASC NULLS FIRST default. One array scan per row
+    over a literal array — constant expression size at any P.
     """
     if not bounds:
         return F.lit(0)
-    k = key.cast("double")
-    chain = F.when(k < F.lit(bounds[0]), F.lit(0))
-    for i in range(1, len(bounds)):
-        chain = chain.when(k < F.lit(bounds[i]), F.lit(i))
-    chain = chain.otherwise(F.lit(len(bounds)))
-    return F.when(key.isNull(), F.lit(0)).otherwise(chain)
+    arr = F.array(*[F.lit(b) for b in bounds])
+    return F.size(F.filter(arr, lambda b: b <= image))
+
+
+def _split_bounds(
+    df: DataFrame, key: Column, num_ranges: int
+) -> Tuple[Optional[Column], list]:
+    """Derive (comparison image, boundary literals) for range splitting.
+
+    Returns ``(None, [])`` — the documented single-range degenerate
+    path — for key types with no safe split strategy or when
+    ``num_ranges <= 1`` (which would otherwise hand
+    ``approx_percentile`` an empty percentage array).
+    """
+    if num_ranges <= 1:
+        return None, []
+    dtype = df.select(key.alias("__k")).schema[0].dataType
+    image = _key_image(key, dtype)
+    if image is not None:
+        qs = [i / num_ranges for i in range(1, num_ranges)]
+        row = df.select(F.percentile_approx(image, qs, 10_000).alias("b")).first()
+        raw = row["b"] if row is not None and row["b"] is not None else []
+        bounds = sorted({b for b in raw if b is not None})
+        return (image, bounds) if bounds else (None, [])
+    if isinstance(dtype, T.StringType):
+        # Exact uniform sample, compared under the key's native (UTF-8
+        # binary) ordering. orderBy(rand).limit(cap) plans as a
+        # TakeOrdered — per-partition top-cap + driver merge, never a
+        # global sort. Python's code-point sort agrees with Spark's
+        # UTF-8 byte-wise comparison for valid Unicode strings, and the
+        # range id is order-insensitive in `bounds` anyway (it counts
+        # boundaries <= key under SPARK's comparison).
+        cap = min(max(200 * num_ranges, 2_000), 20_000)
+        sample = [
+            r["__k"]
+            for r in df.select(key.alias("__k"))
+            .where(key.isNotNull())
+            .orderBy(F.rand(42))
+            .limit(cap)
+            .collect()
+        ]
+        vals = sorted(set(sample))
+        if len(vals) < 2:
+            return None, []
+        step = len(vals) / num_ranges
+        bounds = sorted({vals[int(i * step)] for i in range(1, num_ranges)})
+        return key, bounds
+    return None, []
 
 
 def with_global_rank(
@@ -68,27 +164,27 @@ def with_global_rank(
     order_cols: Sequence[ColumnOrName],
     rank_col: str = "__rank",
     num_ranges: int | None = None,
+    cache: bool = False,
 ) -> Tuple[DataFrame, int]:
     """Attach the exact 1-based global rank under ``ORDER BY order_cols``.
 
     Returns ``(ranked_df, total_rows)``. Triggers two small driver
-    actions (P boundary doubles, P range counts) — the price of an
+    actions (P boundary values, P range counts) — the price of an
     EXACT total order with bounded tasks; both collect O(P) scalars,
-    never rows.
+    never rows. See the module docstring for the determinism
+    requirement on ``df`` and the ``cache`` tradeoff.
     """
     spark = df.sparkSession
     if num_ranges is None:
         num_ranges = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     key = _as_column(order_cols[0])
 
-    qs = [i / num_ranges for i in range(1, num_ranges)]
-    row = df.select(
-        F.percentile_approx(key.cast("double"), qs, 10_000).alias("b")
-    ).first()
-    raw = row["b"] if row is not None and row["b"] is not None else []
-    bounds = sorted({b for b in raw if b is not None})
-
-    keyed = df.withColumn("__pid", _range_id(key, bounds))
+    image, bounds = _split_bounds(df, key, num_ranges)
+    keyed = df.withColumn(
+        "__pid", _range_id(image, bounds) if bounds else F.lit(0)
+    )
+    if cache:
+        keyed = keyed.persist()
     counts = {
         r["__pid"]: r["n"]
         for r in keyed.groupBy("__pid").agg(F.count(F.lit(1)).alias("n")).collect()
