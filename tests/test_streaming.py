@@ -104,6 +104,101 @@ def test_update_mode_aggregation_smoke(spark, events, cdc_dir):
     ).distinct().count()
 
 
+def test_freshness_every_microbatch_end_to_end(spark, events, tmp_path):
+    """VERDICT r3 task 3: the end-to-end freshness property.
+
+    Files land incrementally → `FileChangeStreamSource` streams them →
+    `CubeMaintainer` maintains the catalog cube → `query_cube` /
+    `hybrid_query` serve. After EVERY ingest step the served answer
+    must be bit-exact vs direct aggregation of exactly the changes
+    applied so far (and, for hybrid serving, plus the un-absorbed
+    tail). This is the property that would have caught the round-3
+    CDC schema break at authoring time: any column drift between the
+    stream, the maintainer, and the serving path surfaces here."""
+    import os
+
+    from mongo_olap_spark.cube.query import hybrid_query
+    from mongo_olap_spark.sources.adapters import FileChangeStreamSource
+    from mongo_olap_spark.streaming.cdc import DOC_COLS
+
+    src_dir = str(tmp_path / "landing")
+    os.makedirs(src_dir)
+    cat = CubeCatalog(spark, str(tmp_path / "cubes"))
+    cat.create(EVENTS_CUBE, events.limit(0))
+    name = EVENTS_CUBE.name
+    maint = CubeMaintainer(cat, EVENTS_CUBE)
+
+    applied_ids: set[int] = set()
+
+    def body(batch, batch_id):
+        maint.apply_batch(batch, batch_id)
+        applied_ids.update(r["change_id"] for r in batch.select("change_id").collect())
+
+    stream = FileChangeStreamSource(src_dir).change_stream(spark)
+    q = (
+        stream.writeStream.foreachBatch(body)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+
+    full_cdc = cdc_from_events(events)
+    # four contiguous stream_ts slices land one at a time (a change
+    # stream is ORDERED: a doc's delete never precedes its insert)
+    days = sorted(
+        r[0] for r in full_cdc.select(F.dayofmonth("stream_ts")).distinct().collect()
+    )
+    step = -(-len(days) // 4)
+    chunk_days = [days[i * step : (i + 1) * step] for i in range(4)]
+    try:
+        for i, dset in enumerate(chunk_days):
+            chunk = full_cdc.filter(F.dayofmonth("stream_ts").isin(dset))
+            chunk.coalesce(1).write.mode("append").parquet(src_dir)
+            q.processAllAvailable()
+
+            applied = spark.createDataFrame(
+                [(x,) for x in sorted(applied_ids)], "change_id bigint"
+            )
+            applied_net = (
+                full_cdc.join(F.broadcast(applied), "change_id")
+                .groupBy(*DOC_COLS)
+                .agg(F.sum("mult").alias("m"))
+                .filter("m > 0")
+                .select(*DOC_COLS)
+            )
+            got = rows_set(query_cube(cat.cells(name), EVENTS_CUBE))
+            want = rows_set(
+                query_cube(build_cube(spark, EVENTS_CUBE, applied_net), EVENTS_CUBE)
+            )
+            assert got == want, f"cube stale or wrong after chunk {i}"
+
+            # hybrid serving: cells + the not-yet-absorbed insert tail
+            # answers the serving-time truth bit-exactly
+            tail = (
+                full_cdc.filter(F.col("op") == "insert")
+                .join(F.broadcast(applied), "change_id", "left_anti")
+                .select(*DOC_COLS)
+            )
+            hybrid = rows_set(hybrid_query(cat.cells(name), EVENTS_CUBE, tail))
+            truth = rows_set(
+                query_cube(
+                    build_cube(spark, EVENTS_CUBE, applied_net.unionByName(tail)),
+                    EVENTS_CUBE,
+                )
+            )
+            assert hybrid == truth, f"hybrid serving wrong after chunk {i}"
+    finally:
+        q.stop()
+
+    # the stream drained everything: final state is the closed-form net
+    assert len(applied_ids) == full_cdc.count()
+    final = rows_set(query_cube(cat.cells(name), EVENTS_CUBE))
+    want = rows_set(
+        query_cube(build_cube(spark, EVENTS_CUBE, net_events(events)), EVENTS_CUBE)
+    )
+    assert final == want
+
+
 # ---------------------------------------------------------------------------
 # Snapshot-manifest storage properties (VERDICT r1 next-steps #2/#6)
 # ---------------------------------------------------------------------------
