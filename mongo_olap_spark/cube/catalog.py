@@ -59,6 +59,21 @@ NULL_KEY = "__NULL__"
 #: filesystem-safe timestamp format (no colons/spaces — never escaped)
 _KEY_FMT = "yyyy-MM-dd'T'HH.mm.ss"
 
+#: bounded optimistic retries before a writer gives up rebasing
+_MAX_COMMIT_RETRIES = 50
+
+
+class CommitConflict(Exception):
+    """Another writer committed the version this writer targeted."""
+
+
+def _conflict_backoff(attempt: int) -> None:
+    """Randomized backoff between CAS rebases (contention spreader)."""
+    import random
+    import time
+
+    time.sleep(random.uniform(0, 0.02 * (attempt + 1)))
+
 
 def partition_key_col(pdim: str | Column) -> Column:
     """The engine's partition-key string for a time-dimension column."""
@@ -128,36 +143,90 @@ class CubeCatalog:
         return os.path.join(self._dir(name), "manifest.json")
 
     # -- manifest -------------------------------------------------------
+    def _hist_path(self, name: str, version: int) -> str:
+        return os.path.join(self._dir(name), "manifests", f"v{version}.json")
+
     def manifest(self, name: str, version: int | None = None) -> dict | None:
         """The current snapshot manifest, or a historical one by
         version (time travel — valid until ``vacuum`` reclaims the
-        files that snapshot references)."""
-        path = (
-            self._manifest_path(name)
-            if version is None
-            else os.path.join(self._dir(name), "manifests", f"v{version}.json")
-        )
+        files that snapshot references).
+
+        Concurrency: the versioned file under ``manifests/`` is the
+        commit of record (created exclusively — the CAS); the unversioned
+        ``manifest.json`` is a pointer cache. If a writer crashed between
+        the two steps, the cache lags — readers walk forward to the
+        newest committed version and repair the cache best-effort, so a
+        half-finished commit is never lost and never blocks the next
+        writer."""
+        if version is not None:
+            try:
+                with open(self._hist_path(name, version)) as f:
+                    return json.load(f)
+            except (OSError, ValueError):
+                return None
         try:
-            with open(path) as f:
-                return json.load(f)
+            with open(self._manifest_path(name)) as f:
+                m = json.load(f)
         except (OSError, ValueError):
-            return None
+            m = None
+        cur = 0 if m is None else m["version"]
+        healed = False
+        while True:
+            nxt = self.manifest(name, cur + 1)
+            if nxt is None:
+                break
+            m, cur, healed = nxt, cur + 1, True
+        if healed:
+            self._write_pointer(name, m)
+        return m
+
+    def _write_pointer(self, name: str, manifest: dict) -> None:
+        """Best-effort refresh of the ``manifest.json`` cache (unique
+        temp name: concurrent repairers must not share a temp file).
+        Stale overwrites are harmless — readers walk forward anyway."""
+        import threading
+
+        path = self._manifest_path(name)
+        tmp = f"{path}.tmp-{os.getpid()}-{threading.get_ident()}"
+        try:
+            with open(tmp, "w") as f:
+                json.dump(manifest, f, indent=1)
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, path)
+        except OSError:
+            pass
 
     def _commit_manifest(self, name: str, manifest: dict) -> None:
-        """Atomic pointer flip: full JSON to a temp file, one rename.
-        Every committed manifest is also retained under ``manifests/``
-        (a few hundred bytes each) for snapshot time travel."""
-        path = self._manifest_path(name)
-        tmp = path + ".tmp"
+        """Version-fenced commit (compare-and-swap).
+
+        The manifest is written to a writer-unique temp file and
+        published by ``os.link`` to ``manifests/v<version>.json`` —
+        link is atomic and fails with EEXIST if ANY other writer
+        already committed that version, so exactly one writer wins
+        each version; losers get ``CommitConflict`` and must re-read
+        the current manifest, rebase, and retry. The pointer cache is
+        refreshed after the fact (crash-safe: see ``manifest``)."""
+        import threading
+
+        hist_dir = os.path.join(self._dir(name), "manifests")
+        os.makedirs(hist_dir, exist_ok=True)
+        target = self._hist_path(name, manifest["version"])
+        tmp = f"{target}.tmp-{os.getpid()}-{threading.get_ident()}"
         with open(tmp, "w") as f:
             json.dump(manifest, f, indent=1)
             f.flush()
             os.fsync(f.fileno())
-        hist_dir = os.path.join(self._dir(name), "manifests")
-        os.makedirs(hist_dir, exist_ok=True)
-        with open(os.path.join(hist_dir, f"v{manifest['version']}.json"), "w") as f:
-            json.dump(manifest, f, indent=1)
-        os.replace(tmp, path)
+        try:
+            os.link(tmp, target)
+        except FileExistsError:
+            raise CommitConflict(
+                f"{name}: version {manifest['version']} was committed by a "
+                "concurrent writer"
+            ) from None
+        finally:
+            os.unlink(tmp)
+        self._write_pointer(name, manifest)
 
     # -- catalog ops (reference: create/list/drop cube) ------------------
     def list_cubes(self) -> list[str]:
@@ -303,6 +372,13 @@ class CubeCatalog:
         m = self.manifest(name)
         return -1 if m is None else m.get("last_batch_id", -1)
 
+    def current_version(self, name: str) -> int:
+        """The committed snapshot version (0 = no manifest yet) — the
+        read-set fence a partition-scoped writer passes back to
+        ``commit_partitions`` as ``read_version``."""
+        m = self.manifest(name)
+        return 0 if m is None else m["version"]
+
     # -- storage ---------------------------------------------------------
     def partition_dim(self, spec: CubeSpec) -> str | None:
         """Coarsest time dimension = the physical partition key."""
@@ -313,7 +389,14 @@ class CubeCatalog:
         return min(timed, key=lambda d: order[d.granularity]).name
 
     def _next_write_dir(self, name: str, version: int) -> str:
-        rel = os.path.join("data", f"w{version}")
+        """Writer-unique write directory. The random suffix keeps two
+        concurrent writers (who may both target version N before one
+        loses the CAS) from overwriting each other's data files — the
+        manifest references the directory by name, so names never need
+        to match the version that finally wins."""
+        import uuid
+
+        rel = os.path.join("data", f"w{version}-{uuid.uuid4().hex[:8]}")
         os.makedirs(os.path.join(self._dir(name), "data"), exist_ok=True)
         return rel
 
@@ -369,26 +452,36 @@ class CubeCatalog:
         lattice: bool = False,
         batch_id: int | None = None,
     ) -> None:
-        """Full snapshot: all partitions from this write."""
+        """Full snapshot: all partitions from this write. Data is
+        written once (writer-unique dir); only the cheap manifest CAS
+        rebases and retries on a concurrent commit."""
         with open(self._schema_path(spec.name), "w") as f:
             json.dump(cells.schema.jsonValue(), f)
         prev = self.manifest(spec.name)
-        version = (prev or {}).get("version", 0) + 1
-        rel_dir = self._next_write_dir(spec.name, version)
+        rel_dir = self._next_write_dir(spec.name, (prev or {}).get("version", 0) + 1)
         entries = self._write_data(spec, cells, rel_dir, lattice=lattice)
         level_counts = _sum_level_rows(entries) if lattice else None
-        self._commit_manifest(
-            spec.name,
-            {
-                "version": version,
-                "partitions": entries,
-                "level_counts": level_counts,
-                "last_batch_id": (
-                    batch_id
-                    if batch_id is not None
-                    else (prev or {}).get("last_batch_id", -1)
-                ),
-            },
+        for attempt in range(_MAX_COMMIT_RETRIES):
+            try:
+                self._commit_manifest(
+                    spec.name,
+                    {
+                        "version": (prev or {}).get("version", 0) + 1,
+                        "partitions": entries,
+                        "level_counts": level_counts,
+                        "last_batch_id": (
+                            batch_id
+                            if batch_id is not None
+                            else (prev or {}).get("last_batch_id", -1)
+                        ),
+                    },
+                )
+                return
+            except CommitConflict:
+                _conflict_backoff(attempt)
+                prev = self.manifest(spec.name)
+        raise CommitConflict(
+            f"{spec.name}: gave up after {_MAX_COMMIT_RETRIES} rebases"
         )
 
     def commit_partitions(
@@ -398,17 +491,30 @@ class CubeCatalog:
         touched_keys: list[str],
         *,
         batch_id: int | None = None,
+        read_version: int | None = None,
     ) -> None:
         """Partition-scoped commit: ``cells`` holds the new content of
         the touched partitions ONLY; every other partition is carried
         over by reference (files untouched on disk). A touched key with
         no surviving cells simply leaves the new manifest (eviction).
-        The idempotency watermark commits atomically with the data."""
+        The idempotency watermark commits atomically with the data.
+
+        Concurrent writers: the data write happens ONCE into a
+        writer-unique directory; on a manifest CAS conflict the commit
+        rebases — untouched partitions are re-carried from the WINNER's
+        manifest, so a second engine committing disjoint partitions
+        loses neither side's cells (two-writer race test in
+        tests/test_streaming.py). Rebase is only sound when the
+        concurrent commits touched DISJOINT partitions: pass
+        ``read_version`` (the ``current_version`` observed when the old
+        cells were read) and the commit refuses — instead of silently
+        merging against stale cells — if a winner modified one of this
+        writer's touched partitions in between."""
         spec = self.get_spec(name)
         lattice = self.lattice_levels(name) is not None
-        prev = self.manifest(name) or {"version": 0, "partitions": {}, "level_counts": None}
-        version = prev["version"] + 1
-        rel_dir = self._next_write_dir(name, version)
+        rel_dir = self._next_write_dir(
+            name, (self.manifest(name) or {}).get("version", 0) + 1
+        )
         new_entries = self._write_data(spec, cells, rel_dir, lattice=lattice)
         unexpected = set(new_entries) - set(touched_keys)
         if unexpected:
@@ -416,26 +522,49 @@ class CubeCatalog:
                 f"commit_partitions: write produced partitions outside the "
                 f"declared touched set: {sorted(unexpected)}"
             )
-        partitions = {
-            k: v for k, v in prev["partitions"].items() if k not in set(touched_keys)
-        }
-        partitions.update(new_entries)
-        # lattice stats stay exact under maintenance: every entry carries
-        # per-level rows, so the totals are a dict sum (falls back to the
-        # previous totals only for pre-lattice-stats legacy entries)
-        if lattice and all("level_rows" in e for e in partitions.values()):
-            level_counts = _sum_level_rows(partitions)
-        else:
-            level_counts = prev.get("level_counts")
-        manifest = {
-            "version": version,
-            "partitions": partitions,
-            "level_counts": level_counts,
-            "last_batch_id": (
-                batch_id if batch_id is not None else prev.get("last_batch_id", -1)
-            ),
-        }
-        self._commit_manifest(name, manifest)
+        for attempt in range(_MAX_COMMIT_RETRIES):
+            prev = self.manifest(name) or {
+                "version": 0,
+                "partitions": {},
+                "level_counts": None,
+            }
+            if read_version is not None and prev["version"] != read_version:
+                base = self.manifest(name, read_version) or {"partitions": {}}
+                for k in touched_keys:
+                    if prev["partitions"].get(k) != base["partitions"].get(k):
+                        raise CommitConflict(
+                            f"{name}: partition {k!r} changed under this writer "
+                            f"(read at v{read_version}, now v{prev['version']}) — "
+                            "re-read the cells and re-merge"
+                        )
+            partitions = {
+                k: v
+                for k, v in prev["partitions"].items()
+                if k not in set(touched_keys)
+            }
+            partitions.update(new_entries)
+            # lattice stats stay exact under maintenance: every entry
+            # carries per-level rows, so the totals are a dict sum
+            # (falls back to the previous totals only for
+            # pre-lattice-stats legacy entries)
+            if lattice and all("level_rows" in e for e in partitions.values()):
+                level_counts = _sum_level_rows(partitions)
+            else:
+                level_counts = prev.get("level_counts")
+            manifest = {
+                "version": prev["version"] + 1,
+                "partitions": partitions,
+                "level_counts": level_counts,
+                "last_batch_id": (
+                    batch_id if batch_id is not None else prev.get("last_batch_id", -1)
+                ),
+            }
+            try:
+                self._commit_manifest(name, manifest)
+                return
+            except CommitConflict:
+                _conflict_backoff(attempt)
+        raise CommitConflict(f"{name}: gave up after {_MAX_COMMIT_RETRIES} rebases")
 
     def overwrite_cells(
         self, name: str, cells: DataFrame, *, batch_id: int | None = None
@@ -475,7 +604,11 @@ class CubeCatalog:
     def vacuum(self, name: str) -> list[str]:
         """Delete write directories no longer referenced by the current
         manifest. Safe any time readers re-resolve the manifest per
-        query; with long-lived readers, run with a grace delay."""
+        query; with long-lived readers, run with a grace delay. A
+        concurrent writer's just-written-but-not-yet-committed
+        directory is also unreferenced — schedule vacuum from the
+        maintenance owner, not racing active writers (the same
+        retention discipline Delta's VACUUM requires)."""
         m = self.manifest(name)
         if m is None:
             return []

@@ -77,6 +77,7 @@ class CubeMaintainer:
             touched_keys = [
                 r[0] for r in deltas.select(partition_key_col(pdim)).distinct().collect()
             ]
+            read_version = self.catalog.current_version(spec.name)
             cells = self.catalog.cells_for_partitions(spec.name, touched_keys)
         else:
             touched_keys = None
@@ -100,7 +101,11 @@ class CubeMaintainer:
         # atomic rename); the files `merged` reads stay in place
         if touched_keys is not None:
             self.catalog.commit_partitions(
-                spec.name, merged, touched_keys, batch_id=batch_id
+                spec.name,
+                merged,
+                touched_keys,
+                batch_id=batch_id,
+                read_version=read_version,
             )
             deltas.unpersist()
         else:
@@ -136,6 +141,7 @@ class CubeMaintainer:
             touched_keys = [
                 r[0] for r in deltas.select(partition_key_col(pdim)).distinct().collect()
             ]
+            read_version = self.catalog.current_version(spec.name)
             cells = self.catalog.cells_for_partitions(spec.name, touched_keys)
         else:
             touched_keys = None
@@ -143,7 +149,11 @@ class CubeMaintainer:
         merged = merge_cells(cells, deltas, spec, extra_keys=(LEVEL_COL,))
         if touched_keys is not None:
             self.catalog.commit_partitions(
-                spec.name, merged, touched_keys, batch_id=batch_id
+                spec.name,
+                merged,
+                touched_keys,
+                batch_id=batch_id,
+                read_version=read_version,
             )
             deltas.unpersist()
         else:

@@ -199,6 +199,99 @@ def test_freshness_every_microbatch_end_to_end(spark, events, tmp_path):
     assert final == want
 
 
+def test_two_writer_race_keeps_both_writers_cells(spark, events, tmp_path):
+    """VERDICT r3 task 4: optimistic manifest CAS. Two engines (two
+    CubeCatalog instances on one root) commit disjoint partitions
+    concurrently for several rounds. Without version fencing the loser
+    of each race would carry over a STALE partition map and silently
+    drop the other writer's cells; with CAS + rebase every commit must
+    survive, versions must be gapless, and the final cube must equal
+    the batch build over everything both writers applied."""
+    import threading
+
+    cat0 = CubeCatalog(spark, str(tmp_path / "cubes"))
+    cat0.create(EVENTS_CUBE, events.limit(0))
+    name = EVENTS_CUBE.name
+
+    cdc = cdc_from_events(events).filter(F.col("op") == "insert")
+    days = sorted(
+        r[0] for r in cdc.select(F.dayofmonth("stream_ts")).distinct().collect()
+    )
+    mine, theirs = days[::2], days[1::2]
+
+    barrier = threading.Barrier(2, timeout=120)
+    errors: list[BaseException] = []
+
+    def writer(day_set):
+        try:
+            from mongo_olap_spark.cube.build import delta_cells
+            from mongo_olap_spark.cube.catalog import partition_key_col
+            from mongo_olap_spark.cube.ivm import merge_cells
+
+            cat = CubeCatalog(spark, str(tmp_path / "cubes"))  # own engine
+            pdim = cat.partition_dim(EVENTS_CUBE)
+            for d in day_set:
+                batch = cdc.filter(F.dayofmonth("stream_ts") == d)
+                deltas = delta_cells(EVENTS_CUBE, batch)
+                keys = [
+                    r[0]
+                    for r in deltas.select(partition_key_col(pdim)).distinct().collect()
+                ]
+                merged = merge_cells(
+                    cat.cells_for_partitions(name, keys), deltas, EVENTS_CUBE
+                )
+                barrier.wait()  # force the two commits to overlap
+                cat.commit_partitions(name, merged, keys)
+        except BaseException as e:  # noqa: BLE001 - surfaced below
+            errors.append(e)
+            barrier.abort()
+
+    n = min(len(mine), len(theirs))
+    t1 = threading.Thread(target=writer, args=(mine[:n],))
+    t2 = threading.Thread(target=writer, args=(theirs[:n],))
+    t1.start(), t2.start()
+    t1.join(300), t2.join(300)
+    assert not errors, errors
+
+    m = cat0.manifest(name)
+    # gapless version history: every commit (create + 2n batches) won a
+    # distinct version; none was clobbered
+    assert m["version"] == 1 + 2 * n
+    assert all(cat0.manifest(name, v) is not None for v in range(1, m["version"] + 1))
+    applied = mine[:n] + theirs[:n]
+    src = events.filter(F.dayofmonth("ts").isin(applied))
+    want = rows_set(query_cube(build_cube(spark, EVENTS_CUBE, src), EVENTS_CUBE))
+    got = rows_set(query_cube(cat0.cells(name), EVENTS_CUBE))
+    assert got == want
+    # statistics stayed consistent through every rebase
+    assert cat0.cell_count(name) == cat0.cells(name).count()
+
+
+def test_crashed_pointer_flip_self_heals(spark, events, tmp_path):
+    """A writer that died between the versioned commit record and the
+    pointer-cache flip must not lose its commit: readers walk forward
+    to the newest committed version and repair the cache."""
+    import json
+    import os
+
+    cat = CubeCatalog(spark, str(tmp_path / "cubes"))
+    cat.create(EVENTS_CUBE, events)
+    name = EVENTS_CUBE.name
+    v2 = cat.manifest(name)
+    one_day = events.filter(F.date_trunc("day", "ts") == "2024-01-03 00:00:00")
+    batch = cdc_from_events(one_day).filter(F.col("op") == "insert").limit(40)
+    CubeMaintainer(cat, EVENTS_CUBE).apply_batch(batch, 0)
+    after = cat.manifest(name)
+    # simulate the crash: rewind the pointer cache to the old version
+    with open(cat._manifest_path(name), "w") as f:
+        json.dump(v2, f)
+    healed = cat.manifest(name)
+    assert healed == after
+    with open(cat._manifest_path(name)) as f:
+        assert json.load(f)["version"] == after["version"]  # cache repaired
+    assert cat.last_batch_id(name) == 0
+
+
 # ---------------------------------------------------------------------------
 # Snapshot-manifest storage properties (VERDICT r1 next-steps #2/#6)
 # ---------------------------------------------------------------------------
