@@ -70,3 +70,82 @@ def test_salted_collect_set_matches_plain(spark, skewed):
         for r in salted_collect_set(df, ["k"], "v", n_salt=8).collect()
     }
     assert salted == plain
+
+
+def test_aqe_splits_planted_hot_key_join(spark):
+    """VERDICT r2 #8 / r3 task 5: the engine's join path must leave AQE
+    free to split skewed partitions at runtime. Plant a 100:1 hot key
+    in a q_join_lookup-shaped fact->dim join whose dim side is NOT
+    broadcastable, scale the skew thresholds to test data size, and
+    assert (a) the final adaptive plan actually engaged the skew-join
+    split and (b) the answer is the exact join cardinality. This
+    complements the salting tests above: salting is the explicit
+    operator for engines without AQE; this guard proves our default
+    plans stay AQE-splittable (no manual pinned partitioning)."""
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "32KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {}
+    for k in confs:
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        n_facts, n_keys, dim_rows_per_key = 50_000, 500, 20
+        hot = 99  # 99% of facts share key 7
+        # sha2 payloads, NOT constant padding: the skew decision reads
+        # COMPRESSED shuffle sizes, and a constant pad (or the bare
+        # int key that survives after column pruning) compresses below
+        # any realistic threshold, hiding the skew from AQE
+        facts = spark.range(n_facts).select(
+            F.when(F.col("id") % 100 < hot, F.lit(7))
+            .otherwise(F.col("id") % n_keys)
+            .alias("k"),
+            F.col("id").alias("fact_id"),
+            F.sha2(F.col("id").cast("string"), 256).alias("pad"),
+        )
+        dim = spark.range(n_keys * dim_rows_per_key).select(
+            (F.col("id") % n_keys).alias("k"),
+            F.col("id").alias("dim_id"),
+            F.sha2(F.col("id").cast("string"), 256).alias("dpad"),
+        )
+        # aggregate ON the join result and inspect that same DataFrame
+        # after execution (AQE finalizes the plan per query execution —
+        # a separate .count() would leave `joined` isFinalPlan=false);
+        # the agg must CONSUME the payloads or column pruning drops
+        # them from the shuffle and the partitions dip under threshold
+        joined = facts.join(dim, "k").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.length("pad") + F.length("dpad")).alias("payload_bytes"),
+        )
+        row = joined.collect()[0]
+
+        n_cold = {}
+        for i in range(n_facts):
+            if i % 100 >= hot:
+                n_cold[i % n_keys] = n_cold.get(i % n_keys, 0) + 1
+        n_hot_facts = n_facts - sum(n_cold.values())
+        want = (
+            (n_hot_facts + n_cold.get(7, 0)) * dim_rows_per_key
+            + sum(v * dim_rows_per_key for kk, v in n_cold.items() if kk != 7)
+        )
+        assert row["n"] == want
+        assert row["payload_bytes"] == want * 128  # two 64-hex digests/row
+
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, f"AQE skew split did not engage:\n{plan}"
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
