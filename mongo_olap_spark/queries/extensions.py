@@ -441,6 +441,28 @@ def q_multimodal(spark, sf_dir):
     return mm.extract_features(payloads)
 
 
+# The decode seam end-to-end: JVM-side synthesized 4x4 P6 payloads
+# (pixel i = (doc_id + i) % 256) -> injectable ppm_codec decode ->
+# pixel-stat feature stage, both Arrow mapInPandas. The oracle
+# recomputes the decoded mean from the pixel model's closed form:
+# with r = doc_id % 256, pixels are r..r+47 wrapping at 256, so
+# sum = 48r + 1128 - 256 * max(r - 208, 0).
+@register(
+    "q_multimodal_decode",
+    oracle="""
+    SELECT doc_id,
+           4 AS width, 4 AS height, 3 AS channels,
+           (48 * (doc_id % 256) + 1128
+              - 256 * greatest((doc_id % 256) - 208, 0)) / 48.0 AS mean_pixel
+    FROM documents
+    """,
+)
+def q_multimodal_decode(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    decoded = mm.decode_image(mm.synth_ppm_payload(d), codec=mm.ppm_codec)
+    return mm.image_stats(decoded)
+
+
 # ---------------------------------------------------------------------------
 # X4 — repetition metrics (Gopher-style quality signals): fraction of
 # duplicate words and duplicate bigrams per document. Spark side is
