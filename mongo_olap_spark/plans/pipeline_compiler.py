@@ -82,9 +82,16 @@ class _bind:
 
 
 def _lookup_var(name: str) -> Column:
+    """Resolve ``$$var`` or ``$$var.sub.path`` (struct/map access on a
+    bound loop/let variable, e.g. ``$$m.match`` over $regexFindAll's
+    match structs)."""
+    head, *rest = name.split(".")
     for frame in reversed(_VAR_SCOPE):
-        if name in frame:
-            return frame[name]
+        if head in frame:
+            col = frame[head]
+            for part in rest:
+                col = col.getItem(part)
+            return col
     raise PipelineError(f"unsupported variable $${name}")
 
 
@@ -184,6 +191,43 @@ _SIMPLE_UNARY = {
     "$toLong": lambda c: c.try_cast("long"),
     "$toDouble": lambda c: c.try_cast("double"),
     "$toDate": lambda c: c.cast("timestamp"),
+    # typed-engine delta: Mongo's $toBool maps any non-empty string to
+    # true; a typed cast parses "true"/"false" and nulls the rest
+    "$toBool": lambda c: c.try_cast("boolean"),
+    "$toDecimal": lambda c: c.try_cast("decimal(38,10)"),
+    # trigonometry / angle conversion — direct JVM codegen functions
+    "$sin": F.sin, "$cos": F.cos, "$tan": F.tan,
+    "$asin": F.asin, "$acos": F.acos, "$atan": F.atan,
+    "$sinh": F.sinh, "$cosh": F.cosh, "$tanh": F.tanh,
+    "$degreesToRadians": F.radians, "$radiansToDegrees": F.degrees,
+    # date parts. $dayOfWeek: both engines use 1=Sunday..7=Saturday.
+    "$dayOfWeek": F.dayofweek, "$dayOfYear": F.dayofyear,
+    "$isoWeek": F.weekofyear,
+    "$isoDayOfWeek": lambda c: F.weekday(c) + 1,  # 1=Monday..7=Sunday
+    "$millisecond": lambda c: F.date_format(c, "SSS").cast("int"),
+    # strftime-%U semantics: days before the year's first Sunday are
+    # week 0 (NOT ISO weeks — that's $isoWeek)
+    "$week": lambda c: F.floor(
+        (F.dayofyear(c) + 6 - (F.dayofweek(c) - 1)) / 7
+    ).cast("int"),
+    # ISO week-numbering year = calendar year of that week's Thursday
+    "$isoWeekYear": lambda c: F.year(
+        F.date_add(F.date_trunc("week", c).cast("date"), 3)
+    ),
+    # arrays / sets
+    "$reverseArray": F.reverse,
+    "$anyElementTrue": lambda c: F.exists(c, lambda x: x.cast("boolean")),
+    "$allElementsTrue": lambda c: F.forall(c, lambda x: x.cast("boolean")),
+    # Mongo objects are maps in the typed engine: map-typed input
+    # yields the documented [{k, v}] shape. (Struct fields are
+    # statically known at plan time — project them directly instead.)
+    "$objectToArray": lambda c: F.transform(
+        F.map_entries(c),
+        lambda e: F.struct(e["key"].alias("k"), e["value"].alias("v")),
+    ),
+    # struct-element [{k, v}] form; the [[k, v]] pair form needs
+    # runtime shape detection a typed engine cannot do
+    "$arrayToObject": F.map_from_entries,
 }
 
 _CMP = {
@@ -362,9 +406,198 @@ def _compile_op(op: str, spec: Any) -> Column:
         with _bind(**bound):
             return compile_expr(spec["in"])
     if op == "$regexMatch":
-        if not isinstance(spec.get("regex"), str):
-            raise PipelineError("$regexMatch requires a literal regex")
+        _literal_regex(op, spec.get("regex"))
         return compile_expr(spec["input"]).rlike(spec["regex"])
+    if op in ("$regexFind", "$regexFindAll"):
+        # literal regex: capture-group COUNT must be known at plan time
+        # to type the captures array. Typed-engine deltas, documented:
+        # a non-participating optional group yields '' (Mongo: null),
+        # and $regexFindAll carries no per-match idx (positions of
+        # later matches are not recoverable from Spark's regexp_*).
+        pattern = spec.get("regex")
+        _literal_regex(op, pattern)
+        ngroups = re.compile(pattern).groups
+        inp = compile_expr(spec["input"])
+
+        def _captures(target: Column) -> Column:
+            return F.array(
+                *[F.regexp_extract(target, pattern, g) for g in range(1, ngroups + 1)]
+            )
+
+        if op == "$regexFind":
+            full = F.regexp_substr(inp, F.lit(pattern))  # null when no match
+            hit = F.struct(
+                full.alias("match"),
+                (F.regexp_instr(inp, F.lit(pattern)) - 1).alias("idx"),
+                _captures(inp).alias("captures"),
+            )
+            return F.when(full.isNotNull(), hit)
+        return F.transform(
+            F.regexp_extract_all(inp, F.lit(pattern), F.lit(0)),
+            lambda m: F.struct(m.alias("match"), _captures(m).alias("captures")),
+        )
+    if op in ("$ltrim", "$rtrim"):
+        inp = compile_expr(spec["input"])
+        chars = spec.get("chars")
+        if chars is None:
+            return (F.ltrim if op == "$ltrim" else F.rtrim)(inp)
+        if not isinstance(chars, str):
+            raise PipelineError(f"{op}: chars must be a literal string")
+        cls = "".join(re.escape(ch) for ch in chars)
+        pat = f"^[{cls}]+" if op == "$ltrim" else f"[{cls}]+$"
+        return F.regexp_replace(inp, pat, "")
+    if op == "$replaceAll":
+        return F.replace(
+            compile_expr(spec["input"]),
+            compile_expr(spec["find"]),
+            compile_expr(spec["replacement"]),
+        )
+    if op == "$replaceOne":
+        s = compile_expr(spec["input"])
+        f_ = compile_expr(spec["find"])
+        r_ = compile_expr(spec["replacement"])
+        pos = F.position(f_, s)  # 1-based; 0 = not found
+        replaced = F.concat(
+            s.substr(F.lit(1), pos - 1),
+            r_,
+            s.substr(pos + F.length(f_), F.length(s)),
+        )
+        return F.when(pos > 0, replaced).otherwise(s)
+    if op == "$sortArray":
+        by = spec.get("sortBy")
+        if by not in (1, -1):
+            raise PipelineError(
+                "$sortArray supports sortBy: 1|-1 (whole-element order); "
+                "field-wise sort documents are not supported"
+            )
+        return F.sort_array(compile_expr(spec["input"]), asc=by == 1)
+    if op == "$indexOfArray":
+        arr, needle = spec
+        return (F.array_position(compile_expr(arr), compile_expr(needle)) - 1).cast(
+            "int"
+        )
+    if op == "$range":
+        start, end = spec[0], spec[1]
+        step = spec[2] if len(spec) > 2 else 1
+        if not (isinstance(step, int) and step != 0):
+            raise PipelineError("$range requires a literal nonzero integer step")
+        s, e = compile_expr(start).cast("int"), compile_expr(end).cast("int")
+        # Mongo's range is half-open [start, end); sequence() is
+        # inclusive and infers a NEGATIVE step when start > stop, so
+        # the empty case must short-circuit explicitly
+        empty = F.slice(F.sequence(s, s), 1, 0)
+        if step > 0:
+            return F.when(s < e, F.sequence(s, e - 1, F.lit(step))).otherwise(empty)
+        return F.when(s > e, F.sequence(s, e + 1, F.lit(step))).otherwise(empty)
+    if op == "$zip":
+        arrs = [compile_expr(a) for a in spec["inputs"]]
+        longest = bool(spec.get("useLongestLength", False))
+        defaults = spec.get("defaults")
+        if defaults is not None and not longest:
+            raise PipelineError("$zip: defaults requires useLongestLength: true")
+        sizes = [F.size(a) for a in arrs]
+        n = F.greatest(*sizes) if longest else F.least(*sizes)
+
+        def _tuple_at(i: Column) -> Column:
+            parts = []
+            for j, a in enumerate(arrs):
+                v = F.get(a, i)  # 0-based, null past the end
+                if defaults is not None:
+                    v = F.coalesce(v, F.lit(defaults[j]))
+                parts.append(v)
+            return F.array(*parts)
+
+        # sequence(0, n-1) would flip to a DESCENDING sequence at n=0,
+        # so the empty case short-circuits; the empty literal is built
+        # by slicing a one-tuple array so its element type matches
+        return F.when(
+            n > 0, F.transform(F.sequence(F.lit(0), n - 1), _tuple_at)
+        ).otherwise(F.slice(F.array(_tuple_at(F.lit(0))), 1, 0))
+    if op == "$setEquals":
+        norm = [F.array_sort(F.array_distinct(compile_expr(a))) for a in spec]
+        out = F.lit(True)
+        for other in norm[1:]:
+            out = out & norm[0].eqNullSafe(other)
+        return out
+    if op == "$setIsSubset":
+        a, b = spec
+        return F.size(F.array_except(compile_expr(a), compile_expr(b))) == 0
+    if op == "$getField":
+        if isinstance(spec, str):
+            raise PipelineError(
+                "$getField shorthand reads $$CURRENT; name the input explicitly"
+            )
+        if not isinstance(spec.get("field"), str):
+            raise PipelineError("$getField requires a literal field name")
+        return compile_expr(spec["input"]).getItem(spec["field"])
+    if op == "$setField":
+        if not isinstance(spec.get("field"), str):
+            raise PipelineError("$setField requires a literal field name")
+        return compile_expr(spec["input"]).withField(
+            spec["field"], compile_expr(spec["value"])
+        )
+    if op == "$convert":
+        to_types = {
+            "int": "int", "long": "long", "double": "double",
+            "decimal": "decimal(38,10)", "string": "string",
+            "bool": "boolean", "date": "timestamp",
+        }
+        to = spec.get("to")
+        if to not in to_types:
+            raise PipelineError(f"$convert: unsupported target type {to!r}")
+        c = compile_expr(spec["input"])
+        conv = c.try_cast(to_types[to])
+        if "onError" in spec:
+            conv = F.when(
+                c.isNotNull() & conv.isNull(), compile_expr(spec["onError"])
+            ).otherwise(conv)
+        if "onNull" in spec:
+            conv = F.when(c.isNull(), compile_expr(spec["onNull"])).otherwise(conv)
+        return conv
+    if op == "$atan2":
+        a, b = spec
+        return F.atan2(compile_expr(a), compile_expr(b))
+    if op == "$log":
+        x, base = spec
+        # Spark's two-arg log IS ln(x)/ln(base) (Logarithm) — same
+        # arithmetic, so column bases cost nothing extra
+        return F.log(compile_expr(x)) / F.log(compile_expr(base))
+    if op == "$trunc":
+        x, place = spec if isinstance(spec, list) and len(spec) == 2 else (spec, 0)
+        if not isinstance(place, int):
+            raise PipelineError("$trunc requires a literal integer place")
+        c = compile_expr(x)
+        f = F.lit(float(10**place))
+        # toward zero at `place` decimal digits (floor/ceil by sign)
+        return F.when(c >= 0, F.floor(c * f) / f).otherwise(F.ceil(c * f) / f)
+    if op == "$dateFromParts":
+        if "isoWeekYear" in spec:
+            raise PipelineError("$dateFromParts: ISO week-date form not supported")
+
+        def part(name: str, default: int) -> Column:
+            return (
+                compile_expr(spec[name]) if name in spec else F.lit(default)
+            ).cast("int")
+
+        return F.make_timestamp(
+            part("year", 1970), part("month", 1), part("day", 1),
+            part("hour", 0), part("minute", 0), part("second", 0),
+        )
+    if op == "$dateToParts":
+        c = compile_expr(spec["date"])
+        if spec.get("iso8601"):
+            raise PipelineError("$dateToParts: iso8601 form not supported")
+        return F.struct(
+            F.year(c).alias("year"), F.month(c).alias("month"),
+            F.dayofmonth(c).alias("day"), F.hour(c).alias("hour"),
+            F.minute(c).alias("minute"), F.second(c).alias("second"),
+            F.date_format(c, "SSS").cast("int").alias("millisecond"),
+        )
+    if op == "$dateFromString":
+        c = compile_expr(spec["dateString"])
+        if "format" in spec:
+            return F.to_timestamp(c, _mongo_date_format(spec["format"]))
+        return c.cast("timestamp")
     if op == "$dateToString":
         fmt = _mongo_date_format(spec.get("format", "%Y-%m-%dT%H:%M:%S.%LZ"))
         return F.date_format(compile_expr(spec["date"]), fmt)
@@ -374,6 +607,15 @@ def _compile_op(op: str, spec: Any) -> Column:
 def _as_bool(spec: Any):
     # wrap so _variadic compiles each operand then casts to boolean
     return {"$toBool__internal": spec}
+
+
+def _literal_regex(op: str, pattern: Any) -> None:
+    """Regex args must be plan-time literals (capture-group count types
+    the output; Spark rlike wants a literal anyway). A string starting
+    with '$' is a Mongo field PATH, not a literal — refuse it rather
+    than match the path text."""
+    if not isinstance(pattern, str) or pattern.startswith("$"):
+        raise PipelineError(f"{op} requires a literal regex")
 
 
 # ---------------------------------------------------------------------------
@@ -518,7 +760,59 @@ def _compile_accumulator(spec: dict, sort_keys: list[tuple[str, bool]] | None) -
         return F.slice(
             F.sort_array(F.collect_list(compile_expr(arg["input"])), asc=asc), 1, n
         )
+    if op in ("$firstN", "$lastN"):
+        # like $first/$last, meaningful only under an established order
+        n = arg["n"]
+        if not (isinstance(n, int) and n > 0):
+            raise PipelineError(f"{op} requires a positive literal n")
+        if not sort_keys:
+            raise PipelineError(f"{op} requires a preceding $sort stage")
+        ordk = _sort_struct(sort_keys)
+        return _n_by_order(
+            compile_expr(arg["input"]), ordk, n, from_end=op == "$lastN"
+        )
+    if op in ("$top", "$bottom", "$topN", "$bottomN"):
+        # self-sorted accumulators: sortBy rides in the spec. Mongo's
+        # $top is the FIRST element under sortBy; $bottom the last.
+        by = [(k, v >= 0) for k, v in arg["sortBy"].items()]
+        ordk = _sort_struct(by)
+        out = compile_expr(arg["output"])
+        if op in ("$top", "$bottom"):
+            fn = F.min_by if op == "$top" else F.max_by
+            return fn(out, ordk)
+        n = arg["n"]
+        if not (isinstance(n, int) and n > 0):
+            raise PipelineError(f"{op} requires a positive literal n")
+        return _n_by_order(out, ordk, n, from_end=op == "$bottomN")
     raise PipelineError(f"unsupported accumulator {op!r}")
+
+
+def _sort_struct(sort_keys: list[tuple[str, bool]]) -> Column:
+    """Orderable struct for min_by/max_by/sort_array under a Mongo
+    sort spec (desc keys negated — numeric/timestamp only, refused
+    loudly otherwise by _desc_orderable)."""
+    return F.struct(
+        *[
+            (F.col(k) if asc else _desc_orderable(k)).alias(f"k{i}")
+            for i, (k, asc) in enumerate(sort_keys)
+        ]
+    )
+
+
+def _n_by_order(value: Column, ordk: Column, n: int, *, from_end: bool) -> Column:
+    """First/last ``n`` values of a group under ``ordk``: collect
+    (order, value) pairs, sort once per group, slice, project the
+    values. Group state is O(|group|) — identical to Mongo's own
+    accumulator semantics, and the sort runs inside the aggregate, not
+    as a window."""
+    pairs = F.sort_array(F.collect_list(F.struct(ordk.alias("o"), value.alias("v"))))
+    if from_end:
+        # slice(-n) on a group SHORTER than n returns empty, not all —
+        # Mongo returns the whole group, so guard the short case
+        sliced = F.when(F.size(pairs) <= n, pairs).otherwise(F.slice(pairs, -n, n))
+    else:
+        sliced = F.slice(pairs, 1, n)
+    return F.transform(sliced, lambda x: x["v"])
 
 
 def _desc_orderable(key: str) -> Column:

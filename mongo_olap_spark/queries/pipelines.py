@@ -274,3 +274,96 @@ def q_pipeline_array(spark, sf_dir):
             }},
         ],
     )
+
+
+@register(
+    "q_pipeline_dates",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow,
+           CAST(strftime(o_orderdate, '%U') AS INTEGER) AS week,
+           CAST(weekofyear(o_orderdate) AS INTEGER) AS iso_week,
+           CAST(isoyear(o_orderdate) AS INTEGER) AS iso_year,
+           CAST(dayofyear(o_orderdate) AS INTEGER) AS doy
+    FROM orders
+    """,
+)
+def q_pipeline_dates(spark, sf_dir):
+    """Round-4 date-part operators through the compiler: $dayOfWeek
+    (1=Sunday, both engines after DuckDB's +1), $week (strftime-%U
+    semantics: days before the year's first Sunday are week 0 — NOT
+    ISO), $isoWeek/$isoWeekYear (ISO 8601), $dayOfYear. All JVM
+    codegen date arithmetic; the scan prunes to two columns."""
+    o = load_table(spark, sf_dir, "orders")
+    return compile_pipeline(
+        o,
+        [
+            {"$project": {
+                "o_orderkey": 1,
+                "dow": {"$dayOfWeek": "$o_orderdate"},
+                "week": {"$week": "$o_orderdate"},
+                "iso_week": {"$isoWeek": "$o_orderdate"},
+                "iso_year": {"$isoWeekYear": "$o_orderdate"},
+                "doy": {"$dayOfYear": "$o_orderdate"},
+            }},
+        ],
+    )
+
+
+@register(
+    "q_pipeline_strings",
+    oracle="""
+    SELECT doc_id,
+           coalesce(array_to_string(regexp_extract_all(text, '[0-9]+'), ','), '')
+               AS nums_csv,
+           CAST(len(regexp_extract_all(text, '[0-9]+')) AS INTEGER) AS n_nums,
+           replace(source, 'a', '_') AS clean_source,
+           upper(string_split(text, ' ')[1]) AS first_word_upper,
+           regexp_matches(text, '[0-9]') AS has_digit
+    FROM documents
+    """,
+)
+def q_pipeline_strings(spark, sf_dir):
+    """Round-4 string/regex/array operators through the compiler:
+    $regexFindAll -> $map (struct field projection) -> $reduce CSV
+    fold, $replaceAll, $regexMatch, $split + $arrayElemAt + $toUpper.
+    The reduce/map lambdas are Spark HOF expressions — per-row
+    interpreted but constant-size, no Python anywhere."""
+    d = load_table(spark, sf_dir, "documents")
+    nums = {
+        "$map": {
+            "input": {"$regexFindAll": {"input": "$text", "regex": "[0-9]+"}},
+            "as": "m",
+            "in": "$$m.match",
+        }
+    }
+    return compile_pipeline(
+        d,
+        [
+            {"$project": {
+                "doc_id": 1,
+                "nums_csv": {
+                    "$reduce": {
+                        "input": nums,
+                        "initialValue": "",
+                        "in": {
+                            "$cond": [
+                                {"$eq": ["$$value", ""]},
+                                "$$this",
+                                {"$concat": ["$$value", ",", "$$this"]},
+                            ]
+                        },
+                    }
+                },
+                "n_nums": {"$size": nums},
+                "clean_source": {
+                    "$replaceAll": {"input": "$source", "find": "a",
+                                    "replacement": "_"}
+                },
+                "first_word_upper": {
+                    "$toUpper": {"$arrayElemAt": [{"$split": ["$text", " "]}, 0]}
+                },
+                "has_digit": {"$regexMatch": {"input": "$text", "regex": "[0-9]"}},
+            }},
+        ],
+    )

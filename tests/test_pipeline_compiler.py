@@ -936,3 +936,295 @@ def test_lookup_pipeline_exclusion_project_refuses(spark):
             }}],
             collections={"f": foreign},
         )
+
+
+# ---------------------------------------------------------------------------
+# round-4 expression-operator batch
+# ---------------------------------------------------------------------------
+
+def _one(spark, expr_spec, rows="x int", data=((1,),)):
+    df = spark.createDataFrame(list(data), rows)
+    return [r["out"] for r in df.select(compile_expr(expr_spec).alias("out")).collect()]
+
+
+def test_string_trim_replace_ops(spark):
+    df = spark.createDataFrame([("xxhelloxx", "l", "L")], "s string, f string, r string")
+    out = df.select(
+        compile_expr({"$ltrim": {"input": "$s", "chars": "x"}}).alias("lt"),
+        compile_expr({"$rtrim": {"input": "$s", "chars": "x"}}).alias("rt"),
+        compile_expr({"$ltrim": {"input": {"$literal": "  a "}}}).alias("sp"),
+        compile_expr(
+            {"$replaceOne": {"input": "$s", "find": "$f", "replacement": "$r"}}
+        ).alias("one"),
+        compile_expr(
+            {"$replaceAll": {"input": "$s", "find": "$f", "replacement": "$r"}}
+        ).alias("all"),
+        compile_expr(
+            {"$replaceOne": {"input": "$s", "find": {"$literal": "zz"},
+                             "replacement": {"$literal": "?"}}}
+        ).alias("miss"),
+    ).collect()[0]
+    assert out["lt"] == "helloxx"
+    assert out["rt"] == "xxhello"
+    assert out["sp"] == "a "
+    assert out["one"] == "xxheLloxx"
+    assert out["all"] == "xxheLLoxx"
+    assert out["miss"] == "xxhelloxx"
+
+
+def test_regex_find_ops(spark):
+    df = spark.createDataFrame(
+        [("order 12 of 34",), ("no digits",)], "s string"
+    )
+    out = df.select(
+        compile_expr({"$regexFind": {"input": "$s", "regex": r"(\d+) of (\d+)"}}).alias("f"),
+        compile_expr({"$regexFindAll": {"input": "$s", "regex": r"\d+"}}).alias("a"),
+    ).collect()
+    hit = out[0]["f"]
+    assert hit["match"] == "12 of 34" and hit["idx"] == 6
+    assert list(hit["captures"]) == ["12", "34"]
+    assert [m["match"] for m in out[0]["a"]] == ["12", "34"]
+    assert out[1]["f"] is None
+    assert list(out[1]["a"]) == []
+
+
+def test_array_ops(spark):
+    df = spark.createDataFrame([([3, 1, 2], [10, 20])], "a array<int>, b array<int>")
+    out = df.select(
+        compile_expr({"$sortArray": {"input": "$a", "sortBy": 1}}).alias("asc"),
+        compile_expr({"$sortArray": {"input": "$a", "sortBy": -1}}).alias("desc"),
+        compile_expr({"$reverseArray": "$a"}).alias("rev"),
+        compile_expr({"$indexOfArray": ["$a", 2]}).alias("idx"),
+        compile_expr({"$indexOfArray": ["$a", 99]}).alias("missing"),
+        compile_expr({"$zip": {"inputs": ["$a", "$b"]}}).alias("zshort"),
+        compile_expr(
+            {"$zip": {"inputs": ["$a", "$b"], "useLongestLength": True,
+                      "defaults": [0, -1]}}
+        ).alias("zlong"),
+        compile_expr({"$range": [0, 6, 2]}).alias("rng"),
+        compile_expr({"$range": [5, 0, -2]}).alias("rng_neg"),
+        compile_expr({"$range": [3, 3]}).alias("rng_empty"),
+    ).collect()[0]
+    assert list(out["asc"]) == [1, 2, 3]
+    assert list(out["desc"]) == [3, 2, 1]
+    assert list(out["rev"]) == [2, 1, 3]
+    assert out["idx"] == 2 and out["missing"] == -1
+    assert [list(x) for x in out["zshort"]] == [[3, 10], [1, 20]]
+    assert [list(x) for x in out["zlong"]] == [[3, 10], [1, 20], [2, -1]]
+    assert list(out["rng"]) == [0, 2, 4]
+    assert list(out["rng_neg"]) == [5, 3, 1]
+    assert list(out["rng_empty"]) == []
+
+
+def test_set_predicates(spark):
+    df = spark.createDataFrame([([1, 2, 2], [2, 1], [1, 3])], "a array<int>, b array<int>, c array<int>")
+    out = df.select(
+        compile_expr({"$setEquals": ["$a", "$b"]}).alias("eq"),
+        compile_expr({"$setEquals": ["$a", "$c"]}).alias("ne"),
+        compile_expr({"$setIsSubset": ["$b", "$a"]}).alias("sub"),
+        compile_expr({"$setIsSubset": ["$c", "$a"]}).alias("nosub"),
+        compile_expr({"$anyElementTrue": [{"$map": {
+            "input": "$a", "as": "x", "in": {"$gt": ["$$x", 1]}}}]}).alias("any"),
+        compile_expr({"$allElementsTrue": [{"$map": {
+            "input": "$a", "as": "x", "in": {"$gt": ["$$x", 1]}}}]}).alias("all"),
+    ).collect()[0]
+    assert out["eq"] and not out["ne"]
+    assert out["sub"] and not out["nosub"]
+    assert out["any"] and not out["all"]
+
+
+def test_object_map_ops(spark):
+    df = spark.createDataFrame(
+        [({"a": 1, "b": 2},)], "m map<string,int>"
+    )
+    arr = df.select(compile_expr({"$objectToArray": "$m"}).alias("kv"))
+    got = sorted((e["k"], e["v"]) for e in arr.collect()[0]["kv"])
+    assert got == [("a", 1), ("b", 2)]
+    back = arr.select(compile_expr({"$arrayToObject": "$kv"}).alias("m")).collect()[0]
+    assert dict(back["m"]) == {"a": 1, "b": 2}
+
+
+def test_get_set_field(spark):
+    df = spark.createDataFrame([((1, "x"),)], "s struct<a:int,b:string>")
+    out = df.select(
+        compile_expr({"$getField": {"input": "$s", "field": "b"}}).alias("g"),
+        compile_expr(
+            {"$setField": {"input": "$s", "field": "a", "value": {"$literal": 9}}}
+        ).alias("s2"),
+    ).collect()[0]
+    assert out["g"] == "x"
+    assert out["s2"]["a"] == 9 and out["s2"]["b"] == "x"
+
+
+def test_convert_with_handlers(spark):
+    df = spark.createDataFrame(
+        [("12",), ("nope",), (None,)], "s string"
+    )
+    out = df.select(
+        compile_expr({"$convert": {"input": "$s", "to": "int",
+                                   "onError": -1, "onNull": 0}}).alias("c"),
+        compile_expr({"$convert": {"input": "$s", "to": "int"}}).alias("bare"),
+    ).collect()
+    assert [r["c"] for r in out] == [12, -1, 0]
+    assert [r["bare"] for r in out] == [12, None, None]
+    with pytest.raises(PipelineError, match="unsupported target"):
+        compile_expr({"$convert": {"input": "$s", "to": "objectId"}})
+
+
+def test_math_ops(spark):
+    import math
+
+    df = spark.createDataFrame([(0.5, -3.7)], "x double, y double")
+    out = df.select(
+        compile_expr({"$sin": "$x"}).alias("sin"),
+        compile_expr({"$atan2": ["$x", 2.0]}).alias("at2"),
+        compile_expr({"$log": [8.0, 2.0]}).alias("log"),
+        compile_expr({"$trunc": ["$y", 0]}).alias("t0"),
+        compile_expr({"$trunc": [{"$literal": 3.79}, 1]}).alias("t1"),
+        compile_expr({"$trunc": ["$y", 1]}).alias("tn"),
+        compile_expr({"$degreesToRadians": {"$literal": 180.0}}).alias("rad"),
+    ).collect()[0]
+    assert out["sin"] == math.sin(0.5)
+    assert out["at2"] == math.atan2(0.5, 2.0)
+    assert out["log"] == 3.0
+    assert out["t0"] == -3.0  # toward zero, NOT floor
+    assert out["t1"] == 3.7
+    assert out["tn"] == -3.7
+    assert out["rad"] == math.pi
+
+
+def test_date_part_ops(spark):
+    import datetime
+
+    # 2024-01-07 is the first Sunday of 2024 (Jan 1 was a Monday)
+    df = spark.createDataFrame(
+        [(datetime.datetime(2024, 1, 6, 10, 30, 15, 250000),),
+         (datetime.datetime(2024, 1, 7, 0, 0),),
+         (datetime.datetime(2020, 1, 1, 0, 0),)],
+        "ts timestamp",
+    )
+    out = df.select(
+        compile_expr({"$dayOfWeek": "$ts"}).alias("dow"),
+        compile_expr({"$isoDayOfWeek": "$ts"}).alias("iso_dow"),
+        compile_expr({"$dayOfYear": "$ts"}).alias("doy"),
+        compile_expr({"$week": "$ts"}).alias("week"),
+        compile_expr({"$isoWeek": "$ts"}).alias("iso_week"),
+        compile_expr({"$isoWeekYear": "$ts"}).alias("iso_wy"),
+        compile_expr({"$millisecond": "$ts"}).alias("ms"),
+    ).collect()
+    sat, sun, nyd = out
+    assert (sat["dow"], sat["iso_dow"]) == (7, 6)  # Saturday
+    assert (sun["dow"], sun["iso_dow"]) == (1, 7)  # Sunday
+    assert sat["week"] == 0 and sun["week"] == 1  # days before 1st Sunday
+    assert sat["ms"] == 250
+    # 2020-01-01 is ISO week 1 of 2020 but %U week 0
+    assert (nyd["week"], nyd["iso_week"], nyd["iso_wy"]) == (0, 1, 2020)
+    assert sat["doy"] == 6
+
+
+def test_date_from_parts_and_string(spark):
+    import datetime
+
+    df = spark.createDataFrame([(2024, 3, 15)], "y int, m int, d int")
+    out = df.select(
+        compile_expr({"$dateFromParts": {"year": "$y", "month": "$m", "day": "$d",
+                                         "hour": 12}}).alias("full"),
+        compile_expr({"$dateFromParts": {"year": "$y"}}).alias("defaults"),
+        compile_expr({"$dateFromString": {
+            "dateString": {"$literal": "2024-03-15 12:00:00"}}}).alias("parsed"),
+        compile_expr({"$dateFromString": {
+            "dateString": {"$literal": "15/03/2024"},
+            "format": "%d/%m/%Y"}}).alias("fmt"),
+        compile_expr({"$dateToParts": {"date": {"$literal": "2024-03-15 12:34:56"},
+                                       }}).alias("parts"),
+    ).collect()[0]
+    assert out["full"] == datetime.datetime(2024, 3, 15, 12)
+    assert out["defaults"] == datetime.datetime(2024, 1, 1)
+    assert out["parsed"] == datetime.datetime(2024, 3, 15, 12)
+    assert out["fmt"] == datetime.datetime(2024, 3, 15)
+    p = out["parts"]
+    assert (p["year"], p["month"], p["day"], p["hour"], p["minute"],
+            p["second"], p["millisecond"]) == (2024, 3, 15, 12, 34, 56, 0)
+
+
+def test_to_bool_and_decimal(spark):
+    from decimal import Decimal
+
+    df = spark.createDataFrame([("true", "1.5")], "b string, d string")
+    out = df.select(
+        compile_expr({"$toBool": "$b"}).alias("b"),
+        compile_expr({"$toDecimal": "$d"}).alias("d"),
+    ).collect()[0]
+    assert out["b"] is True
+    assert out["d"] == Decimal("1.5")
+
+
+def test_first_last_n_accumulators(spark):
+    df = spark.createDataFrame(
+        [("a", i, float(i * 10)) for i in [3, 1, 4, 1, 5]]
+        + [("b", 9, 90.0)],
+        "g string, k int, v double",
+    )
+    out = compile_pipeline(
+        df,
+        [
+            {"$sort": {"k": 1}},
+            {"$group": {
+                "_id": "$g",
+                "first2": {"$firstN": {"input": "$v", "n": 2}},
+                "last2": {"$lastN": {"input": "$v", "n": 2}},
+            }},
+            {"$sort": {"_id": 1}},
+        ],
+    ).collect()
+    a, b = out
+    assert list(a["first2"]) == [10.0, 10.0]  # k=1 ties, both before k=3
+    assert list(a["last2"]) == [40.0, 50.0]
+    assert list(b["first2"]) == [90.0]  # group smaller than n keeps all
+    assert list(b["last2"]) == [90.0]
+
+
+def test_top_bottom_accumulators(spark):
+    df = spark.createDataFrame(
+        [("a", 3, "c3"), ("a", 1, "c1"), ("a", 2, "c2"), ("b", 7, "c7")],
+        "g string, k int, tag string",
+    )
+    out = compile_pipeline(
+        df,
+        [
+            {"$group": {
+                "_id": "$g",
+                "top": {"$top": {"output": "$tag", "sortBy": {"k": 1}}},
+                "bottom": {"$bottom": {"output": "$tag", "sortBy": {"k": 1}}},
+                "top2": {"$topN": {"output": "$tag", "sortBy": {"k": 1}, "n": 2}},
+                "bot2": {"$bottomN": {"output": "$tag", "sortBy": {"k": 1}, "n": 2}},
+                "top_desc": {"$top": {"output": "$tag", "sortBy": {"k": -1}}},
+            }},
+            {"$sort": {"_id": 1}},
+        ],
+    ).collect()
+    a, b = out
+    assert a["top"] == "c1" and a["bottom"] == "c3" and a["top_desc"] == "c3"
+    assert list(a["top2"]) == ["c1", "c2"]
+    assert list(a["bot2"]) == ["c2", "c3"]
+    assert b["top"] == "c7" and list(b["bot2"]) == ["c7"]
+
+
+def test_new_ops_refuse_by_name(spark):
+    with pytest.raises(PipelineError, match="literal regex"):
+        compile_expr({"$regexFind": {"input": "$s", "regex": "$pat"}})
+    with pytest.raises(PipelineError, match="sortBy: 1\\|-1"):
+        compile_expr({"$sortArray": {"input": "$a", "sortBy": {"f": 1}}})
+    with pytest.raises(PipelineError, match="nonzero integer step"):
+        compile_expr({"$range": [0, 5, 0]})
+    with pytest.raises(PipelineError, match="defaults requires"):
+        compile_expr({"$zip": {"inputs": ["$a"], "defaults": [1]}})
+    with pytest.raises(PipelineError, match="literal field name"):
+        compile_expr({"$getField": {"input": "$s", "field": {"$literal": "x"}}})
+    with pytest.raises(PipelineError, match="ISO week-date"):
+        compile_expr({"$dateFromParts": {"isoWeekYear": 2024}})
+    with pytest.raises(PipelineError, match="preceding \\$sort"):
+        compile_pipeline(
+            spark.createDataFrame([("a", 1)], "g string, v int"),
+            [{"$group": {"_id": "$g", "f": {"$firstN": {"input": "$v", "n": 2}}}}],
+        )

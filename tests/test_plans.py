@@ -61,7 +61,13 @@ def test_no_rowwise_python_udf_in_native_queries(spark):
     # every query except the explicitly-Arrow stages stays JVM-side:
     # no BatchEvalPython (row-at-a-time UDF) anywhere, and Arrow
     # evaluation only in the declared BLAS/codec stages
-    ARROW_OK = ("q_multimodal", "q_dedup_embedding", "q_ivf_knn", "q_window_ema")
+    ARROW_OK = (
+        "q_multimodal",
+        "q_multimodal_decode",  # injected codec + pixel stats, both Arrow by design
+        "q_dedup_embedding",
+        "q_ivf_knn",
+        "q_window_ema",
+    )
     for qid in QUERIES:
         plan = plan_of(spark, qid)
         assert "BatchEvalPython" not in plan, qid
