@@ -15,6 +15,7 @@ oracle checks the full dedup semantics, not just plumbing.
 
 from __future__ import annotations
 
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from mongo_olap_spark.functions.expressions import davg_sql
@@ -969,4 +970,78 @@ def q_pack(spark, sf_dir, bin_tokens: int = 2048):
         "n_tokens",
         F.floor(F.col("start_tok") / bin_tokens).alias("bin_id"),
         (F.col("start_tok") % bin_tokens).alias("bin_offset"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X1b — span-level exact dedup (C4/RefinedWeb-style repeated-span
+# removal). Documents are cut into fixed 10-word chunks; every chunk
+# that already occurred anywhere in the corpus (first occurrence =
+# smallest (doc_id, position)) is dropped; surviving chunks reassemble
+# the cleaned document. Scale shape: chunking is pure array exprs in
+# the scan; the dedup is ONE shuffle keyed on the chunk text (small:
+# 10 words), the rebuild ONE shuffle on doc_id; full-copy documents
+# lose every chunk and vanish — same as paragraph dedup at 100 TB.
+# ---------------------------------------------------------------------------
+
+SPAN_WORDS = 10
+
+
+@register(
+    "q_dedup_spans",
+    oracle=f"""
+    WITH corpus AS ({_DUP_CORPUS_SQL}),
+    toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM corpus
+    ),
+    idxs AS (
+      SELECT doc_id, t,
+             unnest(generate_series(0, CAST(ceil(len(t) / {SPAN_WORDS}.0) AS INT) - 1))
+               AS idx
+      FROM toks
+    ),
+    chunks AS (
+      SELECT doc_id, idx,
+             array_to_string(t[(idx * {SPAN_WORDS} + 1):((idx + 1) * {SPAN_WORDS})], ' ')
+               AS chunk
+      FROM idxs
+    ),
+    kept AS (
+      SELECT doc_id, idx, chunk,
+             row_number() OVER (PARTITION BY chunk ORDER BY doc_id, idx) AS rn
+      FROM chunks
+    )
+    SELECT doc_id,
+           string_agg(chunk, ' ' ORDER BY idx) AS clean_text,
+           CAST(COUNT(*) AS INT) AS n_kept
+    FROM kept WHERE rn = 1
+    GROUP BY doc_id
+    """,
+)
+def q_dedup_spans(spark, sf_dir):
+    corpus = _dup_corpus(spark, sf_dir)
+    toks = F.split("text", " ")
+    n_chunks = F.ceil(F.size(toks) / SPAN_WORDS).cast("int")
+    chunks = corpus.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.concat_ws(
+                    " ", F.slice(toks, i * SPAN_WORDS + 1, SPAN_WORDS)
+                ),
+            )
+        ).alias("idx", "chunk"),
+    )
+    w = W.partitionBy("chunk").orderBy("doc_id", "idx")
+    kept = chunks.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("idx", "chunk"))),
+                lambda x: x["chunk"],
+            ),
+        ).alias("clean_text"),
+        F.count(F.lit(1)).cast("int").alias("n_kept"),
     )
