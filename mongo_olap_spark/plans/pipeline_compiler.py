@@ -43,7 +43,6 @@ from mongo_olap_spark.functions.expressions import (
     dsum,
     mongo_cond,
     mongo_divide,
-    mongo_if_null,
     mongo_index_of,
     mongo_mod,
     mongo_ne,
@@ -308,8 +307,28 @@ def _compile_op(op: str, spec: Any) -> Column:
             compile_expr(pred).cast("boolean"), compile_expr(then), compile_expr(els)
         )
     if op == "$ifNull":
-        a, b = spec
-        return mongo_if_null(compile_expr(a), compile_expr(b))
+        # variadic since MongoDB 5.0: first non-null of N inputs, the
+        # last argument being the replacement
+        if not (isinstance(spec, list) and len(spec) >= 2):
+            raise PipelineError("$ifNull requires at least two arguments")
+        return F.coalesce(*[compile_expr(a) for a in spec])
+    if op == "$strLenBytes":
+        [a] = _args(spec)
+        return F.octet_length(compile_expr(a))
+    if op == "$strcasecmp":
+        a, b = (F.lower(compile_expr(x)) for x in spec)
+        return F.when(a < b, -1).when(a > b, 1).when(a.eqNullSafe(b), 0)
+    if op in ("$isNumber", "$isArray"):
+        # typed engine: the answer is a plan-time property of the
+        # expression's (static) type, surfaced via typeof()
+        [a] = _args(spec)
+        t = F.call_function("typeof", compile_expr(a))
+        if op == "$isArray":
+            return t.startswith("array")
+        return (
+            t.isin("tinyint", "smallint", "int", "bigint", "float", "double")
+            | t.startswith("decimal")
+        )
     if op == "$switch":
         branches = [
             (compile_expr(b["case"]).cast("boolean"), compile_expr(b["then"]))
@@ -652,6 +671,14 @@ def compile_match(query: dict) -> Column:
             preds.append(~_variadic_or([compile_match(q) for q in val]))
         elif key == "$expr":
             preds.append(compile_expr(val).cast("boolean"))
+        elif key == "$sampleRate":
+            if not (isinstance(val, (int, float)) and 0 <= val <= 1):
+                raise PipelineError("$sampleRate requires a literal in [0, 1]")
+            # engine sampling policy (same as $sample): DETERMINISTIC
+            # hash order instead of Mongo's rand() — repeatable across
+            # runs and partitionings, which the oracle gate requires
+            bucket = F.pmod(F.xxhash64(F.struct("*"), F.lit(77)), F.lit(1_000_000))
+            preds.append(bucket < F.lit(int(round(val * 1_000_000))))
         elif key.startswith("$"):
             raise PipelineError(f"unsupported match operator {key!r}")
         else:

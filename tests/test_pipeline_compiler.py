@@ -1228,3 +1228,39 @@ def test_new_ops_refuse_by_name(spark):
             spark.createDataFrame([("a", 1)], "g string, v int"),
             [{"$group": {"_id": "$g", "f": {"$firstN": {"input": "$v", "n": 2}}}}],
         )
+
+
+def test_ifnull_variadic_and_misc_string_ops(spark):
+    df = spark.createDataFrame([(None, None, 5, "AbC", "abd")],
+                               "a int, b int, c int, s string, t string")
+    out = df.select(
+        compile_expr({"$ifNull": ["$a", "$b", "$c"]}).alias("coal"),
+        compile_expr({"$ifNull": ["$a", "$b"]}).alias("two"),
+        compile_expr({"$strLenBytes": {"$literal": "héllo"}}).alias("bytes"),
+        compile_expr({"$strLenCP": {"$literal": "héllo"}}).alias("cps"),
+        compile_expr({"$strcasecmp": ["$s", "$t"]}).alias("cmp_lt"),
+        compile_expr({"$strcasecmp": ["$s", {"$literal": "ABC"}]}).alias("cmp_eq"),
+        compile_expr({"$isNumber": "$c"}).alias("isnum"),
+        compile_expr({"$isNumber": "$s"}).alias("notnum"),
+        compile_expr({"$isArray": {"$split": ["$s", "b"]}}).alias("isarr"),
+    ).collect()[0]
+    assert out["coal"] == 5 and out["two"] is None
+    assert out["bytes"] == 6 and out["cps"] == 5  # é is 2 bytes, 1 cp
+    assert out["cmp_lt"] == -1 and out["cmp_eq"] == 0
+    assert out["isnum"] and not out["notnum"] and out["isarr"]
+    with pytest.raises(PipelineError, match="at least two"):
+        compile_expr({"$ifNull": ["$a"]})
+
+
+def test_sample_rate_deterministic(events):
+    full = compile_pipeline(events, [{"$match": {"$sampleRate": 1.0}}]).count()
+    none = compile_pipeline(events, [{"$match": {"$sampleRate": 0.0}}]).count()
+    assert full == events.count() and none == 0
+    a = compile_pipeline(events, [{"$match": {"$sampleRate": 0.3}}])
+    b = compile_pipeline(events.repartition(7), [{"$match": {"$sampleRate": 0.3}}])
+    ra = sorted(r["event_id"] for r in a.select("event_id").collect())
+    rb = sorted(r["event_id"] for r in b.select("event_id").collect())
+    assert ra == rb  # deterministic under repartitioning
+    assert 0.2 * full < len(ra) < 0.4 * full
+    with pytest.raises(PipelineError, match="literal in"):
+        compile_match({"$sampleRate": 1.5})
