@@ -351,11 +351,12 @@ def _compile_op(op: str, spec: Any) -> Column:
         return F.slice(compile_expr(arr), 1, n)
     if op == "$dateTrunc":
         return F.date_trunc(spec["unit"], compile_expr(spec["date"]))
-    if op == "$dateAdd":
+    if op in ("$dateAdd", "$dateSubtract"):
+        amount = compile_expr(spec["amount"])
+        if op == "$dateSubtract":
+            amount = -amount
         return F.timestamp_add(
-            spec["unit"].upper(),
-            compile_expr(spec["amount"]),
-            compile_expr(spec["startDate"]),
+            spec["unit"].upper(), amount, compile_expr(spec["startDate"])
         )
     if op == "$dateDiff":
         # Mongo counts unit-BOUNDARY CROSSINGS (23:59 → 00:01 next day
@@ -866,9 +867,14 @@ def compile_pipeline(
     """
     df = source
     sort_keys: list[tuple[str, bool]] | None = None
-    for stage in pipeline:
+    for stage_idx, stage in enumerate(pipeline):
         [(name, spec)] = stage.items()
-        if name == "$match":
+        if name == "$geoNear":
+            # Mongo requires $geoNear to be the first stage
+            if stage_idx != 0:
+                raise PipelineError("$geoNear must be the first pipeline stage")
+            df = _geo_near_stage(df, spec)
+        elif name == "$match":
             df = df.filter(compile_match(spec))
         elif name in ("$project", "$addFields", "$set"):
             df = _project(df, spec, add_only=name != "$project")
@@ -935,6 +941,43 @@ def compile_pipeline(
         else:
             raise PipelineError(f"unsupported stage {name!r}")
     return df
+
+
+def _geo_near_stage(df: DataFrame, spec: dict) -> DataFrame:
+    """$geoNear (2dsphere semantics): distance from ``near`` in a new
+    ``distanceField`` (meters), optional ``maxDistance`` (meters) and
+    ``query`` pre-filters, nearest-first order. ``near`` takes GeoJSON
+    ``{type: Point, coordinates: [lon, lat]}`` or a bare ``[lon, lat]``
+    pair — LONGITUDE FIRST, per GeoJSON. The document's own position
+    comes from ``key: [lonField, latField]`` (the typed-engine spelling
+    of the indexed location field)."""
+    from mongo_olap_spark.operators.geo import geo_near
+
+    near = spec.get("near")
+    if isinstance(near, dict):
+        near = near.get("coordinates")
+    if not (isinstance(near, list) and len(near) == 2):
+        raise PipelineError("$geoNear: near must be [lon, lat] coordinates")
+    key = spec.get("key")
+    if not (isinstance(key, list) and len(key) == 2):
+        raise PipelineError(
+            "$geoNear: key must name the [lonField, latField] columns"
+        )
+    dist_field = spec.get("distanceField", "distance")
+    out = df
+    if "query" in spec:
+        out = out.filter(compile_match(spec["query"]))
+    lon, lat = near
+    return geo_near(
+        out,
+        float(lat),
+        float(lon),
+        lat_col=key[1],
+        lon_col=key[0],
+        distance_col=dist_field,
+        max_distance_m=spec.get("maxDistance"),
+        limit=spec.get("limit"),
+    )
 
 
 def _project(df: DataFrame, spec: dict, *, add_only: bool) -> DataFrame:

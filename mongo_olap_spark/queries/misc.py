@@ -554,3 +554,66 @@ def q_funnel(spark, sf_dir):
             )
         ).alias("n_full_funnel"),
     )
+
+
+# ---------------------------------------------------------------------------
+# $geoNear (2dsphere). The testdata has no geo columns, so both
+# engines synthesize deterministic lat/lon from c_custkey with EXACT
+# double arithmetic (integer-derived, bit-identical across engines).
+# The haversine itself uses sin/cos, which differ in the last ulp
+# between the JVM and libm — so both sides compare the distance
+# rounded to 1 mm, and the nearest-100 cut rides a distance whose
+# neighbors differ by kilometers, far beyond ulp noise.
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_geo_near",
+    oracle="""
+    WITH pts AS (
+      SELECT c_custkey,
+             (c_custkey % 170) - 85 + 0.25                   AS lat,
+             ((c_custkey * 7) % 360) - 180 + 0.5             AS lon
+      FROM customer
+    ),
+    annotated AS (
+      SELECT c_custkey, lat, lon,
+             round(2 * 6371000.0 * asin(sqrt(
+               pow(sin(radians(lat - 40.0) / 2), 2)
+               + cos(radians(40.0)) * cos(radians(lat))
+                 * pow(sin(radians(lon - (-74.0)) / 2), 2)
+             )), 3) AS distance_m
+      FROM pts
+    )
+    SELECT c_custkey, lat, lon, distance_m
+    FROM annotated
+    WHERE distance_m <= 5000000
+    ORDER BY distance_m, c_custkey
+    LIMIT 100
+    """,
+)
+def q_geo_near(spark, sf_dir):
+    from mongo_olap_spark.plans.pipeline_compiler import compile_pipeline
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        ((F.col("c_custkey") % 170) - 85 + 0.25).alias("lat"),
+        (((F.col("c_custkey") * 7) % 360) - 180 + 0.5).alias("lon"),
+    )
+    near = compile_pipeline(
+        c,
+        [
+            {"$geoNear": {
+                "near": {"type": "Point", "coordinates": [-74.0, 40.0]},
+                "key": ["lon", "lat"],
+                "distanceField": "distance_m",
+                "maxDistance": 5_000_000,
+            }},
+        ],
+    )
+    # 1 mm grid for cross-engine comparability (see module comment);
+    # the limit's tie-break on c_custkey keeps the cut deterministic
+    return (
+        near.withColumn("distance_m", F.round("distance_m", 3))
+        .orderBy("distance_m", "c_custkey")
+        .limit(100)
+    )

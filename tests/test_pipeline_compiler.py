@@ -1264,3 +1264,39 @@ def test_sample_rate_deterministic(events):
     assert 0.2 * full < len(ra) < 0.4 * full
     with pytest.raises(PipelineError, match="literal in"):
         compile_match({"$sampleRate": 1.5})
+
+
+def test_date_subtract(spark):
+    import datetime
+
+    df = spark.createDataFrame([(datetime.datetime(2024, 3, 15, 12),)], "ts timestamp")
+    out = df.select(
+        compile_expr({"$dateSubtract": {"startDate": "$ts", "unit": "day",
+                                        "amount": 14}}).alias("d"),
+        compile_expr({"$dateAdd": {"startDate": "$ts", "unit": "day",
+                                   "amount": -14}}).alias("same"),
+    ).collect()[0]
+    assert out["d"] == datetime.datetime(2024, 3, 1, 12) == out["same"]
+
+
+def test_geo_near_stage(spark):
+    rows = [(1, 40.0, -74.0), (2, 40.5, -74.0), (3, 52.5, 13.4), (4, -33.9, 151.2)]
+    df = spark.createDataFrame(rows, "id long, lat double, lon double")
+    out = compile_pipeline(
+        df,
+        [{"$geoNear": {
+            "near": [-74.0, 40.0],  # bare GeoJSON pair: lon first
+            "key": ["lon", "lat"],
+            "distanceField": "d",
+            "maxDistance": 1_000_000,
+            "query": {"id": {"$lt": 4}},
+        }}],
+    ).collect()
+    assert [r["id"] for r in out] == [1, 2]  # Berlin filtered by radius
+    assert out[0]["d"] == 0.0
+    assert 55_000 < out[1]["d"] < 56_000  # 0.5 deg lat ~ 55.6 km
+    with pytest.raises(PipelineError, match="first pipeline stage"):
+        compile_pipeline(df, [{"$limit": 2}, {"$geoNear": {
+            "near": [0, 0], "key": ["lon", "lat"]}}])
+    with pytest.raises(PipelineError, match="lon, lat"):
+        compile_pipeline(df, [{"$geoNear": {"near": [1], "key": ["lon", "lat"]}}])
