@@ -389,6 +389,17 @@ def _compile_op(op: str, spec: Any) -> Column:
     if op == "$setDifference":
         a, b = spec
         return F.array_except(compile_expr(a), compile_expr(b))
+    if op == "$mergeObjects":
+        # map-typed documents (the typed engine's dynamic-key object);
+        # later arguments win on key conflicts, like Mongo. Built as a
+        # pairwise fold that drops overridden keys BEFORE concat, so it
+        # never trips spark.sql.mapKeyDedupPolicy. Struct inputs are
+        # statically known — merge them with $setField/projection.
+        def _merge(a: Column, b: Column) -> Column:
+            keep = F.map_filter(a, lambda k, v: ~F.map_contains_key(b, k))
+            return F.map_concat(keep, b)
+
+        return _variadic(_merge, _args(spec))
     # -- array higher-order functions. The lambda body compiles with
     # the loop variable bound in _VAR_SCOPE, so nested $map/$filter
     # shadow correctly. Spark evaluates HOF lambdas interpreted
@@ -874,6 +885,19 @@ def compile_pipeline(
             if stage_idx != 0:
                 raise PipelineError("$geoNear must be the first pipeline stage")
             df = _geo_near_stage(df, spec)
+        elif name == "$documents":
+            # inline literal collection (Mongo database-level aggregate
+            # form); replaces the source, so first stage only
+            if stage_idx != 0:
+                raise PipelineError("$documents must be the first pipeline stage")
+            if not (isinstance(spec, list) and spec
+                    and all(isinstance(d, dict) for d in spec)):
+                raise PipelineError(
+                    "$documents requires a non-empty list of literal documents"
+                )
+            df = df.sparkSession.createDataFrame(
+                [_doc_row(d) for d in spec]
+            )
         elif name == "$match":
             df = df.filter(compile_match(spec))
         elif name in ("$project", "$addFields", "$set"):
@@ -906,11 +930,18 @@ def compile_pipeline(
             df = _lookup(df, spec, collections)
         elif name == "$unionWith":
             df = _union_with(df, spec, collections)
-        elif name == "$replaceRoot":
-            root = spec["newRoot"]
-            if not (isinstance(root, str) and root.startswith("$")):
-                raise PipelineError("$replaceRoot supports field-path newRoot only")
-            df = df.select(f"{root[1:]}.*")
+        elif name in ("$replaceRoot", "$replaceWith"):
+            root = spec["newRoot"] if name == "$replaceRoot" else spec
+            if isinstance(root, str) and root.startswith("$"):
+                df = df.select(f"{root[1:]}.*")
+            elif isinstance(root, dict):
+                # expression root (document literal / $mergeObjects /
+                # nested ops): build the struct, then promote its fields
+                df = df.select(compile_expr(root).alias("__root")).select("__root.*")
+            else:
+                raise PipelineError(
+                    f"{name} requires a field path or document expression"
+                )
         elif name == "$setWindowFields":
             df = _set_window_fields(df, spec)
         elif name == "$densify":
@@ -941,6 +972,17 @@ def compile_pipeline(
         else:
             raise PipelineError(f"unsupported stage {name!r}")
     return df
+
+
+def _doc_row(d: dict):
+    """Literal document → Row with nested dicts as nested Rows, so
+    subdocuments type as STRUCTS (createDataFrame would otherwise
+    infer plain dicts as maps, breaking dot-paths and $replaceWith)."""
+    from pyspark.sql import Row
+
+    return Row(
+        **{k: _doc_row(v) if isinstance(v, dict) else v for k, v in d.items()}
+    )
 
 
 def _geo_near_stage(df: DataFrame, spec: dict) -> DataFrame:

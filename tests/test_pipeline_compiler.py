@@ -1300,3 +1300,42 @@ def test_geo_near_stage(spark):
             "near": [0, 0], "key": ["lon", "lat"]}}])
     with pytest.raises(PipelineError, match="lon, lat"):
         compile_pipeline(df, [{"$geoNear": {"near": [1], "key": ["lon", "lat"]}}])
+
+
+def test_documents_stage_and_replace_with(spark):
+    out = compile_pipeline(
+        spark.range(1),  # ignored: $documents replaces the source
+        [
+            {"$documents": [
+                {"k": "a", "inner": {"x": 1, "y": 10}},
+                {"k": "b", "inner": {"x": 2, "y": 20}},
+            ]},
+            {"$replaceWith": "$inner"},
+            {"$sort": {"x": 1}},
+        ],
+    ).collect()
+    assert [(r["x"], r["y"]) for r in out] == [(1, 10), (2, 20)]
+    # expression-form root: document literal built from operators
+    out2 = compile_pipeline(
+        spark.createDataFrame([(3, 4)], "a int, b int"),
+        [{"$replaceWith": {"total": {"$add": ["$a", "$b"]},
+                           "diff": {"$subtract": ["$a", "$b"]}}}],
+    ).collect()[0]
+    assert (out2["total"], out2["diff"]) == (7, -1)
+    with pytest.raises(PipelineError, match="first pipeline stage"):
+        compile_pipeline(spark.range(1), [{"$limit": 1}, {"$documents": [{"a": 1}]}])
+
+
+def test_merge_objects_last_wins(spark):
+    df = spark.createDataFrame(
+        [({"a": 1, "b": 2}, {"b": 99, "c": 3})],
+        "m1 map<string,int>, m2 map<string,int>",
+    )
+    out = df.select(
+        compile_expr({"$mergeObjects": ["$m1", "$m2"]}).alias("m")
+    ).collect()[0]
+    assert dict(out["m"]) == {"a": 1, "b": 99, "c": 3}
+    rev = df.select(
+        compile_expr({"$mergeObjects": ["$m2", "$m1"]}).alias("m")
+    ).collect()[0]
+    assert dict(rev["m"]) == {"a": 1, "b": 2, "c": 3}  # argument order decides
