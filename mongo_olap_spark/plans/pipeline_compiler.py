@@ -885,6 +885,10 @@ def compile_pipeline(
             if stage_idx != 0:
                 raise PipelineError("$geoNear must be the first pipeline stage")
             df = _geo_near_stage(df, spec)
+        elif name == "$vectorSearch":
+            if stage_idx != 0:
+                raise PipelineError("$vectorSearch must be the first pipeline stage")
+            df = _vector_search_stage(df, spec)
         elif name == "$documents":
             # inline literal collection (Mongo database-level aggregate
             # form); replaces the source, so first stage only
@@ -982,6 +986,45 @@ def _doc_row(d: dict):
 
     return Row(
         **{k: _doc_row(v) if isinstance(v, dict) else v for k, v in d.items()}
+    )
+
+
+def _vector_search_stage(df: DataFrame, spec: dict) -> DataFrame:
+    """Atlas-style $vectorSearch over an ``array<float/double>`` path.
+
+    ``exact: true`` (ENN) runs the brute-force cosine scan with a
+    top-``limit`` sort — Spark plans it as TakeOrdered (per-partition
+    top-k + driver merge), the correct exact shape at any scale.
+    ``exact: false`` (Atlas's default ANN) refuses by name: the
+    engine's ANN lives in the dedicated operators (knn_lsh / ivf_knn,
+    SURVEY §2.3 X3) where banding/quantization parameters are explicit
+    — silently mapping HNSW expectations onto a different index family
+    would misrepresent recall. ``filter`` compiles through the $match
+    language BEFORE scoring (pushed to the scan). The score is Atlas's
+    normalized cosine ``(1 + cos) / 2`` in ``scoreField`` (engine
+    spelling of the $meta:"vectorSearchScore" projection), rounded to
+    5 dp so rankings are stable under float summation order."""
+    from mongo_olap_spark.functions.expressions import cosine
+
+    if not spec.get("exact", False):
+        raise PipelineError(
+            "$vectorSearch: exact:false (ANN) is served by the knn_lsh/ivf_knn "
+            "operators with explicit index parameters; set exact:true for ENN"
+        )
+    qv = spec.get("queryVector")
+    if not (isinstance(qv, list) and qv):
+        raise PipelineError("$vectorSearch requires a literal queryVector")
+    path, limit = spec["path"], spec["limit"]
+    score_field = spec.get("scoreField", "score")
+    out = df
+    if "filter" in spec:
+        out = out.filter(compile_match(spec["filter"]))
+    qcol = F.array(*[F.lit(float(x)) for x in qv])
+    score = F.round((F.lit(1.0) + cosine(F.col(path), qcol)) / 2, 5)
+    return (
+        out.withColumn(score_field, score)
+        .orderBy(F.desc(score_field))
+        .limit(limit)
     )
 
 

@@ -1045,3 +1045,44 @@ def q_dedup_spans(spark, sf_dir):
         ).alias("clean_text"),
         F.count(F.lit(1)).cast("int").alias("n_kept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X3b — $vectorSearch (Atlas surface) compiled through the pipeline
+# language: exact ENN over the embeddings collection, query vector =
+# vec_id 0 (collected driver-side: one row, the literal the stage
+# expects). Score is Atlas's normalized cosine (1+cos)/2 rounded 5dp.
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_vector_search",
+    oracle="""
+    SELECT c.vec_id,
+           round((1 + list_cosine_similarity(
+                    CAST(c.embedding AS DOUBLE[]),
+                    CAST((SELECT embedding FROM embeddings WHERE vec_id = 0)
+                         AS DOUBLE[]))) / 2, 5) AS score
+    FROM embeddings c
+    WHERE c.vec_id <> 0
+    ORDER BY score DESC, c.vec_id
+    LIMIT 20
+    """,
+)
+def q_vector_search(spark, sf_dir):
+    from mongo_olap_spark.plans.pipeline_compiler import compile_pipeline
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return compile_pipeline(
+        emb.select("vec_id", "embedding"),
+        [
+            {"$vectorSearch": {
+                "path": "embedding",
+                "queryVector": qv,
+                "limit": 20,
+                "exact": True,
+                "filter": {"vec_id": {"$ne": 0}},
+            }},
+            {"$project": {"vec_id": 1, "score": 1}},
+        ],
+    )

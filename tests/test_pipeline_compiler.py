@@ -1339,3 +1339,25 @@ def test_merge_objects_last_wins(spark):
         compile_expr({"$mergeObjects": ["$m2", "$m1"]}).alias("m")
     ).collect()[0]
     assert dict(rev["m"]) == {"a": 1, "b": 2, "c": 3}  # argument order decides
+
+
+def test_vector_search_stage(spark):
+    rows = [
+        (1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 1.0]), (4, [-1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "id long, v array<double>")
+    out = compile_pipeline(
+        df,
+        [{"$vectorSearch": {
+            "path": "v", "queryVector": [1.0, 0.0], "limit": 2, "exact": True,
+            "filter": {"id": {"$ne": 1}},
+        }}],
+    ).collect()
+    assert [r["id"] for r in out] == [2, 3]  # nearest first, query row filtered
+    assert out[0]["score"] > out[1]["score"] == 0.5  # orthogonal -> (1+0)/2
+    with pytest.raises(PipelineError, match="knn_lsh/ivf_knn"):
+        compile_pipeline(df, [{"$vectorSearch": {
+            "path": "v", "queryVector": [1.0, 0.0], "limit": 2}}])
+    with pytest.raises(PipelineError, match="first pipeline stage"):
+        compile_pipeline(df, [{"$limit": 3}, {"$vectorSearch": {
+            "path": "v", "queryVector": [1.0], "limit": 1, "exact": True}}])
