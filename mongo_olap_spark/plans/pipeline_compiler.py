@@ -1559,9 +1559,32 @@ _WINDOW_RANKS = {"$rank": F.rank, "$denseRank": F.dense_rank,
                  "$documentNumber": F.row_number}
 
 
+#: Mongo time units → seconds (for $derivative/$integral unit scaling)
+_TIME_UNIT_S = {
+    "week": 604800.0, "day": 86400.0, "hour": 3600.0,
+    "minute": 60.0, "second": 1.0, "millisecond": 0.001,
+}
+
+
+def _swf_sort_key(spec: dict) -> Column:
+    """The single sortBy field of $derivative/$integral/$linearFill as
+    a numeric Column (timestamps become epoch seconds; the double cast
+    is monotone for every type these operators accept)."""
+    sort = spec.get("sortBy") or {}
+    if len(sort) != 1:
+        raise PipelineError("this window operator requires a single sortBy field")
+    [(key, direction)] = sort.items()
+    if direction < 0:
+        raise PipelineError("this window operator requires an ascending sortBy")
+    return F.col(key).cast("double")
+
+
 def _set_window_fields(df: DataFrame, spec: dict) -> DataFrame:
+    from pyspark.sql import Window as W
+
     out_fields = spec.get("output", {})
-    cols = [F.col(c) for c in df.columns]
+    named: list[tuple[str, Column]] = []
+    temps: list[str] = []
     for name, raw_spec in out_fields.items():
         field_spec = dict(raw_spec)
         window = field_spec.pop("window", None)
@@ -1569,6 +1592,81 @@ def _set_window_fields(df: DataFrame, spec: dict) -> DataFrame:
         if op in _WINDOW_RANKS:
             w = _window_spec(spec, need_order=True)
             expr = _WINDOW_RANKS[op]().over(w)
+        elif op == "$derivative":
+            # average rate of change across the frame: (last-first) of
+            # the input over (last-first) of the sortBy, per `unit`
+            if window is None:
+                raise PipelineError("$derivative requires a window")
+            w = _window_spec(spec, need_order=True)
+            bounds = _frame_bounds(window)
+            wf = w.rowsBetween(*bounds) if bounds else w.rowsBetween(
+                W.unboundedPreceding, 0
+            )
+            v, t = compile_expr(arg["input"]), _swf_sort_key(spec)
+            scale = _TIME_UNIT_S[arg["unit"]] if "unit" in arg else 1.0
+            dv = F.last(v).over(wf) - F.first(v).over(wf)
+            dt = F.last(t).over(wf) - F.first(t).over(wf)
+            expr = F.try_divide(dv, dt) * F.lit(scale)
+        elif op == "$integral":
+            # trapezoidal rule: each inter-row segment's area rides on
+            # the segment's LATER row, so a [lo, hi] documents frame
+            # sums terms over [lo+1, hi] (the first frame row's segment
+            # lies outside the frame); cumulative frames need no shift.
+            w = _window_spec(spec, need_order=True)
+            v, t = compile_expr(arg["input"]), _swf_sort_key(spec)
+            scale = _TIME_UNIT_S[arg["unit"]] if "unit" in arg else 1.0
+            term = (
+                (v + F.lag(v).over(w)) * (t - F.lag(t).over(w)) / 2 / F.lit(scale)
+            )
+            tmp = f"__swf_{name}_term"
+            df = df.select("*", term.alias(tmp))
+            temps.append(tmp)
+            bounds = _frame_bounds(window) if window else None
+            if bounds is None:
+                wf = w.rowsBetween(W.unboundedPreceding, 0)
+            else:
+                lo, hi = bounds
+                wf = w.rowsBetween(lo + 1 if lo != W.unboundedPreceding else lo, hi)
+            expr = F.sum(tmp).over(wf)
+        elif op in ("$covariancePop", "$covarianceSamp"):
+            w = _window_spec(spec, need_order=False)
+            bounds = _frame_bounds(window) if window else None
+            if bounds is not None:
+                w = w.rowsBetween(*bounds)
+            elif spec.get("sortBy"):
+                w = w.rowsBetween(W.unboundedPreceding, 0)
+            a, b = (compile_expr(x) for x in arg)
+            fn = F.covar_pop if op == "$covariancePop" else F.covar_samp
+            expr = fn(a, b).over(w)
+        elif op in ("$stdDevPop", "$stdDevSamp"):
+            w = _window_spec(spec, need_order=False)
+            bounds = _frame_bounds(window) if window else None
+            if bounds is not None:
+                w = w.rowsBetween(*bounds)
+            elif spec.get("sortBy"):
+                w = w.rowsBetween(W.unboundedPreceding, 0)
+            fn = F.stddev_pop if op == "$stdDevPop" else F.stddev_samp
+            expr = fn(compile_expr(arg)).over(w)
+        elif op == "$locf":
+            w = _window_spec(spec, need_order=True).rowsBetween(
+                W.unboundedPreceding, 0
+            )
+            expr = F.last(compile_expr(arg), ignorenulls=True).over(w)
+        elif op == "$linearFill":
+            # interpolate on sortBy VALUE distance between the nearest
+            # non-null anchors (Mongo semantics — not row distance)
+            w = _window_spec(spec, need_order=True)
+            back = w.rowsBetween(W.unboundedPreceding, 0)
+            fwd = w.rowsBetween(0, W.unboundedFollowing)
+            c, t = compile_expr(arg), _swf_sort_key(spec)
+            pv = F.last(c, ignorenulls=True).over(back)
+            pt = F.last(F.when(c.isNotNull(), t), ignorenulls=True).over(back)
+            nv = F.first(c, ignorenulls=True).over(fwd)
+            nt = F.first(F.when(c.isNotNull(), t), ignorenulls=True).over(fwd)
+            expr = F.when(c.isNotNull(), c).when(
+                pv.isNotNull() & nv.isNotNull(),
+                pv + (nv - pv) * (t - pt) / (nt - pt),
+            )
         elif op == "$shift":
             w = _window_spec(spec, need_order=True)
             by = arg.get("by", 1)
@@ -1611,8 +1709,9 @@ def _set_window_fields(df: DataFrame, spec: dict) -> DataFrame:
                 expr = F.collect_list(compile_expr(arg)).over(w)
         else:
             raise PipelineError(f"unsupported window operator {op!r}")
-        cols.append(expr.alias(name))
-    return df.select(*cols)
+        named.append((name, expr))
+    out = df.select("*", *[e.alias(n) for n, e in named])
+    return out.drop(*temps) if temps else out
 
 
 # ---------------------------------------------------------------------------

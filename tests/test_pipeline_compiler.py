@@ -1361,3 +1361,72 @@ def test_vector_search_stage(spark):
     with pytest.raises(PipelineError, match="first pipeline stage"):
         compile_pipeline(df, [{"$limit": 3}, {"$vectorSearch": {
             "path": "v", "queryVector": [1.0], "limit": 1, "exact": True}}])
+
+
+def test_swf_derivative_integral(spark):
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (1, base + datetime.timedelta(hours=h), float(v))
+        for h, v in [(0, 0.0), (1, 10.0), (2, 30.0), (4, 30.0)]
+    ] + [(2, base, 5.0), (2, base + datetime.timedelta(hours=2), 9.0)]
+    df = spark.createDataFrame(rows, "k int, ts timestamp, v double")
+    out = compile_pipeline(
+        df,
+        [{"$setWindowFields": {
+            "partitionBy": "$k",
+            "sortBy": {"ts": 1},
+            "output": {
+                "rate": {"$derivative": {"input": "$v", "unit": "hour"},
+                         "window": {"documents": [-1, 0]}},
+                "area": {"$integral": {"input": "$v", "unit": "hour"}},
+            },
+        }}],
+    ).collect()
+    got = {(r["k"], r["ts"].hour): (r["rate"], r["area"]) for r in out}
+    # rate over [-1, 0] = per-step derivative in units/hour
+    assert got[(1, 0)] == (None, None)  # first row: no prior segment
+    assert got[(1, 1)] == (10.0, 5.0)   # (0+10)/2 * 1h
+    assert got[(1, 2)] == (20.0, 25.0)  # +(10+30)/2
+    assert got[(1, 4)] == (0.0, 85.0)   # flat segment, 2h * 30
+    assert got[(2, 0)] == (None, None) and got[(2, 2)] == (2.0, 14.0)
+
+
+def test_swf_locf_linear_fill_and_covariance(spark):
+    rows = [
+        (1, 0.0, 10.0, 1.0), (1, 1.0, None, 2.0), (1, 3.0, None, 3.0),
+        (1, 4.0, 50.0, 4.0), (1, 5.0, None, 5.0),
+    ]
+    df = spark.createDataFrame(rows, "k int, t double, v double, u double")
+    out = compile_pipeline(
+        df,
+        [{"$setWindowFields": {
+            "partitionBy": "$k",
+            "sortBy": {"t": 1},
+            "output": {
+                "carried": {"$locf": "$v"},
+                "interp": {"$linearFill": "$v"},
+                "cov": {"$covariancePop": ["$t", "$u"],
+                        "window": {"documents": ["unbounded", "unbounded"]}},
+                "sd": {"$stdDevSamp": "$t",
+                       "window": {"documents": ["unbounded", "unbounded"]}},
+            },
+        }}],
+    ).collect()
+    by_t = {r["t"]: r for r in out}
+    assert [by_t[t]["carried"] for t in (0.0, 1.0, 3.0, 4.0, 5.0)] == [
+        10.0, 10.0, 10.0, 50.0, 50.0
+    ]
+    # value-distance interpolation: anchors at t=0 (10) and t=4 (50)
+    assert by_t[1.0]["interp"] == 20.0
+    assert by_t[3.0]["interp"] == 40.0
+    assert by_t[5.0]["interp"] is None  # no following anchor
+    import statistics
+
+    ts = [r[1] for r in rows]
+    us = [r[3] for r in rows]
+    mean_t, mean_u = sum(ts) / 5, sum(us) / 5
+    cov = sum((a - mean_t) * (b - mean_u) for a, b in zip(ts, us)) / 5
+    assert abs(by_t[0.0]["cov"] - cov) < 1e-12
+    assert abs(by_t[0.0]["sd"] - statistics.stdev(ts)) < 1e-12

@@ -267,6 +267,38 @@ def test_two_writer_race_keeps_both_writers_cells(spark, events, tmp_path):
     assert cat0.cell_count(name) == cat0.cells(name).count()
 
 
+def test_same_partition_conflict_is_detected_not_merged(spark, events, tmp_path):
+    """The read-version fence: when a concurrent winner modified one of
+    THIS writer's touched partitions, the rebase must refuse (the merge
+    base is stale) instead of silently carrying wrong cells."""
+    from mongo_olap_spark.cube.build import delta_cells
+    from mongo_olap_spark.cube.catalog import CommitConflict, partition_key_col
+    from mongo_olap_spark.cube.ivm import merge_cells
+
+    cat = CubeCatalog(spark, str(tmp_path / "cubes"))
+    cat.create(EVENTS_CUBE, events)
+    name = EVENTS_CUBE.name
+    pdim = cat.partition_dim(EVENTS_CUBE)
+
+    batch = cdc_from_events(
+        events.filter(F.date_trunc("day", "ts") == "2024-01-03 00:00:00")
+    ).filter(F.col("op") == "insert").limit(20)
+    deltas = delta_cells(EVENTS_CUBE, batch)
+    keys = [r[0] for r in deltas.select(partition_key_col(pdim)).distinct().collect()]
+
+    # writer A reads its merge base at version v...
+    read_v = cat.current_version(name)
+    merged = merge_cells(cat.cells_for_partitions(name, keys), deltas, EVENTS_CUBE)
+    merged = merged.localCheckpoint()  # pin the stale read
+    # ...then writer B commits the SAME partition underneath
+    CubeMaintainer(cat, EVENTS_CUBE).apply_batch(batch, 0)
+
+    with pytest.raises(CommitConflict, match="changed under this writer"):
+        cat.commit_partitions(name, merged, keys, read_version=read_v)
+    # without the fence the stale merge would have been accepted
+    cat.commit_partitions(name, merged, keys)  # legacy path still last-wins
+
+
 def test_crashed_pointer_flip_self_heals(spark, events, tmp_path):
     """A writer that died between the versioned commit record and the
     pointer-cache flip must not lose its commit: readers walk forward
