@@ -367,3 +367,69 @@ def q_pipeline_strings(spark, sf_dir):
             }},
         ],
     )
+
+
+@register(
+    "q_pipeline_window_fill",
+    oracle="""
+    WITH base AS (
+      SELECT event_id, user_id,
+             (epoch_us(ts) // 1000000) * 10000000 + event_id AS tkey,
+             CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS v
+      FROM events
+    ),
+    anch AS (
+      SELECT event_id, user_id, tkey, v,
+             last_value(v IGNORE NULLS) OVER w_back AS carried,
+             last_value(CASE WHEN v IS NOT NULL THEN tkey END IGNORE NULLS)
+               OVER w_back AS pt,
+             first_value(v IGNORE NULLS) OVER w_fwd AS nv,
+             first_value(CASE WHEN v IS NOT NULL THEN tkey END IGNORE NULLS)
+               OVER w_fwd AS nt,
+             CAST(rank() OVER w_ord AS INT) AS rnk
+      FROM base
+      WINDOW
+        w_ord AS (PARTITION BY user_id ORDER BY tkey),
+        w_back AS (PARTITION BY user_id ORDER BY tkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        w_fwd AS (PARTITION BY user_id ORDER BY tkey
+                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_id, user_id, carried, rnk,
+           round(CASE WHEN v IS NOT NULL THEN v
+                WHEN carried IS NOT NULL AND nv IS NOT NULL
+                THEN carried + (nv - carried) * (tkey - pt) / (nt - pt)
+           END, 6) AS interp
+    FROM anch
+    """,
+)
+def q_pipeline_window_fill(spark, sf_dir):
+    """Round-4 $setWindowFields operators under the oracle gate:
+    $locf + value-distance $linearFill + $rank compiled from JSON over
+    a deterministically-nulled value column. The sort key is a unique
+    monotone (ts, event_id) image, built IN the pipeline, because
+    $linearFill interpolates on sortBy VALUES — identical formula on
+    the oracle side; interp rounded 6dp (division order may differ in
+    the last ulp between engines)."""
+    e = load_table(spark, sf_dir, "events")
+    out = compile_pipeline(
+        e.withColumn(
+            "v", F.when(F.col("event_id") % 5 == 0, None).otherwise(F.col("value"))
+        ),
+        [
+            {"$addFields": {"tkey": {"$add": [
+                {"$multiply": [{"$toLong": "$ts"}, 10000000]}, "$event_id"]}}},
+            {"$setWindowFields": {
+                "partitionBy": "$user_id",
+                "sortBy": {"tkey": 1},
+                "output": {
+                    "carried": {"$locf": "$v"},
+                    "interp": {"$linearFill": "$v"},
+                    "rnk": {"$rank": {}},
+                },
+            }},
+            {"$project": {"event_id": 1, "user_id": 1, "carried": 1,
+                          "rnk": 1, "interp": {"$round": ["$interp", 6]}}},
+        ],
+    )
+    return out
