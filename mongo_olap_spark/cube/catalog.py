@@ -601,14 +601,19 @@ class CubeCatalog:
         self.overwrite_cells(name, cells, batch_id=self.last_batch_id(name))
         return len(self.vacuum(name))
 
-    def vacuum(self, name: str) -> list[str]:
+    def vacuum(self, name: str, *, min_age_s: float = 0) -> list[str]:
         """Delete write directories no longer referenced by the current
         manifest. Safe any time readers re-resolve the manifest per
-        query; with long-lived readers, run with a grace delay. A
-        concurrent writer's just-written-but-not-yet-committed
-        directory is also unreferenced — schedule vacuum from the
-        maintenance owner, not racing active writers (the same
-        retention discipline Delta's VACUUM requires)."""
+        query; with long-lived readers OR concurrent writers, pass
+        ``min_age_s``: directories younger than the grace window are
+        kept even when unreferenced, which protects a concurrent
+        writer's just-written-but-not-yet-committed data (and a
+        long-lived reader's pinned snapshot) — the same retention
+        discipline Delta's VACUUM applies. ``min_age_s=0`` is only
+        safe from the single maintenance owner."""
+        import time
+
+        now = time.time()
         m = self.manifest(name)
         if m is None:
             return []
@@ -624,6 +629,11 @@ class CubeCatalog:
             wabs = os.path.join(data_dir, w)
             if wrel in live:
                 continue  # a flat snapshot still referenced whole
+            try:
+                if min_age_s > 0 and now - os.path.getmtime(wabs) < min_age_s:
+                    continue  # grace window: possibly an in-flight writer
+            except OSError:
+                continue
             # partition-granular: reclaim unreferenced __p dirs, then
             # the write dir itself once nothing live remains inside
             for d in os.listdir(wabs):

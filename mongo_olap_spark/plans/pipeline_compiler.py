@@ -1736,7 +1736,25 @@ def _densify(df: DataFrame, spec: dict) -> DataFrame:
     if is_time and unit not in _DENSIFY_UNITS:
         raise PipelineError(f"unsupported $densify unit {unit!r}")
     lo, hi = F.min(field).alias("__d0"), F.max(field).alias("__d1")
-    if bounds == "partition":
+    explicit = isinstance(bounds, list)
+    if explicit:
+        # Mongo explicit range: HALF-OPEN [lower, upper) — spine rows
+        # are generated over the given range regardless of the data,
+        # and documents OUTSIDE the range survive untouched (hence the
+        # full join below, vs left for full/partition bounds)
+        if len(bounds) != 2:
+            raise PipelineError("$densify bounds list must be [lower, upper]")
+        lo_l = F.lit(bounds[0]).cast("timestamp") if is_time else F.lit(bounds[0])
+        hi_l = F.lit(bounds[1]).cast("timestamp") if is_time else F.lit(bounds[1])
+        keys_df = (
+            df.select(*part_fields).distinct()
+            if part_fields
+            else df.sparkSession.range(1).select()
+        )
+        bounds_df = keys_df.select(
+            *part_fields, lo_l.alias("__d0"), hi_l.alias("__d1")
+        )
+    elif bounds == "partition":
         # each partition densifies over its own [min, max]
         if not part_fields:
             raise PipelineError('bounds:"partition" needs partitionByFields')
@@ -1758,6 +1776,9 @@ def _densify(df: DataFrame, spec: dict) -> DataFrame:
         *part_fields,
         F.explode(F.expr(f"sequence(__d0, __d1, {step_expr})")).alias(field),
     )
+    if explicit:
+        spine = spine.filter(F.col(field) < hi_l)  # half-open upper
+        return spine.join(df, part_fields + [field], "full")
     return spine.join(df, part_fields + [field], "left")
 
 

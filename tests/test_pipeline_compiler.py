@@ -1430,3 +1430,21 @@ def test_swf_locf_linear_fill_and_covariance(spark):
     cov = sum((a - mean_t) * (b - mean_u) for a, b in zip(ts, us)) / 5
     assert abs(by_t[0.0]["cov"] - cov) < 1e-12
     assert abs(by_t[0.0]["sd"] - statistics.stdev(ts)) < 1e-12
+
+
+def test_densify_explicit_bounds_half_open(spark):
+    rows = [("a", 0, 1.0), ("a", 4, 2.0), ("a", 9, 3.0), ("b", 2, 4.0)]
+    df = spark.createDataFrame(rows, "k string, x int, v double")
+    out = compile_pipeline(
+        df,
+        [{"$densify": {"field": "x", "partitionByFields": ["k"],
+                        "range": {"step": 2, "bounds": [0, 7]}}}],
+    ).collect()
+    got = sorted((r["k"], r["x"], r["v"]) for r in out)
+    # spine 0,2,4,6 per key (7 excluded: half-open); out-of-range
+    # documents (x=9) survive via the full join
+    assert got == sorted([
+        ("a", 0, 1.0), ("a", 2, None), ("a", 4, 2.0), ("a", 6, None),
+        ("a", 9, 3.0),
+        ("b", 0, None), ("b", 2, 4.0), ("b", 4, None), ("b", 6, None),
+    ])

@@ -558,3 +558,17 @@ def test_compact_preserves_cells_and_reclaims_dirs(spark, events, tmp_path):
     assert n_dirs_after == 1
     assert after_manifest["last_batch_id"] == 3  # watermark preserved
     assert {tuple(r) for r in cat.cells(EVENTS_CUBE.name).collect()} == before
+
+
+def test_vacuum_grace_window_protects_young_dirs(spark, events, tmp_path):
+    cat = CubeCatalog(spark, str(tmp_path / "cubes"))
+    cat.create(EVENTS_CUBE, events)
+    name = EVENTS_CUBE.name
+    one_day = events.filter(F.date_trunc("day", "ts") == "2024-01-03 00:00:00")
+    batch = cdc_from_events(one_day).filter(F.col("op") == "insert").limit(40)
+    CubeMaintainer(cat, EVENTS_CUBE).apply_batch(batch, 0)
+    # superseded v1 partition dir exists, but everything is young
+    assert cat.vacuum(name, min_age_s=3600) == []
+    removed = cat.vacuum(name)  # no grace: reclaim now
+    assert removed
+    assert rows_set(cat.cells(name))  # live snapshot intact
