@@ -59,7 +59,26 @@ class PipelineError(ValueError):
 # expression language:  {"$op": [...]} / "$field.path" / literal
 # ---------------------------------------------------------------------------
 
+#: optional hook stack remapping "$field" references (e.g. $merge
+#: whenMatched pipelines resolve fields against the EXISTING side of
+#: the merge join, where a bare F.col would be ambiguous)
+_FIELD_RESOLVER: list = []
+
+
+class _bind_fields:
+    def __init__(self, resolver):
+        self.resolver = resolver
+
+    def __enter__(self):
+        _FIELD_RESOLVER.append(self.resolver)
+
+    def __exit__(self, *exc):
+        _FIELD_RESOLVER.pop()
+
+
 def _field(path: str) -> Column:
+    if _FIELD_RESOLVER:
+        return _FIELD_RESOLVER[-1](path)
     return F.col(path)
 
 
@@ -1832,16 +1851,21 @@ def merge_documents(
     incoming: DataFrame,
     on: str | list[str],
     *,
-    when_matched: str = "merge",
+    when_matched: str | list = "merge",
     when_not_matched: str = "insert",
 ) -> DataFrame:
     """Mongo $merge as a pure DataFrame transform (no write).
 
     whenMatched: ``replace`` (incoming row wins) | ``keepExisting`` |
     ``merge`` (incoming's columns overwrite; existing-only columns
-    survive) | ``fail``. whenNotMatched: ``insert`` | ``discard`` |
-    ``fail``. ``fail`` modes validate eagerly with a bounded probe —
-    Mongo aborts the write mid-stream; we refuse before writing at all.
+    survive) | ``fail`` | a CUSTOM UPDATE PIPELINE (list of $set/
+    $addFields/$unset stages): expressions evaluate against the
+    EXISTING document with ``$$new`` bound to the incoming one — the
+    counter-merge idiom ``{$set: {n: {$add: ["$n", "$$new.n"]}}}``
+    compiles to plain join-projection arithmetic. whenNotMatched:
+    ``insert`` | ``discard`` | ``fail``. ``fail`` modes validate
+    eagerly with a bounded probe — Mongo aborts the write mid-stream;
+    we refuse before writing at all.
 
     Plan shape: ONE full-outer join on the merge keys; every branch is
     a column-level projection over it — no second pass, no Python.
@@ -1878,15 +1902,64 @@ def merge_documents(
                 "$merge whenNotMatched=fail: incoming documents have no match"
             )
 
-    out_cols: list = []
     e_cols, i_cols = set(existing.columns), set(incoming.columns)
-    for name in list(existing.columns) + [
-        c for c in incoming.columns if c not in e_cols
-    ]:
+    updates: dict[str, Column] = {}
+    removed: set[str] = set()
+    if isinstance(when_matched, list):
+        # custom update pipeline: "$field" reads the existing doc
+        # (updated by earlier stages, so $set chains compose), "$$new"
+        # the incoming doc
+        def _resolve(path: str) -> Column:
+            head, *rest = path.split(".")
+            if head in updates:
+                col = updates[head]
+            elif head in e_cols:
+                col = F.col(f"e.{head}")
+            else:
+                col = F.lit(None)  # missing field reads as null
+            for part in rest:
+                col = col.getItem(part)
+            return col
+
+        new_struct = F.struct(
+            *[F.col(f"i.{c}").alias(c) for c in incoming.columns]
+        )
+        with _bind(new=new_struct), _bind_fields(_resolve):
+            for stage in when_matched:
+                [(sname, sspec)] = stage.items()
+                if sname in ("$set", "$addFields"):
+                    # all of a stage's expressions see the PRE-stage
+                    # document (Mongo: fields in one $set are not
+                    # visible to each other); compile first, then apply
+                    staged = {
+                        fld: compile_expr(expr) for fld, expr in sspec.items()
+                    }
+                    updates.update(staged)
+                    removed.difference_update(staged)
+                elif sname == "$unset":
+                    flds = sspec if isinstance(sspec, list) else [sspec]
+                    for fld in flds:
+                        removed.add(fld)
+                        updates.pop(fld, None)
+                else:
+                    raise PipelineError(
+                        f"$merge whenMatched pipeline: unsupported stage {sname!r}"
+                    )
+
+    out_cols: list = []
+    all_names = (
+        list(existing.columns)
+        + [c for c in incoming.columns if c not in e_cols]
+        + [c for c in updates if c not in e_cols and c not in i_cols]
+    )
+    for name in all_names:
         ec = F.col(f"e.{name}") if name in e_cols else F.lit(None)
         ic = F.col(f"i.{name}") if name in i_cols else F.lit(None)
         if name in keys:
             col = F.when(i_only, ic).otherwise(ec)
+        elif isinstance(when_matched, list):
+            matched_val = F.lit(None) if name in removed else updates.get(name, ec)
+            col = F.when(matched, matched_val).when(i_only, ic).otherwise(ec)
         elif when_matched == "replace":
             col = F.when(matched | i_only, ic).otherwise(ec)
         elif when_matched == "keepExisting" or name not in i_cols:

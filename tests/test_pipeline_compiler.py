@@ -1448,3 +1448,42 @@ def test_densify_explicit_bounds_half_open(spark):
         ("a", 9, 3.0),
         ("b", 0, None), ("b", 2, 4.0), ("b", 4, None), ("b", 6, None),
     ])
+
+
+def test_merge_when_matched_update_pipeline(spark):
+    from mongo_olap_spark.plans.pipeline_compiler import merge_documents
+
+    existing = spark.createDataFrame(
+        [(1, 10.0, "keep"), (2, 20.0, "keep")], "id int, n double, tag string"
+    )
+    incoming = spark.createDataFrame(
+        [(1, 5.0), (3, 7.0)], "id int, n double"
+    )
+    out = merge_documents(
+        existing, incoming, "id",
+        when_matched=[
+            {"$set": {"n": {"$add": ["$n", "$$new.n"]},
+                      "doubled": {"$multiply": ["$n", 2]}}},
+            {"$set": {"chained": {"$add": ["$n", 1]}}},  # sees updated n
+        ],
+    )
+    got = {r["id"]: r for r in out.collect()}
+    assert got[1]["n"] == 15.0 and got[1]["tag"] == "keep"
+    assert got[1]["doubled"] == 20.0  # $new-free exprs read EXISTING n
+    assert got[1]["chained"] == 16.0  # later stage reads stage-1's n
+    assert got[2]["n"] == 20.0 and got[2]["chained"] is None  # unmatched
+    assert got[3]["n"] == 7.0 and got[3]["tag"] is None  # inserted
+    assert len(got) == 3
+    with pytest.raises(PipelineError, match="unsupported stage"):
+        merge_documents(existing, incoming, "id",
+                        when_matched=[{"$replaceRoot": {"newRoot": "$x"}}])
+
+
+def test_merge_pipeline_unset(spark):
+    from mongo_olap_spark.plans.pipeline_compiler import merge_documents
+
+    existing = spark.createDataFrame([(1, "secret")], "id int, s string")
+    incoming = spark.createDataFrame([(1,)], "id int")
+    out = merge_documents(existing, incoming, "id",
+                          when_matched=[{"$unset": "s"}]).collect()[0]
+    assert out["s"] is None
