@@ -115,6 +115,44 @@ def _dir_level_rows(path: str) -> dict[str, int]:
     return counts
 
 
+def _dir_col_stats(path: str, cols: set[str]) -> dict[str, list]:
+    """Per-partition min/max for the named columns from parquet
+    row-group footers — driver-side metadata only, no Spark job. Only
+    JSON-native stat types (int/float/str) are recorded; columns whose
+    footers carry no usable statistics are simply absent, which the
+    pruner treats as 'cannot skip'."""
+    import pyarrow.parquet as pq
+
+    mins: dict[str, object] = {}
+    maxs: dict[str, object] = {}
+    for dirpath, _, files in os.walk(path):
+        for f in files:
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(dirpath, f)).metadata
+            for rg in range(md.num_row_groups):
+                row_group = md.row_group(rg)
+                for j in range(row_group.num_columns):
+                    col = row_group.column(j)
+                    name = col.path_in_schema
+                    if name not in cols:
+                        continue
+                    st = col.statistics
+                    if st is None or not st.has_min_max:
+                        continue
+                    lo, hi = st.min, st.max
+                    if isinstance(lo, bytes):
+                        try:
+                            lo, hi = lo.decode("utf-8"), hi.decode("utf-8")
+                        except UnicodeDecodeError:
+                            continue
+                    if not isinstance(lo, (int, float, str)):
+                        continue
+                    mins[name] = lo if name not in mins else min(mins[name], lo)
+                    maxs[name] = hi if name not in maxs else max(maxs[name], hi)
+    return {c: [mins[c], maxs[c]] for c in mins}
+
+
 def _sum_level_rows(entries: dict[str, dict]) -> dict[str, int]:
     totals: dict[str, int] = {}
     for e in entries.values():
@@ -339,6 +377,29 @@ class CubeCatalog:
         ]
         return self._read_partitions(name, keys)
 
+    def cells_in_dim_range(self, name: str, dim: str, lo=None, hi=None) -> DataFrame:
+        """Data skipping on a NON-time dimension: drop partitions whose
+        recorded [min, max] for ``dim`` cannot intersect ``[lo, hi]``
+        (closed bounds; None leaves that side open). Partitions without
+        statistics for the column are kept — skipping is an
+        optimization, never a filter — so callers still apply the
+        actual predicate to the returned cells. This is the manifest
+        analogue of parquet row-group pruning, one level up: at scale
+        it means a sliced query lists only the partition directories
+        whose footer stats can match."""
+        m = self.manifest(name) or {}
+        keys = []
+        for key, entry in m.get("partitions", {}).items():
+            st = entry.get("stats", {}).get(dim)
+            if st is not None:
+                smin, smax = st
+                if lo is not None and smax < lo:
+                    continue
+                if hi is not None and smin > hi:
+                    continue
+            keys.append(key)
+        return self._read_partitions(name, keys)
+
     def _read_partitions(
         self, name: str, keys: list[str] | None, *, version: int | None = None
     ) -> DataFrame:
@@ -409,12 +470,16 @@ class CubeCatalog:
         of the level column only — no Spark job either way)."""
         abs_dir = os.path.join(self._dir(spec.name), rel_dir)
         pdim = self.partition_dim(spec)
+        stat_cols = set(spec.dim_names)
         if pdim is None:
             cells.write.mode("overwrite").parquet(abs_dir)
             rows = _dir_rows(abs_dir)
             if not rows:
                 return {}
             entry = {"path": rel_dir, "rows": rows}
+            stats = _dir_col_stats(abs_dir, stat_cols)
+            if stats:
+                entry["stats"] = stats
             if lattice:
                 entry["level_rows"] = _dir_level_rows(abs_dir)
             return {FLAT_KEY: entry}
@@ -440,6 +505,9 @@ class CubeCatalog:
                 rel = os.path.join(rel_dir, d)
                 pabs = os.path.join(self._dir(spec.name), rel)
                 entries[key] = {"path": rel, "rows": _dir_rows(pabs)}
+                stats = _dir_col_stats(pabs, stat_cols)
+                if stats:
+                    entries[key]["stats"] = stats
                 if lattice:
                     entries[key]["level_rows"] = _dir_level_rows(pabs)
         return entries

@@ -572,3 +572,32 @@ def test_vacuum_grace_window_protects_young_dirs(spark, events, tmp_path):
     removed = cat.vacuum(name)  # no grace: reclaim now
     assert removed
     assert rows_set(cat.cells(name))  # live snapshot intact
+
+
+def test_manifest_dim_stats_and_data_skipping(spark, events, tmp_path):
+    """Lakehouse-style data skipping one level up: the manifest records
+    per-partition [min, max] for every (stat-typed) dimension, and
+    cells_in_dim_range drops partitions whose stats cannot match —
+    without ever being a filter (stats-less partitions are kept, and
+    the caller still applies the real predicate)."""
+    cat = CubeCatalog(spark, str(tmp_path / "cubes"))
+    cat.create(EVENTS_CUBE, events)
+    name = EVENTS_CUBE.name
+    m = cat.manifest(name)
+    # every day partition carries string stats for event_type
+    some = next(iter(m["partitions"].values()))
+    assert "stats" in some and "event_type" in some["stats"]
+    lo, hi = some["stats"]["event_type"]
+    assert isinstance(lo, str) and lo <= hi
+
+    # a range covering everything prunes nothing; truth preserved
+    full = cat.cells_in_dim_range(name, "event_type", "a", "zzzz")
+    assert rows_set(full) == rows_set(cat.cells(name))
+    # an impossible range prunes every partition
+    assert cat.cells_in_dim_range(name, "event_type", "zzz", "zzzz").count() == 0
+    # pruned + predicate == unpruned + predicate (skipping is safe)
+    pruned = cat.cells_in_dim_range(name, "event_type", "view", "view").filter(
+        F.col("event_type") == "view"
+    )
+    direct = cat.cells(name).filter(F.col("event_type") == "view")
+    assert rows_set(pruned) == rows_set(direct)
