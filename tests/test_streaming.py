@@ -601,3 +601,71 @@ def test_manifest_dim_stats_and_data_skipping(spark, events, tmp_path):
     )
     direct = cat.cells(name).filter(F.col("event_type") == "view")
     assert rows_set(pruned) == rows_set(direct)
+
+
+def test_checkpoint_restart_resumes_exactly_once(spark, events, tmp_path):
+    """The resume-token story end-to-end: a maintenance query stops,
+    MORE changes land, and a NEW query on the same checkpoint resumes
+    where the first left off — already-applied files are not re-read
+    (no double-apply), and the final cube equals batch truth."""
+    import os
+
+    from mongo_olap_spark.sources.adapters import FileChangeStreamSource
+
+    src_dir = str(tmp_path / "landing")
+    os.makedirs(src_dir)
+    ckpt = str(tmp_path / "ckpt")
+    cat = CubeCatalog(spark, str(tmp_path / "cubes"))
+    cat.create(EVENTS_CUBE, events.limit(0))
+    name = EVENTS_CUBE.name
+    maint = CubeMaintainer(cat, EVENTS_CUBE)
+
+    full_cdc = cdc_from_events(events)
+    days = sorted(
+        r[0] for r in full_cdc.select(F.dayofmonth("stream_ts")).distinct().collect()
+    )
+    half = days[: len(days) // 2]
+
+    applied_batches: list[int] = []
+
+    def body(batch, batch_id):
+        maint.apply_batch(batch, batch_id)
+        applied_batches.append(batch.count())
+
+    # phase 1: first half lands, query processes it, then STOPS
+    full_cdc.filter(F.dayofmonth("stream_ts").isin(half)).coalesce(1).write.mode(
+        "append"
+    ).parquet(src_dir)
+    stream = FileChangeStreamSource(src_dir).change_stream(spark)
+    q1 = (
+        stream.writeStream.foreachBatch(body)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q1.awaitTermination(300)
+    n_phase1 = sum(applied_batches)
+    assert n_phase1 == full_cdc.filter(F.dayofmonth("stream_ts").isin(half)).count()
+
+    # phase 2: rest lands while no query is running; restart on the
+    # SAME checkpoint — only the new files may be processed
+    rest = [d for d in days if d not in half]
+    full_cdc.filter(F.dayofmonth("stream_ts").isin(rest)).coalesce(1).write.mode(
+        "append"
+    ).parquet(src_dir)
+    q2 = (
+        FileChangeStreamSource(src_dir)
+        .change_stream(spark)
+        .writeStream.foreachBatch(body)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(300)
+    assert sum(applied_batches) == full_cdc.count()  # nothing re-applied
+
+    final = rows_set(query_cube(cat.cells(name), EVENTS_CUBE))
+    want = rows_set(
+        query_cube(build_cube(spark, EVENTS_CUBE, net_events(events)), EVENTS_CUBE)
+    )
+    assert final == want
