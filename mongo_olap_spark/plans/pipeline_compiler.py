@@ -1573,7 +1573,7 @@ def _frame_bounds(window: dict):
     return bound(lo, W.unboundedPreceding), bound(hi, W.unboundedFollowing)
 
 
-_WINDOW_AGGS = {"$sum", "$avg", "$min", "$max", "$count", "$push"}
+_WINDOW_AGGS = {"$sum", "$avg", "$min", "$max", "$count", "$push", "$first", "$last"}
 _WINDOW_RANKS = {"$rank": F.rank, "$denseRank": F.dense_rank,
                  "$documentNumber": F.row_number}
 
@@ -1711,6 +1711,9 @@ def _set_window_fields(df: DataFrame, spec: dict) -> DataFrame:
 
             if op == "$count":
                 expr = F.count(F.lit(1)).over(w)
+            elif op in ("$first", "$last"):
+                fn = F.first if op == "$first" else F.last
+                expr = fn(compile_expr(arg)).over(w)
             elif op == "$sum":
                 c = compile_expr(arg)
                 expr = F.sum(c.cast(SUM_DECIMAL)).over(w).cast("double")

@@ -433,3 +433,63 @@ def q_pipeline_window_fill(spark, sf_dir):
         ],
     )
     return out
+
+
+@register(
+    "q_pipeline_deriv",
+    oracle="""
+    WITH dedup AS (
+      SELECT user_id, ts,
+             arg_min(value, event_id) AS value,
+             min(event_id) AS event_id
+      FROM events GROUP BY user_id, ts
+    ),
+    w AS (
+      SELECT event_id, user_id, value,
+             lag(value) OVER win AS pv,
+             lag(epoch(ts)) OVER win AS pt,
+             epoch(ts) AS t,
+             first_value(value) OVER (win ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS first_v
+      FROM dedup
+      WINDOW win AS (PARTITION BY user_id ORDER BY ts)
+    )
+    SELECT event_id, user_id, value, first_v,
+           (value - pv) / nullif(t - pt, 0) * 3600 AS rate_per_hour
+    FROM w
+    """,
+)
+def q_pipeline_deriv(spark, sf_dir):
+    """$derivative (unit: hour, frame [-1, 0] = per-step rate) and the
+    $first window aggregate, compiled from JSON. $derivative requires
+    a SINGLE sortBy field, so the pipeline first collapses (user, ts)
+    ties with a $group + $top (min event_id wins) — after which ts is
+    a unique per-user sort key and both engines see the same order.
+    Hash-exact: both compute (dv / dt_seconds) * 3600 in the same
+    operation order, and double arithmetic (unlike transcendentals)
+    is bit-stable across engines."""
+    e = load_table(spark, sf_dir, "events")
+    out = compile_pipeline(
+        e,
+        [
+            {"$group": {
+                "_id": {"user_id": "$user_id", "ts": "$ts"},
+                "value": {"$top": {"output": "$value",
+                                   "sortBy": {"event_id": 1}}},
+                "event_id": {"$min": "$event_id"},
+            }},
+            {"$project": {"user_id": "$_id.user_id", "ts": "$_id.ts",
+                          "value": 1, "event_id": 1}},
+            {"$setWindowFields": {
+                "partitionBy": "$user_id",
+                "sortBy": {"ts": 1},
+                "output": {
+                    "rate_per_hour": {
+                        "$derivative": {"input": "$value", "unit": "hour"},
+                        "window": {"documents": [-1, 0]}},
+                    "first_v": {"$first": "$value"},
+                },
+            }},
+        ],
+    )
+    return out.select("event_id", "user_id", "value", "first_v", "rate_per_hour")
