@@ -1487,3 +1487,41 @@ def test_merge_pipeline_unset(spark):
     out = merge_documents(existing, incoming, "id",
                           when_matched=[{"$unset": "s"}]).collect()[0]
     assert out["s"] is None
+
+
+def test_merge_pipeline_counter_property(spark):
+    """Property (hypothesis): a whenMatched counter pipeline
+    ({$set: {n: {$add: ["$n", "$$new.n"]}}}) applied over any random
+    existing/incoming pair equals the dict model — the cube-style
+    accumulate-on-match contract."""
+    import hypothesis.strategies as st
+    from hypothesis import given, settings
+
+    from mongo_olap_spark.plans.pipeline_compiler import merge_documents
+
+    keys = st.integers(min_value=0, max_value=6)
+    vals = st.integers(min_value=-5, max_value=5)
+    side = st.dictionaries(keys, vals, max_size=5)
+
+    @given(e=side, i=side)
+    @settings(max_examples=12, deadline=None)
+    def check(e, i):
+        edf = spark.createDataFrame(list(e.items()) or [(None, None)], "_id long, n long")
+        idf = spark.createDataFrame(list(i.items()) or [(None, None)], "_id long, n long")
+        if not e:
+            edf = edf.limit(0)
+        if not i:
+            idf = idf.limit(0)
+        got = {
+            r._id: r.n
+            for r in merge_documents(
+                edf, idf, "_id",
+                when_matched=[{"$set": {"n": {"$add": ["$n", "$$new.n"]}}}],
+            ).collect()
+        }
+        want = dict(e)
+        for k, v in i.items():
+            want[k] = want[k] + v if k in want else v
+        assert got == want
+
+    check()
