@@ -126,3 +126,74 @@ def read_csv_table(
     else:
         reader = reader.option("inferSchema", "true")
     return reader.csv(path)
+
+
+def read_text_corpus(
+    spark: SparkSession, path: str, *, min_chars: int = 1
+) -> DataFrame:
+    """Raw text files → document collection: one document per LINE
+    with a deterministic ``doc_id`` (xxhash64 of source file + line
+    index — stable across re-reads and downstream repartitioning;
+    line indices within one file derive from read-split order, so
+    changing ``spark.sql.files.maxPartitionBytes`` between reads can
+    renumber a multi-split file), the source file as ``source``, and
+    blank/short lines dropped. The ingestion shape
+    every text-pipeline operator (dedup, quality, chunking) consumes;
+    at 100 TB ``spark.read.text`` splits large files by HDFS block, so
+    parallelism tracks bytes, not file count."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    lines = (
+        spark.read.text(path)
+        .withColumn("source", F.input_file_name())
+        .withColumn(
+            "line_no",
+            F.row_number().over(
+                W.partitionBy("source").orderBy(F.monotonically_increasing_id())
+            ),
+        )
+    )
+    return (
+        lines.filter(F.length(F.trim("value")) >= min_chars)
+        .select(
+            F.xxhash64("source", "line_no").alias("doc_id"),
+            F.col("value").alias("text"),
+            "source",
+            "line_no",
+        )
+    )
+
+
+def read_binary_collection(spark: SparkSession, path: str) -> DataFrame:
+    """Binary media files → the multimodal payload shape
+    (operators/multimodal.py): Spark's built-in ``binaryFile`` source
+    yields (path, modificationTime, length, content); mapped here to
+    ``doc_id`` (stable hash of the path), ``payload``, and the typed
+    ``media_meta`` struct with the mime guessed from the extension.
+    Feed straight into ``decode_image``/``extract_features`` — the
+    real-ingest twin of the testbed's synthesized payloads."""
+    from pyspark.sql import functions as F
+
+    mime = (
+        F.when(F.lower(F.col("path")).endswith(".ppm"), "image/x-portable-pixmap")
+        .when(F.lower(F.col("path")).endswith(".bmp"), "image/bmp")
+        .when(F.lower(F.col("path")).endswith(".png"), "image/png")
+        .when(F.lower(F.col("path")).rlike(r"\.jpe?g$"), "image/jpeg")
+        .when(F.lower(F.col("path")).endswith(".wav"), "audio/wav")
+        .when(F.lower(F.col("path")).endswith(".mp4"), "video/mp4")
+        .otherwise("application/octet-stream")
+    )
+    return spark.read.format("binaryFile").load(path).select(
+        F.xxhash64("path").alias("doc_id"),
+        F.col("content").alias("payload"),
+        F.struct(
+            F.split(mime, "/").getItem(0).alias("modality"),
+            mime.alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("double").alias("duration_s"),
+            F.col("path").alias("source_uri"),
+        ).alias("media_meta"),
+        F.col("length").alias("n_bytes"),
+    )

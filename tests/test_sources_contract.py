@@ -99,3 +99,36 @@ def test_mongo_skeleton_refuses_with_deploy_recipe(spark):
     with pytest.raises(RuntimeError, match="change_stream"):
         src.change_stream(spark)
     assert src.name == "app.events"
+
+
+def test_read_text_corpus(spark, tmp_path):
+    from mongo_olap_spark.sources.collections import read_text_corpus
+
+    (tmp_path / "a.txt").write_text("hello world\n\nsecond line\n")
+    (tmp_path / "b.txt").write_text("other file\n")
+    df = read_text_corpus(spark, str(tmp_path / "*.txt"))
+    rows = df.collect()
+    assert len(rows) == 3  # blank line dropped
+    texts = {r["text"] for r in rows}
+    assert texts == {"hello world", "second line", "other file"}
+    assert len({r["doc_id"] for r in rows}) == 3  # unique ids
+    again = {r["doc_id"] for r in read_text_corpus(
+        spark, str(tmp_path / "*.txt")).repartition(4).collect()}
+    assert again == {r["doc_id"] for r in rows}  # stable across reads
+
+
+def test_read_binary_collection_feeds_decode(spark, tmp_path):
+    from mongo_olap_spark.operators import multimodal as mm
+    from mongo_olap_spark.sources.collections import read_binary_collection
+
+    pixels = bytes(range(48))
+    (tmp_path / "img.ppm").write_bytes(b"P6\n4 4\n255\n" + pixels)
+    df = read_binary_collection(spark, str(tmp_path / "*.ppm"))
+    row = df.collect()[0]
+    assert row["media_meta"]["mime"] == "image/x-portable-pixmap"
+    assert row["media_meta"]["modality"] == "image"
+    assert row["n_bytes"] == 11 + 48
+    # real file -> injectable codec -> pixel stats, end to end
+    stats = mm.image_stats(mm.decode_image(df, codec=mm.ppm_codec)).collect()[0]
+    assert (stats["width"], stats["height"], stats["channels"]) == (4, 4, 3)
+    assert stats["mean_pixel"] == sum(range(48)) / 48
