@@ -67,6 +67,23 @@ class CommitConflict(Exception):
     """Another writer committed the version this writer targeted."""
 
 
+def _merge_batch_ids(prev: dict | None, batch_id, stream_id: str) -> dict:
+    """Watermark fields for a new manifest: update THIS stream's entry,
+    carry every other stream's from ``prev`` (on CAS rebase, prev is
+    the winner's manifest, so concurrent streams never clobber each
+    other). The legacy scalar mirrors the default stream."""
+    prev = prev or {}
+    ids = dict(prev.get("last_batch_ids") or {})
+    if "default" not in ids and prev.get("last_batch_id", -1) != -1:
+        ids["default"] = prev["last_batch_id"]
+    if batch_id is not None:
+        ids[stream_id] = batch_id
+    return {
+        "last_batch_ids": ids,
+        "last_batch_id": ids.get("default", prev.get("last_batch_id", -1)),
+    }
+
+
 def _conflict_backoff(attempt: int) -> None:
     """Randomized backoff between CAS rebases (contention spreader)."""
     import random
@@ -79,19 +96,6 @@ def partition_key_col(pdim: str | Column) -> Column:
     """The engine's partition-key string for a time-dimension column."""
     c = F.col(pdim) if isinstance(pdim, str) else pdim
     return F.coalesce(F.date_format(c, _KEY_FMT), F.lit(NULL_KEY))
-
-
-def _dir_rows(path: str) -> int:
-    """Row count of every parquet file under ``path`` from footers —
-    driver-side metadata only, no Spark job."""
-    import pyarrow.parquet as pq
-
-    total = 0
-    for dirpath, _, files in os.walk(path):
-        for f in files:
-            if f.endswith(".parquet"):
-                total += pq.ParquetFile(os.path.join(dirpath, f)).metadata.num_rows
-    return total
 
 
 def _dir_level_rows(path: str) -> dict[str, int]:
@@ -115,14 +119,17 @@ def _dir_level_rows(path: str) -> dict[str, int]:
     return counts
 
 
-def _dir_col_stats(path: str, cols: set[str]) -> dict[str, list]:
-    """Per-partition min/max for the named columns from parquet
-    row-group footers — driver-side metadata only, no Spark job. Only
-    JSON-native stat types (int/float/str) are recorded; columns whose
-    footers carry no usable statistics are simply absent, which the
-    pruner treats as 'cannot skip'."""
+def _dir_meta(path: str, cols: set[str]) -> tuple[int, dict[str, list]]:
+    """Row count AND per-column min/max for one partition directory
+    from a SINGLE pass over the parquet footers (each footer open can
+    be an object-store round trip — reading rows and stats separately
+    would double every commit's metadata cost). Only JSON-native stat
+    types (int/float/str) are recorded; columns whose footers carry no
+    usable statistics are simply absent, which the pruner treats as
+    'cannot skip'."""
     import pyarrow.parquet as pq
 
+    total = 0
     mins: dict[str, object] = {}
     maxs: dict[str, object] = {}
     for dirpath, _, files in os.walk(path):
@@ -130,6 +137,7 @@ def _dir_col_stats(path: str, cols: set[str]) -> dict[str, list]:
             if not f.endswith(".parquet"):
                 continue
             md = pq.ParquetFile(os.path.join(dirpath, f)).metadata
+            total += md.num_rows
             for rg in range(md.num_row_groups):
                 row_group = md.row_group(rg)
                 for j in range(row_group.num_columns):
@@ -150,7 +158,7 @@ def _dir_col_stats(path: str, cols: set[str]) -> dict[str, list]:
                         continue
                     mins[name] = lo if name not in mins else min(mins[name], lo)
                     maxs[name] = hi if name not in maxs else max(maxs[name], hi)
-    return {c: [mins[c], maxs[c]] for c in mins}
+    return total, {c: [mins[c], maxs[c]] for c in mins}
 
 
 def _sum_level_rows(entries: dict[str, dict]) -> dict[str, int]:
@@ -429,9 +437,23 @@ class CubeCatalog:
             return None
         return {int(k): v for k, v in m["level_counts"].items()}
 
-    def last_batch_id(self, name: str) -> int:
+    def last_batch_id(self, name: str, stream_id: str = "default") -> int:
+        """Per-STREAM idempotency watermark. Spark batch ids are scoped
+        to one streaming checkpoint, so with several maintainers on one
+        cube (the concurrent-writer topology the CAS supports) a single
+        shared watermark would let writer B's id clobber writer A's —
+        replays double-apply or pending batches get wrongly skipped.
+        The manifest therefore keeps ``last_batch_ids: {stream: id}``;
+        the legacy ``last_batch_id`` field mirrors the default stream."""
         m = self.manifest(name)
-        return -1 if m is None else m.get("last_batch_id", -1)
+        if m is None:
+            return -1
+        ids = m.get("last_batch_ids") or {}
+        if stream_id in ids:
+            return ids[stream_id]
+        if stream_id == "default":
+            return m.get("last_batch_id", -1)
+        return -1
 
     def current_version(self, name: str) -> int:
         """The committed snapshot version (0 = no manifest yet) — the
@@ -473,11 +495,10 @@ class CubeCatalog:
         stat_cols = set(spec.dim_names)
         if pdim is None:
             cells.write.mode("overwrite").parquet(abs_dir)
-            rows = _dir_rows(abs_dir)
+            rows, stats = _dir_meta(abs_dir, stat_cols)
             if not rows:
                 return {}
             entry = {"path": rel_dir, "rows": rows}
-            stats = _dir_col_stats(abs_dir, stat_cols)
             if stats:
                 entry["stats"] = stats
             if lattice:
@@ -504,8 +525,8 @@ class CubeCatalog:
                 key = d[len("__p="):]
                 rel = os.path.join(rel_dir, d)
                 pabs = os.path.join(self._dir(spec.name), rel)
-                entries[key] = {"path": rel, "rows": _dir_rows(pabs)}
-                stats = _dir_col_stats(pabs, stat_cols)
+                rows, stats = _dir_meta(pabs, stat_cols)
+                entries[key] = {"path": rel, "rows": rows}
                 if stats:
                     entries[key]["stats"] = stats
                 if lattice:
@@ -519,6 +540,7 @@ class CubeCatalog:
         *,
         lattice: bool = False,
         batch_id: int | None = None,
+        stream_id: str = "default",
     ) -> None:
         """Full snapshot: all partitions from this write. Data is
         written once (writer-unique dir); only the cheap manifest CAS
@@ -537,11 +559,7 @@ class CubeCatalog:
                         "version": (prev or {}).get("version", 0) + 1,
                         "partitions": entries,
                         "level_counts": level_counts,
-                        "last_batch_id": (
-                            batch_id
-                            if batch_id is not None
-                            else (prev or {}).get("last_batch_id", -1)
-                        ),
+                        **_merge_batch_ids(prev, batch_id, stream_id),
                     },
                 )
                 return
@@ -559,6 +577,7 @@ class CubeCatalog:
         touched_keys: list[str],
         *,
         batch_id: int | None = None,
+        stream_id: str = "default",
         read_version: int | None = None,
     ) -> None:
         """Partition-scoped commit: ``cells`` holds the new content of
@@ -623,9 +642,7 @@ class CubeCatalog:
                 "version": prev["version"] + 1,
                 "partitions": partitions,
                 "level_counts": level_counts,
-                "last_batch_id": (
-                    batch_id if batch_id is not None else prev.get("last_batch_id", -1)
-                ),
+                **_merge_batch_ids(prev, batch_id, stream_id),
             }
             try:
                 self._commit_manifest(name, manifest)
@@ -635,7 +652,12 @@ class CubeCatalog:
         raise CommitConflict(f"{name}: gave up after {_MAX_COMMIT_RETRIES} rebases")
 
     def overwrite_cells(
-        self, name: str, cells: DataFrame, *, batch_id: int | None = None
+        self,
+        name: str,
+        cells: DataFrame,
+        *,
+        batch_id: int | None = None,
+        stream_id: str = "default",
     ) -> None:
         """Full-snapshot replacement (refresh semantics). The batch
         watermark, when given, commits atomically with the data."""
@@ -645,6 +667,7 @@ class CubeCatalog:
             cells,
             lattice=self.lattice_levels(name) is not None,
             batch_id=batch_id,
+            stream_id=stream_id,
         )
 
     def compact(self, name: str) -> int:

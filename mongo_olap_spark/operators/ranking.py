@@ -184,7 +184,12 @@ def with_global_rank(
         "__pid", _range_id(image, bounds) if bounds else F.lit(0)
     )
     if cache:
-        keyed = keyed.persist()
+        # eager localCheckpoint, not persist(): the materialized blocks
+        # are released when the DataFrame goes out of scope (persist
+        # with no unpersist handle would pin executor storage for the
+        # session), and the truncated lineage guarantees the counts
+        # below and the final window read the SAME rows
+        keyed = keyed.localCheckpoint(eager=True)
     counts = {
         r["__pid"]: r["n"]
         for r in keyed.groupBy("__pid").agg(F.count(F.lit(1)).alias("n")).collect()

@@ -335,8 +335,12 @@ def _compile_op(op: str, spec: Any) -> Column:
         [a] = _args(spec)
         return F.octet_length(compile_expr(a))
     if op == "$strcasecmp":
-        a, b = (F.lower(compile_expr(x)) for x in spec)
-        return F.when(a < b, -1).when(a > b, 1).when(a.eqNullSafe(b), 0)
+        # Mongo coerces a null operand to "" (so null vs "abc" is -1,
+        # not NULL) — coalesce before comparing
+        a, b = (
+            F.coalesce(F.lower(compile_expr(x)), F.lit("")) for x in spec
+        )
+        return F.when(a < b, -1).when(a > b, 1).otherwise(0)
     if op in ("$isNumber", "$isArray"):
         # typed engine: the answer is a plan-time property of the
         # expression's (static) type, surfaced via typeof()
@@ -623,15 +627,26 @@ def _compile_op(op: str, spec: Any) -> Column:
     if op == "$dateFromParts":
         if "isoWeekYear" in spec:
             raise PipelineError("$dateFromParts: ISO week-date form not supported")
+        if "timezone" in spec:
+            raise PipelineError(
+                "$dateFromParts: timezone is not supported (session-zone "
+                "timestamps only) — silently ignoring it would shift results"
+            )
 
         def part(name: str, default: int) -> Column:
             return (
                 compile_expr(spec[name]) if name in spec else F.lit(default)
             ).cast("int")
 
+        # milliseconds ride as fractional seconds (make_timestamp takes
+        # DECIMAL seconds) — dropping them silently would lose precision
+        secs = (
+            part("second", 0).cast("decimal(16,3)")
+            + part("millisecond", 0).cast("decimal(16,3)") / 1000
+        )
         return F.make_timestamp(
             part("year", 1970), part("month", 1), part("day", 1),
-            part("hour", 0), part("minute", 0), part("second", 0),
+            part("hour", 0), part("minute", 0), secs,
         )
     if op == "$dateToParts":
         c = compile_expr(spec["date"])
@@ -644,10 +659,23 @@ def _compile_op(op: str, spec: Any) -> Column:
             F.date_format(c, "SSS").cast("int").alias("millisecond"),
         )
     if op == "$dateFromString":
+        if "timezone" in spec:
+            raise PipelineError("$dateFromString: timezone is not supported")
         c = compile_expr(spec["dateString"])
-        if "format" in spec:
-            return F.to_timestamp(c, _mongo_date_format(spec["format"]))
-        return c.cast("timestamp")
+        parsed = (
+            F.try_to_timestamp(c, F.lit(_mongo_date_format(spec["format"])))
+            if "format" in spec
+            else c.try_cast("timestamp")
+        )
+        if "onError" in spec:
+            parsed = F.when(
+                c.isNotNull() & parsed.isNull(), compile_expr(spec["onError"])
+            ).otherwise(parsed)
+        if "onNull" in spec:
+            parsed = F.when(c.isNull(), compile_expr(spec["onNull"])).otherwise(
+                parsed
+            )
+        return parsed
     if op == "$dateToString":
         fmt = _mongo_date_format(spec.get("format", "%Y-%m-%dT%H:%M:%S.%LZ"))
         return F.date_format(compile_expr(spec["date"]), fmt)
@@ -1040,9 +1068,16 @@ def _vector_search_stage(df: DataFrame, spec: dict) -> DataFrame:
         out = out.filter(compile_match(spec["filter"]))
     qcol = F.array(*[F.lit(float(x)) for x in qv])
     score = F.round((F.lit(1.0) + cosine(F.col(path), qcol)) / 2, 5)
+    # the 5-dp rounding that stabilizes ranking can MANUFACTURE exact
+    # score ties; a tie straddling the limit cut would make the top-k
+    # row set partitioning-dependent — tieBreaker (engine extension:
+    # any orderable column, e.g. the id) pins the cut
+    order = [F.desc(score_field)]
+    if "tieBreaker" in spec:
+        order.append(F.asc(spec["tieBreaker"]))
     return (
         out.withColumn(score_field, score)
-        .orderBy(F.desc(score_field))
+        .orderBy(*order)
         .limit(limit)
     )
 
@@ -1556,6 +1591,14 @@ def _window_spec(spec: dict, need_order: bool):
 def _frame_bounds(window: dict):
     from pyspark.sql import Window as W
 
+    if "range" in window:
+        # range frames need rangeBetween on the sort VALUE plus unit
+        # arithmetic — not implemented; silently substituting a row
+        # frame would produce wrong answers, so refuse by name
+        raise PipelineError(
+            "window: {range: ...} frames are not supported — use a "
+            "documents frame"
+        )
     docs = window.get("documents")
     if docs is None:
         return None
@@ -1585,16 +1628,22 @@ _TIME_UNIT_S = {
 }
 
 
-def _swf_sort_key(spec: dict) -> Column:
+def _swf_sort_key(spec: dict, df: DataFrame) -> Column:
     """The single sortBy field of $derivative/$integral/$linearFill as
-    a numeric Column (timestamps become epoch seconds; the double cast
-    is monotone for every type these operators accept)."""
+    a numeric Column: timestamps become epoch seconds, DATE columns go
+    through unix_date (CAST(date AS double) is not a legal Spark cast
+    — the same gating operators/ranking.py applies), numerics cast
+    directly. All images are monotone in the native order."""
+    from pyspark.sql import types as T
+
     sort = spec.get("sortBy") or {}
     if len(sort) != 1:
         raise PipelineError("this window operator requires a single sortBy field")
     [(key, direction)] = sort.items()
     if direction < 0:
         raise PipelineError("this window operator requires an ascending sortBy")
+    if key in df.columns and isinstance(df.schema[key].dataType, T.DateType):
+        return F.unix_date(F.col(key)).cast("double")
     return F.col(key).cast("double")
 
 
@@ -1621,7 +1670,7 @@ def _set_window_fields(df: DataFrame, spec: dict) -> DataFrame:
             wf = w.rowsBetween(*bounds) if bounds else w.rowsBetween(
                 W.unboundedPreceding, 0
             )
-            v, t = compile_expr(arg["input"]), _swf_sort_key(spec)
+            v, t = compile_expr(arg["input"]), _swf_sort_key(spec, df)
             scale = _TIME_UNIT_S[arg["unit"]] if "unit" in arg else 1.0
             dv = F.last(v).over(wf) - F.first(v).over(wf)
             dt = F.last(t).over(wf) - F.first(t).over(wf)
@@ -1632,7 +1681,7 @@ def _set_window_fields(df: DataFrame, spec: dict) -> DataFrame:
             # sums terms over [lo+1, hi] (the first frame row's segment
             # lies outside the frame); cumulative frames need no shift.
             w = _window_spec(spec, need_order=True)
-            v, t = compile_expr(arg["input"]), _swf_sort_key(spec)
+            v, t = compile_expr(arg["input"]), _swf_sort_key(spec, df)
             scale = _TIME_UNIT_S[arg["unit"]] if "unit" in arg else 1.0
             term = (
                 (v + F.lag(v).over(w)) * (t - F.lag(t).over(w)) / 2 / F.lit(scale)
@@ -1677,7 +1726,7 @@ def _set_window_fields(df: DataFrame, spec: dict) -> DataFrame:
             w = _window_spec(spec, need_order=True)
             back = w.rowsBetween(W.unboundedPreceding, 0)
             fwd = w.rowsBetween(0, W.unboundedFollowing)
-            c, t = compile_expr(arg), _swf_sort_key(spec)
+            c, t = compile_expr(arg), _swf_sort_key(spec, df)
             pv = F.last(c, ignorenulls=True).over(back)
             pt = F.last(F.when(c.isNotNull(), t), ignorenulls=True).over(back)
             nv = F.first(c, ignorenulls=True).over(fwd)
@@ -1712,6 +1761,14 @@ def _set_window_fields(df: DataFrame, spec: dict) -> DataFrame:
             if op == "$count":
                 expr = F.count(F.lit(1)).over(w)
             elif op in ("$first", "$last"):
+                # sortBy alone must NOT default these to the cumulative
+                # frame ($last over [unbounded, current] is the identity
+                # function) — Mongo's default window for first/last is
+                # the whole partition, ordered by sortBy
+                if bounds is None:
+                    w = _window_spec(spec, need_order=True).rowsBetween(
+                        W.unboundedPreceding, W.unboundedFollowing
+                    )
                 fn = F.first if op == "$first" else F.last
                 expr = fn(compile_expr(arg)).over(w)
             elif op == "$sum":

@@ -1082,6 +1082,7 @@ def q_vector_search(spark, sf_dir):
                 "limit": 20,
                 "exact": True,
                 "filter": {"vec_id": {"$ne": 0}},
+                "tieBreaker": "vec_id",
             }},
             {"$project": {"vec_id": 1, "score": 1}},
         ],

@@ -51,14 +51,20 @@ class CubeMaintainer:
         spec: CubeSpec,
         *,
         source_for_repair: DataFrame | None = None,
+        stream_id: str = "default",
     ):
         self.catalog = catalog
         self.spec = spec
         self.source_for_repair = source_for_repair
+        #: identifies THIS maintainer's checkpoint in the manifest's
+        #: per-stream watermark map — two maintainers on one cube must
+        #: use distinct stream_ids or their (checkpoint-scoped) batch
+        #: ids would collide in a single shared watermark
+        self.stream_id = stream_id
 
     # -- the micro-batch body ---------------------------------------------
     def apply_batch(self, batch: DataFrame, batch_id: int) -> None:
-        if batch_id <= self.catalog.last_batch_id(self.spec.name):
+        if batch_id <= self.catalog.last_batch_id(self.spec.name, self.stream_id):
             return  # replayed batch — idempotent skip
         spec = self.spec
         levels = self.catalog.lattice_levels(spec.name)
@@ -105,11 +111,14 @@ class CubeMaintainer:
                 merged,
                 touched_keys,
                 batch_id=batch_id,
+                stream_id=self.stream_id,
                 read_version=read_version,
             )
             deltas.unpersist()
         else:
-            self.catalog.overwrite_cells(spec.name, merged, batch_id=batch_id)
+            self.catalog.overwrite_cells(
+                spec.name, merged, batch_id=batch_id, stream_id=self.stream_id
+            )
 
     def _apply_batch_lattice(
         self, batch: DataFrame, batch_id: int, levels: list[tuple[str, ...]]
@@ -153,11 +162,14 @@ class CubeMaintainer:
                 merged,
                 touched_keys,
                 batch_id=batch_id,
+                stream_id=self.stream_id,
                 read_version=read_version,
             )
             deltas.unpersist()
         else:
-            self.catalog.overwrite_cells(spec.name, merged, batch_id=batch_id)
+            self.catalog.overwrite_cells(
+                spec.name, merged, batch_id=batch_id, stream_id=self.stream_id
+            )
 
     # -- stream wiring ------------------------------------------------------
     def start(self, cdc_stream: DataFrame, checkpoint_dir: str, **trigger):

@@ -1525,3 +1525,70 @@ def test_merge_pipeline_counter_property(spark):
         assert got == want
 
     check()
+
+
+def test_swf_review_fixes(spark):
+    """Round-4 self-review regressions: range windows refuse by name
+    (silently substituting a row frame would mis-compute $derivative),
+    DATE sortBy routes through unix_date instead of an illegal cast,
+    and $last without a window reads the whole partition (cumulative
+    would make it the identity function)."""
+    import datetime
+
+    with pytest.raises(PipelineError, match="range.*not supported"):
+        compile_pipeline(
+            spark.createDataFrame([(1, 1.0)], "t long, v double"),
+            [{"$setWindowFields": {"sortBy": {"t": 1}, "output": {
+                "d": {"$derivative": {"input": "$v"},
+                      "window": {"range": [-30, 0], "unit": "second"}}}}}],
+        )
+    base = datetime.date(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(base + datetime.timedelta(days=i), float(v) if v is not None else None)
+         for i, v in enumerate([10.0, None, 30.0, None, 50.0])],
+        "d date, v double",
+    )
+    out = compile_pipeline(
+        df,
+        [{"$setWindowFields": {"sortBy": {"d": 1}, "output": {
+            "filled": {"$linearFill": "$v"},
+            "final": {"$last": "$v"},
+            "first": {"$first": "$v"},
+        }}}],
+    ).collect()
+    by_d = {r["d"].day: r for r in out}
+    assert by_d[2]["filled"] == 20.0 and by_d[4]["filled"] == 40.0  # date distance
+    assert all(r["final"] == 50.0 for r in out)  # whole partition, not identity
+    assert all(r["first"] == 10.0 for r in out)
+
+
+def test_date_from_parts_millisecond_and_from_string_handlers(spark):
+    import datetime
+
+    df = spark.createDataFrame([("2024-03-15 12:00:00", "garbage", None)],
+                               "good string, bad string, missing string")
+    out = df.select(
+        compile_expr({"$dateFromParts": {"year": 2024, "millisecond": 500}}).alias("ms"),
+        compile_expr({"$dateFromString": {"dateString": "$bad",
+                                          "onError": {"$literal": None}}}).alias("err"),
+        compile_expr({"$dateFromString": {
+            "dateString": "$missing",
+            "onNull": {"$toDate": {"$literal": "2000-01-01"}}}}).alias("onn"),
+    ).collect()[0]
+    assert out["ms"] == datetime.datetime(2024, 1, 1, 0, 0, 0, 500000)
+    assert out["err"] is None
+    assert out["onn"] == datetime.datetime(2000, 1, 1)
+    with pytest.raises(PipelineError, match="timezone"):
+        compile_expr({"$dateFromParts": {"year": 2024, "timezone": "UTC"}})
+    with pytest.raises(PipelineError, match="timezone"):
+        compile_expr({"$dateFromString": {"dateString": "$good", "timezone": "UTC"}})
+
+
+def test_strcasecmp_null_coerces_to_empty(spark):
+    df = spark.createDataFrame([(None, "abc")], "a string, b string")
+    out = df.select(
+        compile_expr({"$strcasecmp": ["$a", "$b"]}).alias("lt"),
+        compile_expr({"$strcasecmp": ["$b", "$a"]}).alias("gt"),
+        compile_expr({"$strcasecmp": ["$a", {"$literal": ""}]}).alias("eq"),
+    ).collect()[0]
+    assert (out["lt"], out["gt"], out["eq"]) == (-1, 1, 0)

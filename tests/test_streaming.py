@@ -669,3 +669,38 @@ def test_checkpoint_restart_resumes_exactly_once(spark, events, tmp_path):
         query_cube(build_cube(spark, EVENTS_CUBE, net_events(events)), EVENTS_CUBE)
     )
     assert final == want
+
+
+def test_per_stream_batch_watermarks(spark, events, tmp_path):
+    """Self-review r4: Spark batch ids are scoped to one checkpoint, so
+    two maintainers (distinct stream_ids) on one cube must not share a
+    watermark — writer B committing batch 2 must not cause writer A's
+    pending batch 6 to skip, nor allow A's replayed batch 5 through."""
+    cat = CubeCatalog(spark, str(tmp_path / "cubes"))
+    cat.create(EVENTS_CUBE, events.limit(0))
+    name = EVENTS_CUBE.name
+    cdc = cdc_from_events(events).filter(F.col("op") == "insert")
+    days = sorted(
+        r[0] for r in cdc.select(F.dayofmonth("stream_ts")).distinct().collect()
+    )
+    a_days, b_days = days[::2], days[1::2]
+    ma = CubeMaintainer(cat, EVENTS_CUBE, stream_id="stream_a")
+    mb = CubeMaintainer(cat, EVENTS_CUBE, stream_id="stream_b")
+
+    def day_batch(d):
+        return cdc.filter(F.dayofmonth("stream_ts") == d)
+
+    ma.apply_batch(day_batch(a_days[0]), 5)
+    mb.apply_batch(day_batch(b_days[0]), 2)  # lower id, different stream
+    after_b = rows_set(cat.cells(name))
+    ma.apply_batch(day_batch(a_days[0]), 5)  # replay on stream_a: skipped
+    assert rows_set(cat.cells(name)) == after_b
+    ma.apply_batch(day_batch(a_days[1]), 6)  # pending on stream_a: applies
+    assert rows_set(cat.cells(name)) != after_b
+    assert cat.last_batch_id(name, "stream_a") == 6
+    assert cat.last_batch_id(name, "stream_b") == 2
+
+    applied = a_days[:2] + b_days[:1]
+    src = events.filter(F.dayofmonth("ts").isin(applied))
+    want = rows_set(query_cube(build_cube(spark, EVENTS_CUBE, src), EVENTS_CUBE))
+    assert rows_set(query_cube(cat.cells(name), EVENTS_CUBE)) == want
