@@ -1588,17 +1588,44 @@ def _window_spec(spec: dict, need_order: bool):
     return w
 
 
+def _range_frame(window: dict, spec: dict, df: DataFrame):
+    """A {range: [lo, hi], unit?} window as a Spark rangeBetween frame
+    over the numeric sortBy image: unit seconds scale time offsets;
+    numeric sortBy takes raw offsets. Returns the ordered WindowSpec,
+    or None if the window has no range frame."""
+    from pyspark.sql import Window as W
+
+    rng = window.get("range") if window else None
+    if rng is None:
+        return None
+    unit_s = _TIME_UNIT_S[window["unit"]] if "unit" in window else 1.0
+
+    # rangeBetween takes LONG offsets, so the frame runs over a
+    # millisecond-scaled long image of the sort key — integral for
+    # every Mongo unit down to millisecond, and fractional-second
+    # timestamps stay inside the frame arithmetic
+    def bound(x, unbounded):
+        if x == "unbounded":
+            return unbounded
+        if x == "current":
+            return 0
+        if isinstance(x, (int, float)):
+            return int(round(float(x) * unit_s * 1000))
+        raise PipelineError(f"bad range bound {x!r}")
+
+    lo, hi = rng
+    part = spec.get("partitionBy")
+    keys = [part[1:]] if isinstance(part, str) and part.startswith("$") else []
+    w = W.partitionBy(*keys) if keys else W.partitionBy()
+    t_ms = (_swf_sort_key(spec, df) * 1000).cast("long")
+    return w.orderBy(t_ms).rangeBetween(
+        bound(lo, W.unboundedPreceding), bound(hi, W.unboundedFollowing)
+    )
+
+
 def _frame_bounds(window: dict):
     from pyspark.sql import Window as W
 
-    if "range" in window:
-        # range frames need rangeBetween on the sort VALUE plus unit
-        # arithmetic — not implemented; silently substituting a row
-        # frame would produce wrong answers, so refuse by name
-        raise PipelineError(
-            "window: {range: ...} frames are not supported — use a "
-            "documents frame"
-        )
     docs = window.get("documents")
     if docs is None:
         return None
@@ -1666,10 +1693,12 @@ def _set_window_fields(df: DataFrame, spec: dict) -> DataFrame:
             if window is None:
                 raise PipelineError("$derivative requires a window")
             w = _window_spec(spec, need_order=True)
-            bounds = _frame_bounds(window)
-            wf = w.rowsBetween(*bounds) if bounds else w.rowsBetween(
-                W.unboundedPreceding, 0
-            )
+            wf = _range_frame(window, spec, df)
+            if wf is None:
+                bounds = _frame_bounds(window)
+                wf = w.rowsBetween(*bounds) if bounds else w.rowsBetween(
+                    W.unboundedPreceding, 0
+                )
             v, t = compile_expr(arg["input"]), _swf_sort_key(spec, df)
             scale = _TIME_UNIT_S[arg["unit"]] if "unit" in arg else 1.0
             dv = F.last(v).over(wf) - F.first(v).over(wf)
@@ -1683,6 +1712,11 @@ def _set_window_fields(df: DataFrame, spec: dict) -> DataFrame:
             w = _window_spec(spec, need_order=True)
             v, t = compile_expr(arg["input"]), _swf_sort_key(spec, df)
             scale = _TIME_UNIT_S[arg["unit"]] if "unit" in arg else 1.0
+            if window and "range" in window:
+                raise PipelineError(
+                    "$integral supports documents frames only (trapezoid "
+                    "terms attach to rows, not sort-value ranges)"
+                )
             term = (
                 (v + F.lag(v).over(w)) * (t - F.lag(t).over(w)) / 2 / F.lit(scale)
             )
@@ -1697,21 +1731,27 @@ def _set_window_fields(df: DataFrame, spec: dict) -> DataFrame:
                 wf = w.rowsBetween(lo + 1 if lo != W.unboundedPreceding else lo, hi)
             expr = F.sum(tmp).over(wf)
         elif op in ("$covariancePop", "$covarianceSamp"):
-            w = _window_spec(spec, need_order=False)
-            bounds = _frame_bounds(window) if window else None
+            rw = _range_frame(window, spec, df) if window else None
+            w = rw if rw is not None else _window_spec(spec, need_order=False)
+            bounds = None if rw is not None else (
+                _frame_bounds(window) if window else None
+            )
             if bounds is not None:
                 w = w.rowsBetween(*bounds)
-            elif spec.get("sortBy"):
+            elif rw is None and spec.get("sortBy"):
                 w = w.rowsBetween(W.unboundedPreceding, 0)
             a, b = (compile_expr(x) for x in arg)
             fn = F.covar_pop if op == "$covariancePop" else F.covar_samp
             expr = fn(a, b).over(w)
         elif op in ("$stdDevPop", "$stdDevSamp"):
-            w = _window_spec(spec, need_order=False)
-            bounds = _frame_bounds(window) if window else None
+            rw = _range_frame(window, spec, df) if window else None
+            w = rw if rw is not None else _window_spec(spec, need_order=False)
+            bounds = None if rw is not None else (
+                _frame_bounds(window) if window else None
+            )
             if bounds is not None:
                 w = w.rowsBetween(*bounds)
-            elif spec.get("sortBy"):
+            elif rw is None and spec.get("sortBy"):
                 w = w.rowsBetween(W.unboundedPreceding, 0)
             fn = F.stddev_pop if op == "$stdDevPop" else F.stddev_samp
             expr = fn(compile_expr(arg)).over(w)
@@ -1747,11 +1787,14 @@ def _set_window_fields(df: DataFrame, spec: dict) -> DataFrame:
             # sortBy (Mongo: sortBy alone => cumulative frame)
             from pyspark.sql import Window as W
 
-            w = _window_spec(spec, need_order=False)
-            bounds = _frame_bounds(window) if window else None
+            rw = _range_frame(window, spec, df) if window else None
+            w = rw if rw is not None else _window_spec(spec, need_order=False)
+            bounds = None if rw is not None else (
+                _frame_bounds(window) if window else None
+            )
             if bounds is not None:
                 w = w.rowsBetween(*bounds)
-            elif spec.get("sortBy"):
+            elif rw is None and spec.get("sortBy"):
                 w = w.rowsBetween(W.unboundedPreceding, 0)
             # .over() must attach to the aggregate itself, so the
             # decimal-exact sum/avg forms are built inline (dsum/davg
@@ -1765,7 +1808,7 @@ def _set_window_fields(df: DataFrame, spec: dict) -> DataFrame:
                 # frame ($last over [unbounded, current] is the identity
                 # function) — Mongo's default window for first/last is
                 # the whole partition, ordered by sortBy
-                if bounds is None:
+                if bounds is None and rw is None:
                     w = _window_spec(spec, need_order=True).rowsBetween(
                         W.unboundedPreceding, W.unboundedFollowing
                     )

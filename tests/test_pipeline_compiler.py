@@ -1528,20 +1528,13 @@ def test_merge_pipeline_counter_property(spark):
 
 
 def test_swf_review_fixes(spark):
-    """Round-4 self-review regressions: range windows refuse by name
-    (silently substituting a row frame would mis-compute $derivative),
-    DATE sortBy routes through unix_date instead of an illegal cast,
-    and $last without a window reads the whole partition (cumulative
-    would make it the identity function)."""
+    """Round-4 self-review regressions: DATE sortBy routes through
+    unix_date instead of an illegal cast, and $last without a window
+    reads the whole partition (cumulative would make it the identity
+    function). Range windows are real rangeBetween frames (their own
+    test); $integral alone refuses them (trapezoid terms are
+    row-attached)."""
     import datetime
-
-    with pytest.raises(PipelineError, match="range.*not supported"):
-        compile_pipeline(
-            spark.createDataFrame([(1, 1.0)], "t long, v double"),
-            [{"$setWindowFields": {"sortBy": {"t": 1}, "output": {
-                "d": {"$derivative": {"input": "$v"},
-                      "window": {"range": [-30, 0], "unit": "second"}}}}}],
-        )
     base = datetime.date(2024, 1, 1)
     df = spark.createDataFrame(
         [(base + datetime.timedelta(days=i), float(v) if v is not None else None)
@@ -1592,3 +1585,51 @@ def test_strcasecmp_null_coerces_to_empty(spark):
         compile_expr({"$strcasecmp": ["$a", {"$literal": ""}]}).alias("eq"),
     ).collect()[0]
     assert (out["lt"], out["gt"], out["eq"]) == (-1, 1, 0)
+
+
+def test_swf_range_frames(spark):
+    """{range: [...], unit} windows compile to Spark rangeBetween over
+    the numeric sortBy image: a 1-hour trailing moving average must
+    include exactly the rows within 3600 seconds, not a row count."""
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (1, base, 10.0),
+        (1, base + datetime.timedelta(minutes=30), 20.0),
+        (1, base + datetime.timedelta(minutes=90), 40.0),
+        (1, base + datetime.timedelta(minutes=100), 60.0),
+    ]
+    df = spark.createDataFrame(rows, "k int, ts timestamp, v double")
+    out = compile_pipeline(
+        df,
+        [{"$setWindowFields": {
+            "partitionBy": "$k",
+            "sortBy": {"ts": 1},
+            "output": {
+                "avg1h": {"$avg": "$v",
+                          "window": {"range": [-1, "current"], "unit": "hour"}},
+                "n1h": {"$count": {},
+                        "window": {"range": [-1, "current"], "unit": "hour"}},
+                "rate": {"$derivative": {"input": "$v", "unit": "hour"},
+                         "window": {"range": [-1, "current"], "unit": "hour"}},
+            },
+        }}],
+    ).collect()
+    by_min = {int((r["ts"] - base).total_seconds() // 60): r for r in out}
+    assert by_min[0]["n1h"] == 1 and by_min[0]["avg1h"] == 10.0
+    assert by_min[30]["n1h"] == 2 and by_min[30]["avg1h"] == 15.0
+    # t=90: rows at 30 and 90 within the trailing hour (0 is 90min ago)
+    assert by_min[90]["n1h"] == 2 and by_min[90]["avg1h"] == 30.0
+    # t=100: the trailing hour covers [40, 100] -> rows at 90 and 100
+    # only (minute 30 is 70 minutes back)
+    assert by_min[100]["n1h"] == 2 and by_min[100]["avg1h"] == 50.0
+    # derivative over that frame: (60-40)/(10 min) in per-hour units
+    assert abs(by_min[100]["rate"] - (60.0 - 40.0) / (10 / 60)) < 1e-9
+    with pytest.raises(PipelineError, match="documents frames only"):
+        compile_pipeline(
+            df,
+            [{"$setWindowFields": {"sortBy": {"ts": 1}, "output": {
+                "i": {"$integral": {"input": "$v", "unit": "hour"},
+                      "window": {"range": [-1, 0], "unit": "hour"}}}}}],
+        )
