@@ -493,3 +493,46 @@ def q_pipeline_deriv(spark, sf_dir):
         ],
     )
     return out.select("event_id", "user_id", "value", "first_v", "rate_per_hour")
+
+
+@register(
+    "q_pipeline_moving",
+    oracle="""
+    WITH base AS (
+      SELECT event_id, user_id, value,
+             epoch_us(ts) // 1000 AS t_ms
+      FROM events
+    )
+    SELECT event_id, user_id,
+           CAST(sum(CAST(value AS DECIMAL(38,6)))
+                OVER w AS DOUBLE) / count(*) OVER w AS avg_1h,
+           CAST(count(*) OVER w AS BIGINT) AS n_1h
+    FROM base
+    WINDOW w AS (PARTITION BY user_id ORDER BY t_ms
+                 RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_pipeline_moving(spark, sf_dir):
+    """Trailing-1-hour moving average/count per user via the compiler's
+    {range, unit} window -> rangeBetween over the millisecond-scaled
+    sort image. The oracle replays the IDENTICAL ms frame (RANGE
+    3600000 PRECEDING over epoch_us//1000), sidestepping interval-
+    boundary subtleties; the window $sum accumulates in DECIMAL on
+    both sides, so the average is order-independent and hash-exact.
+    Range frames are value-based: (user, ts) ties share a frame on
+    both engines, so no tie-break key is needed."""
+    e = load_table(spark, sf_dir, "events")
+    out = compile_pipeline(
+        e,
+        [{"$setWindowFields": {
+            "partitionBy": "$user_id",
+            "sortBy": {"ts": 1},
+            "output": {
+                "avg_1h": {"$avg": "$value",
+                           "window": {"range": [-1, "current"], "unit": "hour"}},
+                "n_1h": {"$count": {},
+                         "window": {"range": [-1, "current"], "unit": "hour"}},
+            },
+        }}],
+    )
+    return out.select("event_id", "user_id", "avg_1h", "n_1h")
