@@ -1843,7 +1843,11 @@ def _set_window_fields(df: DataFrame, spec: dict) -> DataFrame:
 # for imputation).
 # ---------------------------------------------------------------------------
 
-_DENSIFY_UNITS = {"day": 86400, "hour": 3600, "minute": 60, "second": 1}
+_DENSIFY_UNITS = {"week": 604800, "day": 86400, "hour": 3600, "minute": 60, "second": 1}
+
+#: calendar units step with interval arithmetic (a "1 month" hop is
+#: not a fixed number of seconds)
+_DENSIFY_CALENDAR = {"month": "month", "quarter": "quarter", "year": "year"}
 
 
 def _densify(df: DataFrame, spec: dict) -> DataFrame:
@@ -1855,7 +1859,7 @@ def _densify(df: DataFrame, spec: dict) -> DataFrame:
         p[1:] if p.startswith("$") else p for p in spec.get("partitionByFields", [])
     ]
     is_time = unit is not None
-    if is_time and unit not in _DENSIFY_UNITS:
+    if is_time and unit not in _DENSIFY_UNITS and unit not in _DENSIFY_CALENDAR:
         raise PipelineError(f"unsupported $densify unit {unit!r}")
     lo, hi = F.min(field).alias("__d0"), F.max(field).alias("__d1")
     explicit = isinstance(bounds, list)
@@ -1891,9 +1895,15 @@ def _densify(df: DataFrame, spec: dict) -> DataFrame:
         )
     else:
         raise PipelineError(f"unsupported $densify bounds {bounds!r}")
-    step_expr = (
-        f"interval {step * _DENSIFY_UNITS[unit]} seconds" if is_time else str(step)
-    )
+    if not is_time:
+        step_expr = str(step)
+    elif unit in _DENSIFY_CALENDAR:
+        # quarter steps as 3-month intervals; month/year hops follow
+        # Spark's (and Mongo's) end-of-month clamping semantics
+        n = step * 3 if unit == "quarter" else step
+        step_expr = f"interval {n} {'month' if unit == 'quarter' else unit}s"
+    else:
+        step_expr = f"interval {step * _DENSIFY_UNITS[unit]} seconds"
     spine = bounds_df.select(
         *part_fields,
         F.explode(F.expr(f"sequence(__d0, __d1, {step_expr})")).alias(field),
@@ -1920,8 +1930,6 @@ def _fill(df: DataFrame, spec: dict) -> DataFrame:
     w = (W.partitionBy(*keys) if keys else W.partitionBy()).orderBy(*order)
     back = w.rowsBetween(W.unboundedPreceding, 0)
     fwd = w.rowsBetween(0, W.unboundedFollowing)
-    # row number for linear interpolation distance
-    rn = F.row_number().over(w)
     out_df = df
     for name, how in spec.get("output", {}).items():
         c = F.col(name)
@@ -1930,13 +1938,18 @@ def _fill(df: DataFrame, spec: dict) -> DataFrame:
         elif how.get("method") == "locf":
             filled = F.last(c, ignorenulls=True).over(back)
         elif how.get("method") == "linear":
+            # Mongo interpolates on the sortBy VALUES (a gap twice as
+            # wide in sort-key terms pulls the fill twice as far), not
+            # on row positions — same contract as $linearFill, and it
+            # needs the single numeric/date sort key
+            t = _swf_sort_key(spec, df)
             pv = F.last(c, ignorenulls=True).over(back)
-            prn = F.last(F.when(c.isNotNull(), rn), ignorenulls=True).over(back)
+            pt = F.last(F.when(c.isNotNull(), t), ignorenulls=True).over(back)
             nv = F.first(c, ignorenulls=True).over(fwd)
-            nrn = F.first(F.when(c.isNotNull(), rn), ignorenulls=True).over(fwd)
+            nt = F.first(F.when(c.isNotNull(), t), ignorenulls=True).over(fwd)
             filled = F.when(c.isNotNull(), c).when(
                 pv.isNotNull() & nv.isNotNull(),
-                pv + (nv - pv) * (rn - prn) / (nrn - prn),
+                pv + (nv - pv) * (t - pt) / (nt - pt),
             )
         else:
             raise PipelineError(f"unsupported $fill method for {name!r}: {how}")

@@ -1633,3 +1633,39 @@ def test_swf_range_frames(spark):
                 "i": {"$integral": {"input": "$v", "unit": "hour"},
                       "window": {"range": [-1, 0], "unit": "hour"}}}}}],
         )
+
+
+def test_fill_linear_uses_sort_value_distance(spark):
+    """Mongo $fill method:linear interpolates on sortBy VALUES: with
+    anchors at t=0 (v=10) and t=10 (v=110), the null at t=1 fills to
+    20 — row-position interpolation would wrongly give 60."""
+    rows = [(0.0, 10.0), (1.0, None), (10.0, 110.0)]
+    df = spark.createDataFrame(rows, "t double, v double")
+    out = compile_pipeline(
+        df,
+        [{"$fill": {"sortBy": {"t": 1},
+                    "output": {"v": {"method": "linear"}}}}],
+    ).collect()
+    got = {r["t"]: r["v"] for r in out}
+    assert got[1.0] == 20.0
+    assert got[0.0] == 10.0 and got[10.0] == 110.0
+
+
+def test_densify_calendar_units(spark):
+    import datetime
+
+    rows = [("a", datetime.datetime(2024, 1, 31), 1.0),
+            ("a", datetime.datetime(2024, 4, 30), 2.0)]
+    df = spark.createDataFrame(rows, "k string, m timestamp, v double")
+    out = compile_pipeline(
+        df,
+        [{"$densify": {"field": "m", "partitionByFields": ["k"],
+                        "range": {"step": 1, "unit": "month",
+                                  "bounds": "partition"}}}],
+    ).collect()
+    months = sorted(r["m"] for r in out)
+    # end-of-month clamping: Jan 31 -> Feb 29 (leap) -> Mar 31 -> Apr 30
+    assert [m.month for m in months] == [1, 2, 3, 4]
+    assert [m.day for m in months] == [31, 29, 31, 30]
+    # the Apr 30 spine row joins the existing document (one row, v=2)
+    assert {r["v"] for r in out if r["m"].month == 4} == {2.0}
