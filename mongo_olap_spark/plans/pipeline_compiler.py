@@ -1775,6 +1775,51 @@ def _set_window_fields(df: DataFrame, spec: dict) -> DataFrame:
                 pv.isNotNull() & nv.isNotNull(),
                 pv + (nv - pv) * (t - pt) / (nt - pt),
             )
+        elif op == "$expMovingAvg":
+            # inherently sequential recursion — runs as the engine's
+            # partition-sorted Arrow EMA stage (queries/windows.py),
+            # which transforms the frame rather than adding a window
+            # expression; the stage needs a real partition key and an
+            # ascending sort
+            from mongo_olap_spark.queries.windows import exp_moving_avg
+
+            if ("alpha" in arg) == ("N" in arg):
+                raise PipelineError(
+                    "$expMovingAvg requires exactly one of alpha / N"
+                )
+            alpha = arg["alpha"] if "alpha" in arg else 2.0 / (arg["N"] + 1)
+            part = spec.get("partitionBy")
+            if not (isinstance(part, str) and part.startswith("$")):
+                raise PipelineError(
+                    "$expMovingAvg requires a field-path partitionBy"
+                )
+            sort = spec.get("sortBy") or {}
+            if not sort or any(v < 0 for v in sort.values()):
+                raise PipelineError(
+                    "$expMovingAvg requires an ascending sortBy"
+                )
+            inp = arg["input"]
+            if not (isinstance(inp, str) and inp.startswith("$")):
+                raise PipelineError("$expMovingAvg input must be a field path")
+            df = exp_moving_avg(
+                df, part[1:], list(sort), inp[1:], alpha=alpha
+            ).withColumnRenamed("ema", name)
+            continue
+        elif op in ("$minN", "$maxN"):
+            n = arg.get("n")
+            if not (isinstance(n, int) and n > 0):
+                raise PipelineError(f"{op} requires a positive literal n")
+            rw = _range_frame(window, spec, df) if window else None
+            w = rw if rw is not None else _window_spec(spec, need_order=False)
+            bounds = None if rw is not None else (
+                _frame_bounds(window) if window else None
+            )
+            if bounds is not None:
+                w = w.rowsBetween(*bounds)
+            elif rw is None and spec.get("sortBy"):
+                w = w.rowsBetween(W.unboundedPreceding, 0)
+            lst = F.collect_list(compile_expr(arg["input"])).over(w)
+            expr = F.slice(F.sort_array(lst, asc=op == "$minN"), 1, n)
         elif op == "$shift":
             w = _window_spec(spec, need_order=True)
             by = arg.get("by", 1)

@@ -1669,3 +1669,38 @@ def test_densify_calendar_units(spark):
     assert [m.day for m in months] == [31, 29, 31, 30]
     # the Apr 30 spine row joins the existing document (one row, v=2)
     assert {r["v"] for r in out if r["m"].month == 4} == {2.0}
+
+
+def test_swf_exp_moving_avg_and_topn_windows(spark):
+    from mongo_olap_spark.queries.windows import exp_moving_avg
+
+    rows = [("u1", i, float(v)) for i, v in enumerate([10, 20, 40, 30])] + [
+        ("u2", 0, 100.0), ("u2", 1, 50.0)
+    ]
+    df = spark.createDataFrame(rows, "k string, t int, v double")
+    out = compile_pipeline(
+        df,
+        [{"$setWindowFields": {
+            "partitionBy": "$k",
+            "sortBy": {"t": 1},
+            "output": {
+                "ema": {"$expMovingAvg": {"input": "$v", "N": 3}},
+                "low2": {"$minN": {"input": "$v", "n": 2},
+                         "window": {"documents": ["unbounded", "current"]}},
+            },
+        }}],
+    ).collect()
+    want = {
+        (r["k"], r["t"]): r["ema"]
+        for r in exp_moving_avg(df, "k", ["t"], "v", alpha=0.5).collect()
+    }
+    got = {(r["k"], r["t"]): r["ema"] for r in out}
+    assert got == want  # alpha = 2/(N+1) = 0.5
+    low = {(r["k"], r["t"]): list(r["low2"]) for r in out}
+    assert low[("u1", 0)] == [10.0]
+    assert low[("u1", 3)] == [10.0, 20.0]
+    assert low[("u2", 1)] == [50.0, 100.0]
+    with pytest.raises(PipelineError, match="exactly one of alpha"):
+        compile_pipeline(df, [{"$setWindowFields": {
+            "partitionBy": "$k", "sortBy": {"t": 1},
+            "output": {"e": {"$expMovingAvg": {"input": "$v"}}}}}])
