@@ -412,6 +412,23 @@ def _compile_op(op: str, spec: Any) -> Column:
     if op == "$setDifference":
         a, b = spec
         return F.array_except(compile_expr(a), compile_expr(b))
+    if op in ("$firstN", "$lastN", "$minN", "$maxN") and isinstance(spec, dict) \
+            and "input" in spec and "n" in spec:
+        # ARRAY-EXPRESSION forms (Mongo 5.2) — the same names are
+        # $group accumulators, compiled separately by context
+        n = spec["n"]
+        if not (isinstance(n, int) and n > 0):
+            raise PipelineError(f"{op} requires a positive literal n")
+        arr = compile_expr(spec["input"])
+        if op == "$firstN":
+            return F.slice(arr, 1, n)
+        if op == "$lastN":
+            return F.when(F.size(arr) <= n, arr).otherwise(F.slice(arr, -n, n))
+        ordered = F.sort_array(arr, asc=op == "$minN")
+        return F.slice(ordered, 1, n)
+    if op == "$binarySize":
+        [a] = _args(spec)
+        return F.octet_length(compile_expr(a))
     if op == "$mergeObjects":
         # map-typed documents (the typed engine's dynamic-key object);
         # later arguments win on key conflicts, like Mongo. Built as a

@@ -1704,3 +1704,21 @@ def test_swf_exp_moving_avg_and_topn_windows(spark):
         compile_pipeline(df, [{"$setWindowFields": {
             "partitionBy": "$k", "sortBy": {"t": 1},
             "output": {"e": {"$expMovingAvg": {"input": "$v"}}}}}])
+
+
+def test_array_n_expressions_and_binary_size(spark):
+    df = spark.createDataFrame([([5, 1, 4, 2, 3],)], "a array<int>")
+    out = df.select(
+        compile_expr({"$firstN": {"input": "$a", "n": 2}}).alias("f"),
+        compile_expr({"$lastN": {"input": "$a", "n": 2}}).alias("l"),
+        compile_expr({"$lastN": {"input": "$a", "n": 9}}).alias("l_all"),
+        compile_expr({"$minN": {"input": "$a", "n": 3}}).alias("mn"),
+        compile_expr({"$maxN": {"input": "$a", "n": 3}}).alias("mx"),
+        compile_expr({"$binarySize": {"$literal": "héllo"}}).alias("b"),
+    ).collect()[0]
+    assert list(out["f"]) == [5, 1]
+    assert list(out["l"]) == [2, 3]
+    assert list(out["l_all"]) == [5, 1, 4, 2, 3]  # short arrays keep all
+    assert list(out["mn"]) == [1, 2, 3]
+    assert list(out["mx"]) == [5, 4, 3]
+    assert out["b"] == 6
