@@ -132,6 +132,7 @@ def _dir_meta(path: str, cols: set[str]) -> tuple[int, dict[str, list]]:
     total = 0
     mins: dict[str, object] = {}
     maxs: dict[str, object] = {}
+    unusable: set[str] = set()
     for dirpath, _, files in os.walk(path):
         for f in files:
             if not f.endswith(".parquet"):
@@ -154,11 +155,20 @@ def _dir_meta(path: str, cols: set[str]) -> tuple[int, dict[str, list]]:
                             lo, hi = lo.decode("utf-8"), hi.decode("utf-8")
                         except UnicodeDecodeError:
                             continue
-                    if not isinstance(lo, (int, float, str)):
+                    if not isinstance(lo, (int, float, str)) or name in unusable:
                         continue
-                    mins[name] = lo if name not in mins else min(mins[name], lo)
-                    maxs[name] = hi if name not in maxs else max(maxs[name], hi)
-    return total, {c: [mins[c], maxs[c]] for c in mins}
+                    try:
+                        mins[name] = lo if name not in mins else min(mins[name], lo)
+                        maxs[name] = hi if name not in maxs else max(maxs[name], hi)
+                    except TypeError:
+                        # files disagree on the column's stat type
+                        # (str in one footer, numeric in another):
+                        # stats for this column are unusable — drop
+                        # them so the pruner keeps the partition
+                        mins.pop(name, None)
+                        maxs.pop(name, None)
+                        unusable.add(name)
+    return total, {c: [mins[c], maxs[c]] for c in mins if c not in unusable}
 
 
 def _sum_level_rows(entries: dict[str, dict]) -> dict[str, int]:
@@ -401,10 +411,16 @@ class CubeCatalog:
             st = entry.get("stats", {}).get(dim)
             if st is not None:
                 smin, smax = st
-                if lo is not None and smax < lo:
-                    continue
-                if hi is not None and smin > hi:
-                    continue
+                try:
+                    if lo is not None and smax < lo:
+                        continue
+                    if hi is not None and smin > hi:
+                        continue
+                except TypeError:
+                    # stats type doesn't compare with the caller's
+                    # bounds (e.g. string stats vs numeric bounds):
+                    # degrade to "cannot skip", never to an error
+                    pass
             keys.append(key)
         return self._read_partitions(name, keys)
 

@@ -1615,6 +1615,11 @@ def _range_frame(window: dict, spec: dict, df: DataFrame):
     rng = window.get("range") if window else None
     if rng is None:
         return None
+    if "unit" in window and window["unit"] not in _TIME_UNIT_S:
+        raise PipelineError(
+            f"$setWindowFields range window: unsupported unit "
+            f"{window['unit']!r}; supported: {sorted(_TIME_UNIT_S)}"
+        )
     unit_s = _TIME_UNIT_S[window["unit"]] if "unit" in window else 1.0
 
     # rangeBetween takes LONG offsets, so the frame runs over a
@@ -1632,6 +1637,10 @@ def _range_frame(window: dict, spec: dict, df: DataFrame):
 
     lo, hi = rng
     part = spec.get("partitionBy")
+    if part is not None and not (isinstance(part, str) and part.startswith("$")):
+        # mirror _window_spec: a malformed partitionBy must refuse, not
+        # silently widen the frame to the whole dataset
+        raise PipelineError("$setWindowFields partitionBy must be a field path")
     keys = [part[1:]] if isinstance(part, str) and part.startswith("$") else []
     w = W.partitionBy(*keys) if keys else W.partitionBy()
     t_ms = (_swf_sort_key(spec, df) * 1000).cast("long")
@@ -2091,6 +2100,11 @@ def merge_documents(
             head, *rest = path.split(".")
             if head in updates:
                 col = updates[head]
+            elif head in removed:
+                # a $unset in an earlier stage makes the field missing
+                # for subsequent stages (Mongo reads it as null) even
+                # when the existing doc still carries the column
+                col = F.lit(None)
             elif head in e_cols:
                 col = F.col(f"e.{head}")
             else:

@@ -1722,3 +1722,60 @@ def test_array_n_expressions_and_binary_size(spark):
     assert list(out["mn"]) == [1, 2, 3]
     assert list(out["mx"]) == [5, 4, 3]
     assert out["b"] == 6
+
+
+def test_range_frame_validates_unit_and_partition_by(spark):
+    """Advice fixes: an unsupported range unit and a malformed
+    partitionBy on a range window must both refuse loudly — the
+    latter previously fell through to an UNPARTITIONED window,
+    silently aggregating over the whole dataset."""
+    import datetime
+
+    df = spark.createDataFrame(
+        [(1, datetime.datetime(2024, 1, 1), 1.0)], "k int, ts timestamp, v double"
+    )
+    with pytest.raises(PipelineError, match="unsupported unit"):
+        compile_pipeline(
+            df,
+            [{"$setWindowFields": {"sortBy": {"ts": 1}, "output": {
+                "s": {"$sum": "$v",
+                      "window": {"range": [-1, 0], "unit": "month"}}}}}],
+        )
+    with pytest.raises(PipelineError, match="partitionBy must be a field path"):
+        compile_pipeline(
+            df,
+            [{"$setWindowFields": {
+                "partitionBy": {"$toLower": "$k"},
+                "sortBy": {"ts": 1},
+                "output": {"s": {"$sum": "$v",
+                                 "window": {"range": [-1, 0], "unit": "hour"}}}}}],
+        )
+
+
+def test_merge_pipeline_unset_then_read_is_null(spark):
+    """Advice fix: after a $unset, a later stage's '$field' reference
+    reads the field as missing (null) — Mongo semantics — not the
+    original existing value."""
+    from mongo_olap_spark.plans.pipeline_compiler import merge_documents
+
+    existing = spark.createDataFrame([(1, 10.0)], "id int, n double")
+    incoming = spark.createDataFrame([(1, 5.0)], "id int, n double")
+    out = merge_documents(
+        existing, incoming, "id",
+        when_matched=[
+            {"$unset": "n"},
+            {"$set": {"after": {"$ifNull": ["$n", -1]}}},
+        ],
+    ).collect()[0]
+    assert out["n"] is None
+    assert out["after"] == -1.0  # $n reads as missing, not 10.0
+    # and $set-after-$unset restores visibility
+    out2 = merge_documents(
+        existing, incoming, "id",
+        when_matched=[
+            {"$unset": "n"},
+            {"$set": {"n": {"$literal": 3.0}}},
+            {"$set": {"after": {"$ifNull": ["$n", -1]}}},
+        ],
+    ).collect()[0]
+    assert out2["n"] == 3.0 and out2["after"] == 3.0

@@ -704,3 +704,34 @@ def test_per_stream_batch_watermarks(spark, events, tmp_path):
     src = events.filter(F.dayofmonth("ts").isin(applied))
     want = rows_set(query_cube(build_cube(spark, EVENTS_CUBE, src), EVENTS_CUBE))
     assert rows_set(query_cube(cat.cells(name), EVENTS_CUBE)) == want
+
+
+def test_dim_range_mixed_type_stats_degrade_to_keep(spark, events, tmp_path):
+    """Stats whose type doesn't compare with the caller's bounds must
+    degrade to 'cannot skip' (keep the partition), never raise — a
+    numeric probe against string stats is a caller-side type mismatch,
+    and skipping is an optimization, not a filter."""
+    cat = CubeCatalog(spark, str(tmp_path / "cubes"))
+    cat.create(EVENTS_CUBE, events)
+    name = EVENTS_CUBE.name
+    # event_type stats are strings; numeric bounds cannot compare
+    kept = cat.cells_in_dim_range(name, "event_type", 0, 100)
+    assert rows_set(kept) == rows_set(cat.cells(name))
+
+
+def test_dir_meta_mixed_stat_types_dropped(tmp_path):
+    """_dir_meta: when two files in one partition dir disagree on a
+    column's stat type, the column's stats are unusable — dropped from
+    the fold instead of raising, so the pruner keeps the partition."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mongo_olap_spark.cube.catalog import _dir_meta
+
+    d = tmp_path / "part"
+    d.mkdir()
+    pq.write_table(pa.table({"x": [1, 2, 3]}), str(d / "a.parquet"))
+    pq.write_table(pa.table({"x": ["p", "q"]}), str(d / "b.parquet"))
+    rows, stats = _dir_meta(str(d), {"x"})
+    assert rows == 5
+    assert "x" not in stats
