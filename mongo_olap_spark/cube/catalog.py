@@ -51,6 +51,7 @@ from pyspark.sql import functions as F
 
 from mongo_olap_spark.cube.build import build_cube
 from mongo_olap_spark.cube.spec import CubeSpec
+from mongo_olap_spark.cube.table_format import TableFormatAdapter
 
 #: manifest key for the single pseudo-partition of an unpartitioned cube
 FLAT_KEY = "__all__"
@@ -179,7 +180,12 @@ def _sum_level_rows(entries: dict[str, dict]) -> dict[str, int]:
     return totals
 
 
-class CubeCatalog:
+class CubeCatalog(TableFormatAdapter):
+    """Parquet + snapshot-manifest implementation of the cube store's
+    table-format contract (see cube/table_format.py — instance #1 of
+    the Delta/Iceberg swap seam; the MERGE-semantics contract suite in
+    tests/test_table_format_contract.py runs against the ABC only)."""
+
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = root

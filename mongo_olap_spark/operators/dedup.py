@@ -414,3 +414,54 @@ def connected_components(
         .join(labels, "node", "left")
         .select("node", F.coalesce("comp", F.col("node")).alias("group_id"))
     )
+
+
+def dedup_spans(
+    corpus: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_words: int = 10,
+) -> DataFrame:
+    """C4-style repeated-span removal: cut every document into fixed
+    ``span_words``-word chunks, keep each distinct chunk's GLOBAL first
+    occurrence (order: id, position), reassemble the survivors.
+
+    Scale shape: the keep-first rule is a top-1-per-chunk window, which
+    Spark plans as a map-side ``WindowGroupLimit`` — a chunk repeated
+    in half the corpus (boilerplate headers, license blocks: the
+    classic C4 skew case) is pre-pruned to ONE row per input partition
+    before the exchange, so the hot key's shuffle fan-in is bounded by
+    the map-partition count, not by its document frequency. The
+    planted-skew guard is tests/test_skew.py::test_span_dedup_hot_chunk.
+    Returns (id, clean_text, n_kept).
+    """
+    from pyspark.sql import Window as W
+
+    toks = F.split(text_col, " ")
+    n_chunks = F.ceil(F.size(toks) / span_words).cast("int")
+    chunks = corpus.select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.concat_ws(
+                    " ", F.slice(toks, i * span_words + 1, span_words)
+                ),
+            )
+        ).alias("idx", "chunk"),
+    )
+    w = W.partitionBy("chunk").orderBy(id_col, "idx")
+    kept = chunks.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    return kept.groupBy(id_col).agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("idx", "chunk"))),
+                lambda x: x["chunk"],
+            ),
+        ).alias("clean_text"),
+        F.count(F.lit(1)).cast("int").alias("n_kept"),
+    )

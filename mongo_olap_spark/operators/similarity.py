@@ -236,9 +236,25 @@ def _corpus_matrix(emb: DataFrame, id_col: str, vec_col: str):
         key = None
     if key is not None and key in _MATRIX_CACHE:
         return _MATRIX_CACHE[key]
-    rows = emb.select(id_col, vec_col).collect()
-    ids = np.array([r[0] for r in rows], dtype=np.int64)
-    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    # Arrow-path collect (round-5 task 5): toArrow() lands the corpus
+    # as flat Arrow buffers — transient driver memory ~= the final
+    # matrix, instead of the several-x overhead of materializing
+    # O(rows) python Row objects at the BROADCAST_LIMIT ceiling. The
+    # vector column is decoded via the list array's flattened values
+    # buffer (no per-row python lists) when rows are equal-length —
+    # which the engine's embedding contract guarantees; ragged input
+    # falls back to the slow copy.
+    tbl = emb.select(id_col, vec_col).toArrow()
+    ids = tbl.column(0).to_numpy(zero_copy_only=False).astype(np.int64)
+    vec = tbl.column(1).combine_chunks()
+    widths = np.diff(vec.offsets.to_numpy(zero_copy_only=False))
+    if widths.size == 0:
+        mat = np.zeros((0, 0))
+    elif (widths == widths[0]).all():
+        flat = vec.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        mat = flat.reshape(len(ids), int(widths[0]))
+    else:  # ragged corpus: slow copy, numpy raises on the shape anyway
+        mat = np.array(vec.to_pylist(), dtype=np.float64)
     norms = np.linalg.norm(mat, axis=1)
     norms[norms == 0.0] = np.inf  # zero vectors match nothing
     unit = mat / norms[:, None]

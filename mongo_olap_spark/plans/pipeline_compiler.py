@@ -722,9 +722,24 @@ _MATCH_OPS = {
     "$gte": lambda c, v: c >= F.lit(v),
     "$lt": lambda c, v: c < F.lit(v),
     "$lte": lambda c, v: c <= F.lit(v),
+    "$eq": lambda c, v: c.isNull() if v is None else c == F.lit(v),
     "$ne": lambda c, v: mongo_ne(c, F.lit(v)),
-    "$in": lambda c, v: c.isin(*v),
-    "$nin": lambda c, v: ~c.isin(*v) | c.isNull(),
+    # Mongo: a null in the $in list matches docs where the field is
+    # null OR missing; $nin with null excludes them. Spark's isin is
+    # null-rejecting, so the null member becomes an explicit isNull
+    # branch (and $nin's missing-matches contract adds isNull back
+    # only when null is NOT in the list).
+    "$in": lambda c, v: (
+        (c.isin(*[x for x in v if x is not None]) if any(
+            x is not None for x in v) else F.lit(False)) | c.isNull()
+        if None in v else c.isin(*v)
+    ),
+    "$nin": lambda c, v: (
+        (~c.isin(*[x for x in v if x is not None]) if any(
+            x is not None for x in v) else F.lit(True)) & c.isNotNull()
+        if None in v
+        else ~c.isin(*v) | c.isNull()
+    ),
     "$exists": lambda c, v: c.isNotNull() if v else c.isNull(),
     "$size": lambda c, v: F.size(c) == v,
     "$all": lambda c, v: F.size(
@@ -1264,28 +1279,53 @@ def _lookup_pipeline(df: DataFrame, spec: dict, collections) -> DataFrame:
         else [match["$expr"]]
     )
     eq_keys: list[tuple[str, str]] = []  # (foreign field, let var)
+    residuals: list[tuple[str, str, Any]] = []  # (op, foreign field, local spec)
     pre_filters = []
     for c in conjuncts:
         if not _contains_var(c):
             pre_filters.append(c)
             continue
-        ok = isinstance(c, dict) and list(c) == ["$eq"] and len(c["$eq"]) == 2
-        a, b = (c["$eq"] + [None, None])[:2] if ok else (None, None)
-        if ok and isinstance(a, str) and isinstance(b, str):
-            if a.startswith("$$") and b.startswith("$") and not b.startswith("$$"):
-                a, b = b, a
-            if b.startswith("$$") and a.startswith("$") and not a.startswith("$$"):
-                var = b[2:]
-                if var not in let:
-                    raise PipelineError(f"$lookup: undefined let variable {var!r}")
-                eq_keys.append((a[1:], var))
+        ok = (isinstance(c, dict) and len(c) == 1
+              and list(c)[0] in _LOOKUP_CMP_OPS
+              and isinstance(c[list(c)[0]], list) and len(c[list(c)[0]]) == 2)
+        if ok:
+            op = list(c)[0]
+            a, b = c[op]
+            if op == "$eq" and isinstance(a, str) and isinstance(b, str):
+                if a.startswith("$$") and b.startswith("$") and not b.startswith("$$"):
+                    a, b = b, a
+                if b.startswith("$$") and a.startswith("$") and not a.startswith("$$"):
+                    var = b[2:]
+                    if var not in let:
+                        raise PipelineError(
+                            f"$lookup: undefined let variable {var!r}")
+                    eq_keys.append((a[1:], var))
+                    continue
+            # inequality (or non-plain $eq): one side must be a plain
+            # foreign field path, the other a $$var-referencing local
+            # expression — normalized to  field OP local_expr
+            def _is_field(x):
+                return (isinstance(x, str) and x.startswith("$")
+                        and not x.startswith("$$"))
+
+            if _is_field(a) and _contains_var(b) and not _contains_var(a):
+                residuals.append((op, a[1:], b))
+                continue
+            if _is_field(b) and _contains_var(a) and not _contains_var(b):
+                residuals.append((_LOOKUP_OP_FLIP[op], b[1:], a))
                 continue
         raise PipelineError(
-            "$lookup pipeline form supports $$var only in field == $$var "
-            f"equality conjuncts (got {c!r})"
+            "$lookup pipeline form supports $$var conjuncts of the shape "
+            "field <op> $$var-expression for $eq/$ne/$lt/$lte/$gt/$gte "
+            f"only (got {c!r})"
         )
-    if not eq_keys:
-        raise PipelineError("$lookup pipeline form needs >=1 field == $$var key")
+    for _, _, spec_ in residuals:
+        for var in _vars_in(spec_):
+            if var not in let:
+                raise PipelineError(f"$lookup: undefined let variable {var!r}")
+    if not eq_keys and not residuals:
+        raise PipelineError(
+            "$lookup pipeline form needs >=1 $$var-correlated conjunct")
     rest = pipeline[1:]
     project = None
     if rest and list(rest[-1]) == ["$project"]:

@@ -1019,32 +1019,7 @@ SPAN_WORDS = 10
     """,
 )
 def q_dedup_spans(spark, sf_dir):
-    corpus = _dup_corpus(spark, sf_dir)
-    toks = F.split("text", " ")
-    n_chunks = F.ceil(F.size(toks) / SPAN_WORDS).cast("int")
-    chunks = corpus.select(
-        "doc_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), n_chunks - 1),
-                lambda i: F.concat_ws(
-                    " ", F.slice(toks, i * SPAN_WORDS + 1, SPAN_WORDS)
-                ),
-            )
-        ).alias("idx", "chunk"),
-    )
-    w = W.partitionBy("chunk").orderBy("doc_id", "idx")
-    kept = chunks.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
-    return kept.groupBy("doc_id").agg(
-        F.concat_ws(
-            " ",
-            F.transform(
-                F.sort_array(F.collect_list(F.struct("idx", "chunk"))),
-                lambda x: x["chunk"],
-            ),
-        ).alias("clean_text"),
-        F.count(F.lit(1)).cast("int").alias("n_kept"),
-    )
+    return dd.dedup_spans(_dup_corpus(spark, sf_dir), span_words=SPAN_WORDS)
 
 
 # ---------------------------------------------------------------------------

@@ -434,3 +434,64 @@ def test_connected_components_hot_node_star(spark):
     got = dd.connected_components(pairs, nodes)
     assert got.filter(F.col("group_id") != 1).count() == 0
     assert got.count() == 999
+
+
+def test_corpus_matrix_arrow_path_memory_and_identity(spark):
+    """Round-5 task 5: _corpus_matrix collects via Arrow buffers, not
+    python Row objects. Identity: the matrix equals the row-wise
+    values. Memory: transient driver growth stays within a small
+    multiple of the matrix bytes (the Row path held several-x at
+    100k rows; Arrow ~= 1x)."""
+    import resource
+
+    import numpy as np
+
+    from mongo_olap_spark.operators import similarity as sim
+
+    n, dim = 100_000, 64
+    df = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(dim)),
+            lambda i: ((F.col("id") * 31 + i * 17) % 97).cast("float"),
+        ).alias("embedding"),
+    )
+    matrix_bytes = n * dim * 8  # float64
+    sim._MATRIX_CACHE.clear()
+    before_kb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    ids, unit = sim._corpus_matrix(df, "vec_id", "embedding")
+    grew_kb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss - before_kb
+    assert grew_kb * 1024 < 3 * matrix_bytes, (
+        f"transient growth {grew_kb // 1024} MB > 3x matrix "
+        f"{matrix_bytes // 2**20} MB — Row-object overhead is back?"
+    )
+    assert ids.shape == (n,) and unit.shape == (n, dim)
+    # identity vs a 3-row direct computation (row order is whatever
+    # the scan produced — sort by id before comparing)
+    order = np.argsort(ids)
+    ids_s, unit_s = ids[order], unit[order]
+    want = np.array(
+        [[((vid * 31 + i * 17) % 97) for i in range(1, dim + 1)]
+         for vid in (0, 1, n - 1)], dtype=np.float64)
+    want = want / np.linalg.norm(want, axis=1, keepdims=True)
+    assert list(ids_s[[0, 1, n - 1]]) == [0, 1, n - 1]
+    assert np.allclose(unit_s[[0, 1, n - 1]], want, atol=1e-12)
+    sim._MATRIX_CACHE.clear()
+
+
+def test_corpus_matrix_ragged_fallback(spark):
+    """A ragged vector column must not silently mis-reshape — the
+    fallback path raises numpy's inhomogeneous-shape error instead of
+    returning a garbled matrix."""
+    import pytest as _pytest
+
+    from mongo_olap_spark.operators import similarity as sim
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [1.0, 2.0, 3.0])],
+        "vec_id long, embedding array<double>",
+    )
+    sim._MATRIX_CACHE.clear()
+    with _pytest.raises(ValueError):
+        sim._corpus_matrix(df, "vec_id", "embedding")
+    sim._MATRIX_CACHE.clear()

@@ -149,3 +149,47 @@ def test_aqe_splits_planted_hot_key_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_span_dedup_hot_chunk_stays_bounded(spark):
+    """Round-5 task 6: a pathological corpus where ONE 10-word chunk
+    appears in half the documents (license-header skew). The keep-first
+    window must plan as map-side WindowGroupLimit so the hot key is
+    pre-pruned to one row per input partition before the exchange —
+    and the result keeps the hot chunk exactly once, in its global
+    first occurrence."""
+    import time
+
+    from mongo_olap_spark.operators.dedup import dedup_spans
+
+    n = 4000
+    hot = " ".join(f"h{i}" for i in range(10))
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.when(F.col("id") % 2 == 0, F.lit(hot)).otherwise(F.lit("")),
+            F.concat_ws(" ", F.array(
+                *[F.concat(F.lit(f"u{j}x"), F.col("id")) for j in range(10)]
+            )),
+        ).alias("text"),
+    ).withColumn("text", F.ltrim("text")).repartition(8)
+
+    t0 = time.perf_counter()
+    out = dedup_spans(docs, span_words=10)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    wall = time.perf_counter() - t0
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # partial (map-side) + final WindowGroupLimit around the exchange
+    assert plan.count("WindowGroupLimit") >= 2, plan
+    # hot chunk survives exactly once, in doc 0 (global first)
+    assert rows[0]["clean_text"].startswith(hot)
+    carriers = [d for d, r in rows.items() if hot in r["clean_text"]]
+    assert carriers == [0]
+    # every doc keeps its unique chunk; even docs (minus doc 0) lost one
+    assert rows[2]["n_kept"] == 1 and rows[1]["n_kept"] == 1
+    assert rows[0]["n_kept"] == 2
+    assert len(rows) == n
+    # tripwire, not a benchmark: the hot key must not serialize the job
+    assert wall < 60, f"span dedup took {wall:.0f}s on a planted hot key"
