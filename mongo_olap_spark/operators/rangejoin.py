@@ -55,20 +55,30 @@ def banded_range_join(
     cond: Column,
     *,
     bounds: list,
+    how: str = "inner",
 ) -> DataFrame:
     """Rows of ``left`` x ``right`` satisfying ``cond``, which must be
     confined to the band ``lo <= val <= hi`` (strict variants are fine
     — the bucket overlap over-covers, the exact ``cond`` residual
     trims). ``lo``/``hi`` are columns of left, ``val`` of right,
     ``bounds`` from :func:`bucket_boundaries`. Returns the joined
-    frame with both sides' columns (bucket key dropped)."""
+    frame with both sides' columns (bucket key dropped).
+
+    ``how="left"``: every left row survives, but bucket-exploded left
+    rows appear once PER OVERLAPPED BUCKET when unmatched — callers
+    re-aggregating by a left row id (the correlated-$lookup group-back)
+    absorb the duplicates; other callers should dedupe or use inner.
+    The explode is ``explode_outer`` so a null band (null lo/hi —
+    comparisons with null match nothing, the row still belongs in a
+    left join's output) keeps its row.
+    """
     if not bounds:
         # degenerate domain (constant column): single bucket, plain join
-        return left.join(right, cond)
+        return left.join(right, cond, how)
     lb, hb = _bucket_of(lo, bounds), _bucket_of(hi, bounds)
-    L = left.withColumn(BUCKET_COL, F.explode(F.sequence(lb, hb)))
+    L = left.withColumn(BUCKET_COL, F.explode_outer(F.sequence(lb, hb)))
     R = right.withColumn(BUCKET_COL, _bucket_of(val, bounds))
     return (
-        L.join(R, (L[BUCKET_COL] == R[BUCKET_COL]) & cond)
+        L.join(R, (L[BUCKET_COL] == R[BUCKET_COL]) & cond, how)
         .drop(BUCKET_COL)
     )

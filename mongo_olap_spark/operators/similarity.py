@@ -247,17 +247,22 @@ def _corpus_matrix(emb: DataFrame, id_col: str, vec_col: str):
     tbl = emb.select(id_col, vec_col).toArrow()
     ids = tbl.column(0).to_numpy(zero_copy_only=False).astype(np.int64)
     vec = tbl.column(1).combine_chunks()
+    del tbl  # free the pre-combine buffers before the float64 copy
     widths = np.diff(vec.offsets.to_numpy(zero_copy_only=False))
     if widths.size == 0:
         mat = np.zeros((0, 0))
     elif (widths == widths[0]).all():
-        flat = vec.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        values = vec.flatten()  # respects the parent offset
+        del vec
+        flat = values.to_numpy(zero_copy_only=False).astype(np.float64)
+        del values
         mat = flat.reshape(len(ids), int(widths[0]))
     else:  # ragged corpus: slow copy, numpy raises on the shape anyway
         mat = np.array(vec.to_pylist(), dtype=np.float64)
     norms = np.linalg.norm(mat, axis=1)
     norms[norms == 0.0] = np.inf  # zero vectors match nothing
-    unit = mat / norms[:, None]
+    mat /= norms[:, None]  # in place: peak memory stays ~one matrix
+    unit = mat
     if key is not None:
         if len(_MATRIX_CACHE) >= _MATRIX_CACHE_MAX:
             _MATRIX_CACHE.pop(next(iter(_MATRIX_CACHE)))

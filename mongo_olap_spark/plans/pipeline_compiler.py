@@ -759,7 +759,11 @@ def compile_match(query: dict) -> Column:
         elif key == "$or":
             preds.append(_variadic_or([compile_match(q) for q in val]))
         elif key == "$nor":
-            preds.append(~_variadic_or([compile_match(q) for q in val]))
+            # none of the clauses match — null-safe like $not: a
+            # clause evaluating NULL (null field) counts as non-match
+            preds.append(~F.coalesce(
+                _variadic_or([compile_match(q) for q in val]), F.lit(False)
+            ))
         elif key == "$expr":
             preds.append(compile_expr(val).cast("boolean"))
         elif key == "$sampleRate":
@@ -782,7 +786,11 @@ def _field_match(col: Column, val: Any) -> Column:
         sub: list[Column] = []
         for op, v in val.items():
             if op == "$not":
-                sub.append(~_field_match(col, v))
+                # Mongo $not matches docs where the operand does NOT
+                # match — including null/missing fields, where the
+                # inner predicate evaluates to SQL NULL. Null-safe
+                # negate: NULL counts as "did not match".
+                sub.append(~F.coalesce(_field_match(col, v), F.lit(False)))
             elif op == "$elemMatch":
                 inner = v
                 sub.append(
@@ -1244,6 +1252,130 @@ def _contains_var(node) -> bool:
     return False
 
 
+def _vars_in(node) -> set[str]:
+    """All $$var heads referenced by an expression tree."""
+    if isinstance(node, str):
+        return {node[2:].split(".")[0]} if node.startswith("$$") else set()
+    if isinstance(node, dict):
+        return set().union(*[_vars_in(v) for v in node.values()], set())
+    if isinstance(node, list):
+        return set().union(*[_vars_in(v) for v in node], set())
+    return set()
+
+
+#: comparison conjuncts the correlated-$lookup compiler understands,
+#: normalized to  foreign_field OP local_expr  (flip when the field is
+#: on the right). $eq/$ne are null-safe (Mongo aggregation semantics).
+_LOOKUP_CMP_OPS = {"$eq", "$ne", "$lt", "$lte", "$gt", "$gte"}
+_LOOKUP_OP_FLIP = {"$eq": "$eq", "$ne": "$ne", "$lt": "$gt",
+                   "$lte": "$gte", "$gt": "$lt", "$gte": "$lte"}
+_LOOKUP_CMP_COLS: dict[str, Callable[[Column, Column], Column]] = {
+    "$eq": lambda f, v: f.eqNullSafe(v),
+    "$ne": lambda f, v: ~f.eqNullSafe(v),
+    "$lt": lambda f, v: f < v,
+    "$lte": lambda f, v: f <= v,
+    "$gt": lambda f, v: f > v,
+    "$gte": lambda f, v: f >= v,
+}
+
+
+def _detect_band(residuals: list, foreign: DataFrame):
+    """A (field, lo_spec, hi_spec) band when some NUMERIC foreign field
+    has both a lower bound (field > / >= expr) and an upper bound
+    (field < / <= expr) among the residual conjuncts — the shape the
+    bucketized range join accelerates."""
+    from pyspark.sql.types import NumericType
+
+    lows = {f_: s for op, f_, s in residuals if op in ("$gt", "$gte")}
+    highs = {f_: s for op, f_, s in residuals if op in ("$lt", "$lte")}
+    for field in lows:
+        if field in highs and isinstance(
+            foreign.schema[field].dataType, NumericType
+        ):
+            return field, lows[field], highs[field]
+    return None
+
+
+def _lookup_general(
+    df: DataFrame, f: DataFrame, arr_cols: list, eq_keys: list,
+    residuals: list, let: dict, out: str,
+) -> DataFrame:
+    """Correlated $lookup with non-equality $$var predicates.
+
+    Shape: ONE left join local→foreign (each local row tagged with a
+    plan-unique row id), then a group-back on the row id re-packs the
+    matches into Mongo's array-of-matches column. The row-id column is
+    ``monotonically_increasing_id`` — safe here because the id'd frame
+    occurs exactly ONCE in the plan (left join + group-back, never a
+    self-join), so the nondeterministic id is computed a single time.
+
+    Join strategy: with >=1 equality key Spark extracts the equi
+    conjuncts and plans a hash join, inequalities ride as residual
+    conditions — scales like any equi-join. With ONLY inequalities
+    forming a band (lo <= field <= hi on a numeric field), the
+    foreign side is bucketized by approxQuantile boundaries and the
+    band becomes an equi bucket join (operators/rangejoin.py) —
+    shuffle O(|foreign| + |local| * buckets_per_band) instead of a
+    nested loop. A one-sided inequality has no blocking key at all
+    (its OUTPUT is a triangle — inherent to the semantics, Mongo pays
+    the same evaluating the sub-pipeline per document); it compiles to
+    the nested-loop join Catalyst picks, which is exactly the honest
+    cost.
+    """
+    from mongo_olap_spark.operators.rangejoin import (
+        BUCKET_COL,
+        banded_range_join,
+        bucket_boundaries,
+    )
+
+    lid, marker = "__lookup_rowid", "__lookup_matched"
+    for reserved in (lid, marker, BUCKET_COL):
+        if reserved in df.columns or reserved in f.columns:
+            raise PipelineError(
+                f"$lookup: column name {reserved!r} is reserved by the "
+                "correlated-lookup compile"
+            )
+    if out in df.columns:
+        df = df.drop(out)  # Mongo $lookup overwrites an existing as-field
+
+    local = df.withColumn(lid, F.monotonically_increasing_id())
+    # let-var values are LOCAL-side expressions; precompute them as
+    # local columns so post-join references are unambiguous
+    var_cols = {v: f"__lookup_var{i}" for i, v in enumerate(let)}
+    for v, cname in var_cols.items():
+        local = local.withColumn(cname, compile_expr(let[v]))
+    bindings = {v: local[cname] for v, cname in var_cols.items()}
+    fm = f.withColumn(marker, F.lit(True))
+
+    with _bind(**bindings):
+        cond = None
+        for field, var in eq_keys:
+            c = fm[field].eqNullSafe(_lookup_var(var))
+            cond = c if cond is None else cond & c
+        for op, field, spec_ in residuals:
+            c = _LOOKUP_CMP_COLS[op](fm[field], compile_expr(spec_))
+            cond = c if cond is None else cond & c
+        band = None if eq_keys else _detect_band(residuals, fm)
+        if band is not None:
+            field, lo_spec, hi_spec = band
+            lo, hi = compile_expr(lo_spec), compile_expr(hi_spec)
+
+    if band is not None:
+        bounds = bucket_boundaries(fm, field)
+        joined = banded_range_join(
+            local, fm, lo, hi, fm[field], cond, bounds=bounds, how="left"
+        )
+    else:
+        joined = local.join(fm, cond, "left")
+
+    packed_struct = F.struct(*[fm[c].alias(c) for c in arr_cols])
+    agg = joined.groupBy(lid).agg(
+        *[F.first(local[c]).alias(c) for c in df.columns],
+        F.collect_list(F.when(fm[marker], packed_struct)).alias(out),
+    )
+    return agg.drop(lid)
+
+
 def _lookup_pipeline(df: DataFrame, spec: dict, collections) -> DataFrame:
     """Correlated $lookup (``from``/``let``/``pipeline`` form).
 
@@ -1260,10 +1392,13 @@ def _lookup_pipeline(df: DataFrame, spec: dict, collections) -> DataFrame:
     - a trailing ``$project`` (inclusion form) prunes the foreign
       columns that enter the packed array.
 
-    Non-equality $$var predicates would force a per-local-row
-    evaluation (no pre-aggregation possible) — refused by name rather
-    than silently compiled into a row-multiplying join. $eq follows
-    Mongo semantics (null == null matches): eqNullSafe keys.
+    Non-equality $$var predicates (round 5) go through
+    ``_lookup_general``: a single left join (hash join when equality
+    keys exist; bucketized band join for two-sided numeric ranges;
+    nested loop only for one-sided inequalities, whose output is
+    inherently a triangle) followed by a row-id group-back that
+    restores the array-of-matches shape. $eq follows Mongo semantics
+    (null == null matches): eqNullSafe keys.
     """
     foreign = _resolve(collections, spec["from"])
     let, out = spec.get("let", {}), spec["as"]
@@ -1348,11 +1483,17 @@ def _lookup_pipeline(df: DataFrame, spec: dict, collections) -> DataFrame:
                 "$lookup pipeline $project supports inclusion form only "
                 f"(got {project!r} with no included fields)"
             )
-        # join keys must survive until packing even if projected away
-        f = f.select(*dict.fromkeys(keep + [k for k, _ in eq_keys]))
+        # join/residual keys must survive until packing even if
+        # projected away
+        f = f.select(*dict.fromkeys(
+            keep + [k for k, _ in eq_keys] + [k for _, k, _ in residuals]
+        ))
         arr_cols = keep
     else:
         arr_cols = list(foreign.columns)
+
+    if residuals:
+        return _lookup_general(df, f, arr_cols, eq_keys, residuals, let, out)
 
     if out in df.columns:
         df = df.drop(out)  # Mongo $lookup overwrites an existing as-field

@@ -241,6 +241,62 @@ def q_pipeline_lookup_expr(spark, sf_dir):
 
 
 @register(
+    "q_pipeline_lookup_range",
+    oracle="""
+    SELECT c.c_custkey,
+           CAST(COUNT(o.o_orderkey) AS INT) AS n_band,
+           CAST(COALESCE(SUM(o.o_orderkey), 0) AS BIGINT) AS band_keysum
+    FROM customer c LEFT JOIN orders o
+      ON o.o_totalprice >= c.c_acctbal * 10
+     AND o.o_totalprice <  c.c_acctbal * 12
+    GROUP BY c.c_custkey
+    """,
+)
+def q_pipeline_lookup_range(spark, sf_dir):
+    # round-5: correlated $lookup with PURE-INEQUALITY $$var predicates
+    # — no equality key at all. The two-sided band on o_totalprice
+    # compiles through the bucketized range join
+    # (operators/rangejoin.py): approxQuantile boundaries block the
+    # foreign side, the band becomes an equi bucket join with the exact
+    # predicates as residual, and a row-id group-back restores the
+    # array-of-matches column. Output aggregates the array ($size +
+    # exact integer $reduce) so the oracle compare is order-insensitive.
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return compile_pipeline(
+        c,
+        [
+            {"$lookup": {
+                "from": "orders",
+                "let": {"lo": {"$multiply": ["$c_acctbal", 10]},
+                        "hi": {"$multiply": ["$c_acctbal", 12]}},
+                "pipeline": [
+                    {"$match": {"$expr": {"$and": [
+                        {"$gte": ["$o_totalprice", "$$lo"]},
+                        {"$lt": ["$o_totalprice", "$$hi"]},
+                    ]}}},
+                    {"$project": {"o_orderkey": 1}},
+                ],
+                "as": "band",
+            }},
+            {"$project": {
+                "c_custkey": 1,
+                "n_band": {"$size": "$band"},
+                "band_keysum": {"$reduce": {
+                    "input": {"$map": {"input": "$band", "as": "x",
+                                       "in": "$$x.o_orderkey"}},
+                    # Spark's aggregate() requires init/merge type
+                    # agreement; o_orderkey is long, so start long
+                    "initialValue": {"$toLong": 0},
+                    "in": {"$add": ["$$value", "$$this"]},
+                }},
+            }},
+        ],
+        collections={"orders": o},
+    )
+
+
+@register(
     "q_pipeline_array",
     oracle="""
     SELECT doc_id,

@@ -672,8 +672,11 @@ def test_lookup_pipeline_form_refusals(spark, sf_dir):
 
     with pytest.raises(PipelineError, match="leading"):
         run([{"$limit": 5}])
-    with pytest.raises(PipelineError, match="equality conjuncts"):
-        run([{"$match": {"$expr": {"$gt": ["$o_custkey", "$$ck"]}}}])
+    # round 5: a pure-inequality correlation COMPILES now (general
+    # path) — the refusal moved to genuinely uncompilable conjuncts
+    run([{"$match": {"$expr": {"$gt": ["$o_custkey", "$$ck"]}}}])
+    with pytest.raises(PipelineError, match=r"\$\$var conjuncts"):
+        run([{"$match": {"$expr": {"$mod": ["$o_custkey", "$$ck"]}}}])
     with pytest.raises(PipelineError, match="unsupported stages"):
         run([{"$match": {"$expr": {"$eq": ["$o_custkey", "$$ck"]}}},
              {"$sort": {"o_totalprice": -1}}])
@@ -1779,3 +1782,79 @@ def test_merge_pipeline_unset_then_read_is_null(spark):
         ],
     ).collect()[0]
     assert out2["n"] == 3.0 and out2["after"] == 3.0
+
+
+@pytest.fixture()
+def _lookup_frames(spark):
+    cust = spark.createDataFrame(
+        [(1, 100.0, "a"), (2, 250.0, "a"), (3, None, "b")],
+        "cid int, bal double, seg string",
+    )
+    orders = spark.createDataFrame(
+        [(10, 1, 50.0), (11, 1, 150.0), (12, 2, 200.0), (13, 2, 260.0),
+         (14, 3, 5.0)],
+        "oid int, ocid int, price double",
+    )
+    return cust, orders
+
+
+def _as_map(df, arr, key="oid"):
+    return {r["cid"]: sorted(x[key] for x in r[arr]) for r in df.collect()}
+
+
+def test_lookup_eq_plus_inequality_residual(spark, _lookup_frames):
+    """Round-5 task 3: equality key + $$var inequality — hash join on
+    the equality, inequality as residual, array shape restored."""
+    cust, orders = _lookup_frames
+    out = compile_pipeline(cust, [{"$lookup": {
+        "from": "orders", "let": {"c": "$cid", "b": "$bal"},
+        "pipeline": [{"$match": {"$expr": {"$and": [
+            {"$eq": ["$ocid", "$$c"]},
+            {"$lt": ["$price", "$$b"]}]}}}],
+        "as": "cheap"}}], collections={"orders": orders})
+    assert _as_map(out, "cheap") == {1: [10], 2: [12], 3: []}
+
+
+def test_lookup_two_sided_band_is_bucketized(spark, _lookup_frames):
+    """Pure-inequality band: compiles through the bucketized range
+    join — equi join on quantile buckets, NO nested loop — and the
+    null-band local row (bal null) survives with []."""
+    cust, orders = _lookup_frames
+    out = compile_pipeline(cust, [{"$lookup": {
+        "from": "orders", "let": {"b": "$bal"},
+        "pipeline": [{"$match": {"$expr": {"$and": [
+            {"$gte": ["$price", {"$subtract": ["$$b", 60]}]},
+            {"$lte": ["$price", {"$add": ["$$b", 60]}]}]}}},
+            {"$project": {"oid": 1}}],
+        "as": "near"}}], collections={"orders": orders})
+    assert _as_map(out, "near") == {1: [10, 11], 2: [12, 13], 3: []}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "__range_bucket" in plan
+
+
+def test_lookup_one_sided_inequality_and_flip(spark, _lookup_frames):
+    """One-sided $$var inequality (no blocking key exists — the output
+    is inherently triangular): compiles to the join Catalyst picks;
+    the $$var-on-the-left form flips the operator."""
+    cust, orders = _lookup_frames
+    out = compile_pipeline(cust, [{"$lookup": {
+        "from": "orders", "let": {"b": "$bal"},
+        "pipeline": [{"$match": {"$expr": {"$gt": ["$$b", "$price"]}}}],
+        "as": "below"}}], collections={"orders": orders})
+    assert _as_map(out, "below") == {
+        1: [10, 14], 2: [10, 11, 12, 14], 3: []}
+
+
+def test_lookup_residual_still_refuses_unknown_shapes(spark, _lookup_frames):
+    cust, orders = _lookup_frames
+    with pytest.raises(PipelineError, match="undefined let variable"):
+        compile_pipeline(cust, [{"$lookup": {
+            "from": "orders", "let": {},
+            "pipeline": [{"$match": {"$expr": {"$lt": ["$price", "$$nope"]}}}],
+            "as": "x"}}], collections={"orders": orders})
+    with pytest.raises(PipelineError, match=r"\$\$var conjuncts"):
+        compile_pipeline(cust, [{"$lookup": {
+            "from": "orders", "let": {"b": "$bal"},
+            "pipeline": [{"$match": {"$expr": {"$mod": ["$price", "$$b"]}}}],
+            "as": "x"}}], collections={"orders": orders})

@@ -84,7 +84,7 @@ def test_partition_scoped_merge_carries_and_evicts(fmt, spark, events):
 
     # replace day 3's content only: doubled counts stand in for a merge
     doubled = day_cells(spark, events, 3).withColumn(
-        "m_n", F.col("m_n") * 2)
+        "n_cnt", F.col("n_cnt") * 2)
     fmt.commit_partitions(name, doubled, [k3])
     assert rows_set(fmt.cells_for_partitions(name, [k3])) == rows_set(doubled)
     # untouched partition carried byte-identically
@@ -136,9 +136,14 @@ def test_vacuum_reclaims_history_keeps_live(fmt, spark, events):
     live = rows_set(fmt.cells(name))
     assert fmt.vacuum(name) != []  # superseded v1 files reclaimed
     assert rows_set(fmt.cells(name)) == live
-    old = fmt.cells(name, version=v1)
-    with pytest.raises(Exception):
-        old.collect()  # v1's files are gone — history has a retention
+    # v1 is no longer reconstructible: the read either refuses or
+    # yields nothing (implementations may drop the manifest, the
+    # files, or both — "history has a retention" is the contract)
+    try:
+        old_rows = fmt.cells(name, version=v1).collect()
+    except Exception:
+        old_rows = []
+    assert old_rows == []
 
 
 def test_compact_preserves_content(fmt, spark, events):
