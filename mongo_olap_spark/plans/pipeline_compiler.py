@@ -147,6 +147,37 @@ _DATE_SPECS = {
 }
 
 
+#: date-part operators accepting Mongo's {date, timezone} object form
+_DATE_PART_OPS = {
+    "$year", "$month", "$dayOfMonth", "$hour", "$minute", "$second",
+    "$millisecond", "$dayOfWeek", "$dayOfYear", "$week", "$isoWeek",
+    "$isoDayOfWeek", "$isoWeekYear",
+}
+
+
+def _tz_literal(spec: dict, op: str) -> str | None:
+    """The validated literal ``timezone`` parameter, or None. Mongo
+    accepts IANA names ('America/New_York') and fixed offsets
+    ('+04:30') — both are legal JVM zone ids. Expressions refuse: a
+    per-row zone would block whole-stage codegen of every date op."""
+    tz = spec.get("timezone")
+    if tz is None:
+        return None
+    if not isinstance(tz, str) or tz.startswith("$"):
+        raise PipelineError(f"{op}: timezone must be a literal string")
+    return tz
+
+
+def _tz_wall(c: Column, spec: dict, op: str) -> Column:
+    """The instant ``c`` as WALL-CLOCK time in spec['timezone'] (no-op
+    without the parameter). The engine pins the session zone to UTC
+    (sources/tables._ensure_session_conf), so TimestampType renders as
+    UTC and ``from_utc_timestamp`` yields the zone's local clock —
+    Mongo's documented meaning of every date operator's ``timezone``."""
+    tz = _tz_literal(spec, op)
+    return c if tz is None else F.from_utc_timestamp(c, tz)
+
+
 def _mongo_date_format(fmt: str) -> str:
     """Translate a Mongo $dateToString format to a JVM pattern.
 
@@ -264,6 +295,13 @@ def _compile_op(op: str, spec: Any) -> Column:
         return compile_expr(spec).cast("boolean")
     if op == "$literal":
         return F.lit(spec)
+    if (op in _DATE_PART_OPS and isinstance(spec, dict)
+            and "date" in spec and set(spec) <= {"date", "timezone"}):
+        # Mongo's object form {date, timezone}: extract the part from
+        # the instant's WALL CLOCK in that zone (round-5 task 4)
+        return _SIMPLE_UNARY[op](
+            _tz_wall(compile_expr(spec["date"]), spec, op)
+        )
     if op in _SIMPLE_UNARY and _SIMPLE_UNARY[op] is not None:
         [a] = _args(spec)
         return _SIMPLE_UNARY[op](compile_expr(a))
@@ -373,13 +411,33 @@ def _compile_op(op: str, spec: Any) -> Column:
             raise PipelineError("$slice supports positive literal n only")
         return F.slice(compile_expr(arr), 1, n)
     if op == "$dateTrunc":
-        return F.date_trunc(spec["unit"], compile_expr(spec["date"]))
+        tz = _tz_literal(spec, op)
+        c = compile_expr(spec["date"])
+        if tz is None:
+            return F.date_trunc(spec["unit"], c)
+        # truncate at the ZONE's local boundaries, return the UTC
+        # instant of that local boundary (Mongo's contract). The
+        # round-trip is exact except inside a fall-back DST overlap,
+        # where the boundary itself is ambiguous.
+        return F.to_utc_timestamp(
+            F.date_trunc(spec["unit"], F.from_utc_timestamp(c, tz)), tz
+        )
     if op in ("$dateAdd", "$dateSubtract"):
         amount = compile_expr(spec["amount"])
         if op == "$dateSubtract":
             amount = -amount
-        return F.timestamp_add(
-            spec["unit"].upper(), amount, compile_expr(spec["startDate"])
+        tz = _tz_literal(spec, op)
+        start = compile_expr(spec["startDate"])
+        if tz is None:
+            return F.timestamp_add(spec["unit"].upper(), amount, start)
+        # day-and-coarser arithmetic is WALL-CLOCK in the zone (adding
+        # 1 day across a DST change keeps the local hour — 23h or 25h
+        # of elapsed time, exactly Mongo's documented behavior)
+        return F.to_utc_timestamp(
+            F.timestamp_add(
+                spec["unit"].upper(), amount, F.from_utc_timestamp(start, tz)
+            ),
+            tz,
         )
     if op == "$dateDiff":
         # Mongo counts unit-BOUNDARY CROSSINGS (23:59 → 00:01 next day
@@ -388,6 +446,9 @@ def _compile_op(op: str, spec: Any) -> Column:
         # elapsed count equal the crossing count.
         unit = spec["unit"].lower()
         start, end = compile_expr(spec["startDate"]), compile_expr(spec["endDate"])
+        # timezone: boundary crossings are counted on the zone's local
+        # clock — shift both endpoints to wall time first
+        start, end = _tz_wall(start, spec, op), _tz_wall(end, spec, op)
         if unit == "week":
             # week boundaries depend on startOfWeek (Mongo default
             # Sunday; Spark date_trunc truncates to Monday) — count
@@ -644,11 +705,7 @@ def _compile_op(op: str, spec: Any) -> Column:
     if op == "$dateFromParts":
         if "isoWeekYear" in spec:
             raise PipelineError("$dateFromParts: ISO week-date form not supported")
-        if "timezone" in spec:
-            raise PipelineError(
-                "$dateFromParts: timezone is not supported (session-zone "
-                "timestamps only) — silently ignoring it would shift results"
-            )
+        tz = _tz_literal(spec, op)
 
         def part(name: str, default: int) -> Column:
             return (
@@ -661,12 +718,15 @@ def _compile_op(op: str, spec: Any) -> Column:
             part("second", 0).cast("decimal(16,3)")
             + part("millisecond", 0).cast("decimal(16,3)") / 1000
         )
-        return F.make_timestamp(
+        ts = F.make_timestamp(
             part("year", 1970), part("month", 1), part("day", 1),
             part("hour", 0), part("minute", 0), secs,
         )
+        # timezone: the parts describe the zone's WALL CLOCK; the
+        # result is the corresponding UTC instant
+        return ts if tz is None else F.to_utc_timestamp(ts, tz)
     if op == "$dateToParts":
-        c = compile_expr(spec["date"])
+        c = _tz_wall(compile_expr(spec["date"]), spec, op)
         if spec.get("iso8601"):
             raise PipelineError("$dateToParts: iso8601 form not supported")
         return F.struct(
@@ -676,14 +736,18 @@ def _compile_op(op: str, spec: Any) -> Column:
             F.date_format(c, "SSS").cast("int").alias("millisecond"),
         )
     if op == "$dateFromString":
-        if "timezone" in spec:
-            raise PipelineError("$dateFromString: timezone is not supported")
+        tz = _tz_literal(spec, op)
         c = compile_expr(spec["dateString"])
         parsed = (
             F.try_to_timestamp(c, F.lit(_mongo_date_format(spec["format"])))
             if "format" in spec
             else c.try_cast("timestamp")
         )
+        if tz is not None:
+            # the string is the zone's wall clock (Mongo errors when
+            # the string carries its own offset AND timezone is given;
+            # offset-bearing formats are not in the supported set)
+            parsed = F.to_utc_timestamp(parsed, tz)
         if "onError" in spec:
             parsed = F.when(
                 c.isNotNull() & parsed.isNull(), compile_expr(spec["onError"])
@@ -695,7 +759,9 @@ def _compile_op(op: str, spec: Any) -> Column:
         return parsed
     if op == "$dateToString":
         fmt = _mongo_date_format(spec.get("format", "%Y-%m-%dT%H:%M:%S.%LZ"))
-        return F.date_format(compile_expr(spec["date"]), fmt)
+        return F.date_format(
+            _tz_wall(compile_expr(spec["date"]), spec, op), fmt
+        )
     raise PipelineError(f"unsupported expression operator {op!r}")
 
 

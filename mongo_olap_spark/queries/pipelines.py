@@ -241,6 +241,46 @@ def q_pipeline_lookup_expr(spark, sf_dir):
 
 
 @register(
+    "q_pipeline_timezones",
+    oracle="""
+    SELECT event_id,
+           CAST(hour((ts AT TIME ZONE 'UTC')
+                     AT TIME ZONE 'America/New_York') AS INT) AS ny_hour,
+           CAST(dayofmonth((ts AT TIME ZONE 'UTC')
+                           AT TIME ZONE 'Asia/Kolkata') AS INT) AS kol_day,
+           CAST((date_trunc('day', (ts AT TIME ZONE 'UTC')
+                                   AT TIME ZONE 'America/New_York')
+                 AT TIME ZONE 'America/New_York') AT TIME ZONE 'UTC'
+                AS TIMESTAMP) AS ny_midnight,
+           strftime((ts AT TIME ZONE 'UTC') AT TIME ZONE 'Asia/Kolkata',
+                    '%Y-%m-%d %H:%M') AS kol_str
+    FROM events
+    """,
+)
+def q_pipeline_timezones(spark, sf_dir):
+    # round-5: the timezone parameter across the compiled date surface
+    # (IANA zone + half-hour-offset zone), checked against DuckDB's ICU
+    # AT TIME ZONE. All pure codegen: from_utc_timestamp/
+    # to_utc_timestamp around the session-UTC instants.
+    e = load_table(spark, sf_dir, "events")
+    return compile_pipeline(
+        e,
+        [{"$project": {
+            "event_id": 1,
+            "ny_hour": {"$hour": {"date": "$ts",
+                                  "timezone": "America/New_York"}},
+            "kol_day": {"$dayOfMonth": {"date": "$ts",
+                                        "timezone": "Asia/Kolkata"}},
+            "ny_midnight": {"$dateTrunc": {"date": "$ts", "unit": "day",
+                                           "timezone": "America/New_York"}},
+            "kol_str": {"$dateToString": {"date": "$ts",
+                                          "timezone": "Asia/Kolkata",
+                                          "format": "%Y-%m-%d %H:%M"}},
+        }}],
+    )
+
+
+@register(
     "q_pipeline_lookup_range",
     oracle="""
     SELECT c.c_custkey,

@@ -1858,3 +1858,81 @@ def test_lookup_residual_still_refuses_unknown_shapes(spark, _lookup_frames):
             "from": "orders", "let": {"b": "$bal"},
             "pipeline": [{"$match": {"$expr": {"$mod": ["$price", "$$b"]}}}],
             "as": "x"}}], collections={"orders": orders})
+
+
+def test_date_timezone_matrix(spark):
+    """Round-5 task 4: the `timezone` parameter across the date
+    surface, IANA names and fixed offsets, including both 2024
+    America/New_York DST transitions. Engine sessions are pinned UTC,
+    so TimestampType literals below ARE the UTC instants."""
+    import datetime as dt
+
+    NY = "America/New_York"
+    rows = [
+        (1, dt.datetime(2024, 3, 10, 6, 30)),   # NY 01:30 EST (pre-jump)
+        (2, dt.datetime(2024, 3, 10, 7, 30)),   # NY 03:30 EDT (02:30 skipped)
+        (3, dt.datetime(2024, 11, 3, 6, 30)),   # NY 01:30 EST (post-fallback)
+        (4, dt.datetime(2024, 1, 1, 0, 0)),     # NY 19:00 Dec 31 EST
+    ]
+    df = spark.createDataFrame(rows, "id int, ts timestamp")
+    out = compile_pipeline(df, [{"$project": {
+        "id": 1,
+        "ny_hour": {"$hour": {"date": "$ts", "timezone": NY}},
+        "ny_day": {"$dayOfMonth": {"date": "$ts", "timezone": NY}},
+        "off_str": {"$dateToString": {"date": "$ts", "timezone": "+05:30",
+                                      "format": "%Y-%m-%d %H:%M"}},
+        "ny_trunc": {"$dateTrunc": {"date": "$ts", "unit": "day",
+                                    "timezone": NY}},
+        "plus_day": {"$dateAdd": {"startDate": "$ts", "unit": "day",
+                                  "amount": 1, "timezone": NY}},
+    }}])
+    got = {r["id"]: r for r in out.collect()}
+    assert [got[i]["ny_hour"] for i in (1, 2, 3, 4)] == [1, 3, 1, 19]
+    assert got[4]["ny_day"] == 31  # NY is still Dec 31
+    assert got[4]["off_str"] == "2024-01-01 05:30"
+    # NY midnight of Mar 10 = 05:00Z (EST); of Nov 3 = 04:00Z (EDT)
+    assert got[1]["ny_trunc"] == dt.datetime(2024, 3, 10, 5, 0)
+    assert got[3]["ny_trunc"] == dt.datetime(2024, 11, 3, 4, 0)
+    # +1 wall-clock day across spring-forward: 06:30Z EST -> EDT
+    # keeps NY local 01:30, i.e. 05:30Z — only 23h elapsed
+    assert got[1]["plus_day"] == dt.datetime(2024, 3, 11, 5, 30)
+    # across fall-back: 25h elapsed
+    assert got[3]["plus_day"] == dt.datetime(2024, 11, 4, 6, 30)
+
+
+def test_date_timezone_from_parts_string_diff(spark):
+    import datetime as dt
+
+    NY = "America/New_York"
+    df = spark.createDataFrame([(1,)], "id int")
+    out = compile_pipeline(df, [{"$project": {
+        "est": {"$dateFromParts": {"year": 2024, "month": 3, "day": 10,
+                                   "hour": 1, "timezone": NY}},
+        "edt": {"$dateFromParts": {"year": 2024, "month": 3, "day": 10,
+                                   "hour": 3, "timezone": NY}},
+        "parsed": {"$dateFromString": {
+            "dateString": "2024-07-04 12:00:00", "timezone": NY}},
+        "parts": {"$dateToParts": {"date": {"$literal": None},
+                                   "timezone": NY}},
+    }}]).collect()[0]
+    assert out["est"] == dt.datetime(2024, 3, 10, 6, 0)   # EST = UTC-5
+    assert out["edt"] == dt.datetime(2024, 3, 10, 7, 0)   # EDT = UTC-4
+    assert out["parsed"] == dt.datetime(2024, 7, 4, 16, 0)  # EDT noon+4
+
+    # $dateDiff counts LOCAL boundary crossings: 04:30Z->06:30Z is the
+    # same UTC day but crosses NY midnight
+    df2 = spark.createDataFrame(
+        [(dt.datetime(2024, 3, 10, 4, 30), dt.datetime(2024, 3, 10, 6, 30))],
+        "a timestamp, b timestamp")
+    diff = compile_pipeline(df2, [{"$project": {
+        "utc_days": {"$dateDiff": {"startDate": "$a", "endDate": "$b",
+                                   "unit": "day"}},
+        "ny_days": {"$dateDiff": {"startDate": "$a", "endDate": "$b",
+                                  "unit": "day", "timezone": NY}},
+    }}]).collect()[0]
+    assert diff["utc_days"] == 0 and diff["ny_days"] == 1
+
+    with pytest.raises(PipelineError, match="timezone must be a literal"):
+        compile_pipeline(df, [{"$project": {
+            "x": {"$hour": {"date": {"$literal": None}, "timezone": "$tzcol"}},
+        }}])
