@@ -1,0 +1,56 @@
+"""Regenerate tests/plan_fingerprints.json (round-5 task 8).
+
+Runs each guarded query at sf0.001, executes it (so the fingerprint is
+the AQE-final physical shape), and writes the normalized fingerprint
+(plans/fingerprint.py) keyed by query id. Run this ONLY when a plan
+change is intentional — the point of the checked-in file is that an
+accidental broadcast→sort-merge flip or a new exchange fails
+tests/test_plan_fingerprints.py with a diff.
+
+    python tools/regen_fingerprints.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = "/root/testdata/sf0.001"
+OUT = os.path.join(os.path.dirname(__file__), "..", "tests",
+                   "plan_fingerprints.json")
+
+#: guarded queries: expensive and/or join-strategy-sensitive, with
+#: DATA-SIZE-STABLE plans (no convergence loops whose unrolled depth
+#: depends on the corpus — q_dup_groups/q_graph_lookup are out for
+#: that reason).
+GUARDED = [
+    "q_cube_build", "q_star_join", "q_join_left", "q_join_lookup",
+    "q_pipeline_group", "q_pipeline_window", "q_window_frame",
+    "q_dedup_exact", "q_dedup_minhash", "q_knn", "q_sessionize",
+    "q_json_extract",
+]
+
+
+def main() -> None:
+    import __spark_entry__ as ent
+    from mongo_olap_spark.plans.fingerprint import fingerprint_df
+    from mongo_olap_spark.session import get_spark
+
+    spark = get_spark("regen_fingerprints", shuffle_partitions=8)
+    qs = ent.queries()
+    out = {}
+    for qid in GUARDED:
+        df = qs[qid](spark, SF_DIR).limit(100_000)
+        df.collect()
+        out[qid] = fingerprint_df(df)
+        print(qid, out[qid])
+    with open(os.path.abspath(OUT), "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+    print(f"wrote {len(out)} fingerprints to {os.path.abspath(OUT)}")
+
+
+if __name__ == "__main__":
+    main()
