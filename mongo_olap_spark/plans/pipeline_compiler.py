@@ -907,7 +907,9 @@ def _compile_accumulator(spec: dict, sort_keys: list[tuple[str, bool]] | None) -
         if isinstance(arg, (int, float)) and not isinstance(arg, bool):
             # $sum: 1 (or k) — integer count semantics, no decimal needed
             return F.sum(F.lit(arg))
-        return dsum(compile_expr(arg))
+        # Mongo $sum ignores non-numeric values and returns 0 — not
+        # null — for a group with nothing to add (fuzz-found, round 5)
+        return F.coalesce(dsum(compile_expr(arg)), F.lit(0.0))
     if op == "$avg":
         return davg(compile_expr(arg))
     if op == "$min":

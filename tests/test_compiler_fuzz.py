@@ -1,0 +1,225 @@
+"""Compiler fuzz vs DuckDB oracle (round-5 task 2).
+
+The 110 hand-authored oracle queries pin the semantics the author
+thought to write down; this harness machine-generates pipelines over
+the expression/match/group grammar TOGETHER with their ANSI twins —
+every random pipeline is its own differential test, the same gate as
+tools/check_oracle.py but over a space no one hand-picked.
+
+Each strategy node produces (mongo_spec, duckdb_sql) pairs built in
+lockstep, encoding the engine's DOCUMENTED semantics mapping
+(missing≡null, null-safe $eq/$ne, null-propagating ordered
+comparisons, decimal-exact $sum returning 0 on empty input,
+CASE-treats-null-as-false $cond). A divergence between the compiled
+Spark plan and DuckDB running the twin SQL is a real bug in one of
+them. Found-and-fixed by this harness in round 5: $group $sum
+returned NULL instead of Mongo's 0 for a group with nothing to add.
+
+Determinism: derandomize=True — the same ~120 cases every run; any
+future divergence should be frozen as a named regression test.
+
+The double-typed column is built from dyadic rationals ((a-7)/4) so
++/-/* arithmetic is EXACT in IEEE double on both engines — results
+compare with ==, no tolerance smudge.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import hypothesis.strategies as st
+import pytest
+from hypothesis import HealthCheck, given, settings
+
+from mongo_olap_spark.plans.pipeline_compiler import compile_pipeline
+
+# --------------------------------------------------------------- data
+N_ROWS = 240
+VOCAB = ["red", "green", "blue", None, "RED", ""]
+
+
+def _rows():
+    rows = []
+    for i in range(N_ROWS):
+        a = None if i % 7 == 3 else (i * 13) % 21
+        b = None if i % 11 == 5 else ((i * 7) % 19) - 9
+        d = None if a is None else (a - 7) / 4.0
+        s = VOCAB[i % len(VOCAB)]
+        rows.append((i, a, b, d, s))
+    return rows
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    import pandas as pd
+
+    rows = _rows()
+    sdf = spark.createDataFrame(
+        rows, "rid int, a int, b int, d double, s string"
+    ).cache()
+    sdf.count()
+    con = duckdb.connect()
+    pdf = pd.DataFrame(rows, columns=["rid", "a", "b", "d", "s"]).astype(
+        {"a": "Int64", "b": "Int64"}
+    )
+    con.register("t", pdf)
+    return sdf, con
+
+
+# ---------------------------------------------------- expr strategies
+# every draw is (mongo_spec, sql_text); kinds kept separate so the
+# grammar never feeds a string where a number belongs
+
+
+def _num_leaf():
+    # integer literals ride as {"$literal": v}: a BARE 0/1 at $project
+    # top level is Mongo's include/exclude flag, not a value (the
+    # fuzzer's first own-bug find)
+    return st.one_of(
+        st.sampled_from([("$a", "a"), ("$b", "b"), ("$d", "d")]),
+        st.integers(-5, 5).map(lambda v: ({"$literal": v}, str(v))),
+    )
+
+
+def _bool_of(num):
+    # engine mapping: $eq/$ne null-safe; ordered comparisons
+    # null-propagating (documented typed-engine delta from BSON total
+    # order); $and/$or SQL three-valued — consistent on both sides
+    cmp2 = st.tuples(st.sampled_from([
+        ("$gt", "{} > {}"), ("$gte", "{} >= {}"),
+        ("$lt", "{} < {}"), ("$lte", "{} <= {}"),
+        ("$eq", "{} IS NOT DISTINCT FROM {}"),
+        ("$ne", "{} IS DISTINCT FROM {}"),
+    ]), num, num).map(
+        lambda t: ({t[0][0]: [t[1][0], t[2][0]]},
+                   "(" + t[0][1].format(t[1][1], t[2][1]) + ")")
+    )
+    combo = st.tuples(st.sampled_from([("$and", "AND"), ("$or", "OR")]),
+                      cmp2, cmp2).map(
+        lambda t: ({t[0][0]: [t[1][0], t[2][0]]},
+                   f"({t[1][1]} {t[0][1]} {t[2][1]})")
+    )
+    return st.one_of(cmp2, combo)
+
+
+def _num_expr(depth: int = 2):
+    if depth == 0:
+        return _num_leaf()
+    sub = _num_expr(depth - 1)
+    arith = st.tuples(st.sampled_from([
+        ("$add", "+"), ("$subtract", "-"), ("$multiply", "*")
+    ]), sub, sub).map(
+        lambda t: ({t[0][0]: [t[1][0], t[2][0]]},
+                   f"({t[1][1]} {t[0][1]} {t[2][1]})")
+    )
+    absx = sub.map(lambda x: ({"$abs": x[0]}, f"abs({x[1]})"))
+    ifnull = st.tuples(sub, st.integers(-3, 3)).map(
+        lambda t: ({"$ifNull": [t[0][0], t[1]]},
+                   f"COALESCE({t[0][1]}, {t[1]})")
+    )
+    cond = st.tuples(_bool_of(sub), sub, sub).map(
+        lambda t: ({"$cond": [t[0][0], t[1][0], t[2][0]]},
+                   f"(CASE WHEN {t[0][1]} THEN {t[1][1]} ELSE {t[2][1]} END)")
+    )
+    return st.one_of(sub, arith, absx, ifnull, cond)
+
+
+def _match():
+    lit = st.integers(-4, 18)
+    field = st.sampled_from(["a", "b"])
+    simple = st.tuples(field, st.sampled_from([
+        ("$gt", "{f} > {v}"), ("$lte", "{f} <= {v}"),
+        ("$ne", "{f} IS DISTINCT FROM {v}"),
+        ("$eq", "{f} IS NOT DISTINCT FROM {v}"),
+    ]), lit).map(
+        lambda t: ({t[0]: {t[1][0]: t[2]}},
+                   "(" + t[1][1].format(f=t[0], v=t[2]) + ")")
+    )
+    inq = st.tuples(field, st.lists(lit, min_size=1, max_size=4)).map(
+        lambda t: ({t[0]: {"$in": t[1]}},
+                   f"({t[0]} IN ({', '.join(map(str, t[1]))}))")
+    )
+    exists = st.tuples(field, st.booleans()).map(
+        lambda t: ({t[0]: {"$exists": t[1]}},
+                   f"({t[0]} IS {'NOT ' if t[1] else ''}NULL)")
+    )
+    notq = st.tuples(field, lit).map(
+        lambda t: ({t[0]: {"$not": {"$gt": t[1]}}},
+                   f"(NOT COALESCE({t[0]} > {t[1]}, FALSE))")
+    )
+    one = st.one_of(simple, inq, exists, notq)
+    combo = st.tuples(st.sampled_from([("$and", "AND"), ("$or", "OR")]),
+                      one, one).map(
+        lambda t: ({t[0][0]: [t[1][0], t[2][0]]},
+                   f"({t[1][1]} {t[0][1]} {t[2][1]})")
+    )
+    return st.one_of(one, combo)
+
+
+# ------------------------------------------------------------ compare
+def _norm(rows):
+    out = []
+    for r in rows:
+        vals = []
+        for v in r:
+            if v is None:
+                vals.append(None)
+            elif isinstance(v, bool):
+                vals.append(v)
+            elif isinstance(v, (int, float)) or str(type(v)).find("Decimal") >= 0:
+                f = float(v)
+                assert not math.isnan(f)
+                vals.append(f)
+            else:
+                vals.append(v)
+        out.append(tuple(vals))
+    return sorted(out, key=repr)
+
+
+def _run(frames, pipeline, sql):
+    sdf, con = frames
+    got = _norm([tuple(r) for r in compile_pipeline(sdf, pipeline).collect()])
+    want = _norm(con.execute(sql).fetchall())
+    assert got == want, f"\npipeline={pipeline}\nsql={sql}"
+
+
+# -------------------------------------------------------------- tests
+@settings(max_examples=60, deadline=None, derandomize=True,
+          suppress_health_check=list(HealthCheck))
+@given(m=_match(), e=_num_expr())
+def test_fuzz_match_project(frames, m, e):
+    pipeline = [
+        {"$match": m[0]},
+        {"$project": {"rid": 1, "a": 1, "e1": e[0]}},
+    ]
+    sql = f"SELECT rid, a, {e[1]} AS e1 FROM t WHERE {m[1]}"
+    _run(frames, pipeline, sql)
+
+
+@settings(max_examples=60, deadline=None, derandomize=True,
+          suppress_health_check=list(HealthCheck))
+@given(m=_match(), e=_num_expr(),
+       key=st.sampled_from([("$s", "s"), ({"$mod": ["$a", 3]}, "(a % 3)")]))
+def test_fuzz_group(frames, m, e, key):
+    pipeline = [
+        {"$match": m[0]},
+        {"$project": {"a": 1, "s": 1, "e1": e[0]}},
+        {"$group": {"_id": key[0],
+                    "n": {"$sum": 1},
+                    "se": {"$sum": "$e1"},
+                    "mn": {"$min": "$e1"},
+                    "mx": {"$max": "$a"},
+                    "av": {"$avg": "$a"}}},
+    ]
+    sql = f"""
+    WITH p AS (SELECT a, s, {e[1]} AS e1 FROM t WHERE {m[1]})
+    SELECT {key[1]} AS _id,
+           COUNT(*) AS n,
+           CAST(COALESCE(SUM(CAST(e1 AS DECIMAL(38,6))), 0) AS DOUBLE) AS se,
+           MIN(e1) AS mn,
+           MAX(a) AS mx,
+           CAST(SUM(CAST(a AS DECIMAL(38,6))) AS DOUBLE) / COUNT(a) AS av
+    FROM p GROUP BY 1
+    """
+    _run(frames, pipeline, sql)

@@ -1936,3 +1936,17 @@ def test_date_timezone_from_parts_string_diff(spark):
         compile_pipeline(df, [{"$project": {
             "x": {"$hour": {"date": {"$literal": None}, "timezone": "$tzcol"}},
         }}])
+
+
+def test_group_sum_all_null_is_zero(spark):
+    """Fuzz-found (round 5): Mongo $sum returns 0 — not null — for a
+    group with nothing to add; $avg/$min/$max stay null."""
+    df = spark.createDataFrame(
+        [("x", None), ("x", None), ("y", 3)], "k string, a int")
+    out = compile_pipeline(df, [{"$group": {
+        "_id": "$k", "sa": {"$sum": "$a"}, "mn": {"$min": "$a"},
+        "av": {"$avg": "$a"}}}])
+    got = {r["_id"]: r for r in out.collect()}
+    assert got["x"]["sa"] == 0.0 and got["x"]["mn"] is None
+    assert got["x"]["av"] is None
+    assert got["y"]["sa"] == 3.0
