@@ -1366,7 +1366,7 @@ def _detect_band(residuals: list, foreign: DataFrame):
 
 def _lookup_general(
     df: DataFrame, f: DataFrame, arr_cols: list, eq_keys: list,
-    residuals: list, let: dict, out: str,
+    residuals: list, let: dict, out: str, finish=None,
 ) -> DataFrame:
     """Correlated $lookup with non-equality $$var predicates.
 
@@ -1437,9 +1437,12 @@ def _lookup_general(
         joined = local.join(fm, cond, "left")
 
     packed_struct = F.struct(*[fm[c].alias(c) for c in arr_cols])
+    packed = F.collect_list(F.when(fm[marker], packed_struct))
+    if finish is not None:
+        packed = finish(packed)
     agg = joined.groupBy(lid).agg(
         *[F.first(local[c]).alias(c) for c in df.columns],
-        F.collect_list(F.when(fm[marker], packed_struct)).alias(out),
+        packed.alias(out),
     )
     return agg.drop(lid)
 
@@ -1457,6 +1460,10 @@ def _lookup_pipeline(df: DataFrame, spec: dict, collections) -> DataFrame:
       localField/foreignField path);
     - conjuncts that reference no $$var are FOREIGN PRE-FILTERS,
       applied before packing (pushdown);
+    - ``$sort`` / ``$limit`` after the $match (round 5) order and trim
+      the per-document match array — the top-N-matches idiom — as a
+      JVM array_sort comparator + slice over the packed structs, an
+      O(matches log matches) per-key operation with no extra shuffle;
     - a trailing ``$project`` (inclusion form) prunes the foreign
       columns that enter the packed array.
 
@@ -1471,8 +1478,33 @@ def _lookup_pipeline(df: DataFrame, spec: dict, collections) -> DataFrame:
     foreign = _resolve(collections, spec["from"])
     let, out = spec.get("let", {}), spec["as"]
     pipeline = spec.get("pipeline") or []
+    if not let and not any(_contains_var(s) for s in pipeline):
+        # UNCORRELATED sub-pipeline (round 5): no $$vars anywhere, so
+        # it runs ONCE over the foreign collection — arbitrary stages,
+        # full compile_pipeline — and every local document receives
+        # the same match array. The packed result is a single row, so
+        # the join is a broadcast cross join: map-side, no shuffle of
+        # the local side. (Mongo idiom: [{$count: "n"}], a filtered
+        # dimension list, a pre-aggregated stats doc.)
+        sub = compile_pipeline(foreign, pipeline, collections=collections)
+        if out in df.columns:
+            df = df.drop(out)
+        packed_arr = F.collect_list(
+            F.struct(*[F.col(c) for c in sub.columns])
+        )
+        if pipeline and list(pipeline[-1]) == ["$sort"]:
+            # the array preserves the sub-pipeline's final sort order
+            sort_spec = pipeline[-1]["$sort"]
+            packed_arr = F.array_sort(packed_arr, _sort_comparator(sort_spec))
+        packed = sub.agg(packed_arr.alias(out))
+        joined = df.crossJoin(F.broadcast(packed))
+        arr_type = packed.schema[out].dataType
+        return joined.withColumn(
+            out, F.coalesce(F.col(out), F.array().cast(arr_type))
+        )
     if not pipeline or "$match" not in pipeline[0]:
-        raise PipelineError("$lookup pipeline form requires a leading $match")
+        raise PipelineError(
+            "correlated $lookup pipeline form requires a leading $match")
     match = pipeline[0]["$match"]
     if set(match.keys()) != {"$expr"}:
         raise PipelineError("$lookup pipeline $match must be a single $expr")
@@ -1529,15 +1561,28 @@ def _lookup_pipeline(df: DataFrame, spec: dict, collections) -> DataFrame:
     if not eq_keys and not residuals:
         raise PipelineError(
             "$lookup pipeline form needs >=1 $$var-correlated conjunct")
-    rest = pipeline[1:]
-    project = None
+    rest = list(pipeline[1:])
+    sort_spec = limit_n = project = None
+    if rest and list(rest[0]) == ["$sort"]:
+        sort_spec = rest.pop(0)["$sort"]
+        if not (isinstance(sort_spec, dict) and sort_spec and all(
+            isinstance(k, str) and v in (1, -1) for k, v in sort_spec.items()
+        )):
+            raise PipelineError(
+                "$lookup pipeline $sort requires {field: 1|-1, ...}")
+    if rest and list(rest[0]) == ["$limit"]:
+        limit_n = rest.pop(0)["$limit"]
+        if not (isinstance(limit_n, int) and limit_n > 0):
+            raise PipelineError("$lookup pipeline $limit requires a "
+                                "positive literal integer")
     if rest and list(rest[-1]) == ["$project"]:
         project, rest = rest[-1]["$project"], rest[:-1]
     if rest:
         raise PipelineError(
-            "$lookup pipeline form supports [$match, $project?] only "
-            f"(unsupported stages: {[list(s)[0] for s in rest]})"
+            "$lookup pipeline form supports [$match, $sort?, $limit?, "
+            f"$project?] only (unsupported stages: {[list(s)[0] for s in rest]})"
         )
+    sort_keys = list(sort_spec) if sort_spec else []
 
     f = foreign
     for flt in pre_filters:
@@ -1551,24 +1596,37 @@ def _lookup_pipeline(df: DataFrame, spec: dict, collections) -> DataFrame:
                 "$lookup pipeline $project supports inclusion form only "
                 f"(got {project!r} with no included fields)"
             )
-        # join/residual keys must survive until packing even if
+        # join/residual/sort keys must survive until packing even if
         # projected away
         f = f.select(*dict.fromkeys(
             keep + [k for k, _ in eq_keys] + [k for _, k, _ in residuals]
+            + sort_keys
         ))
         arr_cols = keep
     else:
         arr_cols = list(foreign.columns)
+    # sort keys ride inside the packed struct so the per-row array can
+    # be ordered AFTER packing; _finish_lookup_array prunes them
+    pack_cols = list(dict.fromkeys(arr_cols + sort_keys))
 
     if residuals:
-        return _lookup_general(df, f, arr_cols, eq_keys, residuals, let, out)
+        return _lookup_general(
+            df, f, pack_cols, eq_keys, residuals, let, out,
+            finish=lambda c: _finish_lookup_array(
+                c, sort_spec, limit_n, arr_cols, pack_cols),
+        )
 
     if out in df.columns:
         df = df.drop(out)  # Mongo $lookup overwrites an existing as-field
     key_aliases = [f"__k{i}" for i in range(len(eq_keys))]
     packed = f.groupBy(
         *[F.col(field).alias(al) for (field, _), al in zip(eq_keys, key_aliases)]
-    ).agg(F.collect_list(F.struct(*[F.col(c) for c in arr_cols])).alias(out))
+    ).agg(
+        _finish_lookup_array(
+            F.collect_list(F.struct(*[F.col(c) for c in pack_cols])),
+            sort_spec, limit_n, arr_cols, pack_cols,
+        ).alias(out)
+    )
     cond = None
     for (_, var), al in zip(eq_keys, key_aliases):
         c = compile_expr(let[var]).eqNullSafe(packed[al])
@@ -1576,6 +1634,50 @@ def _lookup_pipeline(df: DataFrame, spec: dict, collections) -> DataFrame:
     joined = df.join(packed, cond, "left").drop(*key_aliases)
     arr_type = packed.schema[out].dataType
     return joined.withColumn(out, F.coalesce(F.col(out), F.array().cast(arr_type)))
+
+
+def _sort_comparator(sort_spec: dict):
+    """Mongo $sort order over packed match structs as an array_sort
+    comparator (−1/0/1), null-first ascending like Mongo's BSON order
+    (null sorts before numbers/strings)."""
+    keys = list(sort_spec.items())
+
+    def cmp(x: Column, y: Column) -> Column:
+        expr = F.lit(0)
+        for k, direction in reversed(keys):
+            a, b = x[k], y[k]
+            lo, hi = (F.lit(-1), F.lit(1)) if direction == 1 else (
+                F.lit(1), F.lit(-1))
+            expr = (
+                F.when(a.isNull() & b.isNull(), expr)
+                .when(a.isNull(), lo)
+                .when(b.isNull(), hi)
+                .when(a < b, lo)
+                .when(a > b, hi)
+                .otherwise(expr)
+            )
+        return expr
+
+    return cmp
+
+
+def _finish_lookup_array(
+    arr: Column, sort_spec, limit_n, arr_cols: list, pack_cols: list
+) -> Column:
+    """Order, trim, and prune a packed array-of-matches: $sort inside a
+    $lookup sub-pipeline becomes a JVM array_sort comparator over the
+    packed structs (Mongo's documented array order), $limit a slice —
+    top-N-matches-per-document costs O(matches log matches) per key,
+    never a shuffle — and sort-only carrier fields are pruned."""
+    if sort_spec:
+        arr = F.array_sort(arr, _sort_comparator(sort_spec))
+    if limit_n:
+        arr = F.slice(arr, 1, limit_n)
+    if pack_cols != arr_cols:
+        arr = F.transform(
+            arr, lambda x: F.struct(*[x[c].alias(c) for c in arr_cols])
+        )
+    return arr
 
 
 def _union_with(df: DataFrame, spec, collections) -> DataFrame:

@@ -241,6 +241,59 @@ def q_pipeline_lookup_expr(spark, sf_dir):
 
 
 @register(
+    "q_pipeline_lookup_topn",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey)
+               AS rn
+      FROM orders
+    )
+    SELECT c.c_custkey,
+           CAST(r.rn - 1 AS INT) AS pos,
+           r.o_orderkey,
+           r.o_totalprice
+    FROM customer c JOIN ranked r
+      ON r.o_custkey = c.c_custkey AND r.rn <= 2
+    """,
+)
+def q_pipeline_lookup_topn(spark, sf_dir):
+    # round-5: $sort/$limit inside a correlated $lookup — top-2 orders
+    # per customer by price. The match array is ORDERED (array_sort
+    # comparator over packed structs, then slice), so unwinding with
+    # includeArrayIndex exposes the rank to the oracle; no window
+    # function runs on the Spark side — the top-N is computed inside
+    # the per-key packed array.
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return compile_pipeline(
+        c,
+        [
+            {"$lookup": {
+                "from": "orders",
+                "let": {"ck": "$c_custkey"},
+                "pipeline": [
+                    {"$match": {"$expr": {"$eq": ["$o_custkey", "$$ck"]}}},
+                    {"$sort": {"o_totalprice": -1, "o_orderkey": 1}},
+                    {"$limit": 2},
+                    {"$project": {"o_orderkey": 1, "o_totalprice": 1}},
+                ],
+                "as": "top2",
+            }},
+            {"$unwind": {"path": "$top2", "includeArrayIndex": "pos"}},
+            {"$project": {
+                "c_custkey": 1,
+                "pos": {"$toInt": "$pos"},
+                "o_orderkey": "$top2.o_orderkey",
+                "o_totalprice": "$top2.o_totalprice",
+            }},
+        ],
+        collections={"orders": o},
+    )
+
+
+@register(
     "q_pipeline_timezones",
     oracle="""
     SELECT event_id,

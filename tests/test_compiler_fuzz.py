@@ -122,7 +122,29 @@ def _num_expr(depth: int = 2):
         lambda t: ({"$cond": [t[0][0], t[1][0], t[2][0]]},
                    f"(CASE WHEN {t[0][1]} THEN {t[1][1]} ELSE {t[2][1]} END)")
     )
-    return st.one_of(sub, arith, absx, ifnull, cond)
+    switch = st.tuples(_bool_of(sub), sub, _bool_of(sub), sub, sub).map(
+        lambda t: (
+            {"$switch": {"branches": [
+                {"case": t[0][0], "then": t[1][0]},
+                {"case": t[2][0], "then": t[3][0]}],
+                "default": t[4][0]}},
+            f"(CASE WHEN {t[0][1]} THEN {t[1][1]} "
+            f"WHEN {t[2][1]} THEN {t[3][1]} ELSE {t[4][1]} END)")
+    )
+    return st.one_of(sub, arith, absx, ifnull, cond, switch)
+
+
+def _str_expr():
+    leaf = st.sampled_from([("$s", "s")])
+    lower = leaf.map(lambda x: ({"$toLower": x[0]}, f"lower({x[1]})"))
+    upper = leaf.map(lambda x: ({"$toUpper": x[0]}, f"upper({x[1]})"))
+    # engine $concat is null-propagating like SQL || (NOT duckdb's
+    # null-ignoring concat() function)
+    cat = st.tuples(leaf, st.sampled_from(["_x", "Q"])).map(
+        lambda t: ({"$concat": [t[0][0], {"$literal": t[1]}]},
+                   f"({t[0][1]} || '{t[1]}')")
+    )
+    return st.one_of(leaf, lower, upper, cat)
 
 
 def _match():
@@ -177,6 +199,12 @@ def _norm(rows):
     return sorted(out, key=repr)
 
 
+def _norm_keep_order(rows):
+    """Value normalization WITHOUT the multiset sort — for ordered
+    ($sort/$limit) comparisons."""
+    return [_norm([r])[0] for r in rows]
+
+
 def _run(frames, pipeline, sql):
     sdf, con = frames
     got = _norm([tuple(r) for r in compile_pipeline(sdf, pipeline).collect()])
@@ -195,6 +223,31 @@ def test_fuzz_match_project(frames, m, e):
     ]
     sql = f"SELECT rid, a, {e[1]} AS e1 FROM t WHERE {m[1]}"
     _run(frames, pipeline, sql)
+
+
+@settings(max_examples=40, deadline=None, derandomize=True,
+          suppress_health_check=list(HealthCheck))
+@given(m=_match(), e=_num_expr(), t=_str_expr(),
+       k=st.integers(1, 40))
+def test_fuzz_sort_limit(frames, m, e, t, k):
+    """$sort/$limit stages with a unique tiebreak (rid) — ordered
+    compare, no multiset smudge. Spark sorts nulls first ascending;
+    the SQL twin says NULLS FIRST explicitly (DuckDB defaults last)."""
+    sdf, con = frames
+    pipeline = [
+        {"$match": m[0]},
+        {"$project": {"rid": 1, "e1": e[0], "t1": t[0]}},
+        {"$sort": {"e1": 1, "t1": -1, "rid": 1}},
+        {"$limit": k},
+    ]
+    sql = f"""
+    SELECT rid, {e[1]} AS e1, {t[1]} AS t1 FROM t WHERE {m[1]}
+    ORDER BY e1 ASC NULLS FIRST, t1 DESC NULLS LAST, rid LIMIT {k}
+    """
+    got = _norm_keep_order(
+        [tuple(r) for r in compile_pipeline(sdf, pipeline).collect()])
+    want = _norm_keep_order(con.execute(sql).fetchall())
+    assert got == want, f"\npipeline={pipeline}\nsql={sql}"
 
 
 @settings(max_examples=60, deadline=None, derandomize=True,

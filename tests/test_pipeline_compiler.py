@@ -677,9 +677,13 @@ def test_lookup_pipeline_form_refusals(spark, sf_dir):
     run([{"$match": {"$expr": {"$gt": ["$o_custkey", "$$ck"]}}}])
     with pytest.raises(PipelineError, match=r"\$\$var conjuncts"):
         run([{"$match": {"$expr": {"$mod": ["$o_custkey", "$$ck"]}}}])
+    # round 5: $sort/$limit in the sub-pipeline are supported now;
+    # a correlated $group inside $lookup still refuses
+    run([{"$match": {"$expr": {"$eq": ["$o_custkey", "$$ck"]}}},
+         {"$sort": {"o_totalprice": -1}}])
     with pytest.raises(PipelineError, match="unsupported stages"):
         run([{"$match": {"$expr": {"$eq": ["$o_custkey", "$$ck"]}}},
-             {"$sort": {"o_totalprice": -1}}])
+             {"$group": {"_id": None, "n": {"$sum": 1}}}])
     with pytest.raises(PipelineError, match="undefined let"):
         run([{"$match": {"$expr": {"$eq": ["$o_custkey", "$$nope"]}}}])
 
@@ -1574,10 +1578,10 @@ def test_date_from_parts_millisecond_and_from_string_handlers(spark):
     assert out["ms"] == datetime.datetime(2024, 1, 1, 0, 0, 0, 500000)
     assert out["err"] is None
     assert out["onn"] == datetime.datetime(2000, 1, 1)
-    with pytest.raises(PipelineError, match="timezone"):
-        compile_expr({"$dateFromParts": {"year": 2024, "timezone": "UTC"}})
-    with pytest.raises(PipelineError, match="timezone"):
-        compile_expr({"$dateFromString": {"dateString": "$good", "timezone": "UTC"}})
+    # round 5: timezone is now SUPPORTED (test_date_timezone_matrix);
+    # only the non-literal form still refuses
+    with pytest.raises(PipelineError, match="timezone must be a literal"):
+        compile_expr({"$dateFromParts": {"year": 2024, "timezone": "$tz"}})
 
 
 def test_strcasecmp_null_coerces_to_empty(spark):
@@ -1950,3 +1954,88 @@ def test_group_sum_all_null_is_zero(spark):
     assert got["x"]["sa"] == 0.0 and got["x"]["mn"] is None
     assert got["x"]["av"] is None
     assert got["y"]["sa"] == 3.0
+
+
+def test_lookup_sort_limit_orders_match_array(spark, _lookup_frames):
+    """Round-5: $sort/$limit inside a $lookup sub-pipeline — the
+    top-N-matches-per-document idiom. Array order IS the sort order;
+    sort-only carrier fields are pruned by the trailing $project."""
+    cust, orders = _lookup_frames
+    out = compile_pipeline(cust, [{"$lookup": {
+        "from": "orders", "let": {"c": "$cid"},
+        "pipeline": [
+            {"$match": {"$expr": {"$eq": ["$ocid", "$$c"]}}},
+            {"$sort": {"price": -1, "oid": 1}},
+            {"$limit": 1},
+            {"$project": {"oid": 1}},
+        ],
+        "as": "best"}}], collections={"orders": orders})
+    got = {r["cid"]: [x["oid"] for x in r["best"]] for r in out.collect()}
+    assert got == {1: [11], 2: [13], 3: [14]}
+    # fields in the array struct are exactly the $project inclusion set
+    assert [f.name for f in out.schema["best"].dataType.elementType.fields] \
+        == ["oid"]
+
+    # ascending multi-key order without limit, general (residual) path
+    out2 = compile_pipeline(cust, [{"$lookup": {
+        "from": "orders", "let": {"c": "$cid", "b": "$bal"},
+        "pipeline": [
+            {"$match": {"$expr": {"$and": [
+                {"$eq": ["$ocid", "$$c"]},
+                {"$lt": ["$price", "$$b"]}]}}},
+            {"$sort": {"price": 1}},
+        ],
+        "as": "cheap"}}], collections={"orders": orders})
+    got2 = {r["cid"]: [x["oid"] for x in r["cheap"]] for r in out2.collect()}
+    assert got2 == {1: [10], 2: [12], 3: []}
+
+    with pytest.raises(PipelineError, match=r"\$limit requires"):
+        compile_pipeline(cust, [{"$lookup": {
+            "from": "orders", "let": {"c": "$cid"},
+            "pipeline": [
+                {"$match": {"$expr": {"$eq": ["$ocid", "$$c"]}}},
+                {"$limit": 0}],
+            "as": "x"}}], collections={"orders": orders})
+
+
+def test_lookup_sort_null_first_like_mongo(spark):
+    """Mongo's BSON sort order places null before numbers — ascending
+    sorts null matches first, descending last."""
+    left = spark.createDataFrame([(1,)], "k int")
+    right = spark.createDataFrame(
+        [(1, None), (1, 5.0), (1, 2.0)], "rk int, v double")
+    out = compile_pipeline(left, [{"$lookup": {
+        "from": "r", "let": {"k": "$k"},
+        "pipeline": [{"$match": {"$expr": {"$eq": ["$rk", "$$k"]}}},
+                     {"$sort": {"v": 1}}],
+        "as": "m"}}], collections={"r": right}).collect()[0]
+    assert [x["v"] for x in out["m"]] == [None, 2.0, 5.0]
+
+
+def test_lookup_uncorrelated_pipeline(spark, _lookup_frames):
+    """Round-5: a $lookup sub-pipeline with NO $$vars runs once and
+    every local document gets the same array — arbitrary stages
+    compile through compile_pipeline, and the single packed row
+    broadcast-cross-joins (no shuffle of the local side)."""
+    cust, orders = _lookup_frames
+    out = compile_pipeline(cust, [{"$lookup": {
+        "from": "orders",
+        "pipeline": [
+            {"$match": {"price": {"$gt": 100}}},
+            {"$group": {"_id": None, "n": {"$sum": 1}}},
+        ],
+        "as": "stats"}}], collections={"orders": orders})
+    rows = out.collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert [x["n"] for x in r["stats"]] == [3]
+
+    # empty result -> [] for everyone; trailing $sort orders the array
+    out2 = compile_pipeline(cust, [{"$lookup": {
+        "from": "orders",
+        "pipeline": [{"$match": {"price": {"$gt": 100}}},
+                     {"$project": {"oid": 1, "price": 1}},
+                     {"$sort": {"price": -1}}],
+        "as": "big"}}], collections={"orders": orders}).collect()
+    for r in out2:
+        assert [x["oid"] for x in r["big"]] == [13, 12, 11]

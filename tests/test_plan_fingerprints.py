@@ -42,6 +42,10 @@ ALLOWED = {"q_knn": {"BroadcastNestedLoopJoin"}}
 
 
 def _final_fingerprint(spark, qid: str, sf_dir: str) -> dict:
+    # another test's cached tables would splice InMemoryTableScan
+    # subtrees into the plan and change operator counts — fingerprints
+    # are defined over the cold plan
+    spark.catalog.clearCache()
     df = QS[qid](spark, sf_dir).limit(ROW_CAP)
     df.collect()  # AQE-final shape
     return fingerprint_df(df)
