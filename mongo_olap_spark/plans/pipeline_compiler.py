@@ -1478,6 +1478,28 @@ def _lookup_pipeline(df: DataFrame, spec: dict, collections) -> DataFrame:
     foreign = _resolve(collections, spec["from"])
     let, out = spec.get("let", {}), spec["as"]
     pipeline = spec.get("pipeline") or []
+    if "localField" in spec or "foreignField" in spec:
+        # Mongo 5.0 concise correlated form: localField/foreignField
+        # given WITH a pipeline add an equality ON TOP of the
+        # pipeline's own $match — rewritten here into the let/$expr
+        # form so one compile path serves both spellings
+        if not ("localField" in spec and "foreignField" in spec):
+            raise PipelineError(
+                "$lookup: localField and foreignField come together")
+        var = "__concise_local"
+        while var in let:
+            var += "_"
+        let = {**let, var: "$" + spec["localField"]}
+        eq_extra = {"$eq": ["$" + spec["foreignField"], "$$" + var]}
+        pipeline = list(pipeline)
+        if (pipeline and set(pipeline[0]) == {"$match"}
+                and set(pipeline[0]["$match"]) == {"$expr"}):
+            expr = pipeline[0]["$match"]["$expr"]
+            conj = (expr["$and"] if isinstance(expr, dict) and "$and" in expr
+                    else [expr])
+            pipeline[0] = {"$match": {"$expr": {"$and": conj + [eq_extra]}}}
+        else:
+            pipeline = [{"$match": {"$expr": eq_extra}}] + pipeline
     if not let and not any(_contains_var(s) for s in pipeline):
         # UNCORRELATED sub-pipeline (round 5): no $$vars anywhere, so
         # it runs ONCE over the foreign collection — arbitrary stages,

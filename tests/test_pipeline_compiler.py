@@ -2039,3 +2039,32 @@ def test_lookup_uncorrelated_pipeline(spark, _lookup_frames):
         "as": "big"}}], collections={"orders": orders}).collect()
     for r in out2:
         assert [x["oid"] for x in r["big"]] == [13, 12, 11]
+
+
+def test_lookup_concise_correlated_form(spark, _lookup_frames):
+    """Mongo 5.0 concise form: localField/foreignField WITH a pipeline
+    — the equality applies on top of the sub-pipeline's own stages."""
+    cust, orders = _lookup_frames
+    out = compile_pipeline(cust, [{"$lookup": {
+        "from": "orders",
+        "localField": "cid", "foreignField": "ocid",
+        "pipeline": [{"$sort": {"price": -1}}, {"$limit": 1}],
+        "as": "best"}}], collections={"orders": orders})
+    got = {r["cid"]: [x["oid"] for x in r["best"]] for r in out.collect()}
+    assert got == {1: [11], 2: [13], 3: [14]}
+
+    # combined with an existing correlated $match
+    out2 = compile_pipeline(cust, [{"$lookup": {
+        "from": "orders",
+        "localField": "cid", "foreignField": "ocid",
+        "let": {"b": "$bal"},
+        "pipeline": [{"$match": {"$expr": {"$lt": ["$price", "$$b"]}}}],
+        "as": "cheap"}}], collections={"orders": orders})
+    got2 = {r["cid"]: sorted(x["oid"] for x in r["cheap"])
+            for r in out2.collect()}
+    assert got2 == {1: [10], 2: [12], 3: []}
+
+    with pytest.raises(PipelineError, match="come together"):
+        compile_pipeline(cust, [{"$lookup": {
+            "from": "orders", "localField": "cid",
+            "pipeline": [], "as": "x"}}], collections={"orders": orders})
