@@ -279,13 +279,30 @@ _SIMPLE_UNARY = {
     "$arrayToObject": F.map_from_entries,
 }
 
+def _bson_ordered(strict: Column, on_null: Column):
+    """Mongo aggregation comparisons use the BSON TOTAL sort order:
+    null (≡ missing) sorts below every number/string, so e.g.
+    $lt: [null, 3] is TRUE and $gt: [3, null] is TRUE — never null.
+    ``strict`` is the plain SQL comparison for the both-non-null case;
+    ``on_null`` decides the mixed/both-null cases."""
+    def cmp(a: Column, b: Column) -> Column:
+        return F.when(a.isNull() | b.isNull(), on_null(a, b)).otherwise(strict(a, b))
+    return cmp
+
+
 _CMP = {
     "$eq": lambda a, b: a.eqNullSafe(b),
     "$ne": mongo_ne,
-    "$gt": lambda a, b: a > b,
-    "$gte": lambda a, b: a >= b,
-    "$lt": lambda a, b: a < b,
-    "$lte": lambda a, b: a <= b,
+    # round 5: total-order comparisons (null smallest), matching
+    # Mongo's aggregation semantics instead of SQL null-propagation
+    "$gt": _bson_ordered(lambda a, b: a > b,
+                         lambda a, b: b.isNull() & a.isNotNull()),
+    "$gte": _bson_ordered(lambda a, b: a >= b,
+                          lambda a, b: b.isNull()),
+    "$lt": _bson_ordered(lambda a, b: a < b,
+                         lambda a, b: a.isNull() & b.isNotNull()),
+    "$lte": _bson_ordered(lambda a, b: a <= b,
+                          lambda a, b: a.isNull()),
 }
 
 
@@ -344,7 +361,11 @@ def _compile_op(op: str, spec: Any) -> Column:
         return _CMP[op](compile_expr(a), compile_expr(b))
     if op == "$cmp":
         a, b = (compile_expr(x) for x in spec)
-        return F.when(a < b, -1).when(a > b, 1).when(a.eqNullSafe(b), 0)
+        return (
+            F.when(a.isNull() & b.isNull(), 0)
+            .when(a.isNull(), -1).when(b.isNull(), 1)  # null sorts first
+            .when(a < b, -1).when(a > b, 1).otherwise(0)
+        )
     if op == "$and":
         return _variadic(lambda a, b: a & b, [_as_bool(s) for s in spec])
     if op == "$or":
@@ -1337,14 +1358,11 @@ def _vars_in(node) -> set[str]:
 _LOOKUP_CMP_OPS = {"$eq", "$ne", "$lt", "$lte", "$gt", "$gte"}
 _LOOKUP_OP_FLIP = {"$eq": "$eq", "$ne": "$ne", "$lt": "$gt",
                    "$lte": "$gte", "$gt": "$lt", "$gte": "$lte"}
-_LOOKUP_CMP_COLS: dict[str, Callable[[Column, Column], Column]] = {
-    "$eq": lambda f, v: f.eqNullSafe(v),
-    "$ne": lambda f, v: ~f.eqNullSafe(v),
-    "$lt": lambda f, v: f < v,
-    "$lte": lambda f, v: f <= v,
-    "$gt": lambda f, v: f > v,
-    "$gte": lambda f, v: f >= v,
-}
+# residual comparisons share the aggregation-expression semantics —
+# null-safe equality, BSON-total-order inequalities (null lowest).
+# Bucketization stays sound under total order because a null value or
+# bound lands in bucket 0, the bottom of the order.
+_LOOKUP_CMP_COLS: dict[str, Callable[[Column, Column], Column]] = _CMP
 
 
 def _detect_band(residuals: list, foreign: DataFrame):

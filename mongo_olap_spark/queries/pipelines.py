@@ -341,7 +341,8 @@ def q_pipeline_timezones(spark, sf_dir):
            CAST(COALESCE(SUM(o.o_orderkey), 0) AS BIGINT) AS band_keysum
     FROM customer c LEFT JOIN orders o
       ON o.o_totalprice >= c.c_acctbal * 10
-     AND o.o_totalprice <  c.c_acctbal * 12
+     AND o.o_totalprice <  c.c_acctbal * 10.2
+    WHERE c.c_custkey % 10 = 0
     GROUP BY c.c_custkey
     """,
 )
@@ -359,10 +360,21 @@ def q_pipeline_lookup_range(spark, sf_dir):
     return compile_pipeline(
         c,
         [
+            # one customer decile: the full cross of 15k customers x a
+            # 2% price band materializes ~4.5M matched rows at sf0.1 —
+            # an output-bound benchmark that measures collect_list, not
+            # the bucketized join under test
+            {"$match": {"c_custkey": {"$mod": [10, 0]}}},
             {"$lookup": {
                 "from": "orders",
+                # a ~2% price band: wide enough that most customers
+                # match a few orders, narrow enough that the result is
+                # match-bound, not output-bound (a [10x, 12x) band
+                # matched thousands of orders per customer at sf0.1 —
+                # 25s of bench time that measured OUTPUT size, not the
+                # bucketized join)
                 "let": {"lo": {"$multiply": ["$c_acctbal", 10]},
-                        "hi": {"$multiply": ["$c_acctbal", 12]}},
+                        "hi": {"$multiply": ["$c_acctbal", 10.2]}},
                 "pipeline": [
                     {"$match": {"$expr": {"$and": [
                         {"$gte": ["$o_totalprice", "$$lo"]},

@@ -8,7 +8,7 @@ tools/check_oracle.py but over a space no one hand-picked.
 
 Each strategy node produces (mongo_spec, duckdb_sql) pairs built in
 lockstep, encoding the engine's DOCUMENTED semantics mapping
-(missing≡null, null-safe $eq/$ne, null-propagating ordered
+(missing≡null, null-safe $eq/$ne, BSON-total-order ordered
 comparisons, decimal-exact $sum returning 0 on empty input,
 CASE-treats-null-as-false $cond). A divergence between the compiled
 Spark plan and DuckDB running the twin SQL is a real bug in one of
@@ -83,14 +83,20 @@ def _num_leaf():
 
 
 def _bool_of(num):
-    # engine mapping: $eq/$ne null-safe; ordered comparisons
-    # null-propagating (documented typed-engine delta from BSON total
-    # order); $and/$or SQL three-valued — consistent on both sides
+    # engine mapping: $eq/$ne null-safe; ordered comparisons use the
+    # BSON TOTAL order (null sorts below every number — $lt:[null,3]
+    # is TRUE); $and/$or SQL three-valued — twins spell each out
     cmp2 = st.tuples(st.sampled_from([
-        ("$gt", "{} > {}"), ("$gte", "{} >= {}"),
-        ("$lt", "{} < {}"), ("$lte", "{} <= {}"),
-        ("$eq", "{} IS NOT DISTINCT FROM {}"),
-        ("$ne", "{} IS DISTINCT FROM {}"),
+        ("$gt", "(CASE WHEN {0} IS NULL OR {1} IS NULL THEN "
+                "({1} IS NULL AND {0} IS NOT NULL) ELSE {0} > {1} END)"),
+        ("$gte", "(CASE WHEN {0} IS NULL OR {1} IS NULL THEN "
+                 "{1} IS NULL ELSE {0} >= {1} END)"),
+        ("$lt", "(CASE WHEN {0} IS NULL OR {1} IS NULL THEN "
+                "({0} IS NULL AND {1} IS NOT NULL) ELSE {0} < {1} END)"),
+        ("$lte", "(CASE WHEN {0} IS NULL OR {1} IS NULL THEN "
+                 "{0} IS NULL ELSE {0} <= {1} END)"),
+        ("$eq", "({0} IS NOT DISTINCT FROM {1})"),
+        ("$ne", "({0} IS DISTINCT FROM {1})"),
     ]), num, num).map(
         lambda t: ({t[0][0]: [t[1][0], t[2][0]]},
                    "(" + t[0][1].format(t[1][1], t[2][1]) + ")")

@@ -60,6 +60,13 @@ MATCH_MATRIX = [
     ({"x": {"$not": {"$gt": 3}}}, {2, 3}),  # $not matches non-matching docs
     ({"$expr": {"$eq": ["$x", None]}}, {2, 3}),  # agg $eq is null-safe
     ({"$expr": {"$ne": ["$x", None]}}, {1}),
+    # aggregation comparisons use BSON TOTAL order: null sorts below
+    # every number, so null < 99 is TRUE (unlike the $match query
+    # language above, where comparisons never match null)
+    ({"$expr": {"$lt": ["$x", 99]}}, {1, 2, 3}),
+    ({"$expr": {"$gt": ["$x", None]}}, {1}),
+    ({"$expr": {"$lte": ["$x", None]}}, {2, 3}),
+    ({"$expr": {"$gte": ["$x", None]}}, {1, 2, 3}),
 ]
 
 #: Documented DELTAS from Mongo: under missing≡null the engine cannot
