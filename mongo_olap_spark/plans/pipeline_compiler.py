@@ -2277,8 +2277,14 @@ def _set_window_fields(df: DataFrame, spec: dict) -> DataFrame:
                 fn = F.first if op == "$first" else F.last
                 expr = fn(compile_expr(arg)).over(w)
             elif op == "$sum":
+                # Mongo window $sum is 0 — not null — over an empty or
+                # all-null frame (fuzz-found, round 5; same rule as the
+                # $group accumulator)
                 c = compile_expr(arg)
-                expr = F.sum(c.cast(SUM_DECIMAL)).over(w).cast("double")
+                expr = F.coalesce(
+                    F.sum(c.cast(SUM_DECIMAL)).over(w).cast("double"),
+                    F.lit(0.0),
+                )
             elif op == "$avg":
                 c = compile_expr(arg)
                 expr = (

@@ -282,3 +282,75 @@ def test_fuzz_group(frames, m, e, key):
     FROM p GROUP BY 1
     """
     _run(frames, pipeline, sql)
+
+
+# ----------------------------------------------- window-surface fuzz
+_FRAME_BOUNDS = [
+    ("unbounded", "UNBOUNDED PRECEDING"), (-2, "2 PRECEDING"),
+    (-1, "1 PRECEDING"), (0, "CURRENT ROW"), (1, "1 FOLLOWING"),
+    (2, "2 FOLLOWING"), ("current", "CURRENT ROW"),
+]
+
+
+def _frame():
+    def ok(pair):
+        (lo, _), (hi, _) = pair
+        order = {"unbounded": -99, -2: -2, -1: -1, 0: 0, "current": 0,
+                 1: 1, 2: 2}
+        return order[lo] <= order[hi] and lo != "unbounded" or lo == "unbounded"
+    return st.tuples(
+        st.sampled_from(_FRAME_BOUNDS), st.sampled_from(_FRAME_BOUNDS)
+    ).filter(
+        lambda p: ({"unbounded": -99, "current": 0, -2: -2, -1: -1,
+                    0: 0, 1: 1, 2: 2}[p[0][0]]
+                   <= {"unbounded": 99 if True else 0, "current": 0,
+                       -2: -2, -1: -1, 0: 0, 1: 1, 2: 2}[p[1][0]]
+                   if p[1][0] != "unbounded" else True)
+    ).filter(lambda p: not (p[1][0] == "unbounded"))
+    # (upper "unbounded" excluded: Mongo spells it the same but the
+    # SQL twin differs; covered by the no-window default case)
+
+
+@settings(max_examples=40, deadline=None, derandomize=True,
+          suppress_health_check=list(HealthCheck))
+@given(fr=_frame(),
+       agg=st.sampled_from([
+           ("$sum", "CAST(COALESCE(SUM(CAST(d AS DECIMAL(38,6))) OVER w, 0)"
+                    " AS DOUBLE)"),
+           ("$min", "MIN(d) OVER w"),
+           ("$max", "MAX(d) OVER w"),
+           ("$count", "CAST(COUNT(*) OVER w AS BIGINT)"),
+       ]),
+       rank=st.sampled_from([
+           ("$rank", "RANK() OVER w2"),
+           ("$denseRank", "DENSE_RANK() OVER w2"),
+           ("$documentNumber", "ROW_NUMBER() OVER w2"),
+       ]),
+       direction=st.sampled_from([1, -1]))
+def test_fuzz_window(frames, fr, agg, rank, direction):
+    """$setWindowFields documents-frames + rank family vs DuckDB
+    window SQL. Sort is (v, rid) with rid unique, so rank/frames are
+    deterministic; null sort position (nulls first asc, last desc)
+    matches on both engines by default."""
+    sdf, con = frames
+    (lo, lo_sql), (hi, hi_sql) = fr
+    aop, asql = agg
+    rop, rsql = rank
+    d_sql = "ASC NULLS FIRST" if direction == 1 else "DESC NULLS LAST"
+    pipeline = [{"$setWindowFields": {
+        "partitionBy": "$s",
+        "sortBy": {"d": direction, "rid": 1},
+        "output": {
+            "agg1": ({aop: "$d"} if aop != "$count" else {aop: {}})
+            | {"window": {"documents": [lo, hi]}},
+            "rk": {rop: {}},
+        },
+    }}, {"$project": {"rid": 1, "agg1": 1, "rk": 1}}]
+    sql = f"""
+    SELECT rid, {asql} AS agg1, {rsql} AS rk
+    FROM t
+    WINDOW w AS (PARTITION BY s ORDER BY d {d_sql}, rid
+                 ROWS BETWEEN {lo_sql} AND {hi_sql}),
+           w2 AS (PARTITION BY s ORDER BY d {d_sql}, rid)
+    """
+    _run(frames, pipeline, sql)

@@ -2068,3 +2068,22 @@ def test_lookup_concise_correlated_form(spark, _lookup_frames):
         compile_pipeline(cust, [{"$lookup": {
             "from": "orders", "localField": "cid",
             "pipeline": [], "as": "x"}}], collections={"orders": orders})
+
+
+def test_window_sum_empty_frame_is_zero(spark):
+    """Fuzz-found (round 5, #2): a documents-frame that precedes the
+    partition start ([unbounded, -2] at row 0) is EMPTY — Mongo window
+    $sum yields 0 there, like the $group accumulator; $min/$max stay
+    null."""
+    df = spark.createDataFrame(
+        [(1, 1, 1.0), (1, 2, 2.0), (1, 3, 4.0)], "k int, rid int, v double")
+    out = compile_pipeline(df, [{"$setWindowFields": {
+        "partitionBy": "$k", "sortBy": {"rid": 1},
+        "output": {
+            "s": {"$sum": "$v", "window": {"documents": ["unbounded", -2]}},
+            "mn": {"$min": "$v", "window": {"documents": ["unbounded", -2]}},
+        }}}]).collect()
+    got = {r["rid"]: (r["s"], r["mn"]) for r in out}
+    assert got[1] == (0.0, None)
+    assert got[2] == (0.0, None)
+    assert got[3] == (1.0, 1.0)
