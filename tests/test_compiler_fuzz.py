@@ -46,7 +46,8 @@ def _rows():
         b = None if i % 11 == 5 else ((i * 7) % 19) - 9
         d = None if a is None else (a - 7) / 4.0
         s = VOCAB[i % len(VOCAB)]
-        rows.append((i, a, b, d, s))
+        arr = None if i % 13 == 6 else [(i * j) % 10 for j in range(i % 5)]
+        rows.append((i, a, b, d, s, arr))
     return rows
 
 
@@ -56,13 +57,13 @@ def frames(spark):
 
     rows = _rows()
     sdf = spark.createDataFrame(
-        rows, "rid int, a int, b int, d double, s string"
+        rows, "rid int, a int, b int, d double, s string, arr array<int>"
     ).cache()
     sdf.count()
     con = duckdb.connect()
-    pdf = pd.DataFrame(rows, columns=["rid", "a", "b", "d", "s"]).astype(
-        {"a": "Int64", "b": "Int64"}
-    )
+    pdf = pd.DataFrame(
+        rows, columns=["rid", "a", "b", "d", "s", "arr"]
+    ).astype({"a": "Int64", "b": "Int64"})
     con.register("t", pdf)
     return sdf, con
 
@@ -353,4 +354,41 @@ def test_fuzz_window(frames, fr, agg, rank, direction):
                  ROWS BETWEEN {lo_sql} AND {hi_sql}),
            w2 AS (PARTITION BY s ORDER BY d {d_sql}, rid)
     """
+    _run(frames, pipeline, sql)
+
+
+# --------------------------------------------------------- unwind fuzz
+@settings(max_examples=30, deadline=None, derandomize=True,
+          suppress_health_check=list(HealthCheck))
+@given(m=_match(), preserve=st.booleans(), with_idx=st.booleans())
+def test_fuzz_unwind(frames, m, preserve, with_idx):
+    """$unwind x {preserveNullAndEmptyArrays, includeArrayIndex} vs
+    unnest twins. Preserve keeps null/empty-array rows with a null
+    element (missing=null); the index is the 0-based position, null on
+    preserved rows."""
+    spec = {"path": "$arr"}
+    if preserve:
+        spec["preserveNullAndEmptyArrays"] = True
+    if with_idx:
+        spec["includeArrayIndex"] = "pos"
+    pipeline = [
+        {"$match": m[0]},
+        {"$project": {"rid": 1, "arr": 1}},
+        {"$unwind": spec},
+        {"$project": {"rid": 1, "u": "$arr",
+                      **({"pos": 1} if with_idx else {})}},
+    ]
+    pos_sel = ", CAST(unnest(range(len(arr))) AS BIGINT) AS pos" \
+        if with_idx else ""
+    null_pos = ", NULL AS pos" if with_idx else ""
+    sql = f"""
+    WITH base AS (SELECT rid, arr FROM t WHERE {m[1]})
+    SELECT rid, unnest(arr) AS u{pos_sel} FROM base
+    """
+    if preserve:
+        sql += f"""
+        UNION ALL
+        SELECT rid, NULL AS u{null_pos} FROM base
+        WHERE arr IS NULL OR len(arr) = 0
+        """
     _run(frames, pipeline, sql)
