@@ -62,6 +62,9 @@ DEFAULT_QUERIES = [
     "q_pipeline_deriv", "q_dedup_minhash",
     "q_cube_build", "q_incr_update", "q_route_cube", "q_route_hybrid",
     "q_star_join", "q_dedup_spans",
+    # round-5 additions: the bucketized-range-join and ordered-match-
+    # array paths of the correlated $lookup compiler
+    "q_pipeline_lookup_range", "q_pipeline_lookup_topn",
 ]
 
 
