@@ -270,7 +270,8 @@ def test_fuzz_group(frames, m, e, key):
                     "se": {"$sum": "$e1"},
                     "mn": {"$min": "$e1"},
                     "mx": {"$max": "$a"},
-                    "av": {"$avg": "$a"}}},
+                    "av": {"$avg": "$a"},
+                    "st": {"$addToSet": "$a"}}},
     ]
     sql = f"""
     WITH p AS (SELECT a, s, {e[1]} AS e1 FROM t WHERE {m[1]})
@@ -279,7 +280,9 @@ def test_fuzz_group(frames, m, e, key):
            CAST(COALESCE(SUM(CAST(e1 AS DECIMAL(38,6))), 0) AS DOUBLE) AS se,
            MIN(e1) AS mn,
            MAX(a) AS mx,
-           CAST(SUM(CAST(a AS DECIMAL(38,6))) AS DOUBLE) / COUNT(a) AS av
+           CAST(SUM(CAST(a AS DECIMAL(38,6))) AS DOUBLE) / COUNT(a) AS av,
+           COALESCE(list_sort(list(DISTINCT a) FILTER (a IS NOT NULL)),
+                    []) AS st
     FROM p GROUP BY 1
     """
     _run(frames, pipeline, sql)
@@ -391,4 +394,53 @@ def test_fuzz_unwind(frames, m, preserve, with_idx):
         SELECT rid, NULL AS u{null_pos} FROM base
         WHERE arr IS NULL OR len(arr) = 0
         """
+    _run(frames, pipeline, sql)
+
+
+# --------------------------------------------------- range-window fuzz
+_RANGE_BOUNDS = [
+    ("unbounded", "UNBOUNDED PRECEDING"), (-2, "2 PRECEDING"),
+    (-1, "1 PRECEDING"), ("current", "CURRENT ROW"),
+    (0, "CURRENT ROW"), (1, "1 FOLLOWING"), (2, "2 FOLLOWING"),
+]
+
+
+@settings(max_examples=25, deadline=None, derandomize=True,
+          suppress_health_check=list(HealthCheck))
+@given(fr=st.tuples(st.sampled_from(_RANGE_BOUNDS),
+                    st.sampled_from(_RANGE_BOUNDS)).filter(
+           lambda p: ({"unbounded": -9, "current": 0, -2: -2, -1: -1,
+                       0: 0, 1: 1, 2: 2}[p[0][0]]
+                      <= {"current": 0, -2: -2, -1: -1, 0: 0,
+                          1: 1, 2: 2}.get(p[1][0], 9))
+           and p[1][0] != "unbounded"),
+       agg=st.sampled_from([
+           ("$sum", "CAST(COALESCE(SUM(CAST(d AS DECIMAL(38,6))) OVER w, 0)"
+                    " AS DOUBLE)"),
+           ("$min", "MIN(d) OVER w"),
+           ("$count", "CAST(COUNT(*) OVER w AS BIGINT)"),
+       ]))
+def test_fuzz_window_range(frames, fr, agg):
+    """{range: [lo, hi]} value-distance windows over a numeric sortBy
+    vs SQL RANGE BETWEEN. Null sort keys are excluded — Mongo requires
+    a numeric sortBy for range windows (and SQL peer-group null
+    semantics would differ anyway)."""
+    (lo, lo_sql), (hi, hi_sql) = fr
+    aop, asql = agg
+    pipeline = [
+        {"$match": {"d": {"$exists": True}}},
+        {"$setWindowFields": {
+            "partitionBy": "$s",
+            "sortBy": {"d": 1},
+            "output": {"agg1": ({aop: "$d"} if aop != "$count" else {aop: {}})
+                       | {"window": {"range": [lo, hi]}}},
+        }},
+        {"$project": {"rid": 1, "agg1": 1}},
+    ]
+    sql = f"""
+    SELECT rid, {asql} AS agg1
+    FROM (SELECT * FROM t WHERE d IS NOT NULL)
+    WINDOW w AS (PARTITION BY s ORDER BY d
+                 RANGE BETWEEN {lo_sql} AND {hi_sql})
+    """
     _run(frames, pipeline, sql)
