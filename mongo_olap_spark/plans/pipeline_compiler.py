@@ -1033,8 +1033,11 @@ def _n_by_order(value: Column, ordk: Column, n: int, *, from_end: bool) -> Colum
 def _desc_orderable(key: str) -> Column:
     # min_by/max_by order structs ascending; a desc sort key must be
     # inverted. Only numeric/timestamp keys support negation — refuse
-    # loudly otherwise rather than return wrong rows.
-    return -F.col(key).cast("double")
+    # loudly otherwise rather than return wrong rows. NULL inverts to
+    # +inf: under Mongo's BSON order null is the SMALLEST value, so a
+    # descending sort places it LAST — bare negation left it null,
+    # which the ascending struct sort put FIRST (fuzz-found, round 5).
+    return F.coalesce(-F.col(key).cast("double"), F.lit(float("inf")))
 
 
 # ---------------------------------------------------------------------------
@@ -2241,6 +2244,20 @@ def _set_window_fields(df: DataFrame, spec: dict) -> DataFrame:
             w = _window_spec(spec, need_order=True)
             by = arg.get("by", 1)
             default = arg.get("default")
+            if isinstance(default, dict):
+                # Mongo requires a CONSTANT default; lead/lag take a
+                # plain literal — unwrap the $literal spelling, refuse
+                # computed expressions by name (fuzz-found: a dict fell
+                # through to the JVM as a HashMap literal)
+                if set(default) == {"$literal"}:
+                    default = default["$literal"]
+                else:
+                    raise PipelineError(
+                        "$shift default must be a constant "
+                        f"(literal or {{$literal: v}}), got {default!r}")
+            elif isinstance(default, str) and default.startswith("$"):
+                raise PipelineError(
+                    "$shift default must be a constant, not a field path")
             fn = F.lag if by < 0 else F.lead
             expr = fn(compile_expr(arg["output"]), abs(by),
                       default if default is not None else None).over(w)

@@ -264,17 +264,20 @@ def test_fuzz_sort_limit(frames, m, e, t, k):
 def test_fuzz_group(frames, m, e, key):
     pipeline = [
         {"$match": m[0]},
-        {"$project": {"a": 1, "s": 1, "e1": e[0]}},
+        {"$project": {"rid": 1, "a": 1, "s": 1, "e1": e[0]}},
         {"$group": {"_id": key[0],
                     "n": {"$sum": 1},
                     "se": {"$sum": "$e1"},
                     "mn": {"$min": "$e1"},
                     "mx": {"$max": "$a"},
                     "av": {"$avg": "$a"},
-                    "st": {"$addToSet": "$a"}}},
+                    "st": {"$addToSet": "$a"},
+                    "tn": {"$topN": {"output": "$rid",
+                                     "sortBy": {"e1": -1, "rid": 1},
+                                     "n": 3}}}},
     ]
     sql = f"""
-    WITH p AS (SELECT a, s, {e[1]} AS e1 FROM t WHERE {m[1]})
+    WITH p AS (SELECT rid, a, s, {e[1]} AS e1 FROM t WHERE {m[1]})
     SELECT {key[1]} AS _id,
            COUNT(*) AS n,
            CAST(COALESCE(SUM(CAST(e1 AS DECIMAL(38,6))), 0) AS DOUBLE) AS se,
@@ -282,7 +285,8 @@ def test_fuzz_group(frames, m, e, key):
            MAX(a) AS mx,
            CAST(SUM(CAST(a AS DECIMAL(38,6))) AS DOUBLE) / COUNT(a) AS av,
            COALESCE(list_sort(list(DISTINCT a) FILTER (a IS NOT NULL)),
-                    []) AS st
+                    []) AS st,
+           (list(rid ORDER BY e1 DESC NULLS LAST, rid ASC))[1:3] AS tn
     FROM p GROUP BY 1
     """
     _run(frames, pipeline, sql)
@@ -330,8 +334,9 @@ def _frame():
            ("$denseRank", "DENSE_RANK() OVER w2"),
            ("$documentNumber", "ROW_NUMBER() OVER w2"),
        ]),
+       shift_by=st.integers(-2, 2),
        direction=st.sampled_from([1, -1]))
-def test_fuzz_window(frames, fr, agg, rank, direction):
+def test_fuzz_window(frames, fr, agg, rank, shift_by, direction):
     """$setWindowFields documents-frames + rank family vs DuckDB
     window SQL. Sort is (v, rid) with rid unique, so rank/frames are
     deterministic; null sort position (nulls first asc, last desc)
@@ -348,10 +353,14 @@ def test_fuzz_window(frames, fr, agg, rank, direction):
             "agg1": ({aop: "$d"} if aop != "$count" else {aop: {}})
             | {"window": {"documents": [lo, hi]}},
             "rk": {rop: {}},
+            "sh": {"$shift": {"output": "$a", "by": shift_by,
+                              "default": {"$literal": -99}}},
         },
-    }}, {"$project": {"rid": 1, "agg1": 1, "rk": 1}}]
+    }}, {"$project": {"rid": 1, "agg1": 1, "rk": 1, "sh": 1}}]
     sql = f"""
-    SELECT rid, {asql} AS agg1, {rsql} AS rk
+    SELECT rid, {asql} AS agg1, {rsql} AS rk,
+           {"LEAD" if shift_by >= 0 else "LAG"}(a, {abs(shift_by)}, -99)
+               OVER w2 AS sh
     FROM t
     WINDOW w AS (PARTITION BY s ORDER BY d {d_sql}, rid
                  ROWS BETWEEN {lo_sql} AND {hi_sql}),

@@ -2087,3 +2087,27 @@ def test_window_sum_empty_frame_is_zero(spark):
     assert got[1] == (0.0, None)
     assert got[2] == (0.0, None)
     assert got[3] == (1.0, 1.0)
+
+
+def test_topn_desc_nulls_sort_last(spark):
+    """Fuzz-found (round 5, #3/#4): under a DESCENDING sortBy, a null
+    sort key must sort LAST (null is the BSON minimum), and $shift's
+    default accepts the {$literal} spelling but refuses computed
+    expressions."""
+    df = spark.createDataFrame(
+        [("g", 1, None), ("g", 2, 5.0), ("g", 3, 1.0)],
+        "k string, rid int, e double")
+    out = compile_pipeline(df, [{"$group": {
+        "_id": "$k",
+        "tn": {"$topN": {"output": "$rid", "sortBy": {"e": -1, "rid": 1},
+                         "n": 3}},
+        "top": {"$top": {"output": "$rid", "sortBy": {"e": -1, "rid": 1}}},
+    }}]).collect()[0]
+    assert out["tn"] == [2, 3, 1]  # 5.0, 1.0, null — null LAST
+    assert out["top"] == 2
+
+    with pytest.raises(PipelineError, match="constant"):
+        compile_pipeline(df, [{"$setWindowFields": {
+            "partitionBy": "$k", "sortBy": {"rid": 1},
+            "output": {"sh": {"$shift": {"output": "$e", "by": 1,
+                                         "default": "$e"}}}}}])
