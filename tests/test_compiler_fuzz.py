@@ -453,3 +453,33 @@ def test_fuzz_window_range(frames, fr, agg):
                  RANGE BETWEEN {lo_sql} AND {hi_sql})
     """
     _run(frames, pipeline, sql)
+
+
+# ------------------------------------------------------------ fill fuzz
+@settings(max_examples=20, deadline=None, derandomize=True,
+          suppress_health_check=list(HealthCheck))
+@given(m=_match(), mode=st.sampled_from(["locf", "value"]),
+       part=st.booleans())
+def test_fuzz_fill(frames, m, mode, part):
+    """$fill locf/value against IGNORE-NULLS window / COALESCE twins,
+    with and without partitionBy."""
+    out_spec = {"d": ({"method": "locf"} if mode == "locf"
+                      else {"value": -1})}
+    fill = {"sortBy": {"rid": 1}, "output": out_spec}
+    over = "ORDER BY rid ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+    if part:
+        fill["partitionBy"] = "$s"
+        over = "PARTITION BY s " + over
+    pipeline = [
+        {"$match": m[0]},
+        {"$project": {"rid": 1, "s": 1, "d": 1}},
+        {"$fill": fill},
+        {"$project": {"rid": 1, "d": 1}},
+    ]
+    d_sql = ("last_value(d IGNORE NULLS) OVER (" + over + ")"
+             if mode == "locf" else "COALESCE(d, -1)")
+    sql = f"""
+    SELECT rid, {d_sql} AS d
+    FROM (SELECT rid, s, d FROM t WHERE {m[1]})
+    """
+    _run(frames, pipeline, sql)
