@@ -483,3 +483,70 @@ def test_fuzz_fill(frames, m, mode, part):
     FROM (SELECT rid, s, d FROM t WHERE {m[1]})
     """
     _run(frames, pipeline, sql)
+
+
+# ---------------------------------------------------------- bucket fuzz
+@settings(max_examples=25, deadline=None, derandomize=True,
+          suppress_health_check=list(HealthCheck))
+@given(m=_match(),
+       bounds=st.lists(st.integers(-5, 22), min_size=2, max_size=5,
+                       unique=True).map(sorted),
+       use_default=st.booleans())
+def test_fuzz_bucket(frames, m, bounds, use_default):
+    """$bucket boundaries vs a CASE-chain twin: docs below/above the
+    boundaries (and null groupBy values) land in the default bucket,
+    or drop when no default is given."""
+    spec = {"groupBy": "$a", "boundaries": bounds,
+            "output": {"n": {"$sum": 1}}}
+    if use_default:
+        spec["default"] = -999
+    pipeline = [{"$match": m[0]}, {"$bucket": spec}]
+    case = " ".join(
+        f"WHEN a >= {lo} AND a < {hi} THEN {lo}"
+        for lo, hi in zip(bounds, bounds[1:])
+    )
+    default_sql = "-999" if use_default else "NULL"
+    sql = f"""
+    SELECT _id, COUNT(*) AS n FROM (
+      SELECT CASE {case} ELSE {default_sql} END AS _id
+      FROM t WHERE {m[1]}
+    ) {"" if use_default else "WHERE _id IS NOT NULL"}
+    GROUP BY _id
+    """
+    _run(frames, pipeline, sql)
+
+
+# ----------------------------------------------------- graph-hop fuzz
+@settings(max_examples=12, deadline=None, derandomize=True,
+          suppress_health_check=list(HealthCheck))
+@given(mult=st.integers(1, 11), off=st.integers(0, 59),
+       max_depth=st.integers(1, 4))
+def test_fuzz_graph_lookup(spark, frames, mult, off, max_depth):
+    """graph_lookup (the $graphLookup engine) on random CYCLIC
+    functional graphs (i -> (i*mult+off) % 60) vs a recursive-CTE
+    twin: same reachable set, same shallowest depth, bounded by
+    maxDepth — cycles must terminate on both engines."""
+    from mongo_olap_spark.operators.graph import graph_lookup
+
+    _, con = frames
+    n = 60
+    edges = spark.createDataFrame(
+        [(i, (i * mult + off) % n) for i in range(n)], "src long, dst long")
+    starts = spark.createDataFrame(
+        [(i * 7,) for i in range(9)], "start_key long")
+    got = sorted(
+        tuple(r) for r in
+        graph_lookup(starts, edges, max_depth=max_depth).collect()
+    )
+    want = sorted(con.execute(f"""
+        WITH RECURSIVE hops AS (
+          SELECT i * 7 AS start_key, i * 7 AS node, 0 AS depth
+          FROM range(9) r(i)
+          UNION
+          SELECT h.start_key, (h.node * {mult} + {off}) % {n}, h.depth + 1
+          FROM hops h WHERE h.depth < {max_depth}
+        )
+        SELECT start_key, node, CAST(MIN(depth) AS INT)
+        FROM hops WHERE depth > 0 GROUP BY 1, 2
+    """).fetchall())
+    assert got == want, f"mult={mult} off={off} K={max_depth}"
