@@ -550,3 +550,42 @@ def test_fuzz_graph_lookup(spark, frames, mult, off, max_depth):
         FROM hops WHERE depth > 0 GROUP BY 1, 2
     """).fetchall())
     assert got == want, f"mult={mult} off={off} K={max_depth}"
+
+
+# ---------------------------------------------------- composition fuzz
+@settings(max_examples=25, deadline=None, derandomize=True,
+          suppress_health_check=list(HealthCheck))
+@given(m=_match(), e=_num_expr(), preserve=st.booleans())
+def test_fuzz_match_project_unwind_group(frames, m, e, preserve):
+    """Stage COMPOSITION: match → project → unwind → group in one
+    pipeline — the interaction space the single-stage tests cannot
+    see (e.g. grouping over preserved null unwind rows, aggregating
+    the exploded element next to a pre-unwind computed field)."""
+    pipeline = [
+        {"$match": m[0]},
+        {"$project": {"rid": 1, "s": 1, "arr": 1, "e1": e[0]}},
+        {"$unwind": {"path": "$arr",
+                     **({"preserveNullAndEmptyArrays": True}
+                        if preserve else {})}},
+        {"$group": {"_id": "$s",
+                    "n": {"$sum": 1},
+                    "su": {"$sum": "$arr"},
+                    "me": {"$max": "$e1"}}},
+    ]
+    unnest = f"""
+    SELECT rid, s, unnest(arr) AS u, e1 FROM base
+    """ + (f"""
+    UNION ALL
+    SELECT rid, s, NULL, e1 FROM base
+    WHERE arr IS NULL OR len(arr) = 0
+    """ if preserve else "")
+    sql = f"""
+    WITH base AS (SELECT rid, s, arr, {e[1]} AS e1 FROM t WHERE {m[1]}),
+         un AS ({unnest})
+    SELECT s AS _id,
+           COUNT(*) AS n,
+           CAST(COALESCE(SUM(CAST(u AS DECIMAL(38,6))), 0) AS DOUBLE) AS su,
+           MAX(e1) AS me
+    FROM un GROUP BY 1
+    """
+    _run(frames, pipeline, sql)
