@@ -418,8 +418,16 @@ def _compile_op(op: str, spec: Any) -> Column:
         ]
         return mongo_switch(branches, compile_expr(spec.get("default")))
     if op == "$arrayElemAt":
+        # 0-based (negative = from the end); an out-of-range index is
+        # Mongo "missing" ≡ null — try_element_at, NOT element_at,
+        # which throws ArrayIndexOutOfBounds under ANSI (fuzz find #5)
         arr, idx = spec
-        return F.element_at(compile_expr(arr), idx + 1 if isinstance(idx, int) and idx >= 0 else idx)
+        if isinstance(idx, int):
+            idx_c = F.lit(idx + 1 if idx >= 0 else idx)
+        else:
+            i = compile_expr(idx)
+            idx_c = F.when(i >= 0, i + F.lit(1)).otherwise(i)
+        return F.try_element_at(compile_expr(arr), idx_c)
     if op == "$concatArrays":
         return F.concat(*[compile_expr(a) for a in spec])
     if op == "$setUnion":

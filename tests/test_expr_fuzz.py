@@ -1,0 +1,437 @@
+"""Expression-surface fuzz vs DuckDB oracle (round 5, extending
+test_compiler_fuzz.py beyond the stage grammar).
+
+Covers the surfaces the stage fuzz does not reach: the date-part /
+date-arithmetic operators WITH their round-5 ``timezone`` parameter
+(DST gaps, half-hour zones, southern-hemisphere DST), the string
+library ($substrCP/$indexOfCP/$split/$replaceOne/$replaceAll/trim),
+and the array library ($filter/$map/$reduce/$slice/$sortArray/
+$indexOfArray/set ops/$range/array-form $firstN).
+
+Twin-construction notes (verified by probe before writing):
+- DuckDB ``timezone(tz, ts::TIMESTAMPTZ)`` is from_utc_timestamp and
+  ``timezone(tz, naive)::TIMESTAMP`` is to_utc_timestamp when the
+  DuckDB session TimeZone is UTC (both engines pin UTC sessions).
+  Both resolve a spring-forward gap by shifting forward — probed:
+  NY 02:30 on 2024-03-10 maps to 07:30Z on both.
+- DuckDB dayofweek is 0=Sunday; Mongo/Spark 1=Sunday → +1.
+- DuckDB date_diff counts unit-boundary crossings — exactly Mongo's
+  $dateDiff contract (the engine truncates-then-diffs to get it).
+- list_position returns 0 when absent (so -1 after the 1→0 base
+  shift, which IS Mongo's $indexOfArray absent value) and NULL only
+  for a NULL list.
+- regexp_replace without 'g' replaces the FIRST match = $replaceOne.
+
+Determinism: derandomize=True, same cases every run; the dyadic
+double column makes float arithmetic exact so == comparison holds.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import duckdb
+import hypothesis.strategies as st
+import pytest
+from hypothesis import HealthCheck, given, settings
+
+from mongo_olap_spark.plans.pipeline_compiler import compile_pipeline
+
+N_ROWS = 240
+VOCAB = ["red", "green", "blue", None, "RED", "", "héllo wörld", " abAB "]
+TOKENS = ["aa", "b", "ccc", "dd"]
+EPOCH = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _rows():
+    rows = []
+    for i in range(N_ROWS):
+        a = None if i % 7 == 3 else (i * 13) % 21
+        d = None if a is None else (a - 7) / 4.0
+        s = VOCAB[i % len(VOCAB)]
+        s2 = "-".join(TOKENS[(i + j) % 4] for j in range(i % 4))
+        # ~1.5-day stride + minute jitter: spans all of 2024, crosses
+        # both US DST transitions and the Sydney (southern) ones
+        ts = (
+            None
+            if i % 9 == 4
+            else EPOCH + dt.timedelta(seconds=i * 131071, minutes=(i * 17) % 60)
+        )
+        arr = None if i % 13 == 6 else [(i * j) % 10 for j in range(i % 5)]
+        rows.append((i, a, d, s, s2, ts, arr))
+    return rows
+
+
+@pytest.fixture(scope="module")
+def eframes(spark):
+    import pandas as pd
+
+    rows = _rows()
+    sdf = spark.createDataFrame(
+        rows,
+        "rid int, a int, d double, s string, s2 string, ts timestamp,"
+        " arr array<int>",
+    ).cache()
+    sdf.count()
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    pdf = pd.DataFrame(
+        rows, columns=["rid", "a", "d", "s", "s2", "ts", "arr"]
+    ).astype({"a": "Int64"})
+    con.register("t", pdf)
+    return sdf, con
+
+
+def _norm(rows):
+    out = []
+    for r in rows:
+        vals = []
+        for v in r:
+            if v is None:
+                vals.append(None)
+            elif isinstance(v, bool):
+                vals.append(v)
+            elif isinstance(v, (int, float)) or str(type(v)).find("Decimal") >= 0:
+                f = float(v)
+                assert not math.isnan(f)
+                vals.append(f)
+            elif isinstance(v, list):
+                vals.append([None if x is None else
+                             (float(x) if isinstance(x, (int, float)) else x)
+                             for x in v])
+            else:
+                vals.append(v)
+        out.append(tuple(vals))
+    return sorted(out, key=repr)
+
+
+def _run(eframes, pipeline, sql):
+    sdf, con = eframes
+    got = _norm([tuple(r) for r in compile_pipeline(sdf, pipeline).collect()])
+    want = _norm(con.execute(sql).fetchall())
+    assert got == want, f"\npipeline={pipeline}\nsql={sql}"
+
+
+# ------------------------------------------------------------- dates
+# IANA zones exercising: identity, US DST (spring/fall), half-hour
+# offset, southern-hemisphere DST (transitions in Apr/Oct)
+_TZS = ["UTC", "America/New_York", "Asia/Kolkata", "Australia/Sydney"]
+
+#: (mongo op, duckdb expr template over wall-clock naive {0})
+_PARTS = [
+    ("$year", "year({0})"),
+    ("$month", "month({0})"),
+    ("$dayOfMonth", "dayofmonth({0})"),
+    ("$hour", "hour({0})"),
+    ("$minute", "minute({0})"),
+    ("$second", "second({0})"),
+    ("$dayOfWeek", "(dayofweek({0}) + 1)"),
+    ("$dayOfYear", "dayofyear({0})"),
+    ("$isoWeek", "week({0})"),
+    ("$isoDayOfWeek", "isodow({0})"),
+    ("$isoWeekYear", "isoyear({0})"),
+    ("$week", "CAST(strftime({0}, '%U') AS INT)"),
+]
+
+
+@settings(max_examples=48, deadline=None, derandomize=True,
+          suppress_health_check=list(HealthCheck))
+@given(part=st.sampled_from(_PARTS), tz=st.sampled_from(_TZS),
+       with_tz=st.booleans())
+def test_fuzz_date_parts(eframes, part, tz, with_tz):
+    """Every date-part operator, bare and with the {date, timezone}
+    object form, vs extraction over the zone's wall clock."""
+    op, sql_t = part
+    spec = {op: ({"date": "$ts", "timezone": tz} if with_tz else "$ts")}
+    wall = f"timezone('{tz}', ts::TIMESTAMPTZ)" if with_tz else "ts"
+    pipeline = [{"$project": {"rid": 1, "p": spec}}]
+    sql = f"SELECT rid, {sql_t.format(wall)} AS p FROM t"
+    _run(eframes, pipeline, sql)
+
+
+_TRUNC_UNITS = ["year", "month", "week", "day", "hour", "minute"]
+_ARITH_UNITS = ["year", "month", "week", "day", "hour", "minute", "second"]
+
+
+@settings(max_examples=36, deadline=None, derandomize=True,
+          suppress_health_check=list(HealthCheck))
+@given(unit=st.sampled_from(_TRUNC_UNITS), tz=st.sampled_from(_TZS),
+       with_tz=st.booleans())
+def test_fuzz_date_trunc(eframes, unit, tz, with_tz):
+    """$dateTrunc: truncate at the zone's local boundary, return the
+    UTC instant of that boundary (identity composition when no tz)."""
+    spec = {"date": "$ts", "unit": unit}
+    if with_tz:
+        spec["timezone"] = tz
+        sql_e = (f"timezone('{tz}', date_trunc('{unit}', "
+                 f"timezone('{tz}', ts::TIMESTAMPTZ)))::TIMESTAMP")
+    else:
+        sql_e = f"date_trunc('{unit}', ts)::TIMESTAMP"
+    pipeline = [{"$project": {"rid": 1, "p": {"$dateTrunc": spec}}}]
+    sql = f"SELECT rid, {sql_e} AS p FROM t"
+    _run(eframes, pipeline, sql)
+
+
+@settings(max_examples=40, deadline=None, derandomize=True,
+          suppress_health_check=list(HealthCheck))
+@given(unit=st.sampled_from(_ARITH_UNITS), n=st.integers(-30, 30),
+       tz=st.sampled_from(_TZS), with_tz=st.booleans(),
+       sub=st.booleans())
+def test_fuzz_date_add(eframes, unit, n, tz, with_tz, sub):
+    """$dateAdd/$dateSubtract: calendar arithmetic; with a zone it is
+    WALL-CLOCK arithmetic in that zone (DST-aware), twin-composed the
+    same way in DuckDB."""
+    op = "$dateSubtract" if sub else "$dateAdd"
+    spec = {"startDate": "$ts", "unit": unit, "amount": n}
+    eff = -n if sub else n
+    if with_tz:
+        spec["timezone"] = tz
+        sql_e = (f"timezone('{tz}', (timezone('{tz}', ts::TIMESTAMPTZ) "
+                 f"+ ({eff}) * INTERVAL 1 {unit}))::TIMESTAMP")
+    else:
+        sql_e = f"(ts + ({eff}) * INTERVAL 1 {unit})"
+    pipeline = [{"$project": {"rid": 1, "p": {op: spec}}}]
+    sql = f"SELECT rid, {sql_e} AS p FROM t"
+    _run(eframes, pipeline, sql)
+
+
+_SOW = ["sunday", "monday", "wednesday", "saturday"]
+_SOW_ANCHOR = {"sunday": "1970-01-04", "monday": "1970-01-05",
+               "wednesday": "1970-01-07", "saturday": "1970-01-03"}
+
+
+@settings(max_examples=36, deadline=None, derandomize=True,
+          suppress_health_check=list(HealthCheck))
+@given(unit=st.sampled_from(["year", "month", "day", "hour", "minute"]),
+       off=st.integers(-40, 40), tz=st.sampled_from(_TZS),
+       with_tz=st.booleans())
+def test_fuzz_date_diff(eframes, unit, off, tz, with_tz):
+    """$dateDiff counts unit-boundary crossings (23:59→00:01 is one
+    day) — DuckDB's date_diff has exactly that contract; with a zone,
+    crossings are counted on the zone's local clock."""
+    spec = {"startDate": "$ts",
+            "endDate": {"$dateAdd": {"startDate": "$ts", "unit": "hour",
+                                     "amount": off * 7}},
+            "unit": unit}
+    a, b = "ts", f"(ts + ({off * 7}) * INTERVAL 1 hour)"
+    if with_tz:
+        spec["timezone"] = tz
+        a = f"timezone('{tz}', {a}::TIMESTAMPTZ)"
+        b = f"timezone('{tz}', {b}::TIMESTAMPTZ)"
+    pipeline = [{"$project": {"rid": 1, "p": {"$dateDiff": spec}}}]
+    sql = f"SELECT rid, date_diff('{unit}', {a}, {b}) AS p FROM t"
+    _run(eframes, pipeline, sql)
+
+
+@settings(max_examples=24, deadline=None, derandomize=True,
+          suppress_health_check=list(HealthCheck))
+@given(off=st.integers(-60, 60), sow=st.sampled_from(_SOW))
+def test_fuzz_date_diff_week(eframes, off, sow):
+    """week-unit $dateDiff with startOfWeek: whole weeks between
+    anchored week starts, the anchor being a 1970 date falling on the
+    requested weekday (same construction as the engine, independently
+    re-derived in SQL)."""
+    anchor = _SOW_ANCHOR[sow]
+    pipeline = [{"$project": {"rid": 1, "p": {"$dateDiff": {
+        "startDate": "$ts",
+        "endDate": {"$dateAdd": {"startDate": "$ts", "unit": "hour",
+                                 "amount": off * 13}},
+        "unit": "week", "startOfWeek": sow}}}}]
+    sql = f"""
+    SELECT rid,
+           (FLOOR(date_diff('day', DATE '{anchor}',
+                            (ts + ({off * 13}) * INTERVAL 1 hour)::DATE) / 7)
+            - FLOOR(date_diff('day', DATE '{anchor}', ts::DATE) / 7)) AS p
+    FROM t
+    """
+    _run(eframes, pipeline, sql)
+
+
+# ----------------------------------------------------------- strings
+def _lit_frag():
+    return st.sampled_from(["a", "b", "A", "l", "lo", "aa", "-", " ", "é"])
+
+
+@settings(max_examples=50, deadline=None, derandomize=True,
+          suppress_health_check=list(HealthCheck))
+@given(start=st.integers(0, 6), ln=st.integers(0, 8), frag=_lit_frag())
+def test_fuzz_substr_index_len(eframes, start, ln, frag):
+    """$substrCP (0-based code points), $indexOfCP (0-based, -1
+    absent), $strLenCP — over a vocabulary with multi-byte chars so
+    byte-position bugs cannot hide."""
+    pipeline = [{"$project": {
+        "rid": 1,
+        "sub": {"$substrCP": ["$s", start, ln]},
+        "idx": {"$indexOfCP": ["$s", frag]},
+        "ln": {"$strLenCP": "$s"},
+    }}]
+    sql = f"""
+    SELECT rid, substr(s, {start + 1}, {ln}) AS sub,
+           (strpos(s, '{frag}') - 1) AS idx,
+           length(s) AS ln
+    FROM t
+    """
+    _run(eframes, pipeline, sql)
+
+
+@settings(max_examples=40, deadline=None, derandomize=True,
+          suppress_health_check=list(HealthCheck))
+@given(find=st.sampled_from(TOKENS + ["a", "-"]), repl=_lit_frag(),
+       one=st.booleans())
+def test_fuzz_replace(eframes, find, repl, one):
+    """$replaceOne (first occurrence — twin regexp_replace without
+    'g') and $replaceAll (twin replace())."""
+    op = "$replaceOne" if one else "$replaceAll"
+    pipeline = [{"$project": {"rid": 1, "r": {
+        op: {"input": "$s2", "find": find, "replacement": repl}}}}]
+    if one:
+        sql_e = f"regexp_replace(s2, regexp_escape('{find}'), '{repl}')"
+    else:
+        sql_e = f"replace(s2, '{find}', '{repl}')"
+    sql = f"SELECT rid, {sql_e} AS r FROM t"
+    _run(eframes, pipeline, sql)
+
+
+@settings(max_examples=30, deadline=None, derandomize=True,
+          suppress_health_check=list(HealthCheck))
+@given(idx=st.integers(-4, 4))
+def test_fuzz_split_elem(eframes, idx):
+    """$split + $arrayElemAt + $size composition vs string_split:
+    1-based vs 0-based and negative indices, absent delimiter → the
+    whole string as a single element."""
+    pipeline = [{"$project": {
+        "rid": 1,
+        "el": {"$arrayElemAt": [{"$split": ["$s2", "-"]}, idx]},
+        "n": {"$size": {"$split": ["$s2", "-"]}},
+    }}]
+    duck_idx = idx + 1 if idx >= 0 else idx
+    sql = f"""
+    SELECT rid, string_split(s2, '-')[{duck_idx}] AS el,
+           len(string_split(s2, '-')) AS n
+    FROM t
+    """
+    _run(eframes, pipeline, sql)
+
+
+@settings(max_examples=20, deadline=None, derandomize=True,
+          suppress_health_check=list(HealthCheck))
+@given(chars=st.sampled_from([" ", "aA", " a", "dRE"]),
+       side=st.sampled_from(["$ltrim", "$rtrim"]))
+def test_fuzz_trim(eframes, chars, side):
+    """$ltrim/$rtrim with an explicit chars set; $trim default
+    whitespace rides along in the same projection."""
+    pipeline = [{"$project": {
+        "rid": 1,
+        "t1": {side: {"input": "$s", "chars": chars}},
+        "t2": {"$trim": {"input": "$s"}},
+    }}]
+    fn = "ltrim" if side == "$ltrim" else "rtrim"
+    sql = f"""
+    SELECT rid, {fn}(s, '{chars}') AS t1, trim(s) AS t2 FROM t
+    """
+    _run(eframes, pipeline, sql)
+
+
+# ------------------------------------------------------------ arrays
+@settings(max_examples=40, deadline=None, derandomize=True,
+          suppress_health_check=list(HealthCheck))
+@given(k=st.integers(0, 9), mul=st.integers(-3, 3), add=st.integers(-5, 5))
+def test_fuzz_filter_map_reduce(eframes, k, mul, add):
+    """$filter/$map/$reduce (lambda-bound $$this/$$value) vs DuckDB
+    list_filter/list_transform/list_sum twins; $reduce with init 0 is
+    0 on an empty array while list_sum is NULL — COALESCE spells the
+    difference."""
+    pipeline = [{"$project": {
+        "rid": 1,
+        "f": {"$filter": {"input": "$arr", "as": "x",
+                          "cond": {"$gt": ["$$x", k]}}},
+        "m": {"$map": {"input": "$arr", "as": "x",
+                       "in": {"$add": [{"$multiply": ["$$x", mul]}, add]}}},
+        "r": {"$reduce": {"input": "$arr", "initialValue": 0,
+                          "in": {"$add": ["$$value", "$$this"]}}},
+    }}]
+    sql = f"""
+    SELECT rid,
+           list_filter(arr, x -> x > {k}) AS f,
+           list_transform(arr, x -> x * {mul} + {add}) AS m,
+           CASE WHEN arr IS NULL THEN NULL
+                ELSE COALESCE(list_sum(arr), 0) END AS r
+    FROM t
+    """
+    _run(eframes, pipeline, sql)
+
+
+@settings(max_examples=40, deadline=None, derandomize=True,
+          suppress_health_check=list(HealthCheck))
+@given(v=st.integers(0, 11), n=st.integers(1, 4),
+       direction=st.sampled_from([1, -1]))
+def test_fuzz_array_shape(eframes, v, n, direction):
+    """$indexOfArray (-1 absent, null on null array), $slice,
+    $sortArray asc/desc, $reverseArray, $in, $size, array-form
+    $firstN."""
+    pipeline = [{"$project": {
+        "rid": 1,
+        "ix": {"$indexOfArray": ["$arr", v]},
+        "sl": {"$slice": ["$arr", n]},
+        "so": {"$sortArray": {"input": "$arr", "sortBy": direction}},
+        "rv": {"$reverseArray": "$arr"},
+        "has": {"$in": [v, "$arr"]},
+        "fn": {"$firstN": {"input": "$arr", "n": n}},
+    }}]
+    d_sort = "ASC" if direction == 1 else "DESC"
+    sql = f"""
+    SELECT rid,
+           CASE WHEN arr IS NULL THEN NULL
+                ELSE list_position(arr, {v}) - 1 END AS ix,
+           arr[1:{n}] AS sl,
+           list_sort(arr, '{d_sort}') AS so,
+           list_reverse(arr) AS rv,
+           list_contains(arr, {v}) AS has,
+           arr[1:{n}] AS fn
+    FROM t
+    """
+    _run(eframes, pipeline, sql)
+
+
+@settings(max_examples=30, deadline=None, derandomize=True,
+          suppress_health_check=list(HealthCheck))
+@given(lo=st.integers(-3, 6), hi=st.integers(-3, 12), step=st.integers(1, 4),
+       extra=st.lists(st.integers(0, 9), min_size=1, max_size=3))
+def test_fuzz_set_ops_range(eframes, lo, hi, step, extra):
+    """$setUnion/$setIntersection/$setDifference (order-free — both
+    sides sorted before compare) and $range against DuckDB list ops.
+    $concatArrays is Mongo-null-propagating (NULL if any operand is)."""
+    lit = sorted(set(extra))
+    lit_sql = "[" + ", ".join(map(str, lit)) + "]"
+    pipeline = [{"$project": {
+        "rid": 1,
+        "un": {"$sortArray": {"input": {"$setUnion": ["$arr", lit]},
+                              "sortBy": 1}},
+        "it": {"$sortArray": {"input": {"$setIntersection": ["$arr", lit]},
+                              "sortBy": 1}},
+        "df": {"$sortArray": {"input": {"$setDifference": ["$arr", lit]},
+                              "sortBy": 1}},
+        "rg": {"$range": [lo, hi, step]},
+        "cc": {"$concatArrays": ["$arr", lit]},
+    }}]
+    sql = f"""
+    SELECT rid,
+           CASE WHEN arr IS NULL THEN NULL
+                ELSE list_sort(list_distinct(list_concat(arr, {lit_sql})))
+           END AS un,
+           list_sort(list_distinct(list_filter(arr,
+               x -> list_contains({lit_sql}, x)))) AS it,
+           list_sort(list_distinct(list_filter(arr,
+               x -> NOT list_contains({lit_sql}, x)))) AS df,
+           range({lo}, {hi}, {step}) AS rg,
+           CASE WHEN arr IS NULL THEN NULL
+                ELSE list_concat(arr, {lit_sql}) END AS cc
+    FROM t
+    """
+    sdf, con = eframes
+    got = _norm([tuple(r) for r in compile_pipeline(sdf, pipeline).collect()])
+    want = _norm(con.execute(sql).fetchall())
+    # null array: every set op is NULL on both engines; non-null rows
+    # must agree exactly
+    assert got == want, f"\npipeline={pipeline}\nsql={sql}"
