@@ -435,3 +435,146 @@ def test_fuzz_set_ops_range(eframes, lo, hi, step, extra):
     # null array: every set op is NULL on both engines; non-null rows
     # must agree exactly
     assert got == want, f"\npipeline={pipeline}\nsql={sql}"
+
+
+# ------------------------------------------------ accumulator fuzz
+@settings(max_examples=30, deadline=None, derandomize=True,
+          suppress_health_check=list(HealthCheck))
+@given(direction=st.sampled_from([1, -1]), n=st.integers(1, 4),
+       p=st.sampled_from([0.25, 0.5, 0.75, 0.125]))
+def test_fuzz_accumulators(eframes, direction, n, p):
+    """$sort-ordered $first/$last/$push next to self-sorted $top/
+    $topN/$minN and the numeric family $stdDevPop/Samp (6-dp rounded
+    — non-associative float), $median/$percentile (exact interpolated;
+    dyadic data and dyadic p make both engines' lerp exact)."""
+    d_sql = "ASC NULLS FIRST" if direction == 1 else "DESC NULLS LAST"
+    pipeline = [
+        {"$sort": {"d": direction, "rid": 1}},
+        {"$group": {
+            "_id": "$s",
+            "fi": {"$first": "$rid"},
+            "la": {"$last": "$rid"},
+            "pu": {"$push": "$rid"},
+            "tp": {"$top": {"output": "$rid",
+                            "sortBy": {"d": -direction, "rid": 1}}},
+            "tn": {"$topN": {"output": "$rid",
+                             "sortBy": {"d": -direction, "rid": 1},
+                             "n": n}},
+            "mnn": {"$minN": {"input": "$a", "n": n}},
+            "sd": {"$stdDevPop": "$d"},
+            "ss": {"$stdDevSamp": "$d"},
+            "md": {"$median": {"input": "$d", "method": "approximate"}},
+            "pc": {"$percentile": {"input": "$d", "p": [p],
+                                   "method": "approximate"}},
+        }},
+        {"$project": {"_id": 1, "fi": 1, "la": 1, "pu": 1, "tp": 1,
+                      "tn": 1, "mnn": 1,
+                      "sd": {"$round": ["$sd", 6]},
+                      "ss": {"$round": ["$ss", 6]},
+                      "md": 1, "pc": 1}},
+    ]
+    rev = "DESC NULLS LAST" if direction == 1 else "ASC NULLS FIRST"
+    sql = f"""
+    SELECT s AS _id,
+           (list(rid ORDER BY d {d_sql}, rid))[1] AS fi,
+           (list(rid ORDER BY d {d_sql}, rid))[-1] AS la,
+           list(rid ORDER BY d {d_sql}, rid) AS pu,
+           (list(rid ORDER BY d {rev}, rid))[1] AS tp,
+           (list(rid ORDER BY d {rev}, rid))[1:{n}] AS tn,
+           (list(a ORDER BY a ASC) FILTER (a IS NOT NULL))[1:{n}] AS mnn,
+           round(stddev_pop(d), 6) AS sd,
+           round(stddev_samp(d), 6) AS ss,
+           quantile_cont(d, 0.5) AS md,
+           [quantile_cont(d, {p})] AS pc
+    FROM t GROUP BY 1
+    """
+    _run(eframes, pipeline, sql)
+
+
+# ---------------------------------------------------- $lookup fuzz
+def _dim_rows(mult):
+    rows = []
+    for k in range(7):
+        for c in range((k * mult + 1) % 4):
+            rows.append((k, k * 10 + c))
+    return rows
+
+
+@settings(max_examples=20, deadline=None, derandomize=True,
+          suppress_health_check=list(HealthCheck))
+@given(mult=st.integers(0, 6), preserve=st.booleans())
+def test_fuzz_lookup_unwind_group(spark, eframes, mult, preserve):
+    """Equi-$lookup (array-of-matches contract) composed with $unwind
+    and a $group over the joined values, against a LEFT/INNER JOIN
+    twin — fuzzing the foreign key's match multiplicity 0..3 per key.
+    A null local key matches nothing (the dim has no null keys)."""
+    sdf, con = eframes
+    import pandas as pd
+
+    dim = _dim_rows(mult)
+    u = spark.createDataFrame(dim or [(None, None)], "key int, v int")
+    if not dim:
+        u = u.filter("key IS NOT NULL")
+    con.register("u", pd.DataFrame(dim, columns=["key", "v"]).astype(
+        {"key": "Int64", "v": "Int64"}))
+    pipeline = [
+        {"$project": {"rid": 1, "k": {"$mod": ["$a", 7]}}},
+        {"$lookup": {"from": "u", "localField": "k",
+                     "foreignField": "key", "as": "m"}},
+        {"$unwind": {"path": "$m",
+                     **({"preserveNullAndEmptyArrays": True}
+                        if preserve else {})}},
+        {"$group": {"_id": "$rid",
+                    "n": {"$sum": 1},
+                    "sv": {"$sum": "$m.v"}}},
+    ]
+    join = "LEFT JOIN" if preserve else "JOIN"
+    sql = f"""
+    WITH p AS (SELECT rid, a % 7 AS k FROM t),
+         j AS (SELECT p.rid, u.v FROM p {join} u ON p.k = u.key)
+    SELECT rid AS _id, COUNT(*) AS n,
+           CAST(COALESCE(SUM(CAST(v AS DECIMAL(38,6))), 0) AS DOUBLE) AS sv
+    FROM j GROUP BY 1
+    """
+    got = _norm([tuple(r) for r in compile_pipeline(
+        sdf, pipeline, collections={"u": u}).collect()])
+    want = _norm(con.execute(sql).fetchall())
+    assert got == want, f"\npipeline={pipeline}\nsql={sql}"
+
+
+@settings(max_examples=16, deadline=None, derandomize=True,
+          suppress_health_check=list(HealthCheck))
+@given(mult=st.integers(0, 6), cut=st.integers(0, 65))
+def test_fuzz_lookup_pipeline_residual(spark, eframes, mult, cut):
+    """Correlated sub-pipeline $lookup: one $$var equality plus an
+    uncorrelated residual predicate, vs a LEFT JOIN with the residual
+    in the ON clause (Mongo: non-matching docs still get an empty
+    array — size 0)."""
+    sdf, con = eframes
+    import pandas as pd
+
+    dim = _dim_rows(mult)
+    u = spark.createDataFrame(dim or [(None, None)], "key int, v int")
+    if not dim:
+        u = u.filter("key IS NOT NULL")
+    con.register("u", pd.DataFrame(dim, columns=["key", "v"]).astype(
+        {"key": "Int64", "v": "Int64"}))
+    pipeline = [
+        {"$project": {"rid": 1, "k": {"$mod": ["$a", 7]}}},
+        {"$lookup": {"from": "u", "let": {"kk": "$k"},
+                     "pipeline": [{"$match": {"$expr": {"$and": [
+                         {"$eq": ["$key", "$$kk"]},
+                         {"$lt": ["$v", cut]}]}}}],
+                     "as": "m"}},
+        {"$project": {"rid": 1, "nm": {"$size": "$m"}}},
+    ]
+    sql = f"""
+    WITH p AS (SELECT rid, a % 7 AS k FROM t)
+    SELECT p.rid, COUNT(u.key) AS nm
+    FROM p LEFT JOIN u ON p.k = u.key AND u.v < {cut}
+    GROUP BY p.rid
+    """
+    got = _norm([tuple(r) for r in compile_pipeline(
+        sdf, pipeline, collections={"u": u}).collect()])
+    want = _norm(con.execute(sql).fetchall())
+    assert got == want, f"\npipeline={pipeline}\nsql={sql}"
