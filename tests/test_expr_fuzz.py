@@ -578,3 +578,42 @@ def test_fuzz_lookup_pipeline_residual(spark, eframes, mult, cut):
         sdf, pipeline, collections={"u": u}).collect()])
     want = _norm(con.execute(sql).fetchall())
     assert got == want, f"\npipeline={pipeline}\nsql={sql}"
+
+
+# ---------------------------------------------------- $densify fuzz
+@settings(max_examples=20, deadline=None, derandomize=True,
+          suppress_health_check=list(HealthCheck))
+@given(step=st.integers(1, 5), part=st.booleans())
+def test_fuzz_densify_numeric(eframes, step, part):
+    """Numeric-step $densify (bounds full/partition): the spine fills
+    [min, max] at step multiples FROM min; original documents are all
+    preserved — including ones whose value is OFF the spine grid and
+    ones with a null densify field (Mongo passes those through)."""
+    sdf, con = eframes
+    field_part = (["s"] if part else [])
+    spec = {"field": "a", "range": {"step": step,
+                                    "bounds": "partition" if part else "full"}}
+    if part:
+        spec["partitionByFields"] = ["s"]
+    pipeline = [
+        {"$project": {"rid": 1, "s": 1, "a": 1}},
+        {"$densify": spec},
+        {"$project": {"rid": 1, "s": 1, "a": 1}},
+    ]
+    pcols = "s," if part else ""
+    pgrp = "GROUP BY s" if part else ""
+    pjoin = "AND b.s IS NOT DISTINCT FROM g.s" if part else ""
+    sql = f"""
+    WITH base AS (SELECT rid, s, a FROM t),
+    b AS (SELECT {pcols} min(a) AS d0, max(a) AS d1
+          FROM base WHERE a IS NOT NULL {pgrp}),
+    spine AS (SELECT {"b.s," if part else ""}
+                     unnest(generate_series(d0, d1, {step})) AS a FROM b),
+    grid AS (SELECT g.* FROM spine g
+             WHERE NOT EXISTS (SELECT 1 FROM base b
+                               WHERE b.a = g.a {pjoin}))
+    SELECT rid, s, a FROM base
+    UNION ALL
+    SELECT NULL AS rid, {"s" if part else "NULL AS s"}, a FROM grid
+    """
+    _run(eframes, pipeline, sql)
