@@ -617,3 +617,142 @@ def test_fuzz_densify_numeric(eframes, step, part):
     SELECT NULL AS rid, {"s" if part else "NULL AS s"}, a FROM grid
     """
     _run(eframes, pipeline, sql)
+
+
+# ------------------------------------------------- conversions fuzz
+@settings(max_examples=25, deadline=None, derandomize=True,
+          suppress_health_check=list(HealthCheck))
+@given(on_err=st.integers(-9, -1), on_null=st.integers(-19, -11),
+       to=st.sampled_from(["int", "long", "double"]))
+def test_fuzz_convert(eframes, on_err, on_null, to):
+    """$convert with onError/onNull over unparseable strings, and
+    $toInt's TRUNCATION of doubles (DuckDB CAST rounds — the twin
+    spells trunc explicitly; the engine's documented policy is
+    Mongo's truncate-toward-zero)."""
+    pipeline = [{"$project": {
+        "rid": 1,
+        "cv": {"$convert": {"input": "$s", "to": to,
+                            "onError": on_err, "onNull": on_null}},
+        "ti": {"$toInt": "$d"},
+    }}]
+    sql = f"""
+    SELECT rid,
+           CASE WHEN s IS NULL THEN {on_null}
+                ELSE COALESCE(TRY_CAST(s AS {to.upper()}), {on_err})
+           END AS cv,
+           CAST(TRUNC(d) AS INT) AS ti
+    FROM t
+    """
+    _run(eframes, pipeline, sql)
+
+
+# ------------------------------------------------------- regex fuzz
+_PATTERNS = ["^a", "a+", "l.o", "[0-9]", "e.", "é", "^$", "o?r"]
+
+
+@settings(max_examples=25, deadline=None, derandomize=True,
+          suppress_health_check=list(HealthCheck))
+@given(pat=st.sampled_from(_PATTERNS))
+def test_fuzz_regex(eframes, pat):
+    """$regexMatch (unanchored find, like Mongo) and $match {$regex}
+    vs DuckDB regexp_matches."""
+    pipeline = [
+        {"$match": {"s": {"$regex": pat}}},
+        {"$project": {"rid": 1,
+                      "m2": {"$regexMatch": {"input": "$s2",
+                                             "regex": pat}}}},
+    ]
+    sql = f"""
+    SELECT rid, regexp_matches(s2, '{pat}') AS m2
+    FROM t WHERE regexp_matches(s, '{pat}')
+    """
+    _run(eframes, pipeline, sql)
+
+
+# ------------------------------------------- divide/mod policy fuzz
+@settings(max_examples=25, deadline=None, derandomize=True,
+          suppress_health_check=list(HealthCheck))
+@given(k=st.integers(0, 6))
+def test_fuzz_divide_mod(eframes, k):
+    """$divide/$mod by a possibly-zero denominator: the engine's
+    documented policy is null (try_divide/try_mod), vs Mongo's
+    runtime error — the twin encodes the engine policy. b runs
+    through 0 via (a % (k+1)) - and hits negatives via - 3."""
+    pipeline = [{"$project": {
+        "rid": 1,
+        "dv": {"$divide": ["$d", {"$subtract": [{"$mod": ["$a", k + 2]}, 3]}]},
+        "md": {"$mod": ["$a", {"$subtract": [{"$mod": ["$a", k + 2]}, 3]}]},
+    }}]
+    sql = f"""
+    SELECT rid,
+           d / NULLIF((a % {k + 2}) - 3, 0) AS dv,
+           CASE WHEN (a % {k + 2}) - 3 = 0 THEN NULL
+                ELSE a % ((a % {k + 2}) - 3) END AS md
+    FROM t
+    """
+    _run(eframes, pipeline, sql)
+
+
+# ------------------------------------------- sortByCount/union fuzz
+@settings(max_examples=20, deadline=None, derandomize=True,
+          suppress_health_check=list(HealthCheck))
+@given(m=st.integers(-4, 18))
+def test_fuzz_sortbycount_union(eframes, m):
+    """$unionWith (nested pipeline, column alignment) feeding
+    $sortByCount — multiset compare (count ties make total order
+    undefined)."""
+    pipeline = [
+        {"$match": {"a": {"$gt": m}}},
+        {"$unionWith": {"coll": "t2", "pipeline": [
+            {"$match": {"a": {"$lte": m}}},
+            {"$project": {"rid": 1, "s": 1, "a": 1}},
+        ]}},
+        {"$sortByCount": "$s"},
+    ]
+    sdf, con = eframes
+    sql = f"""
+    WITH u AS (
+      SELECT s FROM t WHERE a > {m}
+      UNION ALL
+      SELECT s FROM t WHERE a <= {m}
+    )
+    SELECT s AS _id, COUNT(*) AS count FROM u GROUP BY 1
+    """
+    got = _norm([tuple(r) for r in compile_pipeline(
+        sdf, pipeline, collections={"t2": sdf}).collect()])
+    want = _norm(con.execute(sql).fetchall())
+    assert got == want, f"\npipeline={pipeline}\nsql={sql}"
+
+
+# ------------------------------------------------------- facet fuzz
+@settings(max_examples=12, deadline=None, derandomize=True,
+          suppress_health_check=list(HealthCheck))
+@given(m=st.integers(-4, 18), k=st.integers(1, 20))
+def test_fuzz_facet(eframes, m, k):
+    """$facet: one document, each facet an array of sub-pipeline
+    result docs — each facet compared (as a multiset of structs)
+    against its own SQL."""
+    sdf, con = eframes
+    pipeline = [
+        {"$match": {"a": {"$exists": True}}},
+        {"$facet": {
+            "by_s": [{"$group": {"_id": "$s", "n": {"$sum": 1}}}],
+            "top": [{"$match": {"a": {"$gt": m}}},
+                    {"$sort": {"a": 1, "rid": 1}},
+                    {"$limit": k},
+                    {"$project": {"rid": 1}}],
+        }},
+    ]
+    [row] = compile_pipeline(sdf, pipeline).collect()
+    got_by_s = sorted(((r["_id"], r["n"]) for r in row["by_s"]), key=repr)
+    got_top = [r["rid"] for r in row["top"]]
+    want_by_s = sorted(
+        ((s, n) for s, n in con.execute(
+            "SELECT s, COUNT(*) FROM t WHERE a IS NOT NULL GROUP BY 1"
+        ).fetchall()), key=repr,
+    )
+    want_top = [r[0] for r in con.execute(f"""
+        SELECT rid FROM t WHERE a IS NOT NULL AND a > {m}
+        ORDER BY a, rid LIMIT {k}
+    """).fetchall()]
+    assert got_by_s == want_by_s and got_top == want_top, f"m={m} k={k}"
