@@ -178,6 +178,50 @@ def _tz_wall(c: Column, spec: dict, op: str) -> Column:
     return c if tz is None else F.from_utc_timestamp(c, tz)
 
 
+#: $dateTrunc units (millisecond refused: no sub-second date_trunc
+#: in Spark, and the engine's timestamps are µs — document the gap
+#: loudly rather than silently truncating to seconds)
+_TRUNC_UNITS = {"year", "quarter", "month", "week", "day", "hour",
+                "minute", "second"}
+#: last <weekday> on or before Mongo's 2000-01-01 bin reference —
+#: the anchor that makes week bins land on startOfWeek boundaries
+_TRUNC_WEEK_ANCHOR = {
+    "sunday": "1999-12-26", "monday": "1999-12-27",
+    "tuesday": "1999-12-28", "wednesday": "1999-12-29",
+    "thursday": "1999-12-30", "friday": "1999-12-31",
+    "saturday": "2000-01-01",
+}
+_FIXED_UNIT_S = {"second": 1, "minute": 60, "hour": 3600, "day": 86400}
+_MONTH_UNITS = {"month": 1, "quarter": 3, "year": 12}
+_BIN_REF_S = 946684800  # 2000-01-01T00:00:00Z
+
+
+def _date_trunc_binned(c: Column, unit: str, bin_size: int, sow: str) -> Column:
+    """$dateTrunc with binSize (and week startOfWeek): the bin start
+    containing ``c``, bins laid out from Mongo's 2000-01-01 reference
+    instant. floor() keeps pre-reference instants in their own bins
+    (floor of a negative quotient), matching bins-relative-to-the-
+    reference in both directions. Pure codegen arithmetic."""
+    if unit in _MONTH_UNITS:
+        w = bin_size * _MONTH_UNITS[unit]
+        m = (F.year(c) - 2000) * 12 + F.month(c) - 1
+        binm = (F.floor(m / F.lit(w)) * w).cast("int")
+        return F.add_months(F.lit("2000-01-01").cast("date"), binm).cast(
+            "timestamp"
+        )
+    if unit == "week":
+        anchor = F.lit(_TRUNC_WEEK_ANCHOR[sow]).cast("date")
+        days = F.datediff(c.cast("date"), anchor)
+        w = 7 * bin_size
+        bind = (F.floor(days / F.lit(w)) * w).cast("int")
+        return F.date_add(anchor, bind).cast("timestamp")
+    w = bin_size * _FIXED_UNIT_S[unit]
+    ue = F.unix_timestamp(c)
+    return F.timestamp_seconds(
+        (F.floor((ue - _BIN_REF_S) / F.lit(w)) * w + _BIN_REF_S).cast("long")
+    )
+
+
 def _mongo_date_format(fmt: str) -> str:
     """Translate a Mongo $dateToString format to a JVM pattern.
 
@@ -441,16 +485,38 @@ def _compile_op(op: str, spec: Any) -> Column:
         return F.slice(compile_expr(arr), 1, n)
     if op == "$dateTrunc":
         tz = _tz_literal(spec, op)
+        unit = spec["unit"]
+        if unit not in _TRUNC_UNITS:
+            raise PipelineError(
+                f"$dateTrunc: unsupported unit {unit!r} "
+                f"(supported: {sorted(_TRUNC_UNITS)})"
+            )
+        bin_size = spec.get("binSize", 1)
+        if not (isinstance(bin_size, int) and not isinstance(bin_size, bool)
+                and bin_size >= 1):
+            raise PipelineError(
+                "$dateTrunc: binSize must be a positive integer literal"
+            )
+        sow = str(spec.get("startOfWeek", "sunday")).lower()
+        if unit == "week" and sow not in _TRUNC_WEEK_ANCHOR:
+            raise PipelineError(f"$dateTrunc: unknown startOfWeek {sow!r}")
         c = compile_expr(spec["date"])
+        if bin_size == 1 and unit != "week":
+            def inner(x):
+                return F.date_trunc(unit, x)
+        else:
+            # binSize bins (and week-unit truncation, whose boundary
+            # is startOfWeek — Mongo default SUNDAY, not date_trunc's
+            # Monday) anchor at Mongo's 2000-01-01 reference
+            def inner(x):
+                return _date_trunc_binned(x, unit, bin_size, sow)
         if tz is None:
-            return F.date_trunc(spec["unit"], c)
+            return inner(c)
         # truncate at the ZONE's local boundaries, return the UTC
         # instant of that local boundary (Mongo's contract). The
         # round-trip is exact except inside a fall-back DST overlap,
         # where the boundary itself is ambiguous.
-        return F.to_utc_timestamp(
-            F.date_trunc(spec["unit"], F.from_utc_timestamp(c, tz)), tz
-        )
+        return F.to_utc_timestamp(inner(F.from_utc_timestamp(c, tz)), tz)
     if op in ("$dateAdd", "$dateSubtract"):
         amount = compile_expr(spec["amount"])
         if op == "$dateSubtract":

@@ -150,7 +150,9 @@ def test_fuzz_date_parts(eframes, part, tz, with_tz):
     _run(eframes, pipeline, sql)
 
 
-_TRUNC_UNITS = ["year", "month", "week", "day", "hour", "minute"]
+# week excluded here: Mongo week truncation boundary is startOfWeek
+# (default Sunday), covered by test_fuzz_date_trunc_week below
+_TRUNC_UNITS = ["year", "month", "day", "hour", "minute"]
 _ARITH_UNITS = ["year", "month", "week", "day", "hour", "minute", "second"]
 
 
@@ -756,3 +758,55 @@ def test_fuzz_facet(eframes, m, k):
         ORDER BY a, rid LIMIT {k}
     """).fetchall()]
     assert got_by_s == want_by_s and got_top == want_top, f"m={m} k={k}"
+
+
+# --------------------------------------- $dateTrunc binSize/startOfWeek
+_TRUNC_SOW_ANCHOR = {
+    "sunday": "1999-12-26", "monday": "1999-12-27",
+    "wednesday": "1999-12-29", "saturday": "2000-01-01",
+}
+
+
+@settings(max_examples=36, deadline=None, derandomize=True,
+          suppress_health_check=list(HealthCheck))
+@given(unit=st.sampled_from(["hour", "minute", "day", "month", "quarter",
+                             "year"]),
+       bin_size=st.integers(1, 7), tz=st.sampled_from(_TZS),
+       with_tz=st.booleans())
+def test_fuzz_date_trunc_binsize(eframes, unit, bin_size, tz, with_tz):
+    """$dateTrunc binSize: bins anchored at Mongo's 2000-01-01
+    reference — DuckDB's time_bucket with an explicit origin is an
+    independent implementation of the same contract."""
+    spec = {"date": "$ts", "unit": unit, "binSize": bin_size}
+    bucket = (f"time_bucket(({bin_size}) * INTERVAL 1 {unit}, {{0}}, "
+              f"TIMESTAMP '2000-01-01 00:00:00')")
+    if with_tz:
+        spec["timezone"] = tz
+        inner = bucket.format(f"timezone('{tz}', ts::TIMESTAMPTZ)")
+        sql_e = f"timezone('{tz}', {inner})::TIMESTAMP"
+    else:
+        sql_e = bucket.format("ts")
+    pipeline = [{"$project": {"rid": 1, "p": {"$dateTrunc": spec}}}]
+    sql = f"SELECT rid, {sql_e} AS p FROM t"
+    _run(eframes, pipeline, sql)
+
+
+@settings(max_examples=24, deadline=None, derandomize=True,
+          suppress_health_check=list(HealthCheck))
+@given(bin_size=st.integers(1, 4),
+       sow=st.sampled_from(list(_TRUNC_SOW_ANCHOR)))
+def test_fuzz_date_trunc_week(eframes, bin_size, sow):
+    """week-unit $dateTrunc: the boundary is startOfWeek — Mongo's
+    default SUNDAY, not SQL date_trunc's Monday — with binSize weeks
+    anchored at the last startOfWeek on/before 2000-01-01."""
+    anchor = _TRUNC_SOW_ANCHOR[sow]
+    pipeline = [{"$project": {"rid": 1, "p": {"$dateTrunc": {
+        "date": "$ts", "unit": "week", "binSize": bin_size,
+        "startOfWeek": sow}}}}]
+    sql = f"""
+    SELECT rid,
+           time_bucket(({bin_size}) * INTERVAL 7 day, ts,
+                       TIMESTAMP '{anchor} 00:00:00') AS p
+    FROM t
+    """
+    _run(eframes, pipeline, sql)
