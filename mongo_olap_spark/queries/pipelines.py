@@ -697,3 +697,72 @@ def q_pipeline_moving(spark, sf_dir):
         }}],
     )
     return out.select("event_id", "user_id", "avg_1h", "n_1h")
+
+
+@register(
+    "q_pipeline_trunc_bins",
+    oracle="""
+    SELECT time_bucket(INTERVAL 14 day, ts,
+                       TIMESTAMP '1999-12-26 00:00:00') AS wk,
+           time_bucket(INTERVAL 6 hour, ts,
+                       TIMESTAMP '2000-01-01 00:00:00') AS b6,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_pipeline_trunc_bins(spark, sf_dir):
+    """$dateTrunc with binSize (6-hour bins) and week unit with the
+    Mongo SUNDAY startOfWeek default, binSize 2 — bins anchored at the
+    2000-01-01 reference. The oracle is DuckDB's time_bucket with an
+    explicit origin: an independent implementation of the same
+    anchored-bin contract (1999-12-26 is the last Sunday on/before
+    the reference)."""
+    e = load_table(spark, sf_dir, "events")
+    out = compile_pipeline(
+        e,
+        [
+            {"$group": {
+                "_id": {
+                    "wk": {"$dateTrunc": {"date": "$ts", "unit": "week",
+                                          "binSize": 2}},
+                    "b6": {"$dateTrunc": {"date": "$ts", "unit": "hour",
+                                          "binSize": 6}},
+                },
+                "n": {"$sum": 1},
+            }},
+            {"$project": {"wk": "$_id.wk", "b6": "$_id.b6", "n": 1}},
+        ],
+    )
+    return out.select("wk", "b6", "n")
+
+
+@register(
+    "q_pipeline_densify_numeric",
+    oracle="""
+    WITH base AS (SELECT CAST(TRUNC(value) AS INT) AS iv FROM events),
+    b AS (SELECT min(iv) AS d0, max(iv) AS d1 FROM base),
+    spine AS (SELECT unnest(generate_series(d0, d1, 7)) AS iv FROM b),
+    extra AS (SELECT iv FROM spine
+              WHERE iv NOT IN (SELECT DISTINCT iv FROM base)),
+    u AS (SELECT iv FROM base UNION ALL SELECT iv FROM extra)
+    SELECT iv, CAST(COUNT(*) AS BIGINT) AS n FROM u GROUP BY 1
+    """,
+)
+def q_pipeline_densify_numeric(spark, sf_dir):
+    """Numeric-step $densify over a value grid most documents do NOT
+    land on: the spine runs min..max at step 7 while the data sits at
+    every integer — certifying that off-grid documents survive the
+    full-join densify (fuzz find #6) and absent grid values appear
+    exactly once."""
+    e = load_table(spark, sf_dir, "events")
+    out = compile_pipeline(
+        e,
+        [
+            {"$project": {"iv": {"$toInt": "$value"}}},
+            {"$densify": {"field": "iv",
+                          "range": {"step": 7, "bounds": "full"}}},
+            {"$group": {"_id": "$iv", "n": {"$sum": 1}}},
+            {"$project": {"iv": "$_id", "n": 1}},
+        ],
+    )
+    return out.select("iv", "n")
