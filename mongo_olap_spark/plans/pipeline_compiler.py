@@ -2469,38 +2469,38 @@ def _densify(df: DataFrame, spec: dict) -> DataFrame:
     )
     if explicit:
         spine = spine.filter(F.col(field) < hi_l)  # half-open upper
-    # FULL join, not left (fuzz find #6): the spine adds the missing
-    # grid documents while every original document survives — including
-    # values OFF the step grid and null-field docs (Mongo passes those
-    # through untouched). Partition keys compare null-safely: null is a
-    # real partition value. All predicates are equi (<=> included), so
-    # Catalyst still plans a hash/sort-merge join, never a cartesian.
-    sp = spine.select(
-        *[F.col(c).alias(f"__sp_{i}") for i, c in enumerate(spine.columns)]
-    )
-    # both sides renamed to synthetic names: the spine derives from df,
-    # so raw attribute references would be flagged as an ambiguous
-    # self-join by the analyzer
-    da = df.select(
-        *[F.col(c).alias(f"__da_{i}") for i, c in enumerate(df.columns)]
-    )
+    # Append-missing, don't join (fuzz find #6 + scale): every original
+    # document must survive — including values OFF the step grid and
+    # null-field docs (Mongo passes those through untouched). A
+    # spine⟗data join would shuffle the ENTIRE dataset through a
+    # full-outer SMJ just to discover which grid points exist; instead
+    # the data stays put and only (spine ANTI-JOIN distinct-keys) —
+    # both bounded by the grid size — shuffle. Partition keys compare
+    # null-safely: null is a real partition value.
     names = list(spine.columns)  # part_fields + [field]
-    di = {c: i for i, c in enumerate(df.columns)}
-    cond = sp[f"__sp_{len(names) - 1}"] == da[f"__da_{di[field]}"]
-    for i, p in enumerate(part_fields):
-        cond = cond & sp[f"__sp_{i}"].eqNullSafe(da[f"__da_{di[p]}"])
-    joined = sp.join(da, cond, "full")
-    out_cols = []
-    for c in df.columns:
-        if c in names:
-            out_cols.append(
-                F.coalesce(
-                    F.col(f"__da_{di[c]}"), F.col(f"__sp_{names.index(c)}")
-                ).alias(c)
+    sp = spine.select(
+        *[F.col(c).alias(f"__sp_{i}") for i, c in enumerate(names)]
+    )
+    # spine derives from df: rename before joining or the analyzer
+    # flags an ambiguous self-join
+    present = (
+        df.select(*[F.col(c).alias(f"__pr_{i}") for i, c in enumerate(names)])
+        .where(F.col(f"__pr_{len(names) - 1}").isNotNull())
+        .distinct()
+    )
+    cond = sp[f"__sp_{len(names) - 1}"] == present[f"__pr_{len(names) - 1}"]
+    for i in range(len(part_fields)):
+        cond = cond & sp[f"__sp_{i}"].eqNullSafe(present[f"__pr_{i}"])
+    missing = sp.join(present, cond, "left_anti")
+    pad = []
+    for fld in df.schema.fields:
+        if fld.name in names:
+            pad.append(
+                F.col(f"__sp_{names.index(fld.name)}").alias(fld.name)
             )
         else:
-            out_cols.append(F.col(f"__da_{di[c]}").alias(c))
-    return joined.select(*out_cols)
+            pad.append(F.lit(None).cast(fld.dataType).alias(fld.name))
+    return df.unionByName(missing.select(*pad))
 
 
 def _fill(df: DataFrame, spec: dict) -> DataFrame:
