@@ -264,6 +264,94 @@ def _mongo_date_format(fmt: str) -> str:
     return "".join(out)
 
 
+#: format specifiers the JVM formatter CANNOT render correctly (its
+#: week fields are locale-dependent, not ISO) — each becomes a
+#: computed column concatenated between date_format runs
+def _computed_date_spec(nxt: str, wall: Column, c: Column,
+                        tz: str | None) -> Column:
+    if nxt == "u":  # ISO day of week 1-Monday..7-Sunday
+        return (F.weekday(wall) + 1).cast("string")
+    if nxt == "w":  # Mongo: 1-Sunday..7-Saturday (C strftime is 0-based)
+        return F.dayofweek(wall).cast("string")
+    if nxt == "U":  # week 00-53, Sunday-first (strftime-%U)
+        return F.lpad(_SIMPLE_UNARY["$week"](wall).cast("string"), 2, "0")
+    if nxt == "V":  # ISO week 01-53
+        return F.lpad(F.weekofyear(wall).cast("string"), 2, "0")
+    if nxt == "G":  # ISO week-numbering year
+        return F.lpad(_SIMPLE_UNARY["$isoWeekYear"](wall).cast("string"), 4, "0")
+    # %z (+hhmm) / %Z (minutes): the zone's UTC offset AT this instant
+    # (DST-dependent) — derived from the wall/UTC epoch difference, so
+    # no zone-rules lookup is needed beyond the one _tz_wall already did
+    off_min = ((F.unix_timestamp(wall) - F.unix_timestamp(c)) / 60).cast("int")
+    if tz is None:
+        off_min = F.when(c.isNull(), F.lit(None).cast("int")).otherwise(0)
+    if nxt == "Z":
+        return off_min.cast("string")
+    if nxt == "z":
+        sign = F.when(off_min < 0, "-").otherwise("+")
+        mag = F.abs(off_min)
+        return F.concat(
+            sign,
+            F.lpad(F.floor(mag / 60).cast("int").cast("string"), 2, "0"),
+            F.lpad((mag % 60).cast("string"), 2, "0"),
+        )
+    raise AssertionError(nxt)
+
+
+_COMPUTED_DATE_SPECS = set("uwUVGzZ")
+
+
+def _date_to_string(fmt: str, wall: Column, c: Column,
+                    tz: str | None) -> Column:
+    """$dateToString: JVM-safe runs render via date_format; the
+    ISO-week/offset specifiers (which DateTimeFormatter only offers in
+    locale-dependent form) interleave as computed columns. Every piece
+    is null when the date is null, so the concat preserves Mongo's
+    null-in/null-out."""
+    pieces: list[Column] = []
+    run: list[str] = []  # pending JVM-pattern tokens
+    lit: list[str] = []
+
+    def flush_lit():
+        if lit:
+            run.append("'" + "".join(lit).replace("'", "''") + "'")
+            lit.clear()
+
+    def flush_run():
+        flush_lit()
+        if run:
+            pieces.append(F.date_format(wall, "".join(run)))
+            run.clear()
+
+    i = 0
+    while i < len(fmt):
+        if fmt[i] == "%":
+            if i + 1 >= len(fmt):
+                raise PipelineError(f"$dateToString: trailing '%' in {fmt!r}")
+            nxt = fmt[i + 1]
+            if nxt == "%":
+                lit.append("%")
+            elif nxt in _DATE_SPECS:
+                flush_lit()
+                run.append(_DATE_SPECS[nxt])
+            elif nxt in _COMPUTED_DATE_SPECS:
+                flush_run()
+                pieces.append(_computed_date_spec(nxt, wall, c, tz))
+            else:
+                raise PipelineError(
+                    f"$dateToString: unsupported format specifier "
+                    f"%{nxt} in {fmt!r}"
+                )
+            i += 2
+        else:
+            lit.append(fmt[i])
+            i += 1
+    flush_run()
+    if not pieces:  # empty format: "" for every non-null date
+        return F.when(c.isNotNull(), F.lit("")).otherwise(F.lit(None))
+    return pieces[0] if len(pieces) == 1 else F.concat(*pieces)
+
+
 def _variadic(fn: Callable[[Column, Column], Column], args: list) -> Column:
     out = compile_expr(args[0])
     for a in args[1:]:
@@ -853,10 +941,15 @@ def _compile_op(op: str, spec: Any) -> Column:
             )
         return parsed
     if op == "$dateToString":
-        fmt = _mongo_date_format(spec.get("format", "%Y-%m-%dT%H:%M:%S.%LZ"))
-        return F.date_format(
-            _tz_wall(compile_expr(spec["date"]), spec, op), fmt
+        c = compile_expr(spec["date"])
+        wall = _tz_wall(c, spec, op)
+        out = _date_to_string(
+            spec.get("format", "%Y-%m-%dT%H:%M:%S.%LZ"), wall, c,
+            _tz_literal(spec, op),
         )
+        if "onNull" in spec:
+            out = F.when(c.isNull(), compile_expr(spec["onNull"])).otherwise(out)
+        return out
     raise PipelineError(f"unsupported expression operator {op!r}")
 
 

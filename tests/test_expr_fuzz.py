@@ -810,3 +810,91 @@ def test_fuzz_date_trunc_week(eframes, bin_size, sow):
     FROM t
     """
     _run(eframes, pipeline, sql)
+
+
+# ------------------------------------------------ $dateToString fuzz
+# (mongo format, duckdb strftime twin template over wall-naive {0})
+# — Mongo %w is 1-Sunday vs C's 0-Sunday, so its twin computes the
+# part; %z/%Z (zone offset at the instant) are built from the
+# wall/UTC epoch difference on both engines.
+_D2S_CASES = [
+    ("%Y-%m-%dT%H:%M:%S", "strftime({0}, '%Y-%m-%dT%H:%M:%S')"),
+    ("%d/%m/%Y 100%%", "strftime({0}, '%d/%m/%Y 100%%')"),
+    ("%j|%U|%V", "strftime({0}, '%j|%U|%V')"),
+    ("%G-W%V-%u", "strftime({0}, '%G-W%V-%u')"),
+    ("w%w", "('w' || CAST(dayofweek({0}) + 1 AS VARCHAR))"),
+    ("%H:%M:%S.%L", "strftime({0}, '%H:%M:%S.%g')"),
+]
+
+
+@settings(max_examples=40, deadline=None, derandomize=True,
+          suppress_health_check=list(HealthCheck))
+@given(case=st.sampled_from(_D2S_CASES), tz=st.sampled_from(_TZS),
+       with_tz=st.booleans(), on_null=st.booleans())
+def test_fuzz_date_to_string(eframes, case, tz, with_tz, on_null):
+    """$dateToString across the full Mongo specifier set — including
+    the ISO-week fields (%G/%V/%u) the JVM formatter only offers
+    locale-dependently — with timezone and onNull."""
+    fmt, sql_t = case
+    spec = {"date": "$ts", "format": fmt}
+    wall = "ts"
+    if with_tz:
+        spec["timezone"] = tz
+        wall = f"timezone('{tz}', ts::TIMESTAMPTZ)"
+    sql_e = sql_t.format(wall)
+    if on_null:
+        spec["onNull"] = "NO_DATE"
+        sql_e = f"COALESCE({sql_e}, 'NO_DATE')"
+    pipeline = [{"$project": {"rid": 1, "p": {"$dateToString": spec}}}]
+    sql = f"SELECT rid, {sql_e} AS p FROM t"
+    _run(eframes, pipeline, sql)
+
+
+@settings(max_examples=24, deadline=None, derandomize=True,
+          suppress_health_check=list(HealthCheck))
+@given(tz=st.sampled_from(_TZS), with_tz=st.booleans())
+def test_fuzz_date_to_string_offset(eframes, tz, with_tz):
+    """%z (+hhmm) and %Z (offset minutes): the zone's UTC offset AT
+    EACH instant — DST makes it row-dependent; the twin derives it
+    from the same wall/UTC epoch difference."""
+    spec = {"date": "$ts", "format": "%z/%Z"}
+    if with_tz:
+        spec["timezone"] = tz
+        off = (f"(CAST(epoch(timezone('{tz}', ts::TIMESTAMPTZ)) AS BIGINT) "
+               f"- CAST(epoch(ts) AS BIGINT)) // 60")
+    else:
+        off = "(CASE WHEN ts IS NULL THEN NULL ELSE 0 END)"
+    pipeline = [{"$project": {"rid": 1, "p": {"$dateToString": spec}}}]
+    sql = f"""
+    SELECT rid,
+           (CASE WHEN {off} < 0 THEN '-' ELSE '+' END
+            || lpad(CAST(abs({off}) // 60 AS VARCHAR), 2, '0')
+            || lpad(CAST(abs({off}) % 60 AS VARCHAR), 2, '0')
+            || '/' || CAST({off} AS VARCHAR)) AS p
+    FROM t
+    """
+    _run(eframes, pipeline, sql)
+
+
+@settings(max_examples=20, deadline=None, derandomize=True,
+          suppress_health_check=list(HealthCheck))
+@given(tz=st.sampled_from(_TZS), with_tz=st.booleans())
+def test_fuzz_date_from_string_roundtrip(eframes, tz, with_tz):
+    """$dateToString → $dateFromString round-trip (second resolution;
+    the fixture's timestamps are whole seconds) recovers the original
+    instant — the same timezone on both legs cancels exactly, DST
+    transitions included (no fixture instant lands in a gap)."""
+    fmt = "%Y-%m-%d %H:%M:%S"
+    to_spec = {"date": "$ts", "format": fmt}
+    from_spec = {"dateString": "$str", "format": fmt}
+    if with_tz:
+        to_spec["timezone"] = tz
+        from_spec["timezone"] = tz
+    pipeline = [
+        {"$project": {"rid": 1, "ts": 1,
+                      "str": {"$dateToString": to_spec}}},
+        {"$project": {"rid": 1,
+                      "back": {"$dateFromString": from_spec}}},
+    ]
+    sql = "SELECT rid, ts AS back FROM t"
+    _run(eframes, pipeline, sql)
