@@ -886,8 +886,6 @@ def _compile_op(op: str, spec: Any) -> Column:
         # toward zero at `place` decimal digits (floor/ceil by sign)
         return F.when(c >= 0, F.floor(c * f) / f).otherwise(F.ceil(c * f) / f)
     if op == "$dateFromParts":
-        if "isoWeekYear" in spec:
-            raise PipelineError("$dateFromParts: ISO week-date form not supported")
         tz = _tz_literal(spec, op)
 
         def part(name: str, default: int) -> Column:
@@ -895,28 +893,60 @@ def _compile_op(op: str, spec: Any) -> Column:
                 compile_expr(spec[name]) if name in spec else F.lit(default)
             ).cast("int")
 
-        # milliseconds ride as fractional seconds (make_timestamp takes
-        # DECIMAL seconds) — dropping them silently would lose precision
-        secs = (
-            part("second", 0).cast("decimal(16,3)")
-            + part("millisecond", 0).cast("decimal(16,3)") / 1000
-        )
-        ts = F.make_timestamp(
-            part("year", 1970), part("month", 1), part("day", 1),
-            part("hour", 0), part("minute", 0), secs,
-        )
+        # Mongo CARRIES out-of-range parts (month 13 → January next
+        # year, day 0 → last day of the previous month, hour 24 → next
+        # day): build from an anchored January-1st and add each part as
+        # an offset, which is exactly the carrying arithmetic — a
+        # direct make_timestamp would throw under ANSI instead.
+        if "isoWeekYear" in spec:
+            # ISO week-date form: Jan 4 is always in ISO week 1; back
+            # up to that week's Monday, then offset by weeks and days
+            jan4 = F.make_timestamp(
+                part("isoWeekYear", 1970), F.lit(1), F.lit(4),
+                F.lit(0), F.lit(0), F.lit(0),
+            )
+            ts = F.timestamp_add("DAY", -F.weekday(jan4), jan4)
+            offsets = [
+                ("WEEK", part("isoWeek", 1) - 1),
+                ("DAY", part("isoDayOfWeek", 1) - 1),
+            ]
+        else:
+            ts = F.make_timestamp(
+                part("year", 1970), F.lit(1), F.lit(1),
+                F.lit(0), F.lit(0), F.lit(0),
+            )
+            offsets = [
+                ("MONTH", part("month", 1) - 1),
+                ("DAY", part("day", 1) - 1),
+            ]
+        offsets += [
+            ("HOUR", part("hour", 0)),
+            ("MINUTE", part("minute", 0)),
+            ("SECOND", part("second", 0)),
+            ("MILLISECOND", part("millisecond", 0)),
+        ]
+        for unit, amount in offsets:
+            ts = F.timestamp_add(unit, amount, ts)
         # timezone: the parts describe the zone's WALL CLOCK; the
         # result is the corresponding UTC instant
         return ts if tz is None else F.to_utc_timestamp(ts, tz)
     if op == "$dateToParts":
         c = _tz_wall(compile_expr(spec["date"]), spec, op)
+        time_parts = [
+            F.hour(c).alias("hour"), F.minute(c).alias("minute"),
+            F.second(c).alias("second"),
+            F.date_format(c, "SSS").cast("int").alias("millisecond"),
+        ]
         if spec.get("iso8601"):
-            raise PipelineError("$dateToParts: iso8601 form not supported")
+            return F.struct(
+                _SIMPLE_UNARY["$isoWeekYear"](c).alias("isoWeekYear"),
+                F.weekofyear(c).alias("isoWeek"),
+                (F.weekday(c) + 1).alias("isoDayOfWeek"),
+                *time_parts,
+            )
         return F.struct(
             F.year(c).alias("year"), F.month(c).alias("month"),
-            F.dayofmonth(c).alias("day"), F.hour(c).alias("hour"),
-            F.minute(c).alias("minute"), F.second(c).alias("second"),
-            F.date_format(c, "SSS").cast("int").alias("millisecond"),
+            F.dayofmonth(c).alias("day"), *time_parts,
         )
     if op == "$dateFromString":
         tz = _tz_literal(spec, op)

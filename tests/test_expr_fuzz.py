@@ -898,3 +898,71 @@ def test_fuzz_date_from_string_roundtrip(eframes, tz, with_tz):
     ]
     sql = "SELECT rid, ts AS back FROM t"
     _run(eframes, pipeline, sql)
+
+
+# ---------------------------------------------- $dateFromParts fuzz
+@settings(max_examples=30, deadline=None, derandomize=True,
+          suppress_health_check=list(HealthCheck))
+@given(tz=st.sampled_from(_TZS), with_tz=st.booleans(),
+       iso=st.booleans())
+def test_fuzz_date_from_parts_carry(eframes, tz, with_tz, iso):
+    """$dateFromParts carries out-of-range parts (month 13 → next
+    January, day 0 → last of previous month, hour 24 → next day) —
+    the parts here run far outside their ranges, negatives included.
+    Twin: the same carrying arithmetic in DuckDB intervals from the
+    Jan-1 (calendar) / week-1-Monday (ISO) anchor."""
+    if iso:
+        spec = {"isoWeekYear": 2024, "isoWeek": {"$subtract": ["$a", 3]},
+                "isoDayOfWeek": {"$subtract": ["$a", 7]},
+                "minute": {"$multiply": ["$a", 61]}}
+        base = ("(TIMESTAMP '2024-01-04 00:00:00' "
+                "- (isodow(DATE '2024-01-04') - 1) * INTERVAL 1 day)")
+        off = ("+ (a - 3 - 1) * INTERVAL 7 day "
+               "+ (a - 7 - 1) * INTERVAL 1 day + (a * 61) * INTERVAL 1 minute")
+    else:
+        spec = {"year": 2024, "month": {"$subtract": ["$a", 6]},
+                "day": {"$subtract": ["$a", 10]},
+                "hour": {"$multiply": ["$a", 25]}}
+        base = "TIMESTAMP '2024-01-01 00:00:00'"
+        off = ("+ (a - 6 - 1) * INTERVAL 1 month "
+               "+ (a - 10 - 1) * INTERVAL 1 day + (a * 25) * INTERVAL 1 hour")
+    if with_tz:
+        spec["timezone"] = tz
+        sql_e = f"timezone('{tz}', ({base} {off}))::TIMESTAMP"
+    else:
+        sql_e = f"({base} {off})"
+    pipeline = [{"$project": {"rid": 1, "p": {"$dateFromParts": spec}}}]
+    sql = f"SELECT rid, {sql_e} AS p FROM t"
+    _run(eframes, pipeline, sql)
+
+
+@settings(max_examples=20, deadline=None, derandomize=True,
+          suppress_health_check=list(HealthCheck))
+@given(tz=st.sampled_from(_TZS), with_tz=st.booleans(), iso=st.booleans())
+def test_fuzz_date_to_parts(eframes, tz, with_tz, iso):
+    """$dateToParts calendar and iso8601 forms, flattened and compared
+    part-by-part."""
+    spec = {"date": "$ts"}
+    wall = "ts"
+    if with_tz:
+        spec["timezone"] = tz
+        wall = f"timezone('{tz}', ts::TIMESTAMPTZ)"
+    if iso:
+        spec["iso8601"] = True
+        fields = [("isoWeekYear", f"isoyear({wall})"),
+                  ("isoWeek", f"week({wall})"),
+                  ("isoDayOfWeek", f"isodow({wall})")]
+    else:
+        fields = [("year", f"year({wall})"), ("month", f"month({wall})"),
+                  ("day", f"dayofmonth({wall})")]
+    fields += [("hour", f"hour({wall})"), ("minute", f"minute({wall})"),
+               ("second", f"second({wall})")]
+    pipeline = [
+        {"$project": {"rid": 1, "pt": {"$dateToParts": spec}}},
+        {"$project": {"rid": 1,
+                      **{k: f"$pt.{k}" for k, _ in fields}}},
+    ]
+    sql = ("SELECT rid, "
+           + ", ".join(f"{e} AS {k}" for k, e in fields)
+           + " FROM t")
+    _run(eframes, pipeline, sql)

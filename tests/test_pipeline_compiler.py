@@ -1228,8 +1228,8 @@ def test_new_ops_refuse_by_name(spark):
         compile_expr({"$zip": {"inputs": ["$a"], "defaults": [1]}})
     with pytest.raises(PipelineError, match="literal field name"):
         compile_expr({"$getField": {"input": "$s", "field": {"$literal": "x"}}})
-    with pytest.raises(PipelineError, match="ISO week-date"):
-        compile_expr({"$dateFromParts": {"isoWeekYear": 2024}})
+    # (the $dateFromParts ISO week-date form is implemented as of
+    # round 5 — its former refusal is gone; see test_expr_fuzz)
     with pytest.raises(PipelineError, match="preceding \\$sort"):
         compile_pipeline(
             spark.createDataFrame([("a", 1)], "g string, v int"),
