@@ -966,3 +966,26 @@ def test_fuzz_date_to_parts(eframes, tz, with_tz, iso):
            + ", ".join(f"{e} AS {k}" for k, e in fields)
            + " FROM t")
     _run(eframes, pipeline, sql)
+
+
+# ------------------------------------------------- object-model fuzz
+@settings(max_examples=25, deadline=None, derandomize=True,
+          suppress_health_check=list(HealthCheck))
+@given(j=st.integers(-5, 5), k=st.integers(-9, 9))
+def test_fuzz_get_set_field(eframes, j, k):
+    """Sub-document construction + $getField/$setField (withField
+    overwrite) + dot-path reads through the modified struct."""
+    pipeline = [
+        {"$addFields": {"o": {"x": {"$add": ["$a", j]}, "y": "$s"}}},
+        {"$project": {
+            "rid": 1,
+            "gx": {"$getField": {"input": "$o", "field": "x"}},
+            "o2": {"$setField": {"input": "$o", "field": "x",
+                                 "value": {"$literal": k}}},
+        }},
+        {"$project": {"rid": 1, "gx": 1, "g2": "$o2.x", "gy": "$o2.y"}},
+    ]
+    sql = f"""
+    SELECT rid, (a + {j}) AS gx, {k} AS g2, s AS gy FROM t
+    """
+    _run(eframes, pipeline, sql)
