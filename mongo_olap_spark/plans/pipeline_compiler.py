@@ -1283,7 +1283,8 @@ def compile_pipeline(
         elif name in ("$project", "$addFields", "$set"):
             df = _project(df, spec, add_only=name != "$project")
         elif name == "$unset":
-            df = df.drop(*(spec if isinstance(spec, list) else [spec]))
+            for path in spec if isinstance(spec, list) else [spec]:
+                df = _drop_nested(df, path)
         elif name == "$unwind":
             df = _unwind(df, spec)
         elif name == "$group":
@@ -1448,15 +1449,73 @@ def _geo_near_stage(df: DataFrame, spec: dict) -> DataFrame:
     )
 
 
+def _drop_nested(df: DataFrame, path: str) -> DataFrame:
+    """$unset / exclusion-$project of a dotted path: remove the struct
+    subfield. Mongo semantics: unsetting a missing field (or a path
+    through a non-struct) is a silent no-op."""
+    from pyspark.sql.types import StructType
+
+    head, _, rest = path.partition(".")
+    if not rest:
+        return df.drop(head)
+    if head not in df.columns or not isinstance(
+        df.schema[head].dataType, StructType
+    ):
+        return df
+    return df.withColumn(head, F.col(head).dropFields(rest))
+
+
+def _set_nested(df: DataFrame, path: str, val: Column) -> DataFrame:
+    """$addFields/$set of a dotted path: set the struct subfield,
+    creating intermediate structs (and overwriting non-struct
+    intermediates with a document, as Mongo does)."""
+    from pyspark.sql.types import StructType
+
+    parts = path.split(".")
+    if len(parts) == 1:
+        return df.withColumn(path, val)
+
+    def set_path(schema, col: Column | None, ps: list[str]) -> Column:
+        p = ps[0]
+        if len(ps) == 1:
+            child = val
+        else:
+            if (
+                schema is not None
+                and p in schema.fieldNames()
+                and isinstance(schema[p].dataType, StructType)
+            ):
+                child = set_path(
+                    schema[p].dataType,
+                    col.getField(p) if col is not None else None,
+                    ps[1:],
+                )
+            else:
+                child = set_path(None, None, ps[1:])
+        if col is not None:
+            return col.withField(p, child)
+        return F.struct(child.alias(p))
+
+    head = parts[0]
+    if head in df.columns and isinstance(df.schema[head].dataType, StructType):
+        new_col = set_path(df.schema[head].dataType, F.col(head), parts[1:])
+    else:
+        new_col = set_path(None, None, parts[1:])
+    return df.withColumn(head, new_col)
+
+
 def _project(df: DataFrame, spec: dict, *, add_only: bool) -> DataFrame:
     excludes = [k for k, v in spec.items() if v in (0, False)]
     if excludes:
         if len(excludes) != len(spec):
             raise PipelineError("cannot mix inclusion and exclusion in $project")
-        return df.drop(*excludes)
+        for k in excludes:
+            df = _drop_nested(df, k)
+        return df
     if add_only:
         for k, v in spec.items():
-            df = df.withColumn(k, compile_expr(v) if v not in (1, True) else F.col(k))
+            val = compile_expr(v) if v not in (1, True) else F.col(k)
+            df = _set_nested(df, k, val)
         return df
     cols = []
     for k, v in spec.items():

@@ -989,3 +989,32 @@ def test_fuzz_get_set_field(eframes, j, k):
     SELECT rid, (a + {j}) AS gx, {k} AS g2, s AS gy FROM t
     """
     _run(eframes, pipeline, sql)
+
+
+# ------------------------------------------------ nested-path stages
+@settings(max_examples=20, deadline=None, derandomize=True,
+          suppress_health_check=list(HealthCheck))
+@given(k=st.integers(-9, 9), deep=st.booleans())
+def test_fuzz_nested_path_stages(eframes, k, deep):
+    """Dotted-path $addFields (set/create a subfield, intermediates
+    created as needed), $unset of a subfield, and exclusion-$project
+    of a subfield — all were silent no-ops or raw analysis errors
+    before round 5 (probe finds #7/#8/#9). Removed subfields are
+    gone from the schema (reading one is a loud analysis error in
+    the typed engine, not null)."""
+    sdf, con = eframes
+    target = "o.w.z" if deep else "o.z"
+    pipeline = [
+        {"$addFields": {"o": {"x": "$a", "y": "$s"}}},
+        {"$addFields": {target: {"$add": ["$a", k]}}},
+        {"$unset": "o.y"},
+        {"$project": {"o.x": 0}},
+    ]
+    out = compile_pipeline(sdf, pipeline)
+    o_fields = dict(zip(out.schema["o"].dataType.fieldNames(),
+                        out.schema["o"].dataType.fields))
+    assert "x" not in o_fields and "y" not in o_fields
+    got = _norm([(r["rid"], (r["o"]["w"]["z"] if deep else r["o"]["z"]))
+                 for r in out.select("rid", "o").collect()])
+    want = _norm(con.execute(f"SELECT rid, a + {k} FROM t").fetchall())
+    assert got == want
