@@ -1018,3 +1018,71 @@ def test_fuzz_nested_path_stages(eframes, k, deep):
                  for r in out.select("rid", "o").collect()])
     want = _norm(con.execute(f"SELECT rid, a + {k} FROM t").fetchall())
     assert got == want
+
+
+# ------------------------------------------- match-predicate fuzz
+@settings(max_examples=30, deadline=None, derandomize=True,
+          suppress_health_check=list(HealthCheck))
+@given(v=st.integers(0, 9), vals=st.lists(st.integers(0, 9), min_size=1,
+                                          max_size=3, unique=True),
+       lo=st.integers(0, 8))
+def test_fuzz_match_array_predicates(eframes, v, vals, lo):
+    """$elemMatch (any element in a sub-range), $all, $nin and $size
+    over the array column — a null array satisfies none of the
+    positive predicates and $nin only via the Mongo missing≡null
+    rule."""
+    vals_sql = "[" + ", ".join(map(str, vals)) + "]"
+    pipeline = [
+        {"$match": {"arr": {"$elemMatch": {"$gte": lo, "$lt": lo + 3}}}},
+        {"$project": {"rid": 1}},
+    ]
+    sql = f"""
+    SELECT rid FROM t
+    WHERE arr IS NOT NULL
+      AND len(list_filter(arr, x -> x >= {lo} AND x < {lo + 3})) > 0
+    """
+    _run(eframes, pipeline, sql)
+    pipeline2 = [
+        {"$match": {"arr": {"$all": vals}}},
+        {"$project": {"rid": 1}},
+    ]
+    sql2 = f"""
+    SELECT rid FROM t
+    WHERE arr IS NOT NULL
+      AND len(list_filter({vals_sql},
+              x -> list_contains(arr, x))) = {len(vals)}
+    """
+    _run(eframes, pipeline2, sql2)
+    pipeline3 = [
+        {"$match": {"$nor": [{"a": {"$in": vals}}, {"a": {"$gt": 15}}]}},
+        {"$project": {"rid": 1}},
+    ]
+    # Mongo $nor: document matches when it fails EVERY clause; a null
+    # `a` fails both positive predicates, so it IS selected
+    sql3 = f"""
+    SELECT rid FROM t
+    WHERE NOT COALESCE(a IN ({", ".join(map(str, vals))}), FALSE)
+      AND NOT COALESCE(a > 15, FALSE)
+    """
+    _run(eframes, pipeline3, sql3)
+
+
+@settings(max_examples=20, deadline=None, derandomize=True,
+          suppress_health_check=list(HealthCheck))
+@given(n=st.integers(0, 4), m=st.integers(-4, 18))
+def test_fuzz_match_size_expr(eframes, n, m):
+    """$size equality match plus a $match {$expr} referencing two
+    columns — the predicate space single-field matches can't reach."""
+    pipeline = [
+        {"$match": {"arr": {"$size": n}}},
+        {"$match": {"$expr": {"$gt": [{"$size": "$arr"},
+                                      {"$mod": ["$rid", 3]}]}}},
+        {"$project": {"rid": 1}},
+    ]
+    # BSON total order: null > never true... but $size of a non-null
+    # array is never null, and rows reaching the $expr passed $size=n
+    sql = f"""
+    SELECT rid FROM t
+    WHERE len(arr) = {n} AND len(arr) > rid % 3
+    """
+    _run(eframes, pipeline, sql)
