@@ -2202,6 +2202,16 @@ def cube_spec_from_pipeline(name: str, source: str, pipeline: list[dict]):
             date = dt["date"]
             if not (isinstance(date, str) and date.startswith("$")):
                 raise PipelineError("$dateTrunc date must be a field path")
+            extra = set(dt) - {"date", "unit"}
+            if extra:
+                # cube dims carry a plain granularity; silently
+                # dropping binSize/startOfWeek/timezone would build a
+                # cube on the WRONG dimension — refuse loudly (use the
+                # pipeline compiler directly for anchored bins)
+                raise PipelineError(
+                    "cube $dateTrunc dimensions support {date, unit} "
+                    f"only (got extra {sorted(extra)})"
+                )
             dims.append(
                 Dimension(dim_name, path=date[1:], granularity=dt["unit"])
             )

@@ -2111,3 +2111,17 @@ def test_topn_desc_nulls_sort_last(spark):
             "partitionBy": "$k", "sortBy": {"rid": 1},
             "output": {"sh": {"$shift": {"output": "$e", "by": 1,
                                          "default": "$e"}}}}}])
+
+
+def test_cube_date_trunc_extra_keys_refuse(spark):
+    """A cube dimension $dateTrunc with binSize/startOfWeek/timezone
+    would otherwise silently build the cube on the wrong granularity."""
+    from mongo_olap_spark.plans.pipeline_compiler import cube_spec_from_pipeline
+
+    with pytest.raises(PipelineError, match="date, unit"):
+        cube_spec_from_pipeline(
+            "c", "events",
+            [{"$group": {"_id": {"d": {"$dateTrunc": {
+                "date": "$ts", "unit": "hour", "binSize": 6}}},
+                "n": {"$sum": 1}}}],
+        )

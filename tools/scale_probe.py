@@ -65,6 +65,9 @@ DEFAULT_QUERIES = [
     # round-5 additions: the bucketized-range-join and ordered-match-
     # array paths of the correlated $lookup compiler
     "q_pipeline_lookup_range", "q_pipeline_lookup_topn",
+    # round-5: the anti-join/union densify (data must NOT shuffle at
+    # scale) and the anchored-bin dateTrunc group keys
+    "q_pipeline_densify_numeric", "q_pipeline_trunc_bins",
 ]
 
 
