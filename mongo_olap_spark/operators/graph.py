@@ -23,38 +23,55 @@ def graph_lookup(
     starts: DataFrame,
     edges: DataFrame,
     *,
-    max_depth: int = 3,
+    max_depth: int | None = 3,
     start_col: str = "start_key",
     src_col: str = "src",
     dst_col: str = "dst",
     dedupe: bool = True,
 ) -> DataFrame:
-    """All nodes reachable from each start within ``max_depth`` hops.
+    """All nodes reachable from each start within ``max_depth`` hops —
+    or to EXHAUSTION when ``max_depth`` is None (Mongo's $graphLookup
+    default). Exhaustive traversal requires ``dedupe``: the BFS then
+    subtracts already-visited (start, node) pairs each hop, so cycles
+    terminate (frontier empties once nothing NEW is reachable) and
+    each node reports its shallowest depth by construction.
 
-    Returns (start_key, node, depth) with depth ≥ 1; a node reached at
-    several depths reports the shallowest (when ``dedupe``).
+    Returns (start_key, node, depth) with depth ≥ 1. The start node
+    itself is never reported (visited at depth 0 before the walk),
+    matching Mongo's visited-document tracking on cyclic graphs.
     """
+    if max_depth is None and not dedupe:
+        raise ValueError("unbounded graph_lookup requires dedupe=True")
     frontier = starts.select(
         F.col(start_col).alias("start_key"), F.col(start_col).alias("node")
     )
+    seen = frontier  # visited set, start nodes included
     out: DataFrame | None = None
-    for depth in range(1, max_depth + 1):
+    depth = 0
+    while max_depth is None or depth < max_depth:
+        depth += 1
         nxt = (
             frontier.join(edges, frontier.node == edges[src_col])
             .select("start_key", F.col(dst_col).alias("node"))
         )
         if dedupe:
             nxt = nxt.dropDuplicates(["start_key", "node"])
+            # only NEWLY discovered pairs continue: min-depth falls out
+            # of BFS order, and cyclic graphs terminate
+            nxt = nxt.join(seen, ["start_key", "node"], "left_anti")
         nxt = nxt.localCheckpoint(eager=True)  # cut lineage growth per hop
         if nxt.isEmpty():
             break
         step = nxt.withColumn("depth", F.lit(depth))
         out = step if out is None else out.unionByName(step)
+        if dedupe:
+            seen = seen.unionByName(nxt).localCheckpoint(eager=True)
         frontier = nxt
     if out is None:
         schema_src = starts.sparkSession
         return schema_src.createDataFrame([], "start_key long, node long, depth int")
     if dedupe:
-        # keep shallowest depth per (start, node)
+        # shallowest depth per (start, node); with subtraction each
+        # pair appears once, keep the agg as a safety invariant
         out = out.groupBy("start_key", "node").agg(F.min("depth").cast("int").alias("depth"))
     return out

@@ -2070,7 +2070,15 @@ def _graph_lookup(df: DataFrame, spec: dict, collections) -> DataFrame:
     conn_from, conn_to, out = (
         spec["connectFromField"], spec["connectToField"], spec["as"],
     )
-    max_depth = spec.get("maxDepth", 3)
+    # Mongo default is EXHAUSTIVE traversal (visited-set BFS, cycles
+    # terminate); maxDepth bounds it when given
+    max_depth = spec.get("maxDepth")
+    if "restrictSearchWithMatch" in spec:
+        # restriction applies to every traversed document — filter the
+        # foreign side BEFORE building edges, so excluded docs neither
+        # match nor relay the walk (Mongo's contract)
+        foreign = foreign.filter(compile_match(spec["restrictSearchWithMatch"]))
+    depth_field = spec.get("depthField")
     # traversal value graph: frontier v matches docs with connectTo == v,
     # which emit their connectFrom as the next frontier
     edges = foreign.select(
@@ -2086,13 +2094,23 @@ def _graph_lookup(df: DataFrame, spec: dict, collections) -> DataFrame:
     # matched docs: connectTo ∈ {start} ∪ reached nodes (Mongo returns
     # the documents, not the values)
     hit_vals = starts.select(
-        F.col("start_key"), F.col("start_key").alias("val")
-    ).unionByName(reached.select("start_key", F.col("node").alias("val")))
+        F.col("start_key"), F.col("start_key").alias("val"),
+        F.lit(0).alias("__depth"),
+    ).unionByName(reached.select(
+        "start_key", F.col("node").alias("val"),
+        F.col("depth").alias("__depth"),
+    ))
     docs = hit_vals.join(
         foreign, hit_vals["val"] == foreign[conn_to]
     ).drop("val")
+    doc_struct = (
+        F.struct(*foreign.columns,
+                 F.col("__depth").cast("long").alias(depth_field))
+        if depth_field
+        else F.struct(*foreign.columns)
+    )
     packed = docs.groupBy("start_key").agg(
-        F.collect_list(F.struct(*foreign.columns)).alias(out)
+        F.collect_list(doc_struct).alias(out)
     )
     joined = df.join(
         packed, F.col(start_field) == packed["start_key"], "left"

@@ -525,7 +525,10 @@ def test_fuzz_graph_lookup(spark, frames, mult, off, max_depth):
     """graph_lookup (the $graphLookup engine) on random CYCLIC
     functional graphs (i -> (i*mult+off) % 60) vs a recursive-CTE
     twin: same reachable set, same shallowest depth, bounded by
-    maxDepth — cycles must terminate on both engines."""
+    maxDepth — cycles must terminate on both engines. Round 5:
+    visited-set BFS (Mongo tracks visited docs), so the START node is
+    never re-reported through a cycle — it is already visited at
+    depth 0; the twin excludes it."""
     from mongo_olap_spark.operators.graph import graph_lookup
 
     _, con = frames
@@ -547,7 +550,7 @@ def test_fuzz_graph_lookup(spark, frames, mult, off, max_depth):
           FROM hops h WHERE h.depth < {max_depth}
         )
         SELECT start_key, node, CAST(MIN(depth) AS INT)
-        FROM hops WHERE depth > 0 GROUP BY 1, 2
+        FROM hops WHERE depth > 0 AND node <> start_key GROUP BY 1, 2
     """).fetchall())
     assert got == want, f"mult={mult} off={off} K={max_depth}"
 

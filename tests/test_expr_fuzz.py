@@ -1086,3 +1086,93 @@ def test_fuzz_match_size_expr(eframes, n, m):
     WHERE len(arr) = {n} AND len(arr) > rid % 3
     """
     _run(eframes, pipeline, sql)
+
+
+# ---------------------------------------------- $graphLookup stage
+@settings(max_examples=10, deadline=None, derandomize=True,
+          suppress_health_check=list(HealthCheck))
+@given(mult=st.integers(1, 9), off=st.integers(0, 39),
+       cut=st.integers(5, 40))
+def test_fuzz_graph_stage_unbounded_restrict(spark, eframes, mult, off, cut):
+    """$graphLookup with NO maxDepth (Mongo's exhaustive default —
+    visited-set BFS terminates on these cyclic functional graphs) and
+    restrictSearchWithMatch (excluded docs neither match nor relay),
+    vs an unbounded recursive-CTE twin over the restricted doc set."""
+    _, con = eframes
+    n = 40
+    docs = [(i, (i * mult + off) % n) for i in range(n)]
+    u = spark.createDataFrame(docs, "id long, nxt long")
+    starts = spark.createDataFrame([(i * 5,) for i in range(6)], "seed long")
+    import pandas as pd
+    con.register("gu", pd.DataFrame(docs, columns=["id", "nxt"]))
+    from mongo_olap_spark.plans.pipeline_compiler import compile_pipeline
+    out = compile_pipeline(
+        starts,
+        [{"$graphLookup": {
+            "from": "gu", "startWith": "$seed",
+            "connectFromField": "nxt", "connectToField": "id",
+            "as": "m", "restrictSearchWithMatch": {"id": {"$lt": cut}},
+        }},
+         {"$unwind": {"path": "$m", "preserveNullAndEmptyArrays": True}},
+         {"$project": {"seed": 1, "hit": "$m.id"}}],
+        collections={"gu": u},
+    )
+    got = sorted((r["seed"], r["hit"]) for r in out.collect())
+    want = sorted(con.execute(f"""
+        WITH RECURSIVE reach AS (
+          SELECT i * 5 AS seed, i * 5 AS val FROM range(6) r(i)
+          UNION
+          SELECT r.seed, u.nxt FROM reach r
+          JOIN gu u ON u.id = r.val AND u.id < {cut}
+        ),
+        hits AS (
+          SELECT DISTINCT r.seed, u.id AS hit FROM reach r
+          JOIN gu u ON u.id = r.val AND u.id < {cut}
+        ),
+        seeds AS (SELECT i * 5 AS seed FROM range(6) r(i))
+        SELECT s.seed, h.hit FROM seeds s LEFT JOIN hits h USING (seed)
+    """).fetchall())
+    assert got == want, f"mult={mult} off={off} cut={cut}"
+
+
+@settings(max_examples=10, deadline=None, derandomize=True,
+          suppress_health_check=list(HealthCheck))
+@given(mult=st.integers(1, 9), off=st.integers(0, 39),
+       k=st.integers(1, 4))
+def test_fuzz_graph_stage_depth_field(spark, eframes, mult, off, k):
+    """depthField: each matched doc carries the recursion depth at
+    which it was retrieved (0 for the initial startWith match,
+    shortest-path depth thereafter)."""
+    _, con = eframes
+    n = 40
+    docs = [(i, (i * mult + off) % n) for i in range(n)]
+    u = spark.createDataFrame(docs, "id long, nxt long")
+    starts = spark.createDataFrame([(i * 7,) for i in range(5)], "seed long")
+    import pandas as pd
+    con.register("gu", pd.DataFrame(docs, columns=["id", "nxt"]))
+    from mongo_olap_spark.plans.pipeline_compiler import compile_pipeline
+    out = compile_pipeline(
+        starts,
+        [{"$graphLookup": {
+            "from": "gu", "startWith": "$seed",
+            "connectFromField": "nxt", "connectToField": "id",
+            "as": "m", "maxDepth": k, "depthField": "d"}},
+         {"$unwind": "$m"},
+         {"$project": {"seed": 1, "hit": "$m.id", "d": "$m.d"}}],
+        collections={"gu": u},
+    )
+    got = sorted((r["seed"], r["hit"], r["d"]) for r in out.collect())
+    want = sorted(con.execute(f"""
+        WITH RECURSIVE walk AS (
+          SELECT i * 7 AS seed, i * 7 AS val, 0 AS depth FROM range(5) r(i)
+          UNION
+          SELECT w.seed, u.nxt, w.depth + 1 FROM walk w
+          JOIN gu u ON u.id = w.val WHERE w.depth < {k}
+        ),
+        vals AS (SELECT seed, val, MIN(depth) AS d FROM walk
+                 WHERE val = seed OR depth > 0 GROUP BY 1, 2)
+        SELECT v.seed, u.id AS hit, CAST(v.d AS BIGINT)
+        FROM vals v JOIN gu u ON u.id = v.val
+        WHERE v.val <> v.seed OR v.d = 0
+    """).fetchall())
+    assert got == want, f"mult={mult} off={off} k={k}"
