@@ -2019,6 +2019,13 @@ def _bucket_auto(df: DataFrame, spec: dict) -> DataFrame:
     # window but no task ever holds the whole collection.
     from mongo_olap_spark.operators.ranking import scalable_ntile
 
+    if "granularity" in spec:
+        # preferred-number boundary rounding (R5/E6/1-2-5/...) would
+        # silently change every boundary if dropped — refuse by name
+        raise PipelineError(
+            "$bucketAuto: granularity (preferred-number rounding) is "
+            "not supported; omit it for exact equi-height buckets"
+        )
     group_expr = compile_expr(spec["groupBy"])
     n = spec["buckets"]
     out_spec = spec.get("output", {"count": {"$sum": 1}})
@@ -2913,6 +2920,14 @@ def execute_pipeline(
     target = spec["into"] if isinstance(spec, dict) else spec
     if isinstance(target, dict):
         target = target["coll"]
+    if isinstance(spec, dict) and "let" in spec:
+        # custom let bindings for whenMatched pipelines — silently
+        # dropping them would evaluate $$var references against the
+        # wrong values; the default {new: $$ROOT} rides as $$new
+        raise PipelineError(
+            "$merge: custom let variables are not supported "
+            "(the default binding is available as $$new)"
+        )
     on = spec.get("on", "_id") if isinstance(spec, dict) else "_id"
     when_matched = spec.get("whenMatched", "merge") if isinstance(spec, dict) else "merge"
     when_not_matched = (

@@ -2125,3 +2125,20 @@ def test_cube_date_trunc_extra_keys_refuse(spark):
                 "date": "$ts", "unit": "hour", "binSize": 6}}},
                 "n": {"$sum": 1}}}],
         )
+
+
+def test_silent_key_refusals(spark):
+    """Spec keys that would silently change results refuse by name
+    (round-5 audit): $bucketAuto granularity, $merge custom let."""
+    df = spark.createDataFrame([(1.0,)], "v double")
+    with pytest.raises(PipelineError, match="granularity"):
+        compile_pipeline(df, [{"$bucketAuto": {
+            "groupBy": "$v", "buckets": 2, "granularity": "R5"}}])
+    from mongo_olap_spark.plans.pipeline_compiler import execute_pipeline
+    from mongo_olap_spark.sources.store import ParquetCollectionStore
+    import tempfile
+    with tempfile.TemporaryDirectory() as d:
+        store = ParquetCollectionStore(spark, d)
+        with pytest.raises(PipelineError, match="let"):
+            execute_pipeline(df, [{"$merge": {
+                "into": "t", "on": "v", "let": {"x": 1}}}], store)
