@@ -2118,10 +2118,12 @@ def _graph_lookup(df: DataFrame, spec: dict, collections) -> DataFrame:
     )
     packed = docs.groupBy("start_key").agg(
         F.collect_list(doc_struct).alias(out)
-    )
+    ).withColumnRenamed("start_key", "__gl_start")
+    # synthetic join-key name: the source may itself have a column
+    # called start_key (ambiguity found by the oracle gate)
     joined = df.join(
-        packed, F.col(start_field) == packed["start_key"], "left"
-    ).drop("start_key")
+        packed, F.col(start_field) == F.col("__gl_start"), "left"
+    ).drop("__gl_start")
     arr_type = packed.schema[out].dataType
     return joined.withColumn(out, F.coalesce(F.col(out), F.array().cast(arr_type)))
 

@@ -617,3 +617,55 @@ def q_geo_near(spark, sf_dir):
         .orderBy("distance_m", "c_custkey")
         .limit(100)
     )
+
+
+@register(
+    "q_pipeline_graph_depth",
+    oracle="""
+    WITH RECURSIVE starts AS
+      (SELECT s_suppkey FROM supplier WHERE s_suppkey % 10 = 0),
+    walk AS (
+      SELECT s.s_suppkey AS start_key, s.s_suppkey AS val, 0 AS depth
+      FROM starts s
+      UNION
+      SELECT w.start_key, u.s_suppkey - 1, w.depth + 1
+      FROM walk w JOIN supplier u
+        ON u.s_suppkey = w.val AND u.s_suppkey % 7 <> 3
+      WHERE w.depth < 4
+    ),
+    vals AS (SELECT start_key, val, MIN(depth) AS d FROM walk GROUP BY 1, 2)
+    SELECT v.start_key, u.s_suppkey AS hit, CAST(v.d AS BIGINT) AS d
+    FROM vals v JOIN supplier u
+      ON u.s_suppkey = v.val AND u.s_suppkey % 7 <> 3
+    """,
+)
+def q_pipeline_graph_depth(spark, sf_dir):
+    """$graphLookup STAGE with round-5 depthField and
+    restrictSearchWithMatch over the supplier chain s -> s-1:
+    restricted docs neither match nor relay the walk, and each
+    matched doc carries its retrieval depth. Oracle: recursive CTE
+    over the same restricted doc set."""
+    from mongo_olap_spark.plans.pipeline_compiler import compile_pipeline
+
+    s = load_table(spark, sf_dir, "supplier")
+    starts = s.filter(F.col("s_suppkey") % 10 == 0).select(
+        F.col("s_suppkey").alias("start_key")
+    )
+    docs = s.withColumn("prev", F.col("s_suppkey") - 1)
+    out = compile_pipeline(
+        starts,
+        [
+            {"$graphLookup": {
+                "from": "supplier_chain", "startWith": "$start_key",
+                "connectFromField": "prev", "connectToField": "s_suppkey",
+                "as": "m", "maxDepth": 4, "depthField": "d",
+                "restrictSearchWithMatch": {
+                    "$expr": {"$ne": [{"$mod": ["$s_suppkey", 7]}, 3]}},
+            }},
+            {"$unwind": "$m"},
+            {"$project": {"start_key": 1, "hit": "$m.s_suppkey",
+                          "d": "$m.d"}},
+        ],
+        collections={"supplier_chain": docs},
+    )
+    return out.select("start_key", "hit", "d")
