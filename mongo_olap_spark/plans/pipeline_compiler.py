@@ -469,6 +469,16 @@ def _compile_op(op: str, spec: Any) -> Column:
     if op == "$mod":
         a, b = spec
         return mongo_mod(compile_expr(a), compile_expr(b))
+    if op in ("$bitAnd", "$bitOr", "$bitXor"):
+        # Mongo 6.3 bitwise operators: variadic over int/long, null in
+        # null out — Spark's bitwise Column ops are exact twins
+        fns = {"$bitAnd": lambda a, b: a.bitwiseAND(b),
+               "$bitOr": lambda a, b: a.bitwiseOR(b),
+               "$bitXor": lambda a, b: a.bitwiseXOR(b)}
+        return _variadic(fns[op], _args(spec))
+    if op == "$bitNot":
+        [a] = _args(spec)
+        return F.bitwise_not(compile_expr(a))
     if op == "$pow":
         a, b = spec
         return F.pow(compile_expr(a), compile_expr(b))

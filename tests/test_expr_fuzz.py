@@ -1176,3 +1176,25 @@ def test_fuzz_graph_stage_depth_field(spark, eframes, mult, off, k):
         WHERE v.val <> v.seed OR v.d = 0
     """).fetchall())
     assert got == want, f"mult={mult} off={off} k={k}"
+
+
+# ---------------------------------------------------- bitwise fuzz
+@settings(max_examples=20, deadline=None, derandomize=True,
+          suppress_health_check=list(HealthCheck))
+@given(k=st.integers(0, 255), j=st.integers(0, 255))
+def test_fuzz_bitwise(eframes, k, j):
+    """Mongo 6.3 $bitAnd/$bitOr/$bitXor (variadic) and $bitNot, null
+    in null out, vs DuckDB's bit operators."""
+    pipeline = [{"$project": {
+        "rid": 1,
+        "ba": {"$bitAnd": ["$a", k, j]},
+        "bo": {"$bitOr": ["$a", k]},
+        "bx": {"$bitXor": ["$a", k, j]},
+        "bn": {"$bitNot": "$a"},
+    }}]
+    sql = f"""
+    SELECT rid, a & {k} & {j} AS ba, a | {k} AS bo,
+           xor(xor(a, {k}), {j}) AS bx, ~a AS bn
+    FROM t
+    """
+    _run(eframes, pipeline, sql)

@@ -162,3 +162,45 @@ def test_minmax_recompute_repairs_null_dim_cells(spark, events):
     null_hi = {r.hi_max for r in repaired.filter(F.col("event_type").isNull()).collect()}
     stale_hi = {r.hi_max for r in cells.filter(F.col("event_type").isNull()).collect()}
     assert null_hi != stale_hi
+
+
+
+def test_incremental_equals_rebuild_random_specs(spark, events):
+    """Round 5: the random-batch equivalence property over RANDOM cube
+    specs — dims drawn from {event_type, day, user bucket}, measures
+    from the delete-safe set {count, sum, avg} (min/max require the
+    recompute path on deletes, pinned by their own tests) — so IVM
+    correctness is not an artifact of the one hand-picked EVENTS_CUBE
+    shape."""
+    rng = random.Random(5)
+    dim_pool = [
+        Dimension("etype", path="event_type"),
+        Dimension("day", path="ts", granularity="day"),
+        Dimension("ubucket", path="user_id % 7"),
+    ]
+    meas_pool = [
+        Measure("n", "count"),
+        Measure("sv", "sum", path="value"),
+        Measure("av", "avg", path="value"),
+    ]
+    cdc = cdc_from_events(events).orderBy("stream_ts")
+    n = cdc.count()
+    indexed = cdc.withColumn(
+        "rn", F.row_number().over(W.orderBy("stream_ts", "event_id", "op"))
+    ).cache()
+    for trial in range(4):
+        dims = tuple(rng.sample(dim_pool, rng.randint(1, 3)))
+        meas = tuple(rng.sample(meas_pool, rng.randint(1, 3)))
+        spec = CubeSpec(name=f"fz{trial}", source="events",
+                        dimensions=dims, measures=meas)
+        cut = rng.randint(1, n - 1)
+        cells = build_cube(spark, spec, events.limit(0))
+        for lo, hi in [(0, cut), (cut, n)]:
+            batch = indexed.filter((F.col("rn") > lo) & (F.col("rn") <= hi))
+            cells = merge_cells(
+                cells, delta_cells(spec, batch), spec
+            ).localCheckpoint(eager=True)
+        expected = build_cube(spark, spec, net_events(events))
+        assert rows_set(query_cube(cells, spec)) == rows_set(
+            query_cube(expected, spec)
+        ), f"trial={trial} dims={[d.name for d in dims]} meas={[m.name for m in meas]}"
