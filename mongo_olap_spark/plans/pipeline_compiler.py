@@ -1515,6 +1515,12 @@ def _set_nested(df: DataFrame, path: str, val: Column) -> DataFrame:
 
 
 def _project(df: DataFrame, spec: dict, *, add_only: bool) -> DataFrame:
+    if not add_only and spec.get("_id") in (0, False) and len(spec) > 1:
+        # Mongo's _id exception: _id (alone among fields) may be
+        # excluded inside an inclusion projection
+        spec = {k: v for k, v in spec.items() if k != "_id"}
+        if "_id" in df.columns:
+            df = df.drop("_id")
     excludes = [k for k, v in spec.items() if v in (0, False)]
     if excludes:
         if len(excludes) != len(spec):

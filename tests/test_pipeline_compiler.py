@@ -2142,3 +2142,16 @@ def test_silent_key_refusals(spark):
         with pytest.raises(PipelineError, match="let"):
             execute_pipeline(df, [{"$merge": {
                 "into": "t", "on": "v", "let": {"x": 1}}}], store)
+
+
+def test_project_id_exception(spark):
+    """Mongo's _id exception: {_id: 0} may ride inside an inclusion
+    projection (alone among fields); other mixes still refuse."""
+    df = spark.createDataFrame([("a", 1)], "g string, v int")
+    out = compile_pipeline(df, [
+        {"$group": {"_id": "$g", "n": {"$sum": 1}}},
+        {"$project": {"_id": 0, "n": 1}},
+    ])
+    assert out.columns == ["n"]
+    with pytest.raises(PipelineError, match="cannot mix"):
+        compile_pipeline(df, [{"$project": {"g": 0, "v": 1}}])
