@@ -1198,3 +1198,95 @@ def test_fuzz_bitwise(eframes, k, j):
     FROM t
     """
     _run(eframes, pipeline, sql)
+
+
+# ------------------------------------------- deep-composition fuzz
+@settings(max_examples=15, deadline=None, derandomize=True,
+          suppress_health_check=list(HealthCheck))
+@given(mult=st.integers(1, 6), direction=st.sampled_from([1, -1]))
+def test_fuzz_lookup_unwind_window(spark, eframes, mult, direction):
+    """match → $lookup → $unwind → $setWindowFields chain: a rank over
+    the joined-and-exploded rows, vs a JOIN + window twin."""
+    sdf, con = eframes
+    import pandas as pd
+
+    dim = _dim_rows(mult)
+    u = spark.createDataFrame(dim or [(None, None)], "key int, v int")
+    if not dim:
+        u = u.filter("key IS NOT NULL")
+    con.register("u", pd.DataFrame(dim, columns=["key", "v"]).astype(
+        {"key": "Int64", "v": "Int64"}))
+    d_sql = "ASC NULLS FIRST" if direction == 1 else "DESC NULLS LAST"
+    pipeline = [
+        {"$match": {"a": {"$exists": True}}},
+        {"$project": {"rid": 1, "k": {"$mod": ["$a", 7]}}},
+        {"$lookup": {"from": "u", "localField": "k",
+                     "foreignField": "key", "as": "m"}},
+        {"$unwind": "$m"},
+        {"$setWindowFields": {
+            "partitionBy": "$k",
+            "sortBy": {"rid": direction, "m.v": 1},
+            "output": {"rk": {"$documentNumber": {}},
+                       "sv": {"$sum": "$m.v",
+                              "window": {"documents": ["unbounded",
+                                                       "current"]}}},
+        }},
+        {"$project": {"rid": 1, "vv": "$m.v", "rk": 1, "sv": 1}},
+    ]
+    sql = f"""
+    WITH p AS (SELECT rid, a % 7 AS k FROM t WHERE a IS NOT NULL),
+         j AS (SELECT p.rid, p.k, u.v FROM p JOIN u ON p.k = u.key)
+    SELECT rid, v AS vv,
+           ROW_NUMBER() OVER w AS rk,
+           CAST(COALESCE(SUM(CAST(v AS DECIMAL(38,6))) OVER
+               (PARTITION BY k ORDER BY rid {d_sql}, v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)
+               AS DOUBLE) AS sv
+    FROM j WINDOW w AS (PARTITION BY k ORDER BY rid {d_sql}, v)
+    """
+    got = _norm([tuple(r) for r in compile_pipeline(
+        sdf, pipeline, collections={"u": u}).collect()])
+    want = _norm(con.execute(sql).fetchall())
+    assert got == want, f"\npipeline={pipeline}\nsql={sql}"
+
+
+@settings(max_examples=15, deadline=None, derandomize=True,
+          suppress_health_check=list(HealthCheck))
+@given(step=st.integers(2, 5))
+def test_fuzz_densify_fill_window(eframes, step):
+    """densify → fill(locf) → window chain over the value grid: the
+    engine's gap-fill story end-to-end vs a spine + IGNORE NULLS
+    twin."""
+    pipeline = [
+        {"$match": {"a": {"$exists": True}}},
+        {"$group": {"_id": "$a", "n": {"$sum": 1}}},
+        {"$project": {"av": "$_id", "n": 1}},
+        {"$densify": {"field": "av", "range": {"step": step,
+                                               "bounds": "full"}}},
+        {"$fill": {"sortBy": {"av": 1}, "output": {"n": {"method": "locf"}}}},
+        {"$setWindowFields": {
+            "sortBy": {"av": 1},
+            "output": {"run": {"$sum": "$n",
+                               "window": {"documents": ["unbounded",
+                                                        "current"]}}},
+        }},
+        {"$project": {"av": 1, "n": 1, "run": 1}},
+    ]
+    sql = f"""
+    WITH g AS (SELECT a AS av, COUNT(*) AS n FROM t
+               WHERE a IS NOT NULL GROUP BY 1),
+    b AS (SELECT min(av) AS d0, max(av) AS d1 FROM g),
+    spine AS (SELECT unnest(generate_series(d0, d1, {step})) AS av FROM b),
+    extra AS (SELECT av FROM spine WHERE av NOT IN (SELECT av FROM g)),
+    u AS (SELECT av, n FROM g UNION ALL SELECT av, NULL FROM extra),
+    f AS (SELECT av, last_value(n IGNORE NULLS) OVER
+              (ORDER BY av ROWS BETWEEN UNBOUNDED PRECEDING AND
+               CURRENT ROW) AS n
+          FROM u)
+    SELECT av, n,
+           CAST(COALESCE(SUM(CAST(n AS DECIMAL(38,6))) OVER
+               (ORDER BY av ROWS BETWEEN UNBOUNDED PRECEDING AND
+                CURRENT ROW), 0) AS DOUBLE) AS run
+    FROM f
+    """
+    _run(eframes, pipeline, sql)
