@@ -1290,3 +1290,29 @@ def test_fuzz_densify_fill_window(eframes, step):
     FROM f
     """
     _run(eframes, pipeline, sql)
+
+
+@settings(max_examples=15, deadline=None, derandomize=True,
+          suppress_health_check=list(HealthCheck))
+@given(lo=st.integers(-5, 8), width=st.integers(1, 15), step=st.integers(1, 4))
+def test_fuzz_densify_explicit_bounds(eframes, lo, width, step):
+    """Explicit-bounds $densify: the spine runs [lo, hi) from lo at
+    step, REGARDLESS of the data; documents outside the range pass
+    through untouched."""
+    hi = lo + width
+    pipeline = [
+        {"$project": {"rid": 1, "a": 1}},
+        {"$densify": {"field": "a", "range": {"step": step,
+                                              "bounds": [lo, hi]}}},
+        {"$project": {"rid": 1, "a": 1}},
+    ]
+    sql = f"""
+    WITH base AS (SELECT rid, a FROM t),
+    spine AS (SELECT unnest(generate_series({lo}, {hi} - 1, {step})) AS a),
+    extra AS (SELECT av.a FROM spine av
+              WHERE av.a NOT IN (SELECT a FROM base WHERE a IS NOT NULL)),
+    u AS (SELECT rid, a FROM base
+          UNION ALL SELECT NULL, a FROM extra)
+    SELECT rid, a FROM u
+    """
+    _run(eframes, pipeline, sql)
