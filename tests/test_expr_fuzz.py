@@ -1316,3 +1316,81 @@ def test_fuzz_densify_explicit_bounds(eframes, lo, width, step):
     SELECT rid, a FROM u
     """
     _run(eframes, pipeline, sql)
+
+
+# ------------------------------------- window agg completeness fuzz
+@settings(max_examples=25, deadline=None, derandomize=True,
+          suppress_health_check=list(HealthCheck))
+@given(lo=st.sampled_from(["unbounded", -2, -1, 0]),
+       hi=st.sampled_from([0, 1, 2]),
+       direction=st.sampled_from([1, -1]))
+def test_fuzz_window_avg_first_last_push(eframes, lo, hi, direction):
+    """$avg/$first/$last/$push as WINDOW functions over documents
+    frames — the aggregate forms the stage-grammar window fuzz does
+    not cover."""
+    d_sql = "ASC NULLS FIRST" if direction == 1 else "DESC NULLS LAST"
+    lo_sql = "UNBOUNDED PRECEDING" if lo == "unbounded" else (
+        f"{-lo} PRECEDING" if lo < 0 else "CURRENT ROW")
+    hi_sql = f"{hi} FOLLOWING" if hi > 0 else "CURRENT ROW"
+    win = {"documents": [lo, hi]}
+    pipeline = [{"$setWindowFields": {
+        "partitionBy": "$s",
+        "sortBy": {"d": direction, "rid": 1},
+        "output": {
+            "av": {"$avg": "$d", "window": win},
+            "fi": {"$first": "$rid", "window": win},
+            "la": {"$last": "$rid", "window": win},
+            "pu": {"$push": "$rid", "window": win},
+        },
+    }}, {"$project": {"rid": 1, "av": 1, "fi": 1, "la": 1, "pu": 1}}]
+    sql = f"""
+    SELECT rid,
+           CAST(SUM(CAST(d AS DECIMAL(38,6))) OVER w AS DOUBLE)
+               / COUNT(d) OVER w AS av,
+           first_value(rid) OVER w AS fi,
+           last_value(rid) OVER w AS la,
+           list(rid) OVER w AS pu
+    FROM t
+    WINDOW w AS (PARTITION BY s ORDER BY d {d_sql}, rid
+                 ROWS BETWEEN {lo_sql} AND {hi_sql})
+    """
+    _run(eframes, pipeline, sql)
+
+
+@settings(max_examples=15, deadline=None, derandomize=True,
+          suppress_health_check=list(HealthCheck))
+@given(part=st.booleans())
+def test_fuzz_fill_linear(eframes, part):
+    """$fill method:linear — interpolation on the sortBy VALUES, the
+    twin spelled with the identical operation order so IEEE results
+    match bit-for-bit."""
+    fill = {"sortBy": {"rid": 1}, "output": {"d": {"method": "linear"}}}
+    over = "ORDER BY rid"
+    if part:
+        fill["partitionBy"] = "$s"
+        over = "PARTITION BY s " + over
+    pipeline = [
+        {"$project": {"rid": 1, "s": 1, "d": 1}},
+        {"$fill": fill},
+        {"$project": {"rid": 1, "d": 1}},
+    ]
+    sql = f"""
+    WITH w AS (
+      SELECT rid, d,
+        last_value(d IGNORE NULLS) OVER
+          ({over} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        last_value(CASE WHEN d IS NOT NULL THEN rid END IGNORE NULLS) OVER
+          ({over} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+        first_value(d IGNORE NULLS) OVER
+          ({over} ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        first_value(CASE WHEN d IS NOT NULL THEN rid END IGNORE NULLS) OVER
+          ({over} ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+      FROM t)
+    SELECT rid,
+           CASE WHEN d IS NOT NULL THEN d
+                WHEN pv IS NOT NULL AND nv IS NOT NULL
+                THEN pv + (nv - pv) * (rid - pt) / (nt - pt)
+           END AS d
+    FROM w
+    """
+    _run(eframes, pipeline, sql)
