@@ -1394,3 +1394,37 @@ def test_fuzz_fill_linear(eframes, part):
     FROM w
     """
     _run(eframes, pipeline, sql)
+
+
+# ----------------------------------------------- odds-and-ends fuzz
+@settings(max_examples=20, deadline=None, derandomize=True,
+          suppress_health_check=list(HealthCheck))
+@given(k=st.integers(-6, 6), j=st.integers(1, 5))
+def test_fuzz_cmp_lenbytes_let(eframes, k, j):
+    """$cmp (BSON total order: null smallest, never returns null),
+    $strLenBytes (UTF-8 octets), and $let with an inner $map whose
+    loop variable SHADOWS the let binding."""
+    pipeline = [{"$project": {
+        "rid": 1,
+        "c1": {"$cmp": ["$a", k]},
+        "c2": {"$cmp": [None, "$a"]},
+        "lb": {"$strLenBytes": "$s"},
+        "sh": {"$let": {"vars": {"x": j},
+                        "in": {"$reduce": {
+                            "input": {"$map": {"input": "$arr", "as": "x",
+                                               "in": {"$multiply": ["$$x", 2]}}},
+                            "initialValue": "$$x",
+                            "in": {"$add": ["$$value", "$$this"]}}}}},
+    }}]
+    sql = f"""
+    SELECT rid,
+           CASE WHEN a IS NULL THEN -1
+                WHEN a < {k} THEN -1 WHEN a > {k} THEN 1 ELSE 0 END AS c1,
+           CASE WHEN a IS NULL THEN 0 ELSE -1 END AS c2,
+           strlen(s) AS lb,
+           CASE WHEN arr IS NULL THEN NULL
+                ELSE {j} + COALESCE(list_sum(list_transform(arr, x -> x * 2)), 0)
+           END AS sh
+    FROM t
+    """
+    _run(eframes, pipeline, sql)
