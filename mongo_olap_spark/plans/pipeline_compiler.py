@@ -1301,13 +1301,28 @@ def compile_pipeline(
             df = _group(df, spec, sort_keys)
             sort_keys = None
         elif name == "$sort":
+            for k, v in spec.items():
+                if v not in (1, -1):
+                    # Mongo rejects 0 and non-numeric sort specs
+                    # ({$meta: textScore} included — the engine's $text
+                    # score rides as an ordinary projected column)
+                    raise PipelineError(
+                        f"$sort: direction for {k!r} must be 1 or -1 "
+                        f"(got {v!r})"
+                    )
             sort_keys = [(k, v >= 0) for k, v in spec.items()]
             df = df.orderBy(
                 *[F.col(k) if asc else F.desc(k) for k, asc in sort_keys]
             )
         elif name == "$limit":
+            if not (isinstance(spec, int) and not isinstance(spec, bool)
+                    and spec >= 0):
+                raise PipelineError("$limit requires a non-negative integer")
             df = df.limit(spec)
         elif name == "$skip":
+            if not (isinstance(spec, int) and not isinstance(spec, bool)
+                    and spec >= 0):
+                raise PipelineError("$skip requires a non-negative integer")
             df = df.offset(spec)
         elif name == "$count":
             df = df.agg(F.count(F.lit(1)).alias(spec))

@@ -2155,3 +2155,18 @@ def test_project_id_exception(spark):
     assert out.columns == ["n"]
     with pytest.raises(PipelineError, match="cannot mix"):
         compile_pipeline(df, [{"$project": {"g": 0, "v": 1}}])
+
+
+def test_sort_limit_skip_validation(spark):
+    """Mongo rejects direction 0 / {$meta} sorts and negative
+    limit/skip — the engine refuses loudly instead of silently
+    sorting ascending or raising a raw analyzer error."""
+    df = spark.createDataFrame([(1,)], "x int")
+    with pytest.raises(PipelineError, match="1 or -1"):
+        compile_pipeline(df, [{"$sort": {"x": 0}}])
+    with pytest.raises(PipelineError, match="1 or -1"):
+        compile_pipeline(df, [{"$sort": {"x": {"$meta": "textScore"}}}])
+    with pytest.raises(PipelineError, match="\\$limit"):
+        compile_pipeline(df, [{"$limit": -1}])
+    with pytest.raises(PipelineError, match="\\$skip"):
+        compile_pipeline(df, [{"$skip": -2}])
