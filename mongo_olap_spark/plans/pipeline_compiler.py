@@ -1565,6 +1565,22 @@ def _unwind(df: DataFrame, spec) -> DataFrame:
         preserve = spec.get("preserveNullAndEmptyArrays", False)
         idx = spec.get("includeArrayIndex")
     field = path[1:]
+    if "." in field and field not in df.columns:
+        # nested array (a subfield of a struct): explode the element
+        # alongside the document, then write it back INTO the struct —
+        # Mongo replaces the nested field, it does not grow a new
+        # flat dot-named column
+        arr = F.col(field)
+        if idx:
+            ex = (F.posexplode_outer if preserve else F.posexplode)(arr)
+            df2 = df.select("*", ex.alias("__uw_pos", "__uw_el"))
+        else:
+            ex = (F.explode_outer if preserve else F.explode)(arr)
+            df2 = df.select("*", ex.alias("__uw_el"))
+        df2 = _set_nested(df2, field, F.col("__uw_el"))
+        if idx:
+            df2 = df2.withColumn(idx, F.col("__uw_pos"))
+        return df2.drop("__uw_el", "__uw_pos")
     others = [c for c in df.columns if c != field]
     explode = F.explode_outer if preserve else F.explode
     if idx:

@@ -1428,3 +1428,38 @@ def test_fuzz_cmp_lenbytes_let(eframes, k, j):
     FROM t
     """
     _run(eframes, pipeline, sql)
+
+
+# ------------------------------------------------- nested $unwind
+@settings(max_examples=20, deadline=None, derandomize=True,
+          suppress_health_check=list(HealthCheck))
+@given(preserve=st.booleans(), with_idx=st.booleans())
+def test_fuzz_unwind_nested(eframes, preserve, with_idx):
+    """$unwind of a NESTED array field ($o.tag): the element replaces
+    the subfield inside the struct (no flat dot-named column), with
+    preserveNullAndEmptyArrays and includeArrayIndex honored."""
+    spec = {"path": "$o.tag"}
+    if preserve:
+        spec["preserveNullAndEmptyArrays"] = True
+    if with_idx:
+        spec["includeArrayIndex"] = "pos"
+    pipeline = [
+        {"$addFields": {"o": {"tag": "$arr", "y": "$a"}}},
+        {"$unwind": spec},
+        {"$project": {"rid": 1, "el": "$o.tag", "y": "$o.y",
+                      **({"pos": 1} if with_idx else {})}},
+    ]
+    pos_sel = ", CAST(unnest(range(len(arr))) AS BIGINT) AS pos" \
+        if with_idx else ""
+    null_pos = ", NULL AS pos" if with_idx else ""
+    sql = f"""
+    WITH base AS (SELECT rid, arr, a FROM t)
+    SELECT rid, unnest(arr) AS el, a AS y{pos_sel} FROM base
+    """
+    if preserve:
+        sql += f"""
+        UNION ALL
+        SELECT rid, NULL AS el, a AS y{null_pos} FROM base
+        WHERE arr IS NULL OR len(arr) = 0
+        """
+    _run(eframes, pipeline, sql)
