@@ -2683,6 +2683,12 @@ def _densify(df: DataFrame, spec: dict) -> DataFrame:
     part_fields = [
         p[1:] if p.startswith("$") else p for p in spec.get("partitionByFields", [])
     ]
+    for p in part_fields:
+        if "." in p:
+            raise PipelineError(
+                "$densify: partitionByFields must be top-level fields "
+                f"(got {p!r}) — $project the subfield to a column first"
+            )
     is_time = unit is not None
     if is_time and unit not in _DENSIFY_UNITS and unit not in _DENSIFY_CALENDAR:
         raise PipelineError(f"unsupported $densify unit {unit!r}")
