@@ -1463,3 +1463,85 @@ def test_fuzz_unwind_nested(eframes, preserve, with_idx):
         WHERE arr IS NULL OR len(arr) = 0
         """
     _run(eframes, pipeline, sql)
+
+
+# ----------------------------------------- $dateFromString handling
+@settings(max_examples=20, deadline=None, derandomize=True,
+          suppress_health_check=list(HealthCheck))
+@given(bad=st.sampled_from(["nope", "2024-13-40 99:00:00", ""]),
+       use_handlers=st.booleans())
+def test_fuzz_date_from_string_errors(eframes, bad, use_handlers):
+    """$dateFromString over a MIX of valid strings, null, and
+    unparseable garbage: onError catches garbage, onNull catches
+    null, and without handlers the engine's documented policy is
+    null (try_to_timestamp), never a runtime throw."""
+    fmt = "%Y-%m-%d %H:%M:%S"
+    spec = {"dateString": "$str", "format": fmt}
+    if use_handlers:
+        spec["onError"] = {"$literal": "1999-01-01 00:00:00"}
+        spec["onNull"] = {"$literal": "1888-01-01 00:00:00"}
+    # str column: valid strftime for rid%3==0, garbage for rid%3==1,
+    # null for rid%3==2
+    pipeline = [
+        {"$project": {"rid": 1, "str": {"$switch": {"branches": [
+            {"case": {"$eq": [{"$mod": ["$rid", 3]}, 0]},
+             "then": {"$dateToString": {"date": "$ts", "format": fmt}}},
+            {"case": {"$eq": [{"$mod": ["$rid", 3]}, 1]},
+             "then": {"$literal": bad}}],
+            "default": None}}}},
+        {"$project": {"rid": 1, "p": {"$dateFromString": spec}}},
+    ]
+    if use_handlers:
+        # onNull fires on null INPUT; onError on unparseable non-null.
+        # A null ts formatted to null ALSO counts as null input.
+        p_sql = """CASE
+          WHEN rid % 3 = 2 OR (rid % 3 = 0 AND ts IS NULL)
+            THEN '1888-01-01 00:00:00'
+          WHEN rid % 3 = 1 THEN '1999-01-01 00:00:00'
+          ELSE CAST(date_trunc('second', ts) AS VARCHAR) END"""
+    else:
+        p_sql = """CASE WHEN rid % 3 = 0
+                        THEN CAST(date_trunc('second', ts) AS VARCHAR)
+                   END"""
+    sql = f"SELECT rid, {p_sql} AS p FROM t"
+    sdf, con = eframes
+    got = [(r["rid"], None if r["p"] is None else str(r["p"]))
+           for r in compile_pipeline(sdf, pipeline).collect()]
+    want = [(r[0], r[1]) for r in con.execute(sql).fetchall()]
+    assert sorted(got) == sorted(want), f"bad={bad!r} handlers={use_handlers}"
+
+
+# --------------------------------------------- group→lookup chain
+@settings(max_examples=12, deadline=None, derandomize=True,
+          suppress_health_check=list(HealthCheck))
+@given(mult=st.integers(0, 6))
+def test_fuzz_group_then_lookup(spark, eframes, mult):
+    """$group whose _id then feeds a $lookup — aggregation output as
+    the local side of a join, with the array contract intact."""
+    sdf, con = eframes
+    import pandas as pd
+
+    dim = _dim_rows(mult)
+    u = spark.createDataFrame(dim or [(None, None)], "key int, v int")
+    if not dim:
+        u = u.filter("key IS NOT NULL")
+    con.register("u", pd.DataFrame(dim, columns=["key", "v"]).astype(
+        {"key": "Int64", "v": "Int64"}))
+    pipeline = [
+        {"$match": {"a": {"$exists": True}}},
+        {"$group": {"_id": {"$mod": ["$a", 7]}, "cnt": {"$sum": 1}}},
+        {"$lookup": {"from": "u", "localField": "_id",
+                     "foreignField": "key", "as": "m"}},
+        {"$project": {"k": "$_id", "cnt": 1, "nm": {"$size": "$m"}}},
+    ]
+    sql = """
+    WITH g AS (SELECT a % 7 AS k, COUNT(*) AS cnt FROM t
+               WHERE a IS NOT NULL GROUP BY 1)
+    SELECT g.k, g.cnt, COUNT(u.key) AS nm
+    FROM g LEFT JOIN u ON g.k = u.key
+    GROUP BY g.k, g.cnt
+    """
+    got = _norm([tuple(r) for r in compile_pipeline(
+        sdf, pipeline, collections={"u": u}).collect()])
+    want = _norm(con.execute(sql).fetchall())
+    assert got == want
