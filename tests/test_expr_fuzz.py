@@ -116,7 +116,10 @@ def _run(eframes, pipeline, sql):
 # ------------------------------------------------------------- dates
 # IANA zones exercising: identity, US DST (spring/fall), half-hour
 # offset, southern-hemisphere DST (transitions in Apr/Oct)
-_TZS = ["UTC", "America/New_York", "Asia/Kolkata", "Australia/Sydney"]
+# Chatham: +12:45 base with DST — a 45-minute offset exercises every
+# place the code assumes whole- or half-hour zones
+_TZS = ["UTC", "America/New_York", "Asia/Kolkata", "Australia/Sydney",
+        "Pacific/Chatham"]
 
 #: (mongo op, duckdb expr template over wall-clock naive {0})
 _PARTS = [
