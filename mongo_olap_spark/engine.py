@@ -220,6 +220,98 @@ class OlapEngine:
         )
         return self.router.execute(req, source_df=source_df)
 
+    def explain(
+        self,
+        source: str,
+        pipeline: list[dict],
+        *,
+        collections: dict[str, DataFrame] | None = None,
+    ) -> dict:
+        """Explain how the engine would serve a pipeline WITHOUT
+        running it (round-6 task 7) — metadata only, no Spark job.
+
+        Returns a dict with:
+
+        - ``route``: ``target`` (``"cube"`` or ``"source"``), the
+          routed ``cube`` name and the router's ``reason`` (cell count
+          of the winner, or why every cube was rejected), the
+          ``pushed_filter`` (pre-aggregation source filter the cube
+          shares), and the rewritten group-by. Hybrid serving (cube
+          cells + unabsorbed tail) is chosen by the explicit ``tail=``
+          argument of :meth:`query`, noted under ``route.hybrid``.
+        - ``stages``: one entry per pipeline stage; ``$lookup`` stages
+          carry the join ``strategy`` the compiler picks (equi-packed /
+          broadcast-uncorrelated / hash-equi+residual / banded-range /
+          nested-loop) with a one-line rationale, or the refusal
+          diagnostic for unsupported shapes.
+        - ``refusals``: every diagnostic collected along the way.
+        """
+        from mongo_olap_spark.plans.pipeline_compiler import (
+            PipelineError,
+            cube_spec_from_pipeline,
+            describe_lookup,
+        )
+
+        refusals: list[str] = []
+        try:
+            shape = cube_spec_from_pipeline("__explain", source, pipeline)
+            req = AggregateRequest(
+                source=source,
+                group_by=tuple(
+                    (d.source_path, d.granularity) if d.granularity
+                    else d.source_path
+                    for d in shape.dimensions
+                ),
+                measures=tuple(
+                    (m.name, m.op, m.path) if m.path else (m.name, m.op)
+                    for m in shape.measures
+                ),
+                filter_sql=shape.filter_sql,
+            )
+            decision = self.router.route(req)
+            route = {
+                "target": "cube" if decision.cube is not None else "source",
+                "cube": decision.cube,
+                "reason": decision.reason,
+                "pushed_filter": shape.filter_sql,
+                "rewritten_group_by": list(decision.rewritten_group_by),
+                "hybrid": "pass tail= to query() to merge unabsorbed "
+                          "source rows with the cube cells",
+            }
+            if decision.cube is None:
+                refusals.append(f"router: {decision.reason}")
+        except PipelineError as e:
+            route = {
+                "target": "source",
+                "cube": None,
+                "reason": f"not a routable [$match?, $group] aggregate: {e}",
+                "pushed_filter": None,
+            }
+            refusals.append(f"cube routing: {e}")
+        stages = []
+        for st in pipeline:
+            name = next(iter(st))
+            entry: dict = {"stage": name}
+            if name == "$lookup":
+                foreign = None
+                if collections is not None:
+                    fr = st["$lookup"].get("from")
+                    f = collections.get(fr)
+                    foreign = f() if callable(f) else f
+                try:
+                    entry.update(describe_lookup(st["$lookup"], foreign))
+                except PipelineError as e:
+                    entry["refusal"] = str(e)
+                    refusals.append(f"$lookup: {e}")
+            elif name == "$match" and not stages:
+                entry["note"] = (
+                    "leading $match compiles ahead of every other stage — "
+                    "predicate reaches the scan (pushdown)"
+                )
+            stages.append(entry)
+        return {"source": source, "route": route, "stages": stages,
+                "refusals": refusals}
+
     def query_pipeline(
         self,
         source: str,

@@ -909,6 +909,15 @@ def _compile_op(op: str, spec: Any) -> Column:
         # an offset, which is exactly the carrying arithmetic — a
         # direct make_timestamp would throw under ANSI instead.
         if "isoWeekYear" in spec:
+            mixed = {"year", "month", "day"} & spec.keys()
+            if mixed:
+                # Mongo errors on mixing ISO week-date parts with
+                # natural date parts; silently dropping them would
+                # violate the refuse-silent-drops convention
+                raise PipelineError(
+                    "$dateFromParts: cannot mix isoWeekYear with natural "
+                    f"date parts {sorted(mixed)}"
+                )
             # ISO week-date form: Jan 4 is always in ISO week 1; back
             # up to that week's Monday, then offset by weeks and days
             jan4 = F.make_timestamp(
@@ -921,6 +930,11 @@ def _compile_op(op: str, spec: Any) -> Column:
                 ("DAY", part("isoDayOfWeek", 1) - 1),
             ]
         else:
+            iso_only = {"isoWeek", "isoDayOfWeek"} & spec.keys()
+            if iso_only:
+                raise PipelineError(
+                    f"$dateFromParts: {sorted(iso_only)} require isoWeekYear"
+                )
             ts = F.make_timestamp(
                 part("year", 1970), F.lit(1), F.lit(1),
                 F.lit(0), F.lit(0), F.lit(0),
@@ -1302,7 +1316,7 @@ def compile_pipeline(
             sort_keys = None
         elif name == "$sort":
             for k, v in spec.items():
-                if v not in (1, -1):
+                if isinstance(v, bool) or v not in (1, -1):
                     # Mongo rejects 0 and non-numeric sort specs
                     # ({$meta: textScore} included — the engine's $text
                     # score rides as an ordinary projected column)
@@ -1316,8 +1330,10 @@ def compile_pipeline(
             )
         elif name == "$limit":
             if not (isinstance(spec, int) and not isinstance(spec, bool)
-                    and spec >= 0):
-                raise PipelineError("$limit requires a non-negative integer")
+                    and spec >= 1):
+                # Mongo: "the limit must be positive" — 0 is rejected
+                # (unlike $skip, where 0 is legal)
+                raise PipelineError("$limit requires a positive integer")
             df = df.limit(spec)
         elif name == "$skip":
             if not (isinstance(spec, int) and not isinstance(spec, bool)
@@ -1480,14 +1496,28 @@ def _drop_nested(df: DataFrame, path: str) -> DataFrame:
     through a non-struct) is a silent no-op."""
     from pyspark.sql.types import StructType
 
-    head, _, rest = path.partition(".")
-    if not rest:
-        return df.drop(head)
-    if head not in df.columns or not isinstance(
-        df.schema[head].dataType, StructType
-    ):
+    parts = path.split(".")
+    if len(parts) == 1:
+        return df.drop(path)
+    head = parts[0]
+    if head not in df.columns:
         return df
-    return df.withColumn(head, F.col(head).dropFields(rest))
+    # walk EVERY intermediate segment: a path through a non-struct (or
+    # absent) field is a no-op, and dropFields would raise instead
+    dt = df.schema[head].dataType
+    for seg in parts[1:-1]:
+        if not isinstance(dt, StructType) or seg not in dt.fieldNames():
+            return df
+        dt = dt[seg].dataType
+    if not isinstance(dt, StructType) or parts[-1] not in dt.fieldNames():
+        return df
+    if len(dt.fieldNames()) == 1:
+        # dropping the struct's last field: Mongo leaves {}, but a
+        # fixed Spark schema cannot hold an empty struct (dropFields
+        # raises CANNOT_DROP_ALL_FIELDS) — remove the now-empty parent
+        # instead, cascading upward
+        return _drop_nested(df, ".".join(parts[:-1]))
+    return df.withColumn(head, F.col(head).dropFields(".".join(parts[1:])))
 
 
 def _set_nested(df: DataFrame, path: str, val: Column) -> DataFrame:
@@ -1518,7 +1548,22 @@ def _set_nested(df: DataFrame, path: str, val: Column) -> DataFrame:
             else:
                 child = set_path(None, None, ps[1:])
         if col is not None:
-            return col.withField(p, child)
+            # Row-level NULL struct: withField on NULL yields NULL,
+            # silently dropping the $set; Mongo on {a: null} produces
+            # {a: {p: child}}. Build a same-typed struct with the other
+            # fields null so both WHEN branches agree on schema.
+            names = list(schema.fieldNames())
+            if p not in names:
+                names.append(p)
+            null_fields = [
+                child.alias(p)
+                if f == p
+                else F.lit(None).cast(schema[f].dataType).alias(f)
+                for f in names
+            ]
+            return F.when(
+                col.isNull(), F.struct(*null_fields)
+            ).otherwise(col.withField(p, child))
         return F.struct(child.alias(p))
 
     head = parts[0]
@@ -1688,6 +1733,169 @@ def _detect_band(residuals: list, foreign: DataFrame):
     return None
 
 
+def _classify_lookup_match(pipeline: list, let: dict):
+    """Classify the leading ``$match.$expr`` conjuncts of a correlated
+    $lookup pipeline into equality join keys, residual comparisons, and
+    uncorrelated foreign pre-filters — the single source of truth for
+    both the compile (``_lookup_pipeline``) and the plan explainer
+    (``describe_lookup``)."""
+    if not pipeline or "$match" not in pipeline[0]:
+        raise PipelineError(
+            "correlated $lookup pipeline form requires a leading $match")
+    match = pipeline[0]["$match"]
+    if set(match.keys()) != {"$expr"}:
+        raise PipelineError("$lookup pipeline $match must be a single $expr")
+    conjuncts = (
+        match["$expr"]["$and"]
+        if isinstance(match["$expr"], dict) and "$and" in match["$expr"]
+        else [match["$expr"]]
+    )
+    eq_keys: list[tuple[str, str]] = []  # (foreign field, let var)
+    residuals: list[tuple[str, str, Any]] = []  # (op, foreign field, local spec)
+    pre_filters = []
+    for c in conjuncts:
+        if not _contains_var(c):
+            pre_filters.append(c)
+            continue
+        ok = (isinstance(c, dict) and len(c) == 1
+              and list(c)[0] in _LOOKUP_CMP_OPS
+              and isinstance(c[list(c)[0]], list) and len(c[list(c)[0]]) == 2)
+        if ok:
+            op = list(c)[0]
+            a, b = c[op]
+            if op == "$eq" and isinstance(a, str) and isinstance(b, str):
+                if a.startswith("$$") and b.startswith("$") and not b.startswith("$$"):
+                    a, b = b, a
+                if b.startswith("$$") and a.startswith("$") and not a.startswith("$$"):
+                    var = b[2:]
+                    if var not in let:
+                        raise PipelineError(
+                            f"$lookup: undefined let variable {var!r}")
+                    eq_keys.append((a[1:], var))
+                    continue
+            # inequality (or non-plain $eq): one side must be a plain
+            # foreign field path, the other a $$var-referencing local
+            # expression — normalized to  field OP local_expr
+            def _is_field(x):
+                return (isinstance(x, str) and x.startswith("$")
+                        and not x.startswith("$$"))
+
+            if _is_field(a) and _contains_var(b) and not _contains_var(a):
+                residuals.append((op, a[1:], b))
+                continue
+            if _is_field(b) and _contains_var(a) and not _contains_var(b):
+                residuals.append((_LOOKUP_OP_FLIP[op], b[1:], a))
+                continue
+        raise PipelineError(
+            "$lookup pipeline form supports $$var conjuncts of the shape "
+            "field <op> $$var-expression for $eq/$ne/$lt/$lte/$gt/$gte "
+            f"only (got {c!r})"
+        )
+    for _, _, spec_ in residuals:
+        for var in _vars_in(spec_):
+            if var not in let:
+                raise PipelineError(f"$lookup: undefined let variable {var!r}")
+    if not eq_keys and not residuals:
+        raise PipelineError(
+            "$lookup pipeline form needs >=1 $$var-correlated conjunct")
+    return eq_keys, residuals, pre_filters
+
+
+def describe_lookup(spec: dict, foreign: DataFrame | None = None) -> dict:
+    """Explain which join strategy a $lookup spec compiles to, WITHOUT
+    building any DataFrame plan (round-6 task 7: OlapEngine.explain).
+
+    Returns ``{"from", "as", "strategy", "detail", ...}`` where
+    strategy is one of ``equi-packed`` (localField/foreignField or
+    $$var-equality: foreign pre-aggregated per key, hash join,
+    broadcast-eligible), ``broadcast-uncorrelated`` (single packed row,
+    map-side), ``hash-equi+residual`` (equality keys carry the join,
+    inequalities filter), ``banded-range`` (two-sided numeric band →
+    bucketized equi join), or ``nested-loop`` (one-sided inequality —
+    inherently triangular output). ``foreign`` sharpens the band test
+    with the actual column type; structurally-banded shapes report
+    banded-range optimistically without it."""
+    from pyspark.sql.types import NumericType
+
+    out = {"from": spec.get("from"), "as": spec.get("as")}
+    let, pipeline = spec.get("let", {}), list(spec.get("pipeline") or [])
+    concise = "localField" in spec or "foreignField" in spec
+    if concise and not pipeline and not let:
+        out["strategy"] = "equi-packed"
+        out["detail"] = (
+            f"hash join on {spec.get('foreignField')} = "
+            f"{spec.get('localField')}; foreign side pre-aggregated to one "
+            "array row per key (broadcasts when small)"
+        )
+        return out
+    if concise:
+        var = "__concise_local"
+        while var in let:
+            var += "_"
+        let = {**let, var: "$" + spec["localField"]}
+        eq_extra = {"$eq": ["$" + spec["foreignField"], "$$" + var]}
+        if (pipeline and set(pipeline[0]) == {"$match"}
+                and set(pipeline[0]["$match"]) == {"$expr"}):
+            expr = pipeline[0]["$match"]["$expr"]
+            conj = (expr["$and"] if isinstance(expr, dict) and "$and" in expr
+                    else [expr])
+            pipeline[0] = {"$match": {"$expr": {"$and": conj + [eq_extra]}}}
+        else:
+            pipeline = [{"$match": {"$expr": eq_extra}}] + pipeline
+    if not let and not any(_contains_var(s) for s in pipeline):
+        out["strategy"] = "broadcast-uncorrelated"
+        out["detail"] = (
+            "sub-pipeline runs once over the foreign collection; the "
+            "packed single-row result broadcast-cross-joins (map-side, "
+            "no shuffle of the local side)"
+        )
+        return out
+    eq_keys, residuals, pre_filters = _classify_lookup_match(pipeline, let)
+    out["equality_keys"] = [f for f, _ in eq_keys]
+    out["residual_predicates"] = [
+        f"{field} {op} <local expr>" for op, field, _ in residuals
+    ]
+    out["foreign_pre_filters"] = len(pre_filters)
+    if eq_keys and not residuals:
+        out["strategy"] = "equi-packed"
+        out["detail"] = (
+            "hash join on the $$var equality keys; foreign side "
+            "pre-aggregated per key before the join"
+        )
+    elif eq_keys:
+        out["strategy"] = "hash-equi+residual"
+        out["detail"] = (
+            "equality conjuncts plan the hash join; inequality "
+            "conjuncts ride as residual join predicates"
+        )
+    else:
+        lows = {f_ for op, f_, _ in residuals if op in ("$gt", "$gte")}
+        highs = {f_ for op, f_, _ in residuals if op in ("$lt", "$lte")}
+        banded = lows & highs
+        if banded and foreign is not None:
+            banded = {
+                f_ for f_ in banded
+                if f_ in foreign.columns
+                and isinstance(foreign.schema[f_].dataType, NumericType)
+            }
+        if banded:
+            field = sorted(banded)[0]
+            out["strategy"] = "banded-range"
+            out["detail"] = (
+                f"two-sided band on {field}: foreign side bucketized by "
+                "approxQuantile boundaries, band becomes an equi bucket "
+                "join — shuffle O(|foreign| + |local|*buckets), no "
+                "nested loop"
+            )
+        else:
+            out["strategy"] = "nested-loop"
+            out["detail"] = (
+                "one-sided inequality has no blocking key; output is "
+                "inherently triangular (Mongo pays the same per-document)"
+            )
+    return out
+
+
 def _lookup_general(
     df: DataFrame, f: DataFrame, arr_cols: list, eq_keys: list,
     residuals: list, let: dict, out: str, finish=None,
@@ -1848,65 +2056,7 @@ def _lookup_pipeline(df: DataFrame, spec: dict, collections) -> DataFrame:
         return joined.withColumn(
             out, F.coalesce(F.col(out), F.array().cast(arr_type))
         )
-    if not pipeline or "$match" not in pipeline[0]:
-        raise PipelineError(
-            "correlated $lookup pipeline form requires a leading $match")
-    match = pipeline[0]["$match"]
-    if set(match.keys()) != {"$expr"}:
-        raise PipelineError("$lookup pipeline $match must be a single $expr")
-    conjuncts = (
-        match["$expr"]["$and"]
-        if isinstance(match["$expr"], dict) and "$and" in match["$expr"]
-        else [match["$expr"]]
-    )
-    eq_keys: list[tuple[str, str]] = []  # (foreign field, let var)
-    residuals: list[tuple[str, str, Any]] = []  # (op, foreign field, local spec)
-    pre_filters = []
-    for c in conjuncts:
-        if not _contains_var(c):
-            pre_filters.append(c)
-            continue
-        ok = (isinstance(c, dict) and len(c) == 1
-              and list(c)[0] in _LOOKUP_CMP_OPS
-              and isinstance(c[list(c)[0]], list) and len(c[list(c)[0]]) == 2)
-        if ok:
-            op = list(c)[0]
-            a, b = c[op]
-            if op == "$eq" and isinstance(a, str) and isinstance(b, str):
-                if a.startswith("$$") and b.startswith("$") and not b.startswith("$$"):
-                    a, b = b, a
-                if b.startswith("$$") and a.startswith("$") and not a.startswith("$$"):
-                    var = b[2:]
-                    if var not in let:
-                        raise PipelineError(
-                            f"$lookup: undefined let variable {var!r}")
-                    eq_keys.append((a[1:], var))
-                    continue
-            # inequality (or non-plain $eq): one side must be a plain
-            # foreign field path, the other a $$var-referencing local
-            # expression — normalized to  field OP local_expr
-            def _is_field(x):
-                return (isinstance(x, str) and x.startswith("$")
-                        and not x.startswith("$$"))
-
-            if _is_field(a) and _contains_var(b) and not _contains_var(a):
-                residuals.append((op, a[1:], b))
-                continue
-            if _is_field(b) and _contains_var(a) and not _contains_var(b):
-                residuals.append((_LOOKUP_OP_FLIP[op], b[1:], a))
-                continue
-        raise PipelineError(
-            "$lookup pipeline form supports $$var conjuncts of the shape "
-            "field <op> $$var-expression for $eq/$ne/$lt/$lte/$gt/$gte "
-            f"only (got {c!r})"
-        )
-    for _, _, spec_ in residuals:
-        for var in _vars_in(spec_):
-            if var not in let:
-                raise PipelineError(f"$lookup: undefined let variable {var!r}")
-    if not eq_keys and not residuals:
-        raise PipelineError(
-            "$lookup pipeline form needs >=1 $$var-correlated conjunct")
+    eq_keys, residuals, pre_filters = _classify_lookup_match(pipeline, let)
     rest = list(pipeline[1:])
     sort_spec = limit_n = project = None
     if rest and list(rest[0]) == ["$sort"]:
@@ -2675,20 +2825,70 @@ _DENSIFY_UNITS = {"week": 604800, "day": 86400, "hour": 3600, "minute": 60, "sec
 _DENSIFY_CALENDAR = {"month": "month", "quarter": "quarter", "year": "year"}
 
 
+def _path_type(schema, path: str):
+    """Resolve a dotted path through nested StructTypes; None if any
+    segment is absent or a non-struct intermediate."""
+    from pyspark.sql.types import StructType
+
+    dt = schema
+    for seg in path.split("."):
+        if not isinstance(dt, StructType) or seg not in dt.fieldNames():
+            return None
+        dt = dt[seg].dataType
+    return dt
+
+
+def _null_struct_with(dtype, leaves: dict) -> Column:
+    """Build a struct of ``dtype`` with the given relative dotted
+    ``leaves`` set and every other field null — the padding shape for
+    spine rows whose partition key lives inside a struct."""
+    by_head: dict = {}
+    for path, v in leaves.items():
+        h, _, rest = path.partition(".")
+        by_head.setdefault(h, {})[rest] = v
+    fields = []
+    for f in dtype.fields:
+        if f.name in by_head:
+            sub = by_head[f.name]
+            if "" in sub:
+                fields.append(sub[""].cast(f.dataType).alias(f.name))
+            else:
+                fields.append(
+                    _null_struct_with(f.dataType, sub).alias(f.name)
+                )
+        else:
+            fields.append(F.lit(None).cast(f.dataType).alias(f.name))
+    return F.struct(*fields)
+
+
 def _densify(df: DataFrame, spec: dict) -> DataFrame:
     field = spec["field"]
     rng = spec["range"]
     step, unit = rng["step"], rng.get("unit")
     bounds = rng.get("bounds", "full")
-    part_fields = [
+    if "." in field:
+        raise PipelineError(
+            "$densify: field must be a top-level column "
+            f"(got {field!r}) — $project the subfield to a column first"
+        )
+    part_paths = [
         p[1:] if p.startswith("$") else p for p in spec.get("partitionByFields", [])
     ]
-    for p in part_fields:
-        if "." in p:
+    # dotted partition keys (round-6): read the struct subfield under a
+    # flat alias for the spine/bounds plumbing, rebuild the enclosing
+    # struct when padding missing rows
+    for p in part_paths:
+        if "." in p and _path_type(df.schema, p) is None:
             raise PipelineError(
-                "$densify: partitionByFields must be top-level fields "
-                f"(got {p!r}) — $project the subfield to a column first"
+                f"$densify: partitionByFields path {p!r} does not "
+                "resolve through struct fields"
             )
+    part_fields = [
+        p if "." not in p else f"__pf{i}" for i, p in enumerate(part_paths)
+    ]
+    part_cols = [
+        F.col(p).alias(a) for p, a in zip(part_paths, part_fields)
+    ]
     is_time = unit is not None
     if is_time and unit not in _DENSIFY_UNITS and unit not in _DENSIFY_CALENDAR:
         raise PipelineError(f"unsupported $densify unit {unit!r}")
@@ -2704,7 +2904,7 @@ def _densify(df: DataFrame, spec: dict) -> DataFrame:
         lo_l = F.lit(bounds[0]).cast("timestamp") if is_time else F.lit(bounds[0])
         hi_l = F.lit(bounds[1]).cast("timestamp") if is_time else F.lit(bounds[1])
         keys_df = (
-            df.select(*part_fields).distinct()
+            df.select(*part_cols).distinct()
             if part_fields
             else df.sparkSession.range(1).select()
         )
@@ -2715,13 +2915,17 @@ def _densify(df: DataFrame, spec: dict) -> DataFrame:
         # each partition densifies over its own [min, max]
         if not part_fields:
             raise PipelineError('bounds:"partition" needs partitionByFields')
-        bounds_df = df.groupBy(*part_fields).agg(lo, hi)
+        bounds_df = (
+            df.select(*part_cols, F.col(field).alias(field))
+            .groupBy(*part_fields)
+            .agg(lo, hi)
+        )
     elif bounds == "full":
         # every partition spans the global range: aggregate bounds
         # once, cross-join onto the (broadcast-sized) partition keys
         glob = df.agg(lo, hi)
         bounds_df = (
-            df.select(*part_fields).distinct().crossJoin(F.broadcast(glob))
+            df.select(*part_cols).distinct().crossJoin(F.broadcast(glob))
             if part_fields else glob
         )
     else:
@@ -2749,14 +2953,17 @@ def _densify(df: DataFrame, spec: dict) -> DataFrame:
     # the data stays put and only (spine ANTI-JOIN distinct-keys) —
     # both bounded by the grid size — shuffle. Partition keys compare
     # null-safely: null is a real partition value.
-    names = list(spine.columns)  # part_fields + [field]
+    names = list(spine.columns)  # part_fields (aliases) + [field]
+    sources = part_paths + [field]  # dotted originals, for df-side reads
     sp = spine.select(
         *[F.col(c).alias(f"__sp_{i}") for i, c in enumerate(names)]
     )
     # spine derives from df: rename before joining or the analyzer
     # flags an ambiguous self-join
     present = (
-        df.select(*[F.col(c).alias(f"__pr_{i}") for i, c in enumerate(names)])
+        df.select(
+            *[F.col(c).alias(f"__pr_{i}") for i, c in enumerate(sources)]
+        )
         .where(F.col(f"__pr_{len(names) - 1}").isNotNull())
         .distinct()
     )
@@ -2764,11 +2971,24 @@ def _densify(df: DataFrame, spec: dict) -> DataFrame:
     for i in range(len(part_fields)):
         cond = cond & sp[f"__sp_{i}"].eqNullSafe(present[f"__pr_{i}"])
     missing = sp.join(present, cond, "left_anti")
+    dotted_by_head: dict = {}
+    for i, p in enumerate(part_paths):
+        if "." in p:
+            h, _, rest = p.partition(".")
+            dotted_by_head.setdefault(h, {})[rest] = F.col(f"__sp_{i}")
     pad = []
     for fld in df.schema.fields:
         if fld.name in names:
             pad.append(
                 F.col(f"__sp_{names.index(fld.name)}").alias(fld.name)
+            )
+        elif fld.name in dotted_by_head:
+            # partition key lives inside this struct: rebuild it with
+            # the spine value(s) set and every other subfield null
+            pad.append(
+                _null_struct_with(
+                    fld.dataType, dotted_by_head[fld.name]
+                ).alias(fld.name)
             )
         else:
             pad.append(F.lit(None).cast(fld.dataType).alias(fld.name))

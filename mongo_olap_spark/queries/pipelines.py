@@ -203,6 +203,51 @@ def q_pipeline_densify(spark, sf_dir):
 
 
 @register(
+    "q_pipeline_densify_nested",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type AS etype, date_trunc('day', ts) AS day,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (SELECT etype, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1),
+    spine AS (
+      SELECT etype, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+      FROM bounds
+    )
+    SELECT s.etype, s.day, COALESCE(d.n, 0) AS n
+    FROM spine s LEFT JOIN daily d ON s.etype = d.etype AND s.day = d.day
+    """,
+)
+def q_pipeline_densify_nested(spark, sf_dir):
+    """Round-6: $densify with a DOTTED partitionByFields — the
+    partition key lives inside a struct column (m.etype), exercising
+    the flat-alias spine plumbing and the null-padded struct rebuild
+    for generated rows."""
+    e = load_table(spark, sf_dir, "events")
+    out = compile_pipeline(
+        e,
+        [
+            {"$group": {
+                "_id": {"etype": "$event_type",
+                        "day": {"$dateTrunc": {"date": "$ts", "unit": "day"}}},
+                "n": {"$sum": 1},
+            }},
+            {"$project": {"m": {"etype": "$_id.etype"},
+                          "day": "$_id.day", "n": 1}},
+            {"$densify": {"field": "day",
+                          "partitionByFields": ["m.etype"],
+                          "range": {"step": 1, "unit": "day",
+                                    "bounds": "partition"}}},
+            {"$fill": {"partitionBy": "$m.etype", "sortBy": {"day": 1},
+                       "output": {"n": {"value": 0}}}},
+            {"$project": {"etype": "$m.etype", "day": 1, "n": 1}},
+        ],
+    )
+    return out.select("etype", "day", "n")
+
+
+@register(
     "q_pipeline_lookup_expr",
     oracle="""
     SELECT c.c_custkey, CAST(COALESCE(b.n_big, 0) AS INT) AS n_big

@@ -167,3 +167,79 @@ def test_materialize_pipeline_into_store(engine, events):
     )
     assert engine.store.version("type_counts") == 2
     assert engine.store.read("type_counts").count() == got.count()
+
+
+def test_engine_explain(spark, sf_dir, tmp_path):
+    """Round-6 task 7: explain() reports the routing decision and the
+    per-$lookup join strategy without launching a job — it names the
+    routed cube for a routable aggregate, the banded-range strategy
+    for a two-sided $$var band, and surfaces refusal diagnostics
+    instead of raising."""
+    from mongo_olap_spark.sources.tables import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    engine = OlapEngine(spark, str(tmp_path / "olap"))
+    pipeline = [
+        {"$match": {"value": {"$gt": 0}}},
+        {"$group": {"_id": {"etype": "$event_type"}, "n": {"$sum": 1}}},
+    ]
+    engine.create_cube_from_pipeline("exp_cube", "events", pipeline, events)
+
+    rep = engine.explain("events", pipeline)
+    assert rep["route"]["target"] == "cube"
+    assert rep["route"]["cube"] == "exp_cube"
+    assert "cells" in rep["route"]["reason"]
+    assert rep["route"]["pushed_filter"]  # the $match rides as filter_sql
+    assert rep["stages"][0]["stage"] == "$match"
+    assert "pushdown" in rep["stages"][0]["note"]
+
+    # q_pipeline_lookup_range's shape: pure-inequality band → the
+    # bucketized range-join strategy, and no cube serves it
+    range_pipe = [
+        {"$lookup": {
+            "from": "orders",
+            "let": {"lo": {"$multiply": ["$c_acctbal", 10]},
+                    "hi": {"$multiply": ["$c_acctbal", 10.2]}},
+            "pipeline": [
+                {"$match": {"$expr": {"$and": [
+                    {"$gte": ["$o_totalprice", "$$lo"]},
+                    {"$lt": ["$o_totalprice", "$$hi"]},
+                ]}}},
+                {"$project": {"o_orderkey": 1}},
+            ],
+            "as": "band",
+        }},
+    ]
+    rep2 = engine.explain("customer", range_pipe)
+    assert rep2["route"]["target"] == "source"
+    (lk,) = [s for s in rep2["stages"] if s["stage"] == "$lookup"]
+    assert lk["strategy"] == "banded-range"
+    assert "o_totalprice" in lk["detail"]
+    assert lk["residual_predicates"]
+
+    # strategy taxonomy on the other shapes
+    equi = {"from": "orders", "localField": "c_custkey",
+            "foreignField": "o_custkey", "as": "o"}
+    rep3 = engine.explain("customer", [{"$lookup": equi}])
+    assert rep3["stages"][0]["strategy"] == "equi-packed"
+    uncorr = {"from": "orders", "pipeline": [{"$count": "n"}], "as": "s"}
+    rep4 = engine.explain("customer", [{"$lookup": uncorr}])
+    assert rep4["stages"][0]["strategy"] == "broadcast-uncorrelated"
+    onesided = {"from": "orders", "let": {"b": "$c_acctbal"},
+                "pipeline": [{"$match": {"$expr":
+                    {"$lt": ["$o_totalprice", "$$b"]}}}], "as": "o"}
+    rep5 = engine.explain("customer", [{"$lookup": onesided}])
+    assert rep5["stages"][0]["strategy"] == "nested-loop"
+    mixed = {"from": "orders", "let": {"k": "$c_custkey", "b": "$c_acctbal"},
+             "pipeline": [{"$match": {"$expr": {"$and": [
+                 {"$eq": ["$o_custkey", "$$k"]},
+                 {"$lt": ["$o_totalprice", "$$b"]}]}}}], "as": "o"}
+    rep6 = engine.explain("customer", [{"$lookup": mixed}])
+    assert rep6["stages"][0]["strategy"] == "hash-equi+residual"
+
+    # refusal diagnostics surface in the report instead of raising
+    bad = {"from": "orders", "let": {"x": 1},
+           "pipeline": [{"$project": {"a": 1}}], "as": "z"}
+    rep7 = engine.explain("customer", [{"$lookup": bad}])
+    assert rep7["stages"][0].get("refusal")
+    assert any("$lookup" in r for r in rep7["refusals"])

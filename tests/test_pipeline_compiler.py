@@ -2170,3 +2170,100 @@ def test_sort_limit_skip_validation(spark):
         compile_pipeline(df, [{"$limit": -1}])
     with pytest.raises(PipelineError, match="\\$skip"):
         compile_pipeline(df, [{"$skip": -2}])
+
+
+def test_advice_r5_validation_fixes(spark):
+    """Round-6 ADVICE fixes: $limit 0 refused (Mongo: 'the limit must
+    be positive'), boolean sort directions refused (True == 1 would
+    otherwise slip through the membership test), and $dateFromParts
+    refuses mixing ISO week-date parts with natural date parts in
+    either direction."""
+    df = spark.createDataFrame([(1,)], "x int")
+    with pytest.raises(PipelineError, match="\\$limit"):
+        compile_pipeline(df, [{"$limit": 0}])
+    compile_pipeline(df, [{"$skip": 0}])  # still legal
+    with pytest.raises(PipelineError, match="1 or -1"):
+        compile_pipeline(df, [{"$sort": {"x": True}}])
+    with pytest.raises(PipelineError, match="cannot mix"):
+        compile_pipeline(df, [{"$project": {"d": {"$dateFromParts": {
+            "isoWeekYear": 2024, "month": 5}}}}])
+    with pytest.raises(PipelineError, match="isoWeekYear"):
+        compile_pipeline(df, [{"$project": {"d": {"$dateFromParts": {
+            "year": 2024, "isoWeek": 3}}}}])
+
+
+def test_set_nested_null_struct_row(spark):
+    """Round-6 ADVICE (medium): a dotted $set on a row whose struct
+    value is NULL must materialize {p: child} (Mongo: $set on {a: null}
+    produces {a: {b: val}}), not silently stay NULL via withField."""
+    df = spark.createDataFrame(
+        [(1, {"b": 10, "c": "x"}), (2, None)],
+        "id int, a struct<b:int,c:string>")
+    rows = {r["id"]: r["a"] for r in compile_pipeline(
+        df, [{"$set": {"a.b": {"$add": ["$id", 100]}}}]).collect()}
+    assert rows[1]["b"] == 101 and rows[1]["c"] == "x"
+    assert rows[2] is not None and rows[2]["b"] == 102
+    assert rows[2]["c"] is None
+    # two levels deep through a null intermediate
+    df2 = spark.createDataFrame(
+        [(1, {"m": {"v": 5}}), (2, None)],
+        "id int, a struct<m:struct<v:int>>")
+    rows2 = {r["id"]: r["a"] for r in compile_pipeline(
+        df2, [{"$set": {"a.m.w": "$id"}}]).collect()}
+    assert rows2[1]["m"]["v"] == 5 and rows2[1]["m"]["w"] == 1
+    assert rows2[2]["m"]["w"] == 2 and rows2[2]["m"]["v"] is None
+
+
+def test_drop_nested_through_non_struct_noop(spark):
+    """Round-6 ADVICE: $unset of a path whose INTERMEDIATE segment is
+    absent or not a struct is a silent no-op (Mongo semantics), not a
+    raw AnalysisException from dropFields."""
+    df = spark.createDataFrame(
+        [(1, {"b": 2, "m": {"v": 3}})],
+        "id int, a struct<b:int,m:struct<v:int>>")
+    # a.b is an int: a.b.c is a no-op
+    assert compile_pipeline(df, [{"$unset": "a.b.c"}]).collect()[0][
+        "a"]["b"] == 2
+    # a.x absent: a.x.y is a no-op
+    out = compile_pipeline(df, [{"$unset": "a.x.y"}]).collect()[0]
+    assert out["a"]["b"] == 2
+    # missing leaf in a valid struct: no-op
+    assert compile_pipeline(df, [{"$unset": "a.m.zz"}]).collect()[0][
+        "a"]["m"]["v"] == 3
+    # the real drop still works on a multi-field struct
+    df2 = spark.createDataFrame(
+        [(1, {"m": {"v": 3, "w": 4}})],
+        "id int, a struct<m:struct<v:int,w:int>>")
+    out = compile_pipeline(df2, [{"$unset": "a.m.v"}]).collect()[0]
+    assert out["a"]["m"].asDict() == {"w": 4}
+    # dropping the LAST field of a struct: Mongo leaves {}, which a
+    # fixed schema cannot hold — the engine cascades the drop to the
+    # now-empty parent instead of raising CANNOT_DROP_ALL_FIELDS
+    out = compile_pipeline(df, [{"$unset": "a.m.v"}]).collect()[0]
+    assert "m" not in out["a"].asDict()
+    assert out["a"]["b"] == 2
+
+
+def test_densify_dotted_partition_fields(spark):
+    """Round-6 task 3: $densify partitionByFields may be a struct
+    subfield; generated rows rebuild the enclosing struct with the
+    partition value set and other subfields null."""
+    df = spark.createDataFrame(
+        [({"g": "a", "x": 1}, 1, 10.0), ({"g": "a", "x": 2}, 4, 11.0),
+         ({"g": "b", "x": 3}, 2, 12.0)],
+        "m struct<g:string,x:int>, v int, other double")
+    out = compile_pipeline(df, [{"$densify": {
+        "field": "v", "partitionByFields": ["m.g"],
+        "range": {"step": 1, "bounds": "partition"}}}]).collect()
+    rows = sorted(((r["m"]["g"], r["v"], r["m"]["x"]) for r in out))
+    assert rows == [("a", 1, 1), ("a", 2, None), ("a", 3, None),
+                    ("a", 4, 2), ("b", 2, 3)]
+    # unresolvable dotted path still refuses loudly
+    with pytest.raises(PipelineError, match="partitionByFields"):
+        compile_pipeline(df, [{"$densify": {
+            "field": "v", "partitionByFields": ["v.g"],
+            "range": {"step": 1, "bounds": "partition"}}}])
+    # dotted densify FIELD remains out of scope, refused by name
+    with pytest.raises(PipelineError, match="top-level"):
+        compile_pipeline(df, [{"$densify": {
+            "field": "m.x", "range": {"step": 1, "bounds": "full"}}}])
