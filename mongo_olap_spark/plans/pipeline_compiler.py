@@ -55,6 +55,45 @@ class PipelineError(ValueError):
     """An unsupported or malformed pipeline construct."""
 
 
+#: $setWindowFields with no partitionBy builds a GLOBAL window — Mongo's
+#: documented semantics for an omitted partitionBy, and correct here,
+#: but at scale it serializes the whole dataset through one WindowExec
+#: partition. The knob lets deployments surface that hazard: "allow"
+#: (default — engine-honest Mongo semantics), "warn" (python warnings),
+#: "refuse" (PipelineError). See USAGE.md "Unpartitioned windows".
+_UNPARTITIONED_WINDOW_POLICY = "allow"
+
+
+def set_unpartitioned_window_policy(policy: str) -> str:
+    """Set the engine-wide policy for $setWindowFields stages that omit
+    partitionBy ("allow" | "warn" | "refuse"); returns the previous
+    policy so callers can restore it."""
+    global _UNPARTITIONED_WINDOW_POLICY
+    if policy not in ("allow", "warn", "refuse"):
+        raise ValueError(
+            f"unpartitioned-window policy must be allow|warn|refuse, got {policy!r}"
+        )
+    prev = _UNPARTITIONED_WINDOW_POLICY
+    _UNPARTITIONED_WINDOW_POLICY = policy
+    return prev
+
+
+def _check_unpartitioned_window() -> None:
+    if _UNPARTITIONED_WINDOW_POLICY == "allow":
+        return
+    msg = (
+        "$setWindowFields without partitionBy computes over ONE global "
+        "window — a single Spark partition processes every row. Correct "
+        "(Mongo semantics) but non-scalable; add partitionBy, or keep "
+        "global windows for post-aggregate frames over small row counts."
+    )
+    if _UNPARTITIONED_WINDOW_POLICY == "refuse":
+        raise PipelineError(msg)
+    import warnings
+
+    warnings.warn(msg, stacklevel=3)
+
+
 # ---------------------------------------------------------------------------
 # expression language:  {"$op": [...]} / "$field.path" / literal
 # ---------------------------------------------------------------------------
@@ -2483,6 +2522,8 @@ def _window_spec(spec: dict, need_order: bool):
         if not (isinstance(part, str) and part.startswith("$")):
             raise PipelineError("$setWindowFields partitionBy must be a field path")
         keys.append(part[1:])
+    else:
+        _check_unpartitioned_window()
     w = W.partitionBy(*keys) if keys else W.partitionBy()
     if sort:
         w = w.orderBy(*[F.col(k) if v >= 0 else F.desc(k) for k, v in sort.items()])
@@ -2526,6 +2567,8 @@ def _range_frame(window: dict, spec: dict, df: DataFrame):
         # silently widen the frame to the whole dataset
         raise PipelineError("$setWindowFields partitionBy must be a field path")
     keys = [part[1:]] if isinstance(part, str) and part.startswith("$") else []
+    if not keys:
+        _check_unpartitioned_window()
     w = W.partitionBy(*keys) if keys else W.partitionBy()
     t_ms = (_swf_sort_key(spec, df) * 1000).cast("long")
     return w.orderBy(t_ms).rangeBetween(

@@ -2267,3 +2267,36 @@ def test_densify_dotted_partition_fields(spark):
     with pytest.raises(PipelineError, match="top-level"):
         compile_pipeline(df, [{"$densify": {
             "field": "m.x", "range": {"step": 1, "bounds": "full"}}}])
+
+
+def test_unpartitioned_window_policy(spark):
+    """Round-6 task 8: the opt-in guard for $setWindowFields with no
+    partitionBy — "warn" emits a python warning, "refuse" raises, and
+    both restore cleanly; partitioned stages never trigger."""
+    import warnings
+
+    from mongo_olap_spark.plans.pipeline_compiler import (
+        set_unpartitioned_window_policy,
+    )
+
+    df = spark.createDataFrame([("a", 1), ("a", 2)], "g string, v int")
+    stage = [{"$setWindowFields": {
+        "sortBy": {"v": 1}, "output": {"rn": {"$documentNumber": {}}}}}]
+    part_stage = [{"$setWindowFields": {
+        "partitionBy": "$g", "sortBy": {"v": 1},
+        "output": {"rn": {"$documentNumber": {}}}}}]
+    prev = set_unpartitioned_window_policy("refuse")
+    try:
+        with pytest.raises(PipelineError, match="global"):
+            compile_pipeline(df, stage)
+        compile_pipeline(df, part_stage)  # partitioned: untouched
+        set_unpartitioned_window_policy("warn")
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            out = compile_pipeline(df, stage)
+        assert any("global" in str(x.message) for x in w)
+        assert [r["rn"] for r in out.orderBy("v").collect()] == [1, 2]
+        with pytest.raises(ValueError, match="allow|warn|refuse"):
+            set_unpartitioned_window_policy("no")
+    finally:
+        set_unpartitioned_window_policy(prev)
