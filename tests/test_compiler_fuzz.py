@@ -592,3 +592,121 @@ def test_fuzz_match_project_unwind_group(frames, m, e, preserve):
     FROM un GROUP BY 1
     """
     _run(frames, pipeline, sql)
+
+
+# ------------------------------------------- $merge round-trip fuzz
+# (round-6 task 5): full pipelines ENDING in $merge, every
+# whenMatched/whenNotMatched mode plus custom update pipelines, run
+# through execute_pipeline into the versioned store, RE-READ, and
+# compared against a DuckDB full-outer-join model of the merged table
+# state. The seed write ($out) and the merge are both part of the
+# modeled state, so a round-trip divergence anywhere in
+# out→store→read→merge→store→read fails the compare.
+
+_MERGE_MODES = [
+    ("merge", None),
+    ("replace", None),
+    ("keepExisting", None),
+    # counter idiom: x accumulates
+    ("pipe_counter", [{"$set": {"x": {"$add": ["$x", "$$new.x"]}}}]),
+    # overwrite-from-new then drop a field
+    ("pipe_unset", [{"$set": {"x": {"$multiply": ["$$new.x", {"$literal": 2}]}}},
+                    {"$unset": "w"}]),
+    # chained $set: second stage reads the first stage's update
+    ("pipe_chain", [{"$set": {"x": {"$add": ["$x", "$$new.x"]}}},
+                    {"$set": {"z": "$x"}}]),
+]
+
+
+def _merge_model_exprs(mode_key: str):
+    """Per-column CASE expressions mirroring merge_documents exactly:
+    matched = ep AND ip; i_only = ep IS NULL. Columns: existing
+    (_id, x, w) + incoming-only (z)."""
+    matched = "(ep IS NOT NULL AND ip IS NOT NULL)"
+    i_only = "(ep IS NULL)"
+    if mode_key in ("merge", "replace"):
+        x = f"CASE WHEN ip IS NOT NULL THEN ix ELSE ex END"
+        z = "CASE WHEN ip IS NOT NULL THEN iz END"
+        w = ("CASE WHEN ip IS NOT NULL THEN NULL ELSE ew END"
+             if mode_key == "replace"
+             else f"CASE WHEN {i_only} THEN NULL ELSE ew END")
+    elif mode_key == "keepExisting":
+        x = f"CASE WHEN {i_only} THEN ix ELSE ex END"
+        w = f"CASE WHEN {i_only} THEN NULL ELSE ew END"
+        z = f"CASE WHEN {i_only} THEN iz END"
+    elif mode_key == "pipe_counter":
+        x = (f"CASE WHEN {matched} THEN ex + ix "
+             f"WHEN {i_only} THEN ix ELSE ex END")
+        w = f"CASE WHEN {i_only} THEN NULL ELSE ew END"
+        z = f"CASE WHEN {i_only} THEN iz END"
+    elif mode_key == "pipe_unset":
+        x = (f"CASE WHEN {matched} THEN ix * 2 "
+             f"WHEN {i_only} THEN ix ELSE ex END")
+        w = f"CASE WHEN ip IS NOT NULL THEN NULL ELSE ew END"
+        z = f"CASE WHEN {i_only} THEN iz END"
+    elif mode_key == "pipe_chain":
+        x = (f"CASE WHEN {matched} THEN ex + ix "
+             f"WHEN {i_only} THEN ix ELSE ex END")
+        w = f"CASE WHEN {i_only} THEN NULL ELSE ew END"
+        z = (f"CASE WHEN {matched} THEN ex + ix "
+             f"WHEN {i_only} THEN iz END")
+    else:
+        raise AssertionError(mode_key)
+    return x, w, z
+
+
+@settings(max_examples=18, deadline=None, derandomize=True,
+          suppress_health_check=list(HealthCheck))
+@given(ms=_match(), mi=_match(),
+       mode=st.sampled_from(_MERGE_MODES),
+       wnm=st.sampled_from(["insert", "discard"]),
+       m1=st.sampled_from([5, 7]), m2=st.sampled_from([5, 7, 9]))
+def test_fuzz_merge_roundtrip(frames, tmp_path_factory, ms, mi, mode, wnm, m1, m2):
+    import tempfile
+
+    from mongo_olap_spark.plans.pipeline_compiler import execute_pipeline
+    from mongo_olap_spark.sources.store import ParquetCollectionStore
+
+    sdf, con = frames
+    mode_key, wm_pipe = mode
+    wm = wm_pipe if wm_pipe is not None else mode_key
+    seed = [
+        {"$match": ms[0]},
+        {"$group": {"_id": {"$mod": ["$rid", m1]},
+                    "x": {"$sum": "$a"}, "w": {"$sum": 1}}},
+        {"$out": "t"},
+    ]
+    inc = [
+        {"$match": mi[0]},
+        {"$group": {"_id": {"$mod": ["$rid", m2]},
+                    "x": {"$sum": "$b"}, "z": {"$max": "$a"}}},
+        {"$merge": {"into": "t", "on": "_id",
+                    "whenMatched": wm, "whenNotMatched": wnm}},
+    ]
+    with tempfile.TemporaryDirectory() as root:
+        store = ParquetCollectionStore(sdf.sparkSession, root)
+        execute_pipeline(sdf, seed, store)
+        execute_pipeline(sdf, inc, store)
+        got = _norm([tuple(r) for r in
+                     store.read("t").select("_id", "x", "w", "z").collect()])
+    xe, we, ze = _merge_model_exprs(mode_key)
+    discard = "WHERE ep IS NOT NULL" if wnm == "discard" else ""
+    sql = f"""
+    WITH e AS (SELECT (rid % {m1}) AS _id,
+                CAST(COALESCE(SUM(CAST(a AS DECIMAL(38,6))), 0) AS DOUBLE) AS x,
+                COUNT(*) AS w, TRUE AS ep
+               FROM t WHERE {ms[1]} GROUP BY 1),
+         i AS (SELECT (rid % {m2}) AS _id,
+                CAST(COALESCE(SUM(CAST(b AS DECIMAL(38,6))), 0) AS DOUBLE) AS x,
+                MAX(a) AS z, TRUE AS ip
+               FROM t WHERE {mi[1]} GROUP BY 1),
+         j AS (SELECT e._id AS eid, i._id AS iid, e.x AS ex, e.w AS ew,
+                      i.x AS ix, i.z AS iz, ep, ip
+               FROM e FULL OUTER JOIN i
+                 ON e._id IS NOT DISTINCT FROM i._id)
+    SELECT CASE WHEN ep IS NULL THEN iid ELSE eid END AS _id,
+           {xe} AS x, {we} AS w, {ze} AS z
+    FROM j {discard}
+    """
+    want = _norm(con.execute(sql).fetchall())
+    assert got == want, f"\nmode={mode_key} wnm={wnm}\nseed={seed}\ninc={inc}\nsql={sql}"
