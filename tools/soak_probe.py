@@ -201,6 +201,9 @@ def main() -> int:
     ap.add_argument("--dst", default="/tmp/scale10x")
     ap.add_argument("--root", default="/tmp/soak_root")
     ap.add_argument("--seed", type=int, default=6)
+    ap.add_argument("--lattice", action="store_true",
+                    help="soak the multi-level (grouping-sets) maintenance "
+                         "path instead of the plain cube")
     ap.add_argument("--out", default="SOAK_PROBE.json")
     args = ap.parse_args()
 
@@ -251,7 +254,16 @@ def main() -> int:
 
     shutil.rmtree(args.root, ignore_errors=True)
     catalog = CubeCatalog(spark, args.root)
-    catalog.create(spec, events.limit(0))
+    levels = None
+    if args.lattice:
+        names = spec.dim_names
+        levels = [tuple(names), (names[0], names[1]), (names[1],), ()]
+        catalog.create_lattice(spec, events.limit(0), levels)
+        # each materialized level independently counts every live doc,
+        # so the whole-table multiplicity sum is len(levels) * net
+        expected = {k: v * len(levels) for k, v in expected.items()}
+    else:
+        catalog.create(spec, events.limit(0))
 
     from mongo_olap_spark.cube.ivm import row_count_col
 
@@ -312,11 +324,24 @@ def main() -> int:
     vacuumed_total += len(catalog.vacuum(spec.name, min_age_s=0))
 
     # IVM oracle: maintained cube == from-scratch rebuild of net state
-    cols = [*spec.dim_names, *[m.name for m in spec.measures]]
-    got_digest, got_rows = rows_digest(
-        query_cube(catalog.cells(spec.name), spec), cols)
-    want_digest, want_rows = rows_digest(
-        query_cube(build_cube(spark, spec, net_state(events)), spec), cols)
+    if args.lattice:
+        # raw-cell compare: decimal partials are order-independent, so
+        # the incrementally merged cells must match the rebuild exactly
+        from mongo_olap_spark.cube.lattice import build_cube_lattice
+
+        maintained = catalog.cells(spec.name)
+        cols = sorted(maintained.columns)
+        got_digest, got_rows = rows_digest(maintained, cols)
+        want_digest, want_rows = rows_digest(
+            build_cube_lattice(spark, spec, net_state(events), levels=levels),
+            cols,
+        )
+    else:
+        cols = [*spec.dim_names, *[m.name for m in spec.measures]]
+        got_digest, got_rows = rows_digest(
+            query_cube(catalog.cells(spec.name), spec), cols)
+        want_digest, want_rows = rows_digest(
+            query_cube(build_cube(spark, spec, net_state(events)), spec), cols)
 
     early = times[10:30]
     late = times[-20:]
@@ -329,6 +354,7 @@ def main() -> int:
 
     result = {
         "metric": "soak_probe",
+        "mode": "lattice" if args.lattice else "plain",
         "batches": args.batches,
         "factor": args.factor,
         "wall_s": round(wall, 1),
