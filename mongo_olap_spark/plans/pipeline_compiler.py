@@ -2905,26 +2905,22 @@ def _null_struct_with(dtype, leaves: dict) -> Column:
 
 
 def _densify(df: DataFrame, spec: dict) -> DataFrame:
-    field = spec["field"]
+    field_src = spec["field"]
     rng = spec["range"]
     step, unit = rng["step"], rng.get("unit")
     bounds = rng.get("bounds", "full")
-    if "." in field:
-        raise PipelineError(
-            "$densify: field must be a top-level column "
-            f"(got {field!r}) — $project the subfield to a column first"
-        )
     part_paths = [
         p[1:] if p.startswith("$") else p for p in spec.get("partitionByFields", [])
     ]
-    # dotted partition keys (round-6): read the struct subfield under a
-    # flat alias for the spine/bounds plumbing, rebuild the enclosing
-    # struct when padding missing rows
-    for p in part_paths:
+    # dotted paths (round-6), for the densify field AND partition keys:
+    # read the struct subfield under a flat alias for the spine/bounds
+    # plumbing, rebuild the enclosing struct (siblings null) when
+    # padding generated rows
+    for p in [*part_paths, field_src]:
         if "." in p and _path_type(df.schema, p) is None:
             raise PipelineError(
-                f"$densify: partitionByFields path {p!r} does not "
-                "resolve through struct fields"
+                f"$densify: path {p!r} does not resolve through "
+                "struct fields"
             )
     part_fields = [
         p if "." not in p else f"__pf{i}" for i, p in enumerate(part_paths)
@@ -2932,10 +2928,12 @@ def _densify(df: DataFrame, spec: dict) -> DataFrame:
     part_cols = [
         F.col(p).alias(a) for p, a in zip(part_paths, part_fields)
     ]
+    field = field_src if "." not in field_src else "__dfv"
     is_time = unit is not None
     if is_time and unit not in _DENSIFY_UNITS and unit not in _DENSIFY_CALENDAR:
         raise PipelineError(f"unsupported $densify unit {unit!r}")
-    lo, hi = F.min(field).alias("__d0"), F.max(field).alias("__d1")
+    lo = F.min(F.col(field_src)).alias("__d0")
+    hi = F.max(F.col(field_src)).alias("__d1")
     explicit = isinstance(bounds, list)
     if explicit:
         # Mongo explicit range: HALF-OPEN [lower, upper) — spine rows
@@ -2958,11 +2956,7 @@ def _densify(df: DataFrame, spec: dict) -> DataFrame:
         # each partition densifies over its own [min, max]
         if not part_fields:
             raise PipelineError('bounds:"partition" needs partitionByFields')
-        bounds_df = (
-            df.select(*part_cols, F.col(field).alias(field))
-            .groupBy(*part_fields)
-            .agg(lo, hi)
-        )
+        bounds_df = df.groupBy(*part_cols).agg(lo, hi)
     elif bounds == "full":
         # every partition spans the global range: aggregate bounds
         # once, cross-join onto the (broadcast-sized) partition keys
@@ -2996,8 +2990,8 @@ def _densify(df: DataFrame, spec: dict) -> DataFrame:
     # the data stays put and only (spine ANTI-JOIN distinct-keys) —
     # both bounded by the grid size — shuffle. Partition keys compare
     # null-safely: null is a real partition value.
-    names = list(spine.columns)  # part_fields (aliases) + [field]
-    sources = part_paths + [field]  # dotted originals, for df-side reads
+    names = list(spine.columns)  # part_fields (aliases) + [field alias]
+    sources = part_paths + [field_src]  # dotted originals, for df-side reads
     sp = spine.select(
         *[F.col(c).alias(f"__sp_{i}") for i, c in enumerate(names)]
     )
@@ -3015,7 +3009,7 @@ def _densify(df: DataFrame, spec: dict) -> DataFrame:
         cond = cond & sp[f"__sp_{i}"].eqNullSafe(present[f"__pr_{i}"])
     missing = sp.join(present, cond, "left_anti")
     dotted_by_head: dict = {}
-    for i, p in enumerate(part_paths):
+    for i, p in enumerate(sources):  # part paths + the densify field
         if "." in p:
             h, _, rest = p.partition(".")
             dotted_by_head.setdefault(h, {})[rest] = F.col(f"__sp_{i}")
@@ -3077,7 +3071,9 @@ def _fill(df: DataFrame, spec: dict) -> DataFrame:
             )
         else:
             raise PipelineError(f"unsupported $fill method for {name!r}: {how}")
-        out_df = out_df.withColumn(name, filled)
+        # dotted output writes the struct subfield (round-6; a plain
+        # withColumn would create a LITERAL "a.b" top-level column)
+        out_df = _set_nested(out_df, name, filled)
     return out_df
 
 

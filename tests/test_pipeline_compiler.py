@@ -2259,14 +2259,34 @@ def test_densify_dotted_partition_fields(spark):
     assert rows == [("a", 1, 1), ("a", 2, None), ("a", 3, None),
                     ("a", 4, 2), ("b", 2, 3)]
     # unresolvable dotted path still refuses loudly
-    with pytest.raises(PipelineError, match="partitionByFields"):
+    with pytest.raises(PipelineError, match="resolve"):
         compile_pipeline(df, [{"$densify": {
             "field": "v", "partitionByFields": ["v.g"],
             "range": {"step": 1, "bounds": "partition"}}}])
-    # dotted densify FIELD remains out of scope, refused by name
-    with pytest.raises(PipelineError, match="top-level"):
-        compile_pipeline(df, [{"$densify": {
-            "field": "m.x", "range": {"step": 1, "bounds": "full"}}}])
+    # dotted densify FIELD (round-6): the grid value lands inside the
+    # struct; a same-struct partition key merges into the same rebuild
+    out2 = compile_pipeline(df, [{"$densify": {
+        "field": "m.x", "partitionByFields": ["m.g"],
+        "range": {"step": 1, "bounds": "partition"}}}]).collect()
+    rows2 = sorted((r["m"]["g"], r["m"]["x"]) for r in out2)
+    assert rows2 == [("a", 1), ("a", 2), ("b", 3)]
+
+
+def test_fill_dotted_output(spark):
+    """Round-6: $fill writes a DOTTED output path into the struct
+    subfield (a plain withColumn would create a literal 'm.x' column)."""
+    df = spark.createDataFrame(
+        [(1, {"x": 1.0}), (2, {"x": None}), (3, {"x": 5.0}), (4, {"x": None})],
+        "id int, m struct<x:double>")
+    locf = compile_pipeline(df, [{"$fill": {
+        "sortBy": {"id": 1}, "output": {"m.x": {"method": "locf"}}}}])
+    assert "m.x" not in locf.columns
+    assert [r["m"]["x"] for r in locf.orderBy("id").collect()] == [
+        1.0, 1.0, 5.0, 5.0]
+    lin = compile_pipeline(df, [{"$fill": {
+        "sortBy": {"id": 1}, "output": {"m.x": {"method": "linear"}}}}])
+    assert [r["m"]["x"] for r in lin.orderBy("id").collect()] == [
+        1.0, 3.0, 5.0, None]
 
 
 def test_unpartitioned_window_policy(spark):
