@@ -2754,9 +2754,11 @@ def _set_window_fields(df: DataFrame, spec: dict) -> DataFrame:
             inp = arg["input"]
             if not (isinstance(inp, str) and inp.startswith("$")):
                 raise PipelineError("$expMovingAvg input must be a field path")
-            df = exp_moving_avg(
-                df, part[1:], list(sort), inp[1:], alpha=alpha
-            ).withColumnRenamed("ema", name)
+            df = exp_moving_avg(df, part[1:], list(sort), inp[1:], alpha=alpha)
+            if "." in name:  # dotted output writes the struct subfield
+                df = _set_nested(df, name, F.col("ema")).drop("ema")
+            else:
+                df = df.withColumnRenamed("ema", name)
             continue
         elif op in ("$minN", "$maxN"):
             n = arg.get("n")
@@ -2850,7 +2852,13 @@ def _set_window_fields(df: DataFrame, spec: dict) -> DataFrame:
         else:
             raise PipelineError(f"unsupported window operator {op!r}")
         named.append((name, expr))
-    out = df.select("*", *[e.alias(n) for n, e in named])
+    # dotted output names write struct subfields (Mongo semantics); a
+    # plain alias would create a LITERAL "a.b" top-level column
+    plain = [(n, e) for n, e in named if "." not in n]
+    out = df.select("*", *[e.alias(n) for n, e in plain])
+    for n, e in named:
+        if "." in n:
+            out = _set_nested(out, n, e)
     return out.drop(*temps) if temps else out
 
 

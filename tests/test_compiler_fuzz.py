@@ -60,6 +60,14 @@ def frames(spark):
         rows, "rid int, a int, b int, d double, s string, arr array<int>"
     ).cache()
     sdf.count()
+    # an independent-lineage copy of the same rows, for lookup fuzz
+    # (a real `from` collection is its own scan; passing the SAME
+    # DataFrame object would be a self-join lineage artifact)
+    sdf2 = spark.createDataFrame(
+        rows, "rid int, a int, b int, d double, s string, arr array<int>"
+    ).cache()
+    sdf2.count()
+    spark._fuzz_foreign = sdf2
     con = duckdb.connect()
     pdf = pd.DataFrame(
         rows, columns=["rid", "a", "b", "d", "s", "arr"]
@@ -710,3 +718,152 @@ def test_fuzz_merge_roundtrip(frames, tmp_path_factory, ms, mi, mode, wnm, m1, m
     """
     want = _norm(con.execute(sql).fetchall())
     assert got == want, f"\nmode={mode_key} wnm={wnm}\nseed={seed}\ninc={inc}\nsql={sql}"
+
+
+# ----------------------------------------------- $densify fuzz (r6)
+# The anti-join/union densify rewrite, differentially: random numeric
+# steps x all three bounds modes x (no partition | nullable string
+# partition), against a DuckDB spine model. Null partition keys are
+# REAL partitions (engine compares null-safely); null-field documents
+# pass through untouched; off-grid values survive.
+
+@settings(max_examples=24, deadline=None, derandomize=True,
+          suppress_health_check=list(HealthCheck))
+@given(m=_match(), k=st.sampled_from([1, 2, 3, 7]),
+       part=st.booleans(),
+       bounds=st.sampled_from(["full", "partition", [2, 15]]))
+def test_fuzz_densify(frames, m, k, part, bounds):
+    if bounds == "partition" and not part:
+        bounds = "full"  # engine refuses partition bounds without keys
+    pfields = ["s"] if part else []
+    pipeline = [
+        {"$match": m[0]},
+        {"$project": {"rid": 1, "a": 1, "s": 1}},
+        {"$densify": {"field": "a", "partitionByFields": pfields,
+                      "range": {"step": k, "bounds": bounds}}},
+    ]
+    keys = ("SELECT DISTINCT s FROM base" if part else "SELECT NULL AS s")
+    if isinstance(bounds, list):
+        lo, hi = bounds
+        spine = f"""
+        SELECT s, a FROM (
+          SELECT s, unnest(generate_series({lo}, {hi}, {k})) AS a
+          FROM ({keys})
+        ) WHERE a < {hi}
+        """
+    elif bounds == "partition":
+        spine = f"""
+        SELECT s, unnest(generate_series(d0, d1, {k})) AS a
+        FROM (SELECT s, min(a) AS d0, max(a) AS d1 FROM base GROUP BY s)
+        """
+    else:  # full
+        spine = f"""
+        SELECT s, unnest(generate_series(d0, d1, {k})) AS a
+        FROM ({keys}), (SELECT min(a) AS d0, max(a) AS d1 FROM base)
+        """
+    # presence is keyed on the partition key only when partitioned;
+    # generated rows carry NULL for every non-key column (incl. s in
+    # the unpartitioned case) while base rows keep their real values
+    pmatch = ("AND p.s IS NOT DISTINCT FROM sp.s" if part else "")
+    ppick = "s, a" if part else "a"
+    sql = f"""
+    WITH base AS (SELECT rid, a, s FROM t WHERE {m[1]}),
+    sp AS ({spine}),
+    present AS (SELECT DISTINCT {ppick} FROM base WHERE a IS NOT NULL),
+    missing AS (
+      SELECT sp.s, sp.a FROM sp
+      WHERE NOT EXISTS (SELECT 1 FROM present p
+                        WHERE p.a = sp.a {pmatch})
+    )
+    SELECT rid, a, s FROM base
+    UNION ALL
+    SELECT NULL, a, s FROM missing
+    """
+    sdf, con = frames
+    got = _norm([tuple(r) for r in
+                 compile_pipeline(sdf, pipeline).select("rid", "a", "s").collect()])
+    want = _norm(con.execute(sql).fetchall())
+    assert got == want, f"\npipeline={pipeline}\nsql={sql}"
+
+
+# ------------------------------------- correlated $lookup fuzz (r6)
+# Random $$var conjunct sets drive every strategy the compiler picks
+# (equi-packed / hash+residual / banded-range / nested-loop), checked
+# order-insensitively (array size + key sum) against a DuckDB LEFT
+# JOIN twin that spells out the engine's BSON-total-order comparison
+# semantics (null lowest; $eq/$ne null-safe).
+
+def _bson_cmp_sql(op: str, x: str, y: str) -> str:
+    if op == "$eq":
+        return f"({x} IS NOT DISTINCT FROM {y})"
+    if op == "$ne":
+        return f"({x} IS DISTINCT FROM {y})"
+    if op == "$gt":
+        return f"({x} IS NOT NULL AND ({y} IS NULL OR {x} > {y}))"
+    if op == "$lt":
+        return f"({y} IS NOT NULL AND ({x} IS NULL OR {x} < {y}))"
+    if op == "$gte":
+        return f"({y} IS NULL OR ({x} IS NOT NULL AND {x} >= {y}))"
+    if op == "$lte":
+        return f"({x} IS NULL OR ({y} IS NOT NULL AND {x} <= {y}))"
+    raise AssertionError(op)
+
+
+#: (mongo conjunct, (op, foreign sql, local sql)) — la/lb bind local a/b
+_LOOKUP_CONJS = [
+    ({"$eq": ["$a", "$$la"]}, ("$eq", "f.a", "c.a")),
+    ({"$gt": ["$b", "$$lb"]}, ("$gt", "f.b", "c.b")),
+    ({"$gte": ["$b", "$$lb"]}, ("$gte", "f.b", "c.b")),
+    ({"$lt": ["$b", {"$add": ["$$lb", 4]}]}, ("$lt", "f.b", "(c.b + 4)")),
+    ({"$lte": ["$a", {"$add": ["$$la", 2]}]}, ("$lte", "f.a", "(c.a + 2)")),
+    ({"$ne": ["$a", "$$la"]}, ("$ne", "f.a", "c.a")),
+]
+
+
+@settings(max_examples=24, deadline=None, derandomize=True,
+          suppress_health_check=list(HealthCheck))
+@given(m=_match(),
+       conjs=st.lists(st.sampled_from(_LOOKUP_CONJS), min_size=1,
+                      max_size=3, unique_by=lambda c: repr(c[0])),
+       prefilter=st.booleans())
+def test_fuzz_lookup_correlated(frames, m, conjs, prefilter):
+    sdf, con = frames
+    mongo_conjs = [c[0] for c in conjs]
+    sql_conds = [_bson_cmp_sql(*c[1]) for c in conjs]
+    if prefilter:
+        mongo_conjs = mongo_conjs + [{"$gt": ["$rid", 120]}]
+        sql_conds = sql_conds + ["(f.rid > 120)"]
+    pipeline = [
+        {"$match": m[0]},
+        {"$project": {"rid": 1, "a": 1, "b": 1}},
+        {"$lookup": {
+            "from": "f", "let": {"la": "$a", "lb": "$b"},
+            "pipeline": [
+                {"$match": {"$expr": {"$and": mongo_conjs}}},
+                {"$project": {"rid": 1}},
+            ],
+            "as": "mt",
+        }},
+        {"$project": {"rid": 1, "n": {"$size": "$mt"},
+                      "sm": {"$reduce": {
+                          "input": {"$map": {"input": "$mt", "as": "x",
+                                             "in": "$$x.rid"}},
+                          "initialValue": {"$toLong": 0},
+                          "in": {"$add": ["$$value", "$$this"]}}}}},
+    ]
+    sql = f"""
+    WITH c AS (SELECT rid, a, b FROM t WHERE {m[1]})
+    SELECT c.rid, CAST(COUNT(f.rid) AS INT) AS n,
+           CAST(COALESCE(SUM(f.rid), 0) AS BIGINT) AS sm
+    FROM c LEFT JOIN t f ON {" AND ".join(sql_conds)}
+    GROUP BY c.rid
+    """
+    got = _norm([tuple(r) for r in
+                 compile_pipeline(
+                     sdf, pipeline,
+                     collections={"f": sdf.sparkSession._fuzz_foreign},
+                 ).collect()])
+    want = _norm(con.execute(sql).fetchall())
+    assert got == want, (
+        f"\nconjs={mongo_conjs}\nsql={sql}"
+    )

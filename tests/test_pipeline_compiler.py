@@ -2320,3 +2320,22 @@ def test_unpartitioned_window_policy(spark):
             set_unpartitioned_window_policy("no")
     finally:
         set_unpartitioned_window_policy(prev)
+
+
+def test_swf_dotted_output(spark):
+    """Round-6: $setWindowFields dotted output names write struct
+    subfields, incl. the $expMovingAvg mapInPandas path."""
+    df = spark.createDataFrame(
+        [("g", 1, 2.0, {"t": "x"}), ("g", 2, 4.0, {"t": "y"})],
+        "k string, i int, v double, m struct<t:string>")
+    out = compile_pipeline(df, [{"$setWindowFields": {
+        "partitionBy": "$k", "sortBy": {"i": 1},
+        "output": {
+            "m.rn": {"$documentNumber": {}},
+            "m.ema": {"$expMovingAvg": {"input": "$v", "alpha": 0.5}},
+            "plain": {"$sum": "$v"},
+        }}}]).orderBy("i").collect()
+    assert out[0]["m"].asDict() == {"t": "x", "rn": 1, "ema": 2.0}
+    assert out[1]["m"]["rn"] == 2 and out[1]["m"]["t"] == "y"
+    assert abs(out[1]["m"]["ema"] - 3.0) < 1e-9
+    assert out[1]["plain"] == 6.0
