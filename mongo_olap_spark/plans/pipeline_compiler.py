@@ -2608,7 +2608,7 @@ _TIME_UNIT_S = {
 }
 
 
-def _swf_sort_key(spec: dict, df: DataFrame) -> Column:
+def _swf_sort_key(spec: dict, df: DataFrame, *, keep_integral: bool = False) -> Column:
     """The single sortBy field of $derivative/$integral/$linearFill as
     a numeric Column: timestamps become epoch seconds, DATE columns go
     through unix_date (CAST(date AS double) is not a legal Spark cast
@@ -2624,6 +2624,19 @@ def _swf_sort_key(spec: dict, df: DataFrame) -> Column:
         raise PipelineError("this window operator requires an ascending sortBy")
     if key in df.columns and isinstance(df.schema[key].dataType, T.DateType):
         return F.unix_date(F.col(key)).cast("double")
+    if keep_integral and key in df.columns and isinstance(
+        df.schema[key].dataType, (T.ByteType, T.ShortType,
+                                  T.IntegerType, T.LongType)
+    ):
+        # value-arithmetic ops ($derivative/$integral/$linearFill/$fill
+        # linear) subtract nearby keys: keep integral keys integral so
+        # the DIFFERENCES stay exact — a 2^53+ key (e.g. epoch-micros
+        # composites) cast to double loses ulps that the small
+        # difference would have represented exactly (round-6, found by
+        # the sf0.1 oracle gate). _range_frame keeps the double image:
+        # it MULTIPLIES the key, where integral passthrough could
+        # overflow long instead.
+        return F.col(key).cast("long")
     return F.col(key).cast("double")
 
 
@@ -2652,7 +2665,7 @@ def _set_window_fields(df: DataFrame, spec: dict) -> DataFrame:
                 wf = w.rowsBetween(*bounds) if bounds else w.rowsBetween(
                     W.unboundedPreceding, 0
                 )
-            v, t = compile_expr(arg["input"]), _swf_sort_key(spec, df)
+            v, t = compile_expr(arg["input"]), _swf_sort_key(spec, df, keep_integral=True)
             scale = _TIME_UNIT_S[arg["unit"]] if "unit" in arg else 1.0
             dv = F.last(v).over(wf) - F.first(v).over(wf)
             dt = F.last(t).over(wf) - F.first(t).over(wf)
@@ -2663,7 +2676,7 @@ def _set_window_fields(df: DataFrame, spec: dict) -> DataFrame:
             # sums terms over [lo+1, hi] (the first frame row's segment
             # lies outside the frame); cumulative frames need no shift.
             w = _window_spec(spec, need_order=True)
-            v, t = compile_expr(arg["input"]), _swf_sort_key(spec, df)
+            v, t = compile_expr(arg["input"]), _swf_sort_key(spec, df, keep_integral=True)
             scale = _TIME_UNIT_S[arg["unit"]] if "unit" in arg else 1.0
             if window and "range" in window:
                 raise PipelineError(
@@ -2719,7 +2732,7 @@ def _set_window_fields(df: DataFrame, spec: dict) -> DataFrame:
             w = _window_spec(spec, need_order=True)
             back = w.rowsBetween(W.unboundedPreceding, 0)
             fwd = w.rowsBetween(0, W.unboundedFollowing)
-            c, t = compile_expr(arg), _swf_sort_key(spec, df)
+            c, t = compile_expr(arg), _swf_sort_key(spec, df, keep_integral=True)
             pv = F.last(c, ignorenulls=True).over(back)
             pt = F.last(F.when(c.isNotNull(), t), ignorenulls=True).over(back)
             nv = F.first(c, ignorenulls=True).over(fwd)
@@ -3068,7 +3081,7 @@ def _fill(df: DataFrame, spec: dict) -> DataFrame:
             # wide in sort-key terms pulls the fill twice as far), not
             # on row positions — same contract as $linearFill, and it
             # needs the single numeric/date sort key
-            t = _swf_sort_key(spec, df)
+            t = _swf_sort_key(spec, df, keep_integral=True)
             pv = F.last(c, ignorenulls=True).over(back)
             pt = F.last(F.when(c.isNotNull(), t), ignorenulls=True).over(back)
             nv = F.first(c, ignorenulls=True).over(fwd)
