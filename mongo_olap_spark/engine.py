@@ -308,6 +308,36 @@ class OlapEngine:
                     "leading $match compiles ahead of every other stage — "
                     "predicate reaches the scan (pushdown)"
                 )
+            elif name == "$setWindowFields" and "partitionBy" not in st[name]:
+                entry["warning"] = (
+                    "no partitionBy: ONE global window — a single "
+                    "executor core processes every row (fine over small "
+                    "post-aggregate frames, a cliff over raw collections); "
+                    "see USAGE.md 'Unpartitioned windows'"
+                )
+                refusals.append("$setWindowFields: unpartitioned global window")
+            elif name == "$graphLookup":
+                g = st[name]
+                entry["note"] = (
+                    f"iterative BFS from {g.get('from')!r}, "
+                    + (f"maxDepth={g['maxDepth']}" if "maxDepth" in g
+                       else "exhaustive (no maxDepth)")
+                    + "; per-hop lineage cuts + visited-set anti-join"
+                )
+            elif name in ("$out", "$merge"):
+                spec_ = st[name]
+                if name == "$out":
+                    target = spec_ if isinstance(spec_, str) else spec_.get("coll")
+                    entry["note"] = f"snapshot write to {target!r} (atomic swap)"
+                else:
+                    target = spec_.get("into") if isinstance(spec_, dict) else spec_
+                    wm = (spec_.get("whenMatched", "merge")
+                          if isinstance(spec_, dict) else "merge")
+                    entry["note"] = (
+                        f"full-outer merge into {target!r} "
+                        f"(whenMatched={'pipeline' if isinstance(wm, list) else wm}); "
+                        "one join, AQE broadcasts the small delta side"
+                    )
             stages.append(entry)
         return {"source": source, "route": route, "stages": stages,
                 "refusals": refusals}

@@ -243,3 +243,16 @@ def test_engine_explain(spark, sf_dir, tmp_path):
     rep7 = engine.explain("customer", [{"$lookup": bad}])
     assert rep7["stages"][0].get("refusal")
     assert any("$lookup" in r for r in rep7["refusals"])
+
+    # stage annotations: unpartitioned-window hazard, graph + merge notes
+    rep8 = engine.explain("events", [
+        {"$setWindowFields": {"sortBy": {"ts": 1},
+                              "output": {"rn": {"$documentNumber": {}}}}},
+        {"$graphLookup": {"from": "events", "startWith": "$user_id",
+                          "connectFromField": "user_id",
+                          "connectToField": "event_id", "as": "g"}},
+        {"$merge": {"into": "t", "on": "_id", "whenMatched": "replace"}},
+    ])
+    assert "global window" in rep8["stages"][0]["warning"]
+    assert "exhaustive" in rep8["stages"][1]["note"]
+    assert "whenMatched=replace" in rep8["stages"][2]["note"]
