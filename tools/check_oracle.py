@@ -23,7 +23,12 @@ import duckdb
 import pandas as pd
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-ONLY = set(sys.argv[2:])
+# filters: space- or comma-separated query ids; `--only` accepted as a
+# no-op token (round-6: a misspelled filter used to match nothing and
+# still print "115/115 passed" — unknown names now refuse loudly)
+ONLY: set[str] = set()
+for _a in sys.argv[2:]:
+    ONLY.update(x for x in _a.replace(",", " ").split() if x != "--only")
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
@@ -83,10 +88,14 @@ def main():
     spark = get_spark("oracle_check")
     con = duck_conn(SF_DIR)
     qs, oracles = ent.queries(), ent.oracle_sql()
+    if ONLY:
+        unknown = ONLY - set(qs)
+        if unknown:
+            print(f"unknown query filter(s): {sorted(unknown)}")
+            sys.exit(2)
+    selected = {k: v for k, v in qs.items() if not ONLY or k in ONLY}
     failures = []
-    for qid, fn in sorted(qs.items()):
-        if ONLY and qid not in ONLY:
-            continue
+    for qid, fn in sorted(selected.items()):
         t0 = time.time()
         try:
             sdf = fn(spark, SF_DIR).toPandas()
@@ -108,7 +117,8 @@ def main():
         if not ok:
             failures.append(qid)
         print(f"{status:5s} {qid:24s} {msg}  ({time.time()-t0:.1f}s)")
-    print(f"\n{len(qs) - len(failures)}/{len(qs)} passed")
+    tag = f" (filtered from {len(qs)})" if ONLY else ""
+    print(f"\n{len(selected) - len(failures)}/{len(selected)} passed{tag}")
     sys.exit(1 if failures else 0)
 
 
