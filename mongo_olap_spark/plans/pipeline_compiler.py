@@ -1663,12 +1663,16 @@ def _unwind(df: DataFrame, spec) -> DataFrame:
             df2 = df.select("*", ex.alias("__uw_el"))
         df2 = _set_nested(df2, field, F.col("__uw_el"))
         if idx:
-            df2 = df2.withColumn(idx, F.col("__uw_pos"))
+            # a dotted includeArrayIndex writes a struct subfield
+            df2 = _set_nested(df2, idx, F.col("__uw_pos"))
         return df2.drop("__uw_el", "__uw_pos")
     others = [c for c in df.columns if c != field]
     explode = F.explode_outer if preserve else F.explode
     if idx:
         pos = F.posexplode_outer(field) if preserve else F.posexplode(field)
+        if "." in idx:
+            out = df.select(*others, pos.alias("__uw_pos", field))
+            return _set_nested(out, idx, F.col("__uw_pos")).drop("__uw_pos")
         return df.select(*others, pos.alias(idx, field))
     return df.select(*others, explode(field).alias(field))
 

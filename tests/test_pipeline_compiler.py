@@ -2339,3 +2339,19 @@ def test_swf_dotted_output(spark):
     assert out[1]["m"]["rn"] == 2 and out[1]["m"]["t"] == "y"
     assert abs(out[1]["m"]["ema"] - 3.0) < 1e-9
     assert out[1]["plain"] == 6.0
+
+
+def test_unwind_dotted_include_array_index(spark):
+    """Round-6: a dotted includeArrayIndex writes the struct subfield
+    (both the flat-array and nested-array unwind branches)."""
+    df = spark.createDataFrame(
+        [([10, 20], {"t": "x"})], "arr array<int>, m struct<t:string>")
+    out = compile_pipeline(df, [{"$unwind": {
+        "path": "$arr", "includeArrayIndex": "m.i"}}]).orderBy("arr").collect()
+    assert [(r["arr"], r["m"]["i"], r["m"]["t"]) for r in out] == [
+        (10, 0, "x"), (20, 1, "x")]
+    df2 = spark.createDataFrame(
+        [({"a": [1, 2], "t": "y"},)], "m struct<a:array<int>,t:string>")
+    out2 = compile_pipeline(df2, [{"$unwind": {
+        "path": "$m.a", "includeArrayIndex": "m.i"}}]).collect()
+    assert sorted((r["m"]["a"], r["m"]["i"]) for r in out2) == [(1, 0), (2, 1)]
