@@ -1632,12 +1632,37 @@ def _project(df: DataFrame, spec: dict, *, add_only: bool) -> DataFrame:
             val = compile_expr(v) if v not in (1, True) else F.col(k)
             df = _set_nested(df, k, val)
         return df
-    cols = []
+    # inclusion form: dotted keys build NESTED documents containing
+    # only the named leaves (Mongo {$project: {"a.b": 1}} outputs
+    # {a: {b: ...}}, not a flat dot-named column) — round 6
+    tree: dict = {}
     for k, v in spec.items():
-        if v in (1, True):
-            cols.append(F.col(k).alias(k))
-        else:
-            cols.append(compile_expr(v).alias(k))
+        val = F.col(k) if v in (1, True) else compile_expr(v)
+        parts = k.split(".")
+        node = tree
+        for p in parts[:-1]:
+            nxt = node.setdefault(p, {})
+            if not isinstance(nxt, dict):
+                raise PipelineError(
+                    f"$project: path collision at {p!r} in {k!r}"
+                )
+            node = nxt
+        if isinstance(node.get(parts[-1]), dict):
+            raise PipelineError(
+                f"$project: path collision at {parts[-1]!r} in {k!r}"
+            )
+        node[parts[-1]] = val
+
+    def build(node: dict) -> Column:
+        return F.struct(*[
+            (build(v) if isinstance(v, dict) else v).alias(n)
+            for n, v in node.items()
+        ])
+
+    cols = [
+        (build(v) if isinstance(v, dict) else v).alias(n)
+        for n, v in tree.items()
+    ]
     return df.select(*cols)
 
 
@@ -1679,6 +1704,13 @@ def _unwind(df: DataFrame, spec) -> DataFrame:
 
 def _group(df: DataFrame, spec: dict, sort_keys) -> DataFrame:
     id_spec = spec.get("_id")
+    for k in spec:
+        if k != "_id" and "." in k:
+            # Mongo: "the field name cannot contain '.'" — a literal
+            # dot-named output column would be silently wrong
+            raise PipelineError(
+                f"$group: output field name {k!r} cannot contain '.'"
+            )
     aggs = [
         _compile_accumulator(v, sort_keys).alias(k)
         for k, v in spec.items()

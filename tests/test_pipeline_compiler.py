@@ -2355,3 +2355,26 @@ def test_unwind_dotted_include_array_index(spark):
     out2 = compile_pipeline(df2, [{"$unwind": {
         "path": "$m.a", "includeArrayIndex": "m.i"}}]).collect()
     assert sorted((r["m"]["a"], r["m"]["i"]) for r in out2) == [(1, 0), (2, 1)]
+
+
+def test_project_dotted_inclusion_builds_nested_doc(spark):
+    """Round-6: inclusion $project with dotted keys outputs NESTED
+    documents ({$project: {"a.b": 1}} -> {a: {b}}), merging multiple
+    leaves under one head; computed dotted keys work too; path
+    collisions refuse; $group refuses dotted output names (Mongo
+    errors on both)."""
+    df = spark.createDataFrame(
+        [(1, {"b": 2, "c": "x", "d": 9.0})],
+        "id int, a struct<b:int,c:string,d:double>")
+    out = compile_pipeline(df, [{"$project": {
+        "id": 1, "a.b": 1, "a.c": 1,
+        "e.f": {"$add": ["$id", 10]}}}])
+    row = out.collect()[0]
+    assert out.columns == ["id", "a", "e"]
+    assert row["a"].asDict() == {"b": 2, "c": "x"}  # d projected away
+    assert row["e"]["f"] == 11
+    with pytest.raises(PipelineError, match="collision"):
+        compile_pipeline(df, [{"$project": {"a": 1, "a.b": 1}}])
+    with pytest.raises(PipelineError, match="cannot contain"):
+        compile_pipeline(df, [{"$group": {"_id": "$id",
+                                          "x.y": {"$sum": 1}}}])
