@@ -1635,10 +1635,29 @@ def _project(df: DataFrame, spec: dict, *, add_only: bool) -> DataFrame:
     # inclusion form: dotted keys build NESTED documents containing
     # only the named leaves (Mongo {$project: {"a.b": 1}} outputs
     # {a: {b: ...}}, not a flat dot-named column) — round 6
+    from pyspark.sql.types import ArrayType, StructType
+
     tree: dict = {}
     for k, v in spec.items():
         val = F.col(k) if v in (1, True) else compile_expr(v)
         parts = k.split(".")
+        if len(parts) > 1 and v in (1, True):
+            # Mongo maps a dotted projection through an ARRAY of
+            # documents per element ({arr: [{b}, ...]}); the struct
+            # rebuild below would silently produce {arr: {b: [...]}} —
+            # refuse toward the $map spelling instead
+            dt = df.schema
+            for seg in parts[:-1]:
+                if isinstance(dt, StructType) and seg in dt.fieldNames():
+                    dt = dt[seg].dataType
+                    if isinstance(dt, ArrayType):
+                        raise PipelineError(
+                            f"$project: dotted inclusion {k!r} through an "
+                            "array of documents is not supported — use "
+                            '{"$map": {"input": "$arr", "in": ...}}'
+                        )
+                else:
+                    break
         node = tree
         for p in parts[:-1]:
             nxt = node.setdefault(p, {})

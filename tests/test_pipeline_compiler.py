@@ -2378,3 +2378,10 @@ def test_project_dotted_inclusion_builds_nested_doc(spark):
     with pytest.raises(PipelineError, match="cannot contain"):
         compile_pipeline(df, [{"$group": {"_id": "$id",
                                           "x.y": {"$sum": 1}}}])
+
+
+def test_project_dotted_through_array_refuses(spark):
+    df = spark.createDataFrame(
+        [(1, [{"b": 2}])], "id int, arr array<struct<b:int>>")
+    with pytest.raises(PipelineError, match="array of documents"):
+        compile_pipeline(df, [{"$project": {"arr.b": 1}}])
