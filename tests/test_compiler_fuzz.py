@@ -867,3 +867,69 @@ def test_fuzz_lookup_correlated(frames, m, conjs, prefilter):
     assert got == want, (
         f"\nconjs={mongo_conjs}\nsql={sql}"
     )
+
+
+# -------------------------------------- nested-path write fuzz (r6)
+# The dotted-path surface (doc-literal $project, dotted $set/$unset
+# through structs, subtree replacement) against a SYMBOLIC model: the
+# generator tracks every leaf's defining SQL expression through the
+# drawn op sequence, then both engines extract the surviving leaves as
+# flat columns — so struct layout, write-back, and drop semantics are
+# all under differential test without struct-compare machinery.
+
+_NESTED_SET_PATHS = ["m.x", "m.y.z", "m.w", "m.y.q", "m.y"]
+_NESTED_UNSET_PATHS = ["m.x", "m.y.z", "m.y", "m.nope", "m.y.zz"]
+
+
+def _nested_ops():
+    return st.lists(
+        st.one_of(
+            st.tuples(st.just("set"), st.sampled_from(_NESTED_SET_PATHS),
+                      _num_expr()),
+            st.tuples(st.just("unset"), st.sampled_from(_NESTED_UNSET_PATHS)),
+        ),
+        min_size=1, max_size=4,
+    )
+
+
+@settings(max_examples=24, deadline=None, derandomize=True,
+          suppress_health_check=list(HealthCheck))
+@given(m=_match(), ops=_nested_ops())
+def test_fuzz_nested_paths(frames, m, ops):
+    sdf, con = frames
+    # symbolic model: leaf dotted-path -> SQL expr (None = subtree root
+    # replaced by a scalar, tracked as its own leaf)
+    model = {"m.x": "a", "m.y.z": "b"}
+    pipeline = [
+        {"$match": m[0]},
+        {"$project": {"rid": 1, "a": 1, "b": 1, "d": 1,
+                      "m": {"x": "$a", "y": {"z": "$b"}}}},
+    ]
+    for op in ops:
+        if op[0] == "set":
+            _, path, (mexpr, sqlexpr) = op
+            stage = {"$set": {path: mexpr}}
+            # replacing a subtree kills every leaf beneath it; setting
+            # a leaf under a scalar intermediate overwrites it with a
+            # document (Mongo $set semantics)
+            model = {p: e for p, e in model.items()
+                     if not p.startswith(path + ".") and p != path}
+            model = {p: e for p, e in model.items()
+                     if not path.startswith(p + ".")}
+            model[path] = sqlexpr
+        else:
+            _, path = op
+            stage = {"$unset": path}
+            model = {p: e for p, e in model.items()
+                     if p != path and not p.startswith(path + ".")}
+        pipeline.append(stage)
+    outs = sorted(model)
+    pipeline.append({"$project": {
+        "rid": 1, **{f"o{i}": f"${p}" for i, p in enumerate(outs)}}})
+    sel = "".join(
+        f", {model[p]} AS o{i}" for i, p in enumerate(outs)
+    )  # may be empty: every leaf unset
+    sql = f"SELECT rid{sel} FROM t WHERE {m[1]}"
+    got = _norm([tuple(r) for r in compile_pipeline(sdf, pipeline).collect()])
+    want = _norm(con.execute(sql).fetchall())
+    assert got == want, f"\nops={ops}\npipeline={pipeline}\nsql={sql}"
