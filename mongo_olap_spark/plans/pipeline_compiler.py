@@ -1541,6 +1541,7 @@ def _drop_nested(df: DataFrame, path: str) -> DataFrame:
     head = parts[0]
     if head not in df.columns:
         return df
+    _check_no_array_intermediate(df, path, "$unset")
     # walk EVERY intermediate segment: a path through a non-struct (or
     # absent) field is a no-op, and dropFields would raise instead
     dt = df.schema[head].dataType
@@ -1559,6 +1560,28 @@ def _drop_nested(df: DataFrame, path: str) -> DataFrame:
     return df.withColumn(head, F.col(head).dropFields(".".join(parts[1:])))
 
 
+def _check_no_array_intermediate(df: DataFrame, path: str, stage: str) -> None:
+    """Mongo applies a dotted write/drop through an ARRAY of documents
+    to EVERY element; the struct machinery here would silently replace
+    the array (or no-op) instead — refuse toward the $map spelling.
+    Scalar/missing intermediates keep their documented semantics."""
+    from pyspark.sql.types import ArrayType, StructType
+
+    parts = path.split(".")
+    dt = df.schema
+    for seg in parts[:-1]:
+        if isinstance(dt, StructType) and seg in dt.fieldNames():
+            dt = dt[seg].dataType
+            if isinstance(dt, ArrayType):
+                raise PipelineError(
+                    f"{stage}: dotted path {path!r} through an array of "
+                    'documents is not supported — use {"$map": ...} to '
+                    "transform elements"
+                )
+        else:
+            return
+
+
 def _set_nested(df: DataFrame, path: str, val: Column) -> DataFrame:
     """$addFields/$set of a dotted path: set the struct subfield,
     creating intermediate structs (and overwriting non-struct
@@ -1568,6 +1591,7 @@ def _set_nested(df: DataFrame, path: str, val: Column) -> DataFrame:
     parts = path.split(".")
     if len(parts) == 1:
         return df.withColumn(path, val)
+    _check_no_array_intermediate(df, path, "$set")
 
     def set_path(schema, col: Column | None, ps: list[str]) -> Column:
         p = ps[0]
@@ -1914,6 +1938,10 @@ def describe_lookup(spec: dict, foreign: DataFrame | None = None) -> dict:
     out = {"from": spec.get("from"), "as": spec.get("as")}
     let, pipeline = spec.get("let", {}), list(spec.get("pipeline") or [])
     concise = "localField" in spec or "foreignField" in spec
+    if concise and not ("localField" in spec and "foreignField" in spec):
+        # mirror the compile path's refusal (engine.explain reports it
+        # as a diagnostic instead of crashing on a KeyError)
+        raise PipelineError("$lookup: localField and foreignField come together")
     if concise and not pipeline and not let:
         out["strategy"] = "equi-packed"
         out["detail"] = (
@@ -2577,8 +2605,6 @@ def _window_spec(spec: dict, need_order: bool):
         if not (isinstance(part, str) and part.startswith("$")):
             raise PipelineError("$setWindowFields partitionBy must be a field path")
         keys.append(part[1:])
-    else:
-        _check_unpartitioned_window()
     w = W.partitionBy(*keys) if keys else W.partitionBy()
     if sort:
         w = w.orderBy(*[F.col(k) if v >= 0 else F.desc(k) for k, v in sort.items()])
@@ -2622,8 +2648,6 @@ def _range_frame(window: dict, spec: dict, df: DataFrame):
         # silently widen the frame to the whole dataset
         raise PipelineError("$setWindowFields partitionBy must be a field path")
     keys = [part[1:]] if isinstance(part, str) and part.startswith("$") else []
-    if not keys:
-        _check_unpartitioned_window()
     w = W.partitionBy(*keys) if keys else W.partitionBy()
     t_ms = (_swf_sort_key(spec, df) * 1000).cast("long")
     return w.orderBy(t_ms).rangeBetween(
@@ -2698,6 +2722,9 @@ def _swf_sort_key(spec: dict, df: DataFrame, *, keep_integral: bool = False) -> 
 def _set_window_fields(df: DataFrame, spec: dict) -> DataFrame:
     from pyspark.sql import Window as W
 
+    if spec.get("partitionBy") is None:
+        # once per STAGE (not once per output field / frame build)
+        _check_unpartitioned_window()
     out_fields = spec.get("output", {})
     named: list[tuple[str, Column]] = []
     temps: list[str] = []
@@ -2739,9 +2766,12 @@ def _set_window_fields(df: DataFrame, spec: dict) -> DataFrame:
                     "terms attach to rows, not sort-value ranges)"
                 )
             term = (
-                (v + F.lag(v).over(w)) * (t - F.lag(t).over(w)) / 2 / F.lit(scale)
+                (v + F.lag(v).over(w))
+                * (t - F.lag(t).over(w)).cast("double")
+                / 2 / F.lit(scale)
             )
-            tmp = f"__swf_{name}_term"
+            tmp = "__swf_" + name.replace(".", "_") + "_term"  # dots would
+            # parse as a nested reference in the later F.sum(tmp)
             df = df.select("*", term.alias(tmp))
             temps.append(tmp)
             bounds = _frame_bounds(window) if window else None
@@ -2794,7 +2824,8 @@ def _set_window_fields(df: DataFrame, spec: dict) -> DataFrame:
             nt = F.first(F.when(c.isNotNull(), t), ignorenulls=True).over(fwd)
             expr = F.when(c.isNotNull(), c).when(
                 pv.isNotNull() & nv.isNotNull(),
-                pv + (nv - pv) * (t - pt) / (nt - pt),
+                pv + (nv - pv) * (t - pt).cast("double")
+                / (nt - pt).cast("double"),
             )
         elif op == "$expMovingAvg":
             # inherently sequential recursion — runs as the engine's
@@ -3143,7 +3174,8 @@ def _fill(df: DataFrame, spec: dict) -> DataFrame:
             nt = F.first(F.when(c.isNotNull(), t), ignorenulls=True).over(fwd)
             filled = F.when(c.isNotNull(), c).when(
                 pv.isNotNull() & nv.isNotNull(),
-                pv + (nv - pv) * (t - pt) / (nt - pt),
+                pv + (nv - pv) * (t - pt).cast("double")
+                / (nt - pt).cast("double"),
             )
         else:
             raise PipelineError(f"unsupported $fill method for {name!r}: {how}")

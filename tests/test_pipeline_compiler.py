@@ -2385,3 +2385,75 @@ def test_project_dotted_through_array_refuses(spark):
         [(1, [{"b": 2}])], "id int, arr array<struct<b:int>>")
     with pytest.raises(PipelineError, match="array of documents"):
         compile_pipeline(df, [{"$project": {"arr.b": 1}}])
+
+
+def test_review_r6_fixes(spark):
+    """Round-6 self-review regressions (all reproduced pre-fix):
+    (1) $fill linear / $linearFill with LONG values+keys no longer
+    overflows under ANSI (long*long multiply) — the key delta casts to
+    double after the exact integral subtraction; (2) $integral with a
+    dotted output name sanitizes its temp column; (3) one-sided
+    localField/foreignField refuses as PipelineError in explain too;
+    (4)/(5) dotted writes and unsets THROUGH an array of documents
+    refuse toward $map instead of silently replacing/no-opping;
+    (6) the unpartitioned-window 'warn' policy fires once per stage."""
+    import warnings
+
+    from mongo_olap_spark.plans.pipeline_compiler import (
+        describe_lookup,
+        set_unpartitioned_window_policy,
+    )
+
+    # (1) epoch-micros-scale keys, long values
+    day_us = 86_400_000_000
+    df = spark.createDataFrame(
+        [(0, 0), (day_us * 120, None), (day_us * 240, 200_000_000)],
+        "t long, v long")
+    out = compile_pipeline(df, [{"$fill": {
+        "sortBy": {"t": 1}, "output": {"v": {"method": "linear"}}}}])
+    assert [r["v"] for r in out.orderBy("t").collect()] == [
+        0, 100_000_000.0, 200_000_000]
+    out2 = compile_pipeline(df, [{"$setWindowFields": {
+        "sortBy": {"t": 1},
+        "output": {"v2": {"$linearFill": "$v"}}}}])
+    assert [r["v2"] for r in out2.orderBy("t").collect()] == [
+        0.0, 100_000_000.0, 200_000_000.0]
+
+    # (2) dotted $integral output
+    df2 = spark.createDataFrame(
+        [("g", 1, 2.0, {"q": 1}), ("g", 3, 4.0, {"q": 2})],
+        "k string, i int, v double, m struct<q:int>")
+    got = compile_pipeline(df2, [{"$setWindowFields": {
+        "partitionBy": "$k", "sortBy": {"i": 1},
+        "output": {"m.integ": {"$integral": {"input": "$v"}}}}}])
+    assert [r["m"]["integ"] for r in got.orderBy("i").collect()] == [None, 6.0]
+
+    # (3) one-sided concise lookup refuses uniformly
+    with pytest.raises(PipelineError, match="come together"):
+        describe_lookup({"from": "f", "foreignField": "k", "as": "r",
+                         "pipeline": [{"$match": {"$expr": True}}]})
+    with pytest.raises(PipelineError, match="come together"):
+        describe_lookup({"from": "f", "localField": "a", "as": "r"})
+
+    # (4)/(5) array-of-documents intermediates refuse on write AND drop
+    df3 = spark.createDataFrame(
+        [(1, [{"b": 2}])], "id int, arr array<struct<b:int>>")
+    with pytest.raises(PipelineError, match="array of documents"):
+        compile_pipeline(df3, [{"$addFields": {"arr.b": 5}}])
+    with pytest.raises(PipelineError, match="array of documents"):
+        compile_pipeline(df3, [{"$project": {"arr.b": 0}}])
+    with pytest.raises(PipelineError, match="array of documents"):
+        compile_pipeline(df3, [{"$unset": "arr.b"}])
+
+    # (6) warn fires once per stage, not once per output field
+    prev = set_unpartitioned_window_policy("warn")
+    try:
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            compile_pipeline(df2.drop("m"), [{"$setWindowFields": {
+                "sortBy": {"i": 1},
+                "output": {"a1": {"$sum": "$v"}, "a2": {"$rank": {}},
+                           "a3": {"$shift": {"output": "$v", "by": 1}}}}}])
+        assert len([x for x in w if "global" in str(x.message)]) == 1
+    finally:
+        set_unpartitioned_window_policy(prev)
