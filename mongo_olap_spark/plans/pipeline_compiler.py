@@ -719,6 +719,45 @@ def _compile_op(op: str, spec: Any) -> Column:
             return F.when(F.size(arr) <= n, arr).otherwise(F.slice(arr, -n, n))
         ordered = F.sort_array(arr, asc=op == "$minN")
         return F.slice(ordered, 1, n)
+    if op in ("$max", "$min", "$sum", "$avg", "$stdDevPop", "$stdDevSamp"):
+        # EXPRESSION forms (the same names are $group accumulators and
+        # window functions, compiled separately by context). Mongo: a
+        # single operand that resolves to an array aggregates its
+        # elements; two-plus operands aggregate the operand values.
+        # Nulls are skipped throughout. The typed engine requires the
+        # single-operand form to be array-typed (Mongo's scalar
+        # identity form — $max of one number — is trivially $ifNull);
+        # a non-array operand fails Spark analysis loudly.
+        if isinstance(spec, list) and len(spec) >= 2:
+            arr = F.array(*[compile_expr(a) for a in spec])
+        else:
+            [a] = _args(spec)
+            arr = compile_expr(a)
+        vals = F.filter(arr, lambda x: x.isNotNull())
+        if op == "$max":
+            return F.array_max(vals)
+        if op == "$min":
+            return F.array_min(vals)
+        n = F.size(vals)
+        # typed zero: bigint for integral element types, double for
+        # fractional — keeps integer sums exact (the 2^53 lesson) while
+        # following Spark's numeric promotion. F.get is OOB-null-safe
+        # under ANSI mode (element_at is not).
+        zero = F.get(vals, 0) * F.lit(0).cast("bigint")
+        total = F.aggregate(vals, zero, lambda acc, x: acc + x)
+        if op == "$sum":
+            # Mongo $sum over empty/null input is 0, not null
+            return F.coalesce(total, F.lit(0))
+        mean = total / n
+        if op == "$avg":
+            return F.when(n > 0, mean)
+        ssq = F.aggregate(
+            vals, zero.cast("double"),
+            lambda acc, x: acc + (x - mean) * (x - mean),
+        )
+        if op == "$stdDevPop":
+            return F.when(n > 0, F.sqrt(ssq / n))
+        return F.when(n > 1, F.sqrt(ssq / (n - 1)))
     if op == "$binarySize":
         [a] = _args(spec)
         return F.octet_length(compile_expr(a))
@@ -2429,12 +2468,18 @@ def _graph_lookup(df: DataFrame, spec: dict, collections) -> DataFrame:
     docs = hit_vals.join(
         foreign, hit_vals["val"] == foreign[conn_to]
     ).drop("val")
-    doc_struct = (
-        F.struct(*foreign.columns,
-                 F.col("__depth").cast("long").alias(depth_field))
-        if depth_field
-        else F.struct(*foreign.columns)
-    )
+    if depth_field:
+        # Mongo SETS the field on each traversed doc: a colliding
+        # existing field is overwritten in place (same position), a
+        # fresh one is appended (duplicate-field ambiguity found by
+        # the r6 graphLookup fuzz)
+        d = F.col("__depth").cast("long").alias(depth_field)
+        fields = [d if c == depth_field else F.col(c) for c in foreign.columns]
+        if depth_field not in foreign.columns:
+            fields.append(d)
+        doc_struct = F.struct(*fields)
+    else:
+        doc_struct = F.struct(*foreign.columns)
     packed = docs.groupBy("start_key").agg(
         F.collect_list(doc_struct).alias(out)
     ).withColumnRenamed("start_key", "__gl_start")

@@ -933,3 +933,64 @@ def test_fuzz_nested_paths(frames, m, ops):
     got = _norm([tuple(r) for r in compile_pipeline(sdf, pipeline).collect()])
     want = _norm(con.execute(sql).fetchall())
     assert got == want, f"\nops={ops}\npipeline={pipeline}\nsql={sql}"
+
+
+# --------------------------------------- $graphLookup fuzz (r6)
+# Random traversal configs (start expr x maxDepth incl. 0 and absent x
+# depthField x restrictSearchWithMatch) over the funnel graph
+# rid -> a (240 nodes draining into a 21-node core with cycles),
+# against a DuckDB recursive-CTE shortest-depth model. Arrays compare
+# order-insensitively (size + node-id sum + max depth).
+
+@settings(max_examples=15, deadline=None, derandomize=True,
+          suppress_health_check=list(HealthCheck))
+@given(m=_match(), start=st.sampled_from(["a", "rid"]),
+       maxd=st.sampled_from([None, 0, 1, 3]),
+       use_depth=st.booleans(), restrict=st.one_of(st.none(), _match()))
+def test_fuzz_graph_lookup(frames, m, start, maxd, use_depth, restrict):
+    sdf, con = frames
+    spec = {"from": "f", "startWith": f"${start}",
+            "connectFromField": "a", "connectToField": "rid", "as": "anc"}
+    if maxd is not None:
+        spec["maxDepth"] = maxd
+    if use_depth:
+        spec["depthField"] = "d"
+    if restrict is not None:
+        spec["restrictSearchWithMatch"] = restrict[0]
+    proj = {"rid": 1, "n": {"$size": "$anc"},
+            "s": {"$reduce": {
+                "input": {"$map": {"input": "$anc", "as": "x",
+                                   "in": "$$x.rid"}},
+                "initialValue": {"$toLong": 0},
+                "in": {"$add": ["$$value", "$$this"]}}}}
+    if use_depth:
+        proj["md"] = {"$max": {"$map": {"input": "$anc", "as": "x",
+                                        "in": "$$x.d"}}}
+    pipeline = [{"$match": m[0]}, {"$graphLookup": spec},
+                {"$project": proj}]
+    cap = maxd if maxd is not None else 40  # > funnel-core diameter
+    r_base = f"AND ({restrict[1].replace('a ', 'f.a ').replace('b ', 'f.b ').replace('(a', '(f.a').replace('(b', '(f.b')})" if restrict else ""
+    sql = f"""
+    WITH RECURSIVE g AS (
+      SELECT c.rid AS src, f.rid AS node, f.a AS nxt, 0 AS depth
+      FROM t c JOIN t f ON f.rid = c.{start} {r_base}
+      UNION
+      SELECT g.src, f.rid, f.a, g.depth + 1
+      FROM g JOIN t f ON f.rid = g.nxt {r_base}
+      WHERE g.depth < {cap}
+    ),
+    mind AS (SELECT src, node, MIN(depth) AS d FROM g GROUP BY 1, 2),
+    agg AS (SELECT src, CAST(COUNT(*) AS INT) AS n,
+                   CAST(SUM(node) AS BIGINT) AS s,
+                   MAX(d) AS md
+            FROM mind GROUP BY 1)
+    SELECT c.rid, COALESCE(agg.n, 0) AS n, COALESCE(agg.s, 0) AS s
+           {", agg.md AS md" if use_depth else ""}
+    FROM t c LEFT JOIN agg ON agg.src = c.rid
+    WHERE {m[1]}
+    """
+    got = _norm([tuple(r) for r in compile_pipeline(
+        sdf, pipeline,
+        collections={"f": sdf.sparkSession._fuzz_foreign}).collect()])
+    want = _norm(con.execute(sql).fetchall())
+    assert got == want, f"\nspec={spec}\nsql={sql}"

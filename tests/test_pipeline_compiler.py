@@ -1731,6 +1731,76 @@ def test_array_n_expressions_and_binary_size(spark):
     assert out["b"] == 6
 
 
+def test_expression_aggregate_family(spark):
+    """$max/$min/$sum/$avg/$stdDevPop/$stdDevSamp as EXPRESSION
+    operators (r6 graphLookup fuzz find #1): single array operand
+    aggregates elements, 2+ operands aggregate the operands, nulls
+    skipped, $sum of empty/null is 0 while the others are null."""
+    df = spark.createDataFrame(
+        [(1, [3, None, 7, 1], 2.5), (2, [], 4.0), (3, None, 1.0), (4, [5], None)],
+        "id int, arr array<int>, x double",
+    )
+    rows = {
+        r["id"]: r
+        for r in compile_pipeline(df, [{"$project": {
+            "id": 1,
+            "mx": {"$max": "$arr"}, "mn": {"$min": "$arr"},
+            "sm": {"$sum": "$arr"}, "av": {"$avg": "$arr"},
+            "sp": {"$stdDevPop": "$arr"}, "ss": {"$stdDevSamp": "$arr"},
+            "mx2": {"$max": ["$x", {"$literal": 3}, None]},
+            "sm2": {"$sum": ["$x", {"$literal": 3}, None]},
+        }}]).collect()
+    }
+    assert (rows[1]["mx"], rows[1]["mn"], rows[1]["sm"]) == (7, 1, 11)
+    assert rows[1]["av"] == pytest.approx(11 / 3)
+    assert rows[1]["sp"] == pytest.approx((((3 - 11 / 3) ** 2
+                                            + (7 - 11 / 3) ** 2
+                                            + (1 - 11 / 3) ** 2) / 3) ** 0.5)
+    assert rows[1]["ss"] == pytest.approx((((3 - 11 / 3) ** 2
+                                            + (7 - 11 / 3) ** 2
+                                            + (1 - 11 / 3) ** 2) / 2) ** 0.5)
+    for rid in (2, 3):  # empty and null arrays behave alike except $sum
+        r = rows[rid]
+        assert (r["mx"], r["mn"], r["av"], r["sp"], r["ss"]) == (None,) * 5
+        assert r["sm"] == 0
+    assert (rows[4]["sp"], rows[4]["ss"]) == (0.0, None)  # single element
+    assert rows[2]["mx2"] == 4.0 and rows[3]["mx2"] == 3.0
+    assert rows[4]["sm2"] == 3.0  # null operand skipped, not poisoning
+
+
+def test_graph_lookup_depth_field_collision(spark):
+    """depthField overwrites a same-named existing field in place
+    (r6 graphLookup fuzz find #2: duplicate struct field -> ambiguous
+    reference on $$x.d access)."""
+    df = spark.createDataFrame(
+        [(1, 2, 9.9), (2, 3, 8.8), (3, None, 7.7)], "rid int, nxt int, d double"
+    )
+    out = compile_pipeline(df, [
+        {"$match": {"rid": 1}},
+        {"$graphLookup": {
+            "from": "g", "startWith": "$rid", "connectFromField": "nxt",
+            "connectToField": "rid", "as": "walk", "depthField": "d",
+        }},
+        {"$project": {
+            "rid": 1,
+            "depths": {"$sortArray": {
+                "input": {"$map": {"input": "$walk", "as": "w",
+                                   "in": "$$w.d"}},
+                "sortBy": 1}},
+        }},
+    ], collections={"g": df}).collect()
+    assert len(out) == 1
+    assert list(out[0]["depths"]) == [0, 1, 2]
+    # field order preserved: d stays in its original slot, overwritten
+    walk_t = compile_pipeline(df, [
+        {"$graphLookup": {
+            "from": "g", "startWith": "$rid", "connectFromField": "nxt",
+            "connectToField": "rid", "as": "walk", "depthField": "d",
+        }},
+    ], collections={"g": df}).schema["walk"].dataType.elementType
+    assert [f.name for f in walk_t.fields] == ["rid", "nxt", "d"]
+
+
 def test_range_frame_validates_unit_and_partition_by(spark):
     """Advice fixes: an unsupported range unit and a malformed
     partitionBy on a range window must both refuse loudly — the
