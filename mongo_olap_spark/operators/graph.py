@@ -68,8 +68,18 @@ def graph_lookup(
             seen = seen.unionByName(nxt).localCheckpoint(eager=True)
         frontier = nxt
     if out is None:
-        schema_src = starts.sparkSession
-        return schema_src.createDataFrame([], "start_key long, node long, depth int")
+        # schema mirrors the live-path output: start/node keep their
+        # REAL types (a string-keyed graph with zero reachable hops
+        # previously produced a hardcoded-long frame that failed the
+        # caller's union)
+        from pyspark.sql.types import IntegerType, StructField, StructType
+
+        schema = StructType([
+            StructField("start_key", starts.schema[start_col].dataType),
+            StructField("node", edges.schema[dst_col].dataType),
+            StructField("depth", IntegerType()),
+        ])
+        return starts.sparkSession.createDataFrame([], schema)
     if dedupe:
         # shallowest depth per (start, node); with subtraction each
         # pair appears once, keep the agg as a safety invariant

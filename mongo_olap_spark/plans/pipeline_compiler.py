@@ -419,6 +419,7 @@ _SIMPLE_UNARY = {
     "$sin": F.sin, "$cos": F.cos, "$tan": F.tan,
     "$asin": F.asin, "$acos": F.acos, "$atan": F.atan,
     "$sinh": F.sinh, "$cosh": F.cosh, "$tanh": F.tanh,
+    "$asinh": F.asinh, "$acosh": F.acosh, "$atanh": F.atanh,
     "$degreesToRadians": F.radians, "$radiansToDegrees": F.degrees,
     # date parts. $dayOfWeek: both engines use 1=Sunday..7=Saturday.
     "$dayOfWeek": F.dayofweek, "$dayOfYear": F.dayofyear,
@@ -534,9 +535,48 @@ def _compile_op(op: str, spec: Any) -> Column:
     if op == "$substrCP":
         s, start, length = spec
         return mongo_substr(compile_expr(s), start, length)
-    if op == "$indexOfCP":
-        s, sub = spec
-        return mongo_index_of(compile_expr(s), sub)
+    if op in ("$indexOfCP", "$indexOfBytes"):
+        # [string, substring, start?, end?] — offsets in code points
+        # ($indexOfCP) or UTF-8 bytes ($indexOfBytes); the search
+        # window is s[start:end), result is the match's start index in
+        # the same unit, -1 when absent, null when the string is null.
+        if not (isinstance(spec, list) and 2 <= len(spec) <= 4):
+            raise PipelineError(f"{op} takes [string, substring, start?, end?]")
+        s, sub, *rng = spec
+        for r in rng:
+            if isinstance(r, int) and r < 0:
+                raise PipelineError(f"{op}: start/end must be non-negative")
+        sc = compile_expr(s)
+        if len(rng) == 0 and op == "$indexOfCP":
+            return mongo_index_of(sc, compile_expr(sub))
+        start = compile_expr(rng[0]) if rng else F.lit(0)
+        if op == "$indexOfBytes":
+            unit_len, base = F.octet_length(sc), sc.cast("binary")
+        else:
+            unit_len, base = F.length(sc), sc
+        end = compile_expr(rng[1]) if len(rng) > 1 else unit_len
+        # a match must lie wholly inside the window (Mongo searches
+        # the s[start:end) slice); byte windows slice the UTF-8
+        # encoding so offsets stay byte-true
+        window = F.substring(base, start + 1, F.greatest(end - start, F.lit(0)))
+        if op == "$indexOfBytes":
+            window = window.cast("string")
+        idx = F.instr(window, compile_expr(sub))
+        if op == "$indexOfBytes":
+            pos = start + F.octet_length(F.substring(window, 1, idx - 1))
+        else:
+            pos = start + idx - 1
+        return F.when(idx == 0, -1).otherwise(pos)
+    if op in ("$substr", "$substrBytes"):
+        # byte-offset substring over the UTF-8 encoding ($substr is
+        # Mongo's deprecated alias of $substrBytes); a slice landing
+        # mid-codepoint yields replacement characters rather than
+        # Mongo's error (the typed engine has no per-row error channel)
+        s, start, length = spec
+        start_c = compile_expr(start)
+        return F.substring(
+            compile_expr(s).cast("binary"), start_c + 1, compile_expr(length)
+        ).cast("string")
     if op in _CMP:
         a, b = spec
         return _CMP[op](compile_expr(a), compile_expr(b))
@@ -758,6 +798,63 @@ def _compile_op(op: str, spec: Any) -> Column:
         if op == "$stdDevPop":
             return F.when(n > 0, F.sqrt(ssq / n))
         return F.when(n > 1, F.sqrt(ssq / (n - 1)))
+    if op in ("$first", "$last"):
+        # EXPRESSION forms (Mongo 4.4): first/last element of an array
+        # operand; null/empty array -> null. F.get is OOB-null-safe.
+        [a] = _args(spec)
+        arr = compile_expr(a)
+        if op == "$first":
+            return F.get(arr, 0)
+        return F.get(arr, F.size(arr) - 1)
+    if op in ("$median", "$percentile"):
+        # EXPRESSION forms (Mongo 7.0) over an array operand. Matches
+        # the engine's accumulator semantics (F.median/F.percentile):
+        # linear interpolation between closest ranks over the sorted
+        # non-null elements — Mongo's t-digest "approximate" method
+        # converges to the same value; `method` is accepted and
+        # ignored, like the accumulator path.
+        if not (isinstance(spec, dict) and "input" in spec):
+            raise PipelineError(f"{op} requires {{input, ...}}")
+        vals = F.array_sort(
+            F.filter(compile_expr(spec["input"]), lambda x: x.isNotNull())
+        )
+        n = F.size(vals)
+
+        def _interp(p: float) -> Column:
+            rank = (n - 1).cast("double") * F.lit(float(p))
+            lo = F.floor(rank).cast("int")
+            lo_v = F.get(vals, lo).cast("double")
+            hi_v = F.coalesce(F.get(vals, lo + 1).cast("double"), lo_v)
+            return F.when(n > 0, lo_v + (rank - lo) * (hi_v - lo_v))
+
+        if op == "$median":
+            return _interp(0.5)
+        ps = spec.get("p")
+        if not (isinstance(ps, list) and ps
+                and all(isinstance(p, (int, float)) and 0 <= p <= 1
+                        for p in ps)):
+            raise PipelineError("$percentile: p must be literals in [0, 1]")
+        return F.array(*[_interp(p) for p in ps])
+    if op == "$type":
+        # BSON type name from the STATIC Spark type (typeof), with the
+        # one runtime case Mongo distinguishes: a null value is "null"
+        [a] = _args(spec)
+        c = compile_expr(a)
+        t = F.call_function("typeof", c)
+        return (
+            F.when(c.isNull(), "null")
+            .when(t.isin("tinyint", "smallint", "int"), "int")
+            .when(t == "bigint", "long")
+            .when(t.isin("float", "double"), "double")
+            .when(t.startswith("decimal"), "decimal")
+            .when(t == "string", "string")
+            .when(t == "boolean", "bool")
+            .when(t.isin("timestamp", "timestamp_ntz", "date"), "date")
+            .when(t == "binary", "binData")
+            .when(t.startswith("array"), "array")
+            .when(t.startswith("struct") | t.startswith("map"), "object")
+            .otherwise(t)
+        )
     if op == "$binarySize":
         [a] = _args(spec)
         return F.octet_length(compile_expr(a))
@@ -939,6 +1036,13 @@ def _compile_op(op: str, spec: Any) -> Column:
         return compile_expr(spec["input"]).withField(
             spec["field"], compile_expr(spec["value"])
         )
+    if op == "$unsetField":
+        # typed-engine delta: unsetting a field absent from the static
+        # struct schema fails Spark analysis loudly (Mongo no-ops) —
+        # schemas are static here, so the path is knowable at plan time
+        if not isinstance(spec.get("field"), str):
+            raise PipelineError("$unsetField requires a literal field name")
+        return compile_expr(spec["input"]).dropFields(spec["field"])
     if op == "$convert":
         to_types = {
             "int": "int", "long": "long", "double": "double",
@@ -1082,7 +1186,40 @@ def _compile_op(op: str, spec: Any) -> Column:
         if "onNull" in spec:
             out = F.when(c.isNull(), compile_expr(spec["onNull"])).otherwise(out)
         return out
+    if op in _REFUSED_EXPR_OPS:
+        raise PipelineError(
+            f"{op} is unsupported by design: {_REFUSED_EXPR_OPS[op]}"
+        )
     raise PipelineError(f"unsupported expression operator {op!r}")
+
+
+#: operators outside the typed engine's model, refused BY NAME with the
+#: reason and the supported alternative — completing the Mongo 7.0
+#: expression inventory: everything is either compiled or named here.
+_REFUSED_EXPR_OPS = {
+    "$function": "server-side JavaScript does not run on Spark; express "
+                 "custom per-document logic as pipeline expressions, or as "
+                 "an Arrow mapInPandas stage for genuinely imperative code",
+    "$accumulator": "server-side JavaScript accumulators do not run on "
+                    "Spark; the full native accumulator inventory plus "
+                    "applyInPandas covers custom aggregation",
+    "$rand": "per-row nondeterminism breaks the engine's reproducible-plan "
+             "policy; use $sampleRate / $sample (deterministic hash-order "
+             "sampling) instead",
+    "$toObjectId": "ObjectId is a BSON type the typed engine does not "
+                   "model; keep document ids as string or long",
+    "$toHashedIndexKey": "mongod's internal index-key hash is not "
+                         "reproducible outside MongoDB; use xxhash64 via "
+                         "the engine's hash expressions for stable keys",
+    "$tsIncrement": "the internal BSON timestamp type is not modeled; use "
+                    "TimestampType with the date operator surface",
+    "$tsSecond": "the internal BSON timestamp type is not modeled; use "
+                 "TimestampType with the date operator surface",
+    "$bsonSize": "documents are typed structs, not BSON; $binarySize of a "
+                 "serialized column (e.g. to_json) approximates object size",
+    "$meta": "score metadata pseudo-fields do not exist in the typed "
+             "engine; the $text surface exposes scores as explicit columns",
+}
 
 
 def _as_bool(spec: Any):
@@ -1298,6 +1435,11 @@ def _compile_accumulator(spec: dict, sort_keys: list[tuple[str, bool]] | None) -
         if not (isinstance(n, int) and n > 0):
             raise PipelineError(f"{op} requires a positive literal n")
         return _n_by_order(out, ordk, n, from_end=op == "$bottomN")
+    if op == "$accumulator":
+        raise PipelineError(
+            "$accumulator is unsupported by design: "
+            + _REFUSED_EXPR_OPS["$accumulator"]
+        )
     raise PipelineError(f"unsupported accumulator {op!r}")
 
 
@@ -1463,15 +1605,120 @@ def compile_pipeline(
             # data, portable across partitionings and engines.
             size = spec["size"] if isinstance(spec, dict) else int(spec)
             df = df.orderBy(F.xxhash64(*[F.col(c) for c in df.columns])).limit(size)
+        elif name == "$redact":
+            df = _redact_stage(df, spec)
+        elif name == "$collStats":
+            if stage_idx != 0:
+                raise PipelineError("$collStats must be the first pipeline stage")
+            df = _coll_stats_stage(df, spec)
         elif name in ("$out", "$merge"):
             raise PipelineError(
                 f"{name} executes a write — use execute_pipeline(source, "
                 "pipeline, store) for a trailing $out/$merge, or pass the "
                 "compiled result to CubeCatalog/DataFrameWriter explicitly"
             )
+        elif name in _REFUSED_STAGES:
+            raise PipelineError(
+                f"{name} is unsupported by design: {_REFUSED_STAGES[name]}"
+            )
         else:
             raise PipelineError(f"unsupported stage {name!r}")
     return df
+
+
+#: stages outside the engine's model, refused BY NAME with the reason
+#: and the supported alternative — with these, every Mongo 7.0 pipeline
+#: stage is either compiled or named.
+_REFUSED_STAGES = {
+    "$search": "Atlas Search infrastructure does not exist here; the $text "
+               "surface (inverted postings) and $vectorSearch cover scored "
+               "retrieval",
+    "$searchMeta": "Atlas Search infrastructure does not exist here; "
+                   "aggregate over the $text surface's explicit score "
+                   "columns instead",
+    "$listSearchIndexes": "Atlas Search infrastructure does not exist here",
+    "$changeStream": "change feeds are the Structured Streaming CDC surface "
+                     "(streaming/cdc.py), not a pipeline stage",
+    "$changeStreamSplitLargeEvent": "change feeds are the Structured "
+                                    "Streaming CDC surface",
+    "$currentOp": "mongod server introspection has no analogue in a "
+                  "compiled Spark plan",
+    "$planCacheStats": "mongod server introspection has no analogue; use "
+                       "OlapEngine.explain / DataFrame.explain for plans",
+    "$queryStats": "mongod server introspection has no analogue",
+    "$listSampledQueries": "mongod server introspection has no analogue",
+    "$listLocalSessions": "mongod session registry has no analogue",
+    "$listSessions": "mongod session registry has no analogue",
+    "$shardedDataDistribution": "sharding metadata has no analogue; "
+                                "partition statistics live in the cube "
+                                "catalog (cube/catalog.py dim-stats)",
+    "$indexStats": "there are no secondary indexes; the cube catalog's "
+                   "dim-stats metadata (cube/catalog.py) is the analogue",
+}
+
+
+def _redact_stage(df: DataFrame, spec: Any) -> DataFrame:
+    """$redact wired into the compiler (the plan-time StructType walk
+    of operators/redact.py, driven by a compiled Mongo expression).
+
+    At every struct node — including the document root — the condition
+    compiles with field paths resolving INSIDE that node (missing
+    fields read as null, Mongo's missing semantics) and the system
+    variables $$PRUNE/$$KEEP/$$DESCEND/$$CURRENT bound. A root-level
+    PRUNE drops the document (Mongo: excluded from the result);
+    pruned subdocuments surface as typed nulls — the typed engine's
+    representation of a removed field.
+    """
+    from pyspark.sql.types import StructType
+
+    from mongo_olap_spark.operators.redact import DESCEND, KEEP, PRUNE, redact
+
+    def decide(node_col: Column, path: tuple, dtype: StructType) -> Column:
+        def resolver(p: str) -> Column:
+            head, *rest = p.split(".")
+            cur_t = dtype
+            c = node_col
+            for part in (head, *rest):
+                if not (isinstance(cur_t, StructType) and part in cur_t.names):
+                    return F.lit(None)
+                c = c[part]
+                cur_t = cur_t[part].dataType
+            return c
+
+        with _bind_fields(resolver), _bind(
+            PRUNE=F.lit(PRUNE), KEEP=F.lit(KEEP),
+            DESCEND=F.lit(DESCEND), CURRENT=node_col,
+        ):
+            return compile_expr(spec).cast("string")
+
+    root = F.struct(*[F.col(c) for c in df.columns])
+    root_t = StructType([df.schema[c] for c in df.columns])
+    red = redact(root, root_t, decide)
+    return (
+        df.select(red.alias("__redacted"))
+        .where(F.col("__redacted").isNotNull())
+        .select("__redacted.*")
+    )
+
+
+def _coll_stats_stage(df: DataFrame, spec: Any) -> DataFrame:
+    """$collStats with the ``count`` form: one document carrying the
+    exact collection count (a metadata-only aggregate — Spark plans it
+    as a partial-count + single-row final, no wide shuffle). The
+    latency/queryExec/storage forms are mongod runtime telemetry and
+    refuse by name; storage-level statistics live in the cube
+    catalog's snapshot metadata instead."""
+    if not isinstance(spec, dict):
+        raise PipelineError("$collStats requires a document spec")
+    unsupported = set(spec) - {"count"}
+    if unsupported:
+        raise PipelineError(
+            f"$collStats: {sorted(unsupported)} are mongod runtime "
+            "telemetry with no analogue; supported form is {count: {}}"
+        )
+    if "count" not in spec:
+        raise PipelineError("$collStats: expected {count: {}}")
+    return df.agg(F.count(F.lit(1)).cast("long").alias("count"))
 
 
 def _doc_row(d: dict):
@@ -2452,39 +2699,42 @@ def _graph_lookup(df: DataFrame, spec: dict, collections) -> DataFrame:
     # Mongo maxDepth counts recursions past the initial lookup: docs
     # are matched for frontier values at depths 0..maxDepth, so we
     # traverse maxDepth value-hops and match docs on {start} ∪ reached.
-    starts = df.select(F.col(start_field).alias("start_key")).distinct()
+    # engine-reserved internal names (__gl_*): foreign collections
+    # with columns named start_key/val/__depth previously made the
+    # groupBy/doc-struct references ambiguous
+    starts = df.select(F.col(start_field).alias("__gl_sk")).distinct()
     reached = graph_lookup(
-        starts, edges, max_depth=max_depth, src_col="src", dst_col="dst"
+        starts, edges, max_depth=max_depth,
+        start_col="__gl_sk", src_col="src", dst_col="dst",
     )
     # matched docs: connectTo ∈ {start} ∪ reached nodes (Mongo returns
     # the documents, not the values)
     hit_vals = starts.select(
-        F.col("start_key"), F.col("start_key").alias("val"),
-        F.lit(0).alias("__depth"),
+        F.col("__gl_sk"), F.col("__gl_sk").alias("__gl_val"),
+        F.lit(0).alias("__gl_depth"),
     ).unionByName(reached.select(
-        "start_key", F.col("node").alias("val"),
-        F.col("depth").alias("__depth"),
+        F.col("start_key").alias("__gl_sk"),
+        F.col("node").alias("__gl_val"),
+        F.col("depth").alias("__gl_depth"),
     ))
     docs = hit_vals.join(
-        foreign, hit_vals["val"] == foreign[conn_to]
-    ).drop("val")
+        foreign, hit_vals["__gl_val"] == foreign[conn_to]
+    ).drop("__gl_val")
     if depth_field:
         # Mongo SETS the field on each traversed doc: a colliding
         # existing field is overwritten in place (same position), a
         # fresh one is appended (duplicate-field ambiguity found by
         # the r6 graphLookup fuzz)
-        d = F.col("__depth").cast("long").alias(depth_field)
+        d = F.col("__gl_depth").cast("long").alias(depth_field)
         fields = [d if c == depth_field else F.col(c) for c in foreign.columns]
         if depth_field not in foreign.columns:
             fields.append(d)
         doc_struct = F.struct(*fields)
     else:
         doc_struct = F.struct(*foreign.columns)
-    packed = docs.groupBy("start_key").agg(
+    packed = docs.groupBy("__gl_sk").agg(
         F.collect_list(doc_struct).alias(out)
-    ).withColumnRenamed("start_key", "__gl_start")
-    # synthetic join-key name: the source may itself have a column
-    # called start_key (ambiguity found by the oracle gate)
+    ).withColumnRenamed("__gl_sk", "__gl_start")
     joined = df.join(
         packed, F.col(start_field) == F.col("__gl_start"), "left"
     ).drop("__gl_start")
@@ -3242,6 +3492,7 @@ def merge_documents(
     *,
     when_matched: str | list = "merge",
     when_not_matched: str = "insert",
+    let: dict | None = None,
 ) -> DataFrame:
     """Mongo $merge as a pure DataFrame transform (no write).
 
@@ -3251,8 +3502,11 @@ def merge_documents(
     $addFields/$unset stages): expressions evaluate against the
     EXISTING document with ``$$new`` bound to the incoming one — the
     counter-merge idiom ``{$set: {n: {$add: ["$n", "$$new.n"]}}}``
-    compiles to plain join-projection arithmetic. whenNotMatched:
-    ``insert`` | ``discard`` | ``fail``. ``fail`` modes validate
+    compiles to plain join-projection arithmetic. ``let`` (r6)
+    replaces the default ``{new: $$ROOT}`` binding: each variable
+    evaluates against the INCOMING document and rides into the
+    pipeline as ``$$var`` ($$new then unbound, Mongo's contract).
+    whenNotMatched: ``insert`` | ``discard`` | ``fail``. ``fail`` modes validate
     eagerly with a bounded probe — Mongo aborts the write mid-stream;
     we refuse before writing at all.
 
@@ -3262,6 +3516,10 @@ def merge_documents(
     a small delta, exactly the side AQE turns into a broadcast join.
     """
     keys = [on] if isinstance(on, str) else list(on)
+    if let is not None and not isinstance(when_matched, list):
+        raise PipelineError(
+            "$merge: let is only valid with a whenMatched update pipeline"
+        )
     for k in keys:
         if k not in existing.columns or k not in incoming.columns:
             raise PipelineError(f"$merge: on-field {k!r} missing from a side")
@@ -3318,7 +3576,22 @@ def merge_documents(
         new_struct = F.struct(
             *[F.col(f"i.{c}").alias(c) for c in incoming.columns]
         )
-        with _bind(new=new_struct), _bind_fields(_resolve):
+        if let is None:
+            bindings = {"new": new_struct}  # Mongo's default let
+        else:
+            # custom let: each variable evaluates against the INCOMING
+            # document ($$ROOT = the incoming doc); Mongo's contract
+            # is that $$new is NOT available unless explicitly defined
+            def _resolve_incoming(path: str) -> Column:
+                head, *rest = path.split(".")
+                col = F.col(f"i.{head}") if head in i_cols else F.lit(None)
+                for part in rest:
+                    col = col.getItem(part)
+                return col
+
+            with _bind_fields(_resolve_incoming), _bind(ROOT=new_struct):
+                bindings = {k: compile_expr(v) for k, v in let.items()}
+        with _bind(**bindings), _bind_fields(_resolve):
             for stage in when_matched:
                 [(sname, sspec)] = stage.items()
                 if sname in ("$set", "$addFields"):
@@ -3387,13 +3660,18 @@ def execute_pipeline(
     target = spec["into"] if isinstance(spec, dict) else spec
     if isinstance(target, dict):
         target = target["coll"]
-    if isinstance(spec, dict) and "let" in spec:
-        # custom let bindings for whenMatched pipelines — silently
-        # dropping them would evaluate $$var references against the
-        # wrong values; the default {new: $$ROOT} rides as $$new
+    let = spec.get("let") if isinstance(spec, dict) else None
+    if let is not None and not (
+        isinstance(let, dict) and let
+        and all(isinstance(k, str) for k in let)
+    ):
+        raise PipelineError("$merge: let must be a non-empty document")
+    wm = spec.get("whenMatched", "merge") if isinstance(spec, dict) else "merge"
+    if let is not None and not isinstance(wm, list):
+        # validate the SPEC eagerly, like Mongo — even when the target
+        # does not exist yet and no merge would run
         raise PipelineError(
-            "$merge: custom let variables are not supported "
-            "(the default binding is available as $$new)"
+            "$merge: let is only valid with a whenMatched update pipeline"
         )
     on = spec.get("on", "_id") if isinstance(spec, dict) else "_id"
     when_matched = spec.get("whenMatched", "merge") if isinstance(spec, dict) else "merge"
@@ -3414,5 +3692,6 @@ def execute_pipeline(
         on,
         when_matched=when_matched,
         when_not_matched=when_not_matched,
+        let=let,
     )
     return store.write(target, merged)

@@ -576,6 +576,67 @@ def q_pipeline_strings(spark, sf_dir):
 
 
 @register(
+    "q_pipeline_expr_agg",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, text,
+             list_transform(string_split(text, ' '), t -> length(t)) AS ll
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(list_aggregate(ll, 'max') AS INT) AS max_len,
+           CAST(list_aggregate(ll, 'min') AS INT) AS min_len,
+           CAST(COALESCE(list_aggregate(ll, 'sum'), 0) AS BIGINT) AS sum_len,
+           ROUND(CAST(list_aggregate(ll, 'avg') AS DOUBLE), 6) AS avg_len,
+           ROUND(CAST(list_aggregate(ll, 'median') AS DOUBLE), 6) AS med_len,
+           ROUND(CAST(list_aggregate(ll, 'quantile_cont', 0.9) AS DOUBLE), 6)
+               AS p90_len,
+           ROUND(CAST(list_aggregate(ll, 'stddev_pop') AS DOUBLE), 6)
+               AS sd_len,
+           CAST(ll[1] AS INT) AS first_len,
+           CAST(ll[-1] AS INT) AS last_len,
+           CAST(strpos(text, 'data') - 1 AS INT) AS idx_data,
+           CASE WHEN text IS NULL THEN 'null' ELSE 'string' END AS ty
+    FROM base
+    """,
+)
+def q_pipeline_expr_agg(spark, sf_dir):
+    """Round-6 expression-form aggregate family ($max/$min/$sum/$avg/
+    $median/$percentile/$stdDevPop/$first/$last over an array operand)
+    plus $indexOfBytes and $type — all JVM-side higher-order-function
+    Columns over per-document token-length arrays; zero shuffles, the
+    scan prunes to (doc_id, text). The ASCII corpus makes byte and
+    code-point indexes coincide, which is exactly what the strpos
+    oracle checks; multibyte deltas are pinned by the unit tests."""
+    d = load_table(spark, sf_dir, "documents")
+    ll = {"$map": {"input": {"$split": ["$text", " "]}, "as": "t",
+                   "in": {"$strLenCP": "$$t"}}}
+    return compile_pipeline(
+        d,
+        [
+            {"$project": {
+                "doc_id": 1,
+                "max_len": {"$max": ll},
+                "min_len": {"$min": ll},
+                "sum_len": {"$sum": ll},
+                "avg_len": {"$round": [{"$avg": ll}, 6]},
+                "med_len": {"$round": [
+                    {"$median": {"input": ll, "method": "approximate"}}, 6]},
+                "p90_len": {"$round": [{"$arrayElemAt": [
+                    {"$percentile": {"input": ll, "p": [0.9],
+                                     "method": "approximate"}},
+                    {"$literal": 0}]}, 6]},
+                "sd_len": {"$round": [{"$stdDevPop": ll}, 6]},
+                "first_len": {"$first": ll},
+                "last_len": {"$last": ll},
+                "idx_data": {"$indexOfBytes": ["$text", "data"]},
+                "ty": {"$type": "$text"},
+            }},
+        ],
+    )
+
+
+@register(
     "q_pipeline_window_fill",
     oracle="""
     WITH base AS (

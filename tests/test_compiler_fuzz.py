@@ -612,17 +612,20 @@ def test_fuzz_match_project_unwind_group(frames, m, e, preserve):
 # out→store→read→merge→store→read fails the compare.
 
 _MERGE_MODES = [
-    ("merge", None),
-    ("replace", None),
-    ("keepExisting", None),
+    ("merge", None, None),
+    ("replace", None, None),
+    ("keepExisting", None, None),
     # counter idiom: x accumulates
-    ("pipe_counter", [{"$set": {"x": {"$add": ["$x", "$$new.x"]}}}]),
+    ("pipe_counter", [{"$set": {"x": {"$add": ["$x", "$$new.x"]}}}], None),
     # overwrite-from-new then drop a field
     ("pipe_unset", [{"$set": {"x": {"$multiply": ["$$new.x", {"$literal": 2}]}}},
-                    {"$unset": "w"}]),
+                    {"$unset": "w"}], None),
     # chained $set: second stage reads the first stage's update
     ("pipe_chain", [{"$set": {"x": {"$add": ["$x", "$$new.x"]}}},
-                    {"$set": {"z": "$x"}}]),
+                    {"$set": {"z": "$x"}}], None),
+    # r6 custom let: $half evaluates against the INCOMING doc ($x = ix)
+    ("pipe_let", [{"$set": {"x": {"$add": ["$x", "$$half"]}}}],
+     {"half": {"$divide": ["$x", {"$literal": 2}]}}),
 ]
 
 
@@ -658,6 +661,11 @@ def _merge_model_exprs(mode_key: str):
         w = f"CASE WHEN {i_only} THEN NULL ELSE ew END"
         z = (f"CASE WHEN {matched} THEN ex + ix "
              f"WHEN {i_only} THEN iz END")
+    elif mode_key == "pipe_let":
+        x = (f"CASE WHEN {matched} THEN ex + ix / 2 "
+             f"WHEN {i_only} THEN ix ELSE ex END")
+        w = f"CASE WHEN {i_only} THEN NULL ELSE ew END"
+        z = f"CASE WHEN {i_only} THEN iz END"
     else:
         raise AssertionError(mode_key)
     return x, w, z
@@ -676,7 +684,7 @@ def test_fuzz_merge_roundtrip(frames, tmp_path_factory, ms, mi, mode, wnm, m1, m
     from mongo_olap_spark.sources.store import ParquetCollectionStore
 
     sdf, con = frames
-    mode_key, wm_pipe = mode
+    mode_key, wm_pipe, let = mode
     wm = wm_pipe if wm_pipe is not None else mode_key
     seed = [
         {"$match": ms[0]},
@@ -689,7 +697,8 @@ def test_fuzz_merge_roundtrip(frames, tmp_path_factory, ms, mi, mode, wnm, m1, m
         {"$group": {"_id": {"$mod": ["$rid", m2]},
                     "x": {"$sum": "$b"}, "z": {"$max": "$a"}}},
         {"$merge": {"into": "t", "on": "_id",
-                    "whenMatched": wm, "whenNotMatched": wnm}},
+                    "whenMatched": wm, "whenNotMatched": wnm,
+                    **({"let": let} if let else {})}},
     ]
     with tempfile.TemporaryDirectory() as root:
         store = ParquetCollectionStore(sdf.sparkSession, root)
@@ -994,3 +1003,50 @@ def test_fuzz_graph_lookup(frames, m, start, maxd, use_depth, restrict):
         collections={"f": sdf.sparkSession._fuzz_foreign}).collect()])
     want = _norm(con.execute(sql).fetchall())
     assert got == want, f"\nspec={spec}\nsql={sql}"
+
+
+# ------------------------------------------------ $redact fuzz (r6)
+# Random ACL gates (prune threshold x keep level incl. never) over a
+# two-level nested doc built in-pipeline, vs a DuckDB CASE model that
+# replays the gate decisions as scalar arithmetic. Covers: missing
+# field at the root (-> null -> $cond falsy -> DESCEND), KEEP stopping
+# the descent, PRUNE nulling a subtree, and the decision order
+# (prune checked before keep).
+
+@settings(max_examples=12, deadline=None, derandomize=True,
+          suppress_health_check=list(HealthCheck))
+@given(m=_match(), p=st.sampled_from([1, 2, 3]),
+       k=st.sampled_from([0, 1, 99]))
+def test_fuzz_redact(frames, m, p, k):
+    sdf, con = frames
+    gate = {"$cond": [{"$gte": ["$lvl", p]}, "$$PRUNE",
+            {"$cond": [{"$eq": ["$lvl", k]}, "$$KEEP", "$$DESCEND"]}]}
+    pipeline = [
+        {"$match": m[0]},
+        {"$project": {"rid": 1, "doc": {
+            "lvl": {"$mod": ["$a", 3]}, "x": "$b",
+            "inner": {"lvl": {"$mod": [{"$abs": "$b"}, 3]}, "y": "$a"},
+        }}},
+        {"$redact": gate},
+        {"$project": {"rid": 1, "x": "$doc.x",
+                      "ylvl": "$doc.inner.lvl", "y": "$doc.inner.y"}},
+    ]
+    # root doc has no `lvl` -> null -> both $conds falsy -> DESCEND,
+    # so every row survives; decisions replay per nesting level
+    sql = f"""
+    WITH n AS (SELECT rid, a % 3 AS l0, b AS x,
+                      abs(b) % 3 AS l1, a AS y
+               FROM t WHERE {m[1]})
+    SELECT rid,
+      CASE WHEN l0 >= {p} THEN NULL ELSE x END AS x,
+      CASE WHEN l0 >= {p} THEN NULL
+           WHEN l0 = {k} THEN l1
+           WHEN l1 >= {p} THEN NULL ELSE l1 END AS ylvl,
+      CASE WHEN l0 >= {p} THEN NULL
+           WHEN l0 = {k} THEN y
+           WHEN l1 >= {p} THEN NULL ELSE y END AS y
+    FROM n
+    """
+    got = _norm([tuple(r) for r in compile_pipeline(sdf, pipeline).collect()])
+    want = _norm(con.execute(sql).fetchall())
+    assert got == want, f"\np={p} k={k}\npipeline={pipeline}\nsql={sql}"

@@ -1548,3 +1548,55 @@ def test_fuzz_group_then_lookup(spark, eframes, mult):
         sdf, pipeline, collections={"u": u}).collect()])
     want = _norm(con.execute(sql).fetchall())
     assert got == want
+
+
+# ------------------------------- expression aggregate family (r6)
+# $max/$min/$sum/$avg/$stdDev*/$median/$percentile/$first/$last as
+# EXPRESSION operators over arrays, against DuckDB list aggregates (an
+# independent model: list_aggregate skips nulls natively). Element
+# nulls injected via $map+$cond; fractional outputs rounded to 6dp on
+# both sides to absorb summation-order ulps.
+_EXPR_AGG = [
+    ("$max", "list_aggregate({0}, 'max')", False),
+    ("$min", "list_aggregate({0}, 'min')", False),
+    ("$sum", "COALESCE(list_aggregate({0}, 'sum'), 0)", False),
+    ("$avg", "list_aggregate({0}, 'avg')", True),
+    ("$stdDevPop", "list_aggregate({0}, 'stddev_pop')", True),
+    ("$stdDevSamp", "list_aggregate({0}, 'stddev_samp')", True),
+    ("$median", "list_aggregate({0}, 'median')", True),
+    ("$first", "{0}[1]", False),
+    ("$last", "{0}[-1]", False),
+]
+
+
+@settings(max_examples=30, deadline=None, derandomize=True,
+          suppress_health_check=list(HealthCheck))
+@given(agg=st.sampled_from(_EXPR_AGG), m=st.integers(2, 4),
+       p=st.sampled_from([0.0, 0.25, 0.5, 0.9, 1.0]),
+       use_pct=st.booleans())
+def test_fuzz_expr_aggregates(eframes, agg, m, p, use_pct):
+    op, twin, frac = agg
+    null_map = {"$map": {"input": "$arr", "in": {"$cond": [
+        {"$eq": [{"$mod": ["$$this", m]}, {"$literal": 0}]},
+        None, "$$this"]}}}
+    arr_sql = (f"list_transform(arr, x -> "
+               f"CASE WHEN x % {m} = 0 THEN NULL ELSE x END)")
+    if use_pct:
+        spec = {"$arrayElemAt": [
+            {"$percentile": {"input": null_map, "p": [p],
+                             "method": "approximate"}},
+            {"$literal": 0}]}
+        val_sql = f"list_aggregate({arr_sql}, 'quantile_cont', {p})"
+        frac = True
+    elif op == "$median":
+        spec = {"$median": {"input": null_map, "method": "approximate"}}
+        val_sql = twin.format(arr_sql)
+    else:
+        spec = {op: null_map}
+        val_sql = twin.format(arr_sql)
+    if frac:
+        spec = {"$round": [spec, 6]}
+        val_sql = f"ROUND(CAST({val_sql} AS DOUBLE), 6)"
+    pipeline = [{"$project": {"rid": 1, "v": spec}}]
+    sql = f"SELECT rid, {val_sql} AS v FROM t"
+    _run(eframes, pipeline, sql)

@@ -1768,6 +1768,133 @@ def test_expression_aggregate_family(spark):
     assert rows[4]["sm2"] == 3.0  # null operand skipped, not poisoning
 
 
+def test_graph_lookup_reserved_names_and_empty_string_graph(spark):
+    """r6 robustness: a foreign collection whose columns are named
+    start_key/val/__depth no longer makes $graphLookup's internal
+    references ambiguous; a string-keyed graph with ZERO reachable
+    hops unions cleanly (the empty traversal frame previously
+    hardcoded long keys)."""
+    f = spark.createDataFrame(
+        [(1, 2, "sk", 9), (2, None, "sv", 8)],
+        "rid int, nxt int, start_key string, val int",
+    )
+    out = compile_pipeline(f, [
+        {"$graphLookup": {"from": "g", "startWith": "$rid",
+                          "connectFromField": "nxt", "connectToField": "rid",
+                          "as": "anc"}},
+        {"$project": {"rid": 1, "n": {"$size": "$anc"}}},
+    ], collections={"g": f}).collect()
+    assert {r["rid"]: r["n"] for r in out} == {1: 2, 2: 1}
+    s = spark.createDataFrame(
+        [("a", "zz"), ("b", None)], "sid string, parent string"
+    )
+    out2 = compile_pipeline(s, [
+        {"$graphLookup": {"from": "s", "startWith": "$parent",
+                          "connectFromField": "parent",
+                          "connectToField": "sid", "as": "chain"}},
+        {"$project": {"sid": 1, "n": {"$size": "$chain"}}},
+    ], collections={"s": s}).collect()
+    assert {r["sid"]: r["n"] for r in out2} == {"a": 0, "b": 0}
+
+
+def test_redact_and_coll_stats_stages(spark):
+    """r6 stage-inventory completion: $redact reachable from
+    compile_pipeline (expression-driven, field paths resolve inside
+    the current node, $$PRUNE at root drops the document), $collStats
+    {count} as a first-stage metadata aggregate, and the
+    introspection/Atlas stages refusing by name."""
+    df = spark.createDataFrame(
+        [(1, 0, (0, "a", (1, "x"))), (2, 1, (2, "b", (0, "y"))),
+         (3, 2, (1, "c", (2, "z")))],
+        "id int, lvl int, doc struct<level:int, tag:string,"
+        " inner:struct<level:int, tag:string>>",
+    )
+    gate = {"$cond": [{"$gte": ["$level", 2]}, "$$PRUNE",
+            {"$cond": [{"$eq": ["$level", 0]}, "$$KEEP", "$$DESCEND"]}]}
+    rows = {r["id"]: r
+            for r in compile_pipeline(df, [{"$redact": gate}]).collect()}
+    # root has no `level` field -> missing reads null -> DESCEND
+    assert rows[1]["doc"]["inner"]["level"] == 1   # KEEP stops descent
+    assert rows[2]["doc"] is None                  # level 2 -> PRUNE
+    assert rows[3]["doc"]["inner"] is None         # descend, prune inner
+    # root-level PRUNE excludes the document entirely
+    root_gate = {"$cond": [{"$gte": ["$lvl", 2]}, "$$PRUNE", "$$KEEP"]}
+    kept = compile_pipeline(df, [{"$redact": root_gate}]).collect()
+    assert sorted(r["id"] for r in kept) == [1, 2]
+    out = compile_pipeline(df, [{"$collStats": {"count": {}}}]).collect()
+    assert len(out) == 1 and out[0]["count"] == 3
+    for bad, msg in [
+        ([{"$search": {}}], "unsupported by design"),
+        ([{"$currentOp": {}}], "unsupported by design"),
+        ([{"$match": {}}, {"$collStats": {"count": {}}}], "first pipeline"),
+        ([{"$collStats": {"latencyStats": {}}}], "runtime\\s+telemetry"),
+    ]:
+        with pytest.raises(PipelineError, match=msg):
+            compile_pipeline(df, bad)
+
+
+def test_expression_inventory_completion(spark):
+    """The r6 inventory-completion batch: $first/$last/$median/
+    $percentile array forms, inverse hyperbolics, $type, $unsetField,
+    byte-offset string ops, ranged $indexOfCP/$indexOfBytes."""
+    import math
+
+    df = spark.createDataFrame(
+        [(1, [3, None, 7, 1], 0.5, "héllo world", ("x", 2)),
+         (2, [], -0.5, None, ("y", 3))],
+        "id int, arr array<int>, x double, s string, doc struct<k:string,v:int>",
+    )
+    rows = {r["id"]: r for r in compile_pipeline(df, [{"$project": {
+        "id": 1,
+        "fi": {"$first": "$arr"}, "la": {"$last": "$arr"},
+        "med": {"$median": {"input": "$arr", "method": "approximate"}},
+        "pct": {"$percentile": {"input": "$arr", "p": [0.0, 0.25, 1.0],
+                                "method": "approximate"}},
+        "ash": {"$asinh": "$x"}, "ach": {"$acosh": {"$literal": 2}},
+        "ath": {"$atanh": "$x"},
+        "ty_arr": {"$type": "$arr"}, "ty_s": {"$type": "$s"},
+        "ty_doc": {"$type": "$doc"}, "ty_id": {"$type": "$id"},
+        "uns": {"$unsetField": {"field": "v", "input": "$doc"}},
+        "sb": {"$substrBytes": ["$s", 1, 4]},
+        "sb_mid": {"$substr": ["$s", 0, 2]},
+        "iob": {"$indexOfBytes": ["$s", "llo"]},
+        "iob_rng": {"$indexOfBytes": ["$s", "o", 6, 12]},
+        "iocp": {"$indexOfCP": ["$s", "llo"]},
+        "iocp_rng": {"$indexOfCP": ["$s", "o", 6, 11]},
+        "iocp_miss": {"$indexOfCP": ["$s", "zz", 1]},
+    }}]).collect()}
+    r1, r2 = rows[1], rows[2]
+    assert (r1["fi"], r1["la"]) == (3, 1)
+    assert (r2["fi"], r2["la"]) == (None, None)
+    assert r1["med"] == 3.0  # sorted [1,3,7] -> interpolated middle
+    assert list(r1["pct"]) == [1.0, 2.0, 7.0]  # 0.25 -> rank 0.5 interp
+    assert r2["med"] is None and list(r2["pct"]) == [None, None, None]
+    assert r1["ash"] == pytest.approx(math.asinh(0.5))
+    assert r1["ach"] == pytest.approx(math.acosh(2))
+    assert r1["ath"] == pytest.approx(math.atanh(0.5))
+    assert (r1["ty_arr"], r1["ty_s"], r1["ty_doc"], r1["ty_id"]) == (
+        "array", "string", "object", "int")
+    assert r2["ty_s"] == "null"  # runtime null beats the static type
+    assert r1["uns"].asDict() == {"k": "x"}
+    # "héllo world" UTF-8: h=0, é=1-2, l=3, l=4, o=5, ' '=6, w=7, o=8
+    assert r1["sb"] == "éll"            # bytes [1, 5)
+    assert r1["sb_mid"] == "h�"    # mid-codepoint slice -> U+FFFD
+    assert (r1["iob"], r1["iob_rng"]) == (3, 8)       # byte indexes
+    assert (r1["iocp"], r1["iocp_rng"]) == (2, 7)     # code-point indexes
+    assert r1["iocp_miss"] == -1
+    assert r2["iob"] is None  # null string -> null, Mongo's contract
+    for bad, msg in [
+        ({"$rand": {}}, "unsupported by design"),
+        ({"$function": {"body": "x"}}, "unsupported by design"),
+        ({"$tsSecond": "$x"}, "unsupported by design"),
+        ({"$toObjectId": "$s"}, "unsupported by design"),
+        ({"$indexOfCP": ["$s", "a", -1]}, "non-negative"),
+        ({"$percentile": {"input": "$arr", "p": [1.5]}}, "in \\[0, 1\\]"),
+    ]:
+        with pytest.raises(PipelineError, match=msg):
+            compile_expr(bad)
+
+
 def test_graph_lookup_depth_field_collision(spark):
     """depthField overwrites a same-named existing field in place
     (r6 graphLookup fuzz find #2: duplicate struct field -> ambiguous
@@ -2199,7 +2326,8 @@ def test_cube_date_trunc_extra_keys_refuse(spark):
 
 def test_silent_key_refusals(spark):
     """Spec keys that would silently change results refuse by name
-    (round-5 audit): $bucketAuto granularity, $merge custom let."""
+    (round-5 audit): $bucketAuto granularity; $merge let outside a
+    whenMatched update pipeline (r6 implements let WITH one)."""
     df = spark.createDataFrame([(1.0,)], "v double")
     with pytest.raises(PipelineError, match="granularity"):
         compile_pipeline(df, [{"$bucketAuto": {
@@ -2212,6 +2340,37 @@ def test_silent_key_refusals(spark):
         with pytest.raises(PipelineError, match="let"):
             execute_pipeline(df, [{"$merge": {
                 "into": "t", "on": "v", "let": {"x": 1}}}], store)
+
+
+def test_merge_custom_let(spark):
+    """$merge custom let (r6): variables evaluate against the INCOMING
+    document ($$ROOT = incoming), replace the default $$new binding,
+    and feed the whenMatched pipeline."""
+    from mongo_olap_spark.plans.pipeline_compiler import merge_documents
+
+    e = spark.createDataFrame([(1, 10), (2, 20)], "id int, n int")
+    i = spark.createDataFrame([(2, 5), (3, 7)], "id int, n int")
+    out = {r["id"]: r["n"] for r in merge_documents(
+        e, i, "id",
+        when_matched=[{"$set": {"n": {"$add": ["$n", "$$inc"]}}}],
+        let={"inc": {"$multiply": ["$n", 2]}},
+    ).collect()}
+    assert out == {1: 10, 2: 30, 3: 7}  # 20 + 2*5; unmatched inserted
+    # $$ROOT inside let is the incoming doc
+    out2 = {r["id"]: r["n"] for r in merge_documents(
+        e, i, "id",
+        when_matched=[{"$set": {"n": {"$getField": {
+            "field": "n", "input": "$$doc"}}}}],
+        let={"doc": "$$ROOT"},
+    ).collect()}
+    assert out2 == {1: 10, 2: 5, 3: 7}
+    # Mongo's contract: $$new is NOT bound under a custom let
+    with pytest.raises(PipelineError, match=r"\$\$new"):
+        merge_documents(
+            e, i, "id",
+            when_matched=[{"$set": {"n": "$$new.n"}}],
+            let={"inc": 1},
+        ).collect()
 
 
 def test_project_id_exception(spark):
