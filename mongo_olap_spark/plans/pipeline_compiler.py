@@ -2065,8 +2065,25 @@ def _resolve(collections, name: str) -> DataFrame:
 
 
 def _lookup(df: DataFrame, spec: dict, collections) -> DataFrame:
+    out_path = spec.get("as")
+    if not (isinstance(out_path, str) and out_path):
+        raise PipelineError("$lookup requires a non-empty string 'as'")
+    if "." in out_path:
+        # Mongo: a dotted `as` writes the match array into a NESTED
+        # field (creating/overwriting intermediates as documents).
+        # Compile with a temp top-level column, then move it into the
+        # struct path — same machinery as dotted $set (r5/r6).
+        tmp = "__lookup_as_tmp"
+        if tmp in df.columns:
+            raise PipelineError(
+                f"$lookup: column name {tmp!r} is reserved by the compiler"
+            )
+        res = _lookup(df, {**spec, "as": tmp}, collections)
+        return _set_nested(res, out_path, F.col(tmp)).drop(tmp)
     if "pipeline" in spec:
         return _lookup_pipeline(df, spec, collections)
+    from pyspark.sql.types import ArrayType
+
     foreign = _resolve(collections, spec["from"])
     local, remote, out = spec["localField"], spec["foreignField"], spec["as"]
     # pre-aggregate the foreign side: one array row per key -> the join
@@ -2074,15 +2091,80 @@ def _lookup(df: DataFrame, spec: dict, collections) -> DataFrame:
     # small (Catalyst/AQE decide)
     if out in df.columns:
         df = df.drop(out)  # Mongo $lookup overwrites an existing as-field
-    packed = foreign.groupBy(F.col(remote).alias("__key")).agg(
-        F.collect_list(F.struct(*foreign.columns)).alias(out)
-    )
-    joined = df.join(packed, F.col(local) == packed["__key"], "left").drop("__key")
+    ft = _walk_path_type(foreign.schema, remote, "$lookup foreignField")
+    if isinstance(ft, ArrayType):
+        # Mongo multikey on the FOREIGN side: a foreign doc matches a
+        # local key equal to ANY of its elements. One deduped explode
+        # of the foreign side (each doc appears once per distinct
+        # element), then the same per-key packing.
+        keyed = foreign.select(
+            F.struct(*foreign.columns).alias("__doc"),
+            F.explode_outer(F.array_distinct(F.col(remote))).alias("__key"),
+        )
+        packed = keyed.groupBy("__key").agg(
+            F.collect_list("__doc").alias(out)
+        )
+    else:
+        packed = foreign.groupBy(F.col(remote).alias("__key")).agg(
+            F.collect_list(F.struct(*foreign.columns)).alias(out)
+        )
     arr_type = packed.schema[out].dataType
+    lt = _walk_path_type(df.schema, local, "$lookup localField")
+    if isinstance(lt, ArrayType):
+        # Mongo MULTIKEY form: an array-valued localField matches
+        # foreign docs whose foreignField equals ANY element. Shape:
+        # DISTINCT local arrays -> explode (deduped) -> equi-join ->
+        # re-pack per array value -> null-safe join back. No row ids
+        # (deterministic under retries), distinct keeps the exploded
+        # side at |distinct arrays|, and the element join is a plain
+        # hash join. A null/missing/empty local array matches foreign
+        # null keys (explode_outer's null element), Mongo's
+        # find-equality contract for null.
+        arrs = df.select(F.col(local).alias("__lk_arr")).distinct()
+        el = arrs.select(
+            "__lk_arr",
+            F.explode_outer(F.array_distinct("__lk_arr")).alias("__lk_el"),
+        )
+        hits = el.join(
+            packed, el["__lk_el"].eqNullSafe(packed["__key"]), "inner"
+        ).groupBy("__lk_arr").agg(
+            F.flatten(F.collect_list(F.col(out))).alias(out)
+        )
+        joined = df.join(
+            hits, F.col(local).eqNullSafe(hits["__lk_arr"]), "left"
+        ).drop("__lk_arr")
+    else:
+        # null-safe: a null local key matches foreign null keys
+        # (Mongo's $lookup equality; the correlated path already
+        # honors this — the simple path was null-rejecting, r6 fix)
+        joined = df.join(
+            packed, F.col(local).eqNullSafe(packed["__key"]), "left"
+        ).drop("__key")
     # Mongo $lookup yields [] (not null) for match-less rows
     return joined.withColumn(
         out, F.coalesce(F.col(out), F.array().cast(arr_type))
     )
+
+
+def _walk_path_type(schema, path: str, ctx: str):
+    """The static type of a (possibly dotted) field path, or None when
+    any segment is absent. A path THROUGH an array of documents
+    refuses loudly — Mongo's multikey descent into subdocument arrays
+    is not modeled (same policy as dotted inclusion-$project)."""
+    from pyspark.sql.types import ArrayType, StructType
+
+    t = schema
+    parts = path.split(".")
+    for i, part in enumerate(parts):
+        if not isinstance(t, StructType) or part not in t.fieldNames():
+            return None
+        t = t[part].dataType
+        if isinstance(t, ArrayType) and i < len(parts) - 1:
+            raise PipelineError(
+                f"{ctx}: path {path!r} descends through an array of "
+                "documents; unwind it first"
+            )
+    return t
 
 
 def _contains_var(node) -> bool:
@@ -2231,9 +2313,10 @@ def describe_lookup(spec: dict, foreign: DataFrame | None = None) -> dict:
     if concise and not pipeline and not let:
         out["strategy"] = "equi-packed"
         out["detail"] = (
-            f"hash join on {spec.get('foreignField')} = "
+            f"null-safe hash join on {spec.get('foreignField')} = "
             f"{spec.get('localField')}; foreign side pre-aggregated to one "
-            "array row per key (broadcasts when small)"
+            "array row per key (broadcasts when small); an array-typed "
+            "side compiles to the multikey deduped-explode equi join"
         )
         return out
     if concise:
@@ -2656,6 +2739,10 @@ def _facet(df: DataFrame, spec: dict, collections) -> DataFrame:
     # result into a single array row, cross-join the singletons.
     from mongo_olap_spark.operators.facet import facet as facet_op
 
+    for name in spec:
+        # Mongo rejects dotted / $-prefixed facet output names
+        if not isinstance(name, str) or "." in name or name.startswith("$"):
+            raise PipelineError(f"$facet: invalid output field name {name!r}")
     fs = facet_op(
         df,
         **{
@@ -2674,6 +2761,18 @@ def _facet(df: DataFrame, spec: dict, collections) -> DataFrame:
 def _graph_lookup(df: DataFrame, spec: dict, collections) -> DataFrame:
     from mongo_olap_spark.operators.graph import graph_lookup
 
+    out_path = spec.get("as")
+    if not (isinstance(out_path, str) and out_path):
+        raise PipelineError("$graphLookup requires a non-empty string 'as'")
+    if "." in out_path:
+        # dotted `as` writes into a nested field, like $lookup's
+        tmp = "__gl_as_tmp"
+        if tmp in df.columns:
+            raise PipelineError(
+                f"$graphLookup: column name {tmp!r} is reserved by the compiler"
+            )
+        res = _graph_lookup(df, {**spec, "as": tmp}, collections)
+        return _set_nested(res, out_path, F.col(tmp)).drop(tmp)
     foreign = _resolve(collections, spec["from"])
     start = spec["startWith"]
     if not (isinstance(start, str) and start.startswith("$")):

@@ -83,6 +83,59 @@ def q_join_lookup(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 @register(
+    "q_lookup_multikey",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             list_distinct([doc_id % 25, (doc_id * 7) % 25]) AS tags
+      FROM documents
+    ),
+    e AS (SELECT doc_id, unnest(tags) AS k FROM p),
+    j AS (SELECT e.doc_id, n.n_name
+          FROM e LEFT JOIN nation n ON e.k = n.n_nationkey)
+    SELECT doc_id,
+           CAST(COUNT(n_name) AS INT) AS n,
+           array_to_string(list_sort(list(n_name)), ',') AS names_csv
+    FROM j GROUP BY doc_id
+    """,
+)
+def q_lookup_multikey(spark, sf_dir):
+    """Round-6 multikey $lookup: an ARRAY-valued localField matches
+    foreign docs whose key equals ANY distinct element (Mongo's
+    multikey contract), compiled as distinct-arrays -> deduped explode
+    -> hash equi-join -> repack — no row ids, no nested loop, and the
+    25-row nation side broadcasts. Output is order-stable ($sortArray
+    + CSV fold) so the driver's value hash is deterministic."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    n = load_table(spark, sf_dir, "nation")
+    from mongo_olap_spark.plans.pipeline_compiler import compile_pipeline
+
+    names = {"$sortArray": {"input": {"$map": {
+        "input": "$m", "as": "x", "in": "$$x.n_name"}}, "sortBy": 1}}
+    return compile_pipeline(
+        d,
+        [
+            {"$project": {"doc_id": 1, "tags": [
+                {"$mod": ["$doc_id", {"$literal": 25}]},
+                {"$mod": [{"$multiply": ["$doc_id", {"$literal": 7}]},
+                          {"$literal": 25}]},
+            ]}},
+            {"$lookup": {"from": "nation", "localField": "tags",
+                         "foreignField": "n_nationkey", "as": "m"}},
+            {"$project": {"doc_id": 1, "n": {"$size": "$m"},
+                          "names_csv": {"$reduce": {
+                              "input": names,
+                              "initialValue": "",
+                              "in": {"$cond": [
+                                  {"$eq": ["$$value", ""]}, "$$this",
+                                  {"$concat": ["$$value", ",", "$$this"]},
+                              ]}}}}},
+        ],
+        collections={"nation": n},
+    )
+
+
+@register(
     "q_join_semi",
     oracle="""
     SELECT c_custkey, c_name

@@ -1600,3 +1600,74 @@ def test_fuzz_expr_aggregates(eframes, agg, m, p, use_pct):
     pipeline = [{"$project": {"rid": 1, "v": spec}}]
     sql = f"SELECT rid, {val_sql} AS v FROM t"
     _run(eframes, pipeline, sql)
+
+
+# -------------------------- null-safe + multikey $lookup fuzz (r6)
+# The simple localField/foreignField path became null-safe in r6 and
+# gained Mongo's multikey form (array localField matches any element;
+# null/empty arrays match foreign nulls). Dim tables here CONTAIN null
+# keys; twins join with IS NOT DISTINCT FROM and model the
+# distinct-element explode exactly.
+
+@settings(max_examples=20, deadline=None, derandomize=True,
+          suppress_health_check=list(HealthCheck))
+@given(mult=st.integers(0, 4), nullkeys=st.integers(0, 2),
+       side=st.sampled_from(["scalar", "local_arr", "foreign_arr"]))
+def test_fuzz_lookup_nullsafe_multikey(spark, eframes, mult, nullkeys, side):
+    sdf, con = eframes
+    import pandas as pd
+
+    if side == "foreign_arr":
+        # array-keyed dim: each doc matchable via any distinct element;
+        # null-key rows become null arrays, plus one empty-array row
+        dim = [([k, (k * 2) % 7], v) for k, v in _dim_rows(mult)]
+        dim += [(None, 100 + i) for i in range(nullkeys)]
+        if nullkeys > 1:
+            dim.append(([], 200))
+        u = spark.createDataFrame(dim or [(None, None)],
+                                  "key array<int>, v int")
+        if not dim:
+            u = u.filter("v IS NOT NULL")
+        con.register("u", pd.DataFrame(dim, columns=["key", "v"]).astype(
+            {"v": "Int64"}))
+        f_el = ("SELECT unnest(CASE WHEN key IS NULL OR len(key) = 0 "
+                "THEN [CAST(NULL AS INTEGER)] ELSE list_distinct(key) END)"
+                " AS fk, v FROM u")
+    else:
+        dim = _dim_rows(mult) + [(None, 100 + i) for i in range(nullkeys)]
+        u = spark.createDataFrame(dim or [(None, None)], "key int, v int")
+        if not dim:
+            u = u.filter("v IS NOT NULL")
+        con.register("u", pd.DataFrame(dim, columns=["key", "v"]).astype(
+            {"key": "Int64", "v": "Int64"}))
+        f_el = "SELECT key AS fk, v FROM u"
+    shape = (
+        {"ka": {"$map": {"input": "$arr", "in": {"$mod": ["$$this", 7]}}}}
+        if side == "local_arr" else {"ka": {"$mod": ["$a", 7]}}
+    )
+    pipeline = [
+        {"$project": {"rid": 1, **shape}},
+        {"$lookup": {"from": "u", "localField": "ka",
+                     "foreignField": "key", "as": "m"}},
+        {"$project": {"rid": 1, "n": {"$size": "$m"},
+                      "sv": {"$sum": {"$map": {"input": "$m",
+                                               "in": "$$this.v"}}}}},
+    ]
+    if side == "local_arr":
+        p = ("SELECT rid, unnest(CASE WHEN ka IS NULL OR len(ka) = 0 "
+             "THEN [CAST(NULL AS INTEGER)] ELSE list_distinct(ka) END) AS el "
+             "FROM (SELECT rid, list_transform(arr, x -> x % 7) AS ka FROM t)")
+    else:
+        p = "SELECT rid, a % 7 AS el FROM t"
+    sql = f"""
+    WITH e AS ({p}), f AS ({f_el}),
+         j AS (SELECT e.rid, f.v
+               FROM e LEFT JOIN f ON e.el IS NOT DISTINCT FROM f.fk)
+    SELECT rid, CAST(COUNT(v) AS INT) AS n,
+           CAST(COALESCE(SUM(v), 0) AS BIGINT) AS sv
+    FROM j GROUP BY 1
+    """
+    got = _norm([tuple(r) for r in compile_pipeline(
+        sdf, pipeline, collections={"u": u}).collect()])
+    want = _norm(con.execute(sql).fetchall())
+    assert got == want, f"\nside={side} nullkeys={nullkeys}\nsql={sql}"

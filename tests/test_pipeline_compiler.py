@@ -198,10 +198,16 @@ def test_expr_operator_coverage(spark):
 
 
 def test_unsupported_raises(events):
-    with pytest.raises(PipelineError, match="unsupported stage"):
+    # known-but-unmodeled names refuse BY NAME with the reason (r6);
+    # genuinely unknown names keep the generic message
+    with pytest.raises(PipelineError, match="unsupported by design"):
         compile_pipeline(events, [{"$indexStats": {}}])
-    with pytest.raises(PipelineError, match="unsupported expression operator"):
+    with pytest.raises(PipelineError, match="unsupported by design"):
         compile_expr({"$function": {}})
+    with pytest.raises(PipelineError, match="unsupported stage"):
+        compile_pipeline(events, [{"$noSuchStage": {}}])
+    with pytest.raises(PipelineError, match="unsupported expression operator"):
+        compile_expr({"$noSuchOp": 1})
 
 
 def test_compiled_pipeline_has_no_python_nodes(events):
@@ -1766,6 +1772,90 @@ def test_expression_aggregate_family(spark):
     assert (rows[4]["sp"], rows[4]["ss"]) == (0.0, None)  # single element
     assert rows[2]["mx2"] == 4.0 and rows[3]["mx2"] == 3.0
     assert rows[4]["sm2"] == 3.0  # null operand skipped, not poisoning
+
+
+def test_lookup_multikey_and_null_safe(spark):
+    """r6 $lookup fidelity: the simple localField/foreignField path is
+    null-safe (null local key matches foreign null keys — the
+    correlated path already was), and an ARRAY-valued localField is
+    Mongo's multikey form: match any element, null/empty arrays match
+    foreign nulls."""
+    dim = spark.createDataFrame(
+        [(10, "a"), (20, "b"), (20, "b2"), (None, "nullrow")],
+        "key int, v string",
+    )
+    df = spark.createDataFrame(
+        [(1, [10, 20, 10]), (2, [30]), (3, []), (4, None)],
+        "id int, tags array<int>",
+    )
+    out = {r["id"]: sorted(r["vs"]) for r in compile_pipeline(df, [
+        {"$lookup": {"from": "d", "localField": "tags",
+                     "foreignField": "key", "as": "m"}},
+        {"$project": {"id": 1, "vs": {"$map": {
+            "input": "$m", "as": "x", "in": "$$x.v"}}}},
+    ], collections={"d": dim}).collect()}
+    assert out == {1: ["a", "b", "b2"], 2: [],
+                   3: ["nullrow"], 4: ["nullrow"]}
+    sc = spark.createDataFrame([(1, 10), (2, None)], "id int, k int")
+    out2 = {r["id"]: r["n"] for r in compile_pipeline(sc, [
+        {"$lookup": {"from": "d", "localField": "k",
+                     "foreignField": "key", "as": "m"}},
+        {"$project": {"id": 1, "n": {"$size": "$m"}}},
+    ], collections={"d": dim}).collect()}
+    assert out2 == {1: 1, 2: 1}  # null k matches the null-key doc
+    nested = spark.createDataFrame(
+        [(1, [(5,)],)], "id int, subs array<struct<k:int>>"
+    )
+    with pytest.raises(PipelineError, match="array of\\s+documents"):
+        compile_pipeline(nested, [
+            {"$lookup": {"from": "d", "localField": "subs.k",
+                         "foreignField": "key", "as": "m"}},
+        ], collections={"d": dim})
+    # FOREIGN-side multikey: array foreignField matches any element;
+    # empty/null foreign arrays match a null local key
+    fdim = spark.createDataFrame(
+        [([10, 20], "a"), ([10], "b"), ([], "empty"), (None, "nullarr")],
+        "keys array<int>, v string",
+    )
+    out3 = {r["id"]: sorted(r["vs"]) for r in compile_pipeline(sc, [
+        {"$lookup": {"from": "f", "localField": "k",
+                     "foreignField": "keys", "as": "m"}},
+        {"$project": {"id": 1, "vs": {"$map": {
+            "input": "$m", "as": "x", "in": "$$x.v"}}}},
+    ], collections={"f": fdim}).collect()}
+    assert out3 == {1: ["a", "b"], 2: ["empty", "nullarr"]}
+
+
+def test_lookup_dotted_as(spark):
+    """Mongo: a dotted `as` writes the match array into a NESTED field
+    (r6); $facet output names reject dots like Mongo."""
+    df = spark.createDataFrame(
+        [(1, 10, ("m",)), (2, 20, ("n",))],
+        "id int, k int, meta struct<tag:string>",
+    )
+    dim = spark.createDataFrame([(10, "x"), (10, "y")], "key int, v string")
+    out = compile_pipeline(df, [
+        {"$lookup": {"from": "d", "localField": "k", "foreignField": "key",
+                     "as": "meta.matches"}},
+        {"$project": {"id": 1, "nm": {"$size": "$meta.matches"},
+                      "tag": "$meta.tag"}},
+    ], collections={"d": dim}).collect()
+    assert {r["id"]: (r["nm"], r["tag"]) for r in out} == {
+        1: (2, "m"), 2: (0, "n")}
+    g = compile_pipeline(df, [
+        {"$graphLookup": {"from": "g", "startWith": "$id",
+                          "connectFromField": "k", "connectToField": "id",
+                          "as": "meta.walk"}},
+        {"$project": {"id": 1, "nw": {"$size": "$meta.walk"},
+                      "tag": "$meta.tag"}},
+    ], collections={"g": df}).collect()
+    assert {r["id"]: (r["nw"], r["tag"]) for r in g} == {1: (1, "m"), 2: (1, "n")}
+    with pytest.raises(PipelineError, match="invalid output field"):
+        compile_pipeline(df, [{"$facet": {"a.b": [{"$count": "n"}]}}])
+    with pytest.raises(PipelineError, match="non-empty string"):
+        compile_pipeline(df, [{"$lookup": {
+            "from": "d", "localField": "k", "foreignField": "key", "as": ""}}],
+            collections={"d": dim})
 
 
 def test_graph_lookup_reserved_names_and_empty_string_graph(spark):
