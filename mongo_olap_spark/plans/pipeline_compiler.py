@@ -818,23 +818,10 @@ def _compile_op(op: str, spec: Any) -> Column:
         vals = F.array_sort(
             F.filter(compile_expr(spec["input"]), lambda x: x.isNotNull())
         )
-        n = F.size(vals)
-
-        def _interp(p: float) -> Column:
-            rank = (n - 1).cast("double") * F.lit(float(p))
-            lo = F.floor(rank).cast("int")
-            lo_v = F.get(vals, lo).cast("double")
-            hi_v = F.coalesce(F.get(vals, lo + 1).cast("double"), lo_v)
-            return F.when(n > 0, lo_v + (rank - lo) * (hi_v - lo_v))
-
         if op == "$median":
-            return _interp(0.5)
-        ps = spec.get("p")
-        if not (isinstance(ps, list) and ps
-                and all(isinstance(p, (int, float)) and 0 <= p <= 1
-                        for p in ps)):
-            raise PipelineError("$percentile: p must be literals in [0, 1]")
-        return F.array(*[_interp(p) for p in ps])
+            return _array_percentile(vals, 0.5)
+        ps = _validate_percentiles(spec.get("p"))
+        return F.array(*[_array_percentile(vals, p) for p in ps])
     if op == "$type":
         # BSON type name from the STATIC Spark type (typeof), with the
         # one runtime case Mongo distinguishes: a null value is "null"
@@ -1220,6 +1207,29 @@ _REFUSED_EXPR_OPS = {
     "$meta": "score metadata pseudo-fields do not exist in the typed "
              "engine; the $text surface exposes scores as explicit columns",
 }
+
+
+def _array_percentile(vals: Column, p: float) -> Column:
+    """Interpolated percentile over a SORTED non-null array — the
+    closest-ranks linear interpolation F.median/F.percentile use, so
+    the expression, accumulator and window forms agree. Shared by the
+    $median/$percentile expression forms and their window forms (Spark
+    refuses median()/percentile() aggregates over ordered/framed
+    windows, so those compile to collect_list + this arithmetic)."""
+    n = F.size(vals)
+    rank = (n - 1).cast("double") * F.lit(float(p))
+    lo = F.floor(rank).cast("int")
+    lo_v = F.get(vals, lo).cast("double")
+    hi_v = F.coalesce(F.get(vals, lo + 1).cast("double"), lo_v)
+    return F.when(n > 0, lo_v + (rank - lo) * (hi_v - lo_v))
+
+
+def _validate_percentiles(ps: Any) -> list:
+    if not (isinstance(ps, list) and ps
+            and all(isinstance(p, (int, float)) and not isinstance(p, bool)
+                    and 0 <= p <= 1 for p in ps)):
+        raise PipelineError("$percentile: p must be literals in [0, 1]")
+    return ps
 
 
 def _as_bool(spec: Any):
@@ -3069,7 +3079,8 @@ def _frame_bounds(window: dict):
     return bound(lo, W.unboundedPreceding), bound(hi, W.unboundedFollowing)
 
 
-_WINDOW_AGGS = {"$sum", "$avg", "$min", "$max", "$count", "$push", "$first", "$last"}
+_WINDOW_AGGS = {"$sum", "$avg", "$min", "$max", "$count", "$push", "$first",
+                "$last", "$addToSet", "$median", "$percentile"}
 _WINDOW_RANKS = {"$rank": F.rank, "$denseRank": F.dense_rank,
                  "$documentNumber": F.row_number}
 
@@ -3340,6 +3351,28 @@ def _set_window_fields(df: DataFrame, spec: dict) -> DataFrame:
                 expr = F.min(compile_expr(arg)).over(w)
             elif op == "$max":
                 expr = F.max(compile_expr(arg)).over(w)
+            elif op in ("$median", "$percentile"):
+                # Mongo 7.0 window forms. Spark's median()/percentile()
+                # aggregates refuse ordered/framed windows, so these
+                # compile to collect_list over the frame + the same
+                # interpolation arithmetic as the expression forms —
+                # O(frame) per row, valid for every frame type incl.
+                # range windows; `method` accepted and ignored.
+                arg_in = arg["input"] if isinstance(arg, dict) else arg
+                vals = F.array_sort(
+                    F.collect_list(compile_expr(arg_in)).over(w)
+                )
+                if op == "$median":
+                    expr = _array_percentile(vals, 0.5)
+                else:
+                    ps = _validate_percentiles(
+                        arg.get("p") if isinstance(arg, dict) else None
+                    )
+                    expr = F.array(
+                        *[_array_percentile(vals, p) for p in ps]
+                    )
+            elif op == "$addToSet":
+                expr = F.collect_set(compile_expr(arg)).over(w)
             else:  # $push
                 expr = F.collect_list(compile_expr(arg)).over(w)
         else:

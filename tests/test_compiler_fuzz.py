@@ -331,11 +331,20 @@ def _frame():
           suppress_health_check=list(HealthCheck))
 @given(fr=_frame(),
        agg=st.sampled_from([
-           ("$sum", "CAST(COALESCE(SUM(CAST(d AS DECIMAL(38,6))) OVER w, 0)"
-                    " AS DOUBLE)"),
-           ("$min", "MIN(d) OVER w"),
-           ("$max", "MAX(d) OVER w"),
-           ("$count", "CAST(COUNT(*) OVER w AS BIGINT)"),
+           ("$sum", "$d", "CAST(COALESCE(SUM(CAST(d AS DECIMAL(38,6))) OVER w, 0)"
+                          " AS DOUBLE)"),
+           ("$min", "$d", "MIN(d) OVER w"),
+           ("$max", "$d", "MAX(d) OVER w"),
+           ("$count", {}, "CAST(COUNT(*) OVER w AS BIGINT)"),
+           # r6 window forms: collect_list + interpolation on the
+           # engine side; DuckDB's windowed MEDIAN/QUANTILE_CONT are
+           # the independent model (d is quarters -> interpolation is
+           # binary-exact on both engines)
+           ("$median", {"input": "$d", "method": "approximate"},
+            "MEDIAN(d) OVER w"),
+           ("$percentile", {"input": "$d", "p": [0.25],
+                            "method": "approximate"},
+            "[QUANTILE_CONT(d, 0.25) OVER w]"),
        ]),
        rank=st.sampled_from([
            ("$rank", "RANK() OVER w2"),
@@ -351,15 +360,14 @@ def test_fuzz_window(frames, fr, agg, rank, shift_by, direction):
     matches on both engines by default."""
     sdf, con = frames
     (lo, lo_sql), (hi, hi_sql) = fr
-    aop, asql = agg
+    aop, aspec, asql = agg
     rop, rsql = rank
     d_sql = "ASC NULLS FIRST" if direction == 1 else "DESC NULLS LAST"
     pipeline = [{"$setWindowFields": {
         "partitionBy": "$s",
         "sortBy": {"d": direction, "rid": 1},
         "output": {
-            "agg1": ({aop: "$d"} if aop != "$count" else {aop: {}})
-            | {"window": {"documents": [lo, hi]}},
+            "agg1": {aop: aspec, "window": {"documents": [lo, hi]}},
             "rk": {rop: {}},
             "sh": {"$shift": {"output": "$a", "by": shift_by,
                               "default": {"$literal": -99}}},

@@ -1774,6 +1774,42 @@ def test_expression_aggregate_family(spark):
     assert rows[4]["sm2"] == 3.0  # null operand skipped, not poisoning
 
 
+def test_window_median_percentile_add_to_set(spark):
+    """Mongo 7.0 $setWindowFields forms (r6): $median/$percentile
+    compile to collect_list over the frame + the shared interpolation
+    arithmetic (Spark refuses median()/percentile() aggregates on
+    ordered/framed windows); $addToSet is collect_set."""
+    df = spark.createDataFrame(
+        [("a", 1, 1.0, "x"), ("a", 2, 5.0, "y"), ("a", 3, 3.0, "x"),
+         ("b", 1, 2.0, "z")],
+        "k string, t int, v double, tag string",
+    )
+    rows = {(r["k"], r["t"]): r for r in compile_pipeline(df, [
+        {"$setWindowFields": {
+            "partitionBy": "$k", "sortBy": {"t": 1},
+            "output": {
+                "med": {"$median": {"input": "$v",
+                                    "method": "approximate"}},
+                "p": {"$percentile": {"input": "$v", "p": [0.25, 1.0],
+                                      "method": "approximate"},
+                      "window": {"documents": ["unbounded", "unbounded"]}},
+                "tags": {"$addToSet": "$tag",
+                         "window": {"documents": ["unbounded",
+                                                  "unbounded"]}},
+            }}}]).collect()}
+    # sortBy alone -> cumulative frame (engine-wide window-agg default)
+    assert rows[("a", 1)]["med"] == 1.0
+    assert rows[("a", 2)]["med"] == 3.0          # interp of [1, 5]
+    assert rows[("a", 3)]["med"] == 3.0          # [1, 3, 5]
+    assert list(rows[("a", 1)]["p"]) == [2.0, 5.0]  # sorted [1,3,5]
+    assert sorted(rows[("a", 3)]["tags"]) == ["x", "y"]  # set, not list
+    assert rows[("b", 1)]["p"] == [2.0, 2.0]
+    with pytest.raises(PipelineError, match="in \\[0, 1\\]"):
+        compile_pipeline(df, [{"$setWindowFields": {
+            "partitionBy": "$k", "sortBy": {"t": 1},
+            "output": {"p": {"$percentile": {"input": "$v", "p": [2]}}}}}])
+
+
 def test_lookup_multikey_and_null_safe(spark):
     """r6 $lookup fidelity: the simple localField/foreignField path is
     null-safe (null local key matches foreign null keys — the
