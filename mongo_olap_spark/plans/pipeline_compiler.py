@@ -557,7 +557,10 @@ def _compile_op(op: str, spec: Any) -> Column:
         end = compile_expr(rng[1]) if len(rng) > 1 else unit_len
         # a match must lie wholly inside the window (Mongo searches
         # the s[start:end) slice); byte windows slice the UTF-8
-        # encoding so offsets stay byte-true
+        # encoding so offsets stay byte-true. Caveat: a byte `start`
+        # landing MID-codepoint decodes the orphan bytes as U+FFFD
+        # (3 UTF-8 bytes each), skewing reported indexes for that
+        # degenerate input — codepoint-aligned offsets are exact.
         window = F.substring(base, start + 1, F.greatest(end - start, F.lit(0)))
         if op == "$indexOfBytes":
             window = window.cast("string")
@@ -791,13 +794,25 @@ def _compile_op(op: str, spec: Any) -> Column:
         mean = total / n
         if op == "$avg":
             return F.when(n > 0, mean)
-        ssq = F.aggregate(
-            vals, zero.cast("double"),
-            lambda acc, x: acc + (x - mean) * (x - mean),
+        # single-pass E[x²] − mean² (then ·n/(n−1) for the sample
+        # form). The naive Σ(x−mean)² would embed `mean` — itself an
+        # aggregate over vals — INSIDE the per-element lambda body,
+        # which Spark re-evaluates per element: O(len²) per row (this
+        # was a measured 12.7 s/5k-docs hotspot). The price is the
+        # usual cancellation hazard when |mean| ≫ stddev; greatest(…,0)
+        # clamps the negative-epsilon case.
+        sq = F.aggregate(
+            vals, F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
         )
         if op == "$stdDevPop":
-            return F.when(n > 0, F.sqrt(ssq / n))
-        return F.when(n > 1, F.sqrt(ssq / (n - 1)))
+            return F.when(
+                n > 0, F.sqrt(F.greatest(sq / n - mean * mean, F.lit(0.0)))
+            )
+        return F.when(
+            n > 1,
+            F.sqrt(F.greatest((sq - mean * mean * n) / (n - 1), F.lit(0.0))),
+        )
     if op in ("$first", "$last"):
         # EXPRESSION forms (Mongo 4.4): first/last element of an array
         # operand; null/empty array -> null. F.get is OOB-null-safe.
@@ -2130,6 +2145,12 @@ def _lookup(df: DataFrame, spec: dict, collections) -> DataFrame:
         # hash join. A null/missing/empty local array matches foreign
         # null keys (explode_outer's null element), Mongo's
         # find-equality contract for null.
+        for reserved in ("__lk_arr", "__lk_el"):
+            if reserved in df.columns:
+                raise PipelineError(
+                    f"$lookup: column name {reserved!r} is reserved by the "
+                    "multikey compile"
+                )
         arrs = df.select(F.col(local).alias("__lk_arr")).distinct()
         el = arrs.select(
             "__lk_arr",

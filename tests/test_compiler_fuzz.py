@@ -1058,3 +1058,75 @@ def test_fuzz_redact(frames, m, p, k):
     got = _norm([tuple(r) for r in compile_pipeline(sdf, pipeline).collect()])
     want = _norm(con.execute(sql).fetchall())
     assert got == want, f"\np={p} k={k}\npipeline={pipeline}\nsql={sql}"
+
+
+# -------------------------- $facet / $bucket / $sortByCount fuzz (r6)
+# $facet packs sub-pipeline results into arrays of one document —
+# compare unpacked scalar aggregates against plain SQL; $bucket's
+# boundary CASE and $sortByCount's group+sort against their twins.
+
+@settings(max_examples=12, deadline=None, derandomize=True,
+          suppress_health_check=list(HealthCheck))
+@given(m=_match(), bounds=st.sampled_from(
+    [[0, 7, 14, 21], [0, 5, 10], [3, 9, 15], [0, 21]]),
+    use_default=st.booleans())
+def test_fuzz_bucket(frames, m, bounds, use_default):
+    sdf, con = frames
+    spec = {"groupBy": "$a", "boundaries": bounds,
+            "output": {"n": {"$sum": 1}, "mx": {"$max": "$b"}}}
+    if use_default:
+        spec["default"] = -1
+    pipeline = [{"$match": m[0]}, {"$bucket": spec}]
+    cases = " ".join(
+        f"WHEN a >= {lo} AND a < {hi} THEN {lo}"
+        for lo, hi in zip(bounds, bounds[1:])
+    )
+    default_sql = "-1" if use_default else "NULL"
+    drop = "" if use_default else "WHERE _id IS NOT NULL"
+    sql = f"""
+    WITH b AS (SELECT CASE {cases} ELSE {default_sql} END AS _id, b
+               FROM t WHERE {m[1]})
+    SELECT * FROM (SELECT _id, CAST(COUNT(*) AS BIGINT) AS n, MAX(b) AS mx
+                   FROM b GROUP BY 1) {drop}
+    """
+    got = _norm([tuple(r) for r in compile_pipeline(sdf, pipeline).collect()])
+    want = _norm(con.execute(sql).fetchall())
+    assert got == want, f"\nbounds={bounds} default={use_default}\nsql={sql}"
+
+
+@settings(max_examples=10, deadline=None, derandomize=True,
+          suppress_health_check=list(HealthCheck))
+@given(m=_match(), mod=st.sampled_from([2, 3, 5]))
+def test_fuzz_facet_sortbycount(frames, m, mod):
+    sdf, con = frames
+    pipeline = [
+        {"$match": m[0]},
+        {"$facet": {
+            "counts": [{"$group": {"_id": {"$mod": ["$a", mod]},
+                                   "n": {"$sum": 1}}}],
+            "top": [{"$sortByCount": "$s"}, {"$limit": 1}],
+            "total": [{"$count": "c"}],
+        }},
+        {"$project": {
+            "ncounts": {"$size": "$counts"},
+            "nsum": {"$sum": {"$map": {"input": "$counts",
+                                       "in": "$$this.n"}}},
+            "topn": {"$max": {"$map": {"input": "$top",
+                                       "in": "$$this.count"}}},
+            "total": {"$ifNull": [{"$first": "$total"}, {"c": {"$toLong": 0}}]},
+        }},
+        {"$project": {"ncounts": 1, "nsum": 1, "topn": 1,
+                      "total_c": "$total.c"}},
+    ]
+    sql = f"""
+    WITH f AS (SELECT * FROM t WHERE {m[1]}),
+         g AS (SELECT a % {mod} AS k, COUNT(*) AS n FROM f GROUP BY 1),
+         sb AS (SELECT s, COUNT(*) AS c FROM f GROUP BY 1)
+    SELECT (SELECT CAST(COUNT(*) AS INT) FROM g) AS ncounts,
+           (SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) FROM g) AS nsum,
+           (SELECT MAX(c) FROM sb) AS topn,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM f) AS total_c
+    """
+    got = _norm([tuple(r) for r in compile_pipeline(sdf, pipeline).collect()])
+    want = _norm(con.execute(sql).fetchall())
+    assert got == want, f"\nmod={mod}\nsql={sql}"
