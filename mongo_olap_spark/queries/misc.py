@@ -669,3 +669,56 @@ def q_pipeline_graph_depth(spark, sf_dir):
         collections={"supplier_chain": docs},
     )
     return out.select("start_key", "hit", "d")
+
+
+@register(
+    "q_pipeline_redact",
+    oracle="""
+    SELECT event_id,
+           CASE WHEN user_id % 3 = 2 THEN NULL
+                WHEN user_id % 3 = 0 THEN event_type
+                WHEN event_id % 3 = 2 THEN NULL
+                ELSE event_type END AS tag,
+           CASE WHEN CAST(floor(value) AS BIGINT) % 3 >= 2 THEN NULL
+                ELSE value END AS pay_value
+    FROM events
+    """,
+)
+def q_pipeline_redact(spark, sf_dir):
+    """$redact as a PIPELINE STAGE (r6): the same ACL-gated document
+    tree as q_redact, but built and pruned entirely inside
+    compile_pipeline — the gate is a Mongo $cond over $$PRUNE/$$KEEP/
+    $$DESCEND with `$level` resolving per node (missing at the root
+    and at doc level -> null -> falsy -> DESCEND). Emits the identical
+    nested-CASE projection plan as the operator form: one codegen
+    stage, no shuffle. Oracle replays the decisions as scalar CASE."""
+    from mongo_olap_spark.plans.pipeline_compiler import compile_pipeline
+
+    e = load_table(spark, sf_dir, "events")
+    gate = {"$cond": [
+        {"$gte": ["$level", {"$literal": 2}]}, "$$PRUNE",
+        {"$cond": [{"$eq": ["$level", {"$literal": 0}]}, "$$KEEP",
+                   "$$DESCEND"]},
+    ]}
+    return compile_pipeline(
+        e,
+        [
+            {"$project": {"event_id": 1, "doc": {
+                "meta": {
+                    "level": {"$mod": ["$user_id", {"$literal": 3}]},
+                    "inner": {
+                        "level": {"$mod": ["$event_id", {"$literal": 3}]},
+                        "tag": "$event_type",
+                    },
+                },
+                "payload": {
+                    "level": {"$mod": [{"$toLong": {"$floor": "$value"}},
+                                       {"$literal": 3}]},
+                    "value": "$value",
+                },
+            }}},
+            {"$redact": gate},
+            {"$project": {"event_id": 1, "tag": "$doc.meta.inner.tag",
+                          "pay_value": "$doc.payload.value"}},
+        ],
+    )

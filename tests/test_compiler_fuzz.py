@@ -1130,3 +1130,69 @@ def test_fuzz_facet_sortbycount(frames, m, mod):
     got = _norm([tuple(r) for r in compile_pipeline(sdf, pipeline).collect()])
     want = _norm(con.execute(sql).fetchall())
     assert got == want, f"\nmod={mod}\nsql={sql}"
+
+
+# ------------------------------------------- $bucketAuto fuzz (r6)
+# The scalable two-pass global rank vs DuckDB's NTILE window: bucket
+# (min, max, count) triples are fully deterministic under ties (the
+# sorted multiset per position is fixed even when tie ORDER is not).
+# Nulls group into the FIRST bucket (BSON order) — the twin spells
+# NULLS FIRST, DuckDB's ASC default is nulls-last.
+
+@settings(max_examples=14, deadline=None, derandomize=True,
+          suppress_health_check=list(HealthCheck))
+@given(m=_match(), nb=st.sampled_from([2, 3, 5, 8]),
+       key=st.sampled_from([("a", "a"), ("d", "d")]))
+def test_fuzz_bucket_auto(frames, m, nb, key):
+    sdf, con = frames
+    kf, ksql = key
+    pipeline = [
+        {"$match": m[0]},
+        {"$bucketAuto": {"groupBy": f"${kf}", "buckets": nb}},
+        {"$project": {"lo": "$_id.min", "hi": "$_id.max", "count": 1}},
+    ]
+    sql = f"""
+    WITH b AS (SELECT {ksql} AS k,
+                      ntile({nb}) OVER (ORDER BY {ksql} NULLS FIRST) AS bk
+               FROM t WHERE {m[1]})
+    SELECT min(k) AS lo, max(k) AS hi, CAST(COUNT(*) AS BIGINT) AS count
+    FROM b GROUP BY bk
+    """
+    got = _norm([tuple(r) for r in compile_pipeline(sdf, pipeline).collect()])
+    want = _norm(con.execute(sql).fetchall())
+    assert got == want, f"\nnb={nb} key={kf}\nsql={sql}"
+
+
+# --------------------------- $replaceRoot / $unionWith fuzz (r6)
+
+@settings(max_examples=12, deadline=None, derandomize=True,
+          suppress_health_check=list(HealthCheck))
+@given(m=_match(), m2=_match(), add=st.integers(-3, 3))
+def test_fuzz_replace_root_union(frames, m, m2, add):
+    sdf, con = frames
+    pipeline = [
+        {"$match": m[0]},
+        {"$project": {"k": "$a", "v": "$b",
+                      "sub": {"x": "$a", "y": {"$add": ["$b", {"$literal": add}]}}}},
+        {"$replaceRoot": {"newRoot": {"k": "$sub.x", "v": "$sub.y"}}},
+        {"$unionWith": {"coll": "f", "pipeline": [
+            {"$match": m2[0]},
+            {"$project": {"k": "$b", "v": "$a"}},
+        ]}},
+        {"$group": {"_id": "$k", "n": {"$sum": 1}, "sv": {"$sum": "$v"}}},
+    ]
+    sql = f"""
+    WITH u AS (
+      SELECT a AS k, b + {add} AS v FROM t WHERE {m[1]}
+      UNION ALL
+      SELECT b AS k, a AS v FROM t WHERE {m2[1]}
+    )
+    SELECT k AS _id, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COALESCE(SUM(CAST(v AS DECIMAL(38,6))), 0) AS DOUBLE) AS sv
+    FROM u GROUP BY 1
+    """
+    got = _norm([tuple(r) for r in compile_pipeline(
+        sdf, pipeline,
+        collections={"f": sdf.sparkSession._fuzz_foreign}).collect()])
+    want = _norm(con.execute(sql).fetchall())
+    assert got == want, f"\nadd={add}\nsql={sql}"
