@@ -1662,8 +1662,9 @@ _REFUSED_STAGES = {
                    "aggregate over the $text surface's explicit score "
                    "columns instead",
     "$listSearchIndexes": "Atlas Search infrastructure does not exist here",
-    "$changeStream": "change feeds are the Structured Streaming CDC surface "
-                     "(streaming/cdc.py), not a pipeline stage",
+    "$changeStream": "change feeds are the Structured Streaming CDC surface; "
+                     "watch-style pipelines over a stream compile via "
+                     "streaming.pipeline.apply_change_stream_pipeline",
     "$changeStreamSplitLargeEvent": "change feeds are the Structured "
                                     "Streaming CDC surface",
     "$currentOp": "mongod server introspection has no analogue in a "

@@ -249,3 +249,51 @@ def update_mode_aggregation(
         .queryName(query_name)
         .start()
     )
+
+
+#: stage types that are pure per-document transforms — safe on an
+#: unbounded stream with no state, no watermark, no output-mode
+#: constraints. Everything else either needs state ($group/$sort/
+#: $setWindowFields/...) or a bounded side ($lookup's packed foreign
+#: side is fine batch-side, but the STREAM side of a stream-static
+#: join has its own semantics — routed through the cube surface).
+_STREAM_SAFE_STAGES = {
+    "$match", "$project", "$addFields", "$set", "$unset", "$unwind",
+    "$replaceRoot", "$replaceWith", "$redact",
+}
+
+
+def apply_change_stream_pipeline(stream: DataFrame, pipeline: list) -> DataFrame:
+    """Mongo change-stream pipelines, Spark-first (round 6).
+
+    ``collection.watch(pipeline)`` accepts a restricted stage list —
+    per-document transforms over the change events. That is exactly
+    the stateless subset of the aggregation compiler, so this applies
+    the SAME ``compile_pipeline`` to an unbounded streaming DataFrame:
+    every stage compiles to a projection/filter/explode on the stream,
+    preserving incremental execution (no state store, any output
+    mode). Stateful stages refuse by name toward the right surface —
+    continuous aggregation is the cube maintainer (`CubeMaintainer` /
+    `update_mode_aggregation`), not a pipeline stage on the stream.
+    """
+    from mongo_olap_spark.plans.pipeline_compiler import (
+        PipelineError,
+        compile_pipeline,
+    )
+
+    if not stream.isStreaming:
+        raise PipelineError(
+            "apply_change_stream_pipeline expects a streaming DataFrame; "
+            "use compile_pipeline for batch sources"
+        )
+    for stage in pipeline:
+        [(name, _)] = stage.items()
+        if name not in _STREAM_SAFE_STAGES:
+            raise PipelineError(
+                f"{name} is not a change-stream stage: only per-document "
+                f"transforms ({sorted(_STREAM_SAFE_STAGES)}) run on an "
+                "unbounded stream. For continuous aggregation use "
+                "CubeMaintainer (signed-delta MERGE) or "
+                "update_mode_aggregation (Path A)"
+            )
+    return compile_pipeline(stream, pipeline)

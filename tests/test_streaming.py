@@ -735,3 +735,47 @@ def test_dir_meta_mixed_stat_types_dropped(tmp_path):
     rows, stats = _dir_meta(str(d), {"x"})
     assert rows == 5
     assert "x" not in stats
+
+
+def test_change_stream_pipeline(spark, events, cdc_dir):
+    """r6: Mongo change-stream pipelines (the stateless stage subset)
+    compile onto an unbounded stream via the SAME aggregation
+    compiler — filter + dotted projection + $redact run per
+    micro-batch with no state store; stateful stages refuse toward
+    the cube surface."""
+    from mongo_olap_spark.plans.pipeline_compiler import PipelineError
+    from mongo_olap_spark.streaming.cdc import CDC_SCHEMA
+    from mongo_olap_spark.streaming.pipeline import (
+        apply_change_stream_pipeline,
+    )
+
+    stream = spark.readStream.schema(CDC_SCHEMA).parquet(cdc_dir)
+    pipeline = [
+        {"$match": {"op": {"$in": ["insert", "update_post"]}}},
+        {"$addFields": {"flag": {"$cond": [
+            {"$gte": ["$value", {"$literal": 50}]}, "hi", "lo"]}}},
+        {"$project": {"event_id": 1, "op": 1, "value": 1, "flag": 1}},
+    ]
+    out = apply_change_stream_pipeline(stream, pipeline)
+    assert out.isStreaming
+    q = (out.writeStream.format("memory").queryName("cs_pipe")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM cs_pipe").collect()
+    assert rows and all(r["op"] in ("insert", "update_post") for r in rows)
+    assert all(
+        (r["flag"] == "hi") == (r["value"] is not None and r["value"] >= 50)
+        for r in rows
+    )
+    # batch equivalence: same pipeline over the same files, batch-read
+    from mongo_olap_spark.plans.pipeline_compiler import compile_pipeline
+    batch = compile_pipeline(
+        spark.read.schema(CDC_SCHEMA).parquet(cdc_dir), pipeline
+    ).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, batch))
+    with pytest.raises(PipelineError, match="not a change-stream stage"):
+        apply_change_stream_pipeline(
+            stream, [{"$group": {"_id": "$op", "n": {"$sum": 1}}}])
+    with pytest.raises(PipelineError, match="streaming DataFrame"):
+        apply_change_stream_pipeline(
+            spark.read.schema(CDC_SCHEMA).parquet(cdc_dir), pipeline)
