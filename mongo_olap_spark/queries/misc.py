@@ -672,6 +672,20 @@ def q_pipeline_graph_depth(spark, sf_dir):
 
 
 @register(
+    "q_pipeline_collstats",
+    oracle="SELECT CAST(COUNT(*) AS BIGINT) AS count FROM lineitem",
+)
+def q_pipeline_collstats(spark, sf_dir):
+    """$collStats {count} (r6): first-stage metadata aggregate — Spark
+    plans a partial count per scan task + single-row final, no wide
+    shuffle; the scan reads zero columns (count-star pushdown)."""
+    from mongo_olap_spark.plans.pipeline_compiler import compile_pipeline
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return compile_pipeline(li, [{"$collStats": {"count": {}}}])
+
+
+@register(
     "q_pipeline_redact",
     oracle="""
     SELECT event_id,
