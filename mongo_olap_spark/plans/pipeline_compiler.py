@@ -1515,140 +1515,201 @@ def compile_pipeline(
     pipeline: list[dict],
     *,
     collections: dict[str, DataFrame] | None = None,
+    let: dict | None = None,
 ) -> DataFrame:
     """Compile a Mongo aggregation pipeline against ``source``.
 
     ``collections`` resolves ``$lookup``/``$unionWith`` foreign
-    collection names to DataFrames.
+    collection names to DataFrames. ``let`` is the aggregate-command
+    option (Mongo 5.0 ``db.coll.aggregate(pipeline, {let: ...})``):
+    CONSTANT expressions bound as ``$$var`` for the whole pipeline —
+    referencing a document field inside a let value refuses, like
+    Mongo's "let vars must be constant" error.
+
+    A malformed stage spec (missing/ill-typed required keys) raises
+    :class:`PipelineError` naming the stage — never a bare Python
+    KeyError/ValueError.
     """
+    top_bindings: dict[str, Column] = {}
+    if let is not None:
+        if not (isinstance(let, dict)
+                and all(isinstance(k, str) for k in let)):
+            raise PipelineError("aggregate let must be a document")
+
+        def _no_fields(path: str) -> Column:
+            raise PipelineError(
+                f"aggregate let values must be constant expressions "
+                f"(referenced field ${path})"
+            )
+
+        with _bind_fields(_no_fields):
+            top_bindings = {k: compile_expr(v) for k, v in let.items()}
+    with _bind(**top_bindings):
+        return _compile_stages(source, pipeline, collections)
+
+
+def _compile_stages(
+    source: DataFrame,
+    pipeline: list[dict],
+    collections: dict[str, DataFrame] | None,
+) -> DataFrame:
     df = source
     sort_keys: list[tuple[str, bool]] | None = None
     for stage_idx, stage in enumerate(pipeline):
+        if not (isinstance(stage, dict) and len(stage) == 1):
+            raise PipelineError(
+                f"each pipeline stage must be a single-key document, "
+                f"got {stage!r}"
+            )
         [(name, spec)] = stage.items()
-        if name == "$geoNear":
-            # Mongo requires $geoNear to be the first stage
-            if stage_idx != 0:
-                raise PipelineError("$geoNear must be the first pipeline stage")
-            df = _geo_near_stage(df, spec)
-        elif name == "$vectorSearch":
-            if stage_idx != 0:
-                raise PipelineError("$vectorSearch must be the first pipeline stage")
-            df = _vector_search_stage(df, spec)
-        elif name == "$documents":
-            # inline literal collection (Mongo database-level aggregate
-            # form); replaces the source, so first stage only
-            if stage_idx != 0:
-                raise PipelineError("$documents must be the first pipeline stage")
-            if not (isinstance(spec, list) and spec
-                    and all(isinstance(d, dict) for d in spec)):
-                raise PipelineError(
-                    "$documents requires a non-empty list of literal documents"
-                )
-            df = df.sparkSession.createDataFrame(
-                [_doc_row(d) for d in spec]
+        try:
+            df, sort_keys = _compile_one_stage(
+                df, name, spec, stage_idx, sort_keys, collections
             )
-        elif name == "$match":
-            df = df.filter(compile_match(spec))
-        elif name in ("$project", "$addFields", "$set"):
-            df = _project(df, spec, add_only=name != "$project")
-        elif name == "$unset":
-            for path in spec if isinstance(spec, list) else [spec]:
-                df = _drop_nested(df, path)
-        elif name == "$unwind":
-            df = _unwind(df, spec)
-        elif name == "$group":
-            df = _group(df, spec, sort_keys)
-            sort_keys = None
-        elif name == "$sort":
-            for k, v in spec.items():
-                if isinstance(v, bool) or v not in (1, -1):
-                    # Mongo rejects 0 and non-numeric sort specs
-                    # ({$meta: textScore} included — the engine's $text
-                    # score rides as an ordinary projected column)
-                    raise PipelineError(
-                        f"$sort: direction for {k!r} must be 1 or -1 "
-                        f"(got {v!r})"
-                    )
-            sort_keys = [(k, v >= 0) for k, v in spec.items()]
-            df = df.orderBy(
-                *[F.col(k) if asc else F.desc(k) for k, asc in sort_keys]
-            )
-        elif name == "$limit":
-            if not (isinstance(spec, int) and not isinstance(spec, bool)
-                    and spec >= 1):
-                # Mongo: "the limit must be positive" — 0 is rejected
-                # (unlike $skip, where 0 is legal)
-                raise PipelineError("$limit requires a positive integer")
-            df = df.limit(spec)
-        elif name == "$skip":
-            if not (isinstance(spec, int) and not isinstance(spec, bool)
-                    and spec >= 0):
-                raise PipelineError("$skip requires a non-negative integer")
-            df = df.offset(spec)
-        elif name == "$count":
-            df = df.agg(F.count(F.lit(1)).alias(spec))
-        elif name == "$sortByCount":
-            df = (
-                df.groupBy(compile_expr(spec).alias("_id"))
-                .agg(F.count(F.lit(1)).alias("count"))
-                .orderBy(F.desc("count"), "_id")
-            )
-        elif name == "$lookup":
-            df = _lookup(df, spec, collections)
-        elif name == "$unionWith":
-            df = _union_with(df, spec, collections)
-        elif name in ("$replaceRoot", "$replaceWith"):
-            root = spec["newRoot"] if name == "$replaceRoot" else spec
-            if isinstance(root, str) and root.startswith("$"):
-                df = df.select(f"{root[1:]}.*")
-            elif isinstance(root, dict):
-                # expression root (document literal / $mergeObjects /
-                # nested ops): build the struct, then promote its fields
-                df = df.select(compile_expr(root).alias("__root")).select("__root.*")
-            else:
-                raise PipelineError(
-                    f"{name} requires a field path or document expression"
-                )
-        elif name == "$setWindowFields":
-            df = _set_window_fields(df, spec)
-        elif name == "$densify":
-            df = _densify(df, spec)
-        elif name == "$fill":
-            df = _fill(df, spec)
-        elif name == "$bucket":
-            df = _bucket(df, spec)
-        elif name == "$bucketAuto":
-            df = _bucket_auto(df, spec)
-        elif name == "$facet":
-            df = _facet(df, spec, collections)
-        elif name == "$graphLookup":
-            df = _graph_lookup(df, spec, collections)
-        elif name == "$sample":
-            # Mongo samples pseudo-randomly; the engine-wide sampling
-            # policy (queries/misc.q_sample) is deterministic hash
-            # order instead — the row set is a pure function of the
-            # data, portable across partitionings and engines.
-            size = spec["size"] if isinstance(spec, dict) else int(spec)
-            df = df.orderBy(F.xxhash64(*[F.col(c) for c in df.columns])).limit(size)
-        elif name == "$redact":
-            df = _redact_stage(df, spec)
-        elif name == "$collStats":
-            if stage_idx != 0:
-                raise PipelineError("$collStats must be the first pipeline stage")
-            df = _coll_stats_stage(df, spec)
-        elif name in ("$out", "$merge"):
+        except PipelineError:
+            raise  # already the typed, stage-aware error
+        except (KeyError, ValueError, TypeError) as e:
+            # spec-shape errors surface as the engine's typed error,
+            # naming the stage — not a bare KeyError('unit')
             raise PipelineError(
-                f"{name} executes a write — use execute_pipeline(source, "
-                "pipeline, store) for a trailing $out/$merge, or pass the "
-                "compiled result to CubeCatalog/DataFrameWriter explicitly"
-            )
-        elif name in _REFUSED_STAGES:
-            raise PipelineError(
-                f"{name} is unsupported by design: {_REFUSED_STAGES[name]}"
-            )
-        else:
-            raise PipelineError(f"unsupported stage {name!r}")
+                f"{name}: malformed stage spec "
+                f"({type(e).__name__}: {e})"
+            ) from e
     return df
+
+
+def _compile_one_stage(
+    df: DataFrame,
+    name: str,
+    spec,
+    stage_idx: int,
+    sort_keys,
+    collections,
+):
+    if name == "$geoNear":
+        # Mongo requires $geoNear to be the first stage
+        if stage_idx != 0:
+            raise PipelineError("$geoNear must be the first pipeline stage")
+        df = _geo_near_stage(df, spec)
+    elif name == "$vectorSearch":
+        if stage_idx != 0:
+            raise PipelineError("$vectorSearch must be the first pipeline stage")
+        df = _vector_search_stage(df, spec)
+    elif name == "$documents":
+        # inline literal collection (Mongo database-level aggregate
+        # form); replaces the source, so first stage only
+        if stage_idx != 0:
+            raise PipelineError("$documents must be the first pipeline stage")
+        if not (isinstance(spec, list) and spec
+                and all(isinstance(d, dict) for d in spec)):
+            raise PipelineError(
+                "$documents requires a non-empty list of literal documents"
+            )
+        df = df.sparkSession.createDataFrame(
+            [_doc_row(d) for d in spec]
+        )
+    elif name == "$match":
+        df = df.filter(compile_match(spec))
+    elif name in ("$project", "$addFields", "$set"):
+        df = _project(df, spec, add_only=name != "$project")
+    elif name == "$unset":
+        for path in spec if isinstance(spec, list) else [spec]:
+            df = _drop_nested(df, path)
+    elif name == "$unwind":
+        df = _unwind(df, spec)
+    elif name == "$group":
+        df = _group(df, spec, sort_keys)
+        sort_keys = None
+    elif name == "$sort":
+        for k, v in spec.items():
+            if isinstance(v, bool) or v not in (1, -1):
+                # Mongo rejects 0 and non-numeric sort specs
+                # ({$meta: textScore} included — the engine's $text
+                # score rides as an ordinary projected column)
+                raise PipelineError(
+                    f"$sort: direction for {k!r} must be 1 or -1 "
+                    f"(got {v!r})"
+                )
+        sort_keys = [(k, v >= 0) for k, v in spec.items()]
+        df = df.orderBy(
+            *[F.col(k) if asc else F.desc(k) for k, asc in sort_keys]
+        )
+    elif name == "$limit":
+        if not (isinstance(spec, int) and not isinstance(spec, bool)
+                and spec >= 1):
+            # Mongo: "the limit must be positive" — 0 is rejected
+            # (unlike $skip, where 0 is legal)
+            raise PipelineError("$limit requires a positive integer")
+        df = df.limit(spec)
+    elif name == "$skip":
+        if not (isinstance(spec, int) and not isinstance(spec, bool)
+                and spec >= 0):
+            raise PipelineError("$skip requires a non-negative integer")
+        df = df.offset(spec)
+    elif name == "$count":
+        df = df.agg(F.count(F.lit(1)).alias(spec))
+    elif name == "$sortByCount":
+        df = (
+            df.groupBy(compile_expr(spec).alias("_id"))
+            .agg(F.count(F.lit(1)).alias("count"))
+            .orderBy(F.desc("count"), "_id")
+        )
+    elif name == "$lookup":
+        df = _lookup(df, spec, collections)
+    elif name == "$unionWith":
+        df = _union_with(df, spec, collections)
+    elif name in ("$replaceRoot", "$replaceWith"):
+        root = spec["newRoot"] if name == "$replaceRoot" else spec
+        if isinstance(root, str) and root.startswith("$"):
+            df = df.select(f"{root[1:]}.*")
+        elif isinstance(root, dict):
+            # expression root (document literal / $mergeObjects /
+            # nested ops): build the struct, then promote its fields
+            df = df.select(compile_expr(root).alias("__root")).select("__root.*")
+        else:
+            raise PipelineError(
+                f"{name} requires a field path or document expression"
+            )
+    elif name == "$setWindowFields":
+        df = _set_window_fields(df, spec)
+    elif name == "$densify":
+        df = _densify(df, spec)
+    elif name == "$fill":
+        df = _fill(df, spec)
+    elif name == "$bucket":
+        df = _bucket(df, spec)
+    elif name == "$bucketAuto":
+        df = _bucket_auto(df, spec)
+    elif name == "$facet":
+        df = _facet(df, spec, collections)
+    elif name == "$graphLookup":
+        df = _graph_lookup(df, spec, collections)
+    elif name == "$sample":
+        # Mongo samples pseudo-randomly; the engine-wide sampling
+        # policy (queries/misc.q_sample) is deterministic hash
+        # order instead — the row set is a pure function of the
+        # data, portable across partitionings and engines.
+        size = spec["size"] if isinstance(spec, dict) else int(spec)
+        df = df.orderBy(F.xxhash64(*[F.col(c) for c in df.columns])).limit(size)
+    elif name == "$redact":
+        df = _redact_stage(df, spec)
+    elif name == "$collStats":
+        if stage_idx != 0:
+            raise PipelineError("$collStats must be the first pipeline stage")
+        df = _coll_stats_stage(df, spec)
+    elif name in ("$out", "$merge"):
+        raise PipelineError(
+            f"{name} executes a write — use execute_pipeline(source, "
+            "pipeline, store) for a trailing $out/$merge, or pass the "
+            "compiled result to CubeCatalog/DataFrameWriter explicitly"
+        )
+    elif name in _REFUSED_STAGES:
+        raise PipelineError(
+            f"{name} is unsupported by design: {_REFUSED_STAGES[name]}"
+        )
+    else:
+        raise PipelineError(f"unsupported stage {name!r}")
+    return df, sort_keys
 
 
 #: stages outside the engine's model, refused BY NAME with the reason

@@ -1774,6 +1774,33 @@ def test_expression_aggregate_family(spark):
     assert rows[4]["sm2"] == 3.0  # null operand skipped, not poisoning
 
 
+def test_top_level_let_and_spec_error_hygiene(spark):
+    """r6: the aggregate-command `let` option binds CONSTANT $$vars
+    for the whole pipeline (field references refuse, like Mongo);
+    malformed stage specs surface as PipelineError naming the stage —
+    never a bare KeyError/ValueError."""
+    df = spark.createDataFrame([(1, 10), (2, 60)], "id int, v int")
+    out = compile_pipeline(df, [
+        {"$match": {"$expr": {"$gte": ["$v", "$$cut"]}}},
+        {"$project": {"id": 1, "scaled": {"$multiply": ["$v", "$$k"]}}},
+    ], let={"cut": 50, "k": {"$add": [{"$literal": 2}, {"$literal": 1}]}},
+    ).collect()
+    assert [(r["id"], r["scaled"]) for r in out] == [(2, 180)]
+    with pytest.raises(PipelineError, match="constant expressions"):
+        compile_pipeline(df, [{"$project": {"id": 1}}], let={"x": "$v"})
+    with pytest.raises(PipelineError, match="let must be a document"):
+        compile_pipeline(df, [{"$project": {"id": 1}}], let=[1])
+    # spec-shape failures: typed, stage-named, cause preserved
+    with pytest.raises(PipelineError, match=r"\$project: malformed stage"):
+        compile_pipeline(df, [
+            {"$project": {"x": {"$dateTrunc": {"date": "$v"}}}}])
+    with pytest.raises(PipelineError, match="single-key document"):
+        compile_pipeline(df, ["notastage"])
+    # engine-authored PipelineErrors pass through unwrapped
+    with pytest.raises(PipelineError, match="^unsupported stage"):
+        compile_pipeline(df, [{"$noSuch": 1}])
+
+
 def test_window_median_percentile_add_to_set(spark):
     """Mongo 7.0 $setWindowFields forms (r6): $median/$percentile
     compile to collect_list over the frame + the shared interpolation
