@@ -21,6 +21,7 @@ from the cube, else rescan" contract.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from mongo_olap_spark.cube.catalog import CubeCatalog
 from mongo_olap_spark.cube.query import query_cube
@@ -360,12 +361,30 @@ class OlapEngine:
             cube_spec_from_pipeline,
         )
 
+        # $sortByCount IS [$group {_id, count}, $sort {count: -1}] —
+        # rewrite a trailing one into the routable named-dim form so a
+        # count cube answers it metadata-only (r6); the sort re-applies
+        # on the routed (tiny) result
+        sort_by_count = (
+            pipeline
+            and list(pipeline[-1]) == ["$sortByCount"]
+            and isinstance(pipeline[-1]["$sortByCount"], str)
+            and pipeline[-1]["$sortByCount"].startswith("$")
+        )
+        routable = (
+            pipeline[:-1] + [{"$group": {
+                "_id": {"__sbc": pipeline[-1]["$sortByCount"]},
+                "count": {"$sum": 1},
+            }}]
+            if sort_by_count else pipeline
+        )
         try:
-            shape = cube_spec_from_pipeline("q", source, pipeline)
+            shape = cube_spec_from_pipeline("q", source, routable)
         except PipelineError:
             if source_df is None:
                 raise
             return compile_pipeline(source_df, pipeline)
+        pipeline = routable
         req = AggregateRequest(
             source=source,
             group_by=tuple(
@@ -392,4 +411,8 @@ class OlapEngine:
         for old, new in zip(cur, [d.name for d in shape.dimensions]):
             if old != new:
                 out = out.withColumnRenamed(old, new)
+        if sort_by_count:
+            out = out.withColumnRenamed("__sbc", "_id").orderBy(
+                F.desc("count"), "_id"
+            )
         return out

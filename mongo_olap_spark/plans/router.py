@@ -58,6 +58,10 @@ class RoutingDecision:
     cube: str | None  # None = fall back to source scan
     reason: str
     rewritten_group_by: list = field(default_factory=list)
+    #: requested measure name -> cube measure name, when a COUNT
+    #: measure bound by op rather than by name (count-of-documents is
+    #: name-independent; every other op still matches name+op+path)
+    measure_renames: dict = field(default_factory=dict)
 
 
 class CubeRouter:
@@ -65,13 +69,13 @@ class CubeRouter:
         self.catalog = catalog
 
     # -- candidate test -----------------------------------------------------
-    def _serves(self, spec: CubeSpec, req: AggregateRequest) -> tuple[bool, list, str]:
+    def _serves(self, spec: CubeSpec, req: AggregateRequest) -> tuple[bool, list, dict, str]:
         if spec.source != req.source:
-            return False, [], "different source"
+            return False, [], {}, "different source"
         if (spec.filter_sql or None) != (req.filter_sql or None):
             # a cube built over a filtered subset answers only queries
             # with the identical pre-filter
-            return False, [], "pre-aggregation filter differs"
+            return False, [], {}, "pre-aggregation filter differs"
         dim_by_path = {d.source_path: d for d in spec.dimensions}
         dim_names = set(spec.dim_names)
         rewritten: list = []
@@ -80,9 +84,9 @@ class CubeRouter:
                 path, gran = g
                 d = dim_by_path.get(path)
                 if d is None or d.granularity is None:
-                    return False, [], f"no time dim on {path}"
+                    return False, [], {}, f"no time dim on {path}"
                 if _GRAN_ORDER[d.granularity] < _GRAN_ORDER[gran]:
-                    return False, [], f"cube too coarse on {path} ({d.granularity} < {gran})"
+                    return False, [], {}, f"cube too coarse on {path} ({d.granularity} < {gran})"
                 rewritten.append((d.name, gran))
             else:
                 if g in dim_names:
@@ -90,12 +94,13 @@ class CubeRouter:
                 elif g in dim_by_path:
                     rewritten.append(dim_by_path[g].name)
                 else:
-                    return False, [], f"dimension {g} not in cube"
+                    return False, [], {}, f"dimension {g} not in cube"
         have = {m.name: m for m in spec.measures}
+        renames: dict = {}
         for m in req.measures:
             if isinstance(m, str):
                 if m not in have:
-                    return False, [], f"measure {m} not in cube"
+                    return False, [], {}, f"measure {m} not in cube"
                 continue
             # (name, op[, path]) request: the cube's measure must match
             # op AND source path — matching by name alone would silently
@@ -104,12 +109,19 @@ class CubeRouter:
             name, op, *rest = m
             path = rest[0] if rest else None
             mine = have.get(name)
+            if mine is None and op == "count" and path is None:
+                # count-of-documents is name-independent: bind to any
+                # count measure and surface it under the REQUESTED name
+                counts = [x for x in spec.measures if x.op == "count"]
+                if counts:
+                    renames[name] = counts[0].name
+                    continue
             if mine is None:
-                return False, [], f"measure {name} not in cube"
+                return False, [], {}, f"measure {name} not in cube"
             if mine.op != op:
-                return False, [], f"measure {name}: op {mine.op} != requested {op}"
+                return False, [], {}, f"measure {name}: op {mine.op} != requested {op}"
             if path is not None and mine.source_path != path:
-                return False, [], (
+                return False, [], {}, (
                     f"measure {name}: path {mine.source_path} != requested {path}"
                 )
         if req.where is not None:
@@ -118,7 +130,7 @@ class CubeRouter:
             # column must be a dimension name
             refs = _where_columns(req.where) & self._all_known_columns()
             if not refs <= allowed:
-                return False, [], "where references non-dimension columns"
+                return False, [], {}, "where references non-dimension columns"
         # a lattice cube serves only group_bys some materialized level covers
         levels = self.catalog.lattice_levels(spec.name)
         if levels is not None:
@@ -127,8 +139,8 @@ class CubeRouter:
             if req.where is not None:
                 needed |= _where_columns(req.where) & dim_names
             if not any(needed <= set(lv) for lv in levels):
-                return False, [], f"no lattice level covers {sorted(needed)}"
-        return True, rewritten, "ok"
+                return False, [], {}, f"no lattice level covers {sorted(needed)}"
+        return True, rewritten, renames, "ok"
 
     def _all_known_columns(self) -> set[str]:
         cols: set[str] = set()
@@ -168,16 +180,22 @@ class CubeRouter:
 
     # -- routing ------------------------------------------------------------
     def route(self, req: AggregateRequest) -> RoutingDecision:
-        candidates: list[tuple[int, str, list]] = []
+        candidates: list[tuple[int, str, list, dict]] = []
         for name in self.catalog.list_cubes():
             spec = self.catalog.get_spec(name)
-            ok, rewritten, why = self._serves(spec, req)
+            ok, rewritten, renames, why = self._serves(spec, req)
             if ok:
-                candidates.append((self._cost(spec, req, rewritten), name, rewritten))
+                candidates.append(
+                    (self._cost(spec, req, rewritten), name, rewritten, renames)
+                )
         if not candidates:
             return RoutingDecision(None, "no cube serves the request")
-        n, name, rewritten = min(candidates)
-        return RoutingDecision(name, f"smallest sufficient cube ({n} cells)", rewritten)
+        n, name, rewritten, renames = min(
+            candidates, key=lambda c: (c[0], c[1])
+        )
+        return RoutingDecision(
+            name, f"smallest sufficient cube ({n} cells)", rewritten, renames
+        )
 
     def execute(self, req: AggregateRequest, source_df: DataFrame | None = None) -> DataFrame:
         """Route and run. Falls back to direct aggregation over
@@ -216,8 +234,13 @@ class CubeRouter:
             regrouped = filtered.select(
                 *gb_exprs, *[c for c in cells.columns if c not in gb_names]
             )
-            measures = [m if isinstance(m, str) else m[0] for m in req.measures] or None
-            return query_cube(regrouped, spec, group_by=gb_names, measures=measures)
+            ren = decision.measure_renames
+            req_names = [m if isinstance(m, str) else m[0] for m in req.measures]
+            measures = [ren.get(n2, n2) for n2 in req_names] or None
+            out = query_cube(regrouped, spec, group_by=gb_names, measures=measures)
+            for want, got in ren.items():
+                out = out.withColumnRenamed(got, want)
+            return out
         if source_df is None:
             raise ValueError(f"no cube serves request and no source_df given: {decision.reason}")
         # direct fallback: build the aggregation from the request

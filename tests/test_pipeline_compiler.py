@@ -456,6 +456,16 @@ def test_query_pipeline_routes_to_cube_and_falls_back(spark, sf_dir, tmp_path):
     with pytest.raises(Exception):
         engine.query_pipeline("events", [{"$match": {"value": {"$gt": 99}}}])
 
+    # $sortByCount IS group+count+sort — served from the cube (r6):
+    # source_df=None proves the metadata-only route; output matches
+    # the stage compile exactly (columns _id/count, desc-count order)
+    got3 = engine.query_pipeline("events", [{"$sortByCount": "$event_type"}])
+    exp3 = compile_pipeline(events, [{"$sortByCount": "$event_type"}])
+    assert [tuple(r) for r in got3.collect()] == [
+        tuple(r) for r in exp3.collect()
+    ]
+    assert got3.columns == ["_id", "count"]
+
 
 def test_densify_and_fill_stages(events):
     out = compile_pipeline(
