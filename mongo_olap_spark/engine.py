@@ -371,13 +371,27 @@ class OlapEngine:
             and isinstance(pipeline[-1]["$sortByCount"], str)
             and pipeline[-1]["$sortByCount"].startswith("$")
         )
-        routable = (
-            pipeline[:-1] + [{"$group": {
+        # $count is the zero-dim rollup: ANY cube over the source with
+        # the matching pre-filter answers it by summing count partials
+        # — a metadata-routed COUNT(*) with no source scan (r6)
+        count_alias = (
+            pipeline[-1]["$count"]
+            if pipeline and list(pipeline[-1]) == ["$count"]
+            and isinstance(pipeline[-1]["$count"], str)
+            and pipeline[-1]["$count"]
+            else None
+        )
+        if sort_by_count:
+            routable = pipeline[:-1] + [{"$group": {
                 "_id": {"__sbc": pipeline[-1]["$sortByCount"]},
                 "count": {"$sum": 1},
             }}]
-            if sort_by_count else pipeline
-        )
+        elif count_alias is not None:
+            routable = pipeline[:-1] + [{"$group": {
+                "_id": {}, "__cnt": {"$sum": 1},
+            }}]
+        else:
+            routable = pipeline
         try:
             shape = cube_spec_from_pipeline("q", source, routable)
         except PipelineError:
@@ -415,4 +429,8 @@ class OlapEngine:
             out = out.withColumnRenamed("__sbc", "_id").orderBy(
                 F.desc("count"), "_id"
             )
+        elif count_alias is not None:
+            # Mongo $count emits {alias: N} — and NO document at all
+            # over empty input (the zero-dim group has no row to count)
+            out = out.select(F.col("__cnt").alias(count_alias))
         return out

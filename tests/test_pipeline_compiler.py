@@ -466,6 +466,12 @@ def test_query_pipeline_routes_to_cube_and_falls_back(spark, sf_dir, tmp_path):
     ]
     assert got3.columns == ["_id", "count"]
 
+    # $count: the zero-dim rollup — summed from count partials, again
+    # with source_df=None proving the metadata-only route
+    got4 = engine.query_pipeline("events", [{"$count": "total"}])
+    assert got4.columns == ["total"]
+    assert got4.collect()[0]["total"] == events.count()
+
 
 def test_densify_and_fill_stages(events):
     out = compile_pipeline(
