@@ -254,8 +254,9 @@ class OlapEngine:
         )
 
         refusals: list[str] = []
+        routable, rewrite_kind = _routable_rewrite(pipeline)
         try:
-            shape = cube_spec_from_pipeline("__explain", source, pipeline)
+            shape = cube_spec_from_pipeline("__explain", source, routable)
             req = AggregateRequest(
                 source=source,
                 group_by=tuple(
@@ -279,6 +280,11 @@ class OlapEngine:
                 "hybrid": "pass tail= to query() to merge unabsorbed "
                           "source rows with the cube cells",
             }
+            if rewrite_kind is not None:
+                route["rewrite"] = (
+                    f"trailing ${rewrite_kind} rewritten into its $group "
+                    "definition for routing"
+                )
             if decision.cube is None:
                 refusals.append(f"router: {decision.reason}")
         except PipelineError as e:
@@ -365,33 +371,9 @@ class OlapEngine:
         # rewrite a trailing one into the routable named-dim form so a
         # count cube answers it metadata-only (r6); the sort re-applies
         # on the routed (tiny) result
-        sort_by_count = (
-            pipeline
-            and list(pipeline[-1]) == ["$sortByCount"]
-            and isinstance(pipeline[-1]["$sortByCount"], str)
-            and pipeline[-1]["$sortByCount"].startswith("$")
-        )
-        # $count is the zero-dim rollup: ANY cube over the source with
-        # the matching pre-filter answers it by summing count partials
-        # — a metadata-routed COUNT(*) with no source scan (r6)
-        count_alias = (
-            pipeline[-1]["$count"]
-            if pipeline and list(pipeline[-1]) == ["$count"]
-            and isinstance(pipeline[-1]["$count"], str)
-            and pipeline[-1]["$count"]
-            else None
-        )
-        if sort_by_count:
-            routable = pipeline[:-1] + [{"$group": {
-                "_id": {"__sbc": pipeline[-1]["$sortByCount"]},
-                "count": {"$sum": 1},
-            }}]
-        elif count_alias is not None:
-            routable = pipeline[:-1] + [{"$group": {
-                "_id": {}, "__cnt": {"$sum": 1},
-            }}]
-        else:
-            routable = pipeline
+        routable, kind = _routable_rewrite(pipeline)
+        sort_by_count = kind == "sortByCount"
+        count_alias = pipeline[-1]["$count"] if kind == "count" else None
         try:
             shape = cube_spec_from_pipeline("q", source, routable)
         except PipelineError:
@@ -434,3 +416,28 @@ class OlapEngine:
             # over empty input (the zero-dim group has no row to count)
             out = out.select(F.col("__cnt").alias(count_alias))
         return out
+
+
+def _routable_rewrite(pipeline: list) -> tuple[list, str | None]:
+    """Rewrite trailing $sortByCount / $count into their $group
+    definitions so the router can serve them from cubes (r6).
+
+    $sortByCount IS [$group {_id, count}, $sort {count: -1}];
+    $count IS the zero-dimension rollup (summed count partials).
+    Returns (routable_pipeline, kind) with kind in
+    {"sortByCount", "count", None}.
+    """
+    if (pipeline and list(pipeline[-1]) == ["$sortByCount"]
+            and isinstance(pipeline[-1]["$sortByCount"], str)
+            and pipeline[-1]["$sortByCount"].startswith("$")):
+        return pipeline[:-1] + [{"$group": {
+            "_id": {"__sbc": pipeline[-1]["$sortByCount"]},
+            "count": {"$sum": 1},
+        }}], "sortByCount"
+    if (pipeline and list(pipeline[-1]) == ["$count"]
+            and isinstance(pipeline[-1]["$count"], str)
+            and pipeline[-1]["$count"]):
+        return pipeline[:-1] + [{"$group": {
+            "_id": {}, "__cnt": {"$sum": 1},
+        }}], "count"
+    return pipeline, None
