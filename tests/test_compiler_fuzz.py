@@ -17,6 +17,9 @@ returned NULL instead of Mongo's 0 for a group with nothing to add.
 
 Determinism: derandomize=True — the same ~120 cases every run; any
 future divergence should be frozen as a named regression test.
+End-of-round-6 soak: three full RANDOMIZED-seed runs of this file and
+test_expr_fuzz.py (derandomize temporarily off) explored fresh draws
+past the fixed corpus — 6/6 runs green, zero divergences.
 
 The double-typed column is built from dyadic rationals ((a-7)/4) so
 +/-/* arithmetic is EXACT in IEEE double on both engines — results
