@@ -472,6 +472,20 @@ def test_query_pipeline_routes_to_cube_and_falls_back(spark, sf_dir, tmp_path):
     assert got4.columns == ["total"]
     assert got4.collect()[0]["total"] == events.count()
 
+    # with NO serving cube, both rewrites fall back to direct
+    # aggregation over source_df with identical output shape
+    from mongo_olap_spark.engine import OlapEngine as _E
+    bare = _E(spark, str(tmp_path / "olap_bare"))
+    fb = bare.query_pipeline("events", [{"$count": "total"}],
+                             source_df=events)
+    assert fb.columns == ["total"]
+    assert fb.collect()[0]["total"] == events.count()
+    fb2 = bare.query_pipeline("events", [{"$sortByCount": "$event_type"}],
+                              source_df=events)
+    assert fb2.columns == ["_id", "count"]
+    assert [tuple(r) for r in fb2.collect()] == [
+        tuple(r) for r in exp3.collect()]
+
 
 def test_densify_and_fill_stages(events):
     out = compile_pipeline(
