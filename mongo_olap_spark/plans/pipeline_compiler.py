@@ -1298,19 +1298,33 @@ _MATCH_OPS = {
 }
 
 
-def compile_match(query: dict) -> Column:
-    """Compile a $match document to a boolean Column."""
+def compile_match(query: dict, schema=None) -> Column:
+    """Compile a $match document to a boolean Column.
+
+    ``schema`` (the source StructType, passed by the stage dispatch)
+    enables Mongo's MULTIKEY semantics for dotted paths that cross an
+    array-of-documents boundary: ``{"subs.k": 5}`` matches when ANY
+    element matches, each operator clause distributes independently
+    over the array (Mongo: ``{$gt: 5, $lt: 3}`` may be satisfied by
+    DIFFERENT elements), and ``$not`` / ``$exists: false`` negate the
+    whole traversal (NO element matches / has the field). Without a
+    schema the path compiles as a plain column reference, exactly as
+    before.
+    """
     preds: list[Column] = []
     for key, val in query.items():
         if key == "$and":
-            preds.append(_variadic_and([compile_match(q) for q in val]))
+            preds.append(_variadic_and(
+                [compile_match(q, schema) for q in val]))
         elif key == "$or":
-            preds.append(_variadic_or([compile_match(q) for q in val]))
+            preds.append(_variadic_or(
+                [compile_match(q, schema) for q in val]))
         elif key == "$nor":
             # none of the clauses match — null-safe like $not: a
             # clause evaluating NULL (null field) counts as non-match
             preds.append(~F.coalesce(
-                _variadic_or([compile_match(q) for q in val]), F.lit(False)
+                _variadic_or([compile_match(q, schema) for q in val]),
+                F.lit(False),
             ))
         elif key == "$expr":
             preds.append(compile_expr(val).cast("boolean"))
@@ -1324,9 +1338,81 @@ def compile_match(query: dict) -> Column:
             preds.append(bucket < F.lit(int(round(val * 1_000_000))))
         elif key.startswith("$"):
             raise PipelineError(f"unsupported match operator {key!r}")
+        elif schema is not None and "." in key and _crosses_doc_array(schema, key):
+            preds.append(_multikey_match(schema, key, val))
         else:
             preds.append(_field_match(F.col(key), val))
     return _variadic_and(preds) if preds else F.lit(True)
+
+
+def _crosses_doc_array(schema, path: str) -> bool:
+    """Does a dotted path traverse an array-of-documents boundary
+    before its final segment?"""
+    from pyspark.sql.types import ArrayType, StructType
+
+    t = schema
+    segs = path.split(".")
+    for seg in segs[:-1]:
+        if isinstance(t, ArrayType):
+            t = t.elementType
+        if not (isinstance(t, StructType) and seg in t.fieldNames()):
+            return False
+        t = t[seg].dataType
+        if isinstance(t, ArrayType):
+            return True
+    return False
+
+
+def _traverse_multikey(schema, path: str, leaf_pred) -> Column:
+    """Apply ``leaf_pred`` (Column -> boolean Column) to the value at
+    ``path``, wrapping ``F.exists`` at every array-of-documents
+    boundary — "some element (recursively) satisfies the predicate".
+    A segment absent from the static schema evaluates the predicate
+    over NULL (missing ≡ null)."""
+    from pyspark.sql.types import ArrayType, StructType
+
+    segs = path.split(".")
+
+    def rec(col, t, i: int) -> Column:
+        if i == len(segs):
+            return F.coalesce(leaf_pred(col), F.lit(False))
+        seg = segs[i]
+        if not (isinstance(t, StructType) and seg in t.fieldNames()):
+            return F.coalesce(leaf_pred(F.lit(None)), F.lit(False))
+        child = F.col(seg) if col is None else col[seg]
+        ct = t[seg].dataType
+        if isinstance(ct, ArrayType) and i < len(segs) - 1:
+            elem_t = ct.elementType
+            return F.coalesce(
+                F.exists(child, lambda e: rec(e, elem_t, i + 1)),
+                F.lit(False),
+            )
+        return rec(child, ct, i + 1)
+
+    return rec(None, schema, 0)
+
+
+def _multikey_match(schema, path: str, val) -> Column:
+    """One ``{path: valspec}`` leaf with multikey distribution."""
+    if isinstance(val, dict) and any(k.startswith("$") for k in val):
+        clauses: list[Column] = []
+        for op, v in val.items():
+            if op == "$not":
+                # Mongo: NO element matches the inner predicate
+                clauses.append(~_traverse_multikey(
+                    schema, path, lambda c, v=v: _field_match(c, v)))
+            elif op == "$exists" and v is False:
+                # NO element carries the field (non-null, §1.2)
+                clauses.append(~_traverse_multikey(
+                    schema, path, lambda c: c.isNotNull()))
+            else:
+                # each clause distributes independently: it may be
+                # satisfied by a DIFFERENT element than its siblings
+                clauses.append(_traverse_multikey(
+                    schema, path,
+                    lambda c, op=op, v=v: _field_match(c, {op: v})))
+        return _variadic_and(clauses)
+    return _traverse_multikey(schema, path, lambda c: _field_match(c, val))
 
 
 def _field_match(col: Column, val: Any) -> Column:
@@ -1609,7 +1695,7 @@ def _compile_one_stage(
             [_doc_row(d) for d in spec]
         )
     elif name == "$match":
-        df = df.filter(compile_match(spec))
+        df = df.filter(compile_match(spec, df.schema))
     elif name in ("$project", "$addFields", "$set"):
         df = _project(df, spec, add_only=name != "$project")
     elif name == "$unset":
@@ -1848,7 +1934,7 @@ def _vector_search_stage(df: DataFrame, spec: dict) -> DataFrame:
     score_field = spec.get("scoreField", "score")
     out = df
     if "filter" in spec:
-        out = out.filter(compile_match(spec["filter"]))
+        out = out.filter(compile_match(spec["filter"], out.schema))
     qcol = F.array(*[F.lit(float(x)) for x in qv])
     score = F.round((F.lit(1.0) + cosine(F.col(path), qcol)) / 2, 5)
     # the 5-dp rounding that stabilizes ranking can MANUFACTURE exact
@@ -1888,7 +1974,7 @@ def _geo_near_stage(df: DataFrame, spec: dict) -> DataFrame:
     dist_field = spec.get("distanceField", "distance")
     out = df
     if "query" in spec:
-        out = out.filter(compile_match(spec["query"]))
+        out = out.filter(compile_match(spec["query"], out.schema))
     lon, lat = near
     return geo_near(
         out,
@@ -2881,7 +2967,9 @@ def _graph_lookup(df: DataFrame, spec: dict, collections) -> DataFrame:
         # restriction applies to every traversed document — filter the
         # foreign side BEFORE building edges, so excluded docs neither
         # match nor relay the walk (Mongo's contract)
-        foreign = foreign.filter(compile_match(spec["restrictSearchWithMatch"]))
+        foreign = foreign.filter(
+            compile_match(spec["restrictSearchWithMatch"], foreign.schema)
+        )
     depth_field = spec.get("depthField")
     # traversal value graph: frontier v matches docs with connectTo == v,
     # which emit their connectFrom as the next frontier

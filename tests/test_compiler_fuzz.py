@@ -1199,3 +1199,103 @@ def test_fuzz_replace_root_union(frames, m, m2, add):
         collections={"f": sdf.sparkSession._fuzz_foreign}).collect()])
     want = _norm(con.execute(sql).fetchall())
     assert got == want, f"\nadd={add}\nsql={sql}"
+
+
+# ------------------------------- multikey $match fuzz (r6)
+# Dotted paths through an array of documents, vs a PYTHON reference
+# model of Mongo's multikey semantics (any-element match, independent
+# clause distribution, whole-traversal negation for $not/$exists:F).
+# The corpus is deterministic; Hypothesis draws the predicate shapes.
+
+def _mk_corpus():
+    rows = []
+    for i in range(60):
+        if i % 11 == 7:
+            subs = None
+        elif i % 9 == 4:
+            subs = []
+        else:
+            subs = [((i * j + j) % 12, ["a", "b", "c", None][j % 4])
+                    for j in range(i % 4 + 1)]
+        rows.append((i, subs))
+    return rows
+
+
+def _mk_model(rows, path_field, clause):
+    """Python reference: returns the matching row ids."""
+    def elems(subs):
+        if not subs:
+            return []
+        idx = 0 if path_field == "k" else 1
+        return [s[idx] for s in subs]
+
+    def any_match(vals, pred):
+        return any(pred(v) for v in vals if True)
+
+    out = []
+    for rid, subs in rows:
+        vals = elems(subs)
+        ok = True
+        for op, v in clause:
+            if op == "eq":
+                c = any_match(vals, lambda x: x is not None and x == v)
+            elif op == "gt":
+                c = any_match(vals, lambda x: x is not None and x > v)
+            elif op == "lt":
+                c = any_match(vals, lambda x: x is not None and x < v)
+            elif op == "in":
+                c = any_match(vals, lambda x: x is not None and x in v)
+            elif op == "not_gt":
+                c = not any_match(vals, lambda x: x is not None and x > v)
+            elif op == "exists":
+                has = any_match(vals, lambda x: x is not None)
+                c = has if v else not has
+            else:
+                raise AssertionError(op)
+            ok = ok and c
+        if ok:
+            out.append(rid)
+    return sorted(out)
+
+
+_MK_CLAUSES = st.lists(st.one_of(
+    st.tuples(st.just("eq"), st.integers(-1, 12)),
+    st.tuples(st.just("gt"), st.integers(-1, 12)),
+    st.tuples(st.just("lt"), st.integers(-1, 12)),
+    st.tuples(st.just("in"), st.lists(st.integers(0, 12), min_size=1,
+                                      max_size=3).map(tuple)),
+    st.tuples(st.just("not_gt"), st.integers(-1, 12)),
+    st.tuples(st.just("exists"), st.booleans()),
+), min_size=1, max_size=3, unique_by=lambda t: t[0])
+
+
+@settings(max_examples=25, deadline=None, derandomize=True,
+          suppress_health_check=list(HealthCheck))
+@given(clause=_MK_CLAUSES, path_field=st.sampled_from(["k", "tag"]))
+def test_fuzz_match_multikey(spark, clause, path_field):
+    rows = _mk_corpus()
+    sdf = spark.createDataFrame(
+        rows, "rid int, subs array<struct<k:int, tag:string>>"
+    )
+    if path_field == "tag":
+        # string field: keep only ops meaningful for strings
+        clause = [(op, v) for op, v in clause if op in ("exists",)] \
+            or [("exists", True)]
+    spec: dict = {}
+    for op, v in clause:
+        if op == "eq":
+            spec["$eq"] = v
+        elif op == "gt":
+            spec["$gt"] = v
+        elif op == "lt":
+            spec["$lt"] = v
+        elif op == "in":
+            spec["$in"] = list(v)
+        elif op == "not_gt":
+            spec["$not"] = {"$gt": v}
+        elif op == "exists":
+            spec["$exists"] = v
+    got = sorted(r["rid"] for r in compile_pipeline(
+        sdf, [{"$match": {f"subs.{path_field}": spec}}]).collect())
+    want = _mk_model(rows, path_field, clause)
+    assert got == want, f"\nclause={clause} field={path_field}\nspec={spec}"

@@ -1804,6 +1804,39 @@ def test_expression_aggregate_family(spark):
     assert rows[4]["sm2"] == 3.0  # null operand skipped, not poisoning
 
 
+def test_match_multikey_dotted_paths(spark):
+    """Mongo multikey $match (r6): a dotted path crossing an
+    array-of-documents boundary matches when ANY element matches;
+    operator clauses distribute independently (different elements may
+    satisfy different clauses); $not and $exists:false negate the
+    WHOLE traversal; empty/null arrays and absent fields never
+    match positively. Previously a raw AnalysisException."""
+    df = spark.createDataFrame(
+        [(1, [(5, "x"), (7, "y")]), (2, [(8, "z")]), (3, []), (4, None)],
+        "id int, subs array<struct<k:int, tag:string>>",
+    )
+
+    def ids(m):
+        return sorted(
+            r["id"] for r in compile_pipeline(df, [{"$match": m}]).collect()
+        )
+
+    assert ids({"subs.k": 5}) == [1]
+    assert ids({"subs.k": {"$gt": 6}}) == [1, 2]
+    # $gt and $lt satisfied by DIFFERENT elements of doc 1 (7 and 5)
+    assert ids({"subs.k": {"$gt": 6, "$lt": 6}}) == [1]
+    assert ids({"subs.k": {"$not": {"$gt": 6}}}) == [3, 4]
+    assert ids({"subs.k": {"$exists": True}}) == [1, 2]
+    assert ids({"subs.k": {"$exists": False}}) == [3, 4]
+    assert ids({"subs.tag": {"$in": ["z", "q"]}}) == [2]
+    assert ids({"subs.nope": 5}) == []  # absent leaf: missing == null
+    assert ids({"$or": [{"subs.k": 5}, {"id": 3}]}) == [1, 3]
+    # plain struct dotted paths are untouched by the multikey machinery
+    sdf = spark.createDataFrame([(1, ((2,),))], "id int, a struct<b:struct<c:int>>")
+    assert [r["id"] for r in compile_pipeline(
+        sdf, [{"$match": {"a.b.c": 2}}]).collect()] == [1]
+
+
 def test_top_level_let_and_spec_error_hygiene(spark):
     """r6: the aggregate-command `let` option binds CONSTANT $$vars
     for the whole pipeline (field references refuse, like Mongo);
