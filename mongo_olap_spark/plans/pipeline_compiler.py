@@ -138,6 +138,118 @@ class _bind:
         _VAR_SCOPE.pop()
 
 
+#: aggregate-command collation scope (r7): a stack of booleans — True
+#: while compiling under a case-insensitive collation (strength 2).
+#: Same single-threaded-plan-construction argument as _VAR_SCOPE.
+_COLLATION_SCOPE: list[bool] = []
+
+
+def _ci() -> bool:
+    return bool(_COLLATION_SCOPE and _COLLATION_SCOPE[-1])
+
+
+class _collation_scope:
+    def __init__(self, ci: bool):
+        self.ci = ci
+
+    def __enter__(self):
+        _COLLATION_SCOPE.append(self.ci)
+
+    def __exit__(self, *exc):
+        _COLLATION_SCOPE.pop()
+
+
+#: collation options the engine models only at their Mongo defaults —
+#: anything else refuses by name (the refuse-loudly convention)
+_COLLATION_DEFAULTS = {
+    "caseLevel": False,
+    "caseFirst": "off",
+    "numericOrdering": False,
+    "alternate": "non-ignorable",
+    "backwards": False,
+    "normalization": False,
+}
+
+#: stages a case-insensitive collation is allowed to flow through —
+#: either rewritten ($match/$group/$sort/$sortByCount) or free of
+#: string comparisons. Everything else refuses by name: silently
+#: running binary compares under a requested collation is the exact
+#: failure mode this engine's conventions forbid.
+_COLLATION_CI_STAGES = frozenset({
+    "$match", "$project", "$addFields", "$set", "$unset", "$unwind",
+    "$limit", "$skip", "$count", "$sample", "$replaceRoot",
+    "$replaceWith", "$documents", "$group", "$sort", "$sortByCount",
+})
+
+
+def _parse_collation(collation) -> bool:
+    """Validate an aggregate-command ``collation`` document; return
+    True when it compiles to the case-insensitive lower()-image
+    rewrite, False for binary (``simple``) compare.
+
+    Modeled surface: ``{locale: "simple"}`` → pass-through;
+    ``{locale: "en", strength: 2}`` → case-insensitive via
+    ``lower()`` images of $match predicates, $group keys and $sort
+    keys. Everything else (other locales' ICU tailorings, strength 1
+    diacritic folding, strength ≥3 tertiary ordering, non-default
+    option flags) refuses by name.
+    """
+    if collation is None:
+        return False
+    if not (isinstance(collation, dict) and "locale" in collation):
+        raise PipelineError("collation must be a document with a 'locale'")
+    for k, v in collation.items():
+        if k in ("locale", "strength"):
+            continue
+        if k not in _COLLATION_DEFAULTS:
+            raise PipelineError(
+                f"collation option {k!r} is not supported "
+                f"(modeled options: locale, strength)")
+        if v != _COLLATION_DEFAULTS[k]:
+            raise PipelineError(
+                f"collation {k}={v!r} is not supported; the engine "
+                f"models only the default {_COLLATION_DEFAULTS[k]!r}")
+    loc = collation["locale"]
+    strength = collation.get("strength")
+    if loc == "simple":
+        if strength not in (None, 3):
+            raise PipelineError(
+                "collation locale 'simple' is binary compare; "
+                "strength other than the default 3 is meaningless")
+        return False
+    if loc == "en":
+        if strength == 2:
+            return True
+        if strength == 1:
+            raise PipelineError(
+                "collation strength 1 (diacritic-insensitive primary "
+                "weight) needs ICU folding the engine does not model; "
+                "strength 2 (case-insensitive) is supported")
+        raise PipelineError(
+            f"collation locale 'en' supports strength 2 only "
+            f"(case-insensitive lower()-image); got {strength!r} — "
+            f"ICU tertiary ordering is not modeled")
+    raise PipelineError(
+        f"collation locale {loc!r} is not supported; supported: "
+        f"'simple' (binary) and 'en' with strength 2 "
+        f"(case-insensitive)")
+
+
+def _collate_pair(col: Column, v):
+    """Under a case-insensitive collation, compare through the
+    lower() image when the literal operand is a string (or a list
+    containing strings); binary compare otherwise."""
+    if not _ci():
+        return col, v
+    if isinstance(v, str):
+        return F.lower(col), v.lower()
+    if isinstance(v, (list, tuple)) and any(
+            isinstance(x, str) for x in v):
+        return F.lower(col), [
+            x.lower() if isinstance(x, str) else x for x in v]
+    return col, v
+
+
 def _lookup_var(name: str) -> Column:
     """Resolve ``$$var`` or ``$$var.sub.path`` (struct/map access on a
     bound loop/let variable, e.g. ``$$m.match`` over $regexFindAll's
@@ -574,11 +686,27 @@ def _compile_op(op: str, spec: Any) -> Column:
         # byte-offset substring over the UTF-8 encoding ($substr is
         # Mongo's deprecated alias of $substrBytes); a slice landing
         # mid-codepoint yields replacement characters rather than
-        # Mongo's error (the typed engine has no per-row error channel)
+        # Mongo's error (the typed engine has no per-row error channel).
+        # Negative LITERAL length (r7 advice fix): deprecated $substr
+        # returns the remainder of the string; $substrBytes errors in
+        # Mongo — refuse at compile time. Non-literal lengths keep
+        # F.substring's empty-string-on-negative (documented in USAGE).
         s, start, length = spec
         start_c = compile_expr(start)
+        bin_s = compile_expr(s).cast("binary")
+        if isinstance(length, (int, float)) and not isinstance(length, bool) \
+                and length < 0:
+            if op == "$substrBytes":
+                raise PipelineError(
+                    "$substrBytes: length must be non-negative (Mongo "
+                    "errors on a negative byte count; use $substr for "
+                    "remainder-of-string)")
+            return F.substring(
+                bin_s, start_c + 1,
+                F.greatest(F.octet_length(bin_s) - start_c, F.lit(0)),
+            ).cast("string")
         return F.substring(
-            compile_expr(s).cast("binary"), start_c + 1, compile_expr(length)
+            bin_s, start_c + 1, compile_expr(length)
         ).cast("string")
     if op in _CMP:
         a, b = spec
@@ -1327,6 +1455,11 @@ def compile_match(query: dict, schema=None) -> Column:
                 F.lit(False),
             ))
         elif key == "$expr":
+            if _ci():
+                raise PipelineError(
+                    "collation: $expr comparisons are not "
+                    "collation-rewritten; use field predicates or an "
+                    "explicit $toLower inside the expression")
             preds.append(compile_expr(val).cast("boolean"))
         elif key == "$sampleRate":
             if not (isinstance(val, (int, float)) and 0 <= val <= 1):
@@ -1368,7 +1501,12 @@ def _traverse_multikey(schema, path: str, leaf_pred) -> Column:
     ``path``, wrapping ``F.exists`` at every array-of-documents
     boundary — "some element (recursively) satisfies the predicate".
     A segment absent from the static schema evaluates the predicate
-    over NULL (missing ≡ null)."""
+    over NULL (missing ≡ null). An EMPTY or null array yields no
+    elements, so the path's value set is empty — Mongo treats that
+    as the single value "missing" (≡ null): the traversal also
+    matches when the array is null/empty AND the predicate accepts
+    a null input (a no-op for non-null-accepting predicates, since
+    ``pred(NULL)`` is SQL NULL → coalesced false)."""
     from pyspark.sql.types import ArrayType, StructType
 
     segs = path.split(".")
@@ -1383,10 +1521,14 @@ def _traverse_multikey(schema, path: str, leaf_pred) -> Column:
         ct = t[seg].dataType
         if isinstance(ct, ArrayType) and i < len(segs) - 1:
             elem_t = ct.elementType
+            missing = (
+                (child.isNull() | (F.size(child) == F.lit(0)))
+                & F.coalesce(leaf_pred(F.lit(None)), F.lit(False))
+            )
             return F.coalesce(
                 F.exists(child, lambda e: rec(e, elem_t, i + 1)),
                 F.lit(False),
-            )
+            ) | missing
         return rec(child, ct, i + 1)
 
     return rec(None, schema, 0)
@@ -1405,6 +1547,19 @@ def _multikey_match(schema, path: str, val) -> Column:
                 # NO element carries the field (non-null, §1.2)
                 clauses.append(~_traverse_multikey(
                     schema, path, lambda c: c.isNotNull()))
+            elif op == "$ne":
+                # Mongo negation over arrays: NO element equals v.
+                # Compile the complementary positive ($eq) and negate
+                # the whole traversal, so missing-path / empty-array
+                # docs (whose value set is "missing" ≡ null) MATCH a
+                # non-null v — and are excluded by {$ne: null}.
+                clauses.append(~_traverse_multikey(
+                    schema, path, lambda c, v=v: _field_match(c, v)))
+            elif op == "$nin":
+                # same contract as $ne: NO element is in the list
+                clauses.append(~_traverse_multikey(
+                    schema, path,
+                    lambda c, v=v: _field_match(c, {"$in": v})))
             else:
                 # each clause distributes independently: it may be
                 # satisfied by a DIFFERENT element than its siblings
@@ -1431,20 +1586,35 @@ def _field_match(col: Column, val: Any) -> Column:
                     F.exists(col, lambda e: _field_match_elem(e, inner))
                 )
             elif op in _MATCH_OPS:
-                sub.append(_MATCH_OPS[op](col, v))
+                c2, v2 = (_collate_pair(col, v)
+                          if op in _COLLATABLE_OPS else (col, v))
+                sub.append(_MATCH_OPS[op](c2, v2))
             else:
                 raise PipelineError(f"unsupported match operator {op!r}")
         return _variadic_and(sub)
     if val is None:
         return col.isNull()
+    col, val = _collate_pair(col, val)
     return col == F.lit(val)
 
 
+#: $match operators whose operands participate in collation —
+#: (in)equality and ordering over strings; $regex/$mod/$size/$exists
+#: keep their own semantics (Mongo: collation does not apply to $regex)
+_COLLATABLE_OPS = frozenset({
+    "$eq", "$ne", "$gt", "$gte", "$lt", "$lte", "$in", "$nin", "$all",
+})
+
+
 def _field_match_elem(elem: Column, query: dict) -> Column:
-    return _variadic_and(
-        [_MATCH_OPS[op](elem, v) if op in _MATCH_OPS else _raise(op)
-         for op, v in query.items()]
-    )
+    def one(op, v):
+        if op not in _MATCH_OPS:
+            return _raise(op)
+        c2, v2 = (_collate_pair(elem, v)
+                  if op in _COLLATABLE_OPS else (elem, v))
+        return _MATCH_OPS[op](c2, v2)
+
+    return _variadic_and([one(op, v) for op, v in query.items()])
 
 
 def _raise(op):
@@ -1602,6 +1772,7 @@ def compile_pipeline(
     *,
     collections: dict[str, DataFrame] | None = None,
     let: dict | None = None,
+    collation: dict | None = None,
 ) -> DataFrame:
     """Compile a Mongo aggregation pipeline against ``source``.
 
@@ -1611,6 +1782,18 @@ def compile_pipeline(
     CONSTANT expressions bound as ``$$var`` for the whole pipeline —
     referencing a document field inside a let value refuses, like
     Mongo's "let vars must be constant" error.
+
+    ``collation`` is the aggregate-command collation option (r7):
+    ``{locale: "simple"}`` is binary compare (pass-through);
+    ``{locale: "en", strength: 2}`` compiles case-insensitive
+    comparisons as lower()-images of $match field predicates, $group
+    keys, $sort keys and $sortByCount (group _id surfaces the
+    binary-MINIMUM representative of each CI equivalence class —
+    Mongo leaves the representative unspecified). Stages outside that
+    rewrite set, $expr predicates, and $first/$last accumulators
+    refuse by name under a CI collation rather than silently running
+    binary compares; other locales/strengths/options refuse in
+    :func:`_parse_collation`.
 
     A malformed stage spec (missing/ill-typed required keys) raises
     :class:`PipelineError` naming the stage — never a bare Python
@@ -1630,7 +1813,8 @@ def compile_pipeline(
 
         with _bind_fields(_no_fields):
             top_bindings = {k: compile_expr(v) for k, v in let.items()}
-    with _bind(**top_bindings):
+    ci = _parse_collation(collation)
+    with _bind(**top_bindings), _collation_scope(ci):
         return _compile_stages(source, pipeline, collections)
 
 
@@ -1672,6 +1856,12 @@ def _compile_one_stage(
     sort_keys,
     collections,
 ):
+    if _ci() and name not in _COLLATION_CI_STAGES:
+        raise PipelineError(
+            f"collation: stage {name} is not collation-rewritten — "
+            f"running it with binary compares under a requested "
+            f"case-insensitive collation would be silently wrong. "
+            f"Supported stages: {', '.join(sorted(_COLLATION_CI_STAGES))}")
     if name == "$geoNear":
         # Mongo requires $geoNear to be the first stage
         if stage_idx != 0:
@@ -1717,9 +1907,16 @@ def _compile_one_stage(
                     f"(got {v!r})"
                 )
         sort_keys = [(k, v >= 0) for k, v in spec.items()]
-        df = df.orderBy(
-            *[F.col(k) if asc else F.desc(k) for k, asc in sort_keys]
-        )
+        order_cols = []
+        for k, asc in sort_keys:
+            if _ci() and _is_string_path(df, k):
+                # CI collation: order by the lower() image; the binary
+                # key breaks CI ties deterministically (Mongo leaves
+                # the within-class order unspecified)
+                order_cols.append(
+                    F.lower(F.col(k)) if asc else F.desc(F.lower(F.col(k))))
+            order_cols.append(F.col(k) if asc else F.desc(k))
+        df = df.orderBy(*order_cols)
     elif name == "$limit":
         if not (isinstance(spec, int) and not isinstance(spec, bool)
                 and spec >= 1):
@@ -1733,13 +1930,33 @@ def _compile_one_stage(
             raise PipelineError("$skip requires a non-negative integer")
         df = df.offset(spec)
     elif name == "$count":
-        df = df.agg(F.count(F.lit(1)).alias(spec))
+        if (not isinstance(spec, str) or not spec or spec.startswith("$")
+                or "." in spec):
+            raise PipelineError(
+                "$count requires a non-empty string field name without "
+                "a '$' prefix or '.'")
+        # Mongo emits NO document over empty input; drop the zero row
+        # so the compiled stage agrees with the cube-routed $count and
+        # the router's direct fallback (r7 advice fix)
+        df = df.agg(F.count(F.lit(1)).alias(spec)).where(F.col(spec) > 0)
     elif name == "$sortByCount":
-        df = (
-            df.groupBy(compile_expr(spec).alias("_id"))
-            .agg(F.count(F.lit(1)).alias("count"))
-            .orderBy(F.desc("count"), "_id")
-        )
+        e = compile_expr(spec)
+        if _ci() and _is_string_expr(df, e):
+            # CI collation: one group per lower()-image class; the
+            # surfaced _id is the class's binary-minimum representative
+            df = (
+                df.groupBy(F.lower(e).alias("__ci_id"))
+                .agg(F.min(e).alias("_id"),
+                     F.count(F.lit(1)).alias("count"))
+                .orderBy(F.desc("count"), "__ci_id", "_id")
+                .select("_id", "count")
+            )
+        else:
+            df = (
+                df.groupBy(e.alias("_id"))
+                .agg(F.count(F.lit(1)).alias("count"))
+                .orderBy(F.desc("count"), "_id")
+            )
     elif name == "$lookup":
         df = _lookup(df, spec, collections)
     elif name == "$unionWith":
@@ -2293,7 +2510,7 @@ def _lookup(df: DataFrame, spec: dict, collections) -> DataFrame:
         # hash join. A null/missing/empty local array matches foreign
         # null keys (explode_outer's null element), Mongo's
         # find-equality contract for null.
-        for reserved in ("__lk_arr", "__lk_el"):
+        for reserved in ("__lk_arr", "__lk_el", "__lk_pos"):
             if reserved in df.columns:
                 raise PipelineError(
                     f"$lookup: column name {reserved!r} is reserved by the "
@@ -2302,13 +2519,51 @@ def _lookup(df: DataFrame, spec: dict, collections) -> DataFrame:
         arrs = df.select(F.col(local).alias("__lk_arr")).distinct()
         el = arrs.select(
             "__lk_arr",
-            F.explode_outer(F.array_distinct("__lk_arr")).alias("__lk_el"),
+            F.posexplode_outer(F.array_distinct("__lk_arr")).alias(
+                "__lk_pos", "__lk_el"),
         )
-        hits = el.join(
-            packed, el["__lk_el"].eqNullSafe(packed["__key"]), "inner"
-        ).groupBy("__lk_arr").agg(
-            F.flatten(F.collect_list(F.col(out))).alias(out)
-        )
+        if isinstance(ft, ArrayType):
+            # BOTH sides arrays (advice r6→r7 fix): a foreign doc
+            # sharing N distinct elements with the local array must
+            # appear ONCE in `as`, not N times (the packed per-key
+            # groups would each contribute a copy). Doc-granularity
+            # match: the element equi-join fires once per shared
+            # element; keep only the hit on the FIRST shared local
+            # element (no earlier local element occurs in the
+            # foreign key array) — exactly one survivor per
+            # (array, doc) pair, with no doc-struct distinct/groupBy
+            # (struct set-ops break on map fields and would collapse
+            # genuinely duplicate foreign docs Mongo keeps).
+            docs = foreign.select(
+                F.struct(*foreign.columns).alias("__doc"),
+                F.array_distinct(F.col(remote)).alias("__keys"),
+            ).select(
+                "__doc", "__keys",
+                F.explode_outer("__keys").alias("__key"),
+            )
+            raw = el.join(
+                docs, el["__lk_el"].eqNullSafe(docs["__key"]), "inner")
+            earlier = F.slice(
+                F.array_distinct(F.col("__lk_arr")),
+                F.lit(1), F.coalesce(F.col("__lk_pos"), F.lit(0)))
+            dup = F.exists(
+                earlier,
+                lambda x: F.coalesce(
+                    F.exists(F.col("__keys"),
+                             lambda k: k.eqNullSafe(x)),
+                    F.lit(False)),
+            )
+            hits = raw.where(
+                ~F.coalesce(dup, F.lit(False))
+            ).groupBy("__lk_arr").agg(
+                F.collect_list("__doc").alias(out)
+            )
+        else:
+            hits = el.join(
+                packed, el["__lk_el"].eqNullSafe(packed["__key"]), "inner"
+            ).groupBy("__lk_arr").agg(
+                F.flatten(F.collect_list(F.col(out))).alias(out)
+            )
         joined = df.join(
             hits, F.col(local).eqNullSafe(hits["__lk_arr"]), "left"
         ).drop("__lk_arr")

@@ -1247,6 +1247,18 @@ def _mk_model(rows, path_field, clause):
                 c = any_match(vals, lambda x: x is not None and x in v)
             elif op == "not_gt":
                 c = not any_match(vals, lambda x: x is not None and x > v)
+            elif op == "ne":
+                # Mongo: NO element equals v; an empty/missing array's
+                # value set is the single value "missing" (≡ null),
+                # which never equals a non-null v → MATCHES
+                vs = vals if vals else [None]
+                c = not any(
+                    (x is None and v is None)
+                    or (x is not None and v is not None and x == v)
+                    for x in vs)
+            elif op == "nin":
+                vs = vals if vals else [None]
+                c = not any(x is not None and x in v for x in vs)
             elif op == "exists":
                 has = any_match(vals, lambda x: x is not None)
                 c = has if v else not has
@@ -1265,6 +1277,9 @@ _MK_CLAUSES = st.lists(st.one_of(
     st.tuples(st.just("in"), st.lists(st.integers(0, 12), min_size=1,
                                       max_size=3).map(tuple)),
     st.tuples(st.just("not_gt"), st.integers(-1, 12)),
+    st.tuples(st.just("ne"), st.one_of(st.none(), st.integers(-1, 12))),
+    st.tuples(st.just("nin"), st.lists(st.integers(0, 12), min_size=1,
+                                       max_size=3).map(tuple)),
     st.tuples(st.just("exists"), st.booleans()),
 ), min_size=1, max_size=3, unique_by=lambda t: t[0])
 
@@ -1293,6 +1308,10 @@ def test_fuzz_match_multikey(spark, clause, path_field):
             spec["$in"] = list(v)
         elif op == "not_gt":
             spec["$not"] = {"$gt": v}
+        elif op == "ne":
+            spec["$ne"] = v
+        elif op == "nin":
+            spec["$nin"] = list(v)
         elif op == "exists":
             spec["$exists"] = v
     got = sorted(r["rid"] for r in compile_pipeline(

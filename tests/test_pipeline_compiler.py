@@ -197,6 +197,32 @@ def test_expr_operator_coverage(spark):
     assert got["nope"] is False and got["yep"] is True
 
 
+def test_substr_negative_length_and_count_empty(spark):
+    """r7 advice fixes: deprecated $substr with a literal negative
+    length returns the REMAINDER of the string (Mongo), $substrBytes
+    refuses a negative byte count loudly (Mongo errors), and the
+    compiled $count stage emits NO document over empty input — the
+    same contract as the cube-routed $count."""
+    df = spark.createDataFrame([("Hello World",)], "s string")
+    row = df.select(
+        compile_expr({"$substr": ["$s", 6, -1]}).alias("rem"),
+        compile_expr({"$substr": ["$s", 6, -99]}).alias("rem2"),
+        compile_expr({"$substr": ["$s", 0, 5]}).alias("pre"),
+    ).collect()[0]
+    assert row["rem"] == "World" and row["rem2"] == "World"
+    assert row["pre"] == "Hello"
+    with pytest.raises(PipelineError, match="non-negative"):
+        compile_expr({"$substrBytes": ["$s", 0, -1]})
+    # $count over empty input: zero rows, not one {n: 0} row
+    empty = df.where(F.lit(False))
+    assert compile_pipeline(empty, [{"$count": "n"}]).collect() == []
+    got = compile_pipeline(df, [{"$count": "n"}]).collect()
+    assert [(r["n"],) for r in got] == [(1,)]
+    for bad in ("", "$n", "a.b", 7):
+        with pytest.raises(PipelineError, match="\\$count requires"):
+            compile_pipeline(df, [{"$count": bad}])
+
+
 def test_unsupported_raises(events):
     # known-but-unmodeled names refuse BY NAME with the reason (r6);
     # genuinely unknown names keep the generic message
@@ -1831,6 +1857,17 @@ def test_match_multikey_dotted_paths(spark):
     assert ids({"subs.tag": {"$in": ["z", "q"]}}) == [2]
     assert ids({"subs.nope": 5}) == []  # absent leaf: missing == null
     assert ids({"$or": [{"subs.k": 5}, {"id": 3}]}) == [1, 3]
+    # r7 (advice fix): $ne/$nin negate the WHOLE traversal — "NO
+    # element equals" — and docs whose value set is empty (empty /
+    # null arrays, value ≡ missing ≡ null) MATCH a non-null operand
+    assert ids({"subs.k": {"$ne": 5}}) == [2, 3, 4]
+    assert ids({"subs.k": {"$nin": [5, 8]}}) == [3, 4]
+    # {$ne: null}: only docs where SOME element carries a non-null
+    # value and NONE is null/missing — empty/missing arrays excluded
+    assert ids({"subs.k": {"$ne": None}}) == [1, 2]
+    assert ids({"subs.tag": {"$ne": "x"}}) == [2, 3, 4]
+    # independent distribution still holds alongside a negation
+    assert ids({"subs.k": {"$gt": 4, "$ne": 8}}) == [1]
     # plain struct dotted paths are untouched by the multikey machinery
     sdf = spark.createDataFrame([(1, ((2,),))], "id int, a struct<b:struct<c:int>>")
     assert [r["id"] for r in compile_pipeline(
@@ -1950,6 +1987,27 @@ def test_lookup_multikey_and_null_safe(spark):
             "input": "$m", "as": "x", "in": "$$x.v"}}}},
     ], collections={"f": fdim}).collect()}
     assert out3 == {1: ["a", "b"], 2: ["empty", "nullarr"]}
+    # BOTH sides arrays (r7 advice fix): a foreign doc sharing N
+    # distinct elements with the local array appears ONCE — while
+    # genuinely DUPLICATE foreign docs each still appear (Mongo keeps
+    # every physical doc)
+    fdim2 = spark.createDataFrame(
+        [([10, 20], "both"), ([20, 10, 20], "rev"), ([10], "ten"),
+         ([10], "ten"), ([30], "thirty"), ([], "empty")],
+        "keys array<int>, v string",
+    )
+    out4 = {r["id"]: sorted(r["vs"]) for r in compile_pipeline(df, [
+        {"$lookup": {"from": "f2", "localField": "tags",
+                     "foreignField": "keys", "as": "m"}},
+        {"$project": {"id": 1, "vs": {"$map": {
+            "input": "$m", "as": "x", "in": "$$x.v"}}}},
+    ], collections={"f2": fdim2}).collect()}
+    assert out4 == {
+        1: ["both", "rev", "ten", "ten"],   # each once; dup doc twice
+        2: ["thirty"],
+        3: ["empty"],   # empty local array matches empty foreign array
+        4: ["empty"],
+    }
 
 
 def test_lookup_dotted_as(spark):
