@@ -237,17 +237,91 @@ def _parse_collation(collation) -> bool:
 
 def _collate_pair(col: Column, v):
     """Under a case-insensitive collation, compare through the
-    lower() image when the literal operand is a string (or a list
-    containing strings); binary compare otherwise."""
+    lower() image when the literal operand is a string; binary
+    compare otherwise. Membership operators ($in/$nin/$all) with
+    string members never reach here — the $match dispatch routes them
+    to :func:`_collate_member_op`, which rewrites only the STRING
+    members (collation never affects non-string comparisons, r8)."""
     if not _ci():
         return col, v
     if isinstance(v, str):
         return F.lower(col), v.lower()
     if isinstance(v, (list, tuple)) and any(
             isinstance(x, str) for x in v):
-        return F.lower(col), [
-            x.lower() if isinstance(x, str) else x for x in v]
+        # only $eq/$ne/ordering against an array LITERAL land here;
+        # F.lower over the (array-typed) column would be a cast error
+        # or, worse, a silent stringify — refuse toward $all/$elemMatch
+        raise PipelineError(
+            "collation: comparing against an array literal with "
+            "string members is not collation-rewritten; use $all or "
+            "$elemMatch, or drop the collation")
     return col, v
+
+
+def _collate_in(col: Column, v) -> Column:
+    """$in membership under a CI collation: string members compare
+    through the lower() image; a None member keeps $in's type-agnostic
+    null/missing branch. Non-null NON-string members refuse: lowering
+    the whole column (the r7 bug) stringified numerics, and comparing
+    them raw against a string-typed column is an ANSI runtime cast
+    error — the static column type is not visible at this depth
+    (multikey traversal lambdas), so split the query into
+    ``$or: [{f: {$in: strings}}, {f: {$in: others}}]`` instead
+    (Mongo: collation never affects non-string comparisons)."""
+    strs = [x for x in v if isinstance(x, str)]
+    if any(x is not None and not isinstance(x, str) for x in v):
+        raise PipelineError(
+            "collation: $in/$nin over a mixed string/non-string "
+            "member list is not collation-rewritten; split into an "
+            "$or of per-type clauses or drop the collation")
+    pred = F.lower(col).isin(*[s.lower() for s in strs])
+    if None in v:
+        pred = pred | col.isNull()
+    return pred
+
+
+def _collate_member_op(op: str, col: Column, v) -> Column:
+    """Compile $in/$nin/$all under a CI collation when the member
+    list contains strings (the dispatch guarantees it does)."""
+    if not isinstance(v, (list, tuple)):
+        raise PipelineError(f"{op} requires an array")
+    if op == "$all":
+        if not all(isinstance(x, str) for x in v):
+            raise PipelineError(
+                "collation: $all over a mixed string/non-string "
+                "member list is not collation-rewritten; split into "
+                "separate clauses or drop the collation")
+        # elementwise lower() of the ARRAY column (F.lower on the
+        # array itself would be a type error)
+        return _MATCH_OPS["$all"](
+            F.transform(col, F.lower), [x.lower() for x in v])
+    pred = _collate_in(col, list(v))
+    if op == "$in":
+        return pred
+    # $nin ≡ null-safe NOT of $in: a null/missing field matches $nin
+    # unless null is in the list ($in's explicit isNull branch makes
+    # the inner predicate non-null in that case)
+    return ~F.coalesce(pred, F.lit(False))
+
+
+def _is_string_path(df: DataFrame, path: str) -> bool:
+    """Is the (possibly dotted) field path statically string-typed in
+    ``df``? Drives the CI-collation lower()-image rewrites of $sort
+    keys. A path through an array of documents refuses loudly inside
+    :func:`_walk_path_type` (multikey CI ordering is not modeled);
+    an absent path is not a string (binary/no-op compare)."""
+    from pyspark.sql.types import StringType
+
+    return isinstance(
+        _walk_path_type(df.schema, path, "collation"), StringType)
+
+
+def _is_string_expr(df: DataFrame, e: Column) -> bool:
+    """Is compiled expression ``e`` string-typed against ``df``?
+    Resolved through the analyzer (plan-time only — no job runs)."""
+    from pyspark.sql.types import StringType
+
+    return isinstance(df.select(e).schema[0].dataType, StringType)
 
 
 def _lookup_var(name: str) -> Column:
@@ -590,7 +664,26 @@ _CMP = {
 }
 
 
+#: aggregation-expression operators that COMPARE values — under a CI
+#: collation their string comparisons would run binary, so they refuse
+#: by name anywhere expressions compile ($project/$addFields/$group
+#: _id/$sortByCount/...), mirroring the $expr refusal in compile_match.
+#: $strcasecmp stays allowed (it is case-insensitive by definition).
+_CI_REFUSED_EXPR_OPS = frozenset({
+    "$eq", "$ne", "$gt", "$gte", "$lt", "$lte", "$cmp", "$in",
+    "$indexOfArray", "$setEquals", "$setIsSubset", "$setDifference",
+    "$setIntersection", "$setUnion", "$sortArray",
+})
+
+
 def _compile_op(op: str, spec: Any) -> Column:
+    if _ci() and op in _CI_REFUSED_EXPR_OPS:
+        raise PipelineError(
+            f"collation: expression operator {op} is not collation-"
+            "rewritten (it would compare strings binary under the "
+            "requested case-insensitive collation); wrap string "
+            "operands in $toLower explicitly, use $strcasecmp, or "
+            "drop the collation")
     if op == "$toBool__internal":
         # internal marker emitted by _as_bool for $and/$or operands
         return compile_expr(spec).cast("boolean")
@@ -1585,6 +1678,10 @@ def _field_match(col: Column, val: Any) -> Column:
                 sub.append(
                     F.exists(col, lambda e: _field_match_elem(e, inner))
                 )
+            elif (op in ("$in", "$nin", "$all") and _ci()
+                    and isinstance(v, (list, tuple))
+                    and any(isinstance(x, str) for x in v)):
+                sub.append(_collate_member_op(op, col, v))
             elif op in _MATCH_OPS:
                 c2, v2 = (_collate_pair(col, v)
                           if op in _COLLATABLE_OPS else (col, v))
@@ -1610,6 +1707,10 @@ def _field_match_elem(elem: Column, query: dict) -> Column:
     def one(op, v):
         if op not in _MATCH_OPS:
             return _raise(op)
+        if (op in ("$in", "$nin", "$all") and _ci()
+                and isinstance(v, (list, tuple))
+                and any(isinstance(x, str) for x in v)):
+            return _collate_member_op(op, elem, v)
         c2, v2 = (_collate_pair(elem, v)
                   if op in _COLLATABLE_OPS else (elem, v))
         return _MATCH_OPS[op](c2, v2)
@@ -1789,11 +1890,17 @@ def compile_pipeline(
     comparisons as lower()-images of $match field predicates, $group
     keys, $sort keys and $sortByCount (group _id surfaces the
     binary-MINIMUM representative of each CI equivalence class —
-    Mongo leaves the representative unspecified). Stages outside that
-    rewrite set, $expr predicates, and $first/$last accumulators
-    refuse by name under a CI collation rather than silently running
-    binary compares; other locales/strengths/options refuse in
-    :func:`_parse_collation`.
+    Mongo leaves the representative unspecified). Membership ops
+    rewrite all-string lists ($in/$nin lower both sides, $all lowers
+    the array elementwise); mixed string/non-string lists refuse.
+    Everything the rewrite cannot make correct refuses by name rather
+    than silently running binary compares: stages outside the rewrite
+    set, $expr predicates, comparison expression operators
+    (_CI_REFUSED_EXPR_OPS), order-dependent accumulators
+    ($first/$last/$firstN/$lastN/$top*/$bottom*) and string-typed
+    $min/$max/$minN/$maxN/$addToSet; other locales/strengths/options
+    refuse in :func:`_parse_collation`. See USAGE.md §4 "Collation";
+    oracle-gated by queries/misc.q_collation.
 
     A malformed stage spec (missing/ill-typed required keys) raises
     :class:`PipelineError` naming the stage — never a bare Python
@@ -2430,6 +2537,8 @@ def _group(df: DataFrame, spec: dict, sort_keys) -> DataFrame:
             raise PipelineError(
                 f"$group: output field name {k!r} cannot contain '.'"
             )
+    if _ci():
+        _refuse_ci_accumulators(df, spec)
     aggs = [
         _compile_accumulator(v, sort_keys).alias(k)
         for k, v in spec.items()
@@ -2438,6 +2547,25 @@ def _group(df: DataFrame, spec: dict, sort_keys) -> DataFrame:
     if id_spec is None:
         return df.agg(*aggs) if aggs else df.agg(F.count(F.lit(1)).alias("n"))
     if isinstance(id_spec, dict) and not any(k.startswith("$") for k in id_spec):
+        if _ci():
+            # CI collation: string-typed keys group by their lower()
+            # image; the surfaced key is the class's binary-MINIMUM
+            # representative (Mongo leaves the representative
+            # unspecified; min is deterministic and oracle-checkable)
+            group_cols, rep_aggs = [], []
+            for k, v in id_spec.items():
+                e = compile_expr(v)
+                if _is_string_expr(df, e):
+                    group_cols.append(F.lower(e).alias(f"__ci_{k}"))
+                    rep_aggs.append(F.min(e).alias(k))
+                else:
+                    group_cols.append(e.alias(k))
+            out = df.groupBy(*group_cols).agg(*rep_aggs, *aggs)
+            return out.select(
+                F.struct(*[F.col(k).alias(k) for k in id_spec]).alias("_id"),
+                *[c for c in out.columns
+                  if c not in id_spec and not c.startswith("__ci_")],
+            )
         keys = [compile_expr(v).alias(k) for k, v in id_spec.items()]
         grouped = df.groupBy(*keys)
         out = grouped.agg(*aggs)
@@ -2445,7 +2573,53 @@ def _group(df: DataFrame, spec: dict, sort_keys) -> DataFrame:
             F.struct(*[F.col(k).alias(k) for k in id_spec]).alias("_id"),
             *[c for c in out.columns if c not in id_spec],
         )
-    return df.groupBy(compile_expr(id_spec).alias("_id")).agg(*aggs)
+    key = compile_expr(id_spec)
+    if _ci() and _is_string_expr(df, key):
+        out = df.groupBy(F.lower(key).alias("__ci_id")).agg(
+            F.min(key).alias("_id"), *aggs)
+        return out.select(
+            "_id", *[c for c in out.columns if c not in ("__ci_id", "_id")])
+    return df.groupBy(key.alias("_id")).agg(*aggs)
+
+
+#: accumulators whose result depends on document ORDER — under a CI
+#: collation the rewritten $sort orders CI classes with unspecified
+#: (binary-tiebroken) within-class order, so Mongo's answer is not
+#: reproducible; refuse by name (compile_pipeline docstring contract)
+_CI_ORDER_ACCS = frozenset({
+    "$first", "$last", "$firstN", "$lastN",
+    "$top", "$bottom", "$topN", "$bottomN",
+})
+
+#: accumulators that COMPARE their argument values — refused under CI
+#: only when the argument is string-typed (binary min of "Banana" and
+#: "apple" picks the wrong CI extremum)
+_CI_CMP_ACCS = frozenset({"$min", "$max", "$minN", "$maxN", "$addToSet"})
+
+
+def _refuse_ci_accumulators(df: DataFrame, spec: dict) -> None:
+    """Refuse $group accumulators the CI-collation rewrite cannot make
+    correct (see the two tables above); numeric/boolean arguments and
+    order-independent accumulators pass through."""
+    for k, v in spec.items():
+        if k == "_id" or not (isinstance(v, dict) and len(v) == 1):
+            continue
+        [(op, arg)] = v.items()
+        if op in _CI_ORDER_ACCS:
+            raise PipelineError(
+                f"collation: accumulator {op} is order-dependent and "
+                "is not collation-rewritten — under a case-insensitive "
+                "collation the within-class order is unspecified; "
+                "drop the collation or materialize a $toLower key")
+        if op in _CI_CMP_ACCS:
+            inner = arg["input"] if (
+                isinstance(arg, dict) and "input" in arg) else arg
+            if _is_string_expr(df, compile_expr(inner)):
+                raise PipelineError(
+                    f"collation: {op} over a string argument would "
+                    "compare binary under the requested case-"
+                    "insensitive collation; apply $toLower explicitly "
+                    "or drop the collation")
 
 
 def _resolve(collections, name: str) -> DataFrame:

@@ -736,3 +736,130 @@ def q_pipeline_redact(spark, sf_dir):
                           "pay_value": "$doc.payload.value"}},
         ],
     )
+
+
+# ---------------------------------------------------------------------------
+# Aggregate-command collation option (r8): {locale: "en", strength: 2}
+# compiles case-insensitive $match membership, $group keys (lower()
+# image, binary-MIN representative) and $sort keys. The case variance
+# is derived OUTSIDE the pipeline (half the rows lowercased) so the
+# collation rewrite has real work to do; the DuckDB twin spells the
+# lower()-image algebra explicitly.
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_collation",
+    oracle=f"""
+    WITH base AS (
+        SELECT CASE WHEN c_custkey % 2 = 0 THEN lower(c_mktsegment)
+                    ELSE c_mktsegment END AS seg,
+               c_acctbal
+        FROM customer
+    ),
+    g AS (
+        SELECT min(seg) AS _id,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               {dsum_sql('c_acctbal')} AS bal
+        FROM base
+        WHERE lower(seg) IN ('building', 'automobile')
+        GROUP BY lower(seg)
+    )
+    SELECT _id, n, bal FROM g ORDER BY lower(_id), _id
+    """,
+)
+def q_collation(spark, sf_dir):
+    """Case-insensitive collation end-to-end: CI $in membership →
+    CI $group (4 raw case-variants collapse to 2 CI classes, each
+    surfacing its binary-minimum representative) → CI $sort. Scale
+    note: the rewrite adds one lower() per compared key inside the
+    same whole-stage-codegen span — no extra shuffle, no UDF."""
+    from mongo_olap_spark.plans.pipeline_compiler import compile_pipeline
+
+    c = load_table(spark, sf_dir, "customer")
+    base = c.select(
+        F.when(F.col("c_custkey") % 2 == 0, F.lower("c_mktsegment"))
+        .otherwise(F.col("c_mktsegment")).alias("seg"),
+        "c_acctbal",
+    )
+    return compile_pipeline(
+        base,
+        [
+            {"$match": {"seg": {"$in": ["building", "AUTOMOBILE"]}}},
+            {"$group": {"_id": "$seg", "n": {"$sum": 1},
+                        "bal": {"$sum": "$c_acctbal"}}},
+            {"$sort": {"_id": 1}},
+        ],
+        collation={"locale": "en", "strength": 2},
+    )
+
+
+# ---------------------------------------------------------------------------
+# S7 — $lookup with BOTH sides array-valued (r7 doc-granularity dedup
+# branch, r8: first oracle-gated query — a regression there was
+# previously invisible to CORRECTNESS). Semantics: a foreign doc
+# matches when its array shares ANY element with the local array, and
+# appears ONCE however many elements overlap.
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_lookup_both_arrays",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id,
+               [doc_id % 25, (doc_id * 7) % 25] AS tags
+        FROM documents
+    ),
+    nf AS (
+        SELECT n_name,
+               [n_nationkey % 25, (n_nationkey + 7) % 25] AS ftags
+        FROM nation
+    ),
+    j AS (
+        SELECT d.doc_id, nf.n_name
+        FROM d LEFT JOIN nf
+          ON len(list_intersect(d.tags, nf.ftags)) > 0
+    )
+    SELECT doc_id,
+           CAST(COUNT(n_name) AS INT) AS n,
+           array_to_string(list_sort(list(n_name)), ',') AS names_csv
+    FROM j GROUP BY doc_id
+    """,
+)
+def q_lookup_both_arrays(spark, sf_dir):
+    """Both-sides-array $lookup (multikey ∩ multikey): local ``tags``
+    and foreign ``ftags`` are arrays; a foreign doc matches on set
+    intersection and is deduped back to doc granularity. Compiled as
+    deduped explode of BOTH sides → hash equi-join on the element →
+    doc-level dedup → repack; the 25-row foreign side broadcasts.
+    Output is order-stable ($sortArray + CSV fold) for the value hash."""
+    from mongo_olap_spark.plans.pipeline_compiler import compile_pipeline
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_name",
+        F.array(F.col("n_nationkey") % 25,
+                (F.col("n_nationkey") + 7) % 25).alias("ftags"),
+    )
+    names = {"$sortArray": {"input": {"$map": {
+        "input": "$m", "as": "x", "in": "$$x.n_name"}}, "sortBy": 1}}
+    return compile_pipeline(
+        d,
+        [
+            {"$project": {"doc_id": 1, "tags": [
+                {"$mod": ["$doc_id", {"$literal": 25}]},
+                {"$mod": [{"$multiply": ["$doc_id", {"$literal": 7}]},
+                          {"$literal": 25}]},
+            ]}},
+            {"$lookup": {"from": "nation_tagged", "localField": "tags",
+                         "foreignField": "ftags", "as": "m"}},
+            {"$project": {"doc_id": 1, "n": {"$size": "$m"},
+                          "names_csv": {"$reduce": {
+                              "input": names,
+                              "initialValue": "",
+                              "in": {"$cond": [
+                                  {"$eq": ["$$value", ""]}, "$$this",
+                                  {"$concat": ["$$value", ",", "$$this"]},
+                              ]}}}}},
+        ],
+        collections={"nation_tagged": n},
+    )
