@@ -351,15 +351,18 @@ def connected_components(
     (pairs → clusters) [REF: fill — see SURVEY.md §0].
 
     Scale notes: each round is ONE shuffle of |E| (join edges with
-    labels) plus one of |V| — no all-pairs blowup, and dup graphs are
-    shallow (near-dup components are cliques-ish, diameter ≪ 10), so
-    rounds ≈ O(diameter). Edges and per-round labels are
+    labels) plus two of |V| (the min step and a pointer-jump/path-
+    halving self-join) — no all-pairs blowup. The pointer jump makes
+    rounds O(log diameter), so even adversarially DEEP dup graphs
+    (a 10,000-member chain: every doc near-dups only its neighbors)
+    converge in ~15 rounds — the skew guard is the chain-topology
+    test in tests/test_skew.py. Edges and per-round labels are
     ``localCheckpoint``-ed: lineage stays O(1) instead of growing one
     join per round, and the (possibly expensive) pair-generation plan
-    upstream runs exactly once. For adversarially deep graphs switch to
-    alternating large/small-star (Kiveris et al., "Connected
-    Components in MapReduce and Beyond"), which converges in
-    O(log² n); dup resolution does not need it.
+    upstream runs exactly once. (Alternating large/small-star —
+    Kiveris et al., "Connected Components in MapReduce and Beyond" —
+    would also bound per-node degree growth; min-label + jumping is
+    enough here because dup EDGES are already banded/bounded.)
 
     ``pairs``: one row per undirected edge (id_a, id_b).
     ``nodes``: one row per corpus member (node id) — singletons come
@@ -396,7 +399,26 @@ def connected_components(
             "node",
             F.col("comp").alias("old_comp"),
             F.least(F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))).alias("comp"),
-        ).localCheckpoint(eager=False)
+        )
+        # pointer-jump (path halving): comp <- comp[comp]. Labels only
+        # ever decrease toward a reachable node, so jumping through the
+        # label of one's label stays inside the component; combined
+        # with the neighbor-min step it makes rounds O(log diameter)
+        # instead of O(diameter) — a 10,000-member chain converges in
+        # ~15 rounds, not 10,000 (tests/test_skew.py chain-topology
+        # guard). Cost: one extra |V| self-join per round, V = the dup
+        # subgraph only.
+        jump = stepped.select(
+            F.col("node").alias("j_node"), F.col("comp").alias("j_comp"))
+        stepped = (
+            stepped.join(jump, F.col("comp") == F.col("j_node"), "left")
+            .select(
+                "node",
+                "old_comp",
+                F.least(F.col("comp"), F.coalesce("j_comp", F.col("comp"))).alias("comp"),
+            )
+            .localCheckpoint(eager=False)
+        )
         changed = stepped.filter(F.col("comp") != F.col("old_comp")).count()
         labels = stepped.select("node", "comp")
         if changed == 0:

@@ -193,3 +193,46 @@ def test_span_dedup_hot_chunk_stays_bounded(spark):
     assert len(rows) == n
     # tripwire, not a benchmark: the hot key must not serialize the job
     assert wall < 60, f"span dedup took {wall:.0f}s on a planted hot key"
+
+
+# ---------------------------------------------------------------------------
+# Chain-topology dup components (r8, r6-verdict task): a 10,000-member
+# CHAIN is the adversarial depth case for label propagation — every
+# doc near-dups only its neighbors, so the component's diameter equals
+# its size. The pointer-jump (path-halving) step must converge it in
+# O(log n) rounds, well inside the default max_iter budget; plain
+# min-label propagation would need 10,000 rounds and refuse.
+# ---------------------------------------------------------------------------
+
+def test_connected_components_10k_chain_converges(spark):
+    from mongo_olap_spark.operators import dedup as dd
+
+    n = 10_000
+    pairs = spark.range(n - 1).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b"))
+    nodes = spark.range(n + 5).select(F.col("id").alias("node"))
+    out = dd.connected_components(pairs, nodes).collect()
+    assert len(out) == n + 5
+    # the whole chain labels to its minimum member...
+    assert all(r.group_id == 0 for r in out if r.node < n)
+    # ...and the 5 singletons stay their own groups
+    assert all(r.group_id == r.node for r in out if r.node >= n)
+
+
+def test_connected_components_two_deep_chains_stay_separate(spark):
+    # two disjoint 500-chains (offset ids) must NOT merge, and each
+    # must still resolve to its own minimum under pointer jumping
+    from mongo_olap_spark.operators import dedup as dd
+
+    a = spark.range(499).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b"))
+    b = spark.range(499).select(
+        (F.col("id") + 10_000).alias("id_a"),
+        (F.col("id") + 10_001).alias("id_b"))
+    pairs = a.unionByName(b)
+    nodes = spark.range(500).select(F.col("id").alias("node")).unionByName(
+        spark.range(500).select((F.col("id") + 10_000).alias("node")))
+    got = {r.node: r.group_id
+           for r in dd.connected_components(pairs, nodes).collect()}
+    assert all(got[i] == 0 for i in range(500))
+    assert all(got[10_000 + i] == 10_000 for i in range(500))
