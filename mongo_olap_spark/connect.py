@@ -1,0 +1,141 @@
+"""Spark Connect portability layer (r8, r6-verdict task 7).
+
+Real clusters increasingly mandate Spark Connect (a thin gRPC client,
+no JVM in the Python process, no SparkContext). The engine compiles
+almost everything to DataFrame plans, which are Connect-clean by
+construction; this module concentrates the THREE places the codebase
+touches classic-only API surface, so each is either bridged or refuses
+by name with the recipe:
+
+==========================  =========================================
+component                   under Spark Connect
+==========================  =========================================
+pipeline compiler, cube     works — pure DataFrame/Column plans
+build/query/router, IVM
+merge, windows, text ops,
+dedup (incl. connected
+components: localCheckpoint
+is Connect-supported since
+Spark 4.0)
+similarity (broadcast /     works — :func:`bvalue` falls back from
+IVF kNN)                    ``sc.broadcast`` to closure capture (the
+                            matrix pickles into the UDF command)
+json_props inference        works — rdd path falls back to
+                            schema_of_json merging (sources/json_props)
+JSONL collection schema     refuses: pass ``schema=`` explicitly or
+inference                   infer once on a classic session
+                            (sources/collections.py)
+plan fingerprints           refuses: executed-plan text needs _jdf —
+(test tooling only)         a test harness concern, not product
+structured streaming        works — readStream/writeStream are
+maintenance                 Connect API; foreachBatch ships the
+                            function to the server
+==========================  =========================================
+
+The gRPC client needs ``grpcio``/``protobuf``/``pyspark[connect]``,
+which this container does not provide — :func:`get_spark_connect`
+refuses with the recipe when they are absent (environment-blocked,
+not design-blocked; same policy as the MongoDB and Delta seams).
+Contract tests: tests/test_connect_contract.py.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+
+def is_connect(spark) -> bool:
+    """Is this a Spark Connect session? Duck-typed on the one
+    structural difference the engine cares about: Connect sessions
+    have no ``sparkContext`` (raises/absent), classic ones do."""
+    try:
+        return spark.sparkContext is None
+    except Exception:  # Connect raises PySparkNotImplementedError
+        return True
+
+
+class _ClosureValue:
+    """Duck-typed stand-in for ``pyspark.Broadcast``: exposes
+    ``.value`` so UDF bodies are identical on both session kinds."""
+
+    __slots__ = ("value",)
+
+    def __init__(self, value: Any):
+        self.value = value
+
+
+def bvalue(spark, obj):
+    """``sc.broadcast(obj)`` on a classic session (one torrent-
+    distributed copy per executor); plain closure capture under
+    Connect, where there is no SparkContext — the object pickles into
+    the UDF command instead. Use for driver-built lookup structures
+    (corpus matrices, centroid tables) referenced inside Pandas UDFs;
+    both forms are read through ``.value``."""
+    if not is_connect(spark):
+        return spark.sparkContext.broadcast(obj)
+    return _ClosureValue(obj)
+
+
+#: components audited for Connect, keyed by the module that owns the
+#: classic-only touchpoint (or '-' when the surface is plan-only).
+#: status: 'works' | 'fallback' (works via a documented degraded
+#: path) | 'refuses' (loud NotImplementedError/RuntimeError + recipe)
+CONNECT_MATRIX = {
+    "pipeline_compiler": ("works", "pure DataFrame/Column plan construction"),
+    "cube_build_query_router": ("works", "DataFrame plans + file manifest IO"),
+    "ivm_merge": ("works", "DataFrame plans"),
+    "connected_components": (
+        "works", "DataFrame loop; localCheckpoint is Connect API since 4.0"),
+    "graph_lookup": (
+        "works", "DataFrame loop; localCheckpoint is Connect API since 4.0"),
+    "bucket_auto_ranking": (
+        "works", "DataFrame two-pass; localCheckpoint is Connect API since 4.0"),
+    "similarity_broadcast_ivf": (
+        "fallback",
+        "connect.bvalue: sc.broadcast -> closure capture in the UDF command"),
+    "json_props_inference": (
+        "fallback",
+        "rdd sample path -> per-row schema_of_json union-merge"),
+    "collection_schema_inference": (
+        "refuses",
+        "Dataset<String> reader needs _jvm; pass schema= or infer on a "
+        "classic session"),
+    "plan_fingerprints": (
+        "refuses", "executed-plan text needs _jdf (test tooling only)"),
+    "streaming_maintenance": (
+        "works", "readStream/foreachBatch are Connect API"),
+    "session_log_level": (
+        "fallback", "sparkContext.setLogLevel skipped; use server conf"),
+}
+
+
+def connect_compatibility() -> dict[str, tuple[str, str]]:
+    """The audited support matrix (component -> (status, how)). The
+    contract test asserts every classic-only API site in the package
+    is owned by exactly one entry here."""
+    return dict(CONNECT_MATRIX)
+
+
+def get_spark_connect(url: str = "sc://localhost:15002"):
+    """A SparkSession against a Spark Connect endpoint.
+
+    This container has no gRPC stack, so by default this refuses with
+    the recipe rather than failing deep inside pyspark's import chain.
+    """
+    try:
+        import google.protobuf  # noqa: F401
+        import grpc  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "Spark Connect client needs the gRPC stack, absent from "
+            "this environment. Recipe: pip install 'pyspark[connect]' "
+            "(pulls grpcio, grpcio-status, protobuf), start a server "
+            "with sbin/start-connect-server.sh (or spark-submit "
+            "--conf spark.api.mode=connect), then "
+            f"SparkSession.builder.remote({url!r}).getOrCreate(). "
+            "The engine's support matrix: "
+            "mongo_olap_spark.connect.connect_compatibility()."
+        ) from e
+    from pyspark.sql import SparkSession
+
+    return SparkSession.builder.remote(url).getOrCreate()

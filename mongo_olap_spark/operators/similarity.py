@@ -317,9 +317,11 @@ def embedding_near_dup_pairs(
 def _near_dup_broadcast(emb, id_col, vec_col, threshold, round_digits) -> DataFrame:
     import numpy as np
 
+    from mongo_olap_spark.connect import bvalue
+
     spark = emb.sparkSession
     ids, unit = _corpus_matrix(emb, id_col, vec_col)
-    bc = spark.sparkContext.broadcast((ids, unit))
+    bc = bvalue(spark, (ids, unit))
 
     def fn(batches):
         import pandas as pd
@@ -489,12 +491,14 @@ def ivf_knn(
     (2 ints/row), vectors re-attach to surviving candidates, and the
     per-query candidate budget is ~|corpus|·nprobe/n_centroids,
     tunable independently of recall via (n_centroids, nprobe)."""
+    from mongo_olap_spark.connect import bvalue
+
     spark = corpus.sparkSession
     C = ivf_train_centroids(
         corpus, id_col=id_col, vec_col=vec_col,
         n_centroids=n_centroids, sample=sample, seed=seed,
     )
-    bc = spark.sparkContext.broadcast(C)
+    bc = bvalue(spark, C)
     cb = _ivf_assign(corpus, id_col, vec_col, bc, 1, "neighbor_id")
     qb = _ivf_assign(queries, id_col, vec_col, bc, nprobe, "query_id")
     cand = (

@@ -55,6 +55,13 @@ def plan_string(df: DataFrame) -> str:
     final (re-planned) tree once the query has actually run — callers
     that want the AQE-final shape should execute the DataFrame first
     (any action) and fingerprint the same instance afterwards."""
+    if not hasattr(df, "_jdf"):
+        raise NotImplementedError(
+            "plan fingerprints need the classic session's _jdf "
+            "(executed-plan text); under Spark Connect use "
+            "df.explain('formatted') for plan inspection — "
+            "fingerprinting is test tooling, not product surface"
+        )
     return df._jdf.queryExecution().executedPlan().toString()
 
 

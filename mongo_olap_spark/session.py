@@ -63,5 +63,8 @@ def get_spark(app_name: str = "mongo_olap_spark", *, shuffle_partitions: int | N
         .config("spark.sql.shuffle.spill.compress", "true")
     )
     spark = builder.getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    try:
+        spark.sparkContext.setLogLevel("WARN")
+    except Exception:
+        pass  # Spark Connect session: no SparkContext; use server conf
     return spark

@@ -44,6 +44,16 @@ def infer_collection_schema(
     Dataset<String> through py4j instead of a Python RDD, so inference
     spawns no Python workers (and is immune to driver/worker
     interpreter skew)."""
+    from mongo_olap_spark.connect import is_connect
+
+    if is_connect(spark):
+        raise NotImplementedError(
+            "infer_collection_schema needs the classic session's "
+            "Dataset<String> reader (_jvm) — under Spark Connect pass "
+            "schema= to read_collection (ship explicit schemas to "
+            "production anyway), or infer once on a classic session "
+            "and persist the result"
+        )
     sampled = spark.read.text(path).limit(sample_rows)
     jvm = spark._jvm
     # text() already yields the single 'value' column, so the Dataset

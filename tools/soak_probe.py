@@ -62,7 +62,28 @@ VACUUM_GRACE_S = 45.0
 CRASH_P = 0.08
 
 
-def build_cdc(events, n_batches: int):
+def hotify(events, hot_frac: float = 0.9):
+    """Collapse ``hot_frac`` of the docs onto ONE cube cell
+    (event_type='hot', one fixed day, ubucket 0) — the hot-cell skew
+    regime (r8, r6-verdict task 1): every batch's deltas hammer the
+    same cell/partition, stressing single-partition version churn,
+    vacuum under contention, and merge-key skew. Doc identity
+    (event_id) is untouched, so the CDC ordering contract and the
+    closed-form oracle hold unchanged."""
+    hot = F.pmod(F.xxhash64("event_id", F.lit(9)), F.lit(100)) < int(
+        hot_frac * 100)
+    return events.select(
+        "event_id",
+        F.when(hot, F.to_timestamp(F.lit("2024-03-01 12:00:00")))
+        .otherwise(F.col("ts")).alias("ts"),
+        F.when(hot, F.lit(0)).otherwise(F.col("user_id")).alias("user_id"),
+        F.when(hot, F.lit("hot")).otherwise(F.col("event_type")).alias("event_type"),
+        "value",
+        "props",
+    )
+
+
+def build_cdc(events, n_batches: int, spread_inserts: bool = False):
     """Deterministic mixed CDC with a batch_no column.
 
     Inserts land in the first 60% of batches, correlated with the
@@ -72,6 +93,10 @@ def build_cdc(events, n_batches: int):
     deletes in the last 20% — both spread randomly, touching many
     partitions (the stress case). Per-document ordering
     insert < update < delete holds by construction.
+
+    ``spread_inserts`` assigns insert batches by id-hash instead of ts
+    — required in hot-cell mode, where 90% of docs share one ts and
+    ts-correlated assignment would dump them all into ~5 batches.
     """
     from mongo_olap_spark.streaming.cdc import DOC_COLS
 
@@ -84,10 +109,13 @@ def build_cdc(events, n_batches: int):
     ).first()
     frac = (F.unix_timestamp("ts") - F.lit(lo)) / F.lit(max(hi - lo, 1) + 1)
     jitter = F.pmod(F.xxhash64("event_id"), F.lit(5)) - 2
-    b_ins = F.greatest(
-        F.lit(0),
-        F.least(F.lit(ib - 1), (frac * ib).cast("int") + jitter.cast("int")),
-    )
+    if spread_inserts:
+        b_ins = F.pmod(F.xxhash64("event_id", F.lit(3)), F.lit(ib)).cast("int")
+    else:
+        b_ins = F.greatest(
+            F.lit(0),
+            F.least(F.lit(ib - 1), (frac * ib).cast("int") + jitter.cast("int")),
+        )
     updated = F.col("event_id") % UPDATED_MOD == 1
     deleted = F.col("event_id") % DELETED_MOD == 4
     b_upd = F.lit(ub_lo) + F.pmod(F.xxhash64("event_id", F.lit(1)), F.lit(ub_n)).cast("int")
@@ -182,6 +210,44 @@ class SnapshotReader(threading.Thread):
             time.sleep(0.05)
 
 
+def phase_stats(times: list[float], n_batches: int) -> dict:
+    """Per-phase batch-time means and OLS slopes (r8, r6-verdict task
+    2): the CDC is phase-structured (first 60% inserts, then 20%
+    updates, then 20% deletes), so a whole-run late/early ratio mixes
+    PHASE cost differences with genuine monotonic drift. Stratifying
+    separates them: within one phase the workload is homogeneous, so a
+    healthy engine shows slope ≈ 0 there; cross-phase mean steps are
+    workload, not leaks. ``slope_ok`` = |slope| × phase_length ≤ 50%
+    of the phase mean (total drift across the phase under half a
+    batch's cost)."""
+    ib = int(n_batches * 0.6)
+    ub = int(n_batches * 0.2)
+    spans = {
+        "insert": (0, ib),
+        "update": (ib, ib + ub),
+        "delete": (ib + ub, n_batches),
+    }
+    out = {}
+    for phase, (lo, hi) in spans.items():
+        ys = times[lo:hi]
+        n = len(ys)
+        if n < 3:
+            continue
+        xbar = (n - 1) / 2.0
+        ybar = sum(ys) / n
+        sxy = sum((i - xbar) * (y - ybar) for i, y in enumerate(ys))
+        sxx = sum((i - xbar) ** 2 for i in range(n))
+        slope = sxy / sxx
+        out[phase] = {
+            "n": n,
+            "mean_s": round(ybar, 3),
+            "slope_s_per_batch": round(slope, 6),
+            "drift_over_phase_s": round(slope * n, 3),
+            "slope_ok": abs(slope * n) <= 0.5 * ybar,
+        }
+    return out
+
+
 def du_bytes(path: str) -> int:
     total = 0
     for dirpath, _, files in os.walk(path):
@@ -204,6 +270,9 @@ def main() -> int:
     ap.add_argument("--lattice", action="store_true",
                     help="soak the multi-level (grouping-sets) maintenance "
                          "path instead of the plain cube")
+    ap.add_argument("--hot-cell", action="store_true",
+                    help="skew regime: >=90%% of CDC deltas target ONE "
+                         "cube cell (single hot partition, merge-key skew)")
     ap.add_argument("--out", default="SOAK_PROBE.json")
     args = ap.parse_args()
 
@@ -217,6 +286,8 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     synthesize(spark, args.src, args.dst, args.factor)
     events = spark.read.parquet(os.path.join(args.dst, "events.parquet"))
+    if args.hot_cell:
+        events = hotify(events)
 
     spec = CubeSpec(
         name="soak_cube",
@@ -235,13 +306,25 @@ def main() -> int:
 
     # CDC written once, partitioned by batch -> each micro-batch read
     # is a pruned scan of one directory (what a real queue hands you)
-    cdc_path = os.path.join(args.dst, f"soak_cdc_b{args.batches}")
+    suffix = "_hot" if args.hot_cell else ""
+    cdc_path = os.path.join(args.dst, f"soak_cdc_b{args.batches}{suffix}")
     if not os.path.exists(os.path.join(cdc_path, "_SUCCESS")):
         t0 = time.perf_counter()
-        build_cdc(events, args.batches).repartition("b").write.mode(
+        build_cdc(events, args.batches,
+                  spread_inserts=args.hot_cell).repartition("b").write.mode(
             "overwrite").partitionBy("b").parquet(cdc_path)
         print(f"# cdc written in {time.perf_counter() - t0:.1f}s", file=sys.stderr)
     cdc = spark.read.parquet(cdc_path)
+
+    hot_share = None
+    if args.hot_cell:
+        # measured evidence that the regime is what it claims: the
+        # share of ALL deltas landing in the single hot cell
+        hot_share = (
+            cdc.agg(F.avg((F.col("event_type") == "hot").cast("double")))
+            .first()[0]
+        )
+        print(f"# hot-cell delta share: {hot_share:.3f}", file=sys.stderr)
 
     per_batch = {
         int(r["b"]): int(r["dm"])
@@ -347,6 +430,8 @@ def main() -> int:
     late = times[-20:]
     ratio = (sum(late) / len(late)) / (sum(early) / len(early))
     ok_flat = ratio <= 2.0
+    phases = phase_stats(times, args.batches)
+    ok_phases = all(p["slope_ok"] for p in phases.values())
     ok_reader = not reader.violations
     ok_final = got_digest == want_digest and got_rows == want_rows
     ok_replay = (max(replay_times) if replay_times else 0.0) <= max(
@@ -354,7 +439,9 @@ def main() -> int:
 
     result = {
         "metric": "soak_probe",
-        "mode": "lattice" if args.lattice else "plain",
+        "mode": "lattice" if args.lattice else (
+            "hot-cell" if args.hot_cell else "plain"),
+        "hot_cell_delta_share": round(hot_share, 3) if hot_share else None,
         "batches": args.batches,
         "factor": args.factor,
         "wall_s": round(wall, 1),
@@ -362,6 +449,7 @@ def main() -> int:
         "batch_early_mean_s": round(sum(early) / len(early), 3),
         "batch_late_mean_s": round(sum(late) / len(late), 3),
         "late_over_early": round(ratio, 2),
+        "phase_stats": phases,
         "crashes": crashes,
         "replayed_batches": replays,
         "replay_mean_s": round(sum(replay_times) / len(replay_times), 3)
@@ -375,15 +463,15 @@ def main() -> int:
         "reader_violations": reader.violations[:5],
         "final_rows": got_rows,
         "final_match": ok_final,
-        "ok": ok_flat and ok_reader and ok_final and ok_replay,
+        "ok": ok_flat and ok_phases and ok_reader and ok_final and ok_replay,
     }
     print(json.dumps(result))
     with open(args.out, "w") as f:
         json.dump(result, f, indent=1)
     if not result["ok"]:
         print(
-            f"# FAIL: flat={ok_flat} reader={ok_reader} final={ok_final} "
-            f"replay={ok_replay}",
+            f"# FAIL: flat={ok_flat} phases={ok_phases} reader={ok_reader} "
+            f"final={ok_final} replay={ok_replay}",
             file=sys.stderr,
         )
         return 1
