@@ -48,12 +48,16 @@ def _measure_aggs(m: Measure, mult: str | None = None) -> list:
                 F.sum(src.cast(SUM_DECIMAL) * sign).alias(f"{n}_sum"),
                 F.sum(F.when(src.isNotNull(), sign).otherwise(F.lit(0))).alias(f"{n}_cnt"),
             ]
-        # min/max: valid for the *insert* rows of the batch; a delete
-        # touching a min/max cube forces a cell recompute (streaming/ivm).
+        # min/max/distinct: valid for the *insert* rows of the batch; a
+        # delete touching one forces a cell recompute (streaming/ivm) —
+        # neither a runner-up min nor a set removal is derivable from
+        # the stored partial.
         if m.op == "min":
             return [F.min(F.when(sign > 0, src)).alias(f"{n}_min")]
         if m.op == "max":
             return [F.max(F.when(sign > 0, src)).alias(f"{n}_max")]
+        if m.op == "distinct":
+            return [_hll_agg(F.when(sign > 0, src), m).alias(f"{n}_hll")]
         raise AssertionError(m.op)
     if m.op == "count":
         return [F.count(F.lit(1)).alias(f"{n}_cnt")]
@@ -68,7 +72,17 @@ def _measure_aggs(m: Measure, mult: str | None = None) -> list:
         return [F.min(src).alias(f"{n}_min")]
     if m.op == "max":
         return [F.max(src).alias(f"{n}_max")]
+    if m.op == "distinct":
+        return [_hll_agg(src, m).alias(f"{n}_hll")]
     raise AssertionError(m.op)
+
+
+def _hll_agg(col, m: Measure):
+    """Mergeable HLL-sketch partial (Datasketches via the native
+    ``hll_sketch_agg`` — JVM-side, map-side combined like any agg).
+    Null inputs contribute nothing; an all-null/empty group yields an
+    *empty sketch* (estimate 0), never SQL NULL (verified behavior)."""
+    return F.hll_sketch_agg(col) if m.lgk is None else F.hll_sketch_agg(col, m.lgk)
 
 
 def cell_aggs(spec: CubeSpec, mult: str | None = None) -> list:

@@ -95,6 +95,15 @@ def merge_cells(
                 out.append(F.least(cc, dc).alias(col))  # least/greatest skip nulls
             elif col.endswith("_max"):
                 out.append(F.greatest(cc, dc).alias(col))
+            elif col.endswith("_hll"):
+                # hll_union propagates NULL if either side is NULL
+                # (verified), so coalesce the one-sided cases by hand.
+                out.append(
+                    F.when(cc.isNull(), dc)
+                    .when(dc.isNull(), cc)
+                    .otherwise(F.hll_union(cc, dc))
+                    .alias(col)
+                )
     merged = joined.select(*out)
     return merged.filter(F.col(row_count_col(spec)) > 0)
 

@@ -105,6 +105,8 @@ def finalize_exprs(spec: CubeSpec, measures: list[str] | None = None):
             out.append(F.col(f"{n}_min").alias(n))
         elif m.op == "max":
             out.append(F.col(f"{n}_max").alias(n))
+        elif m.op == "distinct":
+            out.append(F.hll_sketch_estimate(F.col(f"{n}_hll")).alias(n))
     return out
 
 

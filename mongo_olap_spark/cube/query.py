@@ -49,6 +49,10 @@ def measure_rollup_exprs(
             out.append(F.min(f"{n}_min").alias(n))
         elif m.op == "max":
             out.append(F.max(f"{n}_max").alias(n))
+        elif m.op == "distinct":
+            # union the cell sketches, estimate once per rollup group —
+            # O(groups) KB-sized register merges, never a source rescan
+            out.append(F.hll_sketch_estimate(F.hll_union_agg(f"{n}_hll")).alias(n))
     return out
 
 
@@ -75,6 +79,59 @@ def query_cube(
     if where is not None:
         df = df.filter(where)
     return df.groupBy(*group_by).agg(*measure_rollup_exprs(spec, measures))
+
+
+def distinct_rollup(
+    cells: DataFrame,
+    spec: CubeSpec,
+    group_by: list[str],
+    distinct_dim: str,
+    *,
+    alias: str | None = None,
+    where: Column | str | None = None,
+    measures: list[str] | None = None,
+) -> DataFrame:
+    """EXACT count-distinct served from cube state — the two-level
+    decomposition: a cube whose dimensions include the counted column
+    (``distinct_dim``) holds one live cell per (group, value); the
+    distinct count is the number of live cells per group.
+
+    Unlike the HLL ``distinct`` measure (bounded state, approximate,
+    insert-only-mergeable), this is exact AND fully retractable: the
+    signed count partial evicts a cell when its multiplicity hits 0,
+    so deletes maintain incrementally with no rescan. The trade is
+    state size — O(Σ per-group cardinality) cells instead of O(groups)
+    sketches; choose by cardinality (USAGE.md).
+
+    Scale: the rollup scans O(|cells|) and shuffles O(|groups|) —
+    cells are already one-per-(group, value), so ``count(*)`` needs no
+    distinct aggregation and no Expand.
+    """
+    dims = spec.dim_names
+    if distinct_dim not in dims:
+        raise ValueError(f"distinct_dim {distinct_dim!r} not a cube dimension")
+    unknown = set(group_by) - set(dims)
+    if unknown:
+        raise ValueError(f"group_by not in cube dims: {sorted(unknown)}")
+    if distinct_dim in group_by:
+        raise ValueError(f"distinct_dim {distinct_dim!r} cannot also be grouped")
+    df = cells
+    if where is not None:
+        df = df.filter(where)
+    out = alias or f"{distinct_dim}_distinct"
+    # NULL never counts toward COUNT(DISTINCT col) in SQL/Mongo alike
+    if set(group_by) | {distinct_dim} == set(dims):
+        # cells are exactly one per (group, value): a plain count, no
+        # distinct aggregation, no Expand
+        agg = F.count(F.when(F.col(distinct_dim).isNotNull(), 1)).cast("long").alias(out)
+    else:
+        # extra dims remain (e.g. a day dim): the same value owns one
+        # cell per extra-dim combination — dedupe over the cell table
+        # (still O(|cells|), far smaller than the source)
+        agg = F.countDistinct(distinct_dim).cast("long").alias(out)
+    # other measures roll up in the SAME aggregate — one shuffle total
+    extra = measure_rollup_exprs(spec, measures) if measures else []
+    return df.groupBy(*group_by).agg(agg, *extra)
 
 
 def hybrid_query(

@@ -17,7 +17,15 @@ subset must equal direct aggregation of the source. Hence:
 - sums are stored as exact DECIMAL partials (see functions.expressions
   — bit-stable under any re-partitioning / incremental merge order);
 - min/max are stored as-is (re-aggregable under inserts; NOT
-  maintainable under deletes — flagged via ``delete_safe``).
+  maintainable under deletes — flagged via ``delete_safe``);
+- ``distinct`` (count-distinct) is stored as a **mergeable HLL sketch**
+  (Apache DataSketches via Spark's native ``hll_sketch_agg``): rollup
+  unions sketches, estimate at query time. Exact count-distinct is not
+  re-aggregable at all (distinct sets don't add), so the sketch IS the
+  scale answer — a 100 TB source rolls up through ~KB of register
+  state per cell instead of re-scanning. Inserts merge (set union is
+  monotone); deletes are not retractable (like min/max) — flagged via
+  ``delete_safe`` and repaired by the bounded cell-rescan path.
 """
 
 from __future__ import annotations
@@ -39,7 +47,11 @@ _OPS = {
     "avg": True,  # stored as (sum, count) — both signed-mergeable
     "min": False,
     "max": False,
+    "distinct": False,  # HLL sketch — union-mergeable, not retractable
 }
+
+#: valid lgConfigK range for Spark's hll_sketch_agg (Datasketches HLL).
+_LGK_RANGE = (4, 21)
 
 
 def _ident(name: str) -> str:
@@ -89,11 +101,14 @@ class Measure:
     - sum   → ``<name>_sum`` (DECIMAL partial)
     - avg   → ``<name>_sum`` + ``<name>_cnt`` (decomposed)
     - min   → ``<name>_min`` ; max → ``<name>_max``
+    - distinct → ``<name>_hll`` (binary HLL sketch; ``lgk`` sets the
+      sketch's lgConfigK — 2^lgk registers; None = Spark default)
     """
 
     name: str
     op: str
     path: str | None = None
+    lgk: int | None = None  # distinct only: hll_sketch_agg lgConfigK
 
     def __post_init__(self):
         _ident(self.name)
@@ -101,6 +116,13 @@ class Measure:
             raise ValueError(f"op must be one of {sorted(_OPS)}")
         if self.op != "count" and not (self.path or self.name):
             raise ValueError(f"measure {self.name}: op {self.op} needs a path")
+        if self.lgk is not None:
+            if self.op != "distinct":
+                raise ValueError(f"measure {self.name}: lgk is only valid for op 'distinct'")
+            if not (_LGK_RANGE[0] <= self.lgk <= _LGK_RANGE[1]):
+                raise ValueError(
+                    f"measure {self.name}: lgk must be in [{_LGK_RANGE[0]}, {_LGK_RANGE[1]}]"
+                )
 
     @property
     def source_path(self) -> str:
@@ -118,6 +140,7 @@ class Measure:
             "avg": [f"{n}_sum", f"{n}_cnt"],
             "min": [f"{n}_min"],
             "max": [f"{n}_max"],
+            "distinct": [f"{n}_hll"],
         }[self.op]
 
 
@@ -170,7 +193,9 @@ class CubeSpec:
                     for d in self.dimensions
                 ],
                 "measures": [
-                    {"name": m.name, "op": m.op, "path": m.path} for m in self.measures
+                    {"name": m.name, "op": m.op, "path": m.path}
+                    | ({"lgk": m.lgk} if m.lgk is not None else {})
+                    for m in self.measures
                 ],
             },
             indent=2,

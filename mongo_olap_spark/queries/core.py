@@ -389,3 +389,73 @@ def q_sort(spark, sf_dir):
         .offset(10)
         .limit(100)
     )
+
+
+# ---------------------------------------------------------------------------
+# C19 — count-distinct served from cube state (two routes)
+# ---------------------------------------------------------------------------
+
+#: HLL-sketch distinct cube: bounded per-cell state (2^lgk registers),
+#: insert-mergeable, approximate. The scale route for high-cardinality
+#: distinct at 100 TB — rollups union KB-sized sketches, never rescan.
+USERS_HLL_CUBE = CubeSpec(
+    name="events_users_hll",
+    source="events",
+    dimensions=(
+        Dimension("event_type"),
+        Dimension("day", path="ts", granularity="day"),
+    ),
+    measures=(
+        Measure("n", "count"),
+        Measure("users", "distinct", "user_id", lgk=14),
+    ),
+)
+
+#: Exact-distinct cube (two-level decomposition): the counted column is
+#: itself a dimension, so the distinct count is the number of live
+#: cells. Exact AND delete-retractable (cells evict at multiplicity 0);
+#: the trade is O(cardinality) cells instead of O(groups) sketches.
+USERS_EXACT_CUBE = CubeSpec(
+    name="events_users_exact",
+    source="events",
+    dimensions=(
+        Dimension("event_type"),
+        Dimension("user_id"),
+    ),
+    measures=(Measure("n", "count"),),
+)
+
+
+@register("q_cube_distinct")
+def q_cube_distinct(spark, sf_dir):
+    """Approximate count-distinct from HLL cube cells (rows-only: the
+    estimate is sketch-based by nature — exactness is property-tested
+    in tests/test_cube_distinct.py at sparse-mode cardinalities; same
+    oracle class as q_agg_approx)."""
+    e = load_table(spark, sf_dir, "events")
+    cells = build_cube(spark, USERS_HLL_CUBE, e)
+    return query_cube(cells, USERS_HLL_CUBE, group_by=["event_type"], measures=["n", "users"])
+
+
+@register(
+    "q_cube_distinct_exact",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_cube_distinct_exact(spark, sf_dir):
+    """Exact count-distinct from cube state: one live cell per
+    (event_type, user_id); the rollup counts cells — no distinct
+    aggregation over the source at query time."""
+    from mongo_olap_spark.cube.query import distinct_rollup
+
+    e = load_table(spark, sf_dir, "events")
+    cells = build_cube(spark, USERS_EXACT_CUBE, e)
+    return distinct_rollup(
+        cells, USERS_EXACT_CUBE, ["event_type"], "user_id",
+        alias="n_users", measures=["n"],
+    ).withColumnRenamed("n", "n_events")
