@@ -79,6 +79,59 @@ class OlapEngine:
         spec = cube_spec_from_pipeline(name, source_name, pipeline)
         return self.catalog.create(spec, source)
 
+    def advise_cubes(
+        self,
+        workload: list[tuple],
+        sources: dict[str, DataFrame],
+        *,
+        cell_budget: int | None = None,
+        sample_fraction: float | None = None,
+        apply: bool = False,
+    ):
+        """Recommend cube definitions for a pipeline workload (HRU
+        greedy view selection — plans/advisor.py).
+
+        ``workload`` entries are ``(source_name, pipeline[, weight])``
+        where each pipeline is a routable ``[$match?, $group]``
+        aggregate (the same shape ``create_cube_from_pipeline``
+        accepts) and weight is its query frequency. Returns an
+        :class:`~mongo_olap_spark.plans.advisor.Advice`; with
+        ``apply=True`` the recommended cubes are also created from
+        ``sources`` and registered in the catalog, ready to route.
+        """
+        from mongo_olap_spark.plans.advisor import WorkloadQuery, advise
+        from mongo_olap_spark.plans.pipeline_compiler import cube_spec_from_pipeline
+
+        wl = []
+        for entry in workload:
+            source_name, pipeline, *rest = entry
+            weight = rest[0] if rest else 1.0
+            shape = cube_spec_from_pipeline("__advise", source_name, pipeline)
+            wl.append(WorkloadQuery(
+                AggregateRequest(
+                    source=source_name,
+                    group_by=tuple(
+                        (d.source_path, d.granularity) if d.granularity
+                        else d.source_path
+                        for d in shape.dimensions
+                    ),
+                    measures=tuple(
+                        (m.name, m.op, m.path) if m.path else (m.name, m.op)
+                        for m in shape.measures
+                    ),
+                    filter_sql=shape.filter_sql,
+                ),
+                weight=weight,
+            ))
+        advice = advise(
+            wl, sources,
+            cell_budget=cell_budget, sample_fraction=sample_fraction,
+        )
+        if apply:
+            for spec in advice.cubes:
+                self.catalog.create(spec, sources[spec.source])
+        return advice
+
     def list_cubes(self) -> list[str]:
         return self.catalog.list_cubes()
 

@@ -117,6 +117,18 @@ class CubeRouter:
                     renames[name] = counts[0].name
                     continue
             if mine is None:
+                # measure identity is (op, source path) — the stored
+                # name is labeling. Bind to any same-semantics measure
+                # and surface it under the requested name (this is what
+                # lets advisor-merged cubes, whose measure names are
+                # canonical, serve arbitrarily-named requests).
+                same = [
+                    x for x in spec.measures
+                    if x.op == op and path is not None and x.source_path == path
+                ]
+                if same:
+                    renames[name] = same[0].name
+                    continue
                 return False, [], {}, f"measure {name} not in cube"
             if mine.op != op:
                 return False, [], {}, f"measure {name}: op {mine.op} != requested {op}"

@@ -1,0 +1,257 @@
+"""Cube advisor (plans/advisor.py): HRU-greedy view selection.
+
+The load-bearing property: every cube the advisor recommends is
+*actually routable* — registering the recommended specs and routing
+the original workload through the real CubeRouter must land every
+covered query on a cube, and the routed answer must equal direct
+aggregation of the source.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mongo_olap_spark.cube import CubeCatalog, build_cube
+from mongo_olap_spark.plans.advisor import (
+    Advice,
+    WorkloadQuery,
+    _signature,
+    _merge,
+    _sig_to_spec,
+    advise,
+    estimate_cells,
+)
+from mongo_olap_spark.plans.router import AggregateRequest, CubeRouter
+from mongo_olap_spark.sources.tables import load_table
+
+
+def _req(**kw):
+    return AggregateRequest(**{"source": "events", **kw})
+
+
+R_TYPE_DAY = _req(
+    group_by=("event_type", ("ts", "day")),
+    measures=(("n", "count"), ("total", "sum", "value")),
+)
+R_TYPE = _req(group_by=("event_type",), measures=(("n", "count"),))
+R_MONTH = _req(group_by=(("ts", "month"),), measures=(("avg_v", "avg", "value"),))
+R_USER = _req(group_by=("user_id",), measures=(("n", "count"),))
+
+
+# -- signatures -------------------------------------------------------------
+
+def test_signature_keeps_finest_granularity_and_dedupes():
+    a = _signature(R_TYPE_DAY)
+    b = _signature(R_MONTH)
+    m = _merge(a, b)
+    assert dict(m.dims)["ts"] == "day"  # day is finer than month
+    assert ("avg", "value") in m.measures and ("count", None) in m.measures
+    spec = _sig_to_spec(m, "adv")
+    assert spec.source == "events"
+    gran = {d.source_path: d.granularity for d in spec.dimensions}
+    assert gran["ts"] == "day"
+
+
+def test_signature_raw_beats_bucketed():
+    raw = _req(group_by=("ts",), measures=(("n", "count"),))
+    m = _merge(_signature(raw), _signature(R_MONTH))
+    assert dict(m.dims)["ts"] is None
+
+
+def test_signature_rejects_bare_measure_names():
+    with pytest.raises(ValueError, match="bare name"):
+        _signature(_req(group_by=(), measures=("n",)))
+
+
+def test_sig_to_spec_adds_count_for_measureless_group():
+    sig = _signature(_req(group_by=("event_type",), measures=()))
+    spec = _sig_to_spec(sig, "adv")
+    assert [m.op for m in spec.measures] == ["count"]
+
+
+# -- estimation -------------------------------------------------------------
+
+def test_estimate_cells_one_job_and_sane(spark, events):
+    sigs = [_signature(r) for r in (R_TYPE_DAY, R_TYPE)]
+    specs = [_sig_to_spec(s, f"adv_{i}") for i, s in enumerate(sigs)]
+    est = estimate_cells(events, specs)
+    actual = [build_cube(spark, s, events).count() for s in specs]
+    for e, a in zip(est, actual):
+        assert a * 0.7 <= e <= a * 1.3  # HLL rsd 5% plus slack
+
+
+def test_estimate_cells_respects_prefilter(spark, events):
+    filtered = _req(
+        group_by=("event_type",),
+        measures=(("n", "count"),),
+        filter_sql="value > 1000000",  # matches ~nothing
+    )
+    spec = _sig_to_spec(_signature(filtered), "adv_f")
+    [est] = estimate_cells(events, [spec])
+    assert est <= 2  # ~no rows pass the filter → ~no cells
+
+
+# -- the greedy + end-to-end routability ------------------------------------
+
+def test_advise_merges_same_grain_queries(spark, events):
+    """Two queries over the same dims but different measures: the
+    merged cube (union of measures, same cell count) strictly
+    dominates two single-query cubes — the greedy must pick exactly
+    one cube carrying all three accumulators."""
+    a = _req(
+        group_by=("event_type", ("ts", "day")),
+        measures=(("n", "count"), ("total", "sum", "value")),
+    )
+    b = _req(group_by=("event_type", ("ts", "day")), measures=(("avg_v", "avg", "value"),))
+    adv = advise([a, b], {"events": events})
+    assert adv.coverage == 1.0
+    assert len(adv.cubes) == 1
+    assert {m.op for m in adv.cubes[0].measures} == {"count", "sum", "avg"}
+
+
+def test_advise_prefers_per_query_minimal_state_unbudgeted(spark, events):
+    """Queries with different grains each get their own smallest cube
+    when state is free — query-scan cost is what the greedy minimizes
+    (HRU benefit), so a coarse query never pays a fine cube's scan."""
+    adv = advise([R_TYPE_DAY, R_TYPE, R_MONTH], {"events": events})
+    assert adv.coverage == 1.0
+    # every query is assigned the cheapest serving cube: the month
+    # query must land on a 1-cell month cube, not the day-grain one
+    month_cube = adv.assignment[2]
+    assert adv.est_cells[month_cube] <= 2
+
+
+def test_advise_end_to_end_routable_and_correct(spark, events, tmp_path):
+    """Register the recommendation, route the workload through the real
+    router, and check every covered answer equals direct aggregation."""
+    wl = [R_TYPE_DAY, R_TYPE, R_MONTH, R_USER]
+    adv = advise(wl, {"events": events})
+    assert adv.coverage == 1.0
+
+    catalog = CubeCatalog(spark, str(tmp_path))
+    for spec in adv.cubes:
+        catalog.create(spec, events)
+    router = CubeRouter(catalog)
+
+    for qi, req in enumerate(wl):
+        decision = router.route(req)
+        assert decision.cube is not None, f"query {qi} not routed: {decision.reason}"
+        got = router.execute(req)
+        # direct: group the source the same way
+        gb = [
+            F.col(g).alias(g) if isinstance(g, str)
+            else F.date_trunc(g[1], F.col(g[0])).alias(f"{g[0]}_{g[1]}")
+            for g in req.group_by
+        ]
+        aggs = []
+        for name, op, *rest in req.measures:
+            path = rest[0] if rest else None
+            if op == "count":
+                aggs.append(F.count(F.lit(1)).cast("long").alias(name))
+            elif op == "sum":
+                aggs.append(F.sum(path).alias(name))
+            elif op == "avg":
+                aggs.append(F.avg(path).alias(name))
+        want = events.groupBy(*gb).agg(*aggs)
+        nkeys = len(gb)
+        key = lambda r: str(tuple(r)[:nkeys])  # noqa: E731 — exact group keys
+        got_rows = sorted(got.select(*want.columns).collect(), key=key)
+        want_rows = sorted(want.collect(), key=key)
+        assert len(got_rows) == len(want_rows), f"query {qi} row count"
+        for g, w in zip(got_rows, want_rows):
+            for gv, wv in zip(g, w):
+                if isinstance(wv, float):
+                    assert float(gv) == pytest.approx(wv, rel=1e-9)
+                else:
+                    assert gv == wv, f"query {qi}: {g} != {w}"
+
+
+def test_advise_budget_is_respected(spark, events):
+    wl = [R_TYPE_DAY, R_USER]
+    unbounded = advise(wl, {"events": events})
+    assert sum(unbounded.est_cells.values()) > 10
+    tight = advise(wl, {"events": events}, cell_budget=10)
+    assert sum(tight.est_cells.values()) <= 10
+
+
+def test_advise_weights_steer_selection(spark, events):
+    """Under a budget that fits only one cube, the heavy query wins."""
+    wl = [WorkloadQuery(R_USER, weight=100.0), WorkloadQuery(R_TYPE_DAY, weight=1.0)]
+    # budget sized to the user cube only (15 users at sf0.001)
+    adv = advise(wl, {"events": events}, cell_budget=30)
+    assert adv.assignment[0] is not None
+    [spec] = adv.cubes
+    assert any(d.source_path == "user_id" for d in spec.dimensions)
+
+
+def test_advise_skips_unprofitable_cube(spark, events):
+    """A cube as big as the source (group by unique event_id) has no
+    benefit — the greedy must not pick it."""
+    r = _req(group_by=("event_id",), measures=(("n", "count"),))
+    adv = advise([r], {"events": events})
+    assert adv.cubes == [] and adv.assignment[0] is None and adv.coverage == 0.0
+
+
+def test_advise_separates_incompatible_filters(spark, events):
+    a = _req(group_by=("event_type",), measures=(("n", "count"),))
+    b = _req(group_by=("event_type",), measures=(("n", "count"),), filter_sql="value > 0")
+    adv = advise([a, b], {"events": events})
+    assert adv.coverage == 1.0
+    assert len(adv.cubes) == 2  # pre-filters differ → cannot share state
+    filters = {s.filter_sql for s in adv.cubes}
+    assert filters == {None, "value > 0"}
+
+
+# -- engine integration ------------------------------------------------------
+
+def test_engine_advise_cubes_from_pipelines(spark, events, tmp_path):
+    """Pipeline workload → advice → apply → the same pipelines now
+    route to the advised cube and answer identically to compilation
+    over the raw source."""
+    from mongo_olap_spark.engine import OlapEngine
+
+    engine = OlapEngine(spark, str(tmp_path))
+    p_day = [{"$group": {
+        "_id": {"event_type": "$event_type",
+                "day": {"$dateTrunc": {"date": "$ts", "unit": "day"}}},
+        "n": {"$sum": 1},
+        "total": {"$sum": "$value"},
+    }}]
+    p_type = [{"$group": {"_id": {"event_type": "$event_type"},
+                          "n": {"$sum": 1}}}]
+    advice = engine.advise_cubes(
+        [("events", p_day, 10.0), ("events", p_type, 5.0)],
+        {"events": events},
+        apply=True,
+    )
+    assert advice.coverage == 1.0
+    assert set(engine.list_cubes()) == {s.name for s in advice.cubes}
+
+    for pipe, exp_df in (
+        (
+            p_day,
+            events.groupBy(
+                F.col("event_type"), F.date_trunc("day", "ts").alias("day")
+            ).agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("value").alias("total"),
+            ),
+        ),
+        (
+            p_type,
+            events.groupBy("event_type").agg(F.count(F.lit(1)).cast("long").alias("n")),
+        ),
+    ):
+        exp = engine.explain(source="events", pipeline=pipe)
+        assert exp["route"]["target"] == "cube"
+        routed = engine.query_pipeline("events", pipe)  # no source_df: cube-only
+        rk = sorted(routed.select(*exp_df.columns).collect(), key=str)
+        dk = sorted(exp_df.collect(), key=str)
+        assert len(rk) == len(dk)
+        for a, b in zip(rk, dk):
+            for av, bv in zip(a, b):
+                if isinstance(bv, float):
+                    assert float(av) == pytest.approx(bv, rel=1e-9)
+                else:
+                    assert av == bv
