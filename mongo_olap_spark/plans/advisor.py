@@ -35,7 +35,9 @@ can never recommend a cube the router would then refuse to use
 
 from __future__ import annotations
 
+import math
 import re
+import warnings
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -67,6 +69,9 @@ class Advice:
     est_cells: dict[str, int]
     covered_weight: float
     total_weight: float
+    #: merged candidates dropped by ``max_candidates`` (each query's own
+    #: signature is never dropped — ADVICE r8: no silent truncation)
+    dropped_candidates: int = 0
 
     @property
     def coverage(self) -> float:
@@ -157,6 +162,37 @@ def _sig_to_spec(sig: _Sig, name: str) -> CubeSpec:
 
 # -- cell estimation --------------------------------------------------------
 
+def _extrapolate_distinct(d: int, n: int, scale: float) -> int:
+    """Distinct-count extrapolation from a sample: solve
+    ``d = D * (1 - exp(-n/D))`` for the true cardinality ``D``
+    (method-of-moments under Poissonized uniform frequencies — the
+    same first-moment model behind GEE-style estimators).
+
+    ``d`` = distinct values observed in the sample, ``n`` = sampled
+    rows, ``scale`` = 1/sample_fraction. The model is
+    saturation-aware by construction: when the sample sees every
+    value many times (d << n) the solution sits at ~d — no linear
+    inflation (ADVICE r8: linear scaling turned 5 event types at
+    fraction 0.01 into ~500) — while near-unique dims (d ≈ n)
+    extrapolate toward the linear bound d*scale.
+    """
+    if d <= 0:
+        return 1
+    lo, hi = float(d), float(d) * scale
+    if hi <= lo:
+        return int(d)
+    f = lambda D: D * (1.0 - math.exp(-n / D)) if D > 0 else 0.0
+    if f(hi) < d:  # sample is effectively all-unique: take the bound
+        return int(hi)
+    for _ in range(60):
+        mid = (lo + hi) / 2
+        if f(mid) < d:
+            lo = mid
+        else:
+            hi = mid
+    return max(int(d), int((lo + hi) / 2))
+
+
 def estimate_cells(
     source: DataFrame,
     specs: list[CubeSpec],
@@ -164,31 +200,57 @@ def estimate_cells(
     sample_fraction: float | None = None,
     rsd: float = 0.05,
 ) -> list[int]:
-    """Estimated cell count for every spec over one source, in ONE
-    aggregation job: per-spec ``approx_count_distinct(struct(dims))``
-    (HLL, map-side combined — a single scan however many specs).
+    """Estimated cell count for every spec over one source (ONE
+    aggregation job). See :func:`estimate_cells_and_rows`."""
+    return estimate_cells_and_rows(
+        source, specs, sample_fraction=sample_fraction, rsd=rsd
+    )[0]
+
+
+def estimate_cells_and_rows(
+    source: DataFrame,
+    specs: list[CubeSpec],
+    *,
+    sample_fraction: float | None = None,
+    rsd: float = 0.05,
+) -> tuple[list[int], list[int]]:
+    """Estimated (cell count, qualifying row count) for every spec over
+    one source, in ONE aggregation job: per-spec
+    ``approx_count_distinct(struct(dims))`` (HLL, map-side combined — a
+    single scan however many specs) plus a conditional row count for
+    the spec's pre-aggregation filter.
 
     Specs with a pre-aggregation filter count over the filtered rows
     via a conditional struct (NULL rows don't feed the sketch), so the
-    one job still covers mixed-filter candidates.
+    one job still covers mixed-filter candidates. With
+    ``sample_fraction`` set, distinct counts extrapolate through the
+    saturation-aware model of :func:`_extrapolate_distinct` (not a
+    linear scale) and row counts scale linearly (counts, unlike
+    distincts, extrapolate linearly without bias).
     """
     if not specs:
-        return []
+        return [], []
     df = source
     if sample_fraction is not None:
         df = df.sample(fraction=sample_fraction, seed=7)
     aggs = []
     for i, s in enumerate(specs):
         tup = F.struct(*[d.expr() for d in s.dimensions]) if s.dimensions else F.lit(1)
-        if s.filter_sql:
-            tup = F.when(F.expr(s.filter_sql), tup)
+        cond = F.expr(s.filter_sql) if s.filter_sql else None
+        if cond is not None:
+            tup = F.when(cond, tup)
         aggs.append(F.approx_count_distinct(tup, rsd).alias(f"c{i}"))
+        aggs.append(
+            (F.count(F.when(cond, 1)) if cond is not None else F.count(F.lit(1))).alias(f"n{i}")
+        )
     [row] = df.agg(*aggs).collect()
     scale = 1.0 / sample_fraction if sample_fraction else 1.0
-    # sampled distinct counts under-extrapolate for near-unique dims;
-    # the linear scale keeps *relative* candidate ordering, which is
-    # all the greedy consumes (documented trade)
-    return [max(1, int(row[f"c{i}"] * scale)) for i in range(len(specs))]
+    cells, rows = [], []
+    for i in range(len(specs)):
+        d, n = int(row[f"c{i}"]), int(row[f"n{i}"])
+        cells.append(max(1, _extrapolate_distinct(d, n, scale) if scale > 1 else d))
+        rows.append(int(n * scale))
+    return cells, rows
 
 
 # -- the greedy -------------------------------------------------------------
@@ -220,21 +282,36 @@ def advise(
         groups.setdefault((s.source, s.filter_sql), [])
         if s not in groups[(s.source, s.filter_sql)]:
             groups[(s.source, s.filter_sql)].append(s)
-    cands: list[_Sig] = []
+    # every query's own signature is always a candidate (a dropped own
+    # signature silently forfeits that query's coverage — ADVICE r8);
+    # the max_candidates cap applies to the *merged* extras only, and
+    # the number dropped is surfaced, not swallowed
+    own: list[_Sig] = []
+    merged: list[_Sig] = []
     for members in groups.values():
-        cands.extend(members)
+        own.extend(members)
         if len(members) > 1:
             for i in range(len(members)):
                 for j in range(i + 1, len(members)):
                     m = _merge(members[i], members[j])
-                    if m not in cands:
-                        cands.append(m)
+                    if m not in members and m not in merged:
+                        merged.append(m)
             top = members[0]
             for s in members[1:]:
                 top = _merge(top, s)
-            if top not in cands:
-                cands.append(top)
-    cands = cands[:max_candidates]
+            if top not in members and top not in merged:
+                merged.append(top)
+    budget = max(0, max_candidates - len(own))
+    dropped = max(0, len(merged) - budget)
+    if dropped:
+        warnings.warn(
+            f"advisor: dropping {dropped} merged candidate(s) over "
+            f"max_candidates={max_candidates}; every query keeps its own "
+            "signature, but a merged cube covering several queries may be "
+            "forfeited — raise max_candidates to consider them",
+            stacklevel=2,
+        )
+    cands = own + merged[:budget]
 
     # 2. specs + cell estimates (one estimation job per source)
     specs = [_sig_to_spec(sig, f"adv_{i}") for i, sig in enumerate(cands)]
@@ -242,15 +319,22 @@ def advise(
     by_source: dict[str, list[int]] = {}
     for i, s in enumerate(specs):
         by_source.setdefault(s.source, []).append(i)
+    # qualifying-row estimates per (source, filter) initialize the
+    # greedy's per-query scan cost: a heavily filtered query must not
+    # be costed at the full source row count (ADVICE r8) — its own
+    # signature spec carries the filter, so the same estimation job
+    # yields the filtered count with no extra scan
+    flt_rows: dict[tuple, int] = {}
     for src, idxs in by_source.items():
         if src not in sources:
             raise ValueError(f"workload references source {src!r} not in sources")
-        counts = estimate_cells(
+        counts, rows = estimate_cells_and_rows(
             sources[src], [specs[i] for i in idxs], sample_fraction=sample_fraction
         )
-        for i, c in zip(idxs, counts):
+        for i, c, n in zip(idxs, counts, rows):
             est[specs[i].name] = c
-    src_rows = {name: df.count() for name, df in sources.items()}
+            key = (specs[i].source, specs[i].filter_sql or None)
+            flt_rows[key] = max(flt_rows.get(key, 0), n)
 
     # 3. serving matrix — the REAL router predicate, so recommendations
     # are routable by construction
@@ -262,7 +346,9 @@ def advise(
     ]
 
     # 4. HRU greedy: benefit per unit state, re-evaluated each pick
-    cost = [src_rows[w.request.source] for w in wl]  # current per-query cost
+    cost = [
+        flt_rows[(w.request.source, w.request.filter_sql or None)] for w in wl
+    ]  # current per-query cost = qualifying rows of a source scan
     picked: list[int] = []
     spent = 0
     while True:
@@ -273,10 +359,15 @@ def advise(
             cells = est[spec.name]
             if cell_budget is not None and spent + cells > cell_budget:
                 continue
+            # a query benefits only when the cube is meaningfully
+            # smaller than its current cost: cell/row counts are HLL
+            # estimates (±rsd), so "savings" inside the noise floor are
+            # not actionable — without the margin a cube as big as the
+            # rows it displaces can be picked on estimator jitter
             benefit = sum(
                 w.weight * (cost[qi] - cells)
                 for qi, w in enumerate(wl)
-                if serves[ci][qi] and cost[qi] > cells
+                if serves[ci][qi] and cost[qi] > cells * 1.1
             )
             score = benefit / max(cells, 1)
             if benefit > 0 and score > best_score:
@@ -307,6 +398,7 @@ def advise(
         est_cells={s.name: est[s.name] for s in chosen},
         covered_weight=covered,
         total_weight=total_w,
+        dropped_candidates=dropped,
     )
 
 
@@ -328,5 +420,5 @@ def _default_router_check(spec: CubeSpec, req: AggregateRequest) -> bool:
         def cell_count(self, name):
             return 1
 
-    ok, _, _, _ = CubeRouter(_OneSpec())._serves(spec, req)
+    ok = CubeRouter(_OneSpec())._serves(spec, req)[0]
     return ok

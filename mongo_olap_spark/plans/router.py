@@ -62,6 +62,11 @@ class RoutingDecision:
     #: measure bound by op rather than by name (count-of-documents is
     #: name-independent; every other op still matches name+op+path)
     measure_renames: dict = field(default_factory=dict)
+    #: exact count-distinct serving (C19 two-level route): the request
+    #: carried a ``(name, "count_distinct", path)`` measure and the
+    #: cube holds the counted column as a raw dimension — recorded as
+    #: (requested output name, cube dimension name)
+    distinct: tuple | None = None
 
 
 class CubeRouter:
@@ -69,13 +74,15 @@ class CubeRouter:
         self.catalog = catalog
 
     # -- candidate test -----------------------------------------------------
-    def _serves(self, spec: CubeSpec, req: AggregateRequest) -> tuple[bool, list, dict, str]:
+    def _serves(
+        self, spec: CubeSpec, req: AggregateRequest
+    ) -> tuple[bool, list, dict, str, tuple | None]:
         if spec.source != req.source:
-            return False, [], {}, "different source"
+            return False, [], {}, "different source", None
         if (spec.filter_sql or None) != (req.filter_sql or None):
             # a cube built over a filtered subset answers only queries
             # with the identical pre-filter
-            return False, [], {}, "pre-aggregation filter differs"
+            return False, [], {}, "pre-aggregation filter differs", None
         dim_by_path = {d.source_path: d for d in spec.dimensions}
         dim_names = set(spec.dim_names)
         rewritten: list = []
@@ -84,9 +91,9 @@ class CubeRouter:
                 path, gran = g
                 d = dim_by_path.get(path)
                 if d is None or d.granularity is None:
-                    return False, [], {}, f"no time dim on {path}"
+                    return False, [], {}, f"no time dim on {path}", None
                 if _GRAN_ORDER[d.granularity] < _GRAN_ORDER[gran]:
-                    return False, [], {}, f"cube too coarse on {path} ({d.granularity} < {gran})"
+                    return False, [], {}, f"cube too coarse on {path} ({d.granularity} < {gran})", None
                 rewritten.append((d.name, gran))
             else:
                 if g in dim_names:
@@ -94,13 +101,15 @@ class CubeRouter:
                 elif g in dim_by_path:
                     rewritten.append(dim_by_path[g].name)
                 else:
-                    return False, [], {}, f"dimension {g} not in cube"
+                    return False, [], {}, f"dimension {g} not in cube", None
+        gb_names = {g if isinstance(g, str) else g[0] for g in rewritten}
         have = {m.name: m for m in spec.measures}
         renames: dict = {}
+        distinct: tuple | None = None
         for m in req.measures:
             if isinstance(m, str):
                 if m not in have:
-                    return False, [], {}, f"measure {m} not in cube"
+                    return False, [], {}, f"measure {m} not in cube", None
                 continue
             # (name, op[, path]) request: the cube's measure must match
             # op AND source path — matching by name alone would silently
@@ -108,6 +117,25 @@ class CubeRouter:
             # fallback would honor the request's (ADVICE r1)
             name, op, *rest = m
             path = rest[0] if rest else None
+            if op == "count_distinct":
+                # EXACT count-distinct (C19 two-level route): served
+                # when the counted column is a raw dimension of the
+                # cube — live cells per (group, value) ARE the distinct
+                # sets, so `distinct_rollup` answers exactly AND stays
+                # retractable. The approximate HLL route is a different
+                # op ("distinct"): an exact ask never silently degrades
+                # to a sketch estimate.
+                if path is None:
+                    return False, [], {}, f"measure {name}: count_distinct needs a path", None
+                if distinct is not None:
+                    return False, [], {}, "one count_distinct measure per request", None
+                d = dim_by_path.get(path)
+                if d is None or d.granularity is not None:
+                    return False, [], {}, f"counted column {path} not a raw dimension", None
+                if d.name in gb_names:
+                    return False, [], {}, f"counted column {path} is also grouped", None
+                distinct = (name, d.name)
+                continue
             mine = have.get(name)
             if mine is None and op == "count" and path is None:
                 # count-of-documents is name-independent: bind to any
@@ -129,30 +157,45 @@ class CubeRouter:
                 if same:
                     renames[name] = same[0].name
                     continue
-                return False, [], {}, f"measure {name} not in cube"
+                return False, [], {}, f"measure {name} not in cube", None
             if mine.op != op:
-                return False, [], {}, f"measure {name}: op {mine.op} != requested {op}"
+                return False, [], {}, f"measure {name}: op {mine.op} != requested {op}", None
             if path is not None and mine.source_path != path:
                 return False, [], {}, (
                     f"measure {name}: path {mine.source_path} != requested {path}"
-                )
+                ), None
+        # output-name collisions (ADVICE r8): two requested measures
+        # binding the same stored column, duplicate requested names, or
+        # a measure name shadowing a grouped dimension would make the
+        # served frame ambiguous — refuse and let the source fallback
+        # surface the conflict instead of silently mislabeling columns
+        out_names = [m if isinstance(m, str) else m[0] for m in req.measures]
+        if len(set(out_names)) != len(out_names):
+            return False, [], {}, "duplicate requested measure names", None
+        if set(out_names) & gb_names:
+            return False, [], {}, "measure name collides with a grouped dimension", None
+        bound = [renames.get(n, n) for n in out_names if distinct is None or n != distinct[0]]
+        if len(set(bound)) != len(bound):
+            return False, [], {}, "two requested measures bind the same stored measure", None
         if req.where is not None:
             allowed = set(dim_names)
             # conservative: every identifier in the predicate that is a
             # column must be a dimension name
             refs = _where_columns(req.where) & self._all_known_columns()
             if not refs <= allowed:
-                return False, [], {}, "where references non-dimension columns"
+                return False, [], {}, "where references non-dimension columns", None
         # a lattice cube serves only group_bys some materialized level covers
         levels = self.catalog.lattice_levels(spec.name)
         if levels is not None:
-            needed = {g if isinstance(g, str) else g[0] for g in rewritten}
+            needed = set(gb_names)
+            if distinct is not None:
+                needed.add(distinct[1])
             # where-filtered dims must also be present in the level
             if req.where is not None:
                 needed |= _where_columns(req.where) & dim_names
             if not any(needed <= set(lv) for lv in levels):
-                return False, [], {}, f"no lattice level covers {sorted(needed)}"
-        return True, rewritten, renames, "ok"
+                return False, [], {}, f"no lattice level covers {sorted(needed)}", None
+        return True, rewritten, renames, "ok", distinct
 
     def _all_known_columns(self) -> set[str]:
         cols: set[str] = set()
@@ -165,7 +208,10 @@ class CubeRouter:
         return cols
 
     # -- cost model (metadata only — routing must launch NO Spark job) ------
-    def _cost(self, spec: CubeSpec, req: AggregateRequest, rewritten: list) -> int:
+    def _cost(
+        self, spec: CubeSpec, req: AggregateRequest, rewritten: list,
+        distinct: tuple | None = None,
+    ) -> int:
         """Cells this cube would scan to answer the request, resolved
         from manifest statistics recorded at create/refresh/maintain
         time (catalog.cell_count / level_counts). The per-request
@@ -179,6 +225,8 @@ class CubeRouter:
                 from mongo_olap_spark.cube.lattice import level_mask
 
                 needed = {g if isinstance(g, str) else g[0] for g in rewritten}
+                if distinct is not None:
+                    needed.add(distinct[1])
                 if req.where is not None:
                     needed |= _where_columns(req.where) & set(spec.dim_names)
                 covering = [lv for lv in levels if needed <= set(lv)]
@@ -192,21 +240,23 @@ class CubeRouter:
 
     # -- routing ------------------------------------------------------------
     def route(self, req: AggregateRequest) -> RoutingDecision:
-        candidates: list[tuple[int, str, list, dict]] = []
+        candidates: list[tuple[int, str, list, dict, tuple | None]] = []
         for name in self.catalog.list_cubes():
             spec = self.catalog.get_spec(name)
-            ok, rewritten, renames, why = self._serves(spec, req)
+            ok, rewritten, renames, why, distinct = self._serves(spec, req)
             if ok:
                 candidates.append(
-                    (self._cost(spec, req, rewritten), name, rewritten, renames)
+                    (self._cost(spec, req, rewritten, distinct), name, rewritten,
+                     renames, distinct)
                 )
         if not candidates:
             return RoutingDecision(None, "no cube serves the request")
-        n, name, rewritten, renames = min(
+        n, name, rewritten, renames, distinct = min(
             candidates, key=lambda c: (c[0], c[1])
         )
         return RoutingDecision(
-            name, f"smallest sufficient cube ({n} cells)", rewritten, renames
+            name, f"smallest sufficient cube ({n} cells)", rewritten, renames,
+            distinct=distinct,
         )
 
     def execute(self, req: AggregateRequest, source_df: DataFrame | None = None) -> DataFrame:
@@ -226,6 +276,8 @@ class CubeRouter:
                 from mongo_olap_spark.cube.lattice import LEVEL_COL, level_mask
 
                 needed = {g if isinstance(g, str) else g[0] for g in decision.rewritten_group_by}
+                if decision.distinct is not None:
+                    needed.add(decision.distinct[1])
                 if req.where is not None:
                     needed |= _where_columns(req.where) & set(spec.dim_names)
                 covering = [lv for lv in levels if needed <= set(lv)]
@@ -248,11 +300,22 @@ class CubeRouter:
             )
             ren = decision.measure_renames
             req_names = [m if isinstance(m, str) else m[0] for m in req.measures]
-            measures = [ren.get(n2, n2) for n2 in req_names] or None
-            out = query_cube(regrouped, spec, group_by=gb_names, measures=measures)
-            for want, got in ren.items():
-                out = out.withColumnRenamed(got, want)
-            return out
+            if decision.distinct is not None:
+                from mongo_olap_spark.cube.query import distinct_rollup
+
+                alias, ddim = decision.distinct
+                other = [ren.get(n2, n2) for n2 in req_names if n2 != alias]
+                out = distinct_rollup(
+                    regrouped, spec, gb_names, ddim,
+                    alias=alias, measures=other or None,
+                )
+            else:
+                measures = [ren.get(n2, n2) for n2 in req_names] or None
+                out = query_cube(regrouped, spec, group_by=gb_names, measures=measures)
+            # single aliasing projection — a sequential rename chain
+            # can consume a column another rename still needs (ADVICE r8)
+            inv = {got: want for want, got in ren.items()}
+            return out.select(*[F.col(c).alias(inv.get(c, c)) for c in out.columns])
         if source_df is None:
             raise ValueError(f"no cube serves request and no source_df given: {decision.reason}")
         # direct fallback: build the aggregation from the request
@@ -265,13 +328,38 @@ class CubeRouter:
                       granularity=(None if isinstance(g, str) else g[1]))
             for g in req.group_by
         )
-        measures = tuple(
+        # a count_distinct measure falls back through the same exact
+        # two-level shape it would be served from: counted column as an
+        # extra dimension, distinct_rollup over the built cells
+        cd = [m for m in req.measures
+              if isinstance(m, tuple) and len(m) >= 3 and m[1] == "count_distinct"]
+        if len(cd) > 1:
+            raise ValueError("one count_distinct measure per request")
+        rest = tuple(
             Measure(*m) if isinstance(m, tuple) else Measure(m, "count")
-            for m in req.measures
+            for m in req.measures if not (isinstance(m, tuple) and m in cd)
         )
+        if cd:
+            from mongo_olap_spark.cube.query import distinct_rollup
+
+            alias, _, cd_path = cd[0][:3]
+            ddim = "__cd_" + re.sub(r"[^A-Za-z0-9_]+", "_", cd_path)
+            tmp = CubeSpec(
+                name="adhoc", source=req.source,
+                dimensions=dims + (Dimension(ddim, path=cd_path),),
+                measures=rest or (Measure("__cd_count", "count"),),
+                filter_sql=req.filter_sql,
+            )
+            cells = build_cube(None, tmp, source_df)
+            filtered = cells.filter(req.where) if req.where else cells
+            out = distinct_rollup(
+                filtered, tmp, [d.name for d in dims], ddim,
+                alias=alias, measures=[m.name for m in rest] or None,
+            )
+            return out.drop("__cd_count") if not rest else out
         tmp = CubeSpec(
             name="adhoc", source=req.source, dimensions=dims,
-            measures=measures, filter_sql=req.filter_sql,
+            measures=rest, filter_sql=req.filter_sql,
         )
         cells = build_cube(None, tmp, source_df)
         filtered = cells.filter(req.where) if req.where else cells

@@ -129,6 +129,57 @@ def q_route_cube(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# C19 routed: a countDistinct-shaped request is served from the exact
+# two-level cube (counted column as a dimension) via the ROUTER — the
+# user asks, the router finds the cube, distinct_rollup answers from
+# live cells. Correct routing is invisible: the answer must equal
+# COUNT(DISTINCT ...) over the source, which is the oracle. (r8 gap:
+# distinct_rollup existed but only as a direct API call.)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_route_distinct",
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS n_users,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_route_distinct(spark, sf_dir):
+    import os
+    import tempfile
+
+    from mongo_olap_spark.cube import CubeCatalog, CubeSpec, Dimension, Measure
+    from mongo_olap_spark.plans import AggregateRequest, CubeRouter
+
+    root = os.path.join(
+        tempfile.gettempdir(), "mongo_olap_route_cd", sf_dir.strip("/").replace("/", "_")
+    )
+    cat = CubeCatalog(spark, root)
+    e = load_table(spark, sf_dir, "events")
+    exact = CubeSpec(
+        name="events_users_exact_route",
+        source="events",
+        dimensions=(Dimension("event_type"), Dimension("user_id")),
+        measures=(Measure("n", "count"),),
+    )
+    cat.drop(exact.name)
+    cat.create(exact, e)
+    router = CubeRouter(cat)
+    req = AggregateRequest(
+        source="events",
+        group_by=("event_type",),
+        measures=(("n_users", "count_distinct", "user_id"), ("n", "count")),
+    )
+    decision = router.route(req)
+    assert decision.cube == exact.name, decision
+    out = router.execute(req)
+    return out.select("event_type", "n_users", "n")
+
+
+# ---------------------------------------------------------------------------
 # §4.1' lambda serving: the maintained cube lags the source by an
 # un-applied tail; hybrid_query answers from cells + tail partials in
 # one shuffle. Correct hybrid serving is invisible — the answer must

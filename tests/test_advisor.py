@@ -255,3 +255,71 @@ def test_engine_advise_cubes_from_pipelines(spark, events, tmp_path):
                     assert float(av) == pytest.approx(bv, rel=1e-9)
                 else:
                     assert av == bv
+
+
+# -- ADVICE r8 fixes ---------------------------------------------------------
+
+def test_extrapolate_distinct_saturation_aware():
+    """Low-cardinality (saturated) candidates must not be linearly
+    inflated: 5 distinct values seen across 1000 sampled rows at
+    fraction 0.01 is ~5 distinct, not ~500 (ADVICE r8)."""
+    from mongo_olap_spark.plans.advisor import _extrapolate_distinct
+
+    sat = _extrapolate_distinct(5, 1000, 100.0)
+    assert 5 <= sat <= 6
+    # near-unique sample: every sampled row a new value → extrapolate
+    # toward the linear bound
+    uniq = _extrapolate_distinct(1000, 1000, 100.0)
+    assert uniq >= 50_000
+    # middle ground stays monotone between the two regimes
+    mid = _extrapolate_distinct(500, 1000, 100.0)
+    assert sat < mid < uniq
+    assert _extrapolate_distinct(0, 0, 100.0) == 1
+
+
+def test_estimate_cells_sampled_does_not_inflate_saturated(spark, events):
+    """End-to-end: sampling half the events table must still estimate
+    ~5 cells for the event_type cube (5 types), not ~10."""
+    from mongo_olap_spark.plans.advisor import estimate_cells_and_rows
+
+    spec = _sig_to_spec(_signature(R_TYPE), "t")
+    cells, rows = estimate_cells_and_rows(events, [spec], sample_fraction=0.5)
+    assert cells[0] <= 8
+    n = events.count()
+    assert 0.5 * n <= rows[0] <= 1.6 * n  # linear count extrapolation
+
+
+def test_advise_truncation_warns_and_keeps_own_signatures(spark, events):
+    """max_candidates caps MERGED candidates only: every query keeps
+    its own signature (coverage never silently zero), the dropped
+    count is surfaced on Advice, and a warning fires (ADVICE r8)."""
+    dims = ["event_type", "user_id"]
+    wl = [
+        _req(group_by=(d, ("ts", g)), measures=(("n", "count"),))
+        for d in dims
+        for g in ("day", "month")
+    ]
+    with pytest.warns(UserWarning, match="dropping"):
+        adv = advise(wl, {"events": events}, max_candidates=len(wl))
+    assert adv.dropped_candidates > 0
+    # every query still has at least its own signature considered →
+    # full coverage remains possible
+    assert adv.coverage == 1.0
+    no_drop = advise(wl, {"events": events}, max_candidates=64)
+    assert no_drop.dropped_candidates == 0
+
+
+def test_advise_filtered_query_costed_at_filtered_rows(spark, events):
+    """A heavily filtered query's scan cost is its qualifying rows, so
+    a cube whose cell count exceeds them is unprofitable and must not
+    be recommended (ADVICE r8: full-source costing overstated the
+    benefit)."""
+    # ~1/5 of events are errors; group by near-unique event_id so the
+    # candidate cube has ≈ qualifying-row cells → zero benefit
+    r = _req(
+        group_by=("event_id",),
+        measures=(("n", "count"),),
+        filter_sql="event_type = 'error'",
+    )
+    adv = advise([r], {"events": events})
+    assert adv.cubes == [] and adv.assignment[0] is None

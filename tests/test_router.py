@@ -187,3 +187,168 @@ def test_measure_op_path_mismatch_rejected(catalog):
         )
     )
     assert wrong_path.cube is None
+
+
+# -- ADVICE r8: output-name collisions refuse instead of mislabeling --------
+
+def test_duplicate_measure_names_rejected(catalog):
+    router = CubeRouter(catalog)
+    d = router.route(
+        AggregateRequest(
+            source="events",
+            group_by=("event_type",),
+            measures=(("n", "count"), ("n", "count")),
+        )
+    )
+    assert d.cube is None
+
+
+def test_two_measures_binding_same_stored_column_rejected(catalog):
+    """(a, sum, value) and (b, sum, value) would both rename to the one
+    stored sum — a sequential rename chain yields duplicate/missing
+    columns, so the router must refuse (ADVICE r8)."""
+    router = CubeRouter(catalog)
+    d = router.route(
+        AggregateRequest(
+            source="events",
+            group_by=("event_type",),
+            measures=(("a", "sum", "value"), ("b", "sum", "value")),
+        )
+    )
+    assert d.cube is None
+
+
+def test_measure_name_shadowing_dimension_rejected(catalog):
+    router = CubeRouter(catalog)
+    d = router.route(
+        AggregateRequest(
+            source="events",
+            group_by=("event_type",),
+            measures=(("event_type", "sum", "value"),),
+        )
+    )
+    assert d.cube is None
+
+
+def test_single_same_semantics_rename_still_served(spark, events, catalog):
+    """One differently-named (op, path) request still binds and serves
+    under the requested name — the refusals above must not break the
+    legitimate rename."""
+    router = CubeRouter(catalog)
+    req = AggregateRequest(
+        source="events",
+        group_by=("event_type",),
+        measures=(("grand_total", "sum", "value"),),
+    )
+    d = router.route(req)
+    assert d.cube == "events_daily" and d.measure_renames == {"grand_total": "total_value"}
+    got = router.execute(req)
+    assert got.columns == ["event_type", "grand_total"]
+    direct = events.groupBy("event_type").agg(dsum("value", "grand_total"))
+    assert rows_set(got) == rows_set(direct)
+
+
+# -- C19 routed: exact count-distinct served from the two-level cube --------
+
+@pytest.fixture(scope="module")
+def cd_catalog(spark, events, tmp_path_factory):
+    cat = CubeCatalog(spark, str(tmp_path_factory.mktemp("cd_cubes")))
+    exact = CubeSpec(
+        name="users_exact",
+        source="events",
+        dimensions=(Dimension("event_type"), Dimension("user_id")),
+        measures=(Measure("n", "count"),),
+    )
+    cat.create(exact, events)
+    return cat
+
+
+def test_count_distinct_routed_to_exact_cube(spark, events, cd_catalog):
+    router = CubeRouter(cd_catalog)
+    req = AggregateRequest(
+        source="events",
+        group_by=("event_type",),
+        measures=(("n_users", "count_distinct", "user_id"), ("n", "count")),
+    )
+    d = router.route(req)
+    assert d.cube == "users_exact" and d.distinct == ("n_users", "user_id")
+    got = router.execute(req)
+    direct = events.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    assert rows_set(got.select("event_type", "n_users", "n")) == rows_set(direct)
+
+
+def test_count_distinct_refusals(cd_catalog):
+    router = CubeRouter(cd_catalog)
+    # counted column also grouped
+    d = router.route(
+        AggregateRequest(
+            source="events",
+            group_by=("event_type", "user_id"),
+            measures=(("n_users", "count_distinct", "user_id"),),
+        )
+    )
+    assert d.cube is None
+    # counted column not a dimension of the cube
+    d = router.route(
+        AggregateRequest(
+            source="events",
+            group_by=("event_type",),
+            measures=(("n_vals", "count_distinct", "value"),),
+        )
+    )
+    assert d.cube is None
+    # two count_distinct measures in one request
+    d = router.route(
+        AggregateRequest(
+            source="events",
+            group_by=(),
+            measures=(
+                ("a", "count_distinct", "user_id"),
+                ("b", "count_distinct", "event_type"),
+            ),
+        )
+    )
+    assert d.cube is None
+
+
+def test_count_distinct_exact_never_degrades_to_hll(spark, events, tmp_path):
+    """An exact count_distinct ask must NOT be served from an HLL
+    sketch cube — approximate serving of an exact request is a silent
+    correctness downgrade."""
+    cat = CubeCatalog(spark, str(tmp_path / "hll_only"))
+    hll = CubeSpec(
+        name="users_hll_only",
+        source="events",
+        dimensions=(Dimension("event_type"),),
+        measures=(Measure("users", "distinct", "user_id", lgk=14),),
+    )
+    cat.create(hll, events)
+    router = CubeRouter(cat)
+    d = router.route(
+        AggregateRequest(
+            source="events",
+            group_by=("event_type",),
+            measures=(("n_users", "count_distinct", "user_id"),),
+        )
+    )
+    assert d.cube is None
+
+
+def test_count_distinct_source_fallback(spark, events, cd_catalog):
+    """No serving cube → the fallback aggregates the source through the
+    same two-level shape and matches a direct countDistinct."""
+    router = CubeRouter(cd_catalog)
+    req = AggregateRequest(
+        source="events",
+        group_by=(("ts", "day"),),  # no cube has a day dim here
+        measures=(("n_users", "count_distinct", "user_id"),),
+    )
+    assert router.route(req).cube is None
+    got = router.execute(req, source_df=events)
+    direct = events.groupBy(F.date_trunc("day", "ts").alias("ts_day")).agg(
+        F.countDistinct("user_id").cast("long").alias("n_users")
+    )
+    assert rows_set(got) == rows_set(direct)
