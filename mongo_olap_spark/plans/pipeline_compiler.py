@@ -179,6 +179,8 @@ _COLLATION_CI_STAGES = frozenset({
     "$match", "$project", "$addFields", "$set", "$unset", "$unwind",
     "$limit", "$skip", "$count", "$sample", "$replaceRoot",
     "$replaceWith", "$documents", "$group", "$sort", "$sortByCount",
+    "$lookup",  # r9: localField/foreignField equality through the
+                # lower() image when both sides are string-typed
 })
 
 
@@ -2645,8 +2647,15 @@ def _lookup(df: DataFrame, spec: dict, collections) -> DataFrame:
         res = _lookup(df, {**spec, "as": tmp}, collections)
         return _set_nested(res, out_path, F.col(tmp)).drop(tmp)
     if "pipeline" in spec:
+        if _ci():
+            raise PipelineError(
+                "collation: the correlated/pipeline $lookup form is not "
+                "collation-rewritten (its $expr comparisons would run "
+                "binary); use the localField/foreignField form, apply "
+                "$toLower inside the pipeline explicitly, or drop the "
+                "collation")
         return _lookup_pipeline(df, spec, collections)
-    from pyspark.sql.types import ArrayType
+    from pyspark.sql.types import ArrayType, StringType
 
     foreign = _resolve(collections, spec["from"])
     local, remote, out = spec["localField"], spec["foreignField"], spec["as"]
@@ -2656,6 +2665,37 @@ def _lookup(df: DataFrame, spec: dict, collections) -> DataFrame:
     if out in df.columns:
         df = df.drop(out)  # Mongo $lookup overwrites an existing as-field
     ft = _walk_path_type(foreign.schema, remote, "$lookup foreignField")
+    lt = _walk_path_type(df.schema, local, "$lookup localField")
+
+    # CI collation (r9): when BOTH key sides are string-typed (scalar
+    # or array-of-string), equality runs through the lower() image —
+    # the same rewrite $group/$match use, inside the same join shapes
+    # (dedup happens on the LOWERED elements so a foreign doc keyed
+    # ["A", "a"] still matches a local "a" exactly once). Non-string
+    # keys on both sides compare binary (collation never affects
+    # non-string comparisons). A string/non-string mix refuses: the
+    # requested collation could not be honored on the string side.
+    def _is_strish(t) -> bool:
+        return isinstance(t, StringType) or (
+            isinstance(t, ArrayType) and isinstance(t.elementType, StringType)
+        )
+
+    ci_keys = False
+    if _ci():
+        ls, fs = _is_strish(lt), _is_strish(ft)
+        if ls != fs:
+            raise PipelineError(
+                "collation: $lookup joins a string-typed key against a "
+                "non-string key; the case-insensitive collation cannot "
+                "be honored on one side only — cast the keys to a "
+                "common string type or drop the collation")
+        ci_keys = ls and fs
+    _kx = (lambda c: F.lower(c)) if ci_keys else (lambda c: c)
+    _kxa = (
+        (lambda c: F.array_distinct(F.transform(c, F.lower)))
+        if ci_keys else (lambda c: F.array_distinct(c))
+    )
+
     if isinstance(ft, ArrayType):
         # Mongo multikey on the FOREIGN side: a foreign doc matches a
         # local key equal to ANY of its elements. One deduped explode
@@ -2663,17 +2703,16 @@ def _lookup(df: DataFrame, spec: dict, collections) -> DataFrame:
         # element), then the same per-key packing.
         keyed = foreign.select(
             F.struct(*foreign.columns).alias("__doc"),
-            F.explode_outer(F.array_distinct(F.col(remote))).alias("__key"),
+            F.explode_outer(_kxa(F.col(remote))).alias("__key"),
         )
         packed = keyed.groupBy("__key").agg(
             F.collect_list("__doc").alias(out)
         )
     else:
-        packed = foreign.groupBy(F.col(remote).alias("__key")).agg(
+        packed = foreign.groupBy(_kx(F.col(remote)).alias("__key")).agg(
             F.collect_list(F.struct(*foreign.columns)).alias(out)
         )
     arr_type = packed.schema[out].dataType
-    lt = _walk_path_type(df.schema, local, "$lookup localField")
     if isinstance(lt, ArrayType):
         # Mongo MULTIKEY form: an array-valued localField matches
         # foreign docs whose foreignField equals ANY element. Shape:
@@ -2693,7 +2732,7 @@ def _lookup(df: DataFrame, spec: dict, collections) -> DataFrame:
         arrs = df.select(F.col(local).alias("__lk_arr")).distinct()
         el = arrs.select(
             "__lk_arr",
-            F.posexplode_outer(F.array_distinct("__lk_arr")).alias(
+            F.posexplode_outer(_kxa(F.col("__lk_arr"))).alias(
                 "__lk_pos", "__lk_el"),
         )
         if isinstance(ft, ArrayType):
@@ -2710,7 +2749,7 @@ def _lookup(df: DataFrame, spec: dict, collections) -> DataFrame:
             # genuinely duplicate foreign docs Mongo keeps).
             docs = foreign.select(
                 F.struct(*foreign.columns).alias("__doc"),
-                F.array_distinct(F.col(remote)).alias("__keys"),
+                _kxa(F.col(remote)).alias("__keys"),
             ).select(
                 "__doc", "__keys",
                 F.explode_outer("__keys").alias("__key"),
@@ -2718,7 +2757,7 @@ def _lookup(df: DataFrame, spec: dict, collections) -> DataFrame:
             raw = el.join(
                 docs, el["__lk_el"].eqNullSafe(docs["__key"]), "inner")
             earlier = F.slice(
-                F.array_distinct(F.col("__lk_arr")),
+                _kxa(F.col("__lk_arr")),
                 F.lit(1), F.coalesce(F.col("__lk_pos"), F.lit(0)))
             dup = F.exists(
                 earlier,
@@ -2746,7 +2785,7 @@ def _lookup(df: DataFrame, spec: dict, collections) -> DataFrame:
         # (Mongo's $lookup equality; the correlated path already
         # honors this — the simple path was null-rejecting, r6 fix)
         joined = df.join(
-            packed, F.col(local).eqNullSafe(packed["__key"]), "left"
+            packed, _kx(F.col(local)).eqNullSafe(packed["__key"]), "left"
         ).drop("__key")
     # Mongo $lookup yields [] (not null) for match-less rows
     return joined.withColumn(

@@ -794,6 +794,77 @@ def q_collation(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# X7' (r9): CI collation through $lookup equality keys — the join runs
+# on the lower() image of BOTH key sides when both are string-typed.
+# Each case-varied local segment matches BOTH case forms in the dim
+# table (binary equality would match at most one), then flows through
+# the CI $group/$sort path. The DuckDB twin spells the lower()-image
+# join explicitly.
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_collation_lookup",
+    oracle="""
+    WITH base AS (
+        SELECT CASE WHEN c_custkey % 2 = 0 THEN lower(c_mktsegment)
+                    ELSE c_mktsegment END AS seg
+        FROM customer
+    ),
+    segs AS (SELECT DISTINCT c_mktsegment AS s FROM customer),
+    dim AS (
+        SELECT upper(s) AS fseg, CAST(length(s) AS BIGINT) AS weight FROM segs
+        UNION ALL
+        SELECT lower(s), CAST(length(s) AS BIGINT) FROM segs
+    ),
+    j AS (
+        SELECT base.seg, dim.weight
+        FROM base JOIN dim ON lower(base.seg) = lower(dim.fseg)
+    ),
+    g AS (
+        SELECT min(seg) AS _id,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(weight) AS BIGINT) AS w
+        FROM j GROUP BY lower(seg)
+    )
+    SELECT _id, n, w FROM g ORDER BY lower(_id), _id
+    """,
+)
+def q_collation_lookup(spark, sf_dir):
+    """CI $lookup → $unwind → CI $group → CI $sort, end-to-end under
+    one aggregate-command collation. Scale note: the rewrite lowers
+    each key inside the same hash-join keys — no extra shuffle; the
+    pre-aggregated foreign side still broadcasts."""
+    from mongo_olap_spark.plans.pipeline_compiler import compile_pipeline
+
+    c = load_table(spark, sf_dir, "customer")
+    base = c.select(
+        F.when(F.col("c_custkey") % 2 == 0, F.lower("c_mktsegment"))
+        .otherwise(F.col("c_mktsegment")).alias("seg"),
+    )
+    segs = c.select(F.col("c_mktsegment").alias("s")).distinct()
+    dim = segs.select(
+        F.upper("s").alias("fseg"), F.length("s").cast("long").alias("weight")
+    ).unionByName(
+        segs.select(
+            F.lower("s").alias("fseg"), F.length("s").cast("long").alias("weight")
+        )
+    )
+    return compile_pipeline(
+        base,
+        [
+            {"$lookup": {"from": "segdim", "localField": "seg",
+                         "foreignField": "fseg", "as": "m"}},
+            {"$unwind": "$m"},
+            {"$group": {"_id": "$seg", "n": {"$sum": 1},
+                        "w": {"$sum": "$m.weight"}}},
+            {"$sort": {"_id": 1}},
+        ],
+        collections={"segdim": dim},
+        collation={"locale": "en", "strength": 2},
+    )
+
+
+# ---------------------------------------------------------------------------
 # S7 — $lookup with BOTH sides array-valued (r7 doc-granularity dedup
 # branch, r8: first oracle-gated query — a regression there was
 # previously invisible to CORRECTNESS). Semantics: a foreign doc

@@ -307,8 +307,6 @@ def test_group_ci_numeric_min_allowed(names):
 # ---------------------------------------------------------------------------
 
 @pytest.mark.parametrize("stage", [
-    {"$lookup": {"from": "x", "localField": "a", "foreignField": "b",
-                 "as": "m"}},
     {"$bucket": {"groupBy": "$v", "boundaries": [0, 10]}},
     {"$setWindowFields": {"sortBy": {"v": 1}, "output": {}}},
     {"$densify": {"field": "v", "range": {"step": 1, "bounds": "full"}}},
@@ -363,3 +361,117 @@ def test_collation_scope_resets_after_pipeline(names):
         names, [{"$group": {"_id": "$name", "n": {"$sum": 1}}}]
     ).collect()
     assert len(out) == 6
+
+
+# ---------------------------------------------------------------------------
+# r9: $lookup equality keys under CI (lower()-image join)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def fruit_prices(spark):
+    return spark.createDataFrame(
+        [("APPLE", 10), ("apple", 11), ("Banana", 20), ("cherry", 30),
+         (None, 99)],
+        "fruit string, price int",
+    ).cache()
+
+
+def _lk(names, fruit_prices, collation=None, local="name"):
+    return compile_pipeline(
+        names,
+        [{"$lookup": {"from": "prices", "localField": local,
+                      "foreignField": "fruit", "as": "m"}}],
+        collections={"prices": fruit_prices},
+        collation=collation,
+    )
+
+
+def test_lookup_ci_scalar_keys(names, fruit_prices):
+    """'Apple' and 'apple' locals both match BOTH foreign docs keyed
+    APPLE/apple; binary compare would match at most one."""
+    rows = {r["v"]: sorted(x["price"] for x in r["m"])
+            for r in _lk(names, fruit_prices, collation=CI).collect()}
+    assert rows[1] == [10, 11] and rows[2] == [10, 11]   # Apple / apple
+    assert rows[3] == [20] and rows[4] == [20]           # BANANA / banana
+    assert rows[5] == [30]                               # Cherry
+    assert rows[6] == [99]                               # null matches null
+    binary = {r["v"]: sorted(x["price"] for x in r["m"])
+              for r in _lk(names, fruit_prices).collect()}
+    assert binary[1] == [] and binary[2] == [10, 11][1:]  # binary: apple only
+
+
+def test_lookup_ci_local_array_keys(spark, fruit_prices):
+    carts = spark.createDataFrame(
+        [(1, ["APPLE", "apple", "BANANA"]), (2, ["Cherry"]), (3, None)],
+        "i int, items array<string>",
+    )
+    out = compile_pipeline(
+        carts,
+        [{"$lookup": {"from": "prices", "localField": "items",
+                      "foreignField": "fruit", "as": "m"}}],
+        collections={"prices": fruit_prices},
+        collation=CI,
+    ).collect()
+    rows = {r["i"]: sorted(x["price"] for x in r["m"]) for r in out}
+    # ["APPLE","apple","BANANA"] lowers to {apple, banana}: the two
+    # apple docs once each (not twice), plus banana
+    assert rows[1] == [10, 11, 20]
+    assert rows[2] == [30]
+    assert rows[3] == [99]  # null array matches the null foreign key
+
+
+def test_lookup_ci_both_array_keys(spark):
+    """Doc-granularity match must survive the lower() image: a foreign
+    doc sharing TWO case-variant elements appears once."""
+    left = spark.createDataFrame(
+        [(1, ["Red", "BLUE"])], "i int, tags array<string>")
+    right = spark.createDataFrame(
+        [(10, ["red", "blue"]), (20, ["RED"]), (30, ["green"])],
+        "j int, labels array<string>",
+    )
+    out = compile_pipeline(
+        left,
+        [{"$lookup": {"from": "r", "localField": "tags",
+                      "foreignField": "labels", "as": "m"}}],
+        collections={"r": right},
+        collation=CI,
+    ).collect()
+    assert sorted(x["j"] for x in out[0]["m"]) == [10, 20]
+
+
+def test_lookup_ci_nonstring_keys_stay_binary(spark):
+    left = spark.createDataFrame([(1, 5)], "i int, k int")
+    right = spark.createDataFrame([(5, "x")], "k int, t string")
+    out = compile_pipeline(
+        left,
+        [{"$lookup": {"from": "r", "localField": "k",
+                      "foreignField": "k", "as": "m"}}],
+        collections={"r": right},
+        collation=CI,
+    ).collect()
+    assert len(out[0]["m"]) == 1
+
+
+def test_lookup_ci_mixed_key_types_refuse(spark, names):
+    right = spark.createDataFrame([(1, "x")], "v int, t string")
+    with pytest.raises(PipelineError, match="collation.*non-string"):
+        compile_pipeline(
+            names,
+            [{"$lookup": {"from": "r", "localField": "name",
+                          "foreignField": "v", "as": "m"}}],
+            collections={"r": right},
+            collation=CI,
+        )
+
+
+def test_lookup_ci_pipeline_form_refuses(names, fruit_prices):
+    with pytest.raises(PipelineError, match="collation.*pipeline"):
+        compile_pipeline(
+            names,
+            [{"$lookup": {
+                "from": "prices", "let": {"n": "$name"},
+                "pipeline": [{"$match": {"$expr": {"$eq": ["$fruit", "$$n"]}}}],
+                "as": "m"}}],
+            collections={"prices": fruit_prices},
+            collation=CI,
+        )

@@ -1,0 +1,259 @@
+"""C19 count-distinct soak under delete-heavy CDC (round-9 task 4).
+
+The two count-distinct routes have opposite maintenance stories:
+
+- **HLL sketch measure** (``op: "distinct"``): union-mergeable under
+  inserts, NOT retractable — a batch containing any retraction (update
+  pre-image or delete) triggers the bounded repair path
+  (``recompute_cells``: touched cells rebuilt from the current source
+  state, everything else untouched). Unit-tested, never soaked.
+- **Exact two-level cube** (counted column as a dimension): fully
+  retractable — signed count partials evict cells at multiplicity 0,
+  no rescan ever.
+
+This probe drives BOTH through the same 200-batch phase-structured CDC
+as tools/soak_probe.py (60% inserts, 20% updates = −pre/+post pairs,
+20% deletes) against the 10x events replica, and checks at every phase
+boundary plus periodic checkpoints:
+
+- **exact route**: ``distinct_rollup`` of the maintained cells is
+  HASH-EXACT against a from-scratch rebuild at the closed-form state
+  for that watermark (``state_at_batch``);
+- **HLL route**: per-group estimate within the sketch's 3σ relative
+  error envelope (lgk=14 → rsd = 1.04/√2^14 ≈ 0.81%) of the true
+  distinct count at that watermark — same envelope the pytest unit
+  property uses, now held across 200 maintained batches;
+- the usual soak invariants: per-phase batch-time slopes ~flat, final
+  maintained state equal to rebuild.
+
+Every update batch exercises the repair path too (the −pre rows are
+retractions), so the repair machinery runs on ~40% of batches — the
+delete-heavy regime the r8 verdict asked for.
+
+Usage:
+    python tools/soak_distinct.py [--batches 200] [--factor 10]
+        [--src /root/testdata/sf0.1] [--dst /tmp/scale10x]
+        [--root /tmp/soak_distinct_root] [--out SOAK_PROBE_DISTINCT.json]
+
+Prints progress lines and ONE final JSON line; exits nonzero if any
+invariant fails. Run idle per the repo's measurement protocol.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from tools.soak_probe import (  # noqa: E402
+    build_cdc,
+    phase_stats,
+    rows_digest,
+    state_at_batch,
+)
+
+LGK = 14
+RSD = 1.04 / math.sqrt(2 ** LGK)  # Datasketches HLL relative std err
+
+
+def hll_truth_check(spark, catalog, name, spec, events, n_batches, k):
+    """HLL estimates per event_type vs true distinct at watermark k.
+    Returns (worst_rel_err, n_groups, violations)."""
+    from mongo_olap_spark.cube.query import query_cube
+
+    est = {
+        r["event_type"]: int(r["users"])
+        for r in query_cube(
+            catalog.cells(name), spec, group_by=["event_type"], measures=["users"]
+        ).collect()
+    }
+    truth = {
+        r["event_type"]: int(r["t"])
+        for r in state_at_batch(events, n_batches, k)
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("t"))
+        .collect()
+    }
+    worst, violations = 0.0, []
+    for g, t in truth.items():
+        e = est.get(g)
+        if e is None:
+            violations.append(f"batch{k}: group {g!r} missing from HLL cube")
+            continue
+        rel = abs(e - t) / max(t, 1)
+        worst = max(worst, rel)
+        if rel > 3 * RSD:
+            violations.append(f"batch{k} {g}: est {e} vs true {t} rel {rel:.4f}")
+    return worst, len(truth), violations
+
+
+def exact_route_check(spark, catalog, name, spec, events, n_batches, k):
+    """distinct_rollup of maintained cells vs rebuild at watermark k."""
+    from mongo_olap_spark.cube.build import build_cube
+    from mongo_olap_spark.cube.query import distinct_rollup
+
+    cols = ["event_type", "n_users", "n"]
+
+    def rollup(cells):
+        return distinct_rollup(
+            cells, spec, ["event_type"], "user_id", alias="n_users", measures=["n"]
+        ).select(*cols)
+
+    got = rows_digest(rollup(catalog.cells(name)), cols)
+    want = rows_digest(
+        rollup(build_cube(spark, spec, state_at_batch(events, n_batches, k))), cols
+    )
+    return got == want, got, want
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batches", type=int, default=200)
+    ap.add_argument("--factor", type=int, default=10)
+    ap.add_argument("--src", default="/root/testdata/sf0.1")
+    ap.add_argument("--dst", default="/tmp/scale10x")
+    ap.add_argument("--root", default="/tmp/soak_distinct_root")
+    ap.add_argument("--check-every", type=int, default=50)
+    ap.add_argument("--out", default="SOAK_PROBE_DISTINCT.json")
+    args = ap.parse_args()
+
+    from mongo_olap_spark.cube import CubeSpec, Dimension, Measure
+    from mongo_olap_spark.cube.catalog import CubeCatalog
+    from mongo_olap_spark.session import get_spark
+    from mongo_olap_spark.streaming.pipeline import CubeMaintainer
+    from tools.scale_probe import synthesize
+
+    spark = get_spark("soak_distinct")
+    spark.sparkContext.setLogLevel("ERROR")
+    synthesize(spark, args.src, args.dst, args.factor)
+    events = spark.read.parquet(os.path.join(args.dst, "events.parquet"))
+
+    hll_spec = CubeSpec(
+        name="soak_hll",
+        source="events",
+        dimensions=(
+            Dimension("event_type"),
+            Dimension("day", path="ts", granularity="day"),
+        ),
+        measures=(
+            Measure("n", "count"),
+            Measure("users", "distinct", "user_id", lgk=LGK),
+        ),
+    )
+    exact_spec = CubeSpec(
+        name="soak_exact",
+        source="events",
+        dimensions=(Dimension("event_type"), Dimension("user_id")),
+        measures=(Measure("n", "count"),),
+    )
+
+    cdc_path = os.path.join(args.dst, f"soak_cdc_b{args.batches}")
+    if not os.path.exists(os.path.join(cdc_path, "_SUCCESS")):
+        build_cdc(events, args.batches).repartition("b").write.mode(
+            "overwrite").partitionBy("b").parquet(cdc_path)
+    cdc = spark.read.parquet(cdc_path)
+
+    shutil.rmtree(args.root, ignore_errors=True)
+    catalog = CubeCatalog(spark, args.root)
+    catalog.create(hll_spec, events.limit(0))
+    catalog.create(exact_spec, events.limit(0))
+
+    m_hll = CubeMaintainer(catalog, hll_spec)
+    m_exact = CubeMaintainer(catalog, exact_spec)
+
+    ib = int(args.batches * 0.6)
+    ub = int(args.batches * 0.2)
+    boundaries = {ib - 1: "insert", ib + ub - 1: "update", args.batches - 1: "delete"}
+
+    times_hll: list[float] = []
+    times_exact: list[float] = []
+    checks = []
+    violations: list[str] = []
+    repair_batches = 0
+
+    t_run0 = time.perf_counter()
+    for k in range(args.batches):
+        batch = cdc.filter(F.col("b") == k).drop("b")
+        # the HLL cube's repair source must be the post-batch net state
+        m_hll.source_for_repair = state_at_batch(events, args.batches, k)
+        t0 = time.perf_counter()
+        m_hll.apply_batch(batch, k)
+        times_hll.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        m_exact.apply_batch(batch, k)
+        times_exact.append(time.perf_counter() - t0)
+        if k >= ib:
+            repair_batches += 1  # update/delete batches carry retractions
+
+        if k in boundaries or (k + 1) % args.check_every == 0:
+            label = boundaries.get(k, f"periodic@{k}")
+            worst, n_groups, viol = hll_truth_check(
+                spark, catalog, hll_spec.name, hll_spec, events, args.batches, k)
+            ok_exact, got, want = exact_route_check(
+                spark, catalog, exact_spec.name, exact_spec, events, args.batches, k)
+            violations.extend(viol)
+            if not ok_exact:
+                violations.append(f"batch{k}: exact rollup {got} != rebuild {want}")
+            checks.append({
+                "batch": k,
+                "phase": label,
+                "hll_worst_rel_err": round(worst, 5),
+                "hll_groups": n_groups,
+                "exact_match": ok_exact,
+            })
+            print(
+                f"# check batch {k} ({label}): hll worst rel err {worst:.4f} "
+                f"(3σ={3 * RSD:.4f}), exact_match={ok_exact}",
+                file=sys.stderr,
+            )
+        if (k + 1) % 20 == 0:
+            print(
+                f"# batch {k + 1}/{args.batches}: hll_mean_last20="
+                f"{sum(times_hll[-20:]) / 20:.2f}s exact_mean_last20="
+                f"{sum(times_exact[-20:]) / 20:.2f}s",
+                file=sys.stderr,
+            )
+    wall = time.perf_counter() - t_run0
+
+    phases_hll = phase_stats(times_hll, args.batches)
+    phases_exact = phase_stats(times_exact, args.batches)
+    ok_phases = all(
+        p["slope_ok"] for p in list(phases_hll.values()) + list(phases_exact.values())
+    )
+    ok_checks = not violations and all(c["exact_match"] for c in checks)
+
+    result = {
+        "metric": "soak_distinct",
+        "batches": args.batches,
+        "factor": args.factor,
+        "lgk": LGK,
+        "envelope_3sigma": round(3 * RSD, 5),
+        "wall_s": round(wall, 1),
+        "hll_batch_mean_s": round(sum(times_hll) / len(times_hll), 3),
+        "exact_batch_mean_s": round(sum(times_exact) / len(times_exact), 3),
+        "retraction_batches": repair_batches,
+        "phase_stats_hll": phases_hll,
+        "phase_stats_exact": phases_exact,
+        "checks": checks,
+        "violations": violations[:10],
+        "ok": ok_phases and ok_checks,
+    }
+    print(json.dumps(result))
+    with open(args.out, "w") as f:
+        json.dump(result, f, indent=1)
+    if not result["ok"]:
+        print(f"# FAIL: phases={ok_phases} checks={ok_checks}", file=sys.stderr)
+        return 1
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

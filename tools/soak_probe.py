@@ -83,23 +83,12 @@ def hotify(events, hot_frac: float = 0.9):
     )
 
 
-def build_cdc(events, n_batches: int, spread_inserts: bool = False):
-    """Deterministic mixed CDC with a batch_no column.
-
-    Inserts land in the first 60% of batches, correlated with the
-    document's own ts (data arrives roughly in time order, so insert
-    batches touch FEW partitions — the partition-scoped commit's
-    design case). Updates (value doubled) land in the next 20%,
-    deletes in the last 20% — both spread randomly, touching many
-    partitions (the stress case). Per-document ordering
-    insert < update < delete holds by construction.
-
-    ``spread_inserts`` assigns insert batches by id-hash instead of ts
-    — required in hot-cell mode, where 90% of docs share one ts and
-    ts-correlated assignment would dump them all into ~5 batches.
-    """
-    from mongo_olap_spark.streaming.cdc import DOC_COLS
-
+def batch_exprs(events, n_batches: int, spread_inserts: bool = False):
+    """The deterministic batch-assignment expressions shared by
+    :func:`build_cdc` (which emits the CDC rows) and
+    :func:`state_at_batch` (which reconstructs the closed-form net
+    document state as of any batch watermark — the per-batch repair
+    source and oracle for the distinct soak)."""
     ib = int(n_batches * 0.6)
     ub_lo, ub_n = ib, int(n_batches * 0.2)
     db_lo, db_n = ib + ub_n, n_batches - ib - ub_n
@@ -120,6 +109,42 @@ def build_cdc(events, n_batches: int, spread_inserts: bool = False):
     deleted = F.col("event_id") % DELETED_MOD == 4
     b_upd = F.lit(ub_lo) + F.pmod(F.xxhash64("event_id", F.lit(1)), F.lit(ub_n)).cast("int")
     b_del = F.lit(db_lo) + F.pmod(F.xxhash64("event_id", F.lit(2)), F.lit(db_n)).cast("int")
+    return b_ins, b_upd, b_del, updated, deleted
+
+
+def state_at_batch(events, n_batches: int, k: int, spread_inserts: bool = False):
+    """Net document state after batches 0..k: inserted docs whose
+    insert batch has arrived, minus deletes already delivered, with
+    values doubled once their update batch has passed."""
+    b_ins, b_upd, b_del, updated, deleted = batch_exprs(
+        events, n_batches, spread_inserts)
+    live = (b_ins <= k) & ~(deleted & (b_del <= k))
+    return events.filter(live).withColumn(
+        "value",
+        F.when(updated & (b_upd <= F.lit(k)), F.col("value") * 2)
+        .otherwise(F.col("value")),
+    )
+
+
+def build_cdc(events, n_batches: int, spread_inserts: bool = False):
+    """Deterministic mixed CDC with a batch_no column.
+
+    Inserts land in the first 60% of batches, correlated with the
+    document's own ts (data arrives roughly in time order, so insert
+    batches touch FEW partitions — the partition-scoped commit's
+    design case). Updates (value doubled) land in the next 20%,
+    deletes in the last 20% — both spread randomly, touching many
+    partitions (the stress case). Per-document ordering
+    insert < update < delete holds by construction.
+
+    ``spread_inserts`` assigns insert batches by id-hash instead of ts
+    — required in hot-cell mode, where 90% of docs share one ts and
+    ts-correlated assignment would dump them all into ~5 batches.
+    """
+    from mongo_olap_spark.streaming.cdc import DOC_COLS
+
+    b_ins, b_upd, b_del, updated, deleted = batch_exprs(
+        events, n_batches, spread_inserts)
     post_value = F.col("value") * 2
 
     doc = [F.col(c) for c in DOC_COLS]
@@ -217,9 +242,10 @@ def phase_stats(times: list[float], n_batches: int) -> dict:
     PHASE cost differences with genuine monotonic drift. Stratifying
     separates them: within one phase the workload is homogeneous, so a
     healthy engine shows slope ≈ 0 there; cross-phase mean steps are
-    workload, not leaks. ``slope_ok`` = |slope| × phase_length ≤ 50%
-    of the phase mean (total drift across the phase under half a
-    batch's cost)."""
+    workload, not leaks. ``slope_ok`` = slope × phase_length ≤ 50% of
+    the phase mean (total SLOWDOWN across the phase under half a
+    batch's cost; a negative slope — batches getting faster, e.g. JVM
+    warmup early in a short run — is never a leak and never fails)."""
     ib = int(n_batches * 0.6)
     ub = int(n_batches * 0.2)
     spans = {
@@ -243,7 +269,7 @@ def phase_stats(times: list[float], n_batches: int) -> dict:
             "mean_s": round(ybar, 3),
             "slope_s_per_batch": round(slope, 6),
             "drift_over_phase_s": round(slope * n, 3),
-            "slope_ok": abs(slope * n) <= 0.5 * ybar,
+            "slope_ok": slope * n <= 0.5 * ybar,
         }
     return out
 
