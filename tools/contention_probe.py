@@ -194,6 +194,11 @@ def main() -> int:
     ap.add_argument("--root", default="/tmp/contention_root")
     ap.add_argument("--cdc", default="/tmp/contention_cdc")
     ap.add_argument("--retry-budget", type=int, default=50)
+    ap.add_argument("--crashes", type=int, default=0,
+                    help="kill -9 a random live writer this many times "
+                         "mid-run; each is relaunched and must recover "
+                         "via the per-stream watermark (replay no-ops) "
+                         "and the manifest CAS (no torn commit visible)")
     ap.add_argument("--out", default="CONTENTION_PROBE.json")
     ap.add_argument("--worker", type=int, default=None, help=argparse.SUPPRESS)
     ap.add_argument("--worker-out", default=None, help=argparse.SUPPRESS)
@@ -266,11 +271,9 @@ def main() -> int:
         SPARK_GRAFT_DRIVER_MEM="6g",
     )
     t0 = time.perf_counter()
-    procs, wouts = [], []
-    for w in range(args.writers):
-        wout = os.path.join("/tmp", f"contention_w{w}.json")
-        wouts.append(wout)
-        procs.append(subprocess.Popen(
+
+    def launch(w: int, wout: str) -> subprocess.Popen:
+        return subprocess.Popen(
             [sys.executable, os.path.abspath(__file__),
              "--worker", str(w), "--worker-out", wout,
              "--writers", str(args.writers),
@@ -278,7 +281,45 @@ def main() -> int:
              "--root", args.root, "--cdc", args.cdc,
              "--retry-budget", str(args.retry_budget)],
             env=env, stdout=subprocess.DEVNULL, stderr=subprocess.STDOUT,
-        ))
+        )
+
+    procs, wouts = [], []
+    for w in range(args.writers):
+        wout = os.path.join("/tmp", f"contention_w{w}.json")
+        wouts.append(wout)
+        if os.path.exists(wout):
+            os.remove(wout)
+        procs.append(launch(w, wout))
+
+    # chaos supervision (r9, r8-verdict task 8): SIGKILL a random LIVE
+    # writer mid-run — with ~1 s batches a random kill usually lands
+    # inside apply_batch (merge/write/commit), sometimes inside the CAS
+    # window itself — then relaunch it. The fresh JVM re-reads from
+    # batch 0; the per-stream watermark no-ops everything already
+    # committed and the run continues. Any torn commit, stale pointer
+    # cache, or lost-update would surface in the reader thread or the
+    # final serial-replay hash below.
+    crash_rng = random.Random(99)
+    crash_events: list[dict] = []
+    crashes_left = args.crashes
+    while True:
+        live = [i for i, p in enumerate(procs) if p.poll() is None]
+        if not live:
+            break
+        if crashes_left > 0:
+            time.sleep(crash_rng.uniform(4.0, 10.0))
+            live = [i for i, p in enumerate(procs) if p.poll() is None]
+            if not live:
+                break
+            w = crash_rng.choice(live)
+            procs[w].kill()
+            procs[w].wait()
+            crash_events.append(
+                {"worker": w, "at_s": round(time.perf_counter() - t0, 1)})
+            crashes_left -= 1
+            procs[w] = launch(w, wouts[w])
+        else:
+            time.sleep(1.0)
     rcs = [p.wait() for p in procs]
     wall = time.perf_counter() - t0
     vac_stop.set()
@@ -320,6 +361,7 @@ def main() -> int:
         "writers": args.writers,
         "batches_per_writer": args.batches,
         "wall_s": round(wall, 1),
+        "crashes": crash_events,
         "worker_rcs": rcs,
         "workers": workers,
         "conflict_retries_total": sum(
