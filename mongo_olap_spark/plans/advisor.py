@@ -262,11 +262,23 @@ def advise(
     cell_budget: int | None = None,
     sample_fraction: float | None = None,
     max_candidates: int = 64,
+    maintenance_weight: float = 0.0,
     router_check=None,
 ) -> Advice:
     """Recommend cubes for a workload under an optional total-cell
     budget. ``sources`` maps request source names to DataFrames (used
     for cardinality estimation only — nothing is materialized here).
+
+    ``maintenance_weight`` charges each candidate an IVM upkeep cost
+    proportional to its state (signed-merge maintenance re-reads and
+    rewrites touched partitions, so bigger cubes cost more per CDC
+    batch): a cube is only picked while
+    ``query_benefit − maintenance_weight × cells > 0``. Express it in
+    the same unit as query weights — roughly "how many weighted
+    queries' worth of scanning one maintenance pass over this cube's
+    cells costs per unit cell". 0 (default) reproduces plain HRU'96;
+    a cube whose upkeep outcosts its query savings is never
+    recommended at any positive setting that reflects the CDC rate.
 
     ``router_check(spec, request) -> bool`` overrides the serving test
     (default: the real CubeRouter predicate via a throwaway catalog-less
@@ -369,6 +381,10 @@ def advise(
                 for qi, w in enumerate(wl)
                 if serves[ci][qi] and cost[qi] > cells * 1.1
             )
+            # net of maintenance: upkeep scales with state size (the
+            # signed merge rewrites touched partitions), so a cube
+            # whose IVM cost outweighs its query savings is skipped
+            benefit -= maintenance_weight * cells
             score = benefit / max(cells, 1)
             if benefit > 0 and score > best_score:
                 best, best_score, best_benefit = ci, score, benefit

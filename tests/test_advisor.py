@@ -323,3 +323,23 @@ def test_advise_filtered_query_costed_at_filtered_rows(spark, events):
     )
     adv = advise([r], {"events": events})
     assert adv.cubes == [] and adv.assignment[0] is None
+
+
+def test_advise_maintenance_weight_prunes_marginal_cubes(spark, events):
+    """With upkeep charged per unit state, a low-benefit candidate is
+    dropped while a high-benefit one survives; at an extreme rate
+    nothing is worth materializing; at 0 behavior is plain HRU."""
+    # high benefit: event_type (5 cells serving 1000-row scans);
+    # marginal: (user_id, day) (~450 cells at sf0.001 — saves ~2x its
+    # state in scan rows, so a modest upkeep rate kills only it)
+    hi = _req(group_by=("event_type",), measures=(("n", "count"),))
+    lo = _req(group_by=("user_id", ("ts", "day")), measures=(("n", "count"),))
+    plain = advise([hi, lo], {"events": events})
+    assert plain.assignment[0] is not None and plain.assignment[1] is not None
+
+    moderate = advise([hi, lo], {"events": events}, maintenance_weight=2.0)
+    assert moderate.assignment[0] is not None  # 5-cell cube still wins
+    assert moderate.assignment[1] is None      # upkeep outcosts savings
+
+    extreme = advise([hi, lo], {"events": events}, maintenance_weight=1e6)
+    assert extreme.cubes == []
