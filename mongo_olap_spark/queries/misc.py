@@ -148,11 +148,18 @@ def q_sessionize(spark, sf_dir):
     # order so results stay hash-exact
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     wrun = w.rowsBetween(W.unboundedPreceding, 0)
+    # unix_micros, NOT cast("long"): the long cast truncates sub-second
+    # precision, so a gap in (1800.0, 1801.0) s reads as exactly 1800
+    # and wrongly stays in-session while the oracle's full-precision
+    # INTERVAL comparison opens a new one (10-session miss at sf1 —
+    # round-9 finding; sf0.01/sf0.1 passed only because no gap landed
+    # in the fractional boundary zone)
+    prev = F.lag(F.col("ts")).over(w)
     marked = e.withColumn(
         "new_session",
         F.when(
-            (F.col("ts").cast("long") - F.lag(F.col("ts")).over(w).cast("long") > 1800)
-            | F.lag("ts").over(w).isNull(),
+            (F.unix_micros(F.col("ts")) - F.unix_micros(prev) > 1800 * 1_000_000)
+            | prev.isNull(),
             1,
         ).otherwise(0),
     )

@@ -269,3 +269,43 @@ def test_stream_dedup_keeps_distinct_changes_to_same_doc(spark, events, tmp_path
     assert got.count() == 100
     per_doc = got.groupBy("event_id").count().select("count").distinct().collect()
     assert [r["count"] for r in per_doc] == [2]
+
+
+def test_batch_sessionize_subsecond_gap_boundary(spark, tmp_path):
+    """A gap of 1800.5 s must OPEN a new session (full-precision
+    comparison), and a gap of exactly 1800.0 s must NOT. Pins the
+    round-9 sf1 finding: casting timestamps to long truncated the
+    fractional second, so gaps in (1800, 1801) s wrongly stayed
+    in-session while the full-precision oracle split them."""
+    import pandas as pd
+
+    from mongo_olap_spark.queries import QUERIES
+
+    t0 = pd.Timestamp("2024-01-01 00:00:00.000000")
+    rows = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3, 4],
+            "user_id": [1, 1, 2, 2],
+            "event_type": ["a"] * 4,
+            "value": [1.0] * 4,
+            # user 1: gap 1800.5 s -> two sessions
+            # user 2: gap exactly 1800.0 s -> one session
+            "ts": [
+                t0,
+                t0 + pd.Timedelta(seconds=1800.5),
+                t0,
+                t0 + pd.Timedelta(seconds=1800.0),
+            ],
+        }
+    )
+    path = str(tmp_path / "events.parquet")
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(pa.Table.from_pandas(rows), path)
+    out = QUERIES["q_sessionize"](spark, str(tmp_path)).collect()
+    per_user = {}
+    for r in out:
+        per_user.setdefault(r.user_id, set()).add(r.session_id)
+    assert len(per_user[1]) == 2, out
+    assert len(per_user[2]) == 1, out
