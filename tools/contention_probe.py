@@ -273,6 +273,9 @@ def main() -> int:
     t0 = time.perf_counter()
 
     def launch(w: int, wout: str) -> subprocess.Popen:
+        # append-mode log per writer (relaunches append): a worker that
+        # dies rc!=0 must leave a diagnosable traceback, not DEVNULL
+        logf = open(os.path.join("/tmp", f"contention_w{w}.log"), "ab")
         return subprocess.Popen(
             [sys.executable, os.path.abspath(__file__),
              "--worker", str(w), "--worker-out", wout,
@@ -280,7 +283,7 @@ def main() -> int:
              "--batches", str(args.batches),
              "--root", args.root, "--cdc", args.cdc,
              "--retry-budget", str(args.retry_budget)],
-            env=env, stdout=subprocess.DEVNULL, stderr=subprocess.STDOUT,
+            env=env, stdout=logf, stderr=subprocess.STDOUT,
         )
 
     procs, wouts = [], []
