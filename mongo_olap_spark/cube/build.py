@@ -58,6 +58,11 @@ def _measure_aggs(m: Measure, mult: str | None = None) -> list:
             return [F.max(F.when(sign > 0, src)).alias(f"{n}_max")]
         if m.op == "distinct":
             return [_hll_agg(F.when(sign > 0, src), m).alias(f"{n}_hll")]
+        if m.op == "quantile":
+            # signed bin counts: insert adds, delete retracts — the
+            # histogram sketch IS retraction-maintainable (integer
+            # vector addition), unlike min/max/HLL
+            return [_hist_agg(src, m, weight=sign).alias(f"{n}_hist")]
         raise AssertionError(m.op)
     if m.op == "count":
         return [F.count(F.lit(1)).alias(f"{n}_cnt")]
@@ -74,7 +79,43 @@ def _measure_aggs(m: Measure, mult: str | None = None) -> list:
         return [F.max(src).alias(f"{n}_max")]
     if m.op == "distinct":
         return [_hll_agg(src, m).alias(f"{n}_hll")]
+    if m.op == "quantile":
+        return [_hist_agg(src, m).alias(f"{n}_hist")]
     raise AssertionError(m.op)
+
+
+def hist_bin_expr(src, m: Measure):
+    """1-based storage index of ``src``'s histogram bin: 0 = underflow
+    (< lo), 1..nbins = [lo, hi) in fixed linear bins, nbins + 1 =
+    overflow (≥ hi). NULL for NULL input (contributes to no bin)."""
+    lo, hi, nb = float(m.lo), float(m.hi), int(m.nbins)
+    w = (hi - lo) / nb
+    raw = (F.floor((src.cast("double") - F.lit(lo)) / F.lit(w)) + 1).cast("int")
+    return F.when(src.isNull(), F.lit(None).cast("int")).otherwise(
+        F.least(F.lit(nb + 1), F.greatest(F.lit(0), raw))
+    )
+
+
+def _hist_agg(src, m: Measure, weight=None):
+    """Mergeable fixed-bin histogram partial as ONE agg expression:
+    an array of nbins + 2 per-bin signed sums. Each element is a plain
+    ``sum(when(bin == i, w))`` — JVM-side, whole-stage-codegen'd,
+    map-side combined; the array wrapper is a post-aggregation
+    projection Catalyst splits out automatically. No collect_list, no
+    UDF: per-cell state is a fixed ~8·(nbins+2)-byte vector regardless
+    of source size."""
+    nb = int(m.nbins)
+    idx = hist_bin_expr(src, m)
+    w = F.lit(1).cast("long") if weight is None else weight
+    return F.array(
+        *[
+            F.coalesce(
+                F.sum(F.when(idx == i, w).otherwise(F.lit(0))).cast("long"),
+                F.lit(0).cast("long"),
+            )
+            for i in range(nb + 2)
+        ]
+    )
 
 
 def _hll_agg(col, m: Measure):

@@ -95,6 +95,18 @@ def merge_cells(
                 out.append(F.least(cc, dc).alias(col))  # least/greatest skip nulls
             elif col.endswith("_max"):
                 out.append(F.greatest(cc, dc).alias(col))
+            elif col.endswith("_hist"):
+                # signed element-wise addition — exact retraction: a
+                # delete's −1 bins cancel the insert's +1 bins, so
+                # incremental apply is bit-identical to rebuild in any
+                # batch order (integer vector addition is associative
+                # and commutative)
+                out.append(
+                    F.when(cc.isNull(), dc)
+                    .when(dc.isNull(), cc)
+                    .otherwise(F.zip_with(cc, dc, lambda x, y: x + y))
+                    .alias(col)
+                )
             elif col.endswith("_hll"):
                 # hll_union propagates NULL if either side is NULL
                 # (verified), so coalesce the one-sided cases by hand.

@@ -107,6 +107,12 @@ def finalize_exprs(spec: CubeSpec, measures: list[str] | None = None):
             out.append(F.col(f"{n}_max").alias(n))
         elif m.op == "distinct":
             out.append(F.hll_sketch_estimate(F.col(f"{n}_hll")).alias(n))
+        elif m.op == "quantile":
+            from mongo_olap_spark.cube.query import hist_quantile_expr
+
+            out.append(
+                hist_quantile_expr(F.col(f"{n}_hist"), m.default_q, m).alias(n)
+            )
     return out
 
 

@@ -23,7 +23,69 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from mongo_olap_spark.cube.spec import CubeSpec
+from mongo_olap_spark.cube.spec import CubeSpec, Measure
+
+
+def hist_sum_expr(col: str, nbins: int) -> Column:
+    """Roll histogram cells up to a group: element-wise sum of the
+    bin vectors, expressed as nbins + 2 plain ``sum(element_at(...))``
+    aggregates wrapped back into an array — JVM-side, map-side
+    combined, O(groups · nbins) state, never a source rescan."""
+    return F.array(
+        *[
+            F.coalesce(
+                F.sum(F.element_at(F.col(col), i + 1)).cast("long"),
+                F.lit(0).cast("long"),
+            )
+            for i in range(nbins + 2)
+        ]
+    )
+
+
+def hist_quantile_expr(hist: Column, q: float, m: Measure) -> Column:
+    """Quantile estimate from a (rolled-up) histogram vector.
+
+    Deterministic inverse-CDF with linear interpolation inside the
+    target bin: find the first bin whose cumulative count reaches
+    ``q · total`` (skipping empty bins), interpolate by the overshoot
+    fraction. Underflow/overflow mass clamps to lo/hi — the sketch
+    cannot resolve inside unbounded tails. NULL when the histogram is
+    empty. Pure expression tree (aggregate/transform HOFs over a
+    ~nbins-long array) — no UDF, O(nbins²) scalar ops per output row.
+    """
+    lo, hi, nb = float(m.lo), float(m.hi), int(m.nbins)
+    if not (0.0 < q <= 1.0):
+        raise ValueError(f"quantile q must be in (0, 1], got {q}")
+    w = (hi - lo) / nb
+    zero = F.lit(0).cast("long")
+    total = F.aggregate(hist, zero, lambda a, x: a + x)
+    target = F.lit(float(q)) * total.cast("double")
+    # cums[i+1] = count of the first i bins (leading 0 ⇒ 1-based prev)
+    cums = F.aggregate(
+        hist,
+        F.array(zero),
+        lambda acc, x: F.concat(acc, F.array(F.element_at(acc, -1) + x)),
+    )
+    # first 1-based bin index whose cumulative reaches the target rank
+    # and that actually holds mass (empty bins cannot contain the
+    # quantile; minimality ⇒ prev cumulative < target, so frac ∈ (0, 1])
+    flags = F.transform(
+        F.sequence(F.lit(1), F.lit(nb + 2)),
+        lambda i: (F.element_at(cums, (i + 1).cast("int")).cast("double") >= target)
+        & (F.element_at(hist, i.cast("int")) > 0),
+    )
+    i = F.array_position(flags, F.lit(True))
+    prev = F.element_at(cums, i.cast("int")).cast("double")
+    cnt = F.element_at(hist, i.cast("int")).cast("double")
+    left = F.lit(lo) + (i.cast("double") - 2.0) * F.lit(w)
+    frac = F.greatest(F.lit(0.0), F.least(F.lit(1.0), (target - prev) / cnt))
+    return (
+        F.when(total <= 0, F.lit(None).cast("double"))
+        .when(i == 0, F.lit(None).cast("double"))
+        .when(i == 1, F.lit(lo))  # underflow mass → range edge
+        .when(i == nb + 2, F.lit(hi))  # overflow mass → range edge
+        .otherwise(left + F.lit(w) * frac)
+    )
 
 
 def measure_rollup_exprs(
@@ -53,6 +115,14 @@ def measure_rollup_exprs(
             # union the cell sketches, estimate once per rollup group —
             # O(groups) KB-sized register merges, never a source rescan
             out.append(F.hll_sketch_estimate(F.hll_union_agg(f"{n}_hll")).alias(n))
+        elif m.op == "quantile":
+            # element-wise-sum the cell bin vectors, estimate once per
+            # rollup group at the measure's declared quantile
+            out.append(
+                hist_quantile_expr(
+                    hist_sum_expr(f"{n}_hist", int(m.nbins)), m.default_q, m
+                ).alias(n)
+            )
     return out
 
 
@@ -132,6 +202,70 @@ def distinct_rollup(
     # other measures roll up in the SAME aggregate — one shuffle total
     extra = measure_rollup_exprs(spec, measures) if measures else []
     return df.groupBy(*group_by).agg(agg, *extra)
+
+
+def quantile_rollup(
+    cells: DataFrame,
+    spec: CubeSpec,
+    group_by: list[str],
+    value_dim: str,
+    q: float,
+    *,
+    alias: str | None = None,
+    where: Column | str | None = None,
+) -> DataFrame:
+    """EXACT quantile served from cube state — the two-level
+    decomposition (the quantile twin of :func:`distinct_rollup`): a
+    cube whose dimensions include the measured column holds one live
+    cell per (group, value) with a count partial; the discrete
+    (type-1, inverse empirical CDF) quantile is the smallest value
+    whose cumulative multiplicity reaches ``ceil(q · total)``.
+
+    Exact AND fully retractable (count partials evict cells at
+    multiplicity 0). The trade vs the histogram ``quantile`` measure is
+    state size — O(Σ per-group cardinality) cells instead of a fixed
+    bin vector; choose by cardinality, same decision as exact-vs-HLL
+    distinct (USAGE.md). NULL values never participate, matching SQL
+    percentile semantics.
+
+    Scale: one window pass over O(|cells|) (already one row per
+    (group, value) — no source rescan, no Expand) plus one final agg
+    shuffling O(|groups|).
+    """
+    from pyspark.sql import Window
+
+    from mongo_olap_spark.cube.ivm import row_count_col
+
+    if not (0.0 < q <= 1.0):
+        raise ValueError(f"quantile q must be in (0, 1], got {q}")
+    dims = spec.dim_names
+    if value_dim not in dims:
+        raise ValueError(f"value_dim {value_dim!r} not a cube dimension")
+    unknown = set(group_by) - set(dims)
+    if unknown:
+        raise ValueError(f"group_by not in cube dims: {sorted(unknown)}")
+    if value_dim in group_by:
+        raise ValueError(f"value_dim {value_dim!r} cannot also be grouped")
+    if set(group_by) | {value_dim} != set(dims):
+        raise ValueError(
+            "exact quantile needs cells keyed exactly by group_by + value_dim "
+            f"(extra dims would double-count multiplicities): cube has {dims}"
+        )
+    df = cells
+    if where is not None:
+        df = df.filter(where)
+    cnt = row_count_col(spec)
+    df = df.filter(F.col(value_dim).isNotNull())
+    wcum = Window.partitionBy(*group_by).orderBy(value_dim)
+    wtot = Window.partitionBy(*group_by)
+    out = alias or f"{value_dim}_q{str(q).replace('.', '_')}"
+    return (
+        df.withColumn("__cum", F.sum(cnt).over(wcum))
+        .withColumn("__tot", F.sum(cnt).over(wtot))
+        .filter(F.col("__cum") >= F.ceil(F.lit(float(q)) * F.col("__tot")))
+        .groupBy(*group_by)
+        .agg(F.min(value_dim).alias(out))
+    )
 
 
 def hybrid_query(

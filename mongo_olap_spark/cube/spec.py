@@ -48,6 +48,10 @@ _OPS = {
     "min": False,
     "max": False,
     "distinct": False,  # HLL sketch — union-mergeable, not retractable
+    # fixed-bin histogram sketch: signed integer bins merge element-wise,
+    # so unlike min/max/distinct this sketch IS retractable — quantile
+    # estimates survive CDC deletes with no cell rescan.
+    "quantile": True,
 }
 
 #: valid lgConfigK range for Spark's hll_sketch_agg (Datasketches HLL).
@@ -103,12 +107,21 @@ class Measure:
     - min   → ``<name>_min`` ; max → ``<name>_max``
     - distinct → ``<name>_hll`` (binary HLL sketch; ``lgk`` sets the
       sketch's lgConfigK — 2^lgk registers; None = Spark default)
+    - quantile → ``<name>_hist`` (array<long> of ``nbins + 2`` signed
+      bin counts over [``lo``, ``hi``); index 0 = underflow, nbins+1 =
+      overflow; ``q`` is the default query-time quantile ∈ (0, 1]).
+      Error is bounded by one bin width (hi − lo) / nbins for mass
+      inside [lo, hi); out-of-range mass clamps to the range edge.
     """
 
     name: str
     op: str
     path: str | None = None
     lgk: int | None = None  # distinct only: hll_sketch_agg lgConfigK
+    lo: float | None = None  # quantile only: histogram range [lo, hi)
+    hi: float | None = None
+    nbins: int | None = None  # quantile only: fixed linear bin count
+    q: float | None = None  # quantile only: default quantile (0.5)
 
     def __post_init__(self):
         _ident(self.name)
@@ -116,6 +129,23 @@ class Measure:
             raise ValueError(f"op must be one of {sorted(_OPS)}")
         if self.op != "count" and not (self.path or self.name):
             raise ValueError(f"measure {self.name}: op {self.op} needs a path")
+        if self.op == "quantile":
+            if self.lo is None or self.hi is None or self.nbins is None:
+                raise ValueError(
+                    f"measure {self.name}: op 'quantile' needs lo, hi, nbins "
+                    "(the fixed histogram range is part of the spec — pick it "
+                    "from the column's domain)"
+                )
+            if not float(self.lo) < float(self.hi):
+                raise ValueError(f"measure {self.name}: quantile needs lo < hi")
+            if not (1 <= int(self.nbins) <= 4096):
+                raise ValueError(f"measure {self.name}: nbins must be in [1, 4096]")
+            if self.q is not None and not (0.0 < float(self.q) <= 1.0):
+                raise ValueError(f"measure {self.name}: q must be in (0, 1]")
+        elif any(v is not None for v in (self.lo, self.hi, self.nbins, self.q)):
+            raise ValueError(
+                f"measure {self.name}: lo/hi/nbins/q are only valid for op 'quantile'"
+            )
         if self.lgk is not None:
             if self.op != "distinct":
                 raise ValueError(f"measure {self.name}: lgk is only valid for op 'distinct'")
@@ -141,7 +171,13 @@ class Measure:
             "min": [f"{n}_min"],
             "max": [f"{n}_max"],
             "distinct": [f"{n}_hll"],
+            "quantile": [f"{n}_hist"],
         }[self.op]
+
+    @property
+    def default_q(self) -> float:
+        """Query-time quantile when none is asked for (median)."""
+        return 0.5 if self.q is None else float(self.q)
 
 
 @dataclass(frozen=True)
@@ -195,6 +231,12 @@ class CubeSpec:
                 "measures": [
                     {"name": m.name, "op": m.op, "path": m.path}
                     | ({"lgk": m.lgk} if m.lgk is not None else {})
+                    | (
+                        {"lo": m.lo, "hi": m.hi, "nbins": m.nbins}
+                        | ({"q": m.q} if m.q is not None else {})
+                        if m.op == "quantile"
+                        else {}
+                    )
                     for m in self.measures
                 ],
             },

@@ -459,3 +459,88 @@ def q_cube_distinct_exact(spark, sf_dir):
         cells, USERS_EXACT_CUBE, ["event_type"], "user_id",
         alias="n_users", measures=["n"],
     ).withColumnRenamed("n", "n_events")
+
+
+# ---------------------------------------------------------------------------
+# C20 — quantile measures from cube state. Sketch route: fixed-bin
+# signed histogram (bounded ~8·nbins bytes per cell, element-wise
+# mergeable AND retractable — the only quantile that both rolls up and
+# survives CDC deletes at 100 TB). Exact route: two-level decomposition
+# with the measured column as a dimension (discrete inverse-CDF over
+# live cells — exact, retractable, O(cardinality) state).
+# ---------------------------------------------------------------------------
+
+#: Histogram-sketch cube: value ∈ [0, 1000) in 100 bins (events.value
+#: tops out around 600 at every SF — no overflow mass; estimate error
+#: is bounded by the 10-unit bin width).
+VALUE_HIST_CUBE = CubeSpec(
+    name="events_value_hist",
+    source="events",
+    dimensions=(
+        Dimension("event_type"),
+        Dimension("day", path="ts", granularity="day"),
+    ),
+    measures=(
+        Measure("n", "count"),
+        Measure("p50_value", "quantile", "value", lo=0.0, hi=1000.0, nbins=100),
+    ),
+)
+
+#: Exact-quantile cube (two-level): the measured column is itself a
+#: dimension; the discrete quantile is read off the live cells' CDF.
+VALUE_EXACT_Q_CUBE = CubeSpec(
+    name="events_value_exact_q",
+    source="events",
+    dimensions=(
+        Dimension("event_type"),
+        Dimension("value"),
+    ),
+    measures=(Measure("n", "count"),),
+)
+
+
+@register("q_cube_quantile")
+def q_cube_quantile(spark, sf_dir):
+    """Median estimate from histogram-sketch cube cells (rows-only:
+    bin-width-bounded estimate by nature — the ≤ one-bin-width error
+    envelope and merge==rebuild bit-equality are property-tested in
+    tests/test_cube_quantile.py; same oracle class as q_cube_distinct).
+    """
+    e = load_table(spark, sf_dir, "events")
+    cells = build_cube(spark, VALUE_HIST_CUBE, e)
+    return query_cube(
+        cells, VALUE_HIST_CUBE, group_by=["event_type"], measures=["n", "p50_value"]
+    )
+
+
+@register(
+    "q_cube_quantile_exact",
+    oracle="""
+    WITH v AS (
+      SELECT event_type, value, COUNT(*) AS c
+      FROM events WHERE value IS NOT NULL
+      GROUP BY event_type, value
+    ),
+    w AS (
+      SELECT event_type, value,
+             SUM(c) OVER (PARTITION BY event_type ORDER BY value) AS cum,
+             SUM(c) OVER (PARTITION BY event_type) AS tot
+      FROM v
+    )
+    SELECT event_type, MIN(value) AS p50_value
+    FROM w WHERE cum >= CEIL(0.5 * tot)
+    GROUP BY event_type
+    """,
+)
+def q_cube_quantile_exact(spark, sf_dir):
+    """Exact discrete median from cube state: one live cell per
+    (event_type, value); the quantile is the smallest value whose
+    cumulative cell multiplicity reaches ceil(q·total) — no source
+    rescan, no percentile aggregation at query time."""
+    from mongo_olap_spark.cube.query import quantile_rollup
+
+    e = load_table(spark, sf_dir, "events")
+    cells = build_cube(spark, VALUE_EXACT_Q_CUBE, e)
+    return quantile_rollup(
+        cells, VALUE_EXACT_Q_CUBE, ["event_type"], "value", 0.5, alias="p50_value"
+    )

@@ -1,0 +1,243 @@
+"""Quantile measures from cube state (C20) — the fixed-bin histogram
+sketch (bounded state, element-wise mergeable AND retractable) and the
+exact two-level decomposition (measured column as a dimension;
+discrete inverse-CDF over live cells).
+
+The histogram's integer bins make stronger claims testable than HLL's:
+merge (and retraction!) is bit-identical to rebuild, not merely
+estimate-equal — signed integer vector addition is associative and
+commutative in any batch order.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mongo_olap_spark.cube import CubeSpec, Dimension, Measure, build_cube, query_cube
+from mongo_olap_spark.cube.build import delta_cells, hist_bin_expr
+from mongo_olap_spark.cube.ivm import merge_cells
+from mongo_olap_spark.cube.lattice import build_cube_lattice, query_lattice
+from mongo_olap_spark.cube.query import hybrid_query, quantile_rollup
+from mongo_olap_spark.queries.core import VALUE_EXACT_Q_CUBE, VALUE_HIST_CUBE
+
+BIN_W = (1000.0 - 0.0) / 100  # VALUE_HIST_CUBE bin width
+
+
+def rows_set(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def hist_cells_set(df):
+    """Cell rows with the histogram array made hashable."""
+    return {
+        tuple(tuple(v) if isinstance(v, list) else v for v in r)
+        for r in df.collect()
+    }
+
+
+def exact_median(events, *group_by):
+    """Discrete (type-1) median per group — percentile_approx with
+    accuracy ≥ group size is exact, and Spark's exact percentile
+    interpolates (type-7), so compute inverse-CDF by window instead."""
+    from pyspark.sql import Window
+
+    e = events.filter(F.col("value").isNotNull())
+    if group_by:
+        wcum = Window.partitionBy(*group_by).orderBy("value")
+        wtot = Window.partitionBy(*group_by)
+    else:
+        wcum = Window.orderBy("value")
+        wtot = Window.partitionBy()
+    return (
+        e.withColumn("__cum", F.count(F.lit(1)).over(wcum))
+        .withColumn("__tot", F.count(F.lit(1)).over(wtot))
+        .filter(F.col("__cum") >= F.ceil(F.lit(0.5) * F.col("__tot")))
+        .groupBy(*group_by)
+        .agg(F.min("value").alias("exact_p50"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# histogram sketch measure
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("subset", [(), ("event_type",), ("day",), ("event_type", "day")])
+def test_hist_estimate_within_one_bin_width(spark, events, subset):
+    cells = build_cube(spark, VALUE_HIST_CUBE, events)
+    rolled = query_cube(
+        cells, VALUE_HIST_CUBE, group_by=list(subset), measures=["p50_value"]
+    )
+    direct = exact_median(
+        events.withColumn("day", F.date_trunc("day", "ts")), *subset
+    )
+    got = {tuple(r[: len(subset)]): r[-1] for r in rolled.collect()}
+    want = {tuple(r[: len(subset)]): r[-1] for r in direct.collect()}
+    assert set(got) == set(want)
+    for k, est in got.items():
+        assert abs(est - want[k]) <= BIN_W, (k, est, want[k])
+
+
+def test_hist_bit_identical_under_partitioning(spark, events):
+    """Integer bins: the CELL STATE (not just the estimate) must be
+    bit-identical regardless of source partitioning."""
+    a = build_cube(spark, VALUE_HIST_CUBE, events.repartition(1))
+    b = build_cube(spark, VALUE_HIST_CUBE, events.repartition(13, "user_id"))
+    assert hist_cells_set(a) == hist_cells_set(b)
+
+
+def test_hist_insert_merge_equals_rebuild_bitwise(spark, events):
+    half1 = events.filter(F.col("event_id") % 2 == 0)
+    half2 = events.filter(F.col("event_id") % 2 == 1)
+    cells = build_cube(spark, VALUE_HIST_CUBE, half1)
+    deltas = delta_cells(VALUE_HIST_CUBE, half2.withColumn("mult", F.lit(1)))
+    merged = merge_cells(cells, deltas, VALUE_HIST_CUBE)
+    rebuilt = build_cube(spark, VALUE_HIST_CUBE, events)
+    assert hist_cells_set(merged) == hist_cells_set(rebuilt)
+
+
+def test_hist_is_delete_safe_and_retraction_is_bitwise(spark, events):
+    """The headline vs min/max/HLL: deletes maintain incrementally —
+    merged state after −1 deltas equals a from-scratch rebuild of the
+    survivors, bit-for-bit, with no recompute_cells repair pass."""
+    assert VALUE_HIST_CUBE.delete_safe
+    doomed = events.orderBy("event_id").limit(40).cache()
+    survivors = events.join(doomed.select("event_id"), "event_id", "left_anti").cache()
+
+    cells = build_cube(spark, VALUE_HIST_CUBE, events)
+    deltas = delta_cells(VALUE_HIST_CUBE, doomed.withColumn("mult", F.lit(-1)))
+    merged = merge_cells(cells, deltas, VALUE_HIST_CUBE)
+    want = build_cube(spark, VALUE_HIST_CUBE, survivors)
+    assert hist_cells_set(merged) == hist_cells_set(want)
+
+
+def test_hist_merge_handles_one_sided_cells(spark, events):
+    """Cells present on only one side of the merge keep their vector
+    (no NULL propagation through zip_with)."""
+    disjoint_a = events.filter(F.col("event_type") == "click")
+    disjoint_b = events.filter(F.col("event_type") == "view")
+    cells = build_cube(spark, VALUE_HIST_CUBE, disjoint_a)
+    deltas = delta_cells(VALUE_HIST_CUBE, disjoint_b.withColumn("mult", F.lit(1)))
+    merged = merge_cells(cells, deltas, VALUE_HIST_CUBE)
+    rebuilt = build_cube(spark, VALUE_HIST_CUBE, disjoint_a.unionByName(disjoint_b))
+    assert hist_cells_set(merged) == hist_cells_set(rebuilt)
+
+
+def test_hist_lattice_finalize_and_rollup(spark, events):
+    levels = [("event_type", "day"), ("event_type",), ()]
+    cells = build_cube_lattice(spark, VALUE_HIST_CUBE, events, levels=levels)
+    # exact-level hit finalizes row-wise; rollup path re-aggregates
+    hit = query_lattice(cells, VALUE_HIST_CUBE, group_by=["event_type"],
+                        measures=["p50_value"])
+    base = query_cube(
+        build_cube(spark, VALUE_HIST_CUBE, events),
+        VALUE_HIST_CUBE, group_by=["event_type"], measures=["p50_value"],
+    )
+    assert rows_set(hit) == rows_set(base)
+
+
+def test_hist_hybrid_query_merges_tail(spark, events):
+    head = events.filter(F.col("event_id") % 4 != 0)
+    tail = events.filter(F.col("event_id") % 4 == 0)
+    cells = build_cube(spark, VALUE_HIST_CUBE, head)
+    merged = hybrid_query(cells, VALUE_HIST_CUBE, tail, group_by=["event_type"],
+                          measures=["n", "p50_value"])
+    full = query_cube(
+        build_cube(spark, VALUE_HIST_CUBE, events),
+        VALUE_HIST_CUBE, group_by=["event_type"], measures=["n", "p50_value"],
+    )
+    assert rows_set(merged) == rows_set(full)
+
+
+def test_hist_bin_edges_and_out_of_range(spark):
+    """Bin indexing: underflow < lo → 0; lo lands in bin 1; hi is
+    exclusive (→ overflow nbins+1); NULL → NULL."""
+    m = Measure("h", "quantile", "x", lo=0.0, hi=10.0, nbins=5)
+    df = spark.createDataFrame(
+        [(-0.1,), (0.0,), (1.9,), (2.0,), (9.99,), (10.0,), (250.0,), (None,)],
+        "x double",
+    )
+    got = [r[0] for r in df.select(hist_bin_expr(F.col("x"), m)).collect()]
+    assert got == [0, 1, 1, 2, 5, 6, 6, None]
+
+
+def test_hist_estimator_clamps_out_of_range_mass(spark):
+    """All mass below lo → estimate lo; all above hi → estimate hi;
+    empty group → NULL."""
+    spec = CubeSpec(
+        name="clamp", source="t",
+        dimensions=(Dimension("g"),),
+        measures=(Measure("n", "count"),
+                  Measure("p", "quantile", "x", lo=0.0, hi=10.0, nbins=5)),
+    )
+    df = spark.createDataFrame(
+        [("lo", -5.0), ("lo", -1.0), ("hi", 99.0), ("none", None)],
+        "g string, x double",
+    )
+    cells = build_cube(spark, spec, df)
+    got = {r.g: r.p for r in query_cube(cells, spec, measures=["p"]).collect()}
+    assert got == {"lo": 0.0, "hi": 10.0, "none": None}
+
+
+def test_quantile_spec_validation_and_json_roundtrip():
+    with pytest.raises(ValueError, match="needs lo, hi, nbins"):
+        Measure("p", "quantile", "x")
+    with pytest.raises(ValueError, match="lo < hi"):
+        Measure("p", "quantile", "x", lo=5.0, hi=5.0, nbins=4)
+    with pytest.raises(ValueError, match="nbins"):
+        Measure("p", "quantile", "x", lo=0.0, hi=1.0, nbins=0)
+    with pytest.raises(ValueError, match="q must be"):
+        Measure("p", "quantile", "x", lo=0.0, hi=1.0, nbins=4, q=0.0)
+    with pytest.raises(ValueError, match="only valid for op 'quantile'"):
+        Measure("s", "sum", "x", nbins=4)
+    spec = CubeSpec.from_json(VALUE_HIST_CUBE.to_json())
+    assert spec == VALUE_HIST_CUBE
+    m = spec.measure("p50_value")
+    assert (m.lo, m.hi, m.nbins, m.default_q) == (0.0, 1000.0, 100, 0.5)
+
+
+# ---------------------------------------------------------------------------
+# exact two-level route
+# ---------------------------------------------------------------------------
+
+def test_exact_quantile_rollup_matches_source(spark, events):
+    cells = build_cube(spark, VALUE_EXACT_Q_CUBE, events)
+    got = quantile_rollup(
+        cells, VALUE_EXACT_Q_CUBE, ["event_type"], "value", 0.5, alias="exact_p50"
+    )
+    want = exact_median(events, "event_type")
+    assert rows_set(got) == rows_set(want)
+
+
+def test_exact_quantile_is_fully_retractable(spark, events):
+    assert VALUE_EXACT_Q_CUBE.delete_safe
+    doomed = events.orderBy("event_id").limit(60).cache()
+    survivors = events.join(doomed.select("event_id"), "event_id", "left_anti").cache()
+    cells = build_cube(spark, VALUE_EXACT_Q_CUBE, events)
+    deltas = delta_cells(VALUE_EXACT_Q_CUBE, doomed.withColumn("mult", F.lit(-1)))
+    merged = merge_cells(cells, deltas, VALUE_EXACT_Q_CUBE)
+    got = quantile_rollup(
+        merged, VALUE_EXACT_Q_CUBE, ["event_type"], "value", 0.5, alias="exact_p50"
+    )
+    want = exact_median(survivors, "event_type")
+    assert rows_set(got) == rows_set(want)
+
+
+def test_quantile_rollup_rejects_bad_args(spark, events):
+    cells = build_cube(spark, VALUE_EXACT_Q_CUBE, events)
+    with pytest.raises(ValueError, match="not a cube dimension"):
+        quantile_rollup(cells, VALUE_EXACT_Q_CUBE, ["event_type"], "nope", 0.5)
+    with pytest.raises(ValueError, match="cannot also be grouped"):
+        quantile_rollup(cells, VALUE_EXACT_Q_CUBE, ["value"], "value", 0.5)
+    with pytest.raises(ValueError, match="q must be"):
+        quantile_rollup(cells, VALUE_EXACT_Q_CUBE, ["event_type"], "value", 1.5)
+    narrow = CubeSpec(
+        name="threedim", source="events",
+        dimensions=(Dimension("event_type"), Dimension("value"),
+                    Dimension("day", path="ts", granularity="day")),
+        measures=(Measure("n", "count"),),
+    )
+    with pytest.raises(ValueError, match="keyed exactly"):
+        quantile_rollup(
+            build_cube(spark, narrow, events), narrow, ["event_type"], "value", 0.5
+        )
