@@ -67,6 +67,11 @@ class RoutingDecision:
     #: cube holds the counted column as a raw dimension — recorded as
     #: (requested output name, cube dimension name)
     distinct: tuple | None = None
+    #: exact quantile serving (C20 two-level route): the request
+    #: carried ``(name, "quantile_exact", path[, q])`` and the cube
+    #: holds the measured column as a raw dimension — recorded as
+    #: (requested output name, cube dimension name, q)
+    quantile: tuple | None = None
 
 
 class CubeRouter:
@@ -77,6 +82,9 @@ class CubeRouter:
     def _serves(
         self, spec: CubeSpec, req: AggregateRequest
     ) -> tuple[bool, list, dict, str, tuple | None]:
+        # 5th element ("special") tags the two-level routes:
+        #   ("distinct", out_name, dim)      C19 exact count-distinct
+        #   ("quantile", out_name, dim, q)   C20 exact quantile
         if spec.source != req.source:
             return False, [], {}, "different source", None
         if (spec.filter_sql or None) != (req.filter_sql or None):
@@ -117,6 +125,39 @@ class CubeRouter:
             # fallback would honor the request's (ADVICE r1)
             name, op, *rest = m
             path = rest[0] if rest else None
+            if op == "quantile_exact":
+                # EXACT quantile (C20 two-level route): served when the
+                # measured column is a raw dimension of the cube — live
+                # (group, value) cells carry the empirical CDF, read by
+                # quantile_rollup. The approximate histogram route is a
+                # different op ("quantile"): an exact ask never silently
+                # degrades to a bin-width estimate.
+                if path is None:
+                    return False, [], {}, f"measure {name}: quantile_exact needs a path", None
+                if distinct is not None:
+                    return False, [], {}, "quantile_exact cannot combine with other special measures", None
+                if len(req.measures) != 1:
+                    # quantile_rollup answers from the qualifying-cell
+                    # slice; other measures aggregate ALL cells — one
+                    # request cannot carry both without a second pass
+                    return False, [], {}, "quantile_exact must be the only requested measure", None
+                q = float(rest[1]) if len(rest) > 1 else 0.5
+                if not (0.0 < q <= 1.0):
+                    return False, [], {}, f"measure {name}: q must be in (0, 1]", None
+                d = dim_by_path.get(path)
+                if d is None or d.granularity is not None:
+                    return False, [], {}, f"measured column {path} not a raw dimension", None
+                if d.name in gb_names:
+                    return False, [], {}, f"measured column {path} is also grouped", None
+                if gb_names | {d.name} != dim_names:
+                    # extra dims would double-count multiplicities in
+                    # the CDF — quantile_rollup refuses them by design
+                    return False, [], {}, (
+                        "exact quantile needs cells keyed exactly by "
+                        "group_by + measured column"
+                    ), None
+                distinct = ("quantile", name, d.name, q)
+                continue
             if op == "count_distinct":
                 # EXACT count-distinct (C19 two-level route): served
                 # when the counted column is a raw dimension of the
@@ -128,13 +169,13 @@ class CubeRouter:
                 if path is None:
                     return False, [], {}, f"measure {name}: count_distinct needs a path", None
                 if distinct is not None:
-                    return False, [], {}, "one count_distinct measure per request", None
+                    return False, [], {}, "one special (count_distinct/quantile_exact) measure per request", None
                 d = dim_by_path.get(path)
                 if d is None or d.granularity is not None:
                     return False, [], {}, f"counted column {path} not a raw dimension", None
                 if d.name in gb_names:
                     return False, [], {}, f"counted column {path} is also grouped", None
-                distinct = (name, d.name)
+                distinct = ("distinct", name, d.name)
                 continue
             mine = have.get(name)
             if mine is None and op == "count" and path is None:
@@ -174,7 +215,7 @@ class CubeRouter:
             return False, [], {}, "duplicate requested measure names", None
         if set(out_names) & gb_names:
             return False, [], {}, "measure name collides with a grouped dimension", None
-        bound = [renames.get(n, n) for n in out_names if distinct is None or n != distinct[0]]
+        bound = [renames.get(n, n) for n in out_names if distinct is None or n != distinct[1]]
         if len(set(bound)) != len(bound):
             return False, [], {}, "two requested measures bind the same stored measure", None
         if req.where is not None:
@@ -189,7 +230,7 @@ class CubeRouter:
         if levels is not None:
             needed = set(gb_names)
             if distinct is not None:
-                needed.add(distinct[1])
+                needed.add(distinct[2])
             # where-filtered dims must also be present in the level
             if req.where is not None:
                 needed |= _where_columns(req.where) & dim_names
@@ -226,7 +267,7 @@ class CubeRouter:
 
                 needed = {g if isinstance(g, str) else g[0] for g in rewritten}
                 if distinct is not None:
-                    needed.add(distinct[1])
+                    needed.add(distinct[2])
                 if req.where is not None:
                     needed |= _where_columns(req.where) & set(spec.dim_names)
                 covering = [lv for lv in levels if needed <= set(lv)]
@@ -251,12 +292,13 @@ class CubeRouter:
                 )
         if not candidates:
             return RoutingDecision(None, "no cube serves the request")
-        n, name, rewritten, renames, distinct = min(
+        n, name, rewritten, renames, special = min(
             candidates, key=lambda c: (c[0], c[1])
         )
         return RoutingDecision(
             name, f"smallest sufficient cube ({n} cells)", rewritten, renames,
-            distinct=distinct,
+            distinct=special[1:] if special and special[0] == "distinct" else None,
+            quantile=special[1:] if special and special[0] == "quantile" else None,
         )
 
     def execute(self, req: AggregateRequest, source_df: DataFrame | None = None) -> DataFrame:
@@ -278,6 +320,8 @@ class CubeRouter:
                 needed = {g if isinstance(g, str) else g[0] for g in decision.rewritten_group_by}
                 if decision.distinct is not None:
                     needed.add(decision.distinct[1])
+                if decision.quantile is not None:
+                    needed.add(decision.quantile[1])
                 if req.where is not None:
                     needed |= _where_columns(req.where) & set(spec.dim_names)
                 covering = [lv for lv in levels if needed <= set(lv)]
@@ -300,7 +344,14 @@ class CubeRouter:
             )
             ren = decision.measure_renames
             req_names = [m if isinstance(m, str) else m[0] for m in req.measures]
-            if decision.distinct is not None:
+            if decision.quantile is not None:
+                from mongo_olap_spark.cube.query import quantile_rollup
+
+                alias, qdim, q = decision.quantile
+                out = quantile_rollup(
+                    regrouped, spec, gb_names, qdim, q, alias=alias,
+                )
+            elif decision.distinct is not None:
                 from mongo_olap_spark.cube.query import distinct_rollup
 
                 alias, ddim = decision.distinct
@@ -335,6 +386,41 @@ class CubeRouter:
               if isinstance(m, tuple) and len(m) >= 3 and m[1] == "count_distinct"]
         if len(cd) > 1:
             raise ValueError("one count_distinct measure per request")
+        qe = [m for m in req.measures
+              if isinstance(m, tuple) and len(m) >= 3 and m[1] == "quantile_exact"]
+        if qe:
+            # exact-quantile fallback honors the ask through the same
+            # two-level shape it would be served from
+            if len(req.measures) != 1:
+                raise ValueError("quantile_exact must be the only requested measure")
+            from mongo_olap_spark.cube.query import quantile_rollup
+
+            alias, _, q_path, *qq = qe[0]
+            q = float(qq[0]) if qq else 0.5
+            qdim = "__qe_" + re.sub(r"[^A-Za-z0-9_]+", "_", q_path)
+            tmp = CubeSpec(
+                name="adhoc", source=req.source,
+                dimensions=dims + (Dimension(qdim, path=q_path),),
+                measures=(Measure("__qe_count", "count"),),
+                filter_sql=req.filter_sql,
+            )
+            cells = build_cube(None, tmp, source_df)
+            filtered = cells.filter(req.where) if req.where else cells
+            return quantile_rollup(
+                filtered, tmp, [d.name for d in dims], qdim, q, alias=alias
+            )
+        for m in req.measures:
+            if isinstance(m, tuple) and len(m) >= 2 and m[1] == "quantile":
+                # a histogram sketch needs a declared range — there is
+                # nothing honest to synthesize from an ad-hoc request
+                raise ValueError(
+                    f"measure {m[0]}: no cube holds a quantile sketch on "
+                    f"{m[2] if len(m) > 2 else '?'} and a source fallback "
+                    "cannot pick histogram bounds for you. Either create a "
+                    "cube with Measure(op='quantile', lo=, hi=, nbins=) or "
+                    "request ('" + str(m[0]) + "', 'quantile_exact', path, q) "
+                    "for the exact two-level route."
+                )
         rest = tuple(
             Measure(*m) if isinstance(m, tuple) else Measure(m, "count")
             for m in req.measures if not (isinstance(m, tuple) and m in cd)

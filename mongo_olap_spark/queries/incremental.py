@@ -180,6 +180,64 @@ def q_route_distinct(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# C20 routed: a percentile-shaped request ('quantile_exact') is served
+# from the exact two-level cube (measured column as a dimension) via
+# the ROUTER — quantile_rollup reads the discrete inverse-CDF off live
+# cells. Correct routing is invisible: the answer must equal the
+# discrete (type-1) median over the source, which is the oracle.
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_route_quantile",
+    oracle="""
+    WITH v AS (
+      SELECT event_type, value, COUNT(*) AS c
+      FROM events WHERE value IS NOT NULL
+      GROUP BY event_type, value
+    ),
+    w AS (
+      SELECT event_type, value,
+             SUM(c) OVER (PARTITION BY event_type ORDER BY value) AS cum,
+             SUM(c) OVER (PARTITION BY event_type) AS tot
+      FROM v
+    )
+    SELECT event_type, MIN(value) AS p50
+    FROM w WHERE cum >= CEIL(0.5 * tot)
+    GROUP BY event_type
+    """,
+)
+def q_route_quantile(spark, sf_dir):
+    import os
+    import tempfile
+
+    from mongo_olap_spark.cube import CubeCatalog, CubeSpec, Dimension, Measure
+    from mongo_olap_spark.plans import AggregateRequest, CubeRouter
+
+    root = os.path.join(
+        tempfile.gettempdir(), "mongo_olap_route_qe", sf_dir.strip("/").replace("/", "_")
+    )
+    cat = CubeCatalog(spark, root)
+    e = load_table(spark, sf_dir, "events")
+    exact = CubeSpec(
+        name="events_value_exact_route",
+        source="events",
+        dimensions=(Dimension("event_type"), Dimension("value")),
+        measures=(Measure("n", "count"),),
+    )
+    cat.drop(exact.name)
+    cat.create(exact, e)
+    router = CubeRouter(cat)
+    req = AggregateRequest(
+        source="events",
+        group_by=("event_type",),
+        measures=(("p50", "quantile_exact", "value", 0.5),),
+    )
+    decision = router.route(req)
+    assert decision.cube == exact.name, decision
+    return router.execute(req).select("event_type", "p50")
+
+
+# ---------------------------------------------------------------------------
 # §4.1' lambda serving: the maintained cube lags the source by an
 # un-applied tail; hybrid_query answers from cells + tail partials in
 # one shuffle. Correct hybrid serving is invisible — the answer must

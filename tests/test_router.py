@@ -352,3 +352,136 @@ def test_count_distinct_source_fallback(spark, events, cd_catalog):
         F.countDistinct("user_id").cast("long").alias("n_users")
     )
     assert rows_set(got) == rows_set(direct)
+
+
+# ---------------------------------------------------------------------------
+# C20 routed exact quantile
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def qe_catalog(spark, events, tmp_path_factory):
+    cat = CubeCatalog(spark, str(tmp_path_factory.mktemp("qe_cubes")))
+    exact = CubeSpec(
+        name="value_exact",
+        source="events",
+        dimensions=(Dimension("event_type"), Dimension("value")),
+        measures=(Measure("n", "count"),),
+    )
+    cat.create(exact, events)
+    return cat
+
+
+def _discrete_median(events, *group_by):
+    from pyspark.sql import Window
+
+    e = events.filter(F.col("value").isNotNull())
+    wcum = Window.partitionBy(*group_by).orderBy("value")
+    wtot = Window.partitionBy(*group_by)
+    return (
+        e.withColumn("__cum", F.count(F.lit(1)).over(wcum))
+        .withColumn("__tot", F.count(F.lit(1)).over(wtot))
+        .filter(F.col("__cum") >= F.ceil(F.lit(0.5) * F.col("__tot")))
+        .groupBy(*group_by)
+        .agg(F.min("value").alias("p50"))
+    )
+
+
+def test_quantile_exact_routed_to_exact_cube(spark, events, qe_catalog):
+    router = CubeRouter(qe_catalog)
+    req = AggregateRequest(
+        source="events",
+        group_by=("event_type",),
+        measures=(("p50", "quantile_exact", "value", 0.5),),
+    )
+    d = router.route(req)
+    assert d.cube == "value_exact" and d.quantile == ("p50", "value", 0.5)
+    got = router.execute(req)
+    assert rows_set(got.select("event_type", "p50")) == rows_set(
+        _discrete_median(events, "event_type")
+    )
+
+
+def test_quantile_exact_refusals(qe_catalog):
+    router = CubeRouter(qe_catalog)
+    # measured column also grouped
+    d = router.route(
+        AggregateRequest(
+            source="events",
+            group_by=("event_type", "value"),
+            measures=(("p50", "quantile_exact", "value"),),
+        )
+    )
+    assert d.cube is None
+    # cannot combine with other measures (CDF slice vs all-cell aggs)
+    d = router.route(
+        AggregateRequest(
+            source="events",
+            group_by=("event_type",),
+            measures=(("p50", "quantile_exact", "value"), ("n", "count")),
+        )
+    )
+    assert d.cube is None
+    # q out of range
+    d = router.route(
+        AggregateRequest(
+            source="events",
+            group_by=("event_type",),
+            measures=(("p50", "quantile_exact", "value", 2.0),),
+        )
+    )
+    assert d.cube is None
+
+
+def test_quantile_exact_source_fallback(spark, events, qe_catalog):
+    """No serving cube (grouping by a dim the cube lacks) — the
+    fallback builds the same two-level shape over the source."""
+    router = CubeRouter(qe_catalog)
+    req = AggregateRequest(
+        source="events",
+        group_by=("user_id",),
+        measures=(("p50", "quantile_exact", "value", 0.5),),
+    )
+    assert router.route(req).cube is None
+    got = router.execute(req, source_df=events)
+    assert rows_set(got.select("user_id", "p50")) == rows_set(
+        _discrete_median(events, "user_id")
+    )
+
+
+def test_quantile_sketch_fallback_refuses_with_recipe(spark, events, qe_catalog):
+    """A sketch 'quantile' ask with no serving cube cannot be honored
+    from the source (no honest bin bounds to synthesize) — refuse
+    loudly, naming both remedies."""
+    router = CubeRouter(qe_catalog)
+    req = AggregateRequest(
+        source="events",
+        group_by=("event_type",),
+        measures=(("p50", "quantile", "value"),),
+    )
+    assert router.route(req).cube is None
+    with pytest.raises(ValueError, match="quantile_exact"):
+        router.execute(req, source_df=events)
+
+
+def test_quantile_sketch_served_by_histogram_cube(spark, events, tmp_path):
+    """A sketch 'quantile' ask IS served when a cube holds a histogram
+    measure on the path (same-semantics binding surfaces it under the
+    requested name)."""
+    from mongo_olap_spark.queries.core import VALUE_HIST_CUBE
+
+    cat = CubeCatalog(spark, str(tmp_path / "hist_cubes"))
+    cat.create(VALUE_HIST_CUBE, events)
+    router = CubeRouter(cat)
+    req = AggregateRequest(
+        source="events",
+        group_by=("event_type",),
+        measures=(("median_value", "quantile", "value"),),
+    )
+    d = router.route(req)
+    assert d.cube == VALUE_HIST_CUBE.name
+    got = router.execute(req)
+    assert set(got.columns) == {"event_type", "median_value"}
+    est = {r.event_type: r.median_value for r in got.collect()}
+    want = {r.event_type: r.p50 for r in _discrete_median(events, "event_type").collect()}
+    for k, v in want.items():
+        assert abs(est[k] - v) <= 10.0  # one bin width of VALUE_HIST_CUBE
