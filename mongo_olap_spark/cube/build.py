@@ -62,7 +62,7 @@ def _measure_aggs(m: Measure, mult: str | None = None) -> list:
             # signed bin counts: insert adds, delete retracts — the
             # histogram sketch IS retraction-maintainable (integer
             # vector addition), unlike min/max/HLL
-            return [_hist_agg(src, m, weight=sign).alias(f"{n}_hist")]
+            return [_hist_agg(src, m, weight=mult).alias(f"{n}_hist")]
         raise AssertionError(m.op)
     if m.op == "count":
         return [F.count(F.lit(1)).alias(f"{n}_cnt")]
@@ -99,23 +99,32 @@ def hist_bin_expr(src, m: Measure):
 def _hist_agg(src, m: Measure, weight=None):
     """Mergeable fixed-bin histogram partial as ONE agg expression:
     an array of nbins + 2 per-bin signed sums. Each element is a plain
-    ``sum(when(bin == i, w))`` — JVM-side, whole-stage-codegen'd,
-    map-side combined; the array wrapper is a post-aggregation
-    projection Catalyst splits out automatically. No collect_list, no
-    UDF: per-cell state is a fixed ~8·(nbins+2)-byte vector regardless
-    of source size."""
-    nb = int(m.nbins)
-    idx = hist_bin_expr(src, m)
-    w = F.lit(1).cast("long") if weight is None else weight
-    return F.array(
-        *[
-            F.coalesce(
-                F.sum(F.when(idx == i, w).otherwise(F.lit(0))).cast("long"),
-                F.lit(0).cast("long"),
-            )
-            for i in range(nb + 2)
-        ]
+    ``sum(CASE WHEN bin = i THEN w ELSE 0)`` — JVM-side,
+    whole-stage-codegen'd, map-side combined; the array wrapper is a
+    post-aggregation projection Catalyst splits out automatically. No
+    collect_list, no UDF: per-cell state is a fixed ~8·(nbins+2)-byte
+    vector regardless of source size.
+
+    Built as ONE ``F.expr`` SQL string, not nbins·6 Column calls: in
+    classic (py4j) mode every Column operation is a driver round trip,
+    and ~600 of them cost >1 s of PLAN time per micro-batch — measured
+    r9; the single-string form plans in ~10 ms. ``src`` is accepted
+    for signature parity but the SQL is derived from the measure's
+    source path (the same expression the Column form wrapped).
+    """
+    lo, hi, nb = float(m.lo), float(m.hi), int(m.nbins)
+    w = (hi - lo) / nb
+    s = f"({m.source_path})"
+    idx = (
+        f"(CASE WHEN {s} IS NULL THEN CAST(NULL AS INT) "
+        f"ELSE least({nb + 1}, greatest(0, "
+        f"CAST(floor((CAST({s} AS DOUBLE) - {lo!r}D) / {w!r}D) + 1 AS INT))) END)"
     )
+    wsql = "1L" if weight is None else f"CAST({weight} AS BIGINT)"
+    elems = ", ".join(
+        f"sum(CASE WHEN {idx} = {i} THEN {wsql} ELSE 0L END)" for i in range(nb + 2)
+    )
+    return F.expr(f"array({elems})")
 
 
 def _hll_agg(col, m: Measure):

@@ -30,16 +30,13 @@ def hist_sum_expr(col: str, nbins: int) -> Column:
     """Roll histogram cells up to a group: element-wise sum of the
     bin vectors, expressed as nbins + 2 plain ``sum(element_at(...))``
     aggregates wrapped back into an array — JVM-side, map-side
-    combined, O(groups · nbins) state, never a source rescan."""
-    return F.array(
-        *[
-            F.coalesce(
-                F.sum(F.element_at(F.col(col), i + 1)).cast("long"),
-                F.lit(0).cast("long"),
-            )
-            for i in range(nbins + 2)
-        ]
+    combined, O(groups · nbins) state, never a source rescan. One
+    ``F.expr`` string, not per-bin Column calls (py4j plan-time cost —
+    see build._hist_agg)."""
+    elems = ", ".join(
+        f"coalesce(sum(element_at(`{col}`, {i + 1})), 0L)" for i in range(nbins + 2)
     )
+    return F.expr(f"array({elems})")
 
 
 def hist_quantile_expr(hist: Column, q: float, m: Measure) -> Column:

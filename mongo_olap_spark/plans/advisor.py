@@ -115,7 +115,27 @@ def _signature(req: AggregateRequest) -> _Sig:
                 "— a name alone doesn't determine the accumulator to materialize"
             )
         name, op, *rest = m
-        meas.add((op, rest[0] if rest else None))
+        path = rest[0] if rest else None
+        if op in ("count_distinct", "quantile_exact"):
+            # two-level decomposition (C19/C20 exact routes): the
+            # measured column must be a RAW DIMENSION of the serving
+            # cube — that, plus a count measure for multiplicity, IS
+            # the state the router serves these from
+            if path is None:
+                raise ValueError(f"measure {name}: {op} needs a path")
+            dims[path] = None  # raw beats any requested bucketing
+            meas.add(("count", None))
+            continue
+        if op == "quantile":
+            raise ValueError(
+                f"measure {name}: the advisor cannot pick histogram bounds "
+                "for a 'quantile' sketch measure (lo/hi/nbins are domain "
+                "decisions). Declare the cube yourself with "
+                "Measure(op='quantile', lo=, hi=, nbins=), or put "
+                f"('{name}', 'quantile_exact', {path!r}, q) in the workload "
+                "for the exact two-level route."
+            )
+        meas.add((op, path))
     return _Sig(req.source, req.filter_sql or None, frozenset(dims.items()), frozenset(meas))
 
 

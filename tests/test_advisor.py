@@ -343,3 +343,80 @@ def test_advise_maintenance_weight_prunes_marginal_cubes(spark, events):
 
     extreme = advise([hi, lo], {"events": events}, maintenance_weight=1e6)
     assert extreme.cubes == []
+
+
+# ---------------------------------------------------------------------------
+# C19/C20 two-level decomposition in the workload (r9)
+# ---------------------------------------------------------------------------
+
+def test_signature_decomposes_exact_distinct_and_quantile():
+    """count_distinct / quantile_exact measures become raw dimensions
+    + a count measure — the exact state shape the router serves them
+    from."""
+    sig = _signature(_req(
+        group_by=("event_type",),
+        measures=(("n_users", "count_distinct", "user_id"),),
+    ))
+    assert ("user_id", None) in sig.dims
+    assert sig.measures == frozenset({("count", None)})
+    sig = _signature(_req(
+        group_by=("event_type",),
+        measures=(("p50", "quantile_exact", "value", 0.5),),
+    ))
+    assert ("value", None) in sig.dims
+    assert sig.measures == frozenset({("count", None)})
+
+
+def test_signature_refuses_sketch_quantile_with_recipe():
+    with pytest.raises(ValueError, match="quantile_exact"):
+        _signature(_req(
+            group_by=("event_type",),
+            measures=(("p50", "quantile", "value"),),
+        ))
+
+
+def test_advise_declines_unprofitable_two_level_quantile(spark, events):
+    """value is near-unique at sf0.001: the (group, value) cube has
+    ~one cell per source row, so the greedy correctly declines it —
+    the decomposition must not bypass the profitability margin."""
+    adv = advise([_req(
+        group_by=("event_type",),
+        measures=(("p50", "quantile_exact", "value", 0.5),),
+    )], {"events": events})
+    assert adv.coverage == 0.0
+
+
+def test_advise_exact_quantile_end_to_end(spark, events, tmp_path):
+    """An advisor recommendation for a quantile_exact workload over a
+    low-cardinality column routes and answers correctly through the
+    real router."""
+    req = _req(
+        group_by=("event_type",),
+        measures=(("p50", "quantile_exact", "user_id", 0.5),),
+    )
+    adv = advise([req], {"events": events})
+    assert adv.coverage == 1.0
+    catalog = CubeCatalog(spark, str(tmp_path))
+    for spec in adv.cubes:
+        catalog.create(spec, events)
+    router = CubeRouter(catalog)
+    decision = router.route(req)
+    assert decision.cube is not None, decision.reason
+    got = {r.event_type: r.p50 for r in router.execute(req).collect()}
+
+    from pyspark.sql import Window
+
+    e = events.filter(F.col("user_id").isNotNull())
+    want = {
+        r.event_type: r.p50
+        for r in (
+            e.withColumn("__cum", F.count(F.lit(1)).over(
+                Window.partitionBy("event_type").orderBy("user_id")))
+            .withColumn("__tot", F.count(F.lit(1)).over(
+                Window.partitionBy("event_type")))
+            .filter(F.col("__cum") >= F.ceil(F.lit(0.5) * F.col("__tot")))
+            .groupBy("event_type")
+            .agg(F.min("user_id").alias("p50"))
+        ).collect()
+    }
+    assert got == want

@@ -1,4 +1,5 @@
-"""C19 count-distinct soak under delete-heavy CDC (round-9 task 4).
+"""C19 count-distinct + C20 quantile soak under delete-heavy CDC
+(round-9 task 4; C20 histogram measure added same round).
 
 The two count-distinct routes have opposite maintenance stories:
 
@@ -114,6 +115,75 @@ def exact_route_check(spark, catalog, name, spec, events, n_batches, k):
     return got == want, got, want
 
 
+def hist_route_check(spark, catalog, name, spec, events, n_batches, k):
+    """C20 histogram quantile: maintained CELL STATE bit-identical to
+    rebuild at watermark k (the retractability claim — signed integer
+    bins make deletes exact, no repair path), plus the rolled-up median
+    estimate within one bin width of the true discrete median."""
+    from mongo_olap_spark.cube.build import build_cube
+    from mongo_olap_spark.cube.query import query_cube
+
+    cols = [*spec.dim_names, *[c for m in spec.measures for c in m.storage_cols()]]
+
+    def normalized(cells):
+        # stringify the bin array so rows_digest hashes it stably
+        return cells.select(
+            *spec.dim_names,
+            *[
+                F.col(c).cast("string").alias(c) if c.endswith("_hist") else F.col(c)
+                for c in cols
+                if c not in spec.dim_names
+            ],
+        )
+
+    net = state_at_batch(events, n_batches, k)
+    got = rows_digest(normalized(catalog.cells(name)), cols)
+    want = rows_digest(normalized(build_cube(spark, spec, net)), cols)
+    state_ok = got == want
+
+    m = spec.measure("p50_value")
+    bin_w = (float(m.hi) - float(m.lo)) / int(m.nbins)
+    est = {
+        r["event_type"]: r["p50_value"]
+        for r in query_cube(
+            catalog.cells(name), spec, group_by=["event_type"], measures=["p50_value"]
+        ).collect()
+    }
+    from pyspark.sql import Window
+
+    e = net.filter(F.col("value").isNotNull())
+    truth = {
+        r["event_type"]: r["p50"]
+        for r in (
+            e.withColumn(
+                "__cum",
+                F.count(F.lit(1)).over(
+                    Window.partitionBy("event_type").orderBy("value")
+                ),
+            )
+            .withColumn(
+                "__tot", F.count(F.lit(1)).over(Window.partitionBy("event_type"))
+            )
+            .filter(F.col("__cum") >= F.ceil(F.lit(0.5) * F.col("__tot")))
+            .groupBy("event_type")
+            .agg(F.min("value").alias("p50"))
+        ).collect()
+    }
+    worst, violations = 0.0, []
+    if not state_ok:
+        violations.append(f"batch{k}: hist cells {got} != rebuild {want}")
+    for g, t in truth.items():
+        v = est.get(g)
+        if v is None:
+            violations.append(f"batch{k}: group {g!r} missing from hist cube")
+            continue
+        err = abs(v - t)
+        worst = max(worst, err)
+        if err > bin_w:
+            violations.append(f"batch{k} {g}: est {v} vs true {t} err {err:.3f} > {bin_w}")
+    return state_ok, worst, violations
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--batches", type=int, default=200)
@@ -154,6 +224,22 @@ def main() -> int:
         dimensions=(Dimension("event_type"), Dimension("user_id")),
         measures=(Measure("n", "count"),),
     )
+    # C20: fixed-bin histogram quantile — fully retractable (signed
+    # bins), so the delete phase maintains incrementally with NO
+    # repair path; the soak asserts bit-identical cell state vs
+    # rebuild at every checkpoint
+    hist_spec = CubeSpec(
+        name="soak_hist",
+        source="events",
+        dimensions=(
+            Dimension("event_type"),
+            Dimension("day", path="ts", granularity="day"),
+        ),
+        measures=(
+            Measure("n", "count"),
+            Measure("p50_value", "quantile", "value", lo=0.0, hi=1000.0, nbins=100),
+        ),
+    )
 
     cdc_path = os.path.join(args.dst, f"soak_cdc_b{args.batches}")
     if not os.path.exists(os.path.join(cdc_path, "_SUCCESS")):
@@ -165,9 +251,11 @@ def main() -> int:
     catalog = CubeCatalog(spark, args.root)
     catalog.create(hll_spec, events.limit(0))
     catalog.create(exact_spec, events.limit(0))
+    catalog.create(hist_spec, events.limit(0))
 
     m_hll = CubeMaintainer(catalog, hll_spec)
     m_exact = CubeMaintainer(catalog, exact_spec)
+    m_hist = CubeMaintainer(catalog, hist_spec)
 
     ib = int(args.batches * 0.6)
     ub = int(args.batches * 0.2)
@@ -175,6 +263,7 @@ def main() -> int:
 
     times_hll: list[float] = []
     times_exact: list[float] = []
+    times_hist: list[float] = []
     checks = []
     violations: list[str] = []
     repair_batches = 0
@@ -190,6 +279,9 @@ def main() -> int:
         t0 = time.perf_counter()
         m_exact.apply_batch(batch, k)
         times_exact.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        m_hist.apply_batch(batch, k)
+        times_hist.append(time.perf_counter() - t0)
         if k >= ib:
             repair_batches += 1  # update/delete batches carry retractions
 
@@ -202,16 +294,22 @@ def main() -> int:
             violations.extend(viol)
             if not ok_exact:
                 violations.append(f"batch{k}: exact rollup {got} != rebuild {want}")
+            hist_ok, hist_worst, hviol = hist_route_check(
+                spark, catalog, hist_spec.name, hist_spec, events, args.batches, k)
+            violations.extend(hviol)
             checks.append({
                 "batch": k,
                 "phase": label,
                 "hll_worst_rel_err": round(worst, 5),
                 "hll_groups": n_groups,
                 "exact_match": ok_exact,
+                "hist_state_match": hist_ok,
+                "hist_worst_abs_err": round(hist_worst, 3),
             })
             print(
                 f"# check batch {k} ({label}): hll worst rel err {worst:.4f} "
-                f"(3σ={3 * RSD:.4f}), exact_match={ok_exact}",
+                f"(3σ={3 * RSD:.4f}), exact_match={ok_exact}, "
+                f"hist_state_match={hist_ok} hist_worst_err={hist_worst:.2f}",
                 file=sys.stderr,
             )
         if (k + 1) % 20 == 0:
@@ -225,10 +323,16 @@ def main() -> int:
 
     phases_hll = phase_stats(times_hll, args.batches)
     phases_exact = phase_stats(times_exact, args.batches)
+    phases_hist = phase_stats(times_hist, args.batches)
     ok_phases = all(
-        p["slope_ok"] for p in list(phases_hll.values()) + list(phases_exact.values())
+        p["slope_ok"]
+        for p in list(phases_hll.values())
+        + list(phases_exact.values())
+        + list(phases_hist.values())
     )
-    ok_checks = not violations and all(c["exact_match"] for c in checks)
+    ok_checks = not violations and all(
+        c["exact_match"] and c["hist_state_match"] for c in checks
+    )
 
     result = {
         "metric": "soak_distinct",
@@ -239,9 +343,11 @@ def main() -> int:
         "wall_s": round(wall, 1),
         "hll_batch_mean_s": round(sum(times_hll) / len(times_hll), 3),
         "exact_batch_mean_s": round(sum(times_exact) / len(times_exact), 3),
+        "hist_batch_mean_s": round(sum(times_hist) / len(times_hist), 3),
         "retraction_batches": repair_batches,
         "phase_stats_hll": phases_hll,
         "phase_stats_exact": phases_exact,
+        "phase_stats_hist": phases_hist,
         "checks": checks,
         "violations": violations[:10],
         "ok": ok_phases and ok_checks,
