@@ -124,13 +124,27 @@ def q_dedup_simhash(spark, sf_dir):
              )) AS shingles
       FROM corpus
     )
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-             / len(list_distinct(list_concat(a.shingles, b.shingles))) AS jaccard
-    FROM sh a JOIN sh b
-      ON a.source = b.source AND b.doc_id > a.doc_id
-    WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-             / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.5
+    , post AS (
+      SELECT doc_id, source, unnest(shingles) AS g FROM sh
+    ),
+    sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
+    inter AS (
+      -- postings equi-join: equivalent to the all-pairs
+      -- list_intersect form (|A ∪ B| = n_a + n_b − |A ∩ B| with
+      -- distinct shingles, so the jaccard double is bit-identical)
+      -- but O(shared postings) instead of O(docs²) — see the CC
+      -- oracle note
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS isect
+      FROM post a JOIN post b
+        ON a.source = b.source AND a.g = b.g AND b.doc_id > a.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b,
+           CAST(isect AS DOUBLE) / (sa.n + sb.n - isect) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = inter.id_a
+    JOIN sizes sb ON sb.doc_id = inter.id_b
+    WHERE CAST(isect AS DOUBLE) / (sa.n + sb.n - isect) >= 0.5
     """,
 )
 def q_dedup_ngram(spark, sf_dir):
@@ -689,12 +703,29 @@ _CC_ORACLE_PREFIX = f"""
              )) AS shingles
       FROM corpus
     ),
+    post AS (
+      SELECT doc_id, source, unnest(shingles) AS g FROM sh
+    ),
+    sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
+    inter AS (
+      -- postings equi-join, not all-pairs: a pair only materializes
+      -- when the docs share a shingle (required by j >= 0.5 anyway).
+      -- Equivalent to the nested-loop list_intersect formulation —
+      -- |A ∪ B| = n_a + n_b − |A ∩ B| exactly (shingles are distinct)
+      -- — but O(shared postings) instead of O(docs²): the sf1 gate's
+      -- nested-loop form needed hours, this runs in seconds and the
+      -- same rewrite speeds the sf0.01 driver gate
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS isect
+      FROM post a JOIN post b
+        ON a.source = b.source AND a.g = b.g AND b.doc_id > a.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
     pairs AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM sh a JOIN sh b
-        ON a.source = b.source AND b.doc_id > a.doc_id
-      WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-               / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.5
+      SELECT id_a, id_b
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = inter.id_a
+      JOIN sizes sb ON sb.doc_id = inter.id_b
+      WHERE CAST(isect AS DOUBLE) / (sa.n + sb.n - isect) >= 0.5
     ),
     edges AS (
       SELECT id_a AS src, id_b AS dst FROM pairs
