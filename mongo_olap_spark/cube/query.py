@@ -201,6 +201,48 @@ def distinct_rollup(
     return df.groupBy(*group_by).agg(agg, *extra)
 
 
+def quantile_estimates(
+    cells: DataFrame,
+    spec: CubeSpec,
+    measure: str,
+    qs: list[float],
+    group_by: list[str] | None = None,
+    *,
+    where: Column | str | None = None,
+    aliases: list[str] | None = None,
+) -> DataFrame:
+    """Several quantiles of ONE histogram measure in one rollup — the
+    whole point of storing the distribution rather than a scalar: the
+    same ~nbins-long vector answers any q at query time. One shuffle
+    (the rollup), then N estimator expressions over the rolled vector;
+    no extra state, no extra pass per quantile."""
+    m = spec.measure(measure)
+    if m.op != "quantile":
+        raise ValueError(f"measure {measure!r} is not a quantile (histogram) measure")
+    dims = spec.dim_names
+    group_by = dims if group_by is None else group_by
+    unknown = set(group_by) - set(dims)
+    if unknown:
+        raise ValueError(f"group_by not in cube dims: {sorted(unknown)}")
+    if aliases is None:
+        aliases = [f"{m.name}_q{str(q).replace('.', '_')}" for q in qs]
+    if len(aliases) != len(qs):
+        raise ValueError("aliases must match qs")
+    df = cells
+    if where is not None:
+        df = df.filter(where)
+    rolled = df.groupBy(*group_by).agg(
+        hist_sum_expr(f"{m.name}_hist", int(m.nbins)).alias("__h")
+    )
+    return rolled.select(
+        *group_by,
+        *[
+            hist_quantile_expr(F.col("__h"), float(q), m).alias(a)
+            for q, a in zip(qs, aliases)
+        ],
+    )
+
+
 def quantile_rollup(
     cells: DataFrame,
     spec: CubeSpec,

@@ -241,3 +241,47 @@ def test_quantile_rollup_rejects_bad_args(spark, events):
         quantile_rollup(
             build_cube(spark, narrow, events), narrow, ["event_type"], "value", 0.5
         )
+
+
+def test_multi_quantile_one_rollup(spark, events):
+    """p25/p50/p95 from one histogram vector, one shuffle — each
+    within a bin width of its exact discrete quantile, and
+    monotonically ordered."""
+    from pyspark.sql import Window
+
+    from mongo_olap_spark.cube.query import quantile_estimates
+
+    cells = build_cube(spark, VALUE_HIST_CUBE, events)
+    got = {
+        r.event_type: (r.p25, r.p50, r.p95)
+        for r in quantile_estimates(
+            cells, VALUE_HIST_CUBE, "p50_value", [0.25, 0.5, 0.95],
+            group_by=["event_type"], aliases=["p25", "p50", "p95"],
+        ).collect()
+    }
+    e = events.filter(F.col("value").isNotNull())
+    wcum = Window.partitionBy("event_type").orderBy("value")
+    wtot = Window.partitionBy("event_type")
+    ranked = (
+        e.withColumn("__cum", F.count(F.lit(1)).over(wcum))
+        .withColumn("__tot", F.count(F.lit(1)).over(wtot))
+    )
+    for qi, q in enumerate([0.25, 0.5, 0.95]):
+        want = {
+            r.event_type: r.v
+            for r in ranked.filter(
+                F.col("__cum") >= F.ceil(F.lit(q) * F.col("__tot"))
+            ).groupBy("event_type").agg(F.min("value").alias("v")).collect()
+        }
+        for g, t in want.items():
+            assert abs(got[g][qi] - t) <= BIN_W, (g, q, got[g][qi], t)
+    for g, (a, b, c) in got.items():
+        assert a <= b <= c, (g, a, b, c)
+
+
+def test_quantile_estimates_rejects_non_quantile_measure(spark, events):
+    from mongo_olap_spark.cube.query import quantile_estimates
+
+    cells = build_cube(spark, VALUE_HIST_CUBE, events)
+    with pytest.raises(ValueError, match="not a quantile"):
+        quantile_estimates(cells, VALUE_HIST_CUBE, "n", [0.5])
