@@ -58,6 +58,8 @@ def _measure_aggs(m: Measure, mult: str | None = None) -> list:
             return [F.max(F.when(sign > 0, src)).alias(f"{n}_max")]
         if m.op == "distinct":
             return [_hll_agg(F.when(sign > 0, src), m).alias(f"{n}_hll")]
+        if m.op == "topk":
+            return [_topk_agg(m, mult=mult).alias(f"{n}_tk")]
         if m.op == "quantile":
             # signed bin counts: insert adds, delete retracts — the
             # histogram sketch IS retraction-maintainable (integer
@@ -79,6 +81,8 @@ def _measure_aggs(m: Measure, mult: str | None = None) -> list:
         return [F.max(src).alias(f"{n}_max")]
     if m.op == "distinct":
         return [_hll_agg(src, m).alias(f"{n}_hll")]
+    if m.op == "topk":
+        return [_topk_agg(m).alias(f"{n}_tk")]
     if m.op == "quantile":
         return [_hist_agg(src, m).alias(f"{n}_hist")]
     raise AssertionError(m.op)
@@ -125,6 +129,38 @@ def _hist_agg(src, m: Measure, weight=None):
         f"sum(CASE WHEN {idx} = {i} THEN {wsql} ELSE 0L END)" for i in range(nb + 2)
     )
     return F.expr(f"array({elems})")
+
+
+def _topk_agg(m: Measure, mult: str | None = None):
+    """Bounded frequent-items partial: a map<item, long> of the cell's
+    up-to-``max_items`` most frequent values, built from the native
+    ``approx_top_k`` aggregate (Datasketches frequent-items — JVM-side,
+    map-side combined) with k = maxItemsTracked = the measure's
+    capacity, so the FULL tracked state is extracted, not just the
+    top k. The sketch tracks NULL as an item; the ``filter`` drops it
+    (NULL never counts — SQL COUNT semantics, same policy as the
+    distinct measure). Result is an empty map (never SQL NULL) for an
+    all-null/empty cell.
+
+    With ``mult``, only insert rows (+1) accumulate — a delete touching
+    a topk cube triggers the bounded cell-rescan repair, same policy as
+    min/max/HLL (spec._OPS: not retractable, truncation discards
+    evicted items' history).
+
+    EXACT regime: while a cell's cardinality ≤ max_items the sketch
+    never evicts and counts are exact (verified empirically at the
+    boundary: 10k distinct @ maxItemsTracked=10k returns all 10k items
+    with exact counts); beyond it, heavy items keep accurate counts
+    within the frequent-items error bound while the long tail truncates.
+    """
+    s = f"({m.source_path})"
+    if mult is not None:
+        s = f"(CASE WHEN CAST({mult} AS BIGINT) > 0 THEN {s} END)"
+    cap = m.capacity
+    return F.expr(
+        f"map_from_entries(filter(approx_top_k({s}, {cap}, {cap}), "
+        "e -> e.item IS NOT NULL))"
+    )
 
 
 def _hll_agg(col, m: Measure):

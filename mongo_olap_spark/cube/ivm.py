@@ -107,6 +107,19 @@ def merge_cells(
                     .otherwise(F.zip_with(cc, dc, lambda x, y: x + y))
                     .alias(col)
                 )
+            elif col.endswith("_tk"):
+                # mergeable-summary union: per-item count sum, truncate
+                # back to capacity (deterministic tie-break). Insert
+                # deltas only — a delete touching a topk cube goes
+                # through recompute_cells (spec._OPS: not retractable).
+                from mongo_olap_spark.cube.query import topk_merge_expr
+
+                out.append(
+                    F.when(cc.isNull(), dc)
+                    .when(dc.isNull(), cc)
+                    .otherwise(topk_merge_expr(cc, dc, m.capacity))
+                    .alias(col)
+                )
             elif col.endswith("_hll"):
                 # hll_union propagates NULL if either side is NULL
                 # (verified), so coalesce the one-sided cases by hand.

@@ -113,6 +113,10 @@ def finalize_exprs(spec: CubeSpec, measures: list[str] | None = None):
             out.append(
                 hist_quantile_expr(F.col(f"{n}_hist"), m.default_q, m).alias(n)
             )
+        elif m.op == "topk":
+            from mongo_olap_spark.cube.query import topk_entries_expr
+
+            out.append(topk_entries_expr(F.col(f"{n}_tk"), m.default_k).alias(n))
     return out
 
 

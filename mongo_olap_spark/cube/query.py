@@ -85,6 +85,76 @@ def hist_quantile_expr(hist: Column, q: float, m: Measure) -> Column:
     )
 
 
+def topk_truncate_expr(m: Column, max_items: int) -> Column:
+    """Cap a frequent-items map at ``max_items`` entries, evicting the
+    smallest counts (ties broken by item asc — deterministic, so
+    truncation is reproducible across merge orders). No-op (and no
+    sort) when the map is already within capacity."""
+    ent = F.array_sort(
+        F.map_entries(m),
+        lambda a, b: F.when(a["value"] > b["value"], -1)
+        .when(a["value"] < b["value"], 1)
+        .when(a["key"] < b["key"], -1)
+        .when(a["key"] > b["key"], 1)
+        .otherwise(0)
+        .cast("int"),
+    )
+    return F.when(
+        F.size(m) > max_items, F.map_from_entries(F.slice(ent, 1, max_items))
+    ).otherwise(m)
+
+
+def topk_merge_expr(a: Column, b: Column, max_items: int) -> Column:
+    """Scalar merge of two frequent-items maps: per-item count sum
+    (``map_zip_with`` — JVM-side, no UDF), then truncate back to
+    capacity. This is the mergeable-summaries union (Agarwal et al.,
+    PODS'12): associative up to truncation, exact while the union
+    cardinality stays ≤ max_items."""
+    zero = F.lit(0).cast("long")
+    merged = F.map_zip_with(
+        a, b, lambda k, x, y: F.coalesce(x, zero) + F.coalesce(y, zero)
+    )
+    return topk_truncate_expr(merged, max_items)
+
+
+def topk_union_agg(col: str, max_items: int) -> Column:
+    """Roll frequent-items cells up to a group: fold the per-cell maps
+    with :func:`topk_merge_expr`. Expressed as ``collect_list`` (a
+    partial-mergeable aggregate) + an ``aggregate`` HOF fold — all
+    JVM-side. Per-group transient state is O(cells_in_group ·
+    max_items) entries; for rollups where that product is large,
+    prefer the exact two-level route (:func:`topk_rollup`), which
+    streams through a window instead of folding per group."""
+    lst = F.collect_list(col)
+    merged = F.aggregate(
+        F.slice(lst, F.lit(2), F.greatest(F.size(lst) - 1, F.lit(0))),
+        F.element_at(lst, 1),
+        lambda acc, mm: topk_merge_expr(acc, mm, max_items),
+    )
+    # collect_list skips NULL maps; an all-empty group folds to {}.
+    # size(lst) == 0 (no cells at all) yields NULL — callers coalesce.
+    return F.when(F.size(lst) == 0, F.lit(None)).otherwise(merged)
+
+
+def topk_entries_expr(m_col: Column, k: int) -> Column:
+    """Top-k entries of a frequent-items map as an ordered
+    ``array<struct<item, count>>`` (count desc, item asc — the same
+    deterministic order truncation uses)."""
+    ent = F.array_sort(
+        F.map_entries(m_col),
+        lambda a, b: F.when(a["value"] > b["value"], -1)
+        .when(a["value"] < b["value"], 1)
+        .when(a["key"] < b["key"], -1)
+        .when(a["key"] > b["key"], 1)
+        .otherwise(0)
+        .cast("int"),
+    )
+    return F.transform(
+        F.slice(ent, 1, k),
+        lambda e: F.struct(e["key"].alias("item"), e["value"].alias("count")),
+    )
+
+
 def measure_rollup_exprs(
     spec: CubeSpec, measures: list[str] | None = None
 ) -> list[Column]:
@@ -118,6 +188,14 @@ def measure_rollup_exprs(
             out.append(
                 hist_quantile_expr(
                     hist_sum_expr(f"{n}_hist", int(m.nbins)), m.default_q, m
+                ).alias(n)
+            )
+        elif m.op == "topk":
+            # fold the cell maps, emit the measure's default top-k as
+            # ordered (item, count) structs
+            out.append(
+                topk_entries_expr(
+                    topk_union_agg(f"{n}_tk", m.capacity), m.default_k
                 ).alias(n)
             )
     return out
@@ -304,6 +382,81 @@ def quantile_rollup(
         .filter(F.col("__cum") >= F.ceil(F.lit(float(q)) * F.col("__tot")))
         .groupBy(*group_by)
         .agg(F.min(value_dim).alias(out))
+    )
+
+
+def topk_rollup(
+    cells: DataFrame,
+    spec: CubeSpec,
+    group_by: list[str],
+    value_dim: str,
+    k: int,
+    *,
+    alias: str | None = None,
+    count_alias: str | None = None,
+    rank_alias: str = "rank",
+    where: Column | str | None = None,
+) -> DataFrame:
+    """EXACT top-k most frequent values served from cube state — the
+    two-level decomposition (the heavy-hitters twin of
+    :func:`distinct_rollup`): a cube whose dimensions include the
+    ranked column holds one live cell per (group, value) with a count
+    partial; the top-k is a windowed rank over those cells.
+
+    Exact AND fully retractable (count partials evict cells at
+    multiplicity 0 — unlike the ``topk`` map measure, whose truncation
+    forfeits retraction). The trade is state size — O(Σ per-group
+    cardinality) cells instead of a bounded map; choose by cardinality,
+    the same decision as exact-vs-HLL distinct (USAGE.md).
+
+    Ties break deterministically: count desc, value asc — the same
+    order the sketch route's ``topk_entries_expr`` emits.
+
+    Output: one row per (group, kept value): group dims + the value
+    (``alias``, default the dim name) + its count (``count_alias``) +
+    its 1-based ``rank``. NULL values never rank (SQL COUNT semantics).
+
+    Scale: when cells are keyed exactly by group_by + value_dim, the
+    rank-filter compiles to WindowGroupLimit — each partition keeps
+    only its local top-k before the shuffle, so the exchange carries
+    O(groups · k), not O(cells). Extra dims re-aggregate first (one
+    extra shuffle over O(|cells|), still never a source rescan).
+    """
+    from pyspark.sql import Window
+
+    from mongo_olap_spark.cube.ivm import row_count_col
+
+    if int(k) < 1:
+        raise ValueError(f"top-k needs k >= 1, got {k}")
+    dims = spec.dim_names
+    if value_dim not in dims:
+        raise ValueError(f"value_dim {value_dim!r} not a cube dimension")
+    unknown = set(group_by) - set(dims)
+    if unknown:
+        raise ValueError(f"group_by not in cube dims: {sorted(unknown)}")
+    if value_dim in group_by:
+        raise ValueError(f"value_dim {value_dim!r} cannot also be grouped")
+    df = cells
+    if where is not None:
+        df = df.filter(where)
+    df = df.filter(F.col(value_dim).isNotNull())
+    cnt = row_count_col(spec)
+    out_v = alias or value_dim
+    out_c = count_alias or f"{out_v}_cnt"
+    if set(group_by) | {value_dim} == set(dims):
+        # cells are exactly one per (group, value): rank directly
+        ranked = df.select(*group_by, F.col(value_dim).alias(out_v), F.col(cnt).cast("long").alias(out_c))
+    else:
+        # extra dims remain: sum multiplicities over them first (still
+        # O(|cells|), far smaller than the source)
+        ranked = (
+            df.groupBy(*group_by, F.col(value_dim).alias(out_v))
+            .agg(F.sum(cnt).cast("long").alias(out_c))
+        )
+    w = Window.partitionBy(*group_by).orderBy(F.col(out_c).desc(), F.col(out_v).asc())
+    return (
+        ranked.withColumn(rank_alias, F.row_number().over(w))
+        .filter(F.col(rank_alias) <= int(k))
     )
 
 

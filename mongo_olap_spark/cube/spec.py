@@ -52,10 +52,23 @@ _OPS = {
     # so unlike min/max/distinct this sketch IS retractable — quantile
     # estimates survive CDC deletes with no cell rescan.
     "quantile": True,
+    # bounded frequent-items map (top-k / heavy hitters): merging two
+    # summaries sums per-item counts then truncates back to max_items —
+    # the standard mergeable-summary scheme (Agarwal et al., "Mergeable
+    # Summaries", PODS'12). Truncation discards evicted items' history,
+    # so deletes are not retractable (same repair policy as min/max/HLL:
+    # bounded cell rescan). EXACT whenever per-cell cardinality stays
+    # under max_items (no eviction ever happens).
+    "topk": False,
 }
 
 #: valid lgConfigK range for Spark's hll_sketch_agg (Datasketches HLL).
 _LGK_RANGE = (4, 21)
+
+#: topk summary capacity: default and the hard cap Spark's
+#: approx_top_k imposes on maxItemsTracked.
+_DEFAULT_MAX_ITEMS = 10_000
+_MAX_ITEMS_CAP = 1_000_000
 
 
 def _ident(name: str) -> str:
@@ -112,6 +125,13 @@ class Measure:
       overflow; ``q`` is the default query-time quantile ∈ (0, 1]).
       Error is bounded by one bin width (hi − lo) / nbins for mass
       inside [lo, hi); out-of-range mass clamps to the range edge.
+    - topk → ``<name>_tk`` (map<item, long> of the cell's up-to-
+      ``max_items`` most frequent values with their counts; ``k`` is
+      the default query-time top-k ≤ max_items). NULL values never
+      count (SQL COUNT semantics). Counts are EXACT while per-cell
+      cardinality ≤ max_items; beyond that the summary truncates on
+      merge (count desc, item asc tie-break — deterministic) and
+      frequencies follow the mergeable-summary error bound.
     """
 
     name: str
@@ -122,6 +142,8 @@ class Measure:
     hi: float | None = None
     nbins: int | None = None  # quantile only: fixed linear bin count
     q: float | None = None  # quantile only: default quantile (0.5)
+    k: int | None = None  # topk only: default query-time top-k
+    max_items: int | None = None  # topk only: summary capacity (default 10000)
 
     def __post_init__(self):
         _ident(self.name)
@@ -145,6 +167,24 @@ class Measure:
         elif any(v is not None for v in (self.lo, self.hi, self.nbins, self.q)):
             raise ValueError(
                 f"measure {self.name}: lo/hi/nbins/q are only valid for op 'quantile'"
+            )
+        if self.op == "topk":
+            if self.k is None:
+                raise ValueError(
+                    f"measure {self.name}: op 'topk' needs k (the default "
+                    "query-time top-k; callers may still ask for any k' ≤ "
+                    "max_items at query time)"
+                )
+            if not (1 <= int(self.k) <= _MAX_ITEMS_CAP):
+                raise ValueError(f"measure {self.name}: k must be in [1, {_MAX_ITEMS_CAP}]")
+            mi = _DEFAULT_MAX_ITEMS if self.max_items is None else int(self.max_items)
+            if not (int(self.k) <= mi <= _MAX_ITEMS_CAP):
+                raise ValueError(
+                    f"measure {self.name}: max_items must be in [k, {_MAX_ITEMS_CAP}]"
+                )
+        elif self.k is not None or self.max_items is not None:
+            raise ValueError(
+                f"measure {self.name}: k/max_items are only valid for op 'topk'"
             )
         if self.lgk is not None:
             if self.op != "distinct":
@@ -172,12 +212,23 @@ class Measure:
             "max": [f"{n}_max"],
             "distinct": [f"{n}_hll"],
             "quantile": [f"{n}_hist"],
+            "topk": [f"{n}_tk"],
         }[self.op]
 
     @property
     def default_q(self) -> float:
         """Query-time quantile when none is asked for (median)."""
         return 0.5 if self.q is None else float(self.q)
+
+    @property
+    def capacity(self) -> int:
+        """topk summary capacity (max tracked items per cell)."""
+        return _DEFAULT_MAX_ITEMS if self.max_items is None else int(self.max_items)
+
+    @property
+    def default_k(self) -> int:
+        """Query-time top-k when none is asked for."""
+        return int(self.k) if self.k is not None else 5
 
 
 @dataclass(frozen=True)
@@ -235,6 +286,12 @@ class CubeSpec:
                         {"lo": m.lo, "hi": m.hi, "nbins": m.nbins}
                         | ({"q": m.q} if m.q is not None else {})
                         if m.op == "quantile"
+                        else {}
+                    )
+                    | (
+                        {"k": m.k}
+                        | ({"max_items": m.max_items} if m.max_items is not None else {})
+                        if m.op == "topk"
                         else {}
                     )
                     for m in self.measures

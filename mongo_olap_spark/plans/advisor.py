@@ -116,8 +116,8 @@ def _signature(req: AggregateRequest) -> _Sig:
             )
         name, op, *rest = m
         path = rest[0] if rest else None
-        if op in ("count_distinct", "quantile_exact"):
-            # two-level decomposition (C19/C20 exact routes): the
+        if op in ("count_distinct", "quantile_exact", "topn"):
+            # two-level decomposition (C19/C20/C21 exact routes): the
             # measured column must be a RAW DIMENSION of the serving
             # cube — that, plus a count measure for multiplicity, IS
             # the state the router serves these from
@@ -134,6 +134,14 @@ def _signature(req: AggregateRequest) -> _Sig:
                 "Measure(op='quantile', lo=, hi=, nbins=), or put "
                 f"('{name}', 'quantile_exact', {path!r}, q) in the workload "
                 "for the exact two-level route."
+            )
+        if op == "topk":
+            raise ValueError(
+                f"measure {name}: the advisor cannot pick a 'topk' summary "
+                "capacity (k/max_items are domain decisions). Declare the "
+                "cube yourself with Measure(op='topk', k=, max_items=), or "
+                f"put ('{name}', 'topn', {path!r}, k) in the workload for "
+                "the exact two-level route."
             )
         meas.add((op, path))
     return _Sig(req.source, req.filter_sql or None, frozenset(dims.items()), frozenset(meas))

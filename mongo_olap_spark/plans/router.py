@@ -72,6 +72,11 @@ class RoutingDecision:
     #: holds the measured column as a raw dimension — recorded as
     #: (requested output name, cube dimension name, q)
     quantile: tuple | None = None
+    #: exact top-k serving (C21 two-level route): the request carried
+    #: ``(name, "topn", path[, k])`` and the cube holds the ranked
+    #: column as a raw dimension — recorded as
+    #: (requested output name, cube dimension name, k)
+    topn: tuple | None = None
 
 
 class CubeRouter:
@@ -85,6 +90,7 @@ class CubeRouter:
         # 5th element ("special") tags the two-level routes:
         #   ("distinct", out_name, dim)      C19 exact count-distinct
         #   ("quantile", out_name, dim, q)   C20 exact quantile
+        #   ("topn", out_name, dim, k)       C21 exact top-k frequent
         if spec.source != req.source:
             return False, [], {}, "different source", None
         if (spec.filter_sql or None) != (req.filter_sql or None):
@@ -157,6 +163,33 @@ class CubeRouter:
                         "group_by + measured column"
                     ), None
                 distinct = ("quantile", name, d.name, q)
+                continue
+            if op == "topn":
+                # EXACT top-k most frequent values (C21 two-level
+                # route): served when the ranked column is a raw
+                # dimension of the cube — live (group, value) cells
+                # carry exact multiplicities, read by topk_rollup. The
+                # approximate map-summary route is a different op
+                # ("topk"): an exact ask never silently degrades to a
+                # truncated summary.
+                if path is None:
+                    return False, [], {}, f"measure {name}: topn needs a path", None
+                if distinct is not None:
+                    return False, [], {}, "one special (count_distinct/quantile_exact/topn) measure per request", None
+                if len(req.measures) != 1:
+                    # topn emits k ROWS per group — other measures
+                    # aggregate to one row per group; the shapes don't
+                    # compose in a single request
+                    return False, [], {}, "topn must be the only requested measure", None
+                k = int(rest[1]) if len(rest) > 1 else 5
+                if k < 1:
+                    return False, [], {}, f"measure {name}: k must be >= 1", None
+                d = dim_by_path.get(path)
+                if d is None or d.granularity is not None:
+                    return False, [], {}, f"ranked column {path} not a raw dimension", None
+                if d.name in gb_names:
+                    return False, [], {}, f"ranked column {path} is also grouped", None
+                distinct = ("topn", name, d.name, k)
                 continue
             if op == "count_distinct":
                 # EXACT count-distinct (C19 two-level route): served
@@ -299,6 +332,7 @@ class CubeRouter:
             name, f"smallest sufficient cube ({n} cells)", rewritten, renames,
             distinct=special[1:] if special and special[0] == "distinct" else None,
             quantile=special[1:] if special and special[0] == "quantile" else None,
+            topn=special[1:] if special and special[0] == "topn" else None,
         )
 
     def execute(self, req: AggregateRequest, source_df: DataFrame | None = None) -> DataFrame:
@@ -322,6 +356,8 @@ class CubeRouter:
                     needed.add(decision.distinct[1])
                 if decision.quantile is not None:
                     needed.add(decision.quantile[1])
+                if decision.topn is not None:
+                    needed.add(decision.topn[1])
                 if req.where is not None:
                     needed |= _where_columns(req.where) & set(spec.dim_names)
                 covering = [lv for lv in levels if needed <= set(lv)]
@@ -344,7 +380,14 @@ class CubeRouter:
             )
             ren = decision.measure_renames
             req_names = [m if isinstance(m, str) else m[0] for m in req.measures]
-            if decision.quantile is not None:
+            if decision.topn is not None:
+                from mongo_olap_spark.cube.query import topk_rollup
+
+                alias, tdim, k = decision.topn
+                out = topk_rollup(
+                    regrouped, spec, gb_names, tdim, k, alias=alias,
+                )
+            elif decision.quantile is not None:
                 from mongo_olap_spark.cube.query import quantile_rollup
 
                 alias, qdim, q = decision.quantile
@@ -409,6 +452,29 @@ class CubeRouter:
             return quantile_rollup(
                 filtered, tmp, [d.name for d in dims], qdim, q, alias=alias
             )
+        tn = [m for m in req.measures
+              if isinstance(m, tuple) and len(m) >= 3 and m[1] == "topn"]
+        if tn:
+            # exact-top-k fallback honors the ask through the same
+            # two-level shape it would be served from
+            if len(req.measures) != 1:
+                raise ValueError("topn must be the only requested measure")
+            from mongo_olap_spark.cube.query import topk_rollup
+
+            alias, _, t_path, *kk = tn[0]
+            k = int(kk[0]) if kk else 5
+            tdim = "__tn_" + re.sub(r"[^A-Za-z0-9_]+", "_", t_path)
+            tmp = CubeSpec(
+                name="adhoc", source=req.source,
+                dimensions=dims + (Dimension(tdim, path=t_path),),
+                measures=(Measure("__tn_count", "count"),),
+                filter_sql=req.filter_sql,
+            )
+            cells = build_cube(None, tmp, source_df)
+            filtered = cells.filter(req.where) if req.where else cells
+            return topk_rollup(
+                filtered, tmp, [d.name for d in dims], tdim, k, alias=alias
+            )
         for m in req.measures:
             if isinstance(m, tuple) and len(m) >= 2 and m[1] == "quantile":
                 # a histogram sketch needs a declared range — there is
@@ -420,6 +486,17 @@ class CubeRouter:
                     "cube with Measure(op='quantile', lo=, hi=, nbins=) or "
                     "request ('" + str(m[0]) + "', 'quantile_exact', path, q) "
                     "for the exact two-level route."
+                )
+            if isinstance(m, tuple) and len(m) >= 2 and m[1] == "topk":
+                # the map summary's capacity is a spec decision — there
+                # is nothing honest to synthesize from an ad-hoc request
+                raise ValueError(
+                    f"measure {m[0]}: no cube holds a topk summary on "
+                    f"{m[2] if len(m) > 2 else '?'} and a source fallback "
+                    "cannot pick its capacity for you. Either create a "
+                    "cube with Measure(op='topk', k=, max_items=) or "
+                    "request ('" + str(m[0]) + "', 'topn', path, k) for "
+                    "the exact two-level route."
                 )
         rest = tuple(
             Measure(*m) if isinstance(m, tuple) else Measure(m, "count")

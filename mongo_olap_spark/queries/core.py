@@ -544,3 +544,105 @@ def q_cube_quantile_exact(spark, sf_dir):
     return quantile_rollup(
         cells, VALUE_EXACT_Q_CUBE, ["event_type"], "value", 0.5, alias="p50_value"
     )
+
+
+# ---------------------------------------------------------------------------
+# C21 — top-k / heavy-hitters measures from cube state. Sketch route:
+# bounded frequent-items map (built from the native approx_top_k,
+# merged by per-item count sum + deterministic truncation — the
+# mergeable-summaries scheme, Agarwal et al. PODS'12; EXACT while
+# per-cell cardinality ≤ max_items, bounded-error beyond). Exact route:
+# two-level decomposition with the ranked column as a dimension
+# (windowed rank over live cells — exact, retractable, O(cardinality)
+# state; WindowGroupLimit keeps the exchange at O(groups · k)).
+# ---------------------------------------------------------------------------
+
+#: Frequent-items map cube: per (event_type, day) cell the map tracks
+#: up to 65536 users — far above the per-cell (≤ ~6k at sf1) AND the
+#: per-type union (≤ 15k at sf1) cardinality, so both the build and the
+#: rollup merge stay in the EXACT regime at every tested SF; the oracle
+#: below is therefore hash-exact, not rows-only. The truncated regime
+#: is property-tested in tests/test_cube_topk.py instead.
+USERS_TOPK_CUBE = CubeSpec(
+    name="events_users_topk",
+    source="events",
+    dimensions=(
+        Dimension("event_type"),
+        Dimension("day", path="ts", granularity="day"),
+    ),
+    measures=(
+        Measure("n", "count"),
+        Measure("top_users", "topk", "user_id", k=3, max_items=65536),
+    ),
+)
+
+
+@register(
+    "q_cube_topn",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, user_id, COUNT(*) AS cnt
+      FROM events WHERE user_id IS NOT NULL
+      GROUP BY event_type, user_id
+    ),
+    r AS (
+      SELECT event_type, user_id, cnt,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_type ORDER BY cnt DESC, user_id ASC
+             ) AS rank
+      FROM c
+    )
+    SELECT event_type, rank, user_id, cnt FROM r WHERE rank <= 3
+    """,
+)
+def q_cube_topn(spark, sf_dir):
+    """Top-3 users per event type from frequent-items cube cells: the
+    per-day maps union per-item (never a source rescan), the top-k
+    reads off the merged map. Oracle-gated because the capacity keeps
+    every tested SF in the exact regime (see USERS_TOPK_CUBE note)."""
+    e = load_table(spark, sf_dir, "events")
+    cells = build_cube(spark, USERS_TOPK_CUBE, e)
+    rolled = query_cube(
+        cells, USERS_TOPK_CUBE, group_by=["event_type"], measures=["top_users"]
+    )
+    ex = rolled.select(
+        "event_type", F.posexplode("top_users").alias("pos", "e")
+    )
+    return ex.select(
+        "event_type",
+        (F.col("pos") + 1).cast("long").alias("rank"),
+        F.col("e.item").alias("user_id"),
+        F.col("e.count").alias("cnt"),
+    )
+
+
+@register(
+    "q_cube_topn_exact",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, user_id, COUNT(*) AS cnt
+      FROM events WHERE user_id IS NOT NULL
+      GROUP BY event_type, user_id
+    ),
+    r AS (
+      SELECT event_type, user_id, cnt,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_type ORDER BY cnt DESC, user_id ASC
+             ) AS rank
+      FROM c
+    )
+    SELECT event_type, user_id, cnt, rank FROM r WHERE rank <= 3
+    """,
+)
+def q_cube_topn_exact(spark, sf_dir):
+    """Exact top-3 users per event type from cube state: one live cell
+    per (event_type, user_id); a windowed rank over cells — no source
+    rescan, no per-group fold, fully retractable under CDC deletes."""
+    from mongo_olap_spark.cube.query import topk_rollup
+
+    e = load_table(spark, sf_dir, "events")
+    cells = build_cube(spark, USERS_EXACT_CUBE, e)
+    out = topk_rollup(
+        cells, USERS_EXACT_CUBE, ["event_type"], "user_id", 3, count_alias="cnt"
+    )
+    return out.withColumn("rank", F.col("rank").cast("long"))

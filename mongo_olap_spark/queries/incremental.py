@@ -238,6 +238,68 @@ def q_route_quantile(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# C21 routed: a topN-shaped request ('topn') is served from the exact
+# two-level cube (ranked column as a dimension) via the ROUTER —
+# topk_rollup ranks live cells with a windowed row_number
+# (WindowGroupLimit: the exchange carries O(groups · k), not
+# O(cells)). Correct routing is invisible: the answer must equal a
+# windowed top-3 over the source, which is the oracle.
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_route_topn",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, user_id, COUNT(*) AS cnt
+      FROM events WHERE user_id IS NOT NULL
+      GROUP BY event_type, user_id
+    ),
+    r AS (
+      SELECT event_type, user_id AS top_user, cnt AS top_user_cnt,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_type ORDER BY cnt DESC, user_id ASC
+             ) AS rank
+      FROM c
+    )
+    SELECT event_type, top_user, top_user_cnt, rank FROM r WHERE rank <= 3
+    """,
+)
+def q_route_topn(spark, sf_dir):
+    import os
+    import tempfile
+
+    from mongo_olap_spark.cube import CubeCatalog, CubeSpec, Dimension, Measure
+    from mongo_olap_spark.plans import AggregateRequest, CubeRouter
+
+    root = os.path.join(
+        tempfile.gettempdir(), "mongo_olap_route_tn", sf_dir.strip("/").replace("/", "_")
+    )
+    cat = CubeCatalog(spark, root)
+    e = load_table(spark, sf_dir, "events")
+    exact = CubeSpec(
+        name="events_users_topn_route",
+        source="events",
+        dimensions=(Dimension("event_type"), Dimension("user_id")),
+        measures=(Measure("n", "count"),),
+    )
+    cat.drop(exact.name)
+    cat.create(exact, e)
+    router = CubeRouter(cat)
+    req = AggregateRequest(
+        source="events",
+        group_by=("event_type",),
+        measures=(("top_user", "topn", "user_id", 3),),
+    )
+    decision = router.route(req)
+    assert decision.cube == exact.name, decision
+    out = router.execute(req)
+    return out.select(
+        "event_type", "top_user", "top_user_cnt",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # §4.1' lambda serving: the maintained cube lags the source by an
 # un-applied tail; hybrid_query answers from cells + tail partials in
 # one shuffle. Correct hybrid serving is invisible — the answer must

@@ -420,3 +420,60 @@ def test_advise_exact_quantile_end_to_end(spark, events, tmp_path):
         ).collect()
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# C21 two-level decomposition in the workload (r9)
+# ---------------------------------------------------------------------------
+
+def test_signature_decomposes_topn_and_refuses_sketch_topk():
+    """topn measures become raw dimensions + a count measure — the
+    exact state shape the router serves them from; the 'topk' sketch
+    refuses with a recipe (capacity is a domain decision)."""
+    sig = _signature(_req(
+        group_by=("event_type",),
+        measures=(("top_user", "topn", "user_id", 3),),
+    ))
+    assert ("user_id", None) in sig.dims
+    assert sig.measures == frozenset({("count", None)})
+    with pytest.raises(ValueError, match="topn"):
+        _signature(_req(
+            group_by=("event_type",),
+            measures=(("top_user", "topk", "user_id"),),
+        ))
+
+
+def test_advise_exact_topn_end_to_end(spark, events, tmp_path):
+    """An advisor recommendation for a topn workload over a
+    low-cardinality column routes and answers correctly through the
+    real router."""
+    req = _req(
+        group_by=("event_type",),
+        measures=(("top_user", "topn", "user_id", 3),),
+    )
+    adv = advise([req], {"events": events})
+    assert adv.coverage == 1.0
+    catalog = CubeCatalog(spark, str(tmp_path))
+    for spec in adv.cubes:
+        catalog.create(spec, events)
+    router = CubeRouter(catalog)
+    decision = router.route(req)
+    assert decision.cube is not None, decision.reason
+    got = {
+        (r.event_type, r.rank): (r.top_user, r.top_user_cnt)
+        for r in router.execute(req).collect()
+    }
+
+    from pyspark.sql import Window
+
+    e = events.filter(F.col("user_id").isNotNull())
+    counted = e.groupBy("event_type", "user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("cnt").desc(), F.col("user_id").asc()
+    )
+    want = {
+        (r.event_type, r.rank): (r.user_id, r.cnt)
+        for r in counted.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3).collect()
+    }
+    assert got == want

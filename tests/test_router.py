@@ -485,3 +485,160 @@ def test_quantile_sketch_served_by_histogram_cube(spark, events, tmp_path):
     want = {r.event_type: r.p50 for r in _discrete_median(events, "event_type").collect()}
     for k, v in want.items():
         assert abs(est[k] - v) <= 10.0  # one bin width of VALUE_HIST_CUBE
+
+
+# ---------------------------------------------------------------------------
+# C21 routed exact top-k
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def tn_catalog(spark, events, tmp_path_factory):
+    cat = CubeCatalog(spark, str(tmp_path_factory.mktemp("tn_cubes")))
+    exact = CubeSpec(
+        name="users_exact_tn",
+        source="events",
+        dimensions=(Dimension("event_type"), Dimension("user_id")),
+        measures=(Measure("n", "count"),),
+    )
+    cat.create(exact, events)
+    return cat
+
+
+def _direct_topk(events, k, *group_by):
+    from pyspark.sql import Window
+
+    e = events.filter(F.col("user_id").isNotNull())
+    counted = e.groupBy(*group_by, "user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy(*group_by).orderBy(
+        F.col("cnt").desc(), F.col("user_id").asc()
+    )
+    return (
+        counted.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def test_topn_routed_to_exact_cube(spark, events, tn_catalog):
+    router = CubeRouter(tn_catalog)
+    req = AggregateRequest(
+        source="events",
+        group_by=("event_type",),
+        measures=(("top_user", "topn", "user_id", 3),),
+    )
+    d = router.route(req)
+    assert d.cube == "users_exact_tn" and d.topn == ("top_user", "user_id", 3)
+    got = router.execute(req)
+    assert set(got.columns) == {"event_type", "top_user", "top_user_cnt", "rank"}
+    want = _direct_topk(events, 3, "event_type").select(
+        "event_type",
+        F.col("user_id").alias("top_user"),
+        F.col("cnt").alias("top_user_cnt"),
+        "rank",
+    )
+    assert rows_set(got) == rows_set(want)
+
+
+def test_topn_refusals(tn_catalog):
+    router = CubeRouter(tn_catalog)
+    # ranked column also grouped
+    d = router.route(
+        AggregateRequest(
+            source="events",
+            group_by=("event_type", "user_id"),
+            measures=(("top_user", "topn", "user_id", 3),),
+        )
+    )
+    assert d.cube is None
+    # cannot combine with other measures (k rows/group vs 1 row/group)
+    d = router.route(
+        AggregateRequest(
+            source="events",
+            group_by=("event_type",),
+            measures=(("top_user", "topn", "user_id", 3), ("n", "count")),
+        )
+    )
+    assert d.cube is None
+    # k < 1
+    d = router.route(
+        AggregateRequest(
+            source="events",
+            group_by=("event_type",),
+            measures=(("top_user", "topn", "user_id", 0),),
+        )
+    )
+    assert d.cube is None
+    # no path
+    d = router.route(
+        AggregateRequest(
+            source="events",
+            group_by=("event_type",),
+            measures=(("top_user", "topn"),),
+        )
+    )
+    assert d.cube is None
+
+
+def test_topn_source_fallback(spark, events, tn_catalog):
+    """No serving cube (grouping by a dim the cube lacks) — the
+    fallback builds the same two-level shape over the source."""
+    router = CubeRouter(tn_catalog)
+    req = AggregateRequest(
+        source="events",
+        group_by=(("ts", "day"),),
+        measures=(("top_user", "topn", "user_id", 2),),
+    )
+    assert router.route(req).cube is None
+    got = router.execute(req, source_df=events)
+    want = _direct_topk(
+        events.withColumn("ts_day", F.date_trunc("day", "ts")), 2, "ts_day"
+    ).select(
+        "ts_day",
+        F.col("user_id").alias("top_user"),
+        F.col("cnt").alias("top_user_cnt"),
+        "rank",
+    )
+    assert rows_set(got) == rows_set(want)
+
+
+def test_topk_sketch_fallback_refuses_with_recipe(spark, events, tn_catalog):
+    """A 'topk' sketch ask with no serving cube cannot be honored from
+    the source (capacity is a spec decision) — refuse loudly, naming
+    both remedies."""
+    router = CubeRouter(tn_catalog)
+    req = AggregateRequest(
+        source="events",
+        group_by=("event_type",),
+        measures=(("top_user", "topk", "user_id"),),
+    )
+    assert router.route(req).cube is None
+    with pytest.raises(ValueError, match="topn"):
+        router.execute(req, source_df=events)
+
+
+def test_topk_sketch_served_by_map_cube(spark, events, tmp_path):
+    """A sketch 'topk' ask IS served when a cube holds a frequent-items
+    measure on the path (same-semantics binding surfaces it under the
+    requested name)."""
+    from mongo_olap_spark.queries.core import USERS_TOPK_CUBE
+
+    cat = CubeCatalog(spark, str(tmp_path / "tk_cubes"))
+    cat.create(USERS_TOPK_CUBE, events)
+    router = CubeRouter(cat)
+    req = AggregateRequest(
+        source="events",
+        group_by=("event_type",),
+        measures=(("heavy_users", "topk", "user_id"),),
+    )
+    d = router.route(req)
+    assert d.cube == USERS_TOPK_CUBE.name
+    got = router.execute(req)
+    assert set(got.columns) == {"event_type", "heavy_users"}
+    # exact regime at test cardinalities: entries equal the direct top-3
+    got_map = {
+        r["event_type"]: [(e["item"], e["count"]) for e in r["heavy_users"]]
+        for r in got.collect()
+    }
+    want: dict = {}
+    for r in _direct_topk(events, 3, "event_type").collect():
+        want.setdefault(r["event_type"], []).append((r["user_id"], r["cnt"]))
+    assert got_map == want
