@@ -1,5 +1,6 @@
-"""C19 count-distinct + C20 quantile soak under delete-heavy CDC
-(round-9 task 4; C20 histogram measure added same round).
+"""C19 count-distinct + C20 quantile + C21 top-k soak under
+delete-heavy CDC (round-9 task 4; C20 histogram and C21 frequent-items
+measures added same round).
 
 The two count-distinct routes have opposite maintenance stories:
 
@@ -24,6 +25,14 @@ boundary plus periodic checkpoints:
   error envelope (lgk=14 → rsd = 1.04/√2^14 ≈ 0.81%) of the true
   distinct count at that watermark — same envelope the pytest unit
   property uses, now held across 200 maintained batches;
+- **C20 histogram route**: maintained cell state bit-identical to
+  rebuild (signed bins — deletes maintain with NO repair), median
+  estimate within one bin width;
+- **C21 topk route**: maintained frequent-items maps equal to rebuild
+  at the checkpoint (at this cardinality the 65536 capacity keeps the
+  whole soak in the exact regime; retraction batches exercise the
+  bounded repair path, since truncation forfeits retraction), and the
+  rolled top-3 (items, counts, order) equal to the rebuild's;
 - the usual soak invariants: per-phase batch-time slopes ~flat, final
   maintained state equal to rebuild.
 
@@ -184,6 +193,54 @@ def hist_route_check(spark, catalog, name, spec, events, n_batches, k):
     return state_ok, worst, violations
 
 
+def topk_route_check(spark, catalog, name, spec, events, n_batches, k):
+    """C21 frequent-items maps: maintained CELL STATE equal to rebuild
+    at watermark k (exact regime — nothing truncates at this
+    cardinality, and retraction batches go through the bounded repair),
+    plus the rolled top-3 (items, counts, order) equal to the
+    rebuild's. Maps are normalized to key-sorted entry arrays before
+    hashing — map internal order differs between a fresh approx_top_k
+    build and a chain of map_zip_with merges."""
+    from mongo_olap_spark.cube.build import build_cube
+    from mongo_olap_spark.cube.query import query_cube
+
+    cols = [*spec.dim_names, *[c for m in spec.measures for c in m.storage_cols()]]
+
+    def normalized(cells):
+        return cells.select(
+            *spec.dim_names,
+            *[
+                F.array_sort(F.map_entries(F.col(c))).cast("string").alias(c)
+                if c.endswith("_tk")
+                else F.col(c)
+                for c in cols
+                if c not in spec.dim_names
+            ],
+        )
+
+    net = state_at_batch(events, n_batches, k)
+    rebuilt = build_cube(spark, spec, net)
+    got = rows_digest(normalized(catalog.cells(name)), cols)
+    want = rows_digest(normalized(rebuilt), cols)
+    state_ok = got == want
+
+    def rolled(cells):
+        return {
+            r["event_type"]: tuple((e["item"], e["count"]) for e in r["top_users"])
+            for r in query_cube(
+                cells, spec, group_by=["event_type"], measures=["top_users"]
+            ).collect()
+        }
+
+    top_ok = rolled(catalog.cells(name)) == rolled(rebuilt)
+    violations = []
+    if not state_ok:
+        violations.append(f"batch{k}: topk cells {got} != rebuild {want}")
+    if not top_ok:
+        violations.append(f"batch{k}: topk rolled top-3 != rebuild's")
+    return state_ok, top_ok, violations
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--batches", type=int, default=200)
@@ -241,6 +298,23 @@ def main() -> int:
         ),
     )
 
+    # C21: bounded frequent-items map — 65536 capacity >> the ~15k
+    # user cardinality at factor 10, so the whole soak runs in the
+    # EXACT regime; retraction batches exercise the repair path
+    # (truncation forfeits retraction, same policy as HLL/min-max)
+    topk_spec = CubeSpec(
+        name="soak_topk",
+        source="events",
+        dimensions=(
+            Dimension("event_type"),
+            Dimension("day", path="ts", granularity="day"),
+        ),
+        measures=(
+            Measure("n", "count"),
+            Measure("top_users", "topk", "user_id", k=3, max_items=65536),
+        ),
+    )
+
     cdc_path = os.path.join(args.dst, f"soak_cdc_b{args.batches}")
     if not os.path.exists(os.path.join(cdc_path, "_SUCCESS")):
         build_cdc(events, args.batches).repartition("b").write.mode(
@@ -252,10 +326,12 @@ def main() -> int:
     catalog.create(hll_spec, events.limit(0))
     catalog.create(exact_spec, events.limit(0))
     catalog.create(hist_spec, events.limit(0))
+    catalog.create(topk_spec, events.limit(0))
 
     m_hll = CubeMaintainer(catalog, hll_spec)
     m_exact = CubeMaintainer(catalog, exact_spec)
     m_hist = CubeMaintainer(catalog, hist_spec)
+    m_topk = CubeMaintainer(catalog, topk_spec)
 
     ib = int(args.batches * 0.6)
     ub = int(args.batches * 0.2)
@@ -264,6 +340,7 @@ def main() -> int:
     times_hll: list[float] = []
     times_exact: list[float] = []
     times_hist: list[float] = []
+    times_topk: list[float] = []
     checks = []
     violations: list[str] = []
     repair_batches = 0
@@ -271,8 +348,10 @@ def main() -> int:
     t_run0 = time.perf_counter()
     for k in range(args.batches):
         batch = cdc.filter(F.col("b") == k).drop("b")
-        # the HLL cube's repair source must be the post-batch net state
-        m_hll.source_for_repair = state_at_batch(events, args.batches, k)
+        # the HLL/topk cubes' repair source must be the post-batch net state
+        net_k = state_at_batch(events, args.batches, k)
+        m_hll.source_for_repair = net_k
+        m_topk.source_for_repair = net_k
         t0 = time.perf_counter()
         m_hll.apply_batch(batch, k)
         times_hll.append(time.perf_counter() - t0)
@@ -282,6 +361,9 @@ def main() -> int:
         t0 = time.perf_counter()
         m_hist.apply_batch(batch, k)
         times_hist.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        m_topk.apply_batch(batch, k)
+        times_topk.append(time.perf_counter() - t0)
         if k >= ib:
             repair_batches += 1  # update/delete batches carry retractions
 
@@ -297,6 +379,9 @@ def main() -> int:
             hist_ok, hist_worst, hviol = hist_route_check(
                 spark, catalog, hist_spec.name, hist_spec, events, args.batches, k)
             violations.extend(hviol)
+            tk_state_ok, tk_top_ok, tviol = topk_route_check(
+                spark, catalog, topk_spec.name, topk_spec, events, args.batches, k)
+            violations.extend(tviol)
             checks.append({
                 "batch": k,
                 "phase": label,
@@ -305,11 +390,14 @@ def main() -> int:
                 "exact_match": ok_exact,
                 "hist_state_match": hist_ok,
                 "hist_worst_abs_err": round(hist_worst, 3),
+                "topk_state_match": tk_state_ok,
+                "topk_rolled_match": tk_top_ok,
             })
             print(
                 f"# check batch {k} ({label}): hll worst rel err {worst:.4f} "
                 f"(3σ={3 * RSD:.4f}), exact_match={ok_exact}, "
-                f"hist_state_match={hist_ok} hist_worst_err={hist_worst:.2f}",
+                f"hist_state_match={hist_ok} hist_worst_err={hist_worst:.2f} "
+                f"topk={tk_state_ok}/{tk_top_ok}",
                 file=sys.stderr,
             )
         if (k + 1) % 20 == 0:
@@ -324,14 +412,18 @@ def main() -> int:
     phases_hll = phase_stats(times_hll, args.batches)
     phases_exact = phase_stats(times_exact, args.batches)
     phases_hist = phase_stats(times_hist, args.batches)
+    phases_topk = phase_stats(times_topk, args.batches)
     ok_phases = all(
         p["slope_ok"]
         for p in list(phases_hll.values())
         + list(phases_exact.values())
         + list(phases_hist.values())
+        + list(phases_topk.values())
     )
     ok_checks = not violations and all(
-        c["exact_match"] and c["hist_state_match"] for c in checks
+        c["exact_match"] and c["hist_state_match"]
+        and c["topk_state_match"] and c["topk_rolled_match"]
+        for c in checks
     )
 
     result = {
@@ -344,10 +436,12 @@ def main() -> int:
         "hll_batch_mean_s": round(sum(times_hll) / len(times_hll), 3),
         "exact_batch_mean_s": round(sum(times_exact) / len(times_exact), 3),
         "hist_batch_mean_s": round(sum(times_hist) / len(times_hist), 3),
+        "topk_batch_mean_s": round(sum(times_topk) / len(times_topk), 3),
         "retraction_batches": repair_batches,
         "phase_stats_hll": phases_hll,
         "phase_stats_exact": phases_exact,
         "phase_stats_hist": phases_hist,
+        "phase_stats_topk": phases_topk,
         "checks": checks,
         "violations": violations[:10],
         "ok": ok_phases and ok_checks,
