@@ -879,14 +879,19 @@ _SHINGLE5_SQL = """
     "q_decontaminate",
     oracle=f"""
     WITH sh AS ({_SHINGLE5_SQL.format(src="documents")}),
+    -- postings equi-join, not all-pairs: per-doc shingle lists are
+    -- list_distinct, so COUNT(*) of equal-shingle pairs equals
+    -- len(list_intersect) (verified equal at sf0.01/sf0.1; 6x faster
+    -- at sf0.1, the gap grows quadratically with corpus size)
+    p AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
     ev AS (
-      SELECT doc_id + 3000000 AS eval_id, shingles
+      SELECT doc_id + 3000000 AS eval_id, unnest(shingles) AS s
       FROM sh WHERE doc_id % 50 = 0
     )
-    SELECT t.doc_id, e.eval_id,
-           CAST(len(list_intersect(t.shingles, e.shingles)) AS BIGINT) AS n_shared
-    FROM sh t JOIN ev e
-      ON len(list_intersect(t.shingles, e.shingles)) >= 3
+    SELECT p.doc_id, ev.eval_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM p JOIN ev ON p.s = ev.s
+    GROUP BY p.doc_id, ev.eval_id
+    HAVING COUNT(*) >= 3
     """,
 )
 def q_decontaminate(spark, sf_dir):
