@@ -32,8 +32,17 @@ python tools/check_oracle.py /root/testdata/sf0.1 2>/dev/null \
     | tee -a "CORRECTNESS_full_r${N}.txt" || fail=1
 
 echo "--- idle bench (BENCH_REPEAT=3) ---"
-BENCH_REPEAT=3 python bench.py 2>/dev/null | tail -1 \
-    | tee "BENCH_self_r${N}.json" || fail=1
+# keep the FULL per-query JSON line (bench prints it before the compact
+# headline; tail -1 alone used to capture only the headline and lose
+# the per-query detail the next round's drift attribution needs)
+BENCH_REPEAT=3 python bench.py 2>/dev/null | grep '"queries"' | tail -1 \
+    > "BENCH_self_r${N}.json" || fail=1
+python - <<PYEOF || fail=1
+import json
+d = json.load(open("BENCH_self_r${N}.json"))
+print(json.dumps({"metric": "total", "value": d["value"], "unit": "sec",
+                  "n_queries": len(d["queries"]), "sf": d["sf"]}))
+PYEOF
 
 echo "--- pytest (full suite, final tree) ---"
 python -m pytest tests/ -q 2>&1 | tail -3 | tee "PYTEST_r${N}.txt" || fail=1
