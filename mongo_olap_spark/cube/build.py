@@ -37,6 +37,26 @@ def _measure_aggs(m: Measure, mult: str | None = None) -> list:
     """
     n = m.name
     src = F.expr(m.source_path) if m.op != "count" else None
+    _VAR_OPS = ("var_pop", "var_samp", "stddev_pop", "stddev_samp")
+    if m.op in _VAR_OPS:
+        # dispersion family: decomposed (Σx, Σx², n) exact DECIMAL
+        # partials — x² squared in DOUBLE first (decimal(38,6)² would
+        # overflow), then exact decimal accumulation; signed under
+        # mult, so the family is fully retractable like sum/avg
+        d = src.cast("double")
+        sq = (d * d).cast(SUM_DECIMAL)
+        if mult is not None:
+            sign = F.col(mult).cast("long")
+            return [
+                F.sum(src.cast(SUM_DECIMAL) * sign).alias(f"{n}_sum"),
+                F.sum(sq * sign).alias(f"{n}_sum2"),
+                F.sum(F.when(src.isNotNull(), sign).otherwise(F.lit(0))).alias(f"{n}_cnt"),
+            ]
+        return [
+            F.sum(src.cast(SUM_DECIMAL)).alias(f"{n}_sum"),
+            F.sum(sq).alias(f"{n}_sum2"),
+            F.count(src).alias(f"{n}_cnt"),
+        ]
     if mult is not None:
         sign = F.col(mult).cast("long")
         if m.op == "count":

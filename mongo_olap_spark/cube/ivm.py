@@ -87,7 +87,7 @@ def merge_cells(
     for m in spec.measures:
         for col in m.storage_cols():
             cc, dc = F.col(f"c.{col}"), F.col(f"d.{col}")
-            if col.endswith("_sum"):
+            if col.endswith("_sum") or col.endswith("_sum2"):
                 out.append((F.coalesce(cc, dec0) + F.coalesce(dc, dec0)).cast(SUM_DECIMAL).alias(col))
             elif col.endswith("_cnt"):
                 out.append((F.coalesce(cc, F.lit(0)) + F.coalesce(dc, F.lit(0))).cast("long").alias(col))

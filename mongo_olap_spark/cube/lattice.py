@@ -117,6 +117,14 @@ def finalize_exprs(spec: CubeSpec, measures: list[str] | None = None):
             from mongo_olap_spark.cube.query import topk_entries_expr
 
             out.append(topk_entries_expr(F.col(f"{n}_tk"), m.default_k).alias(n))
+        elif m.op in ("var_pop", "var_samp", "stddev_pop", "stddev_samp"):
+            from mongo_olap_spark.cube.query import dispersion_expr
+
+            out.append(
+                dispersion_expr(
+                    m.op, F.col(f"{n}_sum"), F.col(f"{n}_sum2"), F.col(f"{n}_cnt")
+                ).alias(n)
+            )
     return out
 
 

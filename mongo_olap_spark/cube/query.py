@@ -155,6 +155,57 @@ def topk_entries_expr(m_col: Column, k: int) -> Column:
     )
 
 
+_DISPERSION_OPS = ("var_pop", "var_samp", "stddev_pop", "stddev_samp")
+
+
+def dispersion_expr(op: str, s: Column, s2: Column, cnt: Column) -> Column:
+    """Variance/stddev derived from (Σx, Σx², n) partials — the
+    single-pass E[x²] − mean² form, clamped at 0 against floating
+    cancellation. ``s``/``s2`` are DECIMAL partials (already summed for
+    a rollup, or row-wise for a lattice finalize); every float step is
+    a fixed IEEE expression, so an oracle mirroring the same formula
+    over the same exact partials is bit-identical. Sample forms divide
+    by n − 1 and are NULL for n < 2 (Mongo $stdDevSamp semantics); an
+    all-null group yields NULL naturally (empty SUM is NULL)."""
+    n = cnt.cast("double")
+    sd = s.cast("double")
+    s2d = s2.cast("double")
+    mean = sd / n
+    if op in ("var_pop", "stddev_pop"):
+        # the n >= 1 gate is explicit because greatest() SKIPS nulls —
+        # clamping an all-null group's NULL variance would turn it 0.0
+        v = F.when(cnt < 1, F.lit(None).cast("double")).otherwise(
+            F.greatest(s2d / n - mean * mean, F.lit(0.0))
+        )
+    else:
+        v = F.when(cnt < 2, F.lit(None).cast("double")).otherwise(
+            F.greatest((s2d - n * (mean * mean)) / (n - F.lit(1.0)), F.lit(0.0))
+        )
+    return F.sqrt(v) if op.startswith("stddev") else v
+
+
+def dispersion_sql(op: str, name: str, *, rollup: bool = True) -> str:
+    """The ANSI twin of :func:`dispersion_expr` over the same storage
+    columns — mirrored operation-for-operation so DuckDB reproduces
+    the exact IEEE result (used by oracle queries and tests)."""
+    wrap = (lambda c: f"SUM({c})") if rollup else (lambda c: c)
+    s = f"CAST({wrap(f'{name}_sum')} AS DOUBLE)"
+    s2 = f"CAST({wrap(f'{name}_sum2')} AS DOUBLE)"
+    n = f"CAST({wrap(f'{name}_cnt')} AS DOUBLE)"
+    mean = f"({s} / {n})"
+    if op in ("var_pop", "stddev_pop"):
+        v = (
+            f"CASE WHEN {n} < 1 THEN NULL ELSE "
+            f"greatest({s2} / {n} - {mean} * {mean}, 0.0) END"
+        )
+    else:
+        v = (
+            f"CASE WHEN {n} < 2 THEN NULL ELSE "
+            f"greatest(({s2} - {n} * ({mean} * {mean})) / ({n} - 1.0), 0.0) END"
+        )
+    return f"sqrt({v})" if op.startswith("stddev") else v
+
+
 def measure_rollup_exprs(
     spec: CubeSpec, measures: list[str] | None = None
 ) -> list[Column]:
@@ -196,6 +247,12 @@ def measure_rollup_exprs(
             out.append(
                 topk_entries_expr(
                     topk_union_agg(f"{n}_tk", m.capacity), m.default_k
+                ).alias(n)
+            )
+        elif m.op in _DISPERSION_OPS:
+            out.append(
+                dispersion_expr(
+                    m.op, F.sum(f"{n}_sum"), F.sum(f"{n}_sum2"), F.sum(f"{n}_cnt")
                 ).alias(n)
             )
     return out
@@ -382,6 +439,53 @@ def quantile_rollup(
         .filter(F.col("__cum") >= F.ceil(F.lit(float(q)) * F.col("__tot")))
         .groupBy(*group_by)
         .agg(F.min(value_dim).alias(out))
+    )
+
+
+def dispersion_estimates(
+    cells: DataFrame,
+    spec: CubeSpec,
+    measure: str,
+    ops: list[str],
+    group_by: list[str] | None = None,
+    *,
+    where: Column | str | None = None,
+    aliases: list[str] | None = None,
+    measures: list[str] | None = None,
+) -> DataFrame:
+    """Several dispersion forms (var_pop/var_samp/stddev_pop/
+    stddev_samp) of ONE measure in one rollup — the point of storing
+    decomposed (Σx, Σx², n) partials: the same three columns answer
+    every form at query time. One shuffle; other measures roll up in
+    the SAME aggregate."""
+    m = spec.measure(measure)
+    if m.op not in _DISPERSION_OPS:
+        raise ValueError(f"measure {measure!r} is not a dispersion measure")
+    bad = [o for o in ops if o not in _DISPERSION_OPS]
+    if bad:
+        raise ValueError(f"unknown dispersion ops: {bad}")
+    dims = spec.dim_names
+    group_by = dims if group_by is None else group_by
+    unknown = set(group_by) - set(dims)
+    if unknown:
+        raise ValueError(f"group_by not in cube dims: {sorted(unknown)}")
+    if aliases is None:
+        aliases = [f"{m.name}_{o}" for o in ops]
+    if len(aliases) != len(ops):
+        raise ValueError("aliases must match ops")
+    df = cells
+    if where is not None:
+        df = df.filter(where)
+    n = m.name
+    extra = measure_rollup_exprs(spec, measures) if measures else []
+    return df.groupBy(*group_by).agg(
+        *[
+            dispersion_expr(
+                o, F.sum(f"{n}_sum"), F.sum(f"{n}_sum2"), F.sum(f"{n}_cnt")
+            ).alias(a)
+            for o, a in zip(ops, aliases)
+        ],
+        *extra,
     )
 
 

@@ -52,6 +52,15 @@ _OPS = {
     # so unlike min/max/distinct this sketch IS retractable — quantile
     # estimates survive CDC deletes with no cell rescan.
     "quantile": True,
+    # dispersion family (Mongo $stdDevPop/$stdDevSamp parity): stored as
+    # decomposed (Σx, Σx², count) exact DECIMAL partials — signed-
+    # mergeable like sum/avg, so fully retractable AND bit-stable under
+    # any re-partitioning or batch order. The variance itself is derived
+    # at query time (E[x²] − mean², clamped at 0) — never stored.
+    "var_pop": True,
+    "var_samp": True,
+    "stddev_pop": True,
+    "stddev_samp": True,
     # bounded frequent-items map (top-k / heavy hitters): merging two
     # summaries sums per-item counts then truncates back to max_items —
     # the standard mergeable-summary scheme (Agarwal et al., "Mergeable
@@ -125,6 +134,13 @@ class Measure:
       overflow; ``q`` is the default query-time quantile ∈ (0, 1]).
       Error is bounded by one bin width (hi − lo) / nbins for mass
       inside [lo, hi); out-of-range mass clamps to the range edge.
+    - var_pop / var_samp / stddev_pop / stddev_samp →
+      ``<name>_sum`` + ``<name>_sum2`` + ``<name>_cnt`` (decomposed
+      Σx, Σx², n — exact DECIMAL partials; x² is squared in DOUBLE
+      before the decimal cast, since the square of a decimal(38,6)
+      overflows the type). Variance derives at query time as
+      E[x²] − mean² (clamped at 0), sample forms divide by n−1 and
+      are NULL for n < 2 (Mongo $stdDevSamp semantics).
     - topk → ``<name>_tk`` (map<item, long> of the cell's up-to-
       ``max_items`` most frequent values with their counts; ``k`` is
       the default query-time top-k ≤ max_items). NULL values never
@@ -213,6 +229,12 @@ class Measure:
             "distinct": [f"{n}_hll"],
             "quantile": [f"{n}_hist"],
             "topk": [f"{n}_tk"],
+            # the whole dispersion family shares one storage shape; a
+            # single set of partials answers var/stddev, pop/samp alike
+            "var_pop": [f"{n}_sum", f"{n}_sum2", f"{n}_cnt"],
+            "var_samp": [f"{n}_sum", f"{n}_sum2", f"{n}_cnt"],
+            "stddev_pop": [f"{n}_sum", f"{n}_sum2", f"{n}_cnt"],
+            "stddev_samp": [f"{n}_sum", f"{n}_sum2", f"{n}_cnt"],
         }[self.op]
 
     @property

@@ -135,6 +135,15 @@ def _signature(req: AggregateRequest) -> _Sig:
                 f"('{name}', 'quantile_exact', {path!r}, q) in the workload "
                 "for the exact two-level route."
             )
+        if op in ("var_pop", "var_samp", "stddev_pop", "stddev_samp"):
+            # the dispersion family shares one (Σx, Σx², n) storage
+            # shape and the router family-binds any requested form to
+            # any stored form — canonicalize so two queries asking
+            # different forms on one path don't duplicate state
+            if path is None:
+                raise ValueError(f"measure {name}: {op} needs a path")
+            meas.add(("var_pop", path))
+            continue
         if op == "topk":
             raise ValueError(
                 f"measure {name}: the advisor cannot pick a 'topk' summary "

@@ -30,7 +30,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame
 
 from mongo_olap_spark.cube.catalog import CubeCatalog
-from mongo_olap_spark.cube.query import query_cube
+from mongo_olap_spark.cube.query import _DISPERSION_OPS, query_cube
 from mongo_olap_spark.cube.spec import _GRANULARITIES, CubeSpec
 
 #: finer-to-coarser ordering index (year coarsest)
@@ -60,7 +60,12 @@ class RoutingDecision:
     rewritten_group_by: list = field(default_factory=list)
     #: requested measure name -> cube measure name, when a COUNT
     #: measure bound by op rather than by name (count-of-documents is
-    #: name-independent; every other op still matches name+op+path)
+    #: name-independent; every other op still matches name+op+path).
+    #: Dispersion family bindings (C22) appear here as
+    #: ("disp", stored measure name, requested op) tuples: the four
+    #: var/stddev forms share one (Σx, Σx², n) storage shape, so any
+    #: stored form serves any requested form — execute() runs the
+    #: REQUESTED op's finalizer over the stored partials.
     measure_renames: dict = field(default_factory=dict)
     #: exact count-distinct serving (C19 two-level route): the request
     #: carried a ``(name, "count_distinct", path)`` measure and the
@@ -210,6 +215,34 @@ class CubeRouter:
                     return False, [], {}, f"counted column {path} is also grouped", None
                 distinct = ("distinct", name, d.name)
                 continue
+            if op in _DISPERSION_OPS:
+                # family binding: all four forms share (Σx, Σx², n)
+                # storage, so ANY stored dispersion measure on the same
+                # path serves ANY requested form — execute() runs the
+                # REQUESTED op's finalizer over the stored partials.
+                # Recorded in renames as a ("disp", stored, op) tuple
+                # (plain renames are strings).
+                mine = have.get(name)
+                if mine is not None and mine.op in _DISPERSION_OPS and (
+                    path is None or mine.source_path == path
+                ):
+                    if mine.op != op:
+                        renames[name] = ("disp", mine.name, op)
+                    continue
+                if mine is not None:
+                    return False, [], {}, f"measure {name}: op {mine.op} != requested {op}", None
+                same = [
+                    x for x in spec.measures
+                    if x.op in _DISPERSION_OPS and path is not None
+                    and x.source_path == path
+                ]
+                if same:
+                    if same[0].op == op:
+                        renames[name] = same[0].name
+                    else:
+                        renames[name] = ("disp", same[0].name, op)
+                    continue
+                return False, [], {}, f"measure {name} not in cube", None
             mine = have.get(name)
             if mine is None and op == "count" and path is None:
                 # count-of-documents is name-independent: bind to any
@@ -251,6 +284,15 @@ class CubeRouter:
         bound = [renames.get(n, n) for n in out_names if distinct is None or n != distinct[1]]
         if len(set(bound)) != len(bound):
             return False, [], {}, "two requested measures bind the same stored measure", None
+        if distinct is not None and any(isinstance(v, tuple) for v in renames.values()):
+            # the two-level special routes delegate extra measures to
+            # distinct_rollup/topk_rollup by NAME — a family-rebound
+            # dispersion form (tuple binding) can't ride along; ask for
+            # the stored form by its exact op instead
+            return False, [], {}, (
+                "family-rebound dispersion measures cannot combine with "
+                "count_distinct/quantile_exact/topn in one request"
+            ), None
         if req.where is not None:
             allowed = set(dim_names)
             # conservative: every identifier in the predicate that is a
@@ -404,11 +446,38 @@ class CubeRouter:
                     alias=alias, measures=other or None,
                 )
             else:
-                measures = [ren.get(n2, n2) for n2 in req_names] or None
-                out = query_cube(regrouped, spec, group_by=gb_names, measures=measures)
+                disp = {w: v for w, v in ren.items() if isinstance(v, tuple)}
+                if disp:
+                    # family-bound dispersion measures finalize with the
+                    # REQUESTED op over the stored partials, in the same
+                    # aggregate as every other measure — one shuffle
+                    from mongo_olap_spark.cube.query import (
+                        dispersion_expr,
+                        measure_rollup_exprs,
+                    )
+
+                    normal = [
+                        ren.get(n2, n2) for n2 in req_names
+                        if n2 not in disp and isinstance(ren.get(n2, n2), str)
+                    ]
+                    aggs = measure_rollup_exprs(spec, normal)
+                    for want, (_tag, stored, o) in disp.items():
+                        aggs.append(
+                            dispersion_expr(
+                                o,
+                                F.sum(f"{stored}_sum"),
+                                F.sum(f"{stored}_sum2"),
+                                F.sum(f"{stored}_cnt"),
+                            ).alias(want)
+                        )
+                    out = regrouped.groupBy(*gb_names).agg(*aggs)
+                else:
+                    measures = [ren.get(n2, n2) for n2 in req_names] or None
+                    out = query_cube(regrouped, spec, group_by=gb_names, measures=measures)
             # single aliasing projection — a sequential rename chain
-            # can consume a column another rename still needs (ADVICE r8)
-            inv = {got: want for want, got in ren.items()}
+            # can consume a column another rename still needs (ADVICE r8);
+            # dispersion bindings already emitted the requested names
+            inv = {got: want for want, got in ren.items() if isinstance(got, str)}
             return out.select(*[F.col(c).alias(inv.get(c, c)) for c in out.columns])
         if source_df is None:
             raise ValueError(f"no cube serves request and no source_df given: {decision.reason}")

@@ -646,3 +646,73 @@ def q_cube_topn_exact(spark, sf_dir):
         cells, USERS_EXACT_CUBE, ["event_type"], "user_id", 3, count_alias="cnt"
     )
     return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# C22 — dispersion measures (Mongo $stdDevPop/$stdDevSamp accumulator
+# parity at the cube level): variance/stddev stored as decomposed
+# (Σx, Σx², n) exact DECIMAL partials — signed-mergeable, so the family
+# is fully retractable AND bit-stable under any re-partitioning or
+# batch order; the variance derives at query time (E[x²] − mean²,
+# clamped at 0) and is never stored.
+# ---------------------------------------------------------------------------
+
+#: Dispersion cube: ONE measure's (sum, sum2, cnt) partials answer all
+#: four forms at query time via dispersion_estimates — declaring one
+#: measure per form would triplicate identical state.
+VALUE_DISPERSION_CUBE = CubeSpec(
+    name="events_value_dispersion",
+    source="events",
+    dimensions=(
+        Dimension("event_type"),
+        Dimension("day", path="ts", granularity="day"),
+    ),
+    measures=(
+        Measure("n", "count"),
+        Measure("var_value", "var_pop", "value"),
+    ),
+)
+
+
+from mongo_olap_spark.cube.query import dispersion_sql  # noqa: E402
+
+
+@register(
+    "q_cube_stddev",
+    oracle=f"""
+    WITH p AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             SUM(CAST(value AS DECIMAL(38,6))) AS var_value_sum,
+             SUM(CAST(value * value AS DECIMAL(38,6))) AS var_value_sum2,
+             COUNT(value) AS var_value_cnt
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type, n,
+           {dispersion_sql('var_pop', 'var_value', rollup=False)} AS var_value,
+           {dispersion_sql('stddev_pop', 'var_value', rollup=False)} AS sd_value,
+           {dispersion_sql('stddev_samp', 'var_value', rollup=False)} AS sds_value
+    FROM p
+    """,
+)
+def q_cube_stddev(spark, sf_dir):
+    """Population variance + pop/sample stddev per event type, rolled
+    up from daily dispersion cells (one shuffle over O(cells); the
+    decimal partials make the rollup bit-identical to direct
+    aggregation, so the DuckDB twin mirrors the exact decomposed
+    formula rather than its own Welford-style var_pop)."""
+    from mongo_olap_spark.cube.query import dispersion_estimates
+
+    e = load_table(spark, sf_dir, "events")
+    cells = build_cube(spark, VALUE_DISPERSION_CUBE, e)
+    return dispersion_estimates(
+        cells,
+        VALUE_DISPERSION_CUBE,
+        "var_value",
+        ["var_pop", "stddev_pop", "stddev_samp"],
+        group_by=["event_type"],
+        aliases=["var_value", "sd_value", "sds_value"],
+        measures=["n"],
+    ).select("event_type", "n", "var_value", "sd_value", "sds_value")
+
+
