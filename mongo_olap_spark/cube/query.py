@@ -564,6 +564,91 @@ def topk_rollup(
     )
 
 
+def extremes_rollup(
+    cells: DataFrame,
+    spec: CubeSpec,
+    group_by: list[str],
+    value_dim: str,
+    k: int,
+    *,
+    largest: bool = False,
+    alias: str | None = None,
+    where: Column | str | None = None,
+) -> DataFrame:
+    """EXACT k smallest/largest values per group served from cube
+    state — Mongo ``$minN``/``$maxN`` accumulator parity (C23), the
+    order-statistics sibling of :func:`topk_rollup`: a cube whose
+    dimensions include the measured column holds one live cell per
+    (group, value) with a count partial; the k extreme VALUES (with
+    duplicates, exactly as $minN/$maxN return them) expand from the
+    ≤ k boundary cells.
+
+    Exact AND fully retractable (count partials evict cells at
+    multiplicity 0 — unlike raw min/max measures, which need the
+    repair path: the runner-up is always live here). NULL values never
+    participate (Mongo skips missing/null in $minN/$maxN).
+
+    Output: one row per group with ``alias`` = an ordered
+    ``array<value>`` of length ≤ k (ascending for min-N, descending
+    for max-N).
+
+    Scale: the cum-count cutoff compiles through a window over
+    O(|cells|) rows (already one per (group, value)); only the ≤ k
+    qualifying cells per group reach the final aggregate, whose
+    ``collect_list`` is therefore bounded at k structs per group —
+    never a source rescan, never an unbounded list.
+    """
+    from pyspark.sql import Window
+
+    from mongo_olap_spark.cube.ivm import row_count_col
+
+    if int(k) < 1:
+        raise ValueError(f"extremes need k >= 1, got {k}")
+    dims = spec.dim_names
+    if value_dim not in dims:
+        raise ValueError(f"value_dim {value_dim!r} not a cube dimension")
+    unknown = set(group_by) - set(dims)
+    if unknown:
+        raise ValueError(f"group_by not in cube dims: {sorted(unknown)}")
+    if value_dim in group_by:
+        raise ValueError(f"value_dim {value_dim!r} cannot also be grouped")
+    df = cells
+    if where is not None:
+        df = df.filter(where)
+    df = df.filter(F.col(value_dim).isNotNull())
+    cnt = row_count_col(spec)
+    out = alias or (f"{value_dim}_max{k}" if largest else f"{value_dim}_min{k}")
+    if set(group_by) | {value_dim} != set(dims):
+        # extra dims remain: one value owns several cells — re-aggregate
+        # multiplicities first (still O(|cells|))
+        df = df.groupBy(*group_by, value_dim).agg(F.sum(cnt).alias("__m"))
+        mcol = "__m"
+    else:
+        mcol = cnt
+    order = F.col(value_dim).desc() if largest else F.col(value_dim).asc()
+    w = Window.partitionBy(*group_by).orderBy(order)
+    df = (
+        df.withColumn("__cum", F.sum(mcol).over(w))
+        .withColumn("__take", F.least(F.col(mcol).cast("long"), F.lit(int(k)) - (F.col("__cum") - F.col(mcol))).cast("int"))
+        .filter(F.col("__take") > 0)
+    )
+    # ≤ k qualifying cells per group: the collect_list is bounded at k
+    structs = F.collect_list(F.struct(F.col(value_dim).alias("v"), F.col("__take").alias("t")))
+    sorted_structs = F.array_sort(
+        structs,
+        lambda a, b: F.when(a["v"] < b["v"], -1 if not largest else 1)
+        .when(a["v"] > b["v"], 1 if not largest else -1)
+        .otherwise(0)
+        .cast("int"),
+    )
+    flat = F.aggregate(
+        sorted_structs,
+        F.expr(f"CAST(array() AS ARRAY<{cells.schema[value_dim].dataType.simpleString()}>)"),
+        lambda acc, s: F.concat(acc, F.array_repeat(s["v"], s["t"])),
+    )
+    return df.groupBy(*group_by).agg(flat.alias(out))
+
+
 def hybrid_query(
     cells: DataFrame,
     spec: CubeSpec,

@@ -116,8 +116,8 @@ def _signature(req: AggregateRequest) -> _Sig:
             )
         name, op, *rest = m
         path = rest[0] if rest else None
-        if op in ("count_distinct", "quantile_exact", "topn"):
-            # two-level decomposition (C19/C20/C21 exact routes): the
+        if op in ("count_distinct", "quantile_exact", "topn", "min_n", "max_n"):
+            # two-level decomposition (C19/C20/C21/C23 exact routes): the
             # measured column must be a RAW DIMENSION of the serving
             # cube — that, plus a count measure for multiplicity, IS
             # the state the router serves these from

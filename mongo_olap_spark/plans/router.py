@@ -82,6 +82,11 @@ class RoutingDecision:
     #: column as a raw dimension — recorded as
     #: (requested output name, cube dimension name, k)
     topn: tuple | None = None
+    #: exact order-statistics serving (C23 two-level route): the
+    #: request carried ``(name, "min_n"|"max_n", path[, k])`` and the
+    #: cube holds the measured column as a raw dimension — recorded as
+    #: (requested output name, cube dimension name, k, largest)
+    extremes: tuple | None = None
 
 
 class CubeRouter:
@@ -195,6 +200,32 @@ class CubeRouter:
                 if d.name in gb_names:
                     return False, [], {}, f"ranked column {path} is also grouped", None
                 distinct = ("topn", name, d.name, k)
+                continue
+            if op in ("min_n", "max_n"):
+                # EXACT k smallest/largest values (C23 two-level
+                # route, Mongo $minN/$maxN): served when the measured
+                # column is a raw dimension — extremes_rollup expands
+                # the k extreme values (with duplicates) from the ≤ k
+                # boundary cells. Fully retractable, unlike raw
+                # min/max measures.
+                if path is None:
+                    return False, [], {}, f"measure {name}: {op} needs a path", None
+                if distinct is not None:
+                    return False, [], {}, "one special measure per request", None
+                if len(req.measures) != 1:
+                    # extremes aggregate over the ≤ k qualifying cells
+                    # only; other measures aggregate ALL cells — the
+                    # shapes don't compose in a single request
+                    return False, [], {}, f"{op} must be the only requested measure", None
+                k = int(rest[1]) if len(rest) > 1 else 1
+                if k < 1:
+                    return False, [], {}, f"measure {name}: k must be >= 1", None
+                d = dim_by_path.get(path)
+                if d is None or d.granularity is not None:
+                    return False, [], {}, f"measured column {path} not a raw dimension", None
+                if d.name in gb_names:
+                    return False, [], {}, f"measured column {path} is also grouped", None
+                distinct = ("minn", name, d.name, k, op == "max_n")
                 continue
             if op == "count_distinct":
                 # EXACT count-distinct (C19 two-level route): served
@@ -375,6 +406,7 @@ class CubeRouter:
             distinct=special[1:] if special and special[0] == "distinct" else None,
             quantile=special[1:] if special and special[0] == "quantile" else None,
             topn=special[1:] if special and special[0] == "topn" else None,
+            extremes=special[1:] if special and special[0] == "minn" else None,
         )
 
     def execute(self, req: AggregateRequest, source_df: DataFrame | None = None) -> DataFrame:
@@ -400,6 +432,8 @@ class CubeRouter:
                     needed.add(decision.quantile[1])
                 if decision.topn is not None:
                     needed.add(decision.topn[1])
+                if decision.extremes is not None:
+                    needed.add(decision.extremes[1])
                 if req.where is not None:
                     needed |= _where_columns(req.where) & set(spec.dim_names)
                 covering = [lv for lv in levels if needed <= set(lv)]
@@ -422,7 +456,15 @@ class CubeRouter:
             )
             ren = decision.measure_renames
             req_names = [m if isinstance(m, str) else m[0] for m in req.measures]
-            if decision.topn is not None:
+            if decision.extremes is not None:
+                from mongo_olap_spark.cube.query import extremes_rollup
+
+                alias, edim, k, largest = decision.extremes
+                out = extremes_rollup(
+                    regrouped, spec, gb_names, edim, k, largest=largest,
+                    alias=alias,
+                )
+            elif decision.topn is not None:
                 from mongo_olap_spark.cube.query import topk_rollup
 
                 alias, tdim, k = decision.topn
@@ -520,6 +562,30 @@ class CubeRouter:
             filtered = cells.filter(req.where) if req.where else cells
             return quantile_rollup(
                 filtered, tmp, [d.name for d in dims], qdim, q, alias=alias
+            )
+        mn = [m for m in req.measures
+              if isinstance(m, tuple) and len(m) >= 3 and m[1] in ("min_n", "max_n")]
+        if mn:
+            # exact order-statistics fallback honors the ask through
+            # the same two-level shape it would be served from
+            if len(req.measures) != 1:
+                raise ValueError("min_n/max_n must be the only requested measure")
+            from mongo_olap_spark.cube.query import extremes_rollup
+
+            alias, op_, e_path, *kk = mn[0]
+            k = int(kk[0]) if kk else 1
+            edim = "__mn_" + re.sub(r"[^A-Za-z0-9_]+", "_", e_path)
+            tmp = CubeSpec(
+                name="adhoc", source=req.source,
+                dimensions=dims + (Dimension(edim, path=e_path),),
+                measures=(Measure("__mn_count", "count"),),
+                filter_sql=req.filter_sql,
+            )
+            cells = build_cube(None, tmp, source_df)
+            filtered = cells.filter(req.where) if req.where else cells
+            return extremes_rollup(
+                filtered, tmp, [d.name for d in dims], edim, k,
+                largest=(op_ == "max_n"), alias=alias,
             )
         tn = [m for m in req.measures
               if isinstance(m, tuple) and len(m) >= 3 and m[1] == "topn"]

@@ -649,6 +649,63 @@ def q_cube_topn_exact(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# C23 — order-statistics accumulators (Mongo $minN/$maxN parity at the
+# cube level): the k smallest/largest VALUES per group (duplicates
+# kept, exactly as $minN/$maxN return them), expanded from the ≤ k
+# boundary cells of the two-level state. Exact, fully retractable
+# (unlike raw min/max measures — the runner-up is always live), and
+# the final collect is bounded at k structs per group.
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_cube_extremes",
+    oracle="""
+    WITH v AS (
+      SELECT event_type, value FROM events WHERE value IS NOT NULL
+    ),
+    lo AS (
+      SELECT event_type, 'min' AS kind, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value ASC) AS rnk
+      FROM v
+    ),
+    hi AS (
+      SELECT event_type, 'max' AS kind, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value DESC) AS rnk
+      FROM v
+    )
+    SELECT event_type, kind, rnk, value FROM lo WHERE rnk <= 5
+    UNION ALL
+    SELECT event_type, kind, rnk, value FROM hi WHERE rnk <= 3
+    """,
+)
+def q_cube_extremes(spark, sf_dir):
+    """$minN/$maxN from cube state: the 5 smallest and 3 largest
+    values per event type (duplicates kept), both read off the same
+    two-level cells — no source rescan, bounded k-struct collects.
+    The arrays flatten to (kind, rank, value) rows for the oracle
+    compare (cross-engine array columns don't hash)."""
+    from mongo_olap_spark.cube.query import extremes_rollup
+
+    e = load_table(spark, sf_dir, "events")
+    cells = build_cube(spark, VALUE_EXACT_Q_CUBE, e)
+
+    def flat(df, col, kind):
+        ex = df.select("event_type", F.posexplode(col).alias("pos", "value"))
+        return ex.select(
+            "event_type",
+            F.lit(kind).alias("kind"),
+            (F.col("pos") + 1).cast("long").alias("rnk"),
+            "value",
+        )
+
+    lo = extremes_rollup(cells, VALUE_EXACT_Q_CUBE, ["event_type"], "value", 5, alias="min5")
+    hi = extremes_rollup(
+        cells, VALUE_EXACT_Q_CUBE, ["event_type"], "value", 3, largest=True, alias="max3"
+    )
+    return flat(lo, "min5", "min").unionByName(flat(hi, "max3", "max"))
+
+
+# ---------------------------------------------------------------------------
 # C22 — dispersion measures (Mongo $stdDevPop/$stdDevSamp accumulator
 # parity at the cube level): variance/stddev stored as decomposed
 # (Σx, Σx², n) exact DECIMAL partials — signed-mergeable, so the family

@@ -300,6 +300,65 @@ def q_route_topn(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# C23 routed: a $minN-shaped request ('min_n') is served from the
+# exact two-level cube via the ROUTER — extremes_rollup expands the k
+# smallest values (duplicates kept) from the ≤ k boundary cells.
+# Correct routing is invisible: the answer must equal a windowed
+# bottom-5 list over the source, which is the oracle.
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_route_minn",
+    oracle="""
+    WITH v AS (
+      SELECT event_type, value FROM events WHERE value IS NOT NULL
+    ),
+    lo AS (
+      SELECT event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value ASC) AS rnk
+      FROM v
+    )
+    SELECT event_type, rnk, value FROM lo WHERE rnk <= 5
+    """,
+)
+def q_route_minn(spark, sf_dir):
+    import os
+    import tempfile
+
+    from mongo_olap_spark.cube import CubeCatalog, CubeSpec, Dimension, Measure
+    from mongo_olap_spark.plans import AggregateRequest, CubeRouter
+
+    root = os.path.join(
+        tempfile.gettempdir(), "mongo_olap_route_mn", sf_dir.strip("/").replace("/", "_")
+    )
+    cat = CubeCatalog(spark, root)
+    e = load_table(spark, sf_dir, "events")
+    exact = CubeSpec(
+        name="events_value_minn_route",
+        source="events",
+        dimensions=(Dimension("event_type"), Dimension("value")),
+        measures=(Measure("n", "count"),),
+    )
+    cat.drop(exact.name)
+    cat.create(exact, e)
+    router = CubeRouter(cat)
+    req = AggregateRequest(
+        source="events",
+        group_by=("event_type",),
+        measures=(("low_values", "min_n", "value", 5),),
+    )
+    decision = router.route(req)
+    assert decision.cube == exact.name, decision
+    out = router.execute(req)
+    # the routed API returns the $minN-shaped array; flatten to
+    # (rank, value) rows for the oracle compare
+    ex = out.select("event_type", F.posexplode("low_values").alias("pos", "value"))
+    return ex.select(
+        "event_type", (F.col("pos") + 1).cast("long").alias("rnk"), "value"
+    )
+
+
+# ---------------------------------------------------------------------------
 # §4.1' lambda serving: the maintained cube lags the source by an
 # un-applied tail; hybrid_query answers from cells + tail partials in
 # one shuffle. Correct hybrid serving is invisible — the answer must

@@ -1,0 +1,169 @@
+"""Order-statistics accumulators from cube state (C23) — Mongo
+$minN/$maxN parity: the k smallest/largest values per group
+(duplicates kept) expanded from the ≤ k boundary cells of the
+two-level state. Exact, fully retractable (the runner-up is always a
+live cell, unlike raw min/max measures), bounded collects (≤ k
+structs per group)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from mongo_olap_spark.cube import CubeSpec, Dimension, Measure, build_cube
+from mongo_olap_spark.cube.build import delta_cells
+from mongo_olap_spark.cube.ivm import merge_cells
+from mongo_olap_spark.cube.query import extremes_rollup
+from mongo_olap_spark.plans import AggregateRequest, CubeRouter
+from mongo_olap_spark.queries.core import VALUE_EXACT_Q_CUBE
+
+
+def reference(events, k, largest, *group_by):
+    e = events.filter(F.col("value").isNotNull())
+    order = F.col("value").desc() if largest else F.col("value").asc()
+    w = Window.partitionBy(*group_by).orderBy(order)
+    rows = e.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+    return {
+        tuple(r[g] for g in group_by): r["a"]
+        for r in rows.groupBy(*group_by)
+        .agg(F.sort_array(F.collect_list("value"), asc=not largest).alias("a"))
+        .collect()
+    }
+
+
+@pytest.mark.parametrize("largest", [False, True])
+def test_extremes_match_raw_rows(spark, events, largest):
+    cells = build_cube(spark, VALUE_EXACT_Q_CUBE, events)
+    got = {
+        (r["event_type"],): r["x"]
+        for r in extremes_rollup(
+            cells, VALUE_EXACT_Q_CUBE, ["event_type"], "value", 7,
+            largest=largest, alias="x",
+        ).collect()
+    }
+    assert got == reference(events, 7, largest, "event_type")
+
+
+def test_duplicates_kept_across_boundary(spark):
+    """$minN keeps duplicate values; a dup straddling the k cutoff
+    takes only the remaining slots."""
+    spec = CubeSpec(
+        name="dups",
+        source="t",
+        dimensions=(Dimension("g"), Dimension("v")),
+        measures=(Measure("n", "count"),),
+    )
+    df = spark.createDataFrame(
+        [("x", 1.0)] + [("x", 2.0)] * 4 + [("x", 3.0)], "g string, v double"
+    )
+    cells = build_cube(spark, spec, df)
+    out = extremes_rollup(cells, spec, ["g"], "v", 3, alias="m").collect()
+    assert out[0]["m"] == [1.0, 2.0, 2.0]  # only 2 of the 4 dups fit
+
+
+def test_extremes_fully_retractable(spark, events):
+    doomed = events.orderBy("event_id").limit(60).cache()
+    survivors = events.join(doomed.select("event_id"), "event_id", "left_anti").cache()
+    cells = build_cube(spark, VALUE_EXACT_Q_CUBE, events)
+    deltas = delta_cells(VALUE_EXACT_Q_CUBE, doomed.withColumn("mult", F.lit(-1)))
+    merged = merge_cells(cells, deltas, VALUE_EXACT_Q_CUBE)
+    got = {
+        (r["event_type"],): r["x"]
+        for r in extremes_rollup(
+            merged, VALUE_EXACT_Q_CUBE, ["event_type"], "value", 5, alias="x"
+        ).collect()
+    }
+    assert got == reference(survivors, 5, False, "event_type")
+
+
+def test_grand_total_and_extra_dims(spark, events):
+    cells = build_cube(spark, VALUE_EXACT_Q_CUBE, events)
+    got = extremes_rollup(cells, VALUE_EXACT_Q_CUBE, [], "value", 4, alias="x").collect()
+    assert len(got) == 1
+    assert got[0]["x"] == reference(events, 4, False)[()]
+    # extra dims: one value owns several cells — multiplicities re-agg
+    three = CubeSpec(
+        name="val_day",
+        source="events",
+        dimensions=(
+            Dimension("event_type"),
+            Dimension("day", path="ts", granularity="day"),
+            Dimension("value"),
+        ),
+        measures=(Measure("n", "count"),),
+    )
+    cells3 = build_cube(spark, three, events)
+    got3 = {
+        (r["event_type"],): r["x"]
+        for r in extremes_rollup(
+            cells3, three, ["event_type"], "value", 5, alias="x"
+        ).collect()
+    }
+    assert got3 == reference(events, 5, False, "event_type")
+
+
+def test_extremes_rejects_bad_args(spark, events):
+    cells = build_cube(spark, VALUE_EXACT_Q_CUBE, events)
+    with pytest.raises(ValueError, match="k >= 1"):
+        extremes_rollup(cells, VALUE_EXACT_Q_CUBE, ["event_type"], "value", 0)
+    with pytest.raises(ValueError, match="not a cube dimension"):
+        extremes_rollup(cells, VALUE_EXACT_Q_CUBE, ["event_type"], "nope", 3)
+    with pytest.raises(ValueError, match="cannot also be grouped"):
+        extremes_rollup(cells, VALUE_EXACT_Q_CUBE, ["value"], "value", 3)
+
+
+def test_router_minn_maxn_route_and_refusals(spark, events, tmp_path):
+    from mongo_olap_spark.cube import CubeCatalog
+
+    cat = CubeCatalog(spark, str(tmp_path / "mn_cubes"))
+    cat.create(VALUE_EXACT_Q_CUBE, events)
+    router = CubeRouter(cat)
+    req = AggregateRequest(
+        source="events",
+        group_by=("event_type",),
+        measures=(("lows", "min_n", "value", 5),),
+    )
+    d = router.route(req)
+    assert d.cube == VALUE_EXACT_Q_CUBE.name
+    assert d.extremes == ("lows", "value", 5, False)
+    got = {(r["event_type"],): r["lows"] for r in router.execute(req).collect()}
+    assert got == reference(events, 5, False, "event_type")
+    # max_n flips the order flag
+    d2 = router.route(AggregateRequest(
+        source="events", group_by=("event_type",),
+        measures=(("highs", "max_n", "value", 2),),
+    ))
+    assert d2.extremes == ("highs", "value", 2, True)
+    # refusals: combined with another measure; measured col grouped; k<1
+    assert router.route(AggregateRequest(
+        source="events", group_by=("event_type",),
+        measures=(("lows", "min_n", "value", 5), ("n", "count")),
+    )).cube is None
+    assert router.route(AggregateRequest(
+        source="events", group_by=("event_type", "value"),
+        measures=(("lows", "min_n", "value", 5),),
+    )).cube is None
+    assert router.route(AggregateRequest(
+        source="events", group_by=("event_type",),
+        measures=(("lows", "min_n", "value", 0),),
+    )).cube is None
+
+
+def test_router_minn_source_fallback(spark, events, tmp_path):
+    from mongo_olap_spark.cube import CubeCatalog
+
+    cat = CubeCatalog(spark, str(tmp_path / "mn_cubes2"))
+    cat.create(VALUE_EXACT_Q_CUBE, events)
+    router = CubeRouter(cat)
+    req = AggregateRequest(
+        source="events",
+        group_by=("user_id",),
+        measures=(("highs", "max_n", "value", 3),),
+    )
+    assert router.route(req).cube is None
+    got = {
+        (r["user_id"],): r["highs"]
+        for r in router.execute(req, source_df=events).collect()
+    }
+    assert got == reference(events, 3, True, "user_id")
