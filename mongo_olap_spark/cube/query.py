@@ -649,6 +649,128 @@ def extremes_rollup(
     return df.groupBy(*group_by).agg(flat.alias(out))
 
 
+def top_by_rollup(
+    cells: DataFrame,
+    spec: CubeSpec,
+    group_by: list[str],
+    sort_dim: str,
+    payload_dim: str,
+    k: int,
+    *,
+    largest: bool = False,
+    alias: str | None = None,
+    where: Column | str | None = None,
+) -> DataFrame:
+    """EXACT ``$topN``/``$bottomN`` (Mongo 5.2 ordered accumulators
+    with ``sortBy`` + ``output``) served from cube state — C24, the
+    payload-carrying sibling of :func:`extremes_rollup`: a cube whose
+    dimensions include BOTH the sort column and the output column
+    holds one live cell per (group, sort value, payload) with a count
+    partial; the k first/last payloads expand from the ≤ k boundary
+    cells, ordered by (sort value, payload) — ties on the sort key
+    break by payload ascending, a DETERMINISTIC refinement of Mongo's
+    unstable document order (documented delta; Mongo itself warns
+    $topN ties are unspecified without a tiebreak field).
+
+    Exact AND fully retractable (count partials evict cells at
+    multiplicity 0). NULL sort values never participate (Mongo sorts
+    missing first — the engine's SQL-facing policy is to skip them,
+    same as extremes/quantile; filter nulls into a sentinel upstream
+    if Mongo's null-first order is wanted). NULL payloads DO
+    participate (a null output field is a legitimate $topN result).
+
+    Output: one row per group with ``alias`` = array of up to k
+    payloads in (sort, payload) order (ascending for bottom-N,
+    descending for top-N... Mongo's $bottomN takes the LAST k by the
+    sort — here ``largest=False`` means "first k ascending" =
+    $topN with an ascending sortBy; flip ``largest`` for the other
+    end, exactly as $topN/$bottomN flip).
+
+    Scale: same shape as extremes_rollup — window cum-count over
+    O(|cells|), ≤ k boundary cells per group reach the bounded final
+    collect.
+    """
+    from pyspark.sql import Window
+
+    from mongo_olap_spark.cube.ivm import row_count_col
+
+    if int(k) < 1:
+        raise ValueError(f"top_by needs k >= 1, got {k}")
+    dims = spec.dim_names
+    for c, what in ((sort_dim, "sort_dim"), (payload_dim, "payload_dim")):
+        if c not in dims:
+            raise ValueError(f"{what} {c!r} not a cube dimension")
+        if c in group_by:
+            raise ValueError(f"{what} {c!r} cannot also be grouped")
+    if sort_dim == payload_dim:
+        raise ValueError("sort_dim and payload_dim must differ (use extremes_rollup)")
+    unknown = set(group_by) - set(dims)
+    if unknown:
+        raise ValueError(f"group_by not in cube dims: {sorted(unknown)}")
+    df = cells
+    if where is not None:
+        df = df.filter(where)
+    df = df.filter(F.col(sort_dim).isNotNull())
+    cnt = row_count_col(spec)
+    out = alias or f"{payload_dim}_{'top' if largest else 'bottom'}{k}"
+    if set(group_by) | {sort_dim, payload_dim} != set(dims):
+        df = df.groupBy(*group_by, sort_dim, payload_dim).agg(F.sum(cnt).alias("__m"))
+        mcol = "__m"
+    else:
+        mcol = cnt
+    if largest:
+        order = [F.col(sort_dim).desc(), F.col(payload_dim).desc_nulls_last()]
+    else:
+        order = [F.col(sort_dim).asc(), F.col(payload_dim).asc_nulls_first()]
+    w = Window.partitionBy(*group_by).orderBy(*order)
+    df = (
+        df.withColumn("__cum", F.sum(mcol).over(w))
+        .withColumn(
+            "__take",
+            F.least(
+                F.col(mcol).cast("long"), F.lit(int(k)) - (F.col("__cum") - F.col(mcol))
+            ).cast("int"),
+        )
+        .filter(F.col("__take") > 0)
+    )
+    # comparator returns -1 when a sorts BEFORE b. ``lt`` is that
+    # return value for a < b: ascending → -1, descending → +1. NULL
+    # payloads sort first ascending / last descending (mirroring the
+    # window order), which is ``lt`` for a-null in both directions.
+    lt = 1 if largest else -1
+    structs = F.collect_list(
+        F.struct(
+            F.col(sort_dim).alias("s"),
+            F.col(payload_dim).alias("p"),
+            F.col("__take").alias("t"),
+        )
+    )
+
+    def _cmp(a, b):
+        pa, pb = a["p"], b["p"]
+        return (
+            F.when(a["s"] < b["s"], lt)
+            .when(a["s"] > b["s"], -lt)
+            .when(pa.isNull() & pb.isNull(), 0)
+            .when(pa.isNull(), lt)
+            .when(pb.isNull(), -lt)
+            .when(pa < pb, lt)
+            .when(pa > pb, -lt)
+            .otherwise(0)
+            .cast("int")
+        )
+
+    sorted_structs = F.array_sort(structs, _cmp)
+    flat = F.aggregate(
+        sorted_structs,
+        F.expr(
+            f"CAST(array() AS ARRAY<{cells.schema[payload_dim].dataType.simpleString()}>)"
+        ),
+        lambda acc, s: F.concat(acc, F.array_repeat(s["p"], s["t"])),
+    )
+    return df.groupBy(*group_by).agg(flat.alias(out))
+
+
 def hybrid_query(
     cells: DataFrame,
     spec: CubeSpec,

@@ -116,6 +116,15 @@ def _signature(req: AggregateRequest) -> _Sig:
             )
         name, op, *rest = m
         path = rest[0] if rest else None
+        if op in ("top_by", "bottom_by"):
+            # C24: BOTH the sort and the payload column become raw
+            # dimensions of the serving cube
+            if len(rest) < 2:
+                raise ValueError(f"measure {name}: {op} needs (sort_path, payload_path[, k])")
+            dims[rest[0]] = None
+            dims[rest[1]] = None
+            meas.add(("count", None))
+            continue
         if op in ("count_distinct", "quantile_exact", "topn", "min_n", "max_n"):
             # two-level decomposition (C19/C20/C21/C23 exact routes): the
             # measured column must be a RAW DIMENSION of the serving

@@ -87,6 +87,12 @@ class RoutingDecision:
     #: cube holds the measured column as a raw dimension — recorded as
     #: (requested output name, cube dimension name, k, largest)
     extremes: tuple | None = None
+    #: exact $topN/$bottomN-with-sortBy serving (C24 two-level route):
+    #: the request carried ``(name, "top_by"|"bottom_by", sort_path,
+    #: payload_path, k)`` and the cube holds BOTH columns as raw
+    #: dimensions — recorded as (requested output name, sort dim,
+    #: payload dim, k, largest)
+    topby: tuple | None = None
 
 
 class CubeRouter:
@@ -200,6 +206,35 @@ class CubeRouter:
                 if d.name in gb_names:
                     return False, [], {}, f"ranked column {path} is also grouped", None
                 distinct = ("topn", name, d.name, k)
+                continue
+            if op in ("top_by", "bottom_by"):
+                # EXACT $topN/$bottomN with sortBy + output (C24
+                # two-level route): served when BOTH the sort column
+                # and the payload column are raw dimensions —
+                # top_by_rollup expands the k boundary cells.
+                if len(rest) < 2:
+                    return False, [], {}, f"measure {name}: {op} needs (sort_path, payload_path[, k])", None
+                if distinct is not None:
+                    return False, [], {}, "one special measure per request", None
+                if len(req.measures) != 1:
+                    return False, [], {}, f"{op} must be the only requested measure", None
+                s_path, p_path = rest[0], rest[1]
+                k = int(rest[2]) if len(rest) > 2 else 1
+                if k < 1:
+                    return False, [], {}, f"measure {name}: k must be >= 1", None
+                ds, dp = dim_by_path.get(s_path), dim_by_path.get(p_path)
+                if ds is None or ds.granularity is not None:
+                    return False, [], {}, f"sort column {s_path} not a raw dimension", None
+                if dp is None or dp.granularity is not None:
+                    return False, [], {}, f"payload column {p_path} not a raw dimension", None
+                if ds.name in gb_names or dp.name in gb_names:
+                    return False, [], {}, "sort/payload column is also grouped", None
+                if ds.name == dp.name:
+                    return False, [], {}, "sort and payload must differ (use min_n/max_n)", None
+                # Mongo semantics with an ascending sortBy: $topN =
+                # the FIRST k in sort order, $bottomN = the LAST k.
+                # A descending sortBy is expressed by swapping ops.
+                distinct = ("topby", name, ds.name, dp.name, k, op == "bottom_by")
                 continue
             if op in ("min_n", "max_n"):
                 # EXACT k smallest/largest values (C23 two-level
@@ -407,6 +442,7 @@ class CubeRouter:
             quantile=special[1:] if special and special[0] == "quantile" else None,
             topn=special[1:] if special and special[0] == "topn" else None,
             extremes=special[1:] if special and special[0] == "minn" else None,
+            topby=special[1:] if special and special[0] == "topby" else None,
         )
 
     def execute(self, req: AggregateRequest, source_df: DataFrame | None = None) -> DataFrame:
@@ -434,6 +470,8 @@ class CubeRouter:
                     needed.add(decision.topn[1])
                 if decision.extremes is not None:
                     needed.add(decision.extremes[1])
+                if decision.topby is not None:
+                    needed.update(decision.topby[1:3])
                 if req.where is not None:
                     needed |= _where_columns(req.where) & set(spec.dim_names)
                 covering = [lv for lv in levels if needed <= set(lv)]
@@ -456,7 +494,15 @@ class CubeRouter:
             )
             ren = decision.measure_renames
             req_names = [m if isinstance(m, str) else m[0] for m in req.measures]
-            if decision.extremes is not None:
+            if decision.topby is not None:
+                from mongo_olap_spark.cube.query import top_by_rollup
+
+                alias, sdim, pdim, k, largest = decision.topby
+                out = top_by_rollup(
+                    regrouped, spec, gb_names, sdim, pdim, k,
+                    largest=largest, alias=alias,
+                )
+            elif decision.extremes is not None:
                 from mongo_olap_spark.cube.query import extremes_rollup
 
                 alias, edim, k, largest = decision.extremes
@@ -562,6 +608,32 @@ class CubeRouter:
             filtered = cells.filter(req.where) if req.where else cells
             return quantile_rollup(
                 filtered, tmp, [d.name for d in dims], qdim, q, alias=alias
+            )
+        tb = [m for m in req.measures
+              if isinstance(m, tuple) and len(m) >= 4 and m[1] in ("top_by", "bottom_by")]
+        if tb:
+            # exact $topN/$bottomN fallback through the same two-level
+            # shape it would be served from
+            if len(req.measures) != 1:
+                raise ValueError("top_by/bottom_by must be the only requested measure")
+            from mongo_olap_spark.cube.query import top_by_rollup
+
+            alias, op_, s_path, p_path, *kk = tb[0]
+            k = int(kk[0]) if kk else 1
+            sdim = "__tb_s_" + re.sub(r"[^A-Za-z0-9_]+", "_", s_path)
+            pdim = "__tb_p_" + re.sub(r"[^A-Za-z0-9_]+", "_", p_path)
+            tmp = CubeSpec(
+                name="adhoc", source=req.source,
+                dimensions=dims + (Dimension(sdim, path=s_path),
+                                   Dimension(pdim, path=p_path)),
+                measures=(Measure("__tb_count", "count"),),
+                filter_sql=req.filter_sql,
+            )
+            cells = build_cube(None, tmp, source_df)
+            filtered = cells.filter(req.where) if req.where else cells
+            return top_by_rollup(
+                filtered, tmp, [d.name for d in dims], sdim, pdim, k,
+                largest=(op_ == "bottom_by"), alias=alias,
             )
         mn = [m for m in req.measures
               if isinstance(m, tuple) and len(m) >= 3 and m[1] in ("min_n", "max_n")]

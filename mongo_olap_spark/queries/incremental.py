@@ -359,6 +359,72 @@ def q_route_minn(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# C24 routed: a $topN-with-sortBy-shaped request ('top_by') is served
+# from the exact two-level cube via the ROUTER — top_by_rollup expands
+# the payloads of the k first cells in (sort, payload) order. Ties on
+# the sort key break by payload ascending (deterministic — Mongo's own
+# $topN tie order is unspecified), which is exactly what the oracle's
+# two-key window states.
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_route_topby",
+    oracle="""
+    WITH v AS (
+      SELECT event_type, value, user_id FROM events WHERE value IS NOT NULL
+    ),
+    r AS (
+      SELECT event_type, user_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_type ORDER BY value ASC, user_id ASC
+             ) AS rnk
+      FROM v
+    )
+    SELECT event_type, rnk, user_id AS cheapest_user FROM r WHERE rnk <= 3
+    """,
+)
+def q_route_topby(spark, sf_dir):
+    import os
+    import tempfile
+
+    from mongo_olap_spark.cube import CubeCatalog, CubeSpec, Dimension, Measure
+    from mongo_olap_spark.plans import AggregateRequest, CubeRouter
+
+    root = os.path.join(
+        tempfile.gettempdir(), "mongo_olap_route_tb", sf_dir.strip("/").replace("/", "_")
+    )
+    cat = CubeCatalog(spark, root)
+    e = load_table(spark, sf_dir, "events")
+    exact = CubeSpec(
+        name="events_topby_route",
+        source="events",
+        dimensions=(
+            Dimension("event_type"),
+            Dimension("value"),
+            Dimension("user_id"),
+        ),
+        measures=(Measure("n", "count"),),
+    )
+    cat.drop(exact.name)
+    cat.create(exact, e)
+    router = CubeRouter(cat)
+    req = AggregateRequest(
+        source="events",
+        group_by=("event_type",),
+        measures=(("cheapest_user", "top_by", "value", "user_id", 3),),
+    )
+    decision = router.route(req)
+    assert decision.cube == exact.name, decision
+    out = router.execute(req)
+    ex = out.select("event_type", F.posexplode("cheapest_user").alias("pos", "u"))
+    return ex.select(
+        "event_type",
+        (F.col("pos") + 1).cast("long").alias("rnk"),
+        F.col("u").alias("cheapest_user"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # §4.1' lambda serving: the maintained cube lags the source by an
 # un-applied tail; hybrid_query answers from cells + tail partials in
 # one shuffle. Correct hybrid serving is invisible — the answer must

@@ -167,3 +167,136 @@ def test_router_minn_source_fallback(spark, events, tmp_path):
         for r in router.execute(req, source_df=events).collect()
     }
     assert got == reference(events, 3, True, "user_id")
+
+
+# ---------------------------------------------------------------------------
+# C24 — $topN/$bottomN with sortBy + output (top_by_rollup)
+# ---------------------------------------------------------------------------
+
+def topby_reference(events, k, largest, *group_by):
+    e = events.filter(F.col("value").isNotNull())
+    if largest:
+        order = [F.col("value").desc(), F.col("user_id").desc()]
+    else:
+        order = [F.col("value").asc(), F.col("user_id").asc()]
+    w = Window.partitionBy(*group_by).orderBy(*order)
+    rows = e.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+    return {
+        tuple(r[g] for g in group_by): [x["u"] for x in sorted(
+            (row for row in r["raw"]), key=lambda x: x["rn"])]
+        for r in rows.groupBy(*group_by)
+        .agg(F.collect_list(F.struct("rn", F.col("user_id").alias("u"))).alias("raw"))
+        .collect()
+    }
+
+
+@pytest.mark.parametrize("largest", [False, True])
+def test_top_by_matches_raw_rows(spark, events, largest):
+    from mongo_olap_spark.cube.query import top_by_rollup
+
+    spec = CubeSpec(
+        name="tb",
+        source="events",
+        dimensions=(Dimension("event_type"), Dimension("value"), Dimension("user_id")),
+        measures=(Measure("n", "count"),),
+    )
+    cells = build_cube(spark, spec, events)
+    got = {
+        (r["event_type"],): r["who"]
+        for r in top_by_rollup(
+            cells, spec, ["event_type"], "value", "user_id", 4,
+            largest=largest, alias="who",
+        ).collect()
+    }
+    assert got == topby_reference(events, 4, largest, "event_type")
+
+
+def test_top_by_retractable_and_null_payload(spark):
+    from mongo_olap_spark.cube.query import top_by_rollup
+
+    spec = CubeSpec(
+        name="tb2",
+        source="t",
+        dimensions=(Dimension("g"), Dimension("sv"), Dimension("p")),
+        measures=(Measure("n", "count"),),
+    )
+    df = spark.createDataFrame(
+        [("g", 1.0, None), ("g", 2.0, 7), ("g", 2.0, 5), ("g", 3.0, 8)],
+        "g string, sv double, p int",
+    )
+    cells = build_cube(spark, spec, df)
+    out = top_by_rollup(cells, spec, ["g"], "sv", "p", 3, alias="m").collect()
+    # null payload participates; sv tie (2.0) breaks by payload asc
+    assert out[0]["m"] == [None, 5, 7]
+    # retract the null-payload row: the runner-up takes its place
+    doomed = df.limit(1)
+    deltas = delta_cells(spec, doomed.withColumn("mult", F.lit(-1)))
+    merged = merge_cells(cells, deltas, spec)
+    out2 = top_by_rollup(merged, spec, ["g"], "sv", "p", 3, alias="m").collect()
+    assert out2[0]["m"] == [5, 7, 8]
+
+
+def test_top_by_rejects_bad_args(spark, events):
+    from mongo_olap_spark.cube.query import top_by_rollup
+
+    spec = CubeSpec(
+        name="tb3",
+        source="events",
+        dimensions=(Dimension("event_type"), Dimension("value"), Dimension("user_id")),
+        measures=(Measure("n", "count"),),
+    )
+    cells = build_cube(spark, spec, events)
+    with pytest.raises(ValueError, match="must differ"):
+        top_by_rollup(cells, spec, ["event_type"], "value", "value", 3)
+    with pytest.raises(ValueError, match="not a cube dimension"):
+        top_by_rollup(cells, spec, ["event_type"], "value", "nope", 3)
+    with pytest.raises(ValueError, match="k >= 1"):
+        top_by_rollup(cells, spec, ["event_type"], "value", "user_id", 0)
+
+
+def test_router_topby_route_and_fallback(spark, events, tmp_path):
+    from mongo_olap_spark.cube import CubeCatalog
+
+    spec = CubeSpec(
+        name="tb_route",
+        source="events",
+        dimensions=(Dimension("event_type"), Dimension("value"), Dimension("user_id")),
+        measures=(Measure("n", "count"),),
+    )
+    cat = CubeCatalog(spark, str(tmp_path / "tb_cubes"))
+    cat.create(spec, events)
+    router = CubeRouter(cat)
+    req = AggregateRequest(
+        source="events",
+        group_by=("event_type",),
+        measures=(("who", "top_by", "value", "user_id", 4),),
+    )
+    d = router.route(req)
+    assert d.cube == spec.name and d.topby == ("who", "value", "user_id", 4, False)
+    got = {(r["event_type"],): r["who"] for r in router.execute(req).collect()}
+    assert got == topby_reference(events, 4, False, "event_type")
+    # bottom_by flips to the LAST k in sort order
+    d2 = router.route(AggregateRequest(
+        source="events", group_by=("event_type",),
+        measures=(("who", "bottom_by", "value", "user_id", 2),),
+    ))
+    assert d2.topby == ("who", "value", "user_id", 2, True)
+    # refusal: payload not a dimension of the cube
+    assert router.route(AggregateRequest(
+        source="events", group_by=("event_type",),
+        measures=(("who", "top_by", "value", "props", 2),),
+    )).cube is None
+    # source fallback through the same two-level shape
+    req3 = AggregateRequest(
+        source="events", group_by=(("ts", "day"),),
+        measures=(("who", "bottom_by", "value", "user_id", 3),),
+    )
+    assert router.route(req3).cube is None
+    got3 = {
+        (r["ts_day"],): r["who"]
+        for r in router.execute(req3, source_df=events).collect()
+    }
+    want3 = topby_reference(
+        events.withColumn("ts_day", F.date_trunc("day", "ts")), 3, True, "ts_day"
+    )
+    assert got3 == want3
