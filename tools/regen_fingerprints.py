@@ -31,6 +31,11 @@ GUARDED = [
     "q_pipeline_group", "q_pipeline_window", "q_window_frame",
     "q_dedup_exact", "q_dedup_minhash", "q_knn", "q_sessionize",
     "q_json_extract",
+    # r9 cube-route additions: q_cube_topn_exact pins the PARTIAL
+    # WindowGroupLimit (map-side top-k — losing it turns the exchange
+    # from O(groups·k) into O(cells)); stddev pins the single-aggregate
+    # dispersion rollup; extremes pins the bounded boundary-cell shape
+    "q_cube_topn_exact", "q_cube_stddev", "q_cube_extremes",
 ]
 
 
