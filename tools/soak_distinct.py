@@ -1,6 +1,8 @@
-"""C19 count-distinct + C20 quantile + C21 top-k soak under
-delete-heavy CDC (round-9 task 4; C20 histogram and C21 frequent-items
-measures added same round).
+"""C19 count-distinct + C20 quantile + C21 top-k + C22 dispersion
+soak under delete-heavy CDC (round-9 task 4; the C20 histogram, C21
+frequent-items and C22 variance measures added same round — the C22
+(Σx, Σx², n) partials ride the histogram cube, covered by its
+bit-identical-to-rebuild state check).
 
 The two count-distinct routes have opposite maintenance stories:
 
@@ -295,6 +297,10 @@ def main() -> int:
         measures=(
             Measure("n", "count"),
             Measure("p50_value", "quantile", "value", lo=0.0, hi=1000.0, nbins=100),
+            # C22 rides the same cube: dispersion partials are signed
+            # decimals, so the bit-identical-to-rebuild check below
+            # covers their retraction story too
+            Measure("var_value", "var_pop", "value"),
         ),
     )
 
