@@ -771,6 +771,59 @@ def top_by_rollup(
     return df.groupBy(*group_by).agg(flat.alias(out))
 
 
+def combine_cells(spec: CubeSpec, *frames: DataFrame) -> DataFrame:
+    """Merge several cell tables of the SAME spec into one valid cell
+    table — second-level partial merges keyed on the dimension tuple,
+    producing STORAGE columns again (not finalized measures).
+
+    This is the serving-side complement of ivm.merge_cells (which is
+    join-based and signed, for CDC): here a plain union + one hash
+    aggregate re-merges overlapping cells, so the result feeds ANY
+    consumer that expects a cell table — including the exact two-level
+    routes (distinct_rollup / quantile_rollup / topk_rollup /
+    extremes_rollup / top_by_rollup), whose semantics require ONE live
+    cell per (group, value) and would double-count under a naive
+    union. Lambda serving for those routes is therefore::
+
+        fresh = combine_cells(spec, cells, build_cube(spark, spec, tail))
+        distinct_rollup(fresh, spec, ...)
+
+    One shuffle on the dims; every merge expression is the same
+    re-aggregable partial the builder emits (decimal sums, min/max,
+    hll_union_agg, element-wise histogram sums, frequent-items fold),
+    so the combined table is bit-compatible with a from-scratch build
+    for the retractable families and merge-equal for the sketches.
+    """
+    if not frames:
+        raise ValueError("combine_cells needs at least one frame")
+    cols = spec.dim_names + [c for m in spec.measures for c in m.storage_cols()]
+    df = frames[0].select(*cols)
+    for f in frames[1:]:
+        df = df.unionByName(f.select(*cols))
+    aggs: list[Column] = []
+    for m in spec.measures:
+        for col in m.storage_cols():
+            if col.endswith("_sum") or col.endswith("_sum2"):
+                aggs.append(F.sum(col).alias(col))
+            elif col.endswith("_cnt"):
+                aggs.append(F.sum(col).cast("long").alias(col))
+            elif col.endswith("_min"):
+                aggs.append(F.min(col).alias(col))
+            elif col.endswith("_max"):
+                aggs.append(F.max(col).alias(col))
+            elif col.endswith("_hll"):
+                aggs.append(F.hll_union_agg(col).alias(col))
+            elif col.endswith("_hist"):
+                aggs.append(hist_sum_expr(col, int(m.nbins)).alias(col))
+            elif col.endswith("_tk"):
+                # the fold truncates at each merge step; single-map
+                # groups are already within capacity by construction
+                aggs.append(topk_union_agg(col, m.capacity).alias(col))
+            else:
+                raise AssertionError(col)
+    return df.groupBy(*spec.dim_names).agg(*aggs)
+
+
 def hybrid_query(
     cells: DataFrame,
     spec: CubeSpec,

@@ -300,3 +300,108 @@ def test_router_topby_route_and_fallback(spark, events, tmp_path):
         events.withColumn("ts_day", F.date_trunc("day", "ts")), 3, True, "ts_day"
     )
     assert got3 == want3
+
+
+# ---------------------------------------------------------------------------
+# combine_cells — lambda serving for the exact two-level routes
+# ---------------------------------------------------------------------------
+
+def test_combine_cells_serves_two_level_routes_fresh(spark, events):
+    """Union-then-re-merge keeps ONE live cell per (group, value), so
+    every exact route answers correctly over cells + un-absorbed tail."""
+    from mongo_olap_spark.cube.query import (
+        combine_cells,
+        distinct_rollup,
+        quantile_rollup,
+        topk_rollup,
+    )
+
+    head = events.filter(F.col("event_id") % 3 != 0)
+    tail = events.filter(F.col("event_id") % 3 == 0)
+    spec = CubeSpec(
+        name="hy",
+        source="events",
+        dimensions=(Dimension("event_type"), Dimension("value")),
+        measures=(Measure("n", "count"),),
+    )
+    stale = build_cube(spark, spec, head)
+    fresh = combine_cells(spec, stale, build_cube(spark, spec, tail))
+    full = build_cube(spark, spec, events)
+    # the combined cell table is row-identical to a from-scratch build
+    assert {tuple(r) for r in fresh.collect()} == {tuple(r) for r in full.collect()}
+    # and the exact routes answer fresh
+    rows = lambda df: {
+        tuple(tuple(v) if isinstance(v, list) else v for v in r) for r in df.collect()
+    }
+    assert rows(
+        quantile_rollup(fresh, spec, ["event_type"], "value", 0.5, alias="p50")
+    ) == rows(quantile_rollup(full, spec, ["event_type"], "value", 0.5, alias="p50"))
+    assert rows(
+        extremes_rollup(fresh, spec, ["event_type"], "value", 5, alias="m")
+    ) == rows(extremes_rollup(full, spec, ["event_type"], "value", 5, alias="m"))
+    assert rows(
+        topk_rollup(fresh, spec, ["event_type"], "value", 3, count_alias="c")
+    ) == rows(topk_rollup(full, spec, ["event_type"], "value", 3, count_alias="c"))
+    u = CubeSpec(
+        name="hy2",
+        source="events",
+        dimensions=(Dimension("event_type"), Dimension("user_id")),
+        measures=(Measure("n", "count"),),
+    )
+    fresh_u = combine_cells(
+        u, build_cube(spark, u, head), build_cube(spark, u, tail)
+    )
+    assert rows(
+        distinct_rollup(fresh_u, u, ["event_type"], "user_id", alias="d")
+    ) == rows(
+        distinct_rollup(build_cube(spark, u, events), u, ["event_type"], "user_id", alias="d")
+    )
+
+
+def test_combine_cells_all_measure_families(spark, events):
+    """The re-merge produces a valid cell table for every storage kind
+    — rolled answers over the combined table equal a from-scratch
+    build's (bitwise for the retractable families)."""
+    from mongo_olap_spark.cube.query import combine_cells, query_cube
+    from mongo_olap_spark.queries.core import USERS_TOPK_CUBE
+
+    spec = CubeSpec(
+        name="hy3",
+        source="events",
+        dimensions=(Dimension("event_type"),),
+        measures=(
+            Measure("n", "count"),
+            Measure("total", "sum", "value"),
+            Measure("avg_v", "avg", "value"),
+            Measure("lo", "min", "value"),
+            Measure("hi", "max", "value"),
+            Measure("users", "distinct", "user_id", lgk=14),
+            Measure("p50", "quantile", "value", lo=0.0, hi=1000.0, nbins=50),
+            Measure("vv", "var_pop", "value"),
+        ),
+    )
+    head = events.filter(F.col("event_id") % 2 == 0)
+    tail = events.filter(F.col("event_id") % 2 == 1)
+    fresh = combine_cells(
+        spec, build_cube(spark, spec, head), build_cube(spark, spec, tail)
+    )
+    full = build_cube(spark, spec, events)
+    got = {r["event_type"]: r for r in query_cube(fresh, spec).collect()}
+    want = {r["event_type"]: r for r in query_cube(full, spec).collect()}
+    assert set(got) == set(want)
+    for k in want:
+        for m in ["n", "total", "avg_v", "lo", "hi", "users", "p50", "vv"]:
+            assert got[k][m] == pytest.approx(want[k][m], rel=1e-9), (k, m)
+    # frequent-items maps merge too (exact regime at test cardinality)
+    tk_fresh = combine_cells(
+        USERS_TOPK_CUBE,
+        build_cube(spark, USERS_TOPK_CUBE, head),
+        build_cube(spark, USERS_TOPK_CUBE, tail),
+    )
+    from mongo_olap_spark.cube.query import query_cube as qc
+
+    norm = lambda df: {
+        r["event_type"]: [(e["item"], e["count"]) for e in r["top_users"]]
+        for r in qc(df, USERS_TOPK_CUBE, group_by=["event_type"], measures=["top_users"]).collect()
+    }
+    assert norm(tk_fresh) == norm(build_cube(spark, USERS_TOPK_CUBE, events))
