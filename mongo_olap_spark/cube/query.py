@@ -489,6 +489,66 @@ def dispersion_estimates(
     )
 
 
+def topk_estimates(
+    cells: DataFrame,
+    spec: CubeSpec,
+    measure: str,
+    k: int | None = None,
+    group_by: list[str] | None = None,
+    *,
+    where: Column | str | None = None,
+    alias: str | None = None,
+) -> DataFrame:
+    """Top-k from a frequent-items MAP measure via explode + re-count —
+    the scale path for WIDE rollups, where the agg-expression route
+    (:func:`topk_union_agg`, used by query_cube) folds
+    O(cells_in_group · max_items) transient state per group. Here the
+    maps explode to postings rows, a hash aggregate sums per (group,
+    item) with map-side combine, and a windowed rank keeps k — the
+    rank filter compiles to a partial WindowGroupLimit, so the second
+    exchange carries O(groups · k). Two shuffles, every operator
+    native, no per-group fold.
+
+    Same answer as the fold route while merges stay in the exact
+    regime (union cardinality ≤ max_items); in the truncated regime
+    the two routes differ only in which tail items survive — heavy
+    items agree within the mergeable-summary bound. Emits one row per
+    (group, kept item): group dims + ``alias`` item + ``<alias>_cnt``
+    + 1-based ``rank`` (count desc, item asc — the family's
+    deterministic order).
+    """
+    from pyspark.sql import Window
+
+    m = spec.measure(measure)
+    if m.op != "topk":
+        raise ValueError(f"measure {measure!r} is not a topk (map) measure")
+    k = m.default_k if k is None else int(k)
+    if k < 1:
+        raise ValueError(f"top-k needs k >= 1, got {k}")
+    dims = spec.dim_names
+    group_by = dims if group_by is None else group_by
+    unknown = set(group_by) - set(dims)
+    if unknown:
+        raise ValueError(f"group_by not in cube dims: {sorted(unknown)}")
+    df = cells
+    if where is not None:
+        df = df.filter(where)
+    out = alias or f"{m.name}_item"
+    posts = df.select(
+        *group_by, F.explode(f"{m.name}_tk").alias(out, "__c")
+    )
+    counted = posts.groupBy(*group_by, out).agg(
+        F.sum("__c").cast("long").alias(f"{out}_cnt")
+    )
+    w = Window.partitionBy(*group_by).orderBy(
+        F.col(f"{out}_cnt").desc(), F.col(out).asc()
+    )
+    return (
+        counted.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def topk_rollup(
     cells: DataFrame,
     spec: CubeSpec,

@@ -298,3 +298,42 @@ def test_topk_rollup_rejects_bad_args(spark, events):
         topk_rollup(cells, USERS_EXACT_CUBE, ["user_id"], "user_id", 3)
     with pytest.raises(ValueError, match="group_by not in cube dims"):
         topk_rollup(cells, USERS_EXACT_CUBE, ["nope"], "user_id", 3)
+
+
+def test_topk_estimates_explode_route_matches_fold_route(spark, events):
+    """The wide-rollup scale path (explode + re-count + WindowGroupLimit)
+    agrees with the fold route in the exact regime, rank for rank."""
+    from mongo_olap_spark.cube.query import topk_estimates
+
+    cells = build_cube(spark, USERS_TOPK_CUBE, events)
+    got = {
+        (r["event_type"], r["rank"]): (r["who"], r["who_cnt"])
+        for r in topk_estimates(
+            cells, USERS_TOPK_CUBE, "top_users", 3, ["event_type"], alias="who"
+        ).collect()
+    }
+    rolled = query_cube(
+        cells, USERS_TOPK_CUBE, group_by=["event_type"], measures=["top_users"]
+    )
+    want = {}
+    for r in rolled.collect():
+        for i, e in enumerate(r["top_users"]):
+            want[(r["event_type"], i + 1)] = (e["item"], e["count"])
+    assert got == want
+    # the rank filter compiles to a partial WindowGroupLimit
+    plan = topk_estimates(
+        cells, USERS_TOPK_CUBE, "top_users", 3, ["event_type"]
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+
+
+def test_topk_estimates_rejects_bad_args(spark, events):
+    from mongo_olap_spark.cube.query import topk_estimates
+
+    cells = build_cube(spark, USERS_TOPK_CUBE, events)
+    with pytest.raises(ValueError, match="not a topk"):
+        topk_estimates(cells, USERS_TOPK_CUBE, "n", 3)
+    with pytest.raises(ValueError, match="k >= 1"):
+        topk_estimates(cells, USERS_TOPK_CUBE, "top_users", 0)
+    with pytest.raises(ValueError, match="group_by not in cube dims"):
+        topk_estimates(cells, USERS_TOPK_CUBE, "top_users", 3, ["nope"])
