@@ -436,7 +436,11 @@ def quantile_rollup(
     return (
         df.withColumn("__cum", F.sum(cnt).over(wcum))
         .withColumn("__tot", F.sum(cnt).over(wtot))
-        .filter(F.col("__cum") >= F.ceil(F.lit(float(q)) * F.col("__tot")))
+        # snap near-integer q·n products before ceil (ADVICE r9): IEEE
+        # doubles put e.g. 0.7*10 at 7.000000000000001, which would
+        # ceil to rank 8 instead of the stated ceil(q·n)=7 — round to 9
+        # digits first (quantile fractions are never finer than that)
+        .filter(F.col("__cum") >= F.ceil(F.round(F.lit(float(q)) * F.col("__tot"), 9)))
         .groupBy(*group_by)
         .agg(F.min(value_dim).alias(out))
     )
@@ -740,11 +744,13 @@ def top_by_rollup(
     participate (a null output field is a legitimate $topN result).
 
     Output: one row per group with ``alias`` = array of up to k
-    payloads in (sort, payload) order (ascending for bottom-N,
-    descending for top-N... Mongo's $bottomN takes the LAST k by the
-    sort — here ``largest=False`` means "first k ascending" =
-    $topN with an ascending sortBy; flip ``largest`` for the other
-    end, exactly as $topN/$bottomN flip).
+    payloads in ASCENDING (sort, payload) order for BOTH directions —
+    matching Mongo, whose $topN returns the first k and $bottomN the
+    LAST k, each presented in sortBy order. ``largest=False`` ($topN
+    with ascending sortBy) selects the k smallest sort keys;
+    ``largest=True`` ($bottomN) selects the k largest and the final
+    array is reversed back to ascending (ADVICE r9 — previously it
+    was emitted descending, an ordering delta vs Mongo).
 
     Scale: same shape as extremes_rollup — window cum-count over
     O(|cells|), ≤ k boundary cells per group reach the bounded final
@@ -828,6 +834,11 @@ def top_by_rollup(
         ),
         lambda acc, s: F.concat(acc, F.array_repeat(s["p"], s["t"])),
     )
+    if largest:
+        # $bottomN presents its k selected (largest-sort) documents in
+        # ASCENDING sortBy order; the desc expansion built the array
+        # largest-first, so flip it back
+        flat = F.reverse(flat)
     return df.groupBy(*group_by).agg(flat.alias(out))
 
 

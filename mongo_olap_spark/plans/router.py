@@ -337,6 +337,21 @@ class CubeRouter:
                 return False, [], {}, (
                     f"measure {name}: path {mine.source_path} != requested {path}"
                 ), None
+        if distinct is not None and distinct[0] in ("quantile", "topn", "minn", "topby"):
+            # these serving rollups weight cells by row_count_col(spec)
+            # (a count measure or an avg's count partial) — a cube
+            # without one would be routed and then crash in execute()
+            # instead of letting another cube or the source fallback
+            # answer (ADVICE r9)
+            from mongo_olap_spark.cube.ivm import row_count_col
+
+            try:
+                row_count_col(spec)
+            except ValueError:
+                return False, [], {}, (
+                    f"{distinct[0]} route needs a count/avg measure for "
+                    "cell multiplicity"
+                ), None
         # output-name collisions (ADVICE r8): two requested measures
         # binding the same stored column, duplicate requested names, or
         # a measure name shadowing a grouped dimension would make the
@@ -372,6 +387,12 @@ class CubeRouter:
             needed = set(gb_names)
             if distinct is not None:
                 needed.add(distinct[2])
+                if distinct[0] == "topby":
+                    # the payload dim must ALSO be materialized in the
+                    # level — execute() reads both (ADVICE r9): without
+                    # this a level covering group_by+sort but not
+                    # payload would be routed and crash at serve time
+                    needed.add(distinct[3])
             # where-filtered dims must also be present in the level
             if req.where is not None:
                 needed |= _where_columns(req.where) & dim_names
@@ -409,6 +430,8 @@ class CubeRouter:
                 needed = {g if isinstance(g, str) else g[0] for g in rewritten}
                 if distinct is not None:
                     needed.add(distinct[2])
+                    if distinct[0] == "topby":
+                        needed.add(distinct[3])
                 if req.where is not None:
                     needed |= _where_columns(req.where) & set(spec.dim_names)
                 covering = [lv for lv in levels if needed <= set(lv)]

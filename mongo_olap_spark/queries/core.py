@@ -528,7 +528,7 @@ def q_cube_quantile(spark, sf_dir):
       FROM v
     )
     SELECT event_type, MIN(value) AS p50_value
-    FROM w WHERE cum >= CEIL(0.5 * tot)
+    FROM w WHERE cum >= CEIL(ROUND(0.5 * tot, 9))
     GROUP BY event_type
     """,
 )

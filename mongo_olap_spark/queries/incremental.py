@@ -202,7 +202,7 @@ def q_route_distinct(spark, sf_dir):
       FROM v
     )
     SELECT event_type, MIN(value) AS p50
-    FROM w WHERE cum >= CEIL(0.5 * tot)
+    FROM w WHERE cum >= CEIL(ROUND(0.5 * tot, 9))
     GROUP BY event_type
     """,
 )

@@ -181,13 +181,18 @@ def topby_reference(events, k, largest, *group_by):
         order = [F.col("value").asc(), F.col("user_id").asc()]
     w = Window.partitionBy(*group_by).orderBy(*order)
     rows = e.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
-    return {
+    out = {
         tuple(r[g] for g in group_by): [x["u"] for x in sorted(
             (row for row in r["raw"]), key=lambda x: x["rn"])]
         for r in rows.groupBy(*group_by)
         .agg(F.collect_list(F.struct("rn", F.col("user_id").alias("u"))).alias("raw"))
         .collect()
     }
+    if largest:
+        # Mongo presents $bottomN's selected documents in ASCENDING
+        # sortBy order (the rn order above is descending)
+        out = {g: list(reversed(v)) for g, v in out.items()}
+    return out
 
 
 @pytest.mark.parametrize("largest", [False, True])

@@ -285,3 +285,23 @@ def test_quantile_estimates_rejects_non_quantile_measure(spark, events):
     cells = build_cube(spark, VALUE_HIST_CUBE, events)
     with pytest.raises(ValueError, match="not a quantile"):
         quantile_estimates(cells, VALUE_HIST_CUBE, "n", [0.5])
+
+
+def test_quantile_rollup_near_integer_rank_not_inflated(spark):
+    """ADVICE r9: q·n products that land just above an integer in IEEE
+    doubles (0.7 * 10 = 7.000000000000001) must not ceil to rank 8 —
+    the stated type-1 semantics is ceil(q·n) = 7."""
+    from mongo_olap_spark.cube.query import quantile_rollup
+
+    spec = CubeSpec(
+        name="qsnap",
+        source="t",
+        dimensions=(Dimension("g"), Dimension("value")),
+        measures=(Measure("n", "count"),),
+    )
+    df = spark.createDataFrame(
+        [("a", float(v)) for v in range(1, 11)], "g string, value double"
+    )
+    cells = build_cube(spark, spec, df)
+    out = quantile_rollup(cells, spec, ["g"], "value", 0.7, alias="p70").collect()
+    assert out[0]["p70"] == 7.0

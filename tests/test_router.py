@@ -642,3 +642,68 @@ def test_topk_sketch_served_by_map_cube(spark, events, tmp_path):
     for r in _direct_topk(events, 3, "event_type").collect():
         want.setdefault(r["event_type"], []).append((r["user_id"], r["cnt"]))
     assert got_map == want
+
+
+def test_lattice_topby_refused_when_payload_not_materialized(spark, events, tmp_path):
+    """ADVICE r9: a lattice level covering group_by + sort but NOT the
+    payload dim must refuse the top_by route at route time — the old
+    coverage check omitted the payload dim and execute() crashed with
+    ValueError on an empty covering set."""
+    cat = CubeCatalog(spark, str(tmp_path / "tb_lat"))
+    spec = CubeSpec(
+        name="tb_lat_cube",
+        source="events",
+        dimensions=(Dimension("event_type"), Dimension("value"), Dimension("user_id")),
+        measures=(Measure("n", "count"),),
+    )
+    cat.create_lattice(spec, events, levels=[("event_type", "value"), ("event_type",)])
+    router = CubeRouter(cat)
+    req = AggregateRequest(
+        source="events",
+        group_by=("event_type",),
+        measures=(("who", "top_by", "value", "user_id", 3),),
+    )
+    d = router.route(req)
+    assert d.cube is None  # refused, not crashed
+    # with the payload materialized the same request routes and serves
+    cat2 = CubeCatalog(spark, str(tmp_path / "tb_lat2"))
+    cat2.create_lattice(
+        spec, events, levels=[("event_type", "value", "user_id"), ("event_type",)]
+    )
+    router2 = CubeRouter(cat2)
+    d2 = router2.route(req)
+    assert d2.cube == spec.name
+    got = {(r["event_type"],): r["who"] for r in router2.execute(req).collect()}
+    from tests.test_cube_extremes import topby_reference
+
+    assert got == topby_reference(events, 3, False, "event_type")
+
+
+def test_special_routes_refused_without_multiplicity_measure(spark, events, tmp_path):
+    """ADVICE r9: the exact two-level serving rollups weight cells by a
+    count/avg multiplicity column — a cube holding only e.g. min/max
+    measures must be refused at route time, not crash in execute()."""
+    cat = CubeCatalog(spark, str(tmp_path / "nocnt"))
+    spec = CubeSpec(
+        name="nocnt_cube",
+        source="events",
+        dimensions=(Dimension("event_type"), Dimension("value")),
+        measures=(Measure("v_min", "min", "value"),),
+    )
+    cat.create(spec, events)
+    router = CubeRouter(cat)
+    for m in [
+        ("p50", "quantile_exact", "value", 0.5),
+        ("top", "topn", "value", 3),
+        ("lo", "min_n", "value", 3),
+    ]:
+        d = router.route(AggregateRequest(
+            source="events", group_by=("event_type",), measures=(m,)
+        ))
+        assert d.cube is None, m
+    # count_distinct does not need the multiplicity column — still served
+    d = router.route(AggregateRequest(
+        source="events", group_by=("event_type",),
+        measures=(("nv", "count_distinct", "value"),),
+    ))
+    assert d.cube == spec.name
