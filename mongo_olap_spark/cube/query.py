@@ -722,6 +722,7 @@ def top_by_rollup(
     k: int,
     *,
     largest: bool = False,
+    present_desc: bool = False,
     alias: str | None = None,
     where: Column | str | None = None,
 ) -> DataFrame:
@@ -744,13 +745,20 @@ def top_by_rollup(
     participate (a null output field is a legitimate $topN result).
 
     Output: one row per group with ``alias`` = array of up to k
-    payloads in ASCENDING (sort, payload) order for BOTH directions —
-    matching Mongo, whose $topN returns the first k and $bottomN the
-    LAST k, each presented in sortBy order. ``largest=False`` ($topN
-    with ascending sortBy) selects the k smallest sort keys;
-    ``largest=True`` ($bottomN) selects the k largest and the final
-    array is reversed back to ascending (ADVICE r9 — previously it
-    was emitted descending, an ordering delta vs Mongo).
+    payloads presented in sortBy order — matching Mongo, whose $topN
+    returns the first k and $bottomN the LAST k, each presented in
+    sortBy order (ADVICE r9: previously largest=True emitted the
+    array descending, an ordering delta vs Mongo). ``largest``
+    selects which END of the sort the k cells come from;
+    ``present_desc`` presents the array in DESCENDING sort order —
+    the shape of a Mongo desc sortBy ($topN desc = largest=True +
+    present_desc; $bottomN desc = largest=False + present_desc).
+    Within a sort-key tie the selection preference and presentation
+    both mirror the pipeline compiler's deterministic refinement
+    (first-k takes smaller payloads first, last-k larger; ties always
+    PRESENT payload-ascending, nulls first), so routed and compiled
+    answers agree bit-for-bit, not just up to Mongo's unspecified tie
+    order.
 
     Scale: same shape as extremes_rollup — window cum-count over
     O(|cells|), ≤ k boundary cells per group reach the bounded final
@@ -784,11 +792,17 @@ def top_by_rollup(
         mcol = "__m"
     else:
         mcol = cnt
-    if largest:
-        order = [F.col(sort_dim).desc(), F.col(payload_dim).desc_nulls_last()]
+    # the window (selection) order: sort end by `largest`; the payload
+    # tie-break direction mirrors how the compile path's struct sort
+    # reaches the same boundary cells — first-k slices prefer SMALLER
+    # payloads within a tie, last-k slices LARGER ones. With the
+    # presentation key below this makes routed == compiled exactly.
+    s_order = F.col(sort_dim).desc() if largest else F.col(sort_dim).asc()
+    if largest == present_desc:
+        p_order = F.col(payload_dim).asc_nulls_first()
     else:
-        order = [F.col(sort_dim).asc(), F.col(payload_dim).asc_nulls_first()]
-    w = Window.partitionBy(*group_by).orderBy(*order)
+        p_order = F.col(payload_dim).desc_nulls_last()
+    w = Window.partitionBy(*group_by).orderBy(s_order, p_order)
     df = (
         df.withColumn("__cum", F.sum(mcol).over(w))
         .withColumn(
@@ -799,11 +813,11 @@ def top_by_rollup(
         )
         .filter(F.col("__take") > 0)
     )
-    # comparator returns -1 when a sorts BEFORE b. ``lt`` is that
-    # return value for a < b: ascending → -1, descending → +1. NULL
-    # payloads sort first ascending / last descending (mirroring the
-    # window order), which is ``lt`` for a-null in both directions.
-    lt = 1 if largest else -1
+    # presentation comparator (-1 when a sorts BEFORE b): sort key
+    # follows sortBy direction (``present_desc``); payload ties always
+    # present ascending with nulls first — the same deterministic
+    # refinement as the compile path's struct sort.
+    s_lt = 1 if present_desc else -1
     structs = F.collect_list(
         F.struct(
             F.col(sort_dim).alias("s"),
@@ -815,13 +829,13 @@ def top_by_rollup(
     def _cmp(a, b):
         pa, pb = a["p"], b["p"]
         return (
-            F.when(a["s"] < b["s"], lt)
-            .when(a["s"] > b["s"], -lt)
+            F.when(a["s"] < b["s"], s_lt)
+            .when(a["s"] > b["s"], -s_lt)
             .when(pa.isNull() & pb.isNull(), 0)
-            .when(pa.isNull(), lt)
-            .when(pb.isNull(), -lt)
-            .when(pa < pb, lt)
-            .when(pa > pb, -lt)
+            .when(pa.isNull(), -1)
+            .when(pb.isNull(), 1)
+            .when(pa < pb, -1)
+            .when(pa > pb, 1)
             .otherwise(0)
             .cast("int")
         )
@@ -834,11 +848,6 @@ def top_by_rollup(
         ),
         lambda acc, s: F.concat(acc, F.array_repeat(s["p"], s["t"])),
     )
-    if largest:
-        # $bottomN presents its k selected (largest-sort) documents in
-        # ASCENDING sortBy order; the desc expansion built the array
-        # largest-first, so flip it back
-        flat = F.reverse(flat)
     return df.groupBy(*group_by).agg(flat.alias(out))
 
 

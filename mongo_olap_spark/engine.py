@@ -304,35 +304,60 @@ class OlapEngine:
             PipelineError,
             cube_spec_from_pipeline,
             describe_lookup,
+            special_request_from_pipeline,
         )
 
         refusals: list[str] = []
         routable, rewrite_kind = _routable_rewrite(pipeline)
         try:
-            shape = cube_spec_from_pipeline("__explain", source, routable)
-            req = AggregateRequest(
-                source=source,
-                group_by=tuple(
-                    (d.source_path, d.granularity) if d.granularity
-                    else d.source_path
-                    for d in shape.dimensions
-                ),
-                measures=tuple(
-                    (m.name, m.op, m.path) if m.path else (m.name, m.op)
-                    for m in shape.measures
-                ),
-                filter_sql=shape.filter_sql,
-            )
+            special_note = None
+            try:
+                shape = cube_spec_from_pipeline("__explain", source, routable)
+                req = AggregateRequest(
+                    source=source,
+                    group_by=tuple(
+                        (d.source_path, d.granularity) if d.granularity
+                        else d.source_path
+                        for d in shape.dimensions
+                    ),
+                    measures=tuple(
+                        (m.name, m.op, m.path) if m.path else (m.name, m.op)
+                        for m in shape.measures
+                    ),
+                    filter_sql=shape.filter_sql,
+                )
+            except PipelineError:
+                # single-accumulator special families (C19–C24, r10)
+                filter_sql, dims, measure, post = special_request_from_pipeline(
+                    routable
+                )
+                req = AggregateRequest(
+                    source=source,
+                    group_by=tuple(
+                        (d.source_path, d.granularity) if d.granularity
+                        else d.source_path
+                        for d in dims
+                    ),
+                    measures=(measure,),
+                    filter_sql=filter_sql,
+                )
+                special_note = (
+                    f"special-family aggregate → ({measure[0]!r}, "
+                    f"{measure[1]!r}, ...) exact two-level route"
+                    + (f"; post-transform: {post}" if post else "")
+                )
             decision = self.router.route(req)
             route = {
                 "target": "cube" if decision.cube is not None else "source",
                 "cube": decision.cube,
                 "reason": decision.reason,
-                "pushed_filter": shape.filter_sql,
+                "pushed_filter": req.filter_sql,
                 "rewritten_group_by": list(decision.rewritten_group_by),
                 "hybrid": "pass tail= to query() to merge unabsorbed "
                           "source rows with the cube cells",
             }
+            if special_note is not None:
+                route["rewrite"] = special_note
             if rewrite_kind is not None:
                 route["rewrite"] = (
                     f"trailing ${rewrite_kind} rewritten into its $group "
@@ -418,6 +443,7 @@ class OlapEngine:
             PipelineError,
             compile_pipeline,
             cube_spec_from_pipeline,
+            special_request_from_pipeline,
         )
 
         # $sortByCount IS [$group {_id, count}, $sort {count: -1}] —
@@ -429,10 +455,17 @@ class OlapEngine:
         count_alias = pipeline[-1]["$count"] if kind == "count" else None
         try:
             shape = cube_spec_from_pipeline("q", source, routable)
-        except PipelineError:
-            if source_df is None:
-                raise
-            return compile_pipeline(source_df, pipeline)
+        except PipelineError as cube_err:
+            # not a plain count/sum/avg/min/max/stddev aggregate — the
+            # single-accumulator special families (C19–C24) route
+            # through their own request vocabulary (r10)
+            try:
+                special = special_request_from_pipeline(routable)
+            except PipelineError:
+                if source_df is None:
+                    raise cube_err from None
+                return compile_pipeline(source_df, pipeline)
+            return self._query_special_pipeline(special, source, source_df)
         pipeline = routable
         req = AggregateRequest(
             source=source,
@@ -468,6 +501,48 @@ class OlapEngine:
             # Mongo $count emits {alias: N} — and NO document at all
             # over empty input (the zero-dim group has no row to count)
             out = out.select(F.col("__cnt").alias(count_alias))
+        return out
+
+    def _query_special_pipeline(
+        self,
+        special: tuple,
+        source: str,
+        source_df: DataFrame | None,
+    ) -> DataFrame:
+        """Serve a special-family aggregate pipeline ($median /
+        $percentile / $minN / $maxN / $topN / $bottomN /
+        $addToSet+$size) through the router's C19–C24 vocabulary —
+        metadata-only when an exact two-level cube covers it, else the
+        router's own two-level source fallback (SAME rollup either
+        way, so the answer never depends on cube presence)."""
+        filter_sql, dims, measure, post = special
+        req = AggregateRequest(
+            source=source,
+            group_by=tuple(
+                (d.source_path, d.granularity) if d.granularity else d.source_path
+                for d in dims
+            ),
+            measures=(measure,),
+            filter_sql=filter_sql,
+        )
+        decision = self.router.route(req)  # metadata-only
+        out = self.router.execute(req, source_df=source_df)
+        if decision.cube is not None:
+            cur = [
+                g if isinstance(g, str) else g[0]
+                for g in decision.rewritten_group_by
+            ]
+        else:
+            cur = [
+                g if isinstance(g, str) else f"{g[0]}_{g[1]}" for g in req.group_by
+            ]
+        for old, new in zip(cur, [d.name for d in dims]):
+            if old != new:
+                out = out.withColumnRenamed(old, new)
+        alias = measure[0]
+        if post == "array_wrap":
+            # $percentile emits an array even for a single p
+            out = out.withColumn(alias, F.array(F.col(alias)))
         return out
 
 

@@ -3551,35 +3551,39 @@ def _field_sql(field: str, val: Any) -> str:
     return f"{field} = {_sql_lit(val)}"
 
 
-def cube_spec_from_pipeline(name: str, source: str, pipeline: list[dict]):
-    """Translate a ``[$match?, $group]`` pipeline into a CubeSpec.
-
-    ``_id`` must be a document ``{dim: "$path" | {"$dateTrunc": ...}}``
-    (named dimensions — the cube needs stable dim names); accumulators
-    map $sum:1→count, $sum→sum, $avg→avg, $min/$max→min/max.
-    """
-    from mongo_olap_spark.cube.spec import CubeSpec, Dimension, Measure
-
+def _cube_pipeline_prefix(
+    pipeline: list[dict], what: str = "cube"
+) -> tuple[str | None, dict]:
+    """Split a ``[$match?, $group]`` pipeline into (filter_sql, group)."""
     filter_sql: str | None = None
     group: dict | None = None
     for stage in pipeline:
         [(sname, spec)] = stage.items()
         if sname == "$match":
             if group is not None or filter_sql is not None:
-                raise PipelineError("cube pipeline must be [$match?, $group]")
+                raise PipelineError(f"{what} pipeline must be [$match?, $group]")
             filter_sql = match_to_sql(spec)
         elif sname == "$group":
             if group is not None:
-                raise PipelineError("cube pipeline supports one $group")
+                raise PipelineError(f"{what} pipeline supports one $group")
             group = spec
         else:
             raise PipelineError(
-                f"cube pipelines support [$match?, $group] only (got {sname})"
+                f"{what} pipelines support [$match?, $group] only (got {sname})"
             )
     if group is None:
-        raise PipelineError("cube pipeline needs a $group stage")
+        raise PipelineError(f"{what} pipeline needs a $group stage")
+    return filter_sql, group
 
-    id_spec = group.get("_id")
+
+def _cube_dims(id_spec) -> list:
+    """``$group._id`` document → named Dimension list (``{dim: "$path" |
+    {"$dateTrunc": {date, unit}}}``; ``None`` means the zero-dim global
+    group, Mongo's ``_id: null``)."""
+    from mongo_olap_spark.cube.spec import Dimension
+
+    if id_spec is None:
+        id_spec = {}
     if not isinstance(id_spec, dict) or any(k.startswith("$") for k in id_spec):
         raise PipelineError("cube $group._id must be a {dim: expr} document")
     dims = []
@@ -3606,6 +3610,26 @@ def cube_spec_from_pipeline(name: str, source: str, pipeline: list[dict]):
             )
         else:
             raise PipelineError(f"unsupported cube dimension expr {dspec!r}")
+    return dims
+
+
+def cube_spec_from_pipeline(name: str, source: str, pipeline: list[dict]):
+    """Translate a ``[$match?, $group]`` pipeline into a CubeSpec.
+
+    ``_id`` must be a document ``{dim: "$path" | {"$dateTrunc": ...}}``
+    (named dimensions — the cube needs stable dim names); accumulators
+    map $sum:1→count, $sum→sum, $avg→avg, $min/$max→min/max, and (r10)
+    $stdDevPop/$stdDevSamp→the dispersion family's decomposed
+    (Σx, Σx², n) measures — retractable and family-bound at routing
+    time (any stored dispersion form answers any requested form).
+    """
+    from mongo_olap_spark.cube.spec import CubeSpec, Measure
+
+    filter_sql, group = _cube_pipeline_prefix(pipeline)
+    id_spec = group.get("_id")
+    if id_spec is None:
+        raise PipelineError("cube $group._id must be a {dim: expr} document")
+    dims = _cube_dims(id_spec)
 
     measures = []
     for mname, mspec in group.items():
@@ -3618,6 +3642,13 @@ def cube_spec_from_pipeline(name: str, source: str, pipeline: list[dict]):
             if not (isinstance(arg, str) and arg.startswith("$")):
                 raise PipelineError(f"accumulator {op} needs a field path")
             measures.append(Measure(mname, op[1:], path=arg[1:]))
+        elif op in ("$stdDevPop", "$stdDevSamp"):
+            if not (isinstance(arg, str) and arg.startswith("$")):
+                raise PipelineError(f"accumulator {op} needs a field path")
+            measures.append(Measure(
+                mname, "stddev_pop" if op == "$stdDevPop" else "stddev_samp",
+                path=arg[1:],
+            ))
         else:
             raise PipelineError(f"unsupported cube accumulator {op!r}")
 
@@ -3626,6 +3657,163 @@ def cube_spec_from_pipeline(name: str, source: str, pipeline: list[dict]):
         dimensions=tuple(dims), measures=tuple(measures),
         filter_sql=filter_sql,
     )
+
+
+def special_request_from_pipeline(
+    pipeline: list[dict],
+) -> tuple[str | None, list, tuple, str | None]:
+    """Parse an aggregate pipeline whose single accumulator is one of
+    the exact special families (C19–C24) into the router's request
+    vocabulary — the last mile of pipeline-level routing (VERDICT r9
+    task 1): without this, a ``$median``/``$percentile``/``$minN``/
+    ``$maxN``/``$topN``/``$bottomN``/``$addToSet``+``$size`` pipeline
+    silently fell back to a full source compile even when a two-level
+    cube could answer it metadata-only.
+
+    Recognized shapes (everything else raises PipelineError so the
+    caller keeps its compile fallback):
+
+    - ``[$match?, $group {_id, out: {$median: {input: "$p"}}}]``
+      → ``(out, "quantile_exact", p, 0.5)``
+    - ``[$match?, $group {_id, out: {$percentile: {input, p: [q]}}}]``
+      (single q) → ``(out, "quantile_exact", p, q)`` + array_wrap post
+    - ``[$match?, $group {_id, out: {$minN|$maxN: {input, n}}}]``
+      → ``(out, "min_n"|"max_n", p, n)``
+    - ``[$match?, $group {_id, out: {$topN|$bottomN: {n, sortBy:
+      {s: ±1}, output: "$p"}}}]`` → ``(out, "top_by"|"bottom_by", s,
+      p, n[, present_desc])``; a DESCENDING sortBy swaps the selection
+      op and sets the present_desc flag (Mongo presents in sortBy
+      order)
+    - ``[$match?, $group {_id, tmp: {$addToSet: "$p"}},
+      $project {out: {$size: "$tmp"}}]`` → ``(out, "count_distinct",
+      p)`` — the Mongo idiom for exact count-distinct
+
+    Returns ``(filter_sql, dims, measure_tuple, post)`` where ``post``
+    is an output transform tag: None | "array_wrap" | "reverse".
+
+    Semantics note: the quantile families answer with the engine's
+    exact type-1 discrete quantile (an actual data value) — Mongo's
+    own $median/$percentile are t-digest approximations, so exactness
+    here is a strict upgrade, and the ROUTED and source-FALLBACK paths
+    share the same rollup (router.execute builds the identical
+    two-level shape ad hoc), so answers never depend on cube presence.
+    """
+    tail_project: dict | None = None
+    body = pipeline
+    if len(pipeline) >= 2 and list(pipeline[-1]) == ["$project"]:
+        tail_project = pipeline[-1]["$project"]
+        body = pipeline[:-1]
+    filter_sql, group = _cube_pipeline_prefix(body, what="special aggregate")
+    dims = _cube_dims(group.get("_id"))
+    dim_names = {d.name for d in dims}
+    accs = {k: v for k, v in group.items() if k != "_id"}
+    if len(accs) != 1:
+        raise PipelineError(
+            "special-family routing needs exactly one accumulator "
+            f"(got {sorted(accs) or 'none'})"
+        )
+    [(gname, mspec)] = accs.items()
+    if not (isinstance(mspec, dict) and len(mspec) == 1):
+        raise PipelineError(f"accumulator for {gname!r} must be a single-op document")
+    [(op, arg)] = mspec.items()
+
+    def field_path(v, what):
+        if not (isinstance(v, str) and v.startswith("$")):
+            raise PipelineError(f"{op} {what} must be a field path")
+        return v[1:]
+
+    if tail_project is not None:
+        # only the $addToSet+$size idiom carries a trailing $project
+        if op != "$addToSet":
+            raise PipelineError(
+                "trailing $project is only routable over $addToSet (+$size)"
+            )
+        path = field_path(arg, "argument")
+        proj = {k: v for k, v in tail_project.items()
+                if not (k == "_id" and v in (1, True))}
+        sizes = [
+            (k, v) for k, v in proj.items()
+            if isinstance(v, dict) and list(v) == ["$size"]
+        ]
+        if len(sizes) != 1 or len(proj) != len(sizes):
+            raise PipelineError(
+                "count-distinct routing needs $project {out: {$size: "
+                "'$<set field>'}} (plus _id passthrough) and nothing else"
+            )
+        out_name, size_spec = sizes[0]
+        if size_spec["$size"] != f"${gname}":
+            raise PipelineError(
+                f"$size must reference the $addToSet field ${gname}"
+            )
+        if out_name in dim_names:
+            raise PipelineError(f"output {out_name!r} collides with a dimension")
+        return filter_sql, dims, (out_name, "count_distinct", path), None
+    if op == "$median":
+        a = arg if isinstance(arg, dict) else {"input": arg}
+        return filter_sql, dims, (
+            gname, "quantile_exact", field_path(a.get("input"), "input"), 0.5,
+        ), None
+    if op == "$percentile":
+        if not isinstance(arg, dict):
+            raise PipelineError("$percentile takes {input, p, method}")
+        ps = arg.get("p")
+        if not (isinstance(ps, list) and len(ps) == 1
+                and isinstance(ps[0], (int, float))):
+            # multi-p needs one routed request per q — keep the
+            # compile fallback for those rather than join N rollups
+            raise PipelineError(
+                "routable $percentile takes exactly one p value"
+            )
+        return filter_sql, dims, (
+            gname, "quantile_exact", field_path(arg.get("input"), "input"),
+            float(ps[0]),
+        ), "array_wrap"
+    if op in ("$minN", "$maxN"):
+        if not isinstance(arg, dict):
+            raise PipelineError(f"{op} takes {{input, n}}")
+        n = arg.get("n")
+        if not (isinstance(n, int) and not isinstance(n, bool) and n > 0):
+            raise PipelineError(f"{op} requires a positive literal n")
+        return filter_sql, dims, (
+            gname, "min_n" if op == "$minN" else "max_n",
+            field_path(arg.get("input"), "input"), n,
+        ), None
+    if op in ("$topN", "$bottomN"):
+        if not isinstance(arg, dict):
+            raise PipelineError(f"{op} takes {{n, sortBy, output}}")
+        n = arg.get("n")
+        if not (isinstance(n, int) and not isinstance(n, bool) and n > 0):
+            raise PipelineError(f"{op} requires a positive literal n")
+        sort_by = arg.get("sortBy")
+        if not (isinstance(sort_by, dict) and len(sort_by) == 1):
+            raise PipelineError(
+                f"routable {op} takes a single-key sortBy (the two-level "
+                "route sorts on one dimension)"
+            )
+        [(skey, sdir)] = sort_by.items()
+        if sdir not in (1, -1):
+            raise PipelineError(f"{op} sortBy direction must be 1 or -1")
+        payload = field_path(arg.get("output"), "output")
+        if payload == skey:
+            raise PipelineError(
+                f"routable {op} output must differ from the sortBy key "
+                "(use $minN/$maxN for values of the sort key itself)"
+            )
+        # Mongo presents results in sortBy order. With an ASCENDING
+        # sortBy, $topN = first k (top_by) and $bottomN = last k
+        # (bottom_by), both presented ascending. A DESCENDING sortBy
+        # mirrors: $topN = the k largest (bottom_by's selection) and
+        # $bottomN = the k smallest (top_by's selection), both
+        # PRESENTED descending — the request's 6th element carries
+        # that presentation flag into top_by_rollup.
+        if sdir == 1:
+            mop = "top_by" if op == "$topN" else "bottom_by"
+            meas = (gname, mop, skey, payload, n)
+        else:
+            mop = "bottom_by" if op == "$topN" else "top_by"
+            meas = (gname, mop, skey, payload, n, True)
+        return filter_sql, dims, meas, None
+    raise PipelineError(f"accumulator {op!r} is not special-family routable")
 
 
 # ---------------------------------------------------------------------------

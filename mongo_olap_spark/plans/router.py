@@ -222,6 +222,9 @@ class CubeRouter:
                 k = int(rest[2]) if len(rest) > 2 else 1
                 if k < 1:
                     return False, [], {}, f"measure {name}: k must be >= 1", None
+                # optional 4th element: present the array in DESCENDING
+                # sortBy order (the Mongo desc-sortBy shape)
+                present_desc = bool(rest[3]) if len(rest) > 3 else False
                 ds, dp = dim_by_path.get(s_path), dim_by_path.get(p_path)
                 if ds is None or ds.granularity is not None:
                     return False, [], {}, f"sort column {s_path} not a raw dimension", None
@@ -234,7 +237,10 @@ class CubeRouter:
                 # Mongo semantics with an ascending sortBy: $topN =
                 # the FIRST k in sort order, $bottomN = the LAST k.
                 # A descending sortBy is expressed by swapping ops.
-                distinct = ("topby", name, ds.name, dp.name, k, op == "bottom_by")
+                distinct = (
+                    "topby", name, ds.name, dp.name, k, op == "bottom_by",
+                    present_desc,
+                )
                 continue
             if op in ("min_n", "max_n"):
                 # EXACT k smallest/largest values (C23 two-level
@@ -520,10 +526,11 @@ class CubeRouter:
             if decision.topby is not None:
                 from mongo_olap_spark.cube.query import top_by_rollup
 
-                alias, sdim, pdim, k, largest = decision.topby
+                alias, sdim, pdim, k, largest, *pres = decision.topby
                 out = top_by_rollup(
                     regrouped, spec, gb_names, sdim, pdim, k,
-                    largest=largest, alias=alias,
+                    largest=largest, present_desc=bool(pres and pres[0]),
+                    alias=alias,
                 )
             elif decision.extremes is not None:
                 from mongo_olap_spark.cube.query import extremes_rollup
@@ -643,6 +650,7 @@ class CubeRouter:
 
             alias, op_, s_path, p_path, *kk = tb[0]
             k = int(kk[0]) if kk else 1
+            present_desc = bool(kk[1]) if len(kk) > 1 else False
             sdim = "__tb_s_" + re.sub(r"[^A-Za-z0-9_]+", "_", s_path)
             pdim = "__tb_p_" + re.sub(r"[^A-Za-z0-9_]+", "_", p_path)
             tmp = CubeSpec(
@@ -656,7 +664,8 @@ class CubeRouter:
             filtered = cells.filter(req.where) if req.where else cells
             return top_by_rollup(
                 filtered, tmp, [d.name for d in dims], sdim, pdim, k,
-                largest=(op_ == "bottom_by"), alias=alias,
+                largest=(op_ == "bottom_by"), present_desc=present_desc,
+                alias=alias,
             )
         mn = [m for m in req.measures
               if isinstance(m, tuple) and len(m) >= 3 and m[1] in ("min_n", "max_n")]

