@@ -181,6 +181,8 @@ _COLLATION_CI_STAGES = frozenset({
     "$replaceWith", "$documents", "$group", "$sort", "$sortByCount",
     "$lookup",  # r9: localField/foreignField equality through the
                 # lower() image when both sides are string-typed
+    "$bucket",      # r10: string boundaries bracket the lower() image
+    "$bucketAuto",  # r10: lower()-image order, binary tie-break
 })
 
 
@@ -669,16 +671,60 @@ _CMP = {
 #: aggregation-expression operators that COMPARE values — under a CI
 #: collation their string comparisons would run binary, so they refuse
 #: by name anywhere expressions compile ($project/$addFields/$group
-#: _id/$sortByCount/...), mirroring the $expr refusal in compile_match.
-#: $strcasecmp stays allowed (it is case-insensitive by definition).
+#: _id/$sortByCount/$expr/...). $strcasecmp stays allowed (it is
+#: case-insensitive by definition); $in is collation-rewritten in
+#: :func:`_ci_expr_in` when its member list is a literal all-string
+#: (lower()-image) or no-string (binary — collation never affects
+#: non-string comparisons) array, refusing the mixed/computed shapes.
 _CI_REFUSED_EXPR_OPS = frozenset({
-    "$eq", "$ne", "$gt", "$gte", "$lt", "$lte", "$cmp", "$in",
+    "$eq", "$ne", "$gt", "$gte", "$lt", "$lte", "$cmp",
     "$indexOfArray", "$setEquals", "$setIsSubset", "$setDifference",
     "$setIntersection", "$setUnion", "$sortArray",
 })
 
 
+def _ci_expr_in(spec: Any) -> Column:
+    """``{$in: [needle, members]}`` under a CI collation (r10).
+
+    Mirrors the $match-level :func:`_collate_in` policy: a literal
+    member list that is ALL strings compares through the lower()
+    image; one with NO strings compiles binary (Mongo: collation
+    never affects non-string comparisons); mixed lists and computed
+    member arrays refuse by name — the needle's static type is not
+    visible here, so a blanket elementwise lower() would stringify
+    non-string members (the r7 bug class). A "string" member that is
+    itself a field path (``"$f"``/``"$$v"``) counts as computed.
+    Null semantics match the binary compile (``array_contains``:
+    NULL needle → NULL, i.e. false in predicate position).
+    """
+    if not (isinstance(spec, list) and len(spec) == 2):
+        raise PipelineError("$in requires [needle, array]")
+    needle, members = spec
+    if isinstance(members, list):
+        lits = [
+            m for m in members
+            if isinstance(m, str) and not m.startswith("$")
+        ]
+        if len(lits) == len(members) and members:
+            return F.array_contains(
+                F.array(*[F.lit(m.lower()) for m in lits]),
+                F.lower(compile_expr(needle)),
+            )
+        if not any(isinstance(m, str) for m in members):
+            return F.array_contains(
+                F.array(*[compile_expr(m) for m in members]),
+                compile_expr(needle),
+            )
+    raise PipelineError(
+        "collation: $in over a mixed string/non-string or computed "
+        "member array is not collation-rewritten; use a literal "
+        "all-string (or no-string) member list, wrap operands in "
+        "$toLower explicitly, or drop the collation")
+
+
 def _compile_op(op: str, spec: Any) -> Column:
+    if _ci() and op == "$in":
+        return _ci_expr_in(spec)
     if _ci() and op in _CI_REFUSED_EXPR_OPS:
         raise PipelineError(
             f"collation: expression operator {op} is not collation-"
@@ -1550,11 +1596,11 @@ def compile_match(query: dict, schema=None) -> Column:
                 F.lit(False),
             ))
         elif key == "$expr":
-            if _ci():
-                raise PipelineError(
-                    "collation: $expr comparisons are not "
-                    "collation-rewritten; use field predicates or an "
-                    "explicit $toLower inside the expression")
+            # under a CI collation the expression compiles with the
+            # SAME per-operator guards as $project/$addFields:
+            # comparison operators refuse by name in _compile_op, $in
+            # takes the _ci_expr_in lower()-image rewrite (r10) —
+            # the former blanket $expr refusal was strictly coarser
             preds.append(compile_expr(val).cast("boolean"))
         elif key == "$sampleRate":
             if not (isinstance(val, (int, float)) and 0 <= val <= 1):
@@ -3333,12 +3379,42 @@ def _bucket(df: DataFrame, spec: dict) -> DataFrame:
     group_expr = compile_expr(spec["groupBy"])
     bounds = spec["boundaries"]
     default = spec.get("default")
+    cmp_expr, cmp_bounds = group_expr, bounds
+    if _ci() and any(isinstance(b, str) for b in bounds):
+        # CI collation (r10): string boundaries bracket the lower()
+        # image of a string-typed group key; the emitted _id keeps the
+        # boundary literal AS GIVEN. Mongo requires boundaries sorted
+        # per the collation, so lowered bounds that collide or reorder
+        # ("B" < "a" binary but "b" > "a" CI) refuse rather than
+        # silently mis-bracketing.
+        if not all(isinstance(b, str) for b in bounds):
+            raise PipelineError(
+                "collation: $bucket with mixed string/non-string "
+                "boundaries is not collation-rewritten; use same-type "
+                "boundaries or drop the collation")
+        if not _is_string_expr(df, group_expr):
+            raise PipelineError(
+                "collation: $bucket with string boundaries over a "
+                "non-string groupBy never brackets any document; fix "
+                "the groupBy type or drop the collation")
+        lowered = [b.lower() for b in bounds]
+        if any(a >= b for a, b in zip(lowered, lowered[1:])):
+            raise PipelineError(
+                "collation: $bucket boundaries are not strictly "
+                "increasing under the case-insensitive collation "
+                "(lower()-image collision or reorder); adjust the "
+                "boundaries or drop the collation")
+        cmp_expr, cmp_bounds = F.lower(group_expr), lowered
     bucket = None
-    for lo, hi in zip(bounds, bounds[1:]):
-        cond = (group_expr >= F.lit(lo)) & (group_expr < F.lit(hi))
-        bucket = F.when(cond, F.lit(lo)) if bucket is None else bucket.when(cond, F.lit(lo))
+    for (lo, hi), out_id in zip(
+        zip(cmp_bounds, cmp_bounds[1:]), bounds
+    ):
+        cond = (cmp_expr >= F.lit(lo)) & (cmp_expr < F.lit(hi))
+        bucket = F.when(cond, F.lit(out_id)) if bucket is None else bucket.when(cond, F.lit(out_id))
     bucket = bucket.otherwise(F.lit(default)) if default is not None else bucket
     out_spec = spec.get("output", {"count": {"$sum": 1}})
+    if _ci():
+        _refuse_ci_accumulators(df, {k: v for k, v in out_spec.items()})
     aggs = [_compile_accumulator(v, None).alias(k) for k, v in out_spec.items()]
     grouped = df.groupBy(bucket.alias("_id")).agg(*aggs)
     if default is None:
@@ -3364,18 +3440,39 @@ def _bucket_auto(df: DataFrame, spec: dict) -> DataFrame:
     group_expr = compile_expr(spec["groupBy"])
     n = spec["buckets"]
     out_spec = spec.get("output", {"count": {"$sum": 1}})
+    if _ci():
+        _refuse_ci_accumulators(df, {k: v for k, v in out_spec.items()})
     aggs = [_compile_accumulator(v, None).alias(k) for k, v in out_spec.items()]
-    bucketed = scalable_ntile(
-        df.withColumn("__bkey", group_expr), n, ["__bkey"], bucket_col="__bucket"
-    ).drop("__bkey")
+    ci_strings = _ci() and _is_string_expr(df, group_expr)
+    if ci_strings:
+        # CI collation (r10): equi-height buckets in lower()-image
+        # order with the binary key as the deterministic within-class
+        # tie-break (the same refinement CI $sort uses — Mongo leaves
+        # within-class order unspecified). Plain binary order would
+        # e.g. rank "Banana" before "apple". The range split keys on
+        # the lower() image, so a CI class never straddles a range.
+        bucketed = scalable_ntile(
+            df.withColumn("__bkey_ci", F.lower(group_expr))
+            .withColumn("__bkey", group_expr),
+            n, ["__bkey_ci", "__bkey"], bucket_col="__bucket",
+        ).drop("__bkey_ci", "__bkey")
+        # _id.min/_id.max: the bucket's extrema UNDER THE COLLATION —
+        # the (lower(v), v)-least/greatest member, so the surfaced
+        # representative is deterministic as well
+        id_struct = F.struct(
+            F.min_by(group_expr, F.struct(F.lower(group_expr), group_expr)).alias("min"),
+            F.max_by(group_expr, F.struct(F.lower(group_expr), group_expr)).alias("max"),
+        ).alias("_id")
+    else:
+        bucketed = scalable_ntile(
+            df.withColumn("__bkey", group_expr), n, ["__bkey"], bucket_col="__bucket"
+        ).drop("__bkey")
+        id_struct = F.struct(
+            F.min(group_expr).alias("min"), F.max(group_expr).alias("max")
+        ).alias("_id")
     return (
         bucketed.groupBy("__bucket")
-        .agg(
-            F.struct(
-                F.min(group_expr).alias("min"), F.max(group_expr).alias("max")
-            ).alias("_id"),
-            *aggs,
-        )
+        .agg(id_struct, *aggs)
         .drop("__bucket")
     )
 

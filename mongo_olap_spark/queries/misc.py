@@ -872,6 +872,126 @@ def q_collation_lookup(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# X7'' (r10): CI collation through $expr-$in and $bucket. The $match
+# compiles its $in through the lower()-image rewrite (_ci_expr_in);
+# $bucket brackets the lower() image of the group key against lowered
+# string boundaries while emitting the boundary literals AS GIVEN.
+# Boundaries ["a","b","M"] lower to a,b,m: the automobile class lands
+# in [a,b), building in [b,m), machinery falls to the default — each
+# class with BOTH its case variants (binary bracketing would split
+# them). The DuckDB twin spells the lowered comparisons explicitly.
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_collation_bucket",
+    oracle=f"""
+    WITH base AS (
+        SELECT CASE WHEN c_custkey % 2 = 0 THEN lower(c_mktsegment)
+                    ELSE c_mktsegment END AS seg,
+               c_acctbal
+        FROM customer
+    ),
+    f AS (
+        SELECT * FROM base
+        WHERE lower(seg) IN ('building', 'automobile', 'machinery')
+    )
+    SELECT CASE WHEN lower(seg) >= 'a' AND lower(seg) < 'b' THEN 'a'
+                WHEN lower(seg) >= 'b' AND lower(seg) < 'm' THEN 'b'
+                ELSE 'rest' END AS _id,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           {dsum_sql('c_acctbal')} AS bal
+    FROM f
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q_collation_bucket(spark, sf_dir):
+    """CI $match($expr $in) → CI $bucket → CI $sort under one
+    aggregate-command collation. Scale note: both rewrites add one
+    lower() per compared value inside the same whole-stage-codegen
+    span as the binary plan — no extra shuffle, no UDF; the bucket
+    CASE chain is constant-width."""
+    from mongo_olap_spark.plans.pipeline_compiler import compile_pipeline
+
+    c = load_table(spark, sf_dir, "customer")
+    base = c.select(
+        F.when(F.col("c_custkey") % 2 == 0, F.lower("c_mktsegment"))
+        .otherwise(F.col("c_mktsegment")).alias("seg"),
+        "c_acctbal",
+    )
+    return compile_pipeline(
+        base,
+        [
+            {"$match": {"$expr": {"$in": [
+                "$seg", ["BUILDING", "automobile", "MACHINERY"]]}}},
+            {"$bucket": {
+                "groupBy": "$seg",
+                "boundaries": ["a", "b", "M"],
+                "default": "rest",
+                "output": {"n": {"$sum": 1}, "bal": {"$sum": "$c_acctbal"}},
+            }},
+            {"$sort": {"_id": 1}},
+        ],
+        collation={"locale": "en", "strength": 2},
+    )
+
+
+# ---------------------------------------------------------------------------
+# X7'' (r10): CI collation through $bucketAuto — equi-height buckets in
+# lower()-image order with the binary key as the deterministic
+# within-class tie-break (binary order would rank every uppercase
+# variant before any lowercase one); _id.min/_id.max surface each
+# bucket's CI extrema via min_by/max_by over the (lower(v), v) pair.
+# The DuckDB twin is the unpartitioned ntile over the same total order
+# (scalable_ntile is bit-identical to it by construction).
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_collation_bucket_auto",
+    oracle="""
+    WITH base AS (
+        SELECT CASE WHEN c_custkey % 2 = 0 THEN lower(c_mktsegment)
+                    ELSE c_mktsegment END AS seg
+        FROM customer
+    ),
+    r AS (
+        SELECT seg, ntile(4) OVER (ORDER BY lower(seg), seg) AS b
+        FROM base
+    )
+    SELECT first(seg ORDER BY lower(seg), seg) AS lo,
+           last(seg ORDER BY lower(seg), seg) AS hi,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM r
+    GROUP BY b
+    """,
+)
+def q_collation_bucket_auto(spark, sf_dir):
+    """CI $bucketAuto under an aggregate-command collation; the struct
+    _id is flattened to lo/hi for the oracle compare. Scale note: the
+    CI order rides the same range-partitioned two-pass global rank as
+    binary $bucketAuto (operators/ranking.py) — the range split keys
+    on the lower() image so a CI class never straddles a range; no
+    single-partition window, no extra shuffle beyond the rank's own."""
+    from mongo_olap_spark.plans.pipeline_compiler import compile_pipeline
+
+    c = load_table(spark, sf_dir, "customer")
+    base = c.select(
+        F.when(F.col("c_custkey") % 2 == 0, F.lower("c_mktsegment"))
+        .otherwise(F.col("c_mktsegment")).alias("seg"),
+    )
+    out = compile_pipeline(
+        base,
+        [{"$bucketAuto": {"groupBy": "$seg", "buckets": 4}}],
+        collation={"locale": "en", "strength": 2},
+    )
+    return out.select(
+        F.col("_id.min").alias("lo"),
+        F.col("_id.max").alias("hi"),
+        F.col("count").cast("long").alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # S7 — $lookup with BOTH sides array-valued (r7 doc-granularity dedup
 # branch, r8: first oracle-gated query — a regression there was
 # previously invisible to CORRECTNESS). Semantics: a foreign doc

@@ -173,8 +173,10 @@ def test_match_elem_match_ci(tagged):
     assert sorted(r.i for r in out) == [1, 2, 3]
 
 
-def test_match_expr_refuses_under_ci(names):
-    with pytest.raises(PipelineError, match=r"\$expr"):
+def test_match_expr_comparisons_refuse_under_ci(names):
+    # r10: $expr compiles under CI with the same per-operator guards
+    # as $project — string-comparison operators still refuse by name
+    with pytest.raises(PipelineError, match=r"\$eq is not collation"):
         compile_pipeline(
             names,
             [{"$match": {"$expr": {"$eq": ["$name", "apple"]}}}],
@@ -307,7 +309,6 @@ def test_group_ci_numeric_min_allowed(names):
 # ---------------------------------------------------------------------------
 
 @pytest.mark.parametrize("stage", [
-    {"$bucket": {"groupBy": "$v", "boundaries": [0, 10]}},
     {"$setWindowFields": {"sortBy": {"v": 1}, "output": {}}},
     {"$densify": {"field": "v", "range": {"step": 1, "bounds": "full"}}},
     {"$graphLookup": {"from": "x", "startWith": "$v",
@@ -322,7 +323,7 @@ def test_unrewritten_stages_refuse_under_ci(names, stage):
 
 @pytest.mark.parametrize("expr", [
     {"$eq": ["$name", "apple"]}, {"$gt": ["$name", "a"]},
-    {"$cmp": ["$name", "b"]}, {"$in": ["$name", ["a", "b"]]},
+    {"$cmp": ["$name", "b"]},
     {"$setEquals": [["$name"], ["a"]]},
     {"$sortArray": {"input": ["$name"], "sortBy": 1}},
 ])
@@ -473,5 +474,156 @@ def test_lookup_ci_pipeline_form_refuses(names, fruit_prices):
                 "pipeline": [{"$match": {"$expr": {"$eq": ["$fruit", "$$n"]}}}],
                 "as": "m"}}],
             collections={"prices": fruit_prices},
+            collation=CI,
+        )
+
+
+# ---------------------------------------------------------------------------
+# r10: CI $in inside expressions ($expr / $project), CI $bucket,
+# CI $bucketAuto — both the rewrites and their advertised refusals
+# ---------------------------------------------------------------------------
+
+def test_expr_in_ci_string_members(names):
+    out = compile_pipeline(
+        names,
+        [{"$match": {"$expr": {"$in": ["$name", ["APPLE", "cherry"]]}}}],
+        collation=CI,
+    ).collect()
+    assert sorted(r.v for r in out) == [1, 2, 5]
+
+
+def test_expr_in_ci_nonstring_members_stay_binary(names):
+    out = compile_pipeline(
+        names, [{"$match": {"$expr": {"$in": ["$v", [2, 4]]}}}],
+        collation=CI,
+    ).collect()
+    assert sorted(r.v for r in out) == [2, 4]
+
+
+def test_project_in_ci_rewritten(names):
+    # $in now compiles under CI in every expression context, not
+    # just $expr — the lower()-image membership value is projected
+    out = compile_pipeline(
+        names,
+        [{"$project": {"v": 1, "m": {"$in": ["$name", ["Banana"]]}}},
+         {"$match": {"m": True}}],
+        collation=CI,
+    ).collect()
+    assert sorted(r.v for r in out) == [3, 4]
+
+
+@pytest.mark.parametrize("members", [
+    ["APPLE", 3],          # mixed string/non-string
+    "$tags",               # computed array
+    ["$name", "apple"],    # field path inside the member list
+])
+def test_expr_in_ci_unclean_shapes_refuse(names, members):
+    with pytest.raises(PipelineError, match="collation"):
+        compile_pipeline(
+            names,
+            [{"$match": {"$expr": {"$in": ["$name", members]}}}],
+            collation=CI,
+        )
+
+
+def test_expr_in_ci_empty_members_matches_nothing(names):
+    # an empty member list is collation-irrelevant: binary compile,
+    # Mongo's $in over [] is false for every document
+    out = compile_pipeline(
+        names, [{"$match": {"$expr": {"$in": ["$name", []]}}}],
+        collation=CI,
+    ).collect()
+    assert out == []
+
+
+def test_expr_ci_comparisons_still_refuse(names):
+    # relaxing the blanket $expr refusal must NOT leak binary string
+    # comparisons: per-op guards police the inside of $expr
+    with pytest.raises(PipelineError, match="not collation-rewritten"):
+        compile_pipeline(
+            names,
+            [{"$match": {"$expr": {"$eq": ["$name", "apple"]}}}],
+            collation=CI,
+        )
+
+
+def test_bucket_ci_string_boundaries(names):
+    out = compile_pipeline(
+        names,
+        [{"$bucket": {"groupBy": "$name", "boundaries": ["a", "B", "D"],
+                      "default": "rest",
+                      "output": {"n": {"$sum": 1}}}}],
+        collation=CI,
+    ).collect()
+    got = {r._id: r.n for r in out}
+    # [a,b): Apple/apple; [b,d): BANANA/banana/Cherry; None -> rest
+    assert got == {"a": 2, "B": 3, "rest": 1}
+
+
+def test_bucket_ci_numeric_boundaries_stay_binary(names):
+    out = compile_pipeline(
+        names,
+        [{"$bucket": {"groupBy": "$v", "boundaries": [0, 3, 10]}}],
+        collation=CI,
+    ).collect()
+    assert {r._id: r["count"] for r in out} == {0: 2, 3: 4}
+
+
+@pytest.mark.parametrize("spec", [
+    # lowered boundaries reorder ("B" < "a" binary, "b" > "a" CI)
+    {"groupBy": "$name", "boundaries": ["B", "a"], "default": "o"},
+    # lower()-image collision
+    {"groupBy": "$name", "boundaries": ["a", "A"], "default": "o"},
+    # mixed string/non-string boundaries
+    {"groupBy": "$name", "boundaries": ["a", 5], "default": "o"},
+    # string boundaries over a non-string groupBy
+    {"groupBy": "$v", "boundaries": ["a", "b"], "default": "o"},
+])
+def test_bucket_ci_unclean_shapes_refuse(names, spec):
+    with pytest.raises(PipelineError, match="collation"):
+        compile_pipeline(names, [{"$bucket": spec}], collation=CI)
+
+
+def test_bucket_ci_order_accumulator_refuses(names):
+    with pytest.raises(PipelineError, match="order-dependent"):
+        compile_pipeline(
+            names,
+            [{"$bucket": {"groupBy": "$name", "boundaries": ["a", "z"],
+                          "default": "o",
+                          "output": {"f": {"$first": "$v"}}}}],
+            collation=CI,
+        )
+
+
+def test_bucket_auto_ci_string_key(names):
+    # CI order: apple-class(2) banana-class(2) cherry(1) null(1);
+    # 3 buckets over 6 rows -> 2/2/2 with nulls first
+    out = compile_pipeline(
+        names.where("name is not null"),
+        [{"$bucketAuto": {"groupBy": "$name", "buckets": 2}}],
+        collation=CI,
+    ).collect()
+    got = sorted((r._id["min"], r._id["max"], r["count"]) for r in out)
+    # bucket 1: Apple, apple, BANANA (CI order, binary tie-break);
+    # bucket 2: banana, Cherry
+    assert got == [("Apple", "BANANA", 3), ("banana", "Cherry", 2)]
+
+
+def test_bucket_auto_ci_numeric_key_stays_binary(names):
+    out = compile_pipeline(
+        names,
+        [{"$bucketAuto": {"groupBy": "$v", "buckets": 3}}],
+        collation=CI,
+    ).collect()
+    got = sorted((r._id["min"], r._id["max"], r["count"]) for r in out)
+    assert got == [(1, 2, 2), (3, 4, 2), (5, 6, 2)]
+
+
+def test_bucket_auto_ci_order_accumulator_refuses(names):
+    with pytest.raises(PipelineError, match="order-dependent"):
+        compile_pipeline(
+            names,
+            [{"$bucketAuto": {"groupBy": "$name", "buckets": 2,
+                              "output": {"f": {"$first": "$v"}}}}],
             collation=CI,
         )
