@@ -36,7 +36,15 @@ boundary plus periodic checkpoints:
   bounded repair path, since truncation forfeits retraction), and the
   rolled top-3 (items, counts, order) equal to the rebuild's;
 - the usual soak invariants: per-phase batch-time slopes ~flat, final
-  maintained state equal to rebuild.
+  maintained state equal to rebuild;
+- **routed reads (r10, round-9 verdict task 5)**: at every checkpoint
+  the probe ALSO answers live requests through the real ``CubeRouter``
+  — one per exact two-level family (count_distinct / quantile_exact /
+  topn / min_n / top_by) — each hash-equal to a direct aggregation of
+  the closed-form net state, and (insert phase only, where the
+  un-applied tail is pure inserts) a hybrid ``combine_cells`` lambda
+  read asserted hash-equal to a rebuild at the tail watermark. The
+  JSON gains a ``routed_reads`` section.
 
 Every update batch exercises the repair path too (the −pre rows are
 retractions), so the repair machinery runs on ~40% of batches — the
@@ -243,6 +251,197 @@ def topk_route_check(spark, catalog, name, spec, events, n_batches, k):
     return state_ok, top_ok, violations
 
 
+def routed_reads_check(spark, catalog, exact_spec, events, n_batches, k):
+    """r10 (round-9 verdict task 5): answer ROUTED requests through
+    the real CubeRouter against the LIVE maintained cells at watermark
+    k — one request per exact two-level family (count_distinct /
+    quantile_exact / topn / min_n / top_by), each asserted hash-equal
+    to a direct aggregation of the closed-form net state. The router
+    must pick the maintained cube (metadata-only routing), so this
+    exercises route() + the serving rollups mid-stream, not just the
+    state algebra the other checks cover."""
+    from pyspark.sql import Window
+
+    from mongo_olap_spark.plans import AggregateRequest, CubeRouter
+
+    router = CubeRouter(catalog)
+    net = state_at_batch(events, n_batches, k)
+    nn = net.filter(F.col("user_id").isNotNull())
+    violations: list[str] = []
+
+    def routed(measures):
+        req = AggregateRequest(
+            source="events", group_by=("event_type",), measures=measures)
+        decision = router.route(req)
+        if decision.cube != exact_spec.name:
+            violations.append(
+                f"batch{k}: router picked {decision.cube!r} "
+                f"({decision.reason}) for {measures}")
+            return None
+        return router.execute(req)
+
+    # count_distinct (+ count riding along)
+    out = routed((("n_users", "count_distinct", "user_id"), ("n", "count")))
+    if out is not None:
+        cols = ["event_type", "n_users", "n"]
+        got = rows_digest(out.select(*cols), cols)
+        want = rows_digest(
+            nn.groupBy("event_type").agg(
+                F.countDistinct("user_id").alias("n_users"),
+            ).join(
+                net.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")),
+                "event_type",
+            ).select(*cols),
+            cols,
+        )
+        if got != want:
+            violations.append(f"batch{k}: routed count_distinct {got} != direct {want}")
+
+    # quantile_exact (type-1 median of the discrete user_id values)
+    out = routed((("p50_uid", "quantile_exact", "user_id", 0.5),))
+    if out is not None:
+        cols = ["event_type", "p50_uid"]
+        got = rows_digest(out.select(*cols), cols)
+        w_cum = Window.partitionBy("event_type").orderBy("user_id")
+        w_tot = Window.partitionBy("event_type")
+        want = rows_digest(
+            nn.withColumn("__cum", F.count(F.lit(1)).over(w_cum))
+            .withColumn("__tot", F.count(F.lit(1)).over(w_tot))
+            .filter(F.col("__cum") >= F.ceil(F.round(0.5 * F.col("__tot"), 9)))
+            .groupBy("event_type").agg(F.min("user_id").alias("p50_uid")),
+            cols,
+        )
+        if got != want:
+            violations.append(f"batch{k}: routed quantile_exact {got} != direct {want}")
+
+    # topn (3 most frequent users; count desc, value asc tie-break)
+    out = routed((("top_user", "topn", "user_id", 3),))
+    if out is not None:
+        cols = ["event_type", "top_user", "top_user_cnt", "rank"]
+        got = rows_digest(
+            out.select("event_type", "top_user", "top_user_cnt",
+                       F.col("rank").cast("long").alias("rank")),
+            cols,
+        )
+        c = nn.groupBy("event_type", "user_id").agg(F.count(F.lit(1)).alias("cnt"))
+        w = Window.partitionBy("event_type").orderBy(
+            F.desc("cnt"), F.asc("user_id"))
+        want = rows_digest(
+            c.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= 3)
+            .select("event_type", F.col("user_id").alias("top_user"),
+                    F.col("cnt").alias("top_user_cnt"), "rank"),
+            cols,
+        )
+        if got != want:
+            violations.append(f"batch{k}: routed topn {got} != direct {want}")
+
+    # min_n (3 smallest user_ids, duplicates kept)
+    out = routed((("low_users", "min_n", "user_id", 3),))
+    if out is not None:
+        cols = ["event_type", "rnk", "u"]
+        ex = out.select("event_type", F.posexplode("low_users").alias("pos", "u"))
+        got = rows_digest(
+            ex.select("event_type", (F.col("pos") + 1).cast("long").alias("rnk"), "u"),
+            cols,
+        )
+        w = Window.partitionBy("event_type").orderBy(F.asc("user_id"))
+        want = rows_digest(
+            nn.withColumn("rnk", F.row_number().over(w).cast("long"))
+            .filter(F.col("rnk") <= 3)
+            .select("event_type", "rnk", F.col("user_id").alias("u")),
+            cols,
+        )
+        if got != want:
+            violations.append(f"batch{k}: routed min_n {got} != direct {want}")
+
+    return violations
+
+
+def topby_read_check(spark, catalog, topby_spec, events, n_batches, k):
+    """r10: the top_by family served ROUTED from its own maintained
+    two-level cube (sort dim = pmod(user_id, 1000), payload dim =
+    user_id — the route requires DISTINCT sort/payload dims by
+    design). Hash-equal to a two-key window over the net state."""
+    from pyspark.sql import Window
+
+    from mongo_olap_spark.plans import AggregateRequest, CubeRouter
+
+    router = CubeRouter(catalog)
+    req = AggregateRequest(
+        source="events",
+        group_by=("event_type",),
+        measures=(("first_users", "top_by", "pmod(user_id, 1000)", "user_id", 3),),
+    )
+    decision = router.route(req)
+    violations: list[str] = []
+    if decision.cube != topby_spec.name:
+        violations.append(
+            f"batch{k}: router picked {decision.cube!r} "
+            f"({decision.reason}) for the top_by request")
+        return violations
+    out = router.execute(req)
+    cols = ["event_type", "rnk", "u"]
+    ex = out.select("event_type", F.posexplode("first_users").alias("pos", "u"))
+    got = rows_digest(
+        ex.select("event_type", (F.col("pos") + 1).cast("long").alias("rnk"), "u"),
+        cols,
+    )
+    nn = state_at_batch(events, n_batches, k).filter(F.col("user_id").isNotNull())
+    w = Window.partitionBy("event_type").orderBy(
+        F.asc(F.pmod(F.col("user_id"), F.lit(1000))), F.asc("user_id"))
+    want = rows_digest(
+        nn.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+        .select("event_type", "rnk", F.col("user_id").alias("u")),
+        cols,
+    )
+    if got != want:
+        violations.append(f"batch{k}: routed top_by {got} != direct {want}")
+    return violations
+
+
+def lambda_read_check(spark, catalog, exact_spec, cdc, events,
+                      n_batches, k, ib, tail_len=3):
+    """r10: hybrid (lambda) serving mid-stream — combine_cells of the
+    LIVE maintained cells at watermark k with a cube built from the
+    un-applied tail (the next ``tail_len`` insert batches), rolled
+    through distinct_rollup, asserted hash-equal to a direct
+    aggregation at watermark k + tail_len. Only meaningful while the
+    tail is pure inserts (the insert phase): updates/deletes are
+    retractions, which lambda serving by design leaves to the
+    maintainer. Returns (checked, violations)."""
+    from mongo_olap_spark.cube.build import build_cube
+    from mongo_olap_spark.cube.query import combine_cells, distinct_rollup
+
+    if k + tail_len >= ib:
+        return False, []
+    tail = cdc.filter((F.col("b") > k) & (F.col("b") <= k + tail_len)).drop(
+        "mult", "b")
+    fresh = combine_cells(
+        exact_spec, catalog.cells(exact_spec.name),
+        build_cube(spark, exact_spec, tail))
+    cols = ["event_type", "n_users", "n"]
+
+    def rollup(cells):
+        return distinct_rollup(
+            cells, exact_spec, ["event_type"], "user_id",
+            alias="n_users", measures=["n"],
+        ).select(*cols)
+
+    got = rows_digest(rollup(fresh), cols)
+    want = rows_digest(
+        rollup(build_cube(
+            spark, exact_spec, state_at_batch(events, n_batches, k + tail_len))),
+        cols,
+    )
+    violations = []
+    if got != want:
+        violations.append(
+            f"batch{k}: lambda combine_cells {got} != rebuild@{k + tail_len} {want}")
+    return True, violations
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--batches", type=int, default=200)
@@ -304,6 +503,20 @@ def main() -> int:
         ),
     )
 
+    # r10: the top_by serving cube — the route requires DISTINCT sort
+    # and payload dims, so the sort dim is a derived bucket (a pure
+    # function of user_id: cardinality ≤ |users|, cells don't multiply)
+    topby_spec = CubeSpec(
+        name="soak_topby",
+        source="events",
+        dimensions=(
+            Dimension("event_type"),
+            Dimension("ubucket", path="pmod(user_id, 1000)"),
+            Dimension("user_id"),
+        ),
+        measures=(Measure("n", "count"),),
+    )
+
     # C21: bounded frequent-items map — 65536 capacity >> the ~15k
     # user cardinality at factor 10, so the whole soak runs in the
     # EXACT regime; retraction batches exercise the repair path
@@ -333,11 +546,13 @@ def main() -> int:
     catalog.create(exact_spec, events.limit(0))
     catalog.create(hist_spec, events.limit(0))
     catalog.create(topk_spec, events.limit(0))
+    catalog.create(topby_spec, events.limit(0))
 
     m_hll = CubeMaintainer(catalog, hll_spec)
     m_exact = CubeMaintainer(catalog, exact_spec)
     m_hist = CubeMaintainer(catalog, hist_spec)
     m_topk = CubeMaintainer(catalog, topk_spec)
+    m_topby = CubeMaintainer(catalog, topby_spec)
 
     ib = int(args.batches * 0.6)
     ub = int(args.batches * 0.2)
@@ -350,6 +565,8 @@ def main() -> int:
     checks = []
     violations: list[str] = []
     repair_batches = 0
+    routed_checks = 0
+    lambda_checks = 0
 
     t_run0 = time.perf_counter()
     for k in range(args.batches):
@@ -370,6 +587,7 @@ def main() -> int:
         t0 = time.perf_counter()
         m_topk.apply_batch(batch, k)
         times_topk.append(time.perf_counter() - t0)
+        m_topby.apply_batch(batch, k)
         if k >= ib:
             repair_batches += 1  # update/delete batches carry retractions
 
@@ -388,6 +606,17 @@ def main() -> int:
             tk_state_ok, tk_top_ok, tviol = topk_route_check(
                 spark, catalog, topk_spec.name, topk_spec, events, args.batches, k)
             violations.extend(tviol)
+            rviol = routed_reads_check(
+                spark, catalog, exact_spec, events, args.batches, k)
+            rviol += topby_read_check(
+                spark, catalog, topby_spec, events, args.batches, k)
+            violations.extend(rviol)
+            routed_checks += 1
+            lam_checked, lviol = lambda_read_check(
+                spark, catalog, exact_spec, cdc, events, args.batches, k, ib)
+            violations.extend(lviol)
+            if lam_checked:
+                lambda_checks += 1
             checks.append({
                 "batch": k,
                 "phase": label,
@@ -398,12 +627,16 @@ def main() -> int:
                 "hist_worst_abs_err": round(hist_worst, 3),
                 "topk_state_match": tk_state_ok,
                 "topk_rolled_match": tk_top_ok,
+                "routed_reads_ok": not rviol,
+                "lambda_read": "ok" if (lam_checked and not lviol)
+                               else ("skipped" if not lam_checked else "FAIL"),
             })
             print(
                 f"# check batch {k} ({label}): hll worst rel err {worst:.4f} "
                 f"(3σ={3 * RSD:.4f}), exact_match={ok_exact}, "
                 f"hist_state_match={hist_ok} hist_worst_err={hist_worst:.2f} "
-                f"topk={tk_state_ok}/{tk_top_ok}",
+                f"topk={tk_state_ok}/{tk_top_ok} "
+                f"routed={not rviol} lambda={'ok' if (lam_checked and not lviol) else ('skip' if not lam_checked else 'FAIL')}",
                 file=sys.stderr,
             )
         if (k + 1) % 20 == 0:
@@ -429,6 +662,7 @@ def main() -> int:
     ok_checks = not violations and all(
         c["exact_match"] and c["hist_state_match"]
         and c["topk_state_match"] and c["topk_rolled_match"]
+        and c["routed_reads_ok"] and c["lambda_read"] != "FAIL"
         for c in checks
     )
 
@@ -448,6 +682,14 @@ def main() -> int:
         "phase_stats_exact": phases_exact,
         "phase_stats_hist": phases_hist,
         "phase_stats_topk": phases_topk,
+        "routed_reads": {
+            "families": ["count_distinct", "quantile_exact", "topn",
+                         "min_n", "top_by"],
+            "checkpoints": routed_checks,
+            "lambda_checkpoints": lambda_checks,
+            "ok": all(c["routed_reads_ok"] and c["lambda_read"] != "FAIL"
+                      for c in checks),
+        },
         "checks": checks,
         "violations": violations[:10],
         "ok": ok_phases and ok_checks,
