@@ -383,7 +383,7 @@ def quantile_rollup(
     spec: CubeSpec,
     group_by: list[str],
     value_dim: str,
-    q: float,
+    q: float | list[float] | tuple[float, ...],
     *,
     alias: str | None = None,
     where: Column | str | None = None,
@@ -405,12 +405,25 @@ def quantile_rollup(
     Scale: one window pass over O(|cells|) (already one row per
     (group, value) — no source rescan, no Expand) plus one final agg
     shuffling O(|groups|).
+
+    ``q`` may also be a LIST of quantile fractions (r10, the Mongo
+    ``$percentile`` multi-p shape): the output column is then an
+    ARRAY of the type-1 quantiles in the given p order, computed from
+    the SAME single window pass — each extra p adds one conditional
+    ``min`` to the final aggregate, not a pass or a shuffle.
     """
     from pyspark.sql import Window
 
     from mongo_olap_spark.cube.ivm import row_count_col
 
-    if not (0.0 < q <= 1.0):
+    qs = list(q) if isinstance(q, (list, tuple)) else None
+    if qs is not None:
+        if not qs:
+            raise ValueError("quantile q list must be non-empty")
+        for x in qs:
+            if not (0.0 < float(x) <= 1.0):
+                raise ValueError(f"quantile q must be in (0, 1], got {x}")
+    elif not (0.0 < q <= 1.0):
         raise ValueError(f"quantile q must be in (0, 1], got {q}")
     dims = spec.dim_names
     if value_dim not in dims:
@@ -432,6 +445,30 @@ def quantile_rollup(
     df = df.filter(F.col(value_dim).isNotNull())
     wcum = Window.partitionBy(*group_by).orderBy(value_dim)
     wtot = Window.partitionBy(*group_by)
+    if qs is not None:
+        out = alias or f"{value_dim}_percentile"
+        ranked = df.withColumn("__cum", F.sum(cnt).over(wcum)).withColumn(
+            "__tot", F.sum(cnt).over(wtot))
+        # one conditional min per p over the same windowed frame —
+        # the same rank snap as the scalar path (ADVICE r9)
+        picks = [
+            F.min(
+                F.when(
+                    F.col("__cum")
+                    >= F.ceil(F.round(F.lit(float(x)) * F.col("__tot"), 9)),
+                    F.col(value_dim),
+                )
+            ).alias(f"__q{i}")
+            for i, x in enumerate(qs)
+        ]
+        return (
+            ranked.groupBy(*group_by)
+            .agg(*picks)
+            .select(
+                *group_by,
+                F.array(*[F.col(f"__q{i}") for i in range(len(qs))]).alias(out),
+            )
+        )
     out = alias or f"{value_dim}_q{str(q).replace('.', '_')}"
     return (
         df.withColumn("__cum", F.sum(cnt).over(wcum))

@@ -3773,7 +3773,10 @@ def special_request_from_pipeline(
     - ``[$match?, $group {_id, out: {$median: {input: "$p"}}}]``
       → ``(out, "quantile_exact", p, 0.5)``
     - ``[$match?, $group {_id, out: {$percentile: {input, p: [q]}}}]``
-      (single q) → ``(out, "quantile_exact", p, q)`` + array_wrap post
+      (single q) → ``(out, "quantile_exact", p, q)`` + array_wrap post;
+      multi-p (r10) → ``(out, "quantile_exact", p, (q1, q2, …))`` —
+      quantile_rollup answers every p from ONE window pass, emitting
+      the array in p order (already Mongo's output shape)
     - ``[$match?, $group {_id, out: {$minN|$maxN: {input, n}}}]``
       → ``(out, "min_n"|"max_n", p, n)``
     - ``[$match?, $group {_id, out: {$topN|$bottomN: {n, sortBy:
@@ -3854,17 +3857,24 @@ def special_request_from_pipeline(
         if not isinstance(arg, dict):
             raise PipelineError("$percentile takes {input, p, method}")
         ps = arg.get("p")
-        if not (isinstance(ps, list) and len(ps) == 1
-                and isinstance(ps[0], (int, float))):
-            # multi-p needs one routed request per q — keep the
-            # compile fallback for those rather than join N rollups
+        if not (isinstance(ps, list) and ps and all(
+                isinstance(x, (int, float)) and not isinstance(x, bool)
+                for x in ps)):
             raise PipelineError(
-                "routable $percentile takes exactly one p value"
+                "routable $percentile takes a non-empty list of literal p values"
             )
+        if len(ps) == 1:
+            return filter_sql, dims, (
+                gname, "quantile_exact", field_path(arg.get("input"), "input"),
+                float(ps[0]),
+            ), "array_wrap"
+        # multi-p (r10): quantile_rollup answers EVERY p from the same
+        # single window pass, emitting the array in p order — already
+        # Mongo's $percentile output shape, no post transform
         return filter_sql, dims, (
             gname, "quantile_exact", field_path(arg.get("input"), "input"),
-            float(ps[0]),
-        ), "array_wrap"
+            tuple(float(x) for x in ps),
+        ), None
     if op in ("$minN", "$maxN"):
         if not isinstance(arg, dict):
             raise PipelineError(f"{op} takes {{input, n}}")

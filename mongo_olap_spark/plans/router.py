@@ -163,9 +163,17 @@ class CubeRouter:
                     # slice; other measures aggregate ALL cells — one
                     # request cannot carry both without a second pass
                     return False, [], {}, "quantile_exact must be the only requested measure", None
-                q = float(rest[1]) if len(rest) > 1 else 0.5
-                if not (0.0 < q <= 1.0):
-                    return False, [], {}, f"measure {name}: q must be in (0, 1]", None
+                qraw = rest[1] if len(rest) > 1 else 0.5
+                if isinstance(qraw, (list, tuple)):
+                    # multi-p $percentile (r10): served as an ARRAY in
+                    # the given p order from the SAME window pass
+                    q = tuple(float(x) for x in qraw)
+                    if not q or any(not (0.0 < x <= 1.0) for x in q):
+                        return False, [], {}, f"measure {name}: every q must be in (0, 1]", None
+                else:
+                    q = float(qraw)
+                    if not (0.0 < q <= 1.0):
+                        return False, [], {}, f"measure {name}: q must be in (0, 1]", None
                 d = dim_by_path.get(path)
                 if d is None or d.granularity is not None:
                     return False, [], {}, f"measured column {path} not a raw dimension", None
@@ -626,7 +634,10 @@ class CubeRouter:
             from mongo_olap_spark.cube.query import quantile_rollup
 
             alias, _, q_path, *qq = qe[0]
-            q = float(qq[0]) if qq else 0.5
+            if qq and isinstance(qq[0], (list, tuple)):
+                q = tuple(float(x) for x in qq[0])
+            else:
+                q = float(qq[0]) if qq else 0.5
             qdim = "__qe_" + re.sub(r"[^A-Za-z0-9_]+", "_", q_path)
             tmp = CubeSpec(
                 name="adhoc", source=req.source,

@@ -1015,6 +1015,52 @@ def q_pipeline_route_percentile(spark, sf_dir):
 
 
 @register(
+    "q_pipeline_route_percentile_multi",
+    oracle="""
+    WITH v AS (
+      SELECT event_type, value, COUNT(*) AS m FROM events
+      WHERE value IS NOT NULL GROUP BY event_type, value
+    ),
+    w AS (
+      SELECT event_type, value,
+             SUM(m) OVER (PARTITION BY event_type ORDER BY value) AS cum,
+             SUM(m) OVER (PARTITION BY event_type) AS tot
+      FROM v
+    ),
+    p AS (SELECT * FROM (VALUES (1, 0.25), (2, 0.5), (3, 0.9)) AS t(i, q))
+    SELECT event_type AS et, CAST(p.i AS BIGINT) AS pos, MIN(value) AS qv
+    FROM w CROSS JOIN p
+    WHERE cum >= CEIL(ROUND(p.q * tot, 9))
+    GROUP BY event_type, p.i
+    """,
+)
+def q_pipeline_route_percentile_multi(spark, sf_dir):
+    """A MULTI-p $percentile pipeline routed to the exact two-level
+    cube (r10): quantile_rollup answers every p from ONE window pass
+    over the cells, emitting the array in p order — Mongo's output
+    shape, no per-p rescan, no join of N rollups. Flattened to
+    (group, p index, value) rows for the oracle."""
+    from mongo_olap_spark.cube import CubeSpec, Dimension, Measure
+
+    e = load_table(spark, sf_dir, "events")
+    eng = _route_engine(spark, sf_dir, "pctm")
+    spec = CubeSpec(
+        name="pipe_pctm_cube", source="events",
+        dimensions=(Dimension("event_type"), Dimension("value")),
+        measures=(Measure("n", "count"),),
+    )
+    eng.catalog.drop(spec.name)
+    eng.catalog.create(spec, e)
+    pipe = [{"$group": {"_id": {"et": "$event_type"},
+             "qs": {"$percentile": {"input": "$value", "p": [0.25, 0.5, 0.9],
+                                    "method": "approximate"}}}}]
+    assert eng.explain("events", pipe)["route"]["target"] == "cube"
+    out = eng.query_pipeline("events", pipe)
+    ex = out.select("et", F.posexplode("qs").alias("pos0", "qv"))
+    return ex.select("et", (F.col("pos0") + 1).cast("long").alias("pos"), "qv")
+
+
+@register(
     "q_pipeline_route_topn_desc",
     oracle="""
     WITH v AS (

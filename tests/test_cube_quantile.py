@@ -305,3 +305,80 @@ def test_quantile_rollup_near_integer_rank_not_inflated(spark):
     cells = build_cube(spark, spec, df)
     out = quantile_rollup(cells, spec, ["g"], "value", 0.7, alias="p70").collect()
     assert out[0]["p70"] == 7.0
+
+
+def test_exact_quantile_rollup_multi_p(spark, events):
+    """r10 multi-p: quantile_rollup with a LIST of p values emits one
+    ARRAY column in p order from a single window pass, each element
+    equal to the scalar rollup at that p; bad lists refuse."""
+    from mongo_olap_spark.cube.query import quantile_rollup
+
+    cells = build_cube(spark, VALUE_EXACT_Q_CUBE, events)
+    got = {
+        r.event_type: list(r.qs)
+        for r in quantile_rollup(
+            cells, VALUE_EXACT_Q_CUBE, ["event_type"], "value",
+            [0.25, 0.5, 0.7, 1.0], alias="qs",
+        ).collect()
+    }
+    for qi, q in enumerate([0.25, 0.5, 0.7, 1.0]):
+        want = {
+            r.event_type: r.v
+            for r in quantile_rollup(
+                cells, VALUE_EXACT_Q_CUBE, ["event_type"], "value", q,
+                alias="v",
+            ).collect()
+        }
+        for g, t in want.items():
+            assert got[g][qi] == t, (g, q, got[g][qi], t)
+    for g, vals in got.items():
+        assert vals == sorted(vals), (g, vals)
+
+    with pytest.raises(ValueError, match="non-empty"):
+        quantile_rollup(cells, VALUE_EXACT_Q_CUBE, ["event_type"], "value", [])
+    with pytest.raises(ValueError, match="q must be"):
+        quantile_rollup(cells, VALUE_EXACT_Q_CUBE, ["event_type"], "value", [0.5, 2.0])
+
+
+def test_router_serves_multi_p_percentile(spark, events, tmp_path):
+    """r10: a quantile_exact request whose q is a LIST routes to the
+    two-level cube and the routed answer equals the per-p scalar
+    routes; the router's source fallback emits the same array."""
+    from mongo_olap_spark.cube.catalog import CubeCatalog
+    from mongo_olap_spark.plans import AggregateRequest, CubeRouter
+
+    cat = CubeCatalog(spark, str(tmp_path / "multi_p"))
+    cat.create(VALUE_EXACT_Q_CUBE, events)
+    router = CubeRouter(cat)
+    req = AggregateRequest(
+        source="events",
+        group_by=("event_type",),
+        measures=(("qs", "quantile_exact", "value", (0.25, 0.5, 0.9)),),
+    )
+    decision = router.route(req)
+    assert decision.cube == VALUE_EXACT_Q_CUBE.name, decision
+    routed = {r.event_type: list(r.qs) for r in router.execute(req).collect()}
+
+    fallback_router = CubeRouter(CubeCatalog(spark, str(tmp_path / "mp_bare")))
+    fb = {
+        r.event_type: list(r.qs)
+        for r in fallback_router.execute(req, source_df=events).collect()
+    }
+    assert routed == fb
+
+    for qi, q in enumerate([0.25, 0.5, 0.9]):
+        sreq = AggregateRequest(
+            source="events",
+            group_by=("event_type",),
+            measures=(("v", "quantile_exact", "value", q),),
+        )
+        scalar = {r.event_type: r.v for r in router.execute(sreq).collect()}
+        for g, t in scalar.items():
+            assert routed[g][qi] == t, (g, q)
+
+    bad = AggregateRequest(
+        source="events",
+        group_by=("event_type",),
+        measures=(("qs", "quantile_exact", "value", (0.5, 2.0)),),
+    )
+    assert router.route(bad).cube is None

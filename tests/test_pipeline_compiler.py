@@ -2984,6 +2984,15 @@ def test_special_request_parser_shapes():
     )
     assert ok[0] == "(value > 5)"
     assert ok[2] == ("p", "quantile_exact", "value", 0.25) and ok[3] == "array_wrap"
+    # multi-p (r10): routable as ONE request; the rollup emits the
+    # array in p order from a single window pass — no post transform
+    ok = special_request_from_pipeline(
+        [{"$group": {"_id": gid,
+                     "p": {"$percentile": {"input": "$value",
+                                           "p": [0.25, 0.5, 0.75]}}}}]
+    )
+    assert ok[2] == ("p", "quantile_exact", "value", (0.25, 0.5, 0.75))
+    assert ok[3] is None
     ok = special_request_from_pipeline(
         [{"$group": {"_id": None, "lo": {"$minN": {"input": "$value", "n": 2}}}}]
     )
@@ -3007,9 +3016,11 @@ def test_special_request_parser_shapes():
 
     # refusals — each falls back to the full compile
     for bad in [
-        # multi-p percentile
+        # empty / non-literal percentile p lists
         [{"$group": {"_id": gid, "p": {"$percentile": {
-            "input": "$value", "p": [0.25, 0.75]}}}}],
+            "input": "$value", "p": []}}}}],
+        [{"$group": {"_id": gid, "p": {"$percentile": {
+            "input": "$value", "p": ["$q"]}}}}],
         # two accumulators
         [{"$group": {"_id": gid, "m": {"$median": {"input": "$value"}},
                      "n": {"$sum": 1}}}],
@@ -3123,14 +3134,30 @@ def test_query_pipeline_special_families_route_and_fallback(
                .agg(F.countDistinct("user_id").cast("long").alias("nu")).collect()}
     assert got_cd == want_cd
 
-    # a NON-routable special shape (multi-p percentile) still answers
-    # through the compile fallback when source_df is given...
+    # multi-p percentile is ROUTABLE since r10: one request, the
+    # array in p order — routed answer equals the per-p medians/etc.
+    # computed by the single-p routed shape
     multi = [{"$group": {"_id": {"et": "$event_type"},
               "ps": {"$percentile": {"input": "$value", "p": [0.25, 0.75],
                                      "method": "approximate"}}}}]
-    out = bare.query_pipeline("events", multi, source_df=events)
-    assert {tuple(r["_id"].asDict()) for r in out.collect()} or out.count() >= 0
+    assert engine.explain("events", multi)["route"]["target"] == "cube"
+    got_m = {r["et"]: list(r["ps"])
+             for r in engine.query_pipeline("events", multi).collect()}
+    for qi, q in enumerate([0.25, 0.75]):
+        single = [{"$group": {"_id": {"et": "$event_type"},
+                   "p": {"$percentile": {"input": "$value", "p": [q],
+                                         "method": "approximate"}}}}]
+        got_s = {r["et"]: r["p"][0]
+                 for r in engine.query_pipeline("events", single).collect()}
+        for g, v in got_s.items():
+            assert got_m[g][qi] == v, (g, q)
+
+    # a NON-routable accumulator ($push) still answers through the
+    # compile fallback when source_df is given...
+    push = [{"$group": {"_id": {"et": "$event_type"},
+                        "v": {"$push": "$value"}}}]
+    out = bare.query_pipeline("events", push, source_df=events)
+    assert {r["_id"]["et"] for r in out.collect()}
     # ...and raises loudly without one
     with pytest.raises(Exception):
-        engine.query_pipeline("events", [{"$group": {
-            "_id": {"et": "$event_type"}, "v": {"$push": "$value"}}}])
+        engine.query_pipeline("events", push)
