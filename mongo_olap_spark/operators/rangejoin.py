@@ -25,15 +25,35 @@ from pyspark.sql import functions as F
 BUCKET_COL = "__range_bucket"
 
 
+#: adaptive bucket sizing (r10): the bucket count must GROW with the
+#: foreign side or the join degenerates — with B fixed, over-coverage
+#: work is |L|·|R|/B, i.e. quadratic across a data decade (measured:
+#: q_pipeline_lookup_range went 2.3 s at sf0.1 → 93 s at sf1 on the
+#: fixed 64). Targeting a constant per-bucket row count makes it
+#: |L|·target — linear. The cap bounds the boundary-array literal the
+#: per-row rank scan walks (codegen'd, ~BUCKET_CAP comparisons/row).
+TARGET_ROWS_PER_BUCKET = 2_000
+BUCKET_FLOOR = 64
+BUCKET_CAP = 4_096
+
+
 def bucket_boundaries(
-    right: DataFrame, val_col: str, num_buckets: int = 64
+    right: DataFrame, val_col: str, num_buckets: int | None = None
 ) -> list:
     """Interior quantile boundaries of right[val_col] (sorted, deduped).
-    One bounded Spark job at plan-build time — the same eager-boundary
-    pattern operators/ranking.py uses for $bucketAuto."""
+    One or two bounded Spark jobs at plan-build time (a column-pruned
+    count when ``num_buckets`` is None, then the quantile sketch) — the
+    same eager-boundary pattern operators/ranking.py uses for
+    $bucketAuto. Boundary accuracy affects only bucket BALANCE, never
+    correctness: the exact band predicate rides as a residual."""
+    if num_buckets is None:
+        n = right.count()
+        num_buckets = max(
+            BUCKET_FLOOR, min(BUCKET_CAP, n // TARGET_ROWS_PER_BUCKET)
+        )
     qs = [i / num_buckets for i in range(1, num_buckets)]
     cast = right.select(F.col(val_col).cast("double").alias("v"))
-    bounds = cast.approxQuantile("v", qs, 0.001)
+    bounds = cast.approxQuantile("v", qs, min(0.001, 0.25 / num_buckets))
     return sorted({b for b in bounds if b is not None})
 
 
