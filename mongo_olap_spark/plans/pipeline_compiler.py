@@ -183,6 +183,9 @@ _COLLATION_CI_STAGES = frozenset({
                 # lower() image when both sides are string-typed
     "$bucket",      # r10: string boundaries bracket the lower() image
     "$bucketAuto",  # r10: lower()-image order, binary tie-break
+    "$facet",       # r10: sub-pipelines re-enter the SAME CI scope
+    "$unionWith",   # r10: union compares nothing; its optional
+                    # sub-pipeline re-enters the same CI scope
 })
 
 
@@ -3360,13 +3363,23 @@ def _finish_lookup_array(
     return arr
 
 
+def _current_collation() -> dict | None:
+    """The aggregate-command collation document matching the ACTIVE
+    compile scope — for re-entering :func:`compile_pipeline` from a
+    sub-pipeline stage ($facet / $unionWith). Without this the
+    recursive compile would push ci=False and the sub-pipeline would
+    silently run binary under a requested CI collation (r10)."""
+    return {"locale": "en", "strength": 2} if _ci() else None
+
+
 def _union_with(df: DataFrame, spec, collections) -> DataFrame:
     if isinstance(spec, str):
         other = _resolve(collections, spec)
     else:
         other = _resolve(collections, spec["coll"])
         if spec.get("pipeline"):
-            other = compile_pipeline(other, spec["pipeline"], collections=collections)
+            other = compile_pipeline(other, spec["pipeline"], collections=collections,
+                                     collation=_current_collation())
     return df.unionByName(other, allowMissingColumns=True)
 
 
@@ -3490,7 +3503,9 @@ def _facet(df: DataFrame, spec: dict, collections) -> DataFrame:
     fs = facet_op(
         df,
         **{
-            name: (lambda d, p=sub: compile_pipeline(d, p, collections=collections))
+            name: (lambda d, p=sub: compile_pipeline(
+                d, p, collections=collections,
+                collation=_current_collation()))
             for name, sub in spec.items()
         },
     )

@@ -314,7 +314,6 @@ def test_group_ci_numeric_min_allowed(names):
     {"$graphLookup": {"from": "x", "startWith": "$v",
                       "connectFromField": "a", "connectToField": "b",
                       "as": "m"}},
-    {"$facet": {"a": [{"$count": "n"}]}},
 ])
 def test_unrewritten_stages_refuse_under_ci(names, stage):
     with pytest.raises(PipelineError, match="collation"):
@@ -356,8 +355,12 @@ def test_explicit_tolower_comparison_still_available(names):
 def test_collation_scope_resets_after_pipeline(names):
     # a refused compile must not leak CI state into the next compile
     with pytest.raises(PipelineError):
-        compile_pipeline(names, [{"$facet": {"a": [{"$count": "n"}]}}],
-                         collation=CI)
+        compile_pipeline(
+            names,
+            [{"$densify": {"field": "v",
+                           "range": {"step": 1, "bounds": "full"}}}],
+            collation=CI,
+        )
     out = compile_pipeline(
         names, [{"$group": {"_id": "$name", "n": {"$sum": 1}}}]
     ).collect()
@@ -627,3 +630,47 @@ def test_bucket_auto_ci_order_accumulator_refuses(names):
                               "output": {"f": {"$first": "$v"}}}}],
             collation=CI,
         )
+
+
+def test_facet_ci_subpipelines_inherit_scope(names):
+    # r10: $facet sub-pipelines re-enter the SAME CI scope — the CI
+    # $group collapses case variants inside the facet, and a
+    # CI-refusing stage inside a facet still refuses
+    out = compile_pipeline(
+        names,
+        [{"$facet": {
+            "by_name": [{"$match": {"name": {"$ne": None}}},
+                        {"$group": {"_id": "$name", "n": {"$sum": 1}}},
+                        {"$sort": {"_id": 1}}],
+            "total": [{"$count": "n"}],
+        }}],
+        collation=CI,
+    ).collect()
+    [row] = out
+    assert [(r["_id"], r["n"]) for r in row["by_name"]] == [
+        ("Apple", 2), ("BANANA", 2), ("Cherry", 1)]
+    assert [r["n"] for r in row["total"]] == [6]
+
+    with pytest.raises(PipelineError, match="collation"):
+        compile_pipeline(
+            names,
+            [{"$facet": {"bad": [{"$match": {
+                "$expr": {"$eq": ["$name", "apple"]}}}]}}],
+            collation=CI,
+        )
+
+
+def test_union_with_ci_subpipeline_inherits_scope(spark, names):
+    # the unioned collection's sub-pipeline compiles under the same CI
+    # scope: its CI $match matches both case variants
+    other = spark.createDataFrame(
+        [("APPLE", 10), ("apple", 11), ("plum", 12)], "name string, v int")
+    out = compile_pipeline(
+        names,
+        [{"$match": {"name": "cherry"}},
+         {"$unionWith": {"coll": "other",
+                         "pipeline": [{"$match": {"name": "Apple"}}]}}],
+        collections={"other": other},
+        collation=CI,
+    ).collect()
+    assert sorted(r.v for r in out) == [5, 10, 11]
