@@ -94,21 +94,29 @@ class OlapEngine:
         ``workload`` entries are ``(source_name, pipeline[, weight])``
         where each pipeline is a routable ``[$match?, $group]``
         aggregate (the same shape ``create_cube_from_pipeline``
-        accepts) and weight is its query frequency. Returns an
+        accepts) — or (r10) a single-accumulator SPECIAL-family
+        pipeline ($median / $percentile / $minN / $maxN / $topN /
+        $bottomN / $addToSet+$size), which the advisor decomposes
+        into the exact two-level cube shape the router serves it
+        from — and weight is its query frequency. Returns an
         :class:`~mongo_olap_spark.plans.advisor.Advice`; with
         ``apply=True`` the recommended cubes are also created from
         ``sources`` and registered in the catalog, ready to route.
         """
         from mongo_olap_spark.plans.advisor import WorkloadQuery, advise
-        from mongo_olap_spark.plans.pipeline_compiler import cube_spec_from_pipeline
+        from mongo_olap_spark.plans.pipeline_compiler import (
+            PipelineError,
+            cube_spec_from_pipeline,
+            special_request_from_pipeline,
+        )
 
         wl = []
         for entry in workload:
             source_name, pipeline, *rest = entry
             weight = rest[0] if rest else 1.0
-            shape = cube_spec_from_pipeline("__advise", source_name, pipeline)
-            wl.append(WorkloadQuery(
-                AggregateRequest(
+            try:
+                shape = cube_spec_from_pipeline("__advise", source_name, pipeline)
+                req = AggregateRequest(
                     source=source_name,
                     group_by=tuple(
                         (d.source_path, d.granularity) if d.granularity
@@ -120,9 +128,28 @@ class OlapEngine:
                         for m in shape.measures
                     ),
                     filter_sql=shape.filter_sql,
-                ),
-                weight=weight,
-            ))
+                )
+            except PipelineError as cube_err:
+                # the same last-mile translation query_pipeline uses:
+                # special-family pipelines advise the two-level shape
+                # they would be SERVED from (advisor._signature
+                # decomposes the special measure into raw dim + count)
+                try:
+                    filter_sql, dims, measure, _post = (
+                        special_request_from_pipeline(pipeline))
+                except PipelineError:
+                    raise cube_err from None
+                req = AggregateRequest(
+                    source=source_name,
+                    group_by=tuple(
+                        (d.source_path, d.granularity) if d.granularity
+                        else d.source_path
+                        for d in dims
+                    ),
+                    measures=(measure,),
+                    filter_sql=filter_sql,
+                )
+            wl.append(WorkloadQuery(req, weight=weight))
         advice = advise(
             wl, sources,
             cell_budget=cell_budget, sample_fraction=sample_fraction,

@@ -186,6 +186,10 @@ _COLLATION_CI_STAGES = frozenset({
     "$facet",       # r10: sub-pipelines re-enter the SAME CI scope
     "$unionWith",   # r10: union compares nothing; its optional
                     # sub-pipeline re-enters the same CI scope
+    "$setWindowFields",  # r10: string partitionBy → lower()-image
+                         # partitions; string sortBy → (lower, binary)
+                         # order, rank ops tie per CI class; comparing
+                         # window ops refuse string args
 })
 
 
@@ -3946,7 +3950,15 @@ def special_request_from_pipeline(
 # partition for aggregates, cumulative for rank-like).
 # ---------------------------------------------------------------------------
 
-def _window_spec(spec: dict, need_order: bool):
+def _window_spec(spec: dict, need_order: bool, df: DataFrame | None = None,
+                 rank_ties: bool = False):
+    """The stage's WindowSpec. Under a CI collation (r10, requires
+    ``df`` for type checks): a string-typed partitionBy key partitions
+    by its lower() image (one window partition per CI class) and
+    string-typed sortBy keys order by (lower(k), k) — the same
+    deterministic binary tie-break CI $sort uses. ``rank_ties`` drops
+    the binary tie-break for string keys ($rank/$denseRank: CI-equal
+    keys must TIE, not rank apart by case)."""
     from pyspark.sql import Window as W
 
     part = spec.get("partitionBy")
@@ -3957,10 +3969,23 @@ def _window_spec(spec: dict, need_order: bool):
     if part is not None:
         if not (isinstance(part, str) and part.startswith("$")):
             raise PipelineError("$setWindowFields partitionBy must be a field path")
-        keys.append(part[1:])
+        p = part[1:]
+        if _ci() and df is not None and _is_string_path(df, p):
+            keys.append(F.lower(F.col(p)))
+        else:
+            keys.append(p)
     w = W.partitionBy(*keys) if keys else W.partitionBy()
     if sort:
-        w = w.orderBy(*[F.col(k) if v >= 0 else F.desc(k) for k, v in sort.items()])
+        order_cols = []
+        for k, v in sort.items():
+            asc = v >= 0
+            if _ci() and df is not None and _is_string_path(df, k):
+                img = F.lower(F.col(k))
+                order_cols.append(img if asc else F.desc(img))
+                if rank_ties:
+                    continue
+            order_cols.append(F.col(k) if asc else F.desc(k))
+        w = w.orderBy(*order_cols)
     return w
 
 
@@ -4000,7 +4025,11 @@ def _range_frame(window: dict, spec: dict, df: DataFrame):
         # mirror _window_spec: a malformed partitionBy must refuse, not
         # silently widen the frame to the whole dataset
         raise PipelineError("$setWindowFields partitionBy must be a field path")
-    keys = [part[1:]] if isinstance(part, str) and part.startswith("$") else []
+    keys: list = [part[1:]] if isinstance(part, str) and part.startswith("$") else []
+    if keys and _ci() and _is_string_path(df, keys[0]):
+        # CI collation: one window partition per lower()-image class
+        # (mirrors _window_spec, r10)
+        keys = [F.lower(F.col(keys[0]))]
     w = W.partitionBy(*keys) if keys else W.partitionBy()
     t_ms = (_swf_sort_key(spec, df) * 1000).cast("long")
     return w.orderBy(t_ms).rangeBetween(
@@ -4086,15 +4115,31 @@ def _set_window_fields(df: DataFrame, spec: dict) -> DataFrame:
         field_spec = dict(raw_spec)
         window = field_spec.pop("window", None)
         [(op, arg)] = field_spec.items()
+        if _ci() and op in ("$min", "$max", "$minN", "$maxN", "$addToSet"):
+            # same policy as the $group accumulators (_CI_CMP_ACCS):
+            # these COMPARE (or CI-dedupe) their argument values, which
+            # would run binary over strings — refuse string-typed args
+            inner = arg["input"] if (
+                isinstance(arg, dict) and "input" in arg) else arg
+            if _is_string_expr(df, compile_expr(inner)):
+                raise PipelineError(
+                    f"collation: window operator {op} over a string "
+                    "argument would compare binary under the requested "
+                    "case-insensitive collation; apply $toLower "
+                    "explicitly or drop the collation")
         if op in _WINDOW_RANKS:
-            w = _window_spec(spec, need_order=True)
+            # $rank/$denseRank under CI: CI-equal sort keys must TIE
+            # (rank_ties drops the binary tie-break); $documentNumber
+            # keeps the deterministic refinement like CI $sort
+            w = _window_spec(spec, need_order=True, df=df,
+                             rank_ties=op in ("$rank", "$denseRank"))
             expr = _WINDOW_RANKS[op]().over(w)
         elif op == "$derivative":
             # average rate of change across the frame: (last-first) of
             # the input over (last-first) of the sortBy, per `unit`
             if window is None:
                 raise PipelineError("$derivative requires a window")
-            w = _window_spec(spec, need_order=True)
+            w = _window_spec(spec, need_order=True, df=df)
             wf = _range_frame(window, spec, df)
             if wf is None:
                 bounds = _frame_bounds(window)
@@ -4111,7 +4156,7 @@ def _set_window_fields(df: DataFrame, spec: dict) -> DataFrame:
             # the segment's LATER row, so a [lo, hi] documents frame
             # sums terms over [lo+1, hi] (the first frame row's segment
             # lies outside the frame); cumulative frames need no shift.
-            w = _window_spec(spec, need_order=True)
+            w = _window_spec(spec, need_order=True, df=df)
             v, t = compile_expr(arg["input"]), _swf_sort_key(spec, df, keep_integral=True)
             scale = _TIME_UNIT_S[arg["unit"]] if "unit" in arg else 1.0
             if window and "range" in window:
@@ -4137,7 +4182,7 @@ def _set_window_fields(df: DataFrame, spec: dict) -> DataFrame:
             expr = F.sum(tmp).over(wf)
         elif op in ("$covariancePop", "$covarianceSamp"):
             rw = _range_frame(window, spec, df) if window else None
-            w = rw if rw is not None else _window_spec(spec, need_order=False)
+            w = rw if rw is not None else _window_spec(spec, need_order=False, df=df)
             bounds = None if rw is not None else (
                 _frame_bounds(window) if window else None
             )
@@ -4150,7 +4195,7 @@ def _set_window_fields(df: DataFrame, spec: dict) -> DataFrame:
             expr = fn(a, b).over(w)
         elif op in ("$stdDevPop", "$stdDevSamp"):
             rw = _range_frame(window, spec, df) if window else None
-            w = rw if rw is not None else _window_spec(spec, need_order=False)
+            w = rw if rw is not None else _window_spec(spec, need_order=False, df=df)
             bounds = None if rw is not None else (
                 _frame_bounds(window) if window else None
             )
@@ -4161,14 +4206,14 @@ def _set_window_fields(df: DataFrame, spec: dict) -> DataFrame:
             fn = F.stddev_pop if op == "$stdDevPop" else F.stddev_samp
             expr = fn(compile_expr(arg)).over(w)
         elif op == "$locf":
-            w = _window_spec(spec, need_order=True).rowsBetween(
+            w = _window_spec(spec, need_order=True, df=df).rowsBetween(
                 W.unboundedPreceding, 0
             )
             expr = F.last(compile_expr(arg), ignorenulls=True).over(w)
         elif op == "$linearFill":
             # interpolate on sortBy VALUE distance between the nearest
             # non-null anchors (Mongo semantics — not row distance)
-            w = _window_spec(spec, need_order=True)
+            w = _window_spec(spec, need_order=True, df=df)
             back = w.rowsBetween(W.unboundedPreceding, 0)
             fwd = w.rowsBetween(0, W.unboundedFollowing)
             c, t = compile_expr(arg), _swf_sort_key(spec, df, keep_integral=True)
@@ -4218,7 +4263,7 @@ def _set_window_fields(df: DataFrame, spec: dict) -> DataFrame:
             if not (isinstance(n, int) and n > 0):
                 raise PipelineError(f"{op} requires a positive literal n")
             rw = _range_frame(window, spec, df) if window else None
-            w = rw if rw is not None else _window_spec(spec, need_order=False)
+            w = rw if rw is not None else _window_spec(spec, need_order=False, df=df)
             bounds = None if rw is not None else (
                 _frame_bounds(window) if window else None
             )
@@ -4229,7 +4274,7 @@ def _set_window_fields(df: DataFrame, spec: dict) -> DataFrame:
             lst = F.collect_list(compile_expr(arg["input"])).over(w)
             expr = F.slice(F.sort_array(lst, asc=op == "$minN"), 1, n)
         elif op == "$shift":
-            w = _window_spec(spec, need_order=True)
+            w = _window_spec(spec, need_order=True, df=df)
             by = arg.get("by", 1)
             default = arg.get("default")
             if isinstance(default, dict):
@@ -4255,7 +4300,7 @@ def _set_window_fields(df: DataFrame, spec: dict) -> DataFrame:
             from pyspark.sql import Window as W
 
             rw = _range_frame(window, spec, df) if window else None
-            w = rw if rw is not None else _window_spec(spec, need_order=False)
+            w = rw if rw is not None else _window_spec(spec, need_order=False, df=df)
             bounds = None if rw is not None else (
                 _frame_bounds(window) if window else None
             )
@@ -4276,7 +4321,7 @@ def _set_window_fields(df: DataFrame, spec: dict) -> DataFrame:
                 # function) — Mongo's default window for first/last is
                 # the whole partition, ordered by sortBy
                 if bounds is None and rw is None:
-                    w = _window_spec(spec, need_order=True).rowsBetween(
+                    w = _window_spec(spec, need_order=True, df=df).rowsBetween(
                         W.unboundedPreceding, W.unboundedFollowing
                     )
                 fn = F.first if op == "$first" else F.last

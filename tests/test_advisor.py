@@ -526,3 +526,46 @@ def test_four_exact_families_share_one_two_level_cube(spark, events, tmp_path):
         d = router.route(req)
         assert d.cube == spec.name, (req.measures, d.reason)
         assert router.execute(req).count() > 0
+
+
+def test_engine_advise_cubes_special_family_pipelines(spark, events, tmp_path):
+    """r10: the workload ingestion accepts the special-family pipeline
+    shapes (the same translation query_pipeline uses) — a $median and
+    an $addToSet+$size pipeline on the same path advise ONE two-level
+    cube, and after apply=True both pipelines route to it."""
+    from mongo_olap_spark.engine import OlapEngine
+    from mongo_olap_spark.plans.pipeline_compiler import PipelineError
+
+    engine = OlapEngine(spark, str(tmp_path / "adv_special"))
+    p_med = [{"$group": {"_id": {"et": "$event_type"},
+              "med": {"$median": {"input": "$user_id",
+                                  "method": "approximate"}}}}]
+    p_cd = [{"$group": {"_id": {"et": "$event_type"},
+             "us": {"$addToSet": "$user_id"}}},
+            {"$project": {"nu": {"$size": "$us"}}}]
+    advice = engine.advise_cubes(
+        [("events", p_med, 3.0), ("events", p_cd, 2.0)],
+        {"events": events},
+        apply=True,
+    )
+    assert advice.coverage == 1.0
+    assert len(advice.cubes) == 1, [c.name for c in advice.cubes]
+    spec = advice.cubes[0]
+    assert {d.source_path for d in spec.dimensions} == {"event_type", "user_id"}
+    assert [(m.op, m.path) for m in spec.measures] == [("count", None)]
+
+    for pipe in (p_med, p_cd):
+        exp = engine.explain(source="events", pipeline=pipe)
+        assert exp["route"]["target"] == "cube", exp
+
+    got = {r["et"]: r["med"]
+           for r in engine.query_pipeline("events", p_med).collect()}
+    assert len(got) == events.select("event_type").distinct().count()
+
+    # a genuinely non-advisable pipeline still raises the cube error
+    with pytest.raises(PipelineError):
+        engine.advise_cubes(
+            [("events", [{"$group": {"_id": {"et": "$event_type"},
+                                     "v": {"$push": "$value"}}}])],
+            {"events": events},
+        )

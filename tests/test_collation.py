@@ -309,7 +309,6 @@ def test_group_ci_numeric_min_allowed(names):
 # ---------------------------------------------------------------------------
 
 @pytest.mark.parametrize("stage", [
-    {"$setWindowFields": {"sortBy": {"v": 1}, "output": {}}},
     {"$densify": {"field": "v", "range": {"step": 1, "bounds": "full"}}},
     {"$graphLookup": {"from": "x", "startWith": "$v",
                       "connectFromField": "a", "connectToField": "b",
@@ -674,3 +673,81 @@ def test_union_with_ci_subpipeline_inherits_scope(spark, names):
         collation=CI,
     ).collect()
     assert sorted(r.v for r in out) == [5, 10, 11]
+
+
+# ---------------------------------------------------------------------------
+# r10: $setWindowFields under CI
+# ---------------------------------------------------------------------------
+
+def test_swf_ci_partition_by_class(names):
+    # a string partitionBy partitions by the lower() image: the sum
+    # runs once per CI class, so both case variants see the class total
+    out = compile_pipeline(
+        names,
+        [{"$match": {"name": {"$ne": None}}},
+         {"$setWindowFields": {"partitionBy": "$name",
+                               "output": {"t": {"$sum": "$v"}}}}],
+        collation=CI,
+    ).collect()
+    got = {r.name: r.t for r in out}
+    assert got == {"Apple": 3.0, "apple": 3.0, "BANANA": 7.0,
+                   "banana": 7.0, "Cherry": 5.0}
+
+
+def test_swf_ci_rank_ties_per_class(names):
+    # $rank under CI: case variants of one class TIE (same rank);
+    # $documentNumber keeps the deterministic (lower, binary) refinement
+    out = compile_pipeline(
+        names,
+        [{"$match": {"name": {"$ne": None}}},
+         {"$setWindowFields": {"sortBy": {"name": 1},
+                               "output": {"r": {"$rank": {}},
+                                          "dr": {"$denseRank": {}},
+                                          "dn": {"$documentNumber": {}}}}}],
+        collation=CI,
+    ).collect()
+    by = {r.name: (r.r, r.dr, r.dn) for r in out}
+    assert by["Apple"][:2] == (1, 1) and by["apple"][:2] == (1, 1)
+    assert by["BANANA"][:2] == (3, 2) and by["banana"][:2] == (3, 2)
+    assert by["Cherry"][:2] == (5, 3)
+    assert sorted(v[2] for v in by.values()) == [1, 2, 3, 4, 5]
+    assert by["Apple"][2] < by["apple"][2]  # binary tie-break
+
+
+def test_swf_ci_first_deterministic(names):
+    # order-dependent ops run over the (lower, binary)-refined order
+    out = compile_pipeline(
+        names,
+        [{"$match": {"name": {"$ne": None}}},
+         {"$setWindowFields": {"sortBy": {"name": 1},
+                               "output": {"f": {"$first": "$name"},
+                                          "l": {"$last": "$name"}}}}],
+        collation=CI,
+    ).collect()
+    assert {(r.f, r.l) for r in out} == {("Apple", "Cherry")}
+
+
+def test_swf_ci_string_compare_ops_refuse(names):
+    for op, arg in (("$min", "$name"), ("$max", "$name"),
+                    ("$addToSet", "$name"),
+                    ("$minN", {"input": "$name", "n": 2})):
+        with pytest.raises(PipelineError, match="collation.*window"):
+            compile_pipeline(
+                names,
+                [{"$setWindowFields": {"sortBy": {"v": 1},
+                                       "output": {"x": {op: arg}}}}],
+                collation=CI,
+            )
+
+
+def test_swf_ci_numeric_ops_unaffected(names):
+    # numeric args + numeric sortBy: CI changes nothing
+    out = compile_pipeline(
+        names,
+        [{"$setWindowFields": {"sortBy": {"v": 1},
+                               "output": {"c": {"$sum": "$v"},
+                                          "m": {"$min": "$v"}}}}],
+        collation=CI,
+    ).collect()
+    assert {r.c for r in out} == {1.0, 3.0, 6.0, 10.0, 15.0, 21.0}
+    assert {r.m for r in out} == {1}
