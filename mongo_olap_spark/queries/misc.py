@@ -992,6 +992,71 @@ def q_collation_bucket_auto(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# X7'' (r10): CI collation through $setWindowFields — a string
+# partitionBy partitions by the lower() image (both case variants of a
+# segment share one window partition), $rank over a string sortBy ties
+# per CI class, and $documentNumber keeps the (lower, binary)
+# deterministic refinement. The DuckDB twin spells the lowered
+# partition/order keys explicitly.
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_collation_window",
+    oracle="""
+    WITH base AS (
+        SELECT CASE WHEN c_custkey % 2 = 0 THEN lower(c_mktsegment)
+                    ELSE c_mktsegment END AS seg,
+               c_name
+        FROM customer
+    )
+    SELECT seg, c_name,
+           CAST(SUM(1) OVER (PARTITION BY lower(seg)) AS BIGINT) AS class_n,
+           CAST(RANK() OVER (ORDER BY lower(seg)) AS BIGINT) AS seg_rank,
+           CAST(ROW_NUMBER() OVER (ORDER BY lower(seg), seg, lower(c_name), c_name)
+                AS BIGINT) AS doc_no
+    FROM base
+    """,
+)
+def q_collation_window(spark, sf_dir):
+    """CI $setWindowFields end-to-end: class-partitioned $count, $rank
+    tying per CI class, $documentNumber refined deterministically.
+    Scale note: the rewrite lowers the keys inside the SAME window
+    exchange — no extra shuffle; rank windows here are unpartitioned
+    by the query's own choice (global segment ranking), which the
+    engine's unpartitioned-window policy already surfaces."""
+    from mongo_olap_spark.plans.pipeline_compiler import compile_pipeline
+
+    c = load_table(spark, sf_dir, "customer")
+    base = c.select(
+        F.when(F.col("c_custkey") % 2 == 0, F.lower("c_mktsegment"))
+        .otherwise(F.col("c_mktsegment")).alias("seg"),
+        "c_name",
+    )
+    out = compile_pipeline(
+        base,
+        [{"$setWindowFields": {
+            "partitionBy": "$seg",
+            "output": {"class_n": {"$count": {}}},
+        }},
+         {"$setWindowFields": {
+             "sortBy": {"seg": 1},
+             "output": {"seg_rank": {"$rank": {}}},
+         }},
+         {"$setWindowFields": {
+             "sortBy": {"seg": 1, "c_name": 1},
+             "output": {"doc_no": {"$documentNumber": {}}},
+         }}],
+        collation={"locale": "en", "strength": 2},
+    )
+    return out.select(
+        "seg", "c_name",
+        F.col("class_n").cast("long").alias("class_n"),
+        F.col("seg_rank").cast("long").alias("seg_rank"),
+        F.col("doc_no").cast("long").alias("doc_no"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # S7 — $lookup with BOTH sides array-valued (r7 doc-granularity dedup
 # branch, r8: first oracle-gated query — a regression there was
 # previously invisible to CORRECTNESS). Semantics: a foreign doc
