@@ -159,6 +159,55 @@ class _collation_scope:
         _COLLATION_SCOPE.pop()
 
 
+#: the DataFrame the current stage's expressions compile against —
+#: lets :func:`_compile_op` run analyzer-level type checks (string vs
+#: not) for the CI-collation guards on expression $min/$max/$minN/
+#: $maxN (ADVICE r10). Same single-threaded argument as _VAR_SCOPE.
+_TYPE_DF_SCOPE: list[DataFrame] = []
+
+
+class _type_scope:
+    def __init__(self, df: DataFrame):
+        self.df = df
+
+    def __enter__(self):
+        _TYPE_DF_SCOPE.append(self.df)
+
+    def __exit__(self, *exc):
+        _TYPE_DF_SCOPE.pop()
+
+
+def _ci_refuse_string_extremum(op: str, arr: Column) -> None:
+    """CI-collation guard for the EXPRESSION forms of $min/$max/$minN/
+    $maxN (ADVICE r10): they pick extrema by binary comparison, so a
+    string-typed argument under a case-insensitive collation would
+    silently yield the binary extremum ({$max: ["Zebra", "apple"]} →
+    "apple" in CI order, "Zebra" binary). Mirrors the type-gated
+    _CI_CMP_ACCS accumulator policy: numeric/boolean/date arguments
+    pass through (collation never affects non-string comparisons);
+    string elements refuse loudly. When the element type cannot be
+    resolved against the current stage's frame (no type scope, or the
+    expression references out-of-frame variables), refuse
+    conservatively — the refuse-loudly contract beats a silent binary
+    compare."""
+    from pyspark.sql.types import ArrayType, StringType
+
+    is_string = True
+    if _TYPE_DF_SCOPE:
+        try:
+            dt = _TYPE_DF_SCOPE[-1].select(arr).schema[0].dataType
+            is_string = isinstance(dt, ArrayType) and isinstance(
+                dt.elementType, StringType)
+        except Exception:
+            is_string = True  # unresolvable: conservative refusal
+    if is_string:
+        raise PipelineError(
+            f"collation: expression {op} over string values would "
+            "compare binary under the requested case-insensitive "
+            "collation; wrap operands in $toLower explicitly or drop "
+            "the collation")
+
+
 #: collation options the engine models only at their Mongo defaults —
 #: anything else refuses by name (the refuse-loudly convention)
 _COLLATION_DEFAULTS = {
@@ -1036,6 +1085,10 @@ def _compile_op(op: str, spec: Any) -> Column:
             return F.slice(arr, 1, n)
         if op == "$lastN":
             return F.when(F.size(arr) <= n, arr).otherwise(F.slice(arr, -n, n))
+        if _ci():
+            # $minN/$maxN COMPARE elements — string-typed arguments
+            # refuse under CI like the accumulator forms (ADVICE r10)
+            _ci_refuse_string_extremum(op, arr)
         ordered = F.sort_array(arr, asc=op == "$minN")
         return F.slice(ordered, 1, n)
     if op in ("$max", "$min", "$sum", "$avg", "$stdDevPop", "$stdDevSamp"):
@@ -1053,10 +1106,13 @@ def _compile_op(op: str, spec: Any) -> Column:
             [a] = _args(spec)
             arr = compile_expr(a)
         vals = F.filter(arr, lambda x: x.isNotNull())
-        if op == "$max":
-            return F.array_max(vals)
-        if op == "$min":
-            return F.array_min(vals)
+        if op in ("$max", "$min"):
+            if _ci():
+                # expression extrema COMPARE values — string-typed
+                # arguments refuse under CI like the accumulator forms
+                # (ADVICE r10)
+                _ci_refuse_string_extremum(op, arr)
+            return F.array_max(vals) if op == "$max" else F.array_min(vals)
         n = F.size(vals)
         # typed zero: bigint for integral element types, double for
         # fractional — keeps integer sums exact (the 2^53 lesson) while
@@ -1950,10 +2006,13 @@ def compile_pipeline(
     the array elementwise); mixed string/non-string lists refuse.
     Everything the rewrite cannot make correct refuses by name rather
     than silently running binary compares: stages outside the rewrite
-    set, $expr predicates, comparison expression operators
-    (_CI_REFUSED_EXPR_OPS), order-dependent accumulators
+    set, comparison expression operators (_CI_REFUSED_EXPR_OPS; $expr
+    itself compiles with the same per-operator CI guards as
+    $project/$addFields, with $in taking the :func:`_ci_expr_in`
+    rewrite), order-dependent accumulators
     ($first/$last/$firstN/$lastN/$top*/$bottom*) and string-typed
-    $min/$max/$minN/$maxN/$addToSet; other locales/strengths/options
+    $min/$max/$minN/$maxN/$addToSet (accumulator AND expression
+    forms); other locales/strengths/options
     refuse in :func:`_parse_collation`. See USAGE.md §4 "Collation";
     oracle-gated by queries/misc.q_collation.
 
@@ -1995,9 +2054,10 @@ def _compile_stages(
             )
         [(name, spec)] = stage.items()
         try:
-            df, sort_keys = _compile_one_stage(
-                df, name, spec, stage_idx, sort_keys, collections
-            )
+            with _type_scope(df):
+                df, sort_keys = _compile_one_stage(
+                    df, name, spec, stage_idx, sort_keys, collections
+                )
         except PipelineError:
             raise  # already the typed, stage-aware error
         except (KeyError, ValueError, TypeError) as e:
@@ -3808,7 +3868,9 @@ def special_request_from_pipeline(
       p)`` — the Mongo idiom for exact count-distinct
 
     Returns ``(filter_sql, dims, measure_tuple, post)`` where ``post``
-    is an output transform tag: None | "array_wrap" | "reverse".
+    is an output transform tag: None | "array_wrap" (desc $topN/
+    $bottomN presentation rides INSIDE the measure tuple as the
+    present_desc flag, not as a post transform).
 
     Semantics note: the quantile families answer with the engine's
     exact type-1 discrete quantile (an actual data value) — Mongo's

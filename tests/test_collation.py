@@ -751,3 +751,41 @@ def test_swf_ci_numeric_ops_unaffected(names):
     ).collect()
     assert {r.c for r in out} == {1.0, 3.0, 6.0, 10.0, 15.0, 21.0}
     assert {r.m for r in out} == {1}
+
+
+# ---------------------------------------------------------------------------
+# expression $min/$max/$minN/$maxN under CI (ADVICE r10): string-typed
+# arguments refuse (they pick extrema by BINARY compare); numeric pass
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("expr", [
+    {"$max": ["$name", "zzz"]},
+    {"$min": ["$name", "aaa"]},
+    {"$minN": {"input": ["$name", "zzz"], "n": 1}},
+    {"$maxN": {"input": ["$name", "zzz"], "n": 2}},
+])
+def test_expr_string_extrema_refuse_under_ci(names, expr):
+    with pytest.raises(PipelineError, match="compare binary"):
+        compile_pipeline(names, [{"$project": {"e": expr}}], collation=CI)
+
+
+def test_expr_numeric_extrema_allowed_under_ci(names):
+    out = compile_pipeline(
+        names,
+        [{"$project": {"hi": {"$max": ["$v", 3]},
+                       "lo2": {"$minN": {"input": ["$v", 3], "n": 2}},
+                       "_id": 0}}],
+        collation=CI,
+    ).collect()
+    assert {r.hi for r in out} == {3, 4, 5, 6}
+    assert all(len(r.lo2) == 2 for r in out)
+
+
+def test_expr_string_extrema_fine_without_collation(names):
+    out = compile_pipeline(
+        names,
+        [{"$match": {"name": {"$ne": None}}},
+         {"$project": {"m": {"$max": ["$name", "aaa"]}, "_id": 0}}],
+    ).collect()
+    # binary compare: uppercase sorts below lowercase "aaa"
+    assert {r.m for r in out} == {"aaa", "apple", "banana"}
