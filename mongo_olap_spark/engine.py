@@ -107,6 +107,7 @@ class OlapEngine:
         from mongo_olap_spark.plans.pipeline_compiler import (
             PipelineError,
             cube_spec_from_pipeline,
+            mixed_requests_from_pipeline,
             special_request_from_pipeline,
         )
 
@@ -138,7 +139,26 @@ class OlapEngine:
                     filter_sql, dims, measure, _post = (
                         special_request_from_pipeline(pipeline))
                 except PipelineError:
-                    raise cube_err from None
+                    # mixed-family pipelines (r11) advise once per
+                    # decomposed part, each at the pipeline's weight —
+                    # exactly the requests the serving side will issue
+                    try:
+                        filter_sql, dims, parts, _out = (
+                            mixed_requests_from_pipeline(pipeline))
+                    except PipelineError:
+                        raise cube_err from None
+                    gb = tuple(
+                        (d.source_path, d.granularity) if d.granularity
+                        else d.source_path
+                        for d in dims
+                    )
+                    for part in parts:
+                        measures = part[1] if part[0] == "plain" else (part[1],)
+                        wl.append(WorkloadQuery(AggregateRequest(
+                            source=source_name, group_by=gb,
+                            measures=measures, filter_sql=filter_sql,
+                        ), weight=weight))
+                    continue
                 req = AggregateRequest(
                     source=source_name,
                     group_by=tuple(
@@ -331,6 +351,7 @@ class OlapEngine:
             PipelineError,
             cube_spec_from_pipeline,
             describe_lookup,
+            mixed_requests_from_pipeline,
             special_request_from_pipeline,
         )
 
@@ -338,6 +359,7 @@ class OlapEngine:
         routable, rewrite_kind = _routable_rewrite(pipeline)
         try:
             special_note = None
+            mixed_route = None
             try:
                 shape = cube_spec_from_pipeline("__explain", source, routable)
                 req = AggregateRequest(
@@ -354,44 +376,100 @@ class OlapEngine:
                     filter_sql=shape.filter_sql,
                 )
             except PipelineError:
-                # single-accumulator special families (C19–C24, r10)
-                filter_sql, dims, measure, post = special_request_from_pipeline(
-                    routable
-                )
-                req = AggregateRequest(
-                    source=source,
-                    group_by=tuple(
+                try:
+                    # single-accumulator special families (C19–C24, r10)
+                    filter_sql, dims, measure, post = (
+                        special_request_from_pipeline(routable))
+                    req = AggregateRequest(
+                        source=source,
+                        group_by=tuple(
+                            (d.source_path, d.granularity) if d.granularity
+                            else d.source_path
+                            for d in dims
+                        ),
+                        measures=(measure,),
+                        filter_sql=filter_sql,
+                    )
+                    special_note = (
+                        f"special-family aggregate → ({measure[0]!r}, "
+                        f"{measure[1]!r}, ...) exact two-level route"
+                        + (f"; post-transform: {post}" if post else "")
+                    )
+                except PipelineError:
+                    # mixed-family aggregate (r11): route each
+                    # decomposed part independently, report per-part
+                    filter_sql, dims, parts, out_cols = (
+                        mixed_requests_from_pipeline(routable))
+                    gb = tuple(
                         (d.source_path, d.granularity) if d.granularity
                         else d.source_path
                         for d in dims
-                    ),
-                    measures=(measure,),
-                    filter_sql=filter_sql,
-                )
-                special_note = (
-                    f"special-family aggregate → ({measure[0]!r}, "
-                    f"{measure[1]!r}, ...) exact two-level route"
-                    + (f"; post-transform: {post}" if post else "")
-                )
-            decision = self.router.route(req)
-            route = {
-                "target": "cube" if decision.cube is not None else "source",
-                "cube": decision.cube,
-                "reason": decision.reason,
-                "pushed_filter": req.filter_sql,
-                "rewritten_group_by": list(decision.rewritten_group_by),
-                "hybrid": "pass tail= to query() to merge unabsorbed "
-                          "source rows with the cube cells",
-            }
-            if special_note is not None:
-                route["rewrite"] = special_note
-            if rewrite_kind is not None:
-                route["rewrite"] = (
-                    f"trailing ${rewrite_kind} rewritten into its $group "
-                    "definition for routing"
-                )
-            if decision.cube is None:
-                refusals.append(f"router: {decision.reason}")
+                    )
+                    part_infos = []
+                    for part in parts:
+                        measures = part[1] if part[0] == "plain" else (part[1],)
+                        preq = AggregateRequest(
+                            source=source, group_by=gb, measures=measures,
+                            filter_sql=filter_sql,
+                        )
+                        d = self.router.route(preq)
+                        part_infos.append({
+                            "family": part[0] if part[0] == "plain"
+                                      else part[1][1],
+                            "measures": [
+                                m[0] for m in
+                                (part[1] if part[0] == "plain" else (part[1],))
+                            ],
+                            "cube": d.cube,
+                            "reason": d.reason,
+                        })
+                        if d.cube is None:
+                            refusals.append(
+                                f"router[{part_infos[-1]['family']}]: "
+                                f"{d.reason}")
+                    all_cube = all(p["cube"] is not None for p in part_infos)
+                    mixed_route = {
+                        "target": "cube" if all_cube else "source",
+                        "cube": (part_infos[0]["cube"]
+                                 if len({p["cube"] for p in part_infos}) == 1
+                                 else None),
+                        "reason": (
+                            "mixed-family aggregate: every part cube-served"
+                            if all_cube else
+                            "mixed-family aggregate: some parts fall back "
+                            "to source aggregation"),
+                        "pushed_filter": filter_sql,
+                        "rewritten_group_by": [d.name for d in dims],
+                        "parts": part_infos,
+                        "rewrite": (
+                            f"mixed aggregate → {len(part_infos)} routed "
+                            "family parts joined on the group keys; output "
+                            f"columns {out_cols}"),
+                        "hybrid": "pass tail= to query() to merge unabsorbed "
+                                  "source rows with the cube cells",
+                    }
+            if mixed_route is not None:
+                route = mixed_route
+            else:
+                decision = self.router.route(req)
+                route = {
+                    "target": "cube" if decision.cube is not None else "source",
+                    "cube": decision.cube,
+                    "reason": decision.reason,
+                    "pushed_filter": req.filter_sql,
+                    "rewritten_group_by": list(decision.rewritten_group_by),
+                    "hybrid": "pass tail= to query() to merge unabsorbed "
+                              "source rows with the cube cells",
+                }
+                if special_note is not None:
+                    route["rewrite"] = special_note
+                if rewrite_kind is not None:
+                    route["rewrite"] = (
+                        f"trailing ${rewrite_kind} rewritten into its $group "
+                        "definition for routing"
+                    )
+                if decision.cube is None:
+                    refusals.append(f"router: {decision.reason}")
         except PipelineError as e:
             route = {
                 "target": "source",
@@ -470,6 +548,7 @@ class OlapEngine:
             PipelineError,
             compile_pipeline,
             cube_spec_from_pipeline,
+            mixed_requests_from_pipeline,
             special_request_from_pipeline,
         )
 
@@ -489,9 +568,16 @@ class OlapEngine:
             try:
                 special = special_request_from_pipeline(routable)
             except PipelineError:
-                if source_df is None:
-                    raise cube_err from None
-                return compile_pipeline(source_df, pipeline)
+                # a $group MIXING families — plain + special, or
+                # several specials — decomposes into per-family routed
+                # requests joined on the group keys (r11)
+                try:
+                    mixed = mixed_requests_from_pipeline(routable)
+                except PipelineError:
+                    if source_df is None:
+                        raise cube_err from None
+                    return compile_pipeline(source_df, pipeline)
+                return self._query_mixed_pipeline(mixed, source, source_df)
             return self._query_special_pipeline(special, source, source_df)
         pipeline = routable
         req = AggregateRequest(
@@ -571,6 +657,105 @@ class OlapEngine:
             # $percentile emits an array even for a single p
             out = out.withColumn(alias, F.array(F.col(alias)))
         return out
+
+    def _query_mixed_pipeline(
+        self,
+        mixed: tuple,
+        source: str,
+        source_df: DataFrame | None,
+    ) -> DataFrame:
+        """Serve a mixed-family aggregate pipeline — a $group combining
+        plain accumulators with special exact families, or several
+        specials — by routing EACH family part independently
+        (different parts may be answered by different cubes, one
+        shared two-level cube, or the router's source fallback) and
+        joining the one-row-per-group part frames on the group keys
+        (r11, VERDICT r10 task 1).
+
+        Answer-consistency note: every part goes through
+        ``router.execute`` whether a cube serves it or not — the
+        routed and source-fallback paths share the same rollup per
+        family, so the answer never depends on cube presence. (A
+        ``compile_pipeline`` fallback would NOT be bit-identical: the
+        compiled $group $median is Spark's interpolated ``median``,
+        while the routed family serves the exact type-1 discrete
+        quantile.) The cost of a fully-unrouted mixed aggregate is one
+        source aggregation per family — create the advised cubes, or
+        call ``compile_pipeline`` directly, if single-pass Mongo
+        semantics are wanted instead.
+
+        Scale: the join keys are the GROUP KEYS of already-aggregated
+        frames — output-sized inputs, not source-sized; AQE broadcasts
+        the small sides. Null group keys join null-safe (Mongo groups
+        null/missing keys as a real group).
+        """
+        filter_sql, dims, parts, out_cols = mixed
+        gb = tuple(
+            (d.source_path, d.granularity) if d.granularity else d.source_path
+            for d in dims
+        )
+        dim_names = [d.name for d in dims]
+        frames = []
+        for part in parts:
+            if part[0] == "plain":
+                measures, post = part[1], None
+            else:
+                measures, post = (part[1],), part[2]
+            req = AggregateRequest(
+                source=source, group_by=gb, measures=measures,
+                filter_sql=filter_sql,
+            )
+            decision = self.router.route(req)  # metadata-only
+            out = self.router.execute(req, source_df=source_df)
+            if decision.cube is not None:
+                cur = [
+                    g if isinstance(g, str) else g[0]
+                    for g in decision.rewritten_group_by
+                ]
+            else:
+                cur = [
+                    g if isinstance(g, str) else f"{g[0]}_{g[1]}"
+                    for g in req.group_by
+                ]
+            for old, new in zip(cur, dim_names):
+                if old != new:
+                    out = out.withColumnRenamed(old, new)
+            if post == "array_wrap":
+                alias = part[1][0]
+                out = out.withColumn(alias, F.array(F.col(alias)))
+            frames.append(out)
+        merged = frames[0]
+        for f in frames[1:]:
+            merged = _join_on_group_keys(merged, f, dim_names)
+        return merged.select(*dim_names, *out_cols)
+
+
+def _join_on_group_keys(
+    left: DataFrame, right: DataFrame, dim_names: list[str]
+) -> DataFrame:
+    """Full-outer join two one-row-per-group aggregate frames on the
+    group keys, null-safe (a null group key is a real Mongo group),
+    coalescing the key columns. Zero group keys = the zero-dim
+    aggregate: both frames hold ≤ 1 row, joined on TRUE (full outer so
+    a family that emits no row — e.g. a quantile over all-null input —
+    still null-fills instead of dropping the other family's row).
+    Frames may share cube-cell lineage, so both sides are aliased
+    before the join (self-join attribute disambiguation)."""
+    la, ra = left.alias("__mxl"), right.alias("__mxr")
+    if not dim_names:
+        return la.join(ra, F.lit(True), "full_outer")
+    cond = None
+    for d in dim_names:
+        c = F.col(f"__mxl.`{d}`").eqNullSafe(F.col(f"__mxr.`{d}`"))
+        cond = c if cond is None else cond & c
+    joined = la.join(ra, cond, "full_outer")
+    sel = [
+        F.coalesce(F.col(f"__mxl.`{d}`"), F.col(f"__mxr.`{d}`")).alias(d)
+        for d in dim_names
+    ]
+    sel += [F.col(f"__mxl.`{c}`") for c in left.columns if c not in dim_names]
+    sel += [F.col(f"__mxr.`{c}`") for c in right.columns if c not in dim_names]
+    return joined.select(*sel)
 
 
 def _routable_rewrite(pipeline: list) -> tuple[list, str | None]:

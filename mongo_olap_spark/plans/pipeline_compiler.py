@@ -3903,6 +3903,11 @@ def special_request_from_pipeline(
             raise PipelineError(f"{op} {what} must be a field path")
         return v[1:]
 
+    if tail_project is None and op != "$addToSet":
+        measure, post = _special_acc_measure(gname, op, arg)
+        if gname in dim_names:
+            raise PipelineError(f"output {gname!r} collides with a dimension")
+        return filter_sql, dims, measure, post
     if tail_project is not None:
         # only the $addToSet+$size idiom carries a trailing $project
         if op != "$addToSet":
@@ -3929,9 +3934,26 @@ def special_request_from_pipeline(
         if out_name in dim_names:
             raise PipelineError(f"output {out_name!r} collides with a dimension")
         return filter_sql, dims, (out_name, "count_distinct", path), None
+    raise PipelineError(f"accumulator {op!r} is not special-family routable")
+
+
+def _special_acc_measure(gname: str, op: str, arg) -> tuple[tuple, str | None]:
+    """Translate ONE special-family $group accumulator into the
+    router's measure-tuple vocabulary: ``(measure, post)`` where
+    ``post`` is None | "array_wrap". Shared by the single-accumulator
+    parse (:func:`special_request_from_pipeline`) and the
+    mixed-accumulator decomposition (:func:`mixed_requests_from_pipeline`,
+    r11). The $addToSet+$size idiom is NOT handled here — it needs the
+    trailing $project, parsed by the callers."""
+
+    def field_path(v, what):
+        if not (isinstance(v, str) and v.startswith("$")):
+            raise PipelineError(f"{op} {what} must be a field path")
+        return v[1:]
+
     if op == "$median":
         a = arg if isinstance(arg, dict) else {"input": arg}
-        return filter_sql, dims, (
+        return (
             gname, "quantile_exact", field_path(a.get("input"), "input"), 0.5,
         ), None
     if op == "$percentile":
@@ -3945,14 +3967,14 @@ def special_request_from_pipeline(
                 "routable $percentile takes a non-empty list of literal p values"
             )
         if len(ps) == 1:
-            return filter_sql, dims, (
+            return (
                 gname, "quantile_exact", field_path(arg.get("input"), "input"),
                 float(ps[0]),
             ), "array_wrap"
         # multi-p (r10): quantile_rollup answers EVERY p from the same
         # single window pass, emitting the array in p order — already
         # Mongo's $percentile output shape, no post transform
-        return filter_sql, dims, (
+        return (
             gname, "quantile_exact", field_path(arg.get("input"), "input"),
             tuple(float(x) for x in ps),
         ), None
@@ -3962,7 +3984,7 @@ def special_request_from_pipeline(
         n = arg.get("n")
         if not (isinstance(n, int) and not isinstance(n, bool) and n > 0):
             raise PipelineError(f"{op} requires a positive literal n")
-        return filter_sql, dims, (
+        return (
             gname, "min_n" if op == "$minN" else "max_n",
             field_path(arg.get("input"), "input"), n,
         ), None
@@ -3996,12 +4018,184 @@ def special_request_from_pipeline(
         # that presentation flag into top_by_rollup.
         if sdir == 1:
             mop = "top_by" if op == "$topN" else "bottom_by"
-            meas = (gname, mop, skey, payload, n)
-        else:
-            mop = "bottom_by" if op == "$topN" else "top_by"
-            meas = (gname, mop, skey, payload, n, True)
-        return filter_sql, dims, meas, None
+            return (gname, mop, skey, payload, n), None
+        mop = "bottom_by" if op == "$topN" else "top_by"
+        return (gname, mop, skey, payload, n, True), None
     raise PipelineError(f"accumulator {op!r} is not special-family routable")
+
+
+def mixed_requests_from_pipeline(
+    pipeline: list[dict],
+) -> tuple[str | None, list, list, list[str]]:
+    """Parse a ``[$match?, $group[, $project]]`` aggregate whose
+    ``$group`` MIXES accumulator families — plain (count/sum/avg/min/
+    max/stddev) together with one-or-more exact special families
+    ($median / $percentile / $minN / $maxN / $topN / $bottomN /
+    $addToSet+$size), or several specials on one group — into
+    per-family routed request parts sharing the group keys (VERDICT
+    r10 task 1: this shape previously fell back to a full source
+    compile even when one two-level cube could answer every family).
+
+    Returns ``(filter_sql, dims, parts, out_cols)``:
+
+    - ``parts``: request parts, each ``("plain", measures_tuple)``
+      (ALL plain accumulators ride in ONE request — one rollup) or
+      ``("special", measure_tuple, post)`` (each special family is its
+      own single-measure request: the two-level rollups aggregate the
+      qualifying-cell *slice*, so they cannot share a request with
+      measures that aggregate all cells).
+    - ``out_cols``: final output accumulator names in presentation
+      order (the $group's order, or the trailing $project's).
+
+    The serving side (``OlapEngine._query_mixed_pipeline``) routes
+    each part independently — different parts may be answered by
+    different cubes, one shared two-level cube, or the router's source
+    fallback — and joins the per-part frames on the group keys
+    (null-safe; every part emits one row per group).
+
+    The trailing ``$project`` is recognized only in the Mongo
+    count-distinct idiom: ``{out: {$size: "$<$addToSet field>"}}``
+    entries plus ``1``/``true`` passthroughs of other accumulator
+    names (``_id`` must not be excluded — the group keys are the join
+    keys). Accumulators dropped by an inclusion projection are not
+    computed. A raw ``$addToSet`` that no ``$size`` consumes refuses
+    (distinct SETS are not a bounded routable answer).
+
+    Anything else raises :class:`PipelineError` so the caller keeps
+    its compile fallback.
+    """
+    tail_project: dict | None = None
+    body = pipeline
+    if len(pipeline) >= 2 and list(pipeline[-1]) == ["$project"]:
+        tail_project = pipeline[-1]["$project"]
+        body = pipeline[:-1]
+    filter_sql, group = _cube_pipeline_prefix(body, what="mixed aggregate")
+    id_spec = group.get("_id")
+    if id_spec is None:
+        raise PipelineError("mixed routing needs a {dim: expr} _id document")
+    dims = _cube_dims(id_spec)
+    dim_names = {d.name for d in dims}
+    accs = {k: v for k, v in group.items() if k != "_id"}
+    if len(accs) < 2:
+        raise PipelineError(
+            "mixed routing needs two or more accumulators (single-"
+            "accumulator aggregates take the cube_spec/special paths)"
+        )
+    plain: list[tuple] = []
+    specials: list[tuple] = []  # (measure_tuple, post)
+    sets: dict[str, str] = {}   # $addToSet accumulators: name -> path
+    order: list[str] = []       # $group accumulator order
+    n_special = 0
+    for gname, mspec in accs.items():
+        if gname in dim_names:
+            raise PipelineError(
+                f"accumulator {gname!r} collides with a dimension")
+        if not (isinstance(mspec, dict) and len(mspec) == 1):
+            raise PipelineError(
+                f"accumulator for {gname!r} must be a single-op document")
+        [(op, arg)] = mspec.items()
+        order.append(gname)
+        if op == "$addToSet":
+            if not (isinstance(arg, str) and arg.startswith("$")):
+                raise PipelineError(
+                    "routable $addToSet needs a field-path argument")
+            sets[gname] = arg[1:]
+            n_special += 1
+        elif (op == "$sum" and isinstance(arg, (int, float))
+                and not isinstance(arg, bool)):
+            if arg != 1:
+                raise PipelineError(
+                    "routable literal $sum must be {$sum: 1} (count)")
+            plain.append((gname, "count"))
+        elif op in ("$sum", "$avg", "$min", "$max"):
+            if not (isinstance(arg, str) and arg.startswith("$")):
+                raise PipelineError(f"accumulator {op} needs a field path")
+            plain.append((gname, op[1:], arg[1:]))
+        elif op in ("$stdDevPop", "$stdDevSamp"):
+            if not (isinstance(arg, str) and arg.startswith("$")):
+                raise PipelineError(f"accumulator {op} needs a field path")
+            plain.append((
+                gname,
+                "stddev_pop" if op == "$stdDevPop" else "stddev_samp",
+                arg[1:],
+            ))
+        else:
+            measure, post = _special_acc_measure(gname, op, arg)
+            specials.append((measure, post))
+            n_special += 1
+    if n_special == 0:
+        raise PipelineError(
+            "no special-family accumulator — plain aggregates route "
+            "via cube_spec_from_pipeline")
+    if sets and tail_project is None:
+        raise PipelineError(
+            "$addToSet routes only through the trailing "
+            "$project {out: {$size: '$<set field>'}} idiom")
+    if tail_project is not None:
+        if not sets:
+            raise PipelineError(
+                "trailing $project is only routable with an "
+                "$addToSet (+$size) accumulator")
+        if not isinstance(tail_project, dict) or not tail_project:
+            raise PipelineError("trailing $project must be a non-empty document")
+        proj = dict(tail_project)
+        idv = proj.pop("_id", 1)
+        if idv in (0, False):
+            raise PipelineError(
+                "mixed routing cannot exclude _id (the group keys are "
+                "the join keys of the decomposed answer)")
+        if idv not in (1, True):
+            raise PipelineError("mixed routing supports _id passthrough only")
+        consumed: set[str] = set()
+        out_cols: list[str] = []
+        for k, v in proj.items():
+            if isinstance(v, dict) and list(v) == ["$size"]:
+                ref = v["$size"]
+                if not (isinstance(ref, str) and ref.startswith("$")
+                        and ref[1:] in sets):
+                    raise PipelineError(
+                        f"$size must reference an $addToSet field (got {ref!r})")
+                sname = ref[1:]
+                if sname in consumed:
+                    raise PipelineError(
+                        f"set field {ref!r} consumed by two $size projections")
+                consumed.add(sname)
+                if k in dim_names:
+                    raise PipelineError(
+                        f"output {k!r} collides with a dimension")
+                specials.append(((k, "count_distinct", sets[sname]), None))
+                out_cols.append(k)
+            elif v in (1, True) and not isinstance(v, dict):
+                if k not in order or k in sets:
+                    raise PipelineError(
+                        f"mixed routing: projection of {k!r} must pass "
+                        "through a non-set accumulator")
+                out_cols.append(k)
+            else:
+                raise PipelineError(
+                    f"mixed routing: unsupported projection {k!r}: {v!r} "
+                    "(only {$size: '$<set>'} and 1/true passthrough)")
+        missing = set(sets) - consumed
+        if missing:
+            raise PipelineError(
+                f"$addToSet fields {sorted(missing)} have no $size "
+                "projection — raw distinct sets are not routable")
+        # accumulators the inclusion projection drops are not computed
+        keep = set(out_cols)
+        plain = [m for m in plain if m[0] in keep]
+        specials = [(m, p) for (m, p) in specials if m[0] in keep]
+    else:
+        out_cols = list(order)
+    if len(set(out_cols)) != len(out_cols):
+        raise PipelineError("duplicate output accumulator names")
+    parts: list = []
+    if plain:
+        parts.append(("plain", tuple(plain)))
+    for measure, post in specials:
+        parts.append(("special", measure, post))
+    if not parts:
+        raise PipelineError("projection dropped every accumulator")
+    return filter_sql, dims, parts, out_cols
 
 
 # ---------------------------------------------------------------------------

@@ -1168,3 +1168,118 @@ def q_pipeline_route_maxn_fallback(spark, sf_dir):
     return ex.select(
         "et", (F.col("pos") + 1).cast("long").alias("rnk"), "value"
     )
+
+
+@register(
+    "q_pipeline_route_mixed",
+    oracle="""
+    WITH v AS (
+      SELECT event_type, value, COUNT(*) AS m FROM events
+      WHERE value IS NOT NULL GROUP BY event_type, value
+    ),
+    w AS (
+      SELECT event_type, value,
+             SUM(m) OVER (PARTITION BY event_type ORDER BY value) AS cum,
+             SUM(m) OVER (PARTITION BY event_type) AS tot
+      FROM v
+    ),
+    med AS (
+      SELECT event_type, MIN(value) AS med
+      FROM w WHERE cum >= CEIL(ROUND(0.5 * tot, 9))
+      GROUP BY event_type
+    ),
+    pl AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, MIN(value) AS lo
+      FROM events GROUP BY event_type
+    )
+    SELECT p.event_type AS et, m.med AS med, p.n AS n, p.lo AS lo
+    FROM pl p LEFT JOIN med m ON p.event_type = m.event_type
+    """,
+)
+def q_pipeline_route_mixed(spark, sf_dir):
+    """A MIXED-family $group — $median alongside plain $sum:1 and $min
+    — served metadata-only (r11, VERDICT r10 task 1): previously this
+    shape fell back to a full source compile because the special
+    translation required exactly one accumulator. The engine now
+    decomposes it into per-family routed requests (the quantile part
+    from the two-level cube, the plain part from the count/min cube)
+    and joins the one-row-per-group frames on the group keys.
+    source_df is NOT passed — the assert plus serving proves every
+    part routes. The oracle mirrors the decomposition: exact type-1
+    median CTE joined with the plain aggregate."""
+    from mongo_olap_spark.cube import CubeSpec, Dimension, Measure
+
+    e = load_table(spark, sf_dir, "events")
+    eng = _route_engine(spark, sf_dir, "mix")
+    for spec in (
+        CubeSpec(
+            name="pipe_mix_tl", source="events",
+            dimensions=(Dimension("event_type"), Dimension("value")),
+            measures=(Measure("cells_n", "count"),),
+        ),
+        CubeSpec(
+            name="pipe_mix_pl", source="events",
+            dimensions=(Dimension("event_type"),),
+            measures=(Measure("cnt", "count"),
+                      Measure("mn", "min", path="value")),
+        ),
+    ):
+        eng.catalog.drop(spec.name)
+        eng.catalog.create(spec, e)
+    pipe = [{"$group": {"_id": {"et": "$event_type"},
+                        "med": {"$median": {"input": "$value"}},
+                        "n": {"$sum": 1},
+                        "lo": {"$min": "$value"}}}]
+    info = eng.explain("events", pipe)
+    assert info["route"]["target"] == "cube", info["route"]
+    return eng.query_pipeline("events", pipe)
+
+
+@register(
+    "q_pipeline_mixed_fallback",
+    oracle="""
+    WITH f AS (
+      SELECT event_type, user_id, value FROM events WHERE value > 20
+    ),
+    agg AS (
+      SELECT event_type,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS nu,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM f GROUP BY event_type
+    ),
+    r AS (
+      SELECT event_type, value,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_type ORDER BY value DESC
+             ) AS rnk
+      FROM f WHERE value IS NOT NULL
+    )
+    SELECT a.event_type AS et, a.nu, a.n, r.rnk, r.value
+    FROM agg a JOIN r ON a.event_type = r.event_type
+    WHERE r.rnk <= 3
+    """,
+)
+def q_pipeline_mixed_fallback(spark, sf_dir):
+    """A mixed $group combining the $addToSet+$size count-distinct
+    idiom, $maxN, and a plain count — with a $match prefix and NO
+    covering cube: every decomposed part goes through the router's
+    source fallback, which shares the rollup with the routed path
+    (cube presence changes cost, never the answer). The trailing
+    $project drives the mixed parse's passthrough/size handling."""
+    e = load_table(spark, sf_dir, "events")
+    eng = _route_engine(spark, sf_dir, "mxb")
+    pipe = [{"$match": {"value": {"$gt": 20}}},
+            {"$group": {"_id": {"et": "$event_type"},
+                        "us": {"$addToSet": "$user_id"},
+                        "hi": {"$maxN": {"input": "$value", "n": 3}},
+                        "n": {"$sum": 1}}},
+            {"$project": {"nu": {"$size": "$us"}, "hi": 1, "n": 1}}]
+    info = eng.explain("events", pipe)
+    assert info["route"]["target"] == "source", info["route"]
+    assert [p["family"] for p in info["route"]["parts"]] == [
+        "plain", "max_n", "count_distinct"]
+    out = eng.query_pipeline("events", pipe, source_df=e)
+    ex = out.select("et", "nu", "n", F.posexplode("hi").alias("pos", "value"))
+    return ex.select(
+        "et", "nu", "n", (F.col("pos") + 1).cast("long").alias("rnk"), "value"
+    )
