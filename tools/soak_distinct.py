@@ -45,6 +45,13 @@ boundary plus periodic checkpoints:
   un-applied tail is pure inserts) a hybrid ``combine_cells`` lambda
   read asserted hash-equal to a rebuild at the tail watermark. The
   JSON gains a ``routed_reads`` section.
+- **pipeline reads (r11, round-10 verdict task 2)**: at every
+  checkpoint the probe ALSO answers live PIPELINE requests through
+  ``OlapEngine.query_pipeline`` with ``source_df=None`` (serving must
+  be metadata-routed or the engine raises): a multi-p ``$percentile``
+  and a MIXED-family group ($median + plain $sum:1, the r11
+  decomposition), each hash-equal to direct aggregation of the net
+  state. The JSON gains a ``pipeline_reads`` section.
 
 Every update batch exercises the repair path too (the −pre rows are
 retractions), so the repair machinery runs on ~40% of batches — the
@@ -358,6 +365,88 @@ def routed_reads_check(spark, catalog, exact_spec, events, n_batches, k):
     return violations
 
 
+def pipeline_reads_check(spark, root, exact_spec, events, n_batches, k):
+    """r11 (round-10 verdict task 2): answer PIPELINE-level requests
+    through ``OlapEngine.query_pipeline`` against the live maintained
+    catalog at watermark k, with ``source_df=None`` — serving must be
+    metadata-routed or the engine raises. Two shapes, both landed in
+    the r10/r11 routing work:
+
+    - a MULTI-p ``$percentile`` (one routed request, every p answered
+      from one window pass over the exact two-level cells);
+    - a MIXED-family group (``$median`` + plain ``$sum: 1`` — r11
+      decomposition into per-family requests joined on the group
+      keys, both parts served by the same maintained two-level cube).
+
+    Each is hash-equal to a direct aggregation of the closed-form net
+    state (type-1 discrete quantiles; count over ALL rows incl. null
+    user_id, quantiles over non-null — the engine's documented
+    semantics)."""
+    from pyspark.sql import Window
+
+    from mongo_olap_spark.engine import OlapEngine
+
+    eng = OlapEngine(spark, root)
+    net = state_at_batch(events, n_batches, k)
+    nn = net.filter(F.col("user_id").isNotNull())
+    violations: list[str] = []
+
+    def type1(p, alias):
+        w_cum = Window.partitionBy("event_type").orderBy("user_id")
+        w_tot = Window.partitionBy("event_type")
+        return (
+            nn.withColumn("__cum", F.count(F.lit(1)).over(w_cum))
+            .withColumn("__tot", F.count(F.lit(1)).over(w_tot))
+            .filter(F.col("__cum") >= F.ceil(F.round(p * F.col("__tot"), 9)))
+            .groupBy("event_type").agg(F.min("user_id").alias(alias))
+        )
+
+    # multi-p percentile pipeline, routed as ONE request
+    pipe = [{"$group": {"_id": {"et": "$event_type"},
+                        "ps": {"$percentile": {"input": "$user_id",
+                                               "p": [0.25, 0.75],
+                                               "method": "approximate"}}}}]
+    cols = ["event_type", "q1", "q3"]
+    try:
+        out = eng.query_pipeline("events", pipe)  # source_df=None
+        got = rows_digest(
+            out.select(F.col("et").alias("event_type"),
+                       F.col("ps")[0].alias("q1"),
+                       F.col("ps")[1].alias("q3")),
+            cols,
+        )
+        want = rows_digest(
+            type1(0.25, "q1").join(type1(0.75, "q3"), "event_type"), cols)
+        if got != want:
+            violations.append(
+                f"batch{k}: pipeline multi-p {got} != direct {want}")
+    except Exception as e:  # unroutable = the failure being soaked for
+        violations.append(f"batch{k}: pipeline multi-p unserved: {e}")
+
+    # mixed-family pipeline ($median + plain count), decomposed + joined
+    pipe = [{"$group": {"_id": {"et": "$event_type"},
+                        "med": {"$median": {"input": "$user_id"}},
+                        "n": {"$sum": 1}}}]
+    cols = ["event_type", "med", "n"]
+    try:
+        out = eng.query_pipeline("events", pipe)  # source_df=None
+        got = rows_digest(
+            out.select(F.col("et").alias("event_type"), "med", "n"), cols)
+        want = rows_digest(
+            type1(0.5, "med").join(
+                net.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")),
+                "event_type"),
+            cols,
+        )
+        if got != want:
+            violations.append(
+                f"batch{k}: pipeline mixed {got} != direct {want}")
+    except Exception as e:
+        violations.append(f"batch{k}: pipeline mixed unserved: {e}")
+
+    return violations
+
+
 def topby_read_check(spark, catalog, topby_spec, events, n_batches, k):
     """r10: the top_by family served ROUTED from its own maintained
     two-level cube (sort dim = pmod(user_id, 1000), payload dim =
@@ -612,6 +701,9 @@ def main() -> int:
                 spark, catalog, topby_spec, events, args.batches, k)
             violations.extend(rviol)
             routed_checks += 1
+            pviol = pipeline_reads_check(
+                spark, args.root, exact_spec, events, args.batches, k)
+            violations.extend(pviol)
             lam_checked, lviol = lambda_read_check(
                 spark, catalog, exact_spec, cdc, events, args.batches, k, ib)
             violations.extend(lviol)
@@ -628,6 +720,7 @@ def main() -> int:
                 "topk_state_match": tk_state_ok,
                 "topk_rolled_match": tk_top_ok,
                 "routed_reads_ok": not rviol,
+                "pipeline_reads_ok": not pviol,
                 "lambda_read": "ok" if (lam_checked and not lviol)
                                else ("skipped" if not lam_checked else "FAIL"),
             })
@@ -636,7 +729,8 @@ def main() -> int:
                 f"(3σ={3 * RSD:.4f}), exact_match={ok_exact}, "
                 f"hist_state_match={hist_ok} hist_worst_err={hist_worst:.2f} "
                 f"topk={tk_state_ok}/{tk_top_ok} "
-                f"routed={not rviol} lambda={'ok' if (lam_checked and not lviol) else ('skip' if not lam_checked else 'FAIL')}",
+                f"routed={not rviol} pipeline={not pviol} "
+                f"lambda={'ok' if (lam_checked and not lviol) else ('skip' if not lam_checked else 'FAIL')}",
                 file=sys.stderr,
             )
         if (k + 1) % 20 == 0:
@@ -662,7 +756,8 @@ def main() -> int:
     ok_checks = not violations and all(
         c["exact_match"] and c["hist_state_match"]
         and c["topk_state_match"] and c["topk_rolled_match"]
-        and c["routed_reads_ok"] and c["lambda_read"] != "FAIL"
+        and c["routed_reads_ok"] and c["pipeline_reads_ok"]
+        and c["lambda_read"] != "FAIL"
         for c in checks
     )
 
@@ -689,6 +784,11 @@ def main() -> int:
             "lambda_checkpoints": lambda_checks,
             "ok": all(c["routed_reads_ok"] and c["lambda_read"] != "FAIL"
                       for c in checks),
+        },
+        "pipeline_reads": {
+            "shapes": ["multi_p_percentile", "mixed_median_plus_count"],
+            "checkpoints": routed_checks,
+            "ok": all(c["pipeline_reads_ok"] for c in checks),
         },
         "checks": checks,
         "violations": violations[:10],
