@@ -430,9 +430,20 @@ class OlapEngine:
                     all_cube = all(p["cube"] is not None for p in part_infos)
                     mixed_route = {
                         "target": "cube" if all_cube else "source",
+                        # top-level `cube` names the single serving
+                        # cube only when ALL parts share one; parts
+                        # served by different cubes leave it None —
+                        # `cubes` lists every distinct serving cube
+                        # and `parts` is authoritative per part
+                        # (ADVICE r11: consumers keying on `cube`
+                        # alone misread a fully-routed mixed query
+                        # as unrouted).
                         "cube": (part_infos[0]["cube"]
                                  if len({p["cube"] for p in part_infos}) == 1
                                  else None),
+                        "cubes": sorted({
+                            p["cube"] for p in part_infos
+                            if p["cube"] is not None}),
                         "reason": (
                             "mixed-family aggregate: every part cube-served"
                             if all_cube else

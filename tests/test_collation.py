@@ -789,3 +789,127 @@ def test_expr_string_extrema_fine_without_collation(names):
     ).collect()
     # binary compare: uppercase sorts below lowercase "aaa"
     assert {r.m for r in out} == {"aaa", "apple", "banana"}
+
+
+# ---------------------------------------------------------------------------
+# expression extrema INSIDE $map/$filter/$reduce lambdas under CI
+# (ADVICE r11): a $$var argument is unresolvable against the stage
+# frame directly; the probe-mode rebind types it from the lambda's
+# input array, so numeric lambdas compile instead of false-refusing.
+# String lambdas still refuse.
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def mats(spark):
+    return spark.createDataFrame(
+        [(1, [[3, 1], [2, 5]], [["a", "B"], ["c"]]),
+         (2, [[7], [4, 6]], [["Z"]])],
+        "i int, mat array<array<int>>, smat array<array<string>>",
+    ).cache()
+
+
+def test_lambda_numeric_max_allowed_under_ci(mats):
+    out = compile_pipeline(
+        mats,
+        [{"$project": {"i": 1, "rowmax": {
+            "$map": {"input": "$mat", "as": "r",
+                     "in": {"$max": "$$r"}}}, "_id": 0}}],
+        collation=CI,
+    ).collect()
+    got = {r.i: r.rowmax for r in out}
+    assert got == {1: [3, 5], 2: [7, 6]}
+
+
+def test_lambda_numeric_minn_allowed_under_ci(mats):
+    out = compile_pipeline(
+        mats,
+        [{"$project": {"i": 1, "lo": {
+            "$map": {"input": "$mat", "as": "r",
+                     "in": {"$minN": {"input": "$$r", "n": 1}}}},
+            "_id": 0}}],
+        collation=CI,
+    ).collect()
+    got = {r.i: r.lo for r in out}
+    assert got == {1: [[1], [2]], 2: [[7], [4]]}
+
+
+def test_lambda_filter_numeric_max_allowed_under_ci(spark):
+    # ($gt itself is CI-refused by name, so the boolean comes from
+    # $toBool — the point here is the $max-over-$$this guard passing)
+    df = spark.createDataFrame(
+        [(1, [[0], [2, 5]]), (2, [[0, 0]])],
+        "i int, mat array<array<int>>")
+    out = compile_pipeline(
+        df,
+        [{"$project": {"i": 1, "big": {
+            "$filter": {"input": "$mat",
+                        "cond": {"$toBool": {"$max": "$$this"}}}},
+            "_id": 0}}],
+        collation=CI,
+    ).collect()
+    got = {r.i: r.big for r in out}
+    assert got == {1: [[2, 5]], 2: []}
+
+
+def test_lambda_reduce_numeric_max_allowed_under_ci(mats):
+    out = compile_pipeline(
+        mats,
+        [{"$project": {"i": 1, "tot": {
+            "$reduce": {"input": "$mat", "initialValue": 0,
+                        "in": {"$add": ["$$value",
+                                        {"$max": "$$this"}]}}},
+            "_id": 0}}],
+        collation=CI,
+    ).collect()
+    got = {r.i: r.tot for r in out}
+    assert got == {1: 8, 2: 13}
+
+
+def test_lambda_nested_map_numeric_allowed_under_ci(spark):
+    cube3 = spark.createDataFrame(
+        [(1, [[[1, 9], [2]], [[5]]])],
+        "i int, c array<array<array<int>>>")
+    out = compile_pipeline(
+        cube3,
+        [{"$project": {"m": {
+            "$map": {"input": "$c", "as": "plane",
+                     "in": {"$map": {"input": "$$plane", "as": "row",
+                                     "in": {"$max": "$$row"}}}}},
+            "_id": 0}}],
+        collation=CI,
+    ).collect()
+    assert out[0].m == [[9, 2], [5]]
+
+
+def test_lambda_string_max_still_refuses_under_ci(mats):
+    with pytest.raises(PipelineError, match="compare binary"):
+        compile_pipeline(
+            mats,
+            [{"$project": {"bad": {
+                "$map": {"input": "$smat", "as": "r",
+                         "in": {"$max": "$$r"}}}}}],
+            collation=CI,
+        )
+
+
+def test_lambda_string_minn_still_refuses_under_ci(mats):
+    with pytest.raises(PipelineError, match="compare binary"):
+        compile_pipeline(
+            mats,
+            [{"$project": {"bad": {
+                "$map": {"input": "$smat", "as": "r",
+                         "in": {"$minN": {"input": "$$r", "n": 1}}}}}}],
+            collation=CI,
+        )
+
+
+def test_let_numeric_max_allowed_under_ci(mats):
+    out = compile_pipeline(
+        mats,
+        [{"$project": {"i": 1, "m": {
+            "$let": {"vars": {"xs": {"$arrayElemAt": ["$mat", 0]}},
+                     "in": {"$max": "$$xs"}}}, "_id": 0}}],
+        collation=CI,
+    ).collect()
+    got = {r.i: r.m for r in out}
+    assert got == {1: 3, 2: 7}

@@ -288,3 +288,121 @@ def test_advisor_ingests_mixed_and_apply_routes_it(engine, events):
     assert out.count() > 0
     info = engine.explain("events", pipe)
     assert info["route"]["target"] == "cube", info["route"]
+
+
+# ---------------------------------------------------------------------------
+# $size output shadowing a $group accumulator (ADVICE r11): Mongo
+# inclusion-$project REPLACE semantics — the computed {$size} output
+# replaces the same-named accumulator, which is dropped instead of
+# colliding in the group-key join (AMBIGUOUS_REFERENCE).
+# ---------------------------------------------------------------------------
+
+def test_parse_size_output_shadows_plain_accumulator():
+    _f, _d, parts, out_cols = mixed_requests_from_pipeline([
+        {"$group": {"_id": {"et": "$event_type"},
+                    "u": {"$addToSet": "$user_id"},
+                    "n": {"$sum": 1}}},
+        {"$project": {"n": {"$size": "$u"}}}])
+    assert out_cols == ["n"]
+    # the shadowed {$sum: 1} is GONE — exactly one part, the distinct
+    assert parts == [("special", ("n", "count_distinct", "user_id"), None)]
+
+
+def test_parse_size_output_shadows_special_accumulator():
+    _f, _d, parts, out_cols = mixed_requests_from_pipeline([
+        {"$group": {"_id": {"et": "$event_type"},
+                    "u": {"$addToSet": "$user_id"},
+                    "med": {"$median": {"input": "$value"}},
+                    "n": {"$sum": 1}}},
+        {"$project": {"med": {"$size": "$u"}, "n": 1}}])
+    assert out_cols == ["med", "n"]
+    all_names = sorted(m[0] for p in parts for m in
+                       (p[1] if p[0] == "plain" else (p[1],)))
+    assert all_names == ["med", "n"]
+    cd = [p for p in parts if p[0] == "special"]
+    assert cd == [("special", ("med", "count_distinct", "user_id"), None)]
+
+
+def test_size_shadow_serving_matches_direct(engine, events):
+    from pyspark.sql import functions as F
+
+    out = engine.query_pipeline("events", [
+        {"$group": {"_id": {"et": "$event_type"},
+                    "u": {"$addToSet": "$user_id"},
+                    "n": {"$sum": 1}}},
+        {"$project": {"n": {"$size": "$u"}}}], source_df=events)
+    assert out.columns == ["et", "n"]
+    truth = {r["event_type"]: (r["n"],)
+             for r in events.groupBy("event_type").agg(
+                 F.countDistinct("user_id").alias("n")).collect()}
+    assert _collect_map(out) == truth
+
+
+def test_size_shadow_with_passthrough_serving(engine, events):
+    from pyspark.sql import functions as F
+
+    out = engine.query_pipeline("events", [
+        {"$group": {"_id": {"et": "$event_type"},
+                    "u": {"$addToSet": "$user_id"},
+                    "n": {"$sum": 1},
+                    "s": {"$sum": "$value"}}},
+        {"$project": {"n": {"$size": "$u"}, "s": 1}}], source_df=events)
+    assert out.columns == ["et", "n", "s"]
+    truth = {r["event_type"]: (r["n"], r["s"])
+             for r in events.groupBy("event_type").agg(
+                 F.countDistinct("user_id").alias("n"),
+                 F.sum("value").alias("s")).collect()}
+    assert _collect_map(out) == truth
+
+
+def test_size_self_shadow_still_works(engine, events):
+    from pyspark.sql import functions as F
+
+    # projecting the set's own name as its size is plain consumption
+    out = engine.query_pipeline("events", [
+        {"$group": {"_id": {"et": "$event_type"},
+                    "u": {"$addToSet": "$user_id"},
+                    "n": {"$sum": 1}}},
+        {"$project": {"u": {"$size": "$u"}, "n": 1}}], source_df=events)
+    assert out.columns == ["et", "u", "n"]
+    truth = {r["event_type"]: (r["u"], r["n"])
+             for r in events.groupBy("event_type").agg(
+                 F.countDistinct("user_id").alias("u"),
+                 F.count(F.lit(1)).alias("n")).collect()}
+    assert _collect_map(out) == truth
+
+
+def test_size_shadowing_another_set_refuses():
+    # output name shadows a DIFFERENT $addToSet: that set then has no
+    # $size consumer — refuse toward the compile fallback, which keeps
+    # Mongo's read-from-input-doc projection semantics
+    with pytest.raises(PipelineError, match="no \\$size"):
+        mixed_requests_from_pipeline([
+            {"$group": {"_id": {"et": "$e"},
+                        "a": {"$addToSet": "$x"},
+                        "b": {"$addToSet": "$y"},
+                        "n": {"$sum": 1}}},
+            {"$project": {"a": {"$size": "$b"}, "n": 1}}])
+
+
+def test_explain_mixed_cubes_field(engine, events):
+    """explain() for mixed pipelines: `cubes` lists every distinct
+    serving cube; top-level `cube` names one only when all parts
+    share it (ADVICE r11 — consumers keying on `cube` alone misread
+    a fully-routed mixed query as unrouted)."""
+    info = engine.explain("events", MIXED)
+    assert info["route"]["cubes"] == []  # nothing registered yet
+
+    engine.create_cube(CubeSpec(
+        name="tl", source="events",
+        dimensions=(Dimension("event_type"), Dimension("value")),
+        measures=(Measure("cells_n", "count"),)), events)
+    engine.create_cube(CubeSpec(
+        name="pl", source="events",
+        dimensions=(Dimension("event_type"),),
+        measures=(Measure("cnt", "count"),
+                  Measure("mn", "min", path="value"))), events)
+    info = engine.explain("events", MIXED)
+    assert info["route"]["target"] == "cube"
+    assert info["route"]["cube"] is None  # two different serving cubes
+    assert info["route"]["cubes"] == ["pl", "tl"]

@@ -432,10 +432,16 @@ def pipeline_reads_check(spark, root, exact_spec, events, n_batches, k):
         out = eng.query_pipeline("events", pipe)  # source_df=None
         got = rows_digest(
             out.select(F.col("et").alias("event_type"), "med", "n"), cols)
+        # LEFT join from the all-rows count to the median CTE (which
+        # only has groups with ≥1 non-null user_id): a group whose
+        # user_ids are all null at a checkpoint stays in the engine
+        # output with med=null and must stay in the oracle too
+        # (ADVICE r11 — the old inner join dropped it, producing a
+        # spurious violation). Mirrors the q_pipeline_route_mixed
+        # oracle's FROM pl p LEFT JOIN med m.
         want = rows_digest(
-            type1(0.5, "med").join(
-                net.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")),
-                "event_type"),
+            net.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+            .join(type1(0.5, "med"), "event_type", "left"),
             cols,
         )
         if got != want:
