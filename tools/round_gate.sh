@@ -25,11 +25,13 @@ echo "=== round_gate r${N}: $(date -u +%FT%TZ) ===" | tee "CORRECTNESS_full_r${N
 
 echo "--- oracle @ sf0.01 ---" | tee -a "CORRECTNESS_full_r${N}.txt"
 python tools/check_oracle.py /root/testdata/sf0.01 2>/dev/null \
-    | tee -a "CORRECTNESS_full_r${N}.txt" || fail=1
+    | tee -a "CORRECTNESS_full_r${N}.txt"
+[ "${PIPESTATUS[0]}" -eq 0 ] || fail=1
 
 echo "--- oracle @ sf0.1 ---" | tee -a "CORRECTNESS_full_r${N}.txt"
 python tools/check_oracle.py /root/testdata/sf0.1 2>/dev/null \
-    | tee -a "CORRECTNESS_full_r${N}.txt" || fail=1
+    | tee -a "CORRECTNESS_full_r${N}.txt"
+[ "${PIPESTATUS[0]}" -eq 0 ] || fail=1
 
 echo "--- idle bench (BENCH_REPEAT=3) ---"
 # keep the FULL per-query JSON line (bench prints it before the compact
@@ -37,6 +39,9 @@ echo "--- idle bench (BENCH_REPEAT=3) ---"
 # the per-query detail the next round's drift attribution needs)
 BENCH_REPEAT=3 python bench.py 2>/dev/null | grep '"queries"' | tail -1 \
     > "BENCH_self_r${N}.json" || fail=1
+# r11 failure mode: the bench leg produced nothing and a 0-byte file
+# was committed anyway. An empty artifact is a failed gate, full stop.
+[ -s "BENCH_self_r${N}.json" ] || { echo "EMPTY BENCH_self_r${N}.json"; fail=1; }
 python - <<PYEOF || fail=1
 import json
 d = json.load(open("BENCH_self_r${N}.json"))
@@ -45,7 +50,13 @@ print(json.dumps({"metric": "total", "value": d["value"], "unit": "sec",
 PYEOF
 
 echo "--- pytest (full suite, final tree) ---"
-python -m pytest tests/ -q 2>&1 | tail -3 | tee "PYTEST_r${N}.txt" || fail=1
+# `| tail` eats pytest's exit code, which is how r12's red test slipped
+# past the gate — use pipefail-equivalent via PIPESTATUS and also grep
+# the tally line for "failed"/"error" so a red suite fails the gate.
+python -m pytest tests/ -q 2>&1 | tail -3 | tee "PYTEST_r${N}.txt"
+[ "${PIPESTATUS[0]}" -eq 0 ] || { echo "PYTEST RED"; fail=1; }
+[ -s "PYTEST_r${N}.txt" ] || { echo "EMPTY PYTEST_r${N}.txt"; fail=1; }
+grep -qE '[0-9]+ (failed|error)' "PYTEST_r${N}.txt" && { echo "PYTEST RED"; fail=1; }
 
 echo
 echo "=== round_gate r${N} summary ==="
