@@ -395,13 +395,17 @@ def _near_dup_bucketed(
         norms = np.linalg.norm(M, axis=1)
         norms[norms == 0.0] = np.inf
         U = M / norms[:, None]
-        # same candidates-only rounding as _near_dup_broadcast (r10):
-        # round(x, d) >= t implies x >= t - 10^-d, so the margin mask
-        # is a superset and the rounded re-filter keeps output
-        # bit-identical while skipping the n^2 rounding pass
+        # same candidates-only rounding as _near_dup_broadcast:
+        # round(x, d) >= t implies x >= t - 0.5*10^-d, so the margin
+        # mask is a superset and the rounded re-filter keeps output
+        # bit-identical while skipping the n^2 rounding pass (r13,
+        # ADVICE r12: margin tightened to match the broadcast path —
+        # the old 1.0*10^-d rounded ~2x more candidates than needed;
+        # the 1e-12 cushion keeps the boundary case a superset under
+        # float representation error)
         sims = U @ U.T
         cand_a, cand_b = np.nonzero(
-            (sims >= threshold - 10.0 ** (-round_digits))
+            (sims >= threshold - 0.5 * 10.0 ** (-round_digits) - 1e-12)
             & (ids[None, :] > ids[:, None])
         )
         rounded = np.round(sims[cand_a, cand_b], round_digits)

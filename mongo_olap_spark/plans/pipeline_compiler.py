@@ -144,7 +144,10 @@ _PROBE_DEPTH: list[int] = []
 
 
 class _bind:
-    def __init__(self, _types: dict | None = None, **vars_: Column):
+    # _types is positional-only: a user variable literally named
+    # "_types" ($let var or a $map/$filter `as`) must land in **vars_,
+    # not collide with the keyword (ADVICE r12).
+    def __init__(self, _types: dict | None = None, /, **vars_: Column):
         self.frame = vars_
         self.types = _types or {}
 
@@ -242,6 +245,27 @@ def _hof_elem_type(raw_input):
     return dt.elementType if isinstance(dt, ArrayType) else None
 
 
+def _embeds_string(dt) -> bool:
+    """True if ``dt`` contains a StringType anywhere — itself, an
+    array element (recursively), a struct field, or a map key/value.
+    The CI extremum guard refuses on ANY embedded string: Spark's
+    array extrema order nested arrays/structs element-by-element and
+    field-by-field, so a string at any depth participates in the
+    binary comparison (ADVICE r12 — the old top-level-only check let
+    array<array<string>> and array<struct<...string...>> through)."""
+    from pyspark.sql.types import ArrayType, MapType, StringType, StructType
+
+    if isinstance(dt, StringType):
+        return True
+    if isinstance(dt, ArrayType):
+        return _embeds_string(dt.elementType)
+    if isinstance(dt, StructType):
+        return any(_embeds_string(f.dataType) for f in dt.fields)
+    if isinstance(dt, MapType):
+        return _embeds_string(dt.keyType) or _embeds_string(dt.valueType)
+    return False
+
+
 def _ci_refuse_string_extremum(op: str, arr: Column, recompile=None) -> None:
     """CI-collation guard for the EXPRESSION forms of $min/$max/$minN/
     $maxN (ADVICE r10): they pick extrema by binary comparison, so a
@@ -260,23 +284,29 @@ def _ci_refuse_string_extremum(op: str, arr: Column, recompile=None) -> None:
     false-refusing (ADVICE r11). A type that is STILL unresolvable
     refuses conservatively, naming the $$var limitation — the
     refuse-loudly contract beats a silent binary compare."""
-    from pyspark.sql.types import ArrayType, StringType
+    from pyspark.sql.types import ArrayType
 
     dt = _probe_dt(arr)
     if dt is None and recompile is not None:
         dt = _probe_recompile_dt(recompile)
-    if dt is not None:
-        is_string = isinstance(dt, ArrayType) and isinstance(
-            dt.elementType, StringType)
-    else:
-        is_string = True  # unresolvable: conservative refusal
-    if is_string:
+    if dt is None:
+        # unresolvable: conservative refusal, naming the $$var limit
         raise PipelineError(
             f"collation: expression {op} over string values would "
             "compare binary under the requested case-insensitive "
             "collation; wrap operands in $toLower explicitly or drop "
             "the collation (an argument referencing a $$var whose "
             "element type cannot be resolved refuses conservatively)")
+    # Extrema over arrays whose element type EMBEDS a string anywhere
+    # (array<string>, but also array<array<string>>, array<struct
+    # <...string...>>) compare those strings binary — descend the
+    # whole element type, not just its top level (ADVICE r12).
+    if isinstance(dt, ArrayType) and _embeds_string(dt.elementType):
+        raise PipelineError(
+            f"collation: expression {op} over string values would "
+            "compare binary under the requested case-insensitive "
+            "collation; wrap operands in $toLower explicitly or drop "
+            "the collation")
 
 
 #: collation options the engine models only at their Mongo defaults —
@@ -1305,7 +1335,7 @@ def _compile_op(op: str, spec: Any) -> Column:
         vt = _hof_elem_type(spec["input"])
 
         def _map_body(x: Column) -> Column:
-            with _bind(_types={var: vt}, **{var: x}):
+            with _bind({var: vt}, **{var: x}):
                 return compile_expr(spec["in"])
 
         return F.transform(compile_expr(spec["input"]), _map_body)
@@ -1314,7 +1344,7 @@ def _compile_op(op: str, spec: Any) -> Column:
         vt = _hof_elem_type(spec["input"])
 
         def _filter_body(x: Column) -> Column:
-            with _bind(_types={var: vt}, **{var: x}):
+            with _bind({var: vt}, **{var: x}):
                 return compile_expr(spec["cond"]).cast("boolean")
 
         return F.filter(compile_expr(spec["input"]), _filter_body)
@@ -1324,7 +1354,7 @@ def _compile_op(op: str, spec: Any) -> Column:
               if _ci() else None)
 
         def _reduce_body(acc: Column, x: Column) -> Column:
-            with _bind(_types={"value": at, "this": et}, value=acc, this=x):
+            with _bind({"value": at, "this": et}, value=acc, this=x):
                 return compile_expr(spec["in"])
 
         return F.aggregate(
@@ -1337,7 +1367,7 @@ def _compile_op(op: str, spec: Any) -> Column:
         types = ({k: _probe_recompile_dt(lambda v=v: compile_expr(v))
                   for k, v in spec["vars"].items()}
                  if _ci() else None)
-        with _bind(_types=types, **bound):
+        with _bind(types, **bound):
             return compile_expr(spec["in"])
     if op == "$regexMatch":
         _literal_regex(op, spec.get("regex"))

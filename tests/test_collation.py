@@ -913,3 +913,90 @@ def test_let_numeric_max_allowed_under_ci(mats):
     ).collect()
     got = {r.i: r.m for r in out}
     assert got == {1: 3, 2: 7}
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r12: the CI extremum guard must refuse on a string EMBEDDED
+# anywhere in the element type (array<array<string>>, array<struct
+# <...string...>>), not just a top-level array<string> — Spark orders
+# nested arrays/structs element-by-element, so the string participates
+# in the binary compare. And the $$var-limitation parenthetical in the
+# refusal text belongs only to the genuinely-unresolvable branch.
+# ---------------------------------------------------------------------------
+
+def test_nested_array_string_max_refuses_under_ci(mats):
+    # $max over $smat itself: element type array<string>
+    with pytest.raises(PipelineError, match="compare binary"):
+        compile_pipeline(
+            mats,
+            [{"$project": {"bad": {"$max": "$smat"}}}],
+            collation=CI,
+        )
+
+
+def test_lambda_nested_array_string_refuses_under_ci(spark):
+    # 3-level string input: $$plane probes to array<array<string>> —
+    # the probe-typed allow path must still see the embedded string
+    scube = spark.createDataFrame(
+        [(1, [[["a", "B"], ["c"]], [["Z"]]])],
+        "i int, sc array<array<array<string>>>")
+    with pytest.raises(PipelineError, match="compare binary"):
+        compile_pipeline(
+            scube,
+            [{"$project": {"bad": {
+                "$map": {"input": "$sc", "as": "plane",
+                         "in": {"$max": "$$plane"}}}}}],
+            collation=CI,
+        )
+
+
+def test_struct_embedded_string_max_refuses_under_ci(spark):
+    df = spark.createDataFrame(
+        [(1, [(1, "a"), (2, "B")])],
+        "i int, xs array<struct<k:int,s:string>>")
+    with pytest.raises(PipelineError, match="compare binary"):
+        compile_pipeline(
+            df,
+            [{"$project": {"bad": {"$max": "$xs"}}}],
+            collation=CI,
+        )
+
+
+def test_struct_numeric_only_max_allowed_under_ci(spark):
+    df = spark.createDataFrame(
+        [(1, [(1, 10), (2, 5)])],
+        "i int, xs array<struct<k:int,v:int>>")
+    out = compile_pipeline(
+        df,
+        [{"$project": {"i": 1, "m": {"$max": "$xs"}, "_id": 0}}],
+        collation=CI,
+    ).collect()
+    assert out[0].m.k == 2
+
+
+def test_resolved_string_refusal_omits_var_hint(mats):
+    # type WAS resolved (plain array<string> element): the message must
+    # not carry the $$var-unresolvable parenthetical (ADVICE r12)
+    with pytest.raises(PipelineError) as ei:
+        compile_pipeline(
+            mats,
+            [{"$project": {"bad": {
+                "$map": {"input": "$smat", "as": "r",
+                         "in": {"$max": "$$r"}}}}}],
+            collation=CI,
+        )
+    assert "$$var" not in str(ei.value)
+
+
+def test_let_var_named_types_binds(mats):
+    # a user variable literally named "_types" must bind as a var, not
+    # collide with _bind's types kwarg (ADVICE r12)
+    out = compile_pipeline(
+        mats,
+        [{"$project": {"i": 1, "m": {
+            "$let": {"vars": {"_types": {"$arrayElemAt": ["$mat", 0]}},
+                     "in": {"$max": "$$_types"}}}, "_id": 0}}],
+        collation=CI,
+    ).collect()
+    got = {r.i: r.m for r in out}
+    assert got == {1: 3, 2: 7}
