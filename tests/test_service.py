@@ -1,0 +1,292 @@
+"""Service transport layer (r13, VERDICT r12 task 2).
+
+The reference is a microservice (SURVEY §0/§3.3): clients drive
+create/route/query/drop over a process boundary. `OlapService.handle`
+is the engine-side dispatch; `serve_stdio`/`serve_socket` are the
+transports. Tested three ways:
+
+- in-process: every op + the full error taxonomy, request-id echo,
+  rows-payload shape (limit/truncated, Decimal/timestamp wire forms);
+- subprocess over stdio: a real second Python process runs
+  `python -m mongo_olap_spark.service` end-to-end through
+  create → explain-route → query (cube-served) → drop;
+- local TCP socket: same protocol through serve_socket.
+"""
+
+from __future__ import annotations
+
+import json
+import socket
+import subprocess
+import sys
+
+import pytest
+
+from mongo_olap_spark.engine import OlapEngine
+from mongo_olap_spark.service import OlapService, serve_socket, serve_stdio
+
+SF = "/root/testdata/sf0.001"
+
+PIPE = [{"$group": {"_id": {"et": "$event_type"},
+                    "n": {"$sum": 1},
+                    "total": {"$sum": "$value"}}}]
+
+
+@pytest.fixture()
+def service(spark, tmp_path):
+    return OlapService(OlapEngine(spark, str(tmp_path)), SF)
+
+
+# ---------------------------------------------------------------------------
+# in-process: ops + taxonomy
+# ---------------------------------------------------------------------------
+
+def test_ping_echoes_id(service):
+    r = service.handle({"id": 42, "op": "ping"})
+    assert r == {"id": 42, "ok": True, "result": "pong"}
+
+
+def test_unknown_op_bad_request(service):
+    r = service.handle({"id": 1, "op": "frobnicate"})
+    assert not r["ok"] and r["error"]["code"] == "bad_request"
+    assert "query_pipeline" in r["error"]["message"]  # ops listed
+
+
+def test_non_object_request_bad_request(service):
+    r = service.handle([1, 2])
+    assert not r["ok"] and r["error"]["code"] == "bad_request"
+
+
+def test_missing_field_bad_request(service):
+    r = service.handle({"id": 2, "op": "query_pipeline", "source": "events"})
+    assert not r["ok"] and r["error"]["code"] == "bad_request"
+    assert "pipeline" in r["error"]["message"]
+
+
+def test_unknown_source_not_found(service):
+    r = service.handle({"op": "query_pipeline", "source": "nope",
+                        "pipeline": PIPE})
+    assert not r["ok"] and r["error"]["code"] == "not_found"
+    assert "nope" in r["error"]["message"]
+
+
+def test_unknown_cube_drop_not_found(service):
+    r = service.handle({"op": "drop_cube", "name": "ghost"})
+    assert not r["ok"] and r["error"]["code"] == "not_found"
+
+
+def test_refused_stage_maps_to_refused(service):
+    r = service.handle({"op": "query_pipeline", "source": "events",
+                        "pipeline": [{"$indexStats": {}}]})
+    assert not r["ok"] and r["error"]["code"] == "refused"
+    assert "$indexStats" in r["error"]["message"]
+
+
+def test_validation_error_maps_to_invalid(service):
+    r = service.handle({"op": "query"})  # neither cube= nor source=
+    assert not r["ok"] and r["error"]["code"] == "invalid"
+
+
+def test_bad_limit_invalid(service):
+    r = service.handle({"op": "query_pipeline", "source": "events",
+                        "pipeline": PIPE, "limit": -1})
+    assert not r["ok"] and r["error"]["code"] == "invalid"
+
+
+def test_query_pipeline_rows_payload(service, events):
+    r = service.handle({"id": "q1", "op": "query_pipeline",
+                        "source": "events", "pipeline": PIPE})
+    assert r["ok"] and r["id"] == "q1"
+    p = r["result"]
+    assert p["columns"] == ["et", "n", "total"]
+    assert p["row_count"] == len(p["rows"])
+    assert not p["truncated"]
+    truth = {row["event_type"]: row["n"] for row in
+             events.groupBy("event_type").count()
+             .withColumnRenamed("count", "n").collect()}
+    got = {row[0]: row[1] for row in p["rows"]}
+    assert got == truth
+    # decimal-exact sums cross the wire as strings, not lossy floats
+    tot_type = p["types"][p["columns"].index("total")]
+    if tot_type.startswith("decimal"):
+        assert all(isinstance(row[2], str) for row in p["rows"])
+
+
+def test_limit_truncates_and_flags(service):
+    r = service.handle({"op": "query_pipeline", "source": "events",
+                        "pipeline": PIPE, "limit": 2})
+    assert r["ok"]
+    assert r["result"]["row_count"] == 2 and r["result"]["truncated"]
+
+
+def test_timestamps_serialize_iso(service):
+    r = service.handle({"op": "query_pipeline", "source": "events",
+                        "pipeline": [{"$sort": {"ts": 1}}, {"$limit": 1},
+                                     {"$project": {"ts": 1, "_id": 0}}]})
+    assert r["ok"]
+    ts = r["result"]["rows"][0][0]
+    assert isinstance(ts, str) and "T" in ts
+
+
+def test_full_lifecycle_create_route_query_drop(service):
+    create = service.handle({"op": "create_cube_from_pipeline",
+                             "name": "svc_cube", "source": "events",
+                             "pipeline": PIPE})
+    assert create["ok"] and create["result"]["cells"] > 0
+    assert "svc_cube" in service.handle(
+        {"op": "list_cubes"})["result"]
+
+    exp = service.handle({"op": "explain", "source": "events",
+                          "pipeline": PIPE})
+    assert exp["ok"] and exp["result"]["route"]["cube"] == "svc_cube"
+
+    direct = service.handle({"op": "query_pipeline", "source": "events",
+                             "pipeline": PIPE})
+    assert direct["ok"]
+
+    drop = service.handle({"op": "drop_cube", "name": "svc_cube"})
+    assert drop["ok"] and drop["result"] == {"dropped": "svc_cube"}
+    after = service.handle({"op": "explain", "source": "events",
+                            "pipeline": PIPE})
+    assert after["result"]["route"]["cube"] is None
+
+    # answers agree cube-served vs source-served (the routing contract)
+    fallback = service.handle({"op": "query_pipeline", "source": "events",
+                               "pipeline": PIPE})
+    assert sorted(map(tuple, direct["result"]["rows"])) == \
+        sorted(map(tuple, fallback["result"]["rows"]))
+
+
+def test_materialize_and_read_collection(service):
+    r = service.handle({"op": "materialize", "source": "events",
+                        "pipeline": PIPE + [{"$out": "svc_out"}]})
+    assert r["ok"] and r["result"]["version"] >= 1
+    rd = service.handle({"op": "read_collection", "name": "svc_out"})
+    assert rd["ok"] and rd["result"]["row_count"] > 0
+    missing = service.handle({"op": "read_collection", "name": "ghost"})
+    assert missing["error"]["code"] == "not_found"
+
+
+def test_query_direct_cube_mode(service):
+    service.handle({"op": "create_cube_from_pipeline", "name": "c2",
+                    "source": "events", "pipeline": PIPE})
+    r = service.handle({"op": "query", "cube": "c2", "group_by": ["et"],
+                        "measures": ["n"]})
+    assert r["ok"] and r["result"]["columns"] == ["et", "n"]
+    missing = service.handle({"op": "query", "cube": "ghost"})
+    assert missing["error"]["code"] == "not_found"
+    badm = service.handle({"op": "query", "cube": "c2",
+                           "group_by": ["et"], "measures": ["nope"]})
+    assert badm["error"]["code"] == "not_found"
+
+
+# ---------------------------------------------------------------------------
+# stdio transport (in-process pipe — EOF + shutdown paths)
+# ---------------------------------------------------------------------------
+
+def test_serve_stdio_loop_and_shutdown(service):
+    import io
+
+    reqs = "\n".join(json.dumps(r) for r in [
+        {"id": 1, "op": "ping"},
+        "not-even-an-object",
+        {"id": 2, "op": "shutdown"},
+        {"id": 3, "op": "ping"},  # after shutdown: must not be served
+    ])
+    out = io.StringIO()
+    serve_stdio(service, infile=io.StringIO(reqs), outfile=out)
+    lines = [json.loads(x) for x in out.getvalue().splitlines()]
+    assert [x.get("id") for x in lines] == [1, None, 2]
+    assert lines[0]["ok"] and lines[2]["result"] == "bye"
+    assert lines[1]["error"]["code"] == "bad_request"
+
+
+def test_serve_stdio_bad_json_line(service):
+    import io
+
+    out = io.StringIO()
+    serve_stdio(service, infile=io.StringIO("{nope\n"), outfile=out)
+    resp = json.loads(out.getvalue())
+    assert resp["error"]["code"] == "bad_request"
+    assert "bad JSON" in resp["error"]["message"]
+
+
+# ---------------------------------------------------------------------------
+# socket transport
+# ---------------------------------------------------------------------------
+
+def test_socket_round_trip(service):
+    import threading
+
+    server = serve_socket(service, port=0)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        with socket.create_connection(("127.0.0.1", port), timeout=30) as s:
+            f = s.makefile("rw", encoding="utf-8")
+            for req, check in [
+                ({"id": 1, "op": "ping"},
+                 lambda r: r["result"] == "pong"),
+                ({"id": 2, "op": "query_pipeline", "source": "events",
+                  "pipeline": PIPE},
+                 lambda r: r["ok"] and r["result"]["row_count"] > 0),
+                ({"id": 3, "op": "drop_cube", "name": "ghost"},
+                 lambda r: r["error"]["code"] == "not_found"),
+            ]:
+                f.write(json.dumps(req) + "\n")
+                f.flush()
+                resp = json.loads(f.readline())
+                assert resp["id"] == req["id"] and check(resp), resp
+    finally:
+        server.shutdown()
+        server.server_close()
+
+
+# ---------------------------------------------------------------------------
+# subprocess over stdio — the real process boundary, end to end
+# ---------------------------------------------------------------------------
+
+@pytest.mark.slow
+def test_subprocess_stdio_lifecycle(tmp_path):
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "mongo_olap_spark.service",
+         "--data-dir", SF, "--root", str(tmp_path / "root"),
+         "--master", "local[2]", "--shuffle-partitions", "4"],
+        stdin=subprocess.PIPE, stdout=subprocess.PIPE,
+        stderr=subprocess.DEVNULL, text=True, cwd="/root/repo",
+    )
+
+    def rpc(req):
+        proc.stdin.write(json.dumps(req) + "\n")
+        proc.stdin.flush()
+        line = proc.stdout.readline()
+        assert line, "service died"
+        return json.loads(line)
+
+    try:
+        assert rpc({"id": 0, "op": "ping"})["result"] == "pong"
+        c = rpc({"id": 1, "op": "create_cube_from_pipeline",
+                 "name": "subproc_cube", "source": "events",
+                 "pipeline": PIPE})
+        assert c["ok"] and c["result"]["cells"] > 0
+        e = rpc({"id": 2, "op": "explain", "source": "events",
+                 "pipeline": PIPE})
+        assert e["result"]["route"]["cube"] == "subproc_cube"
+        q = rpc({"id": 3, "op": "query_pipeline", "source": "events",
+                 "pipeline": PIPE})
+        assert q["ok"] and q["result"]["columns"] == ["et", "n", "total"]
+        assert q["result"]["row_count"] > 0
+        bad = rpc({"id": 4, "op": "query_pipeline", "source": "events",
+                   "pipeline": [{"$indexStats": {}}]})
+        assert bad["error"]["code"] == "refused"
+        d = rpc({"id": 5, "op": "drop_cube", "name": "subproc_cube"})
+        assert d["ok"]
+        assert rpc({"id": 6, "op": "list_cubes"})["result"] == []
+        assert rpc({"id": 7, "op": "shutdown"})["result"] == "bye"
+        proc.stdin.close()
+        assert proc.wait(timeout=120) == 0
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+            proc.wait()
