@@ -160,18 +160,27 @@ class _bind:
         _VAR_TYPE_SCOPE.pop()
 
 
-#: aggregate-command collation scope (r7): a stack of booleans — True
-#: while compiling under a case-insensitive collation (strength 2).
-#: Same single-threaded-plan-construction argument as _VAR_SCOPE.
-_COLLATION_SCOPE: list[bool] = []
+#: aggregate-command collation scope (r7; strengths r13): a stack of
+#: ints — 0 while compiling binary, 2 under case-insensitive
+#: (strength 2), 1 under diacritic+case-insensitive (strength 1,
+#: primary weight). Same single-threaded-plan-construction argument
+#: as _VAR_SCOPE.
+_COLLATION_SCOPE: list[int] = []
 
 
 def _ci() -> bool:
+    """True under ANY non-binary collation — every strength-2 rewrite
+    seam applies identically at strength 1 (primary weight subsumes
+    case insensitivity); only the image function differs."""
     return bool(_COLLATION_SCOPE and _COLLATION_SCOPE[-1])
 
 
+def _strength() -> int:
+    return _COLLATION_SCOPE[-1] if _COLLATION_SCOPE else 0
+
+
 class _collation_scope:
-    def __init__(self, ci: bool):
+    def __init__(self, ci: int):
         self.ci = ci
 
     def __enter__(self):
@@ -179,6 +188,69 @@ class _collation_scope:
 
     def __exit__(self, *exc):
         _COLLATION_SCOPE.pop()
+
+
+# -- collation image (r13, VERDICT r12 task 4) ------------------------------
+#
+# Strength 2 compares through the lower() image. Strength 1 (primary
+# weight) additionally folds diacritics, UCA/DUCET-style: a letter
+# whose NFD canonical decomposition is one ASCII base plus combining
+# marks is primary-equal to the base (á≡a); letters WITHOUT a
+# canonical decomposition (ø, đ, ł, þ …) keep their own primary
+# weight in the DUCET and are deliberately NOT folded; the classic
+# DUCET primary expansions ß→ss, æ→ae, œ→oe apply. The modeled
+# repertoire is Latin U+00C0–U+024F plus combining marks
+# U+0300–U+036F (deleted, so NFD-decomposed data folds identically);
+# anything outside compares binary — both the column image
+# (lower→replace→translate, whole-stage codegen, no UDF) and the
+# Python literal image apply the SAME finite table, so the two sides
+# agree by construction.
+
+def _build_s1_table() -> tuple[str, str]:
+    import unicodedata
+
+    src, dst = [], []
+    for cp in range(0x00C0, 0x0250):
+        ch = chr(cp).lower()
+        if len(ch) != 1 or ch in src:
+            continue
+        decomp = unicodedata.normalize("NFD", ch)
+        base = "".join(c for c in decomp if not unicodedata.combining(c))
+        if base != ch and len(base) == 1 and base.isascii():
+            src.append(ch)
+            dst.append(base)
+    # combining marks append AFTER the mapped pairs: translate()
+    # deletes src chars beyond len(dst)
+    marks = "".join(chr(cp) for cp in range(0x0300, 0x0370))
+    return "".join(src) + marks, "".join(dst)
+
+
+_S1_SRC, _S1_DST = _build_s1_table()
+_S1_MAP = dict(zip(_S1_SRC, list(_S1_DST) + [""] * (len(_S1_SRC) - len(_S1_DST))))
+_S1_EXPANSIONS = (("ß", "ss"), ("æ", "ae"), ("œ", "oe"))
+
+
+def _fold_col(col: Column) -> Column:
+    """The active collation's image of a string column: lower() at
+    strength 2; lower→expansions→translate diacritic fold at
+    strength 1. Pure built-in string expressions — stays inside
+    whole-stage codegen, no UDF, no extra shuffle."""
+    col = F.lower(col)
+    if _strength() != 1:
+        return col
+    for a, b in _S1_EXPANSIONS:
+        col = F.replace(col, F.lit(a), F.lit(b))
+    return F.translate(col, _S1_SRC, _S1_DST)
+
+
+def _fold_lit(s: str) -> str:
+    """Python-side image of a literal — same table as :func:`_fold_col`."""
+    s = s.lower()
+    if _strength() != 1:
+        return s
+    for a, b in _S1_EXPANSIONS:
+        s = s.replace(a, b)
+    return "".join(_S1_MAP.get(c, c) for c in s)
 
 
 #: the DataFrame the current stage's expressions compile against —
@@ -343,20 +415,24 @@ _COLLATION_CI_STAGES = frozenset({
 })
 
 
-def _parse_collation(collation) -> bool:
+def _parse_collation(collation) -> int:
     """Validate an aggregate-command ``collation`` document; return
-    True when it compiles to the case-insensitive lower()-image
-    rewrite, False for binary (``simple``) compare.
+    the modeled strength: 0 for binary (``simple``) compare, 2 for
+    the case-insensitive lower()-image rewrite, 1 for the
+    diacritic+case-insensitive primary-weight fold (r13).
 
     Modeled surface: ``{locale: "simple"}`` → pass-through;
     ``{locale: "en", strength: 2}`` → case-insensitive via
     ``lower()`` images of $match predicates, $group keys and $sort
-    keys. Everything else (other locales' ICU tailorings, strength 1
-    diacritic folding, strength ≥3 tertiary ordering, non-default
-    option flags) refuses by name.
+    keys; ``{locale: "en", strength: 1}`` → the same seams through
+    the DUCET-style diacritic fold of :func:`_fold_col` (documented
+    Latin repertoire; un-decomposable letters keep their own primary
+    weight, exactly as in the DUCET). Everything else (other locales'
+    ICU tailorings, strength ≥3 tertiary ordering, non-default option
+    flags) refuses by name.
     """
     if collation is None:
-        return False
+        return 0
     if not (isinstance(collation, dict) and "locale" in collation):
         raise PipelineError("collation must be a document with a 'locale'")
     for k, v in collation.items():
@@ -377,23 +453,19 @@ def _parse_collation(collation) -> bool:
             raise PipelineError(
                 "collation locale 'simple' is binary compare; "
                 "strength other than the default 3 is meaningless")
-        return False
+        return 0
     if loc == "en":
-        if strength == 2:
-            return True
-        if strength == 1:
-            raise PipelineError(
-                "collation strength 1 (diacritic-insensitive primary "
-                "weight) needs ICU folding the engine does not model; "
-                "strength 2 (case-insensitive) is supported")
+        if strength in (1, 2):
+            return strength
         raise PipelineError(
-            f"collation locale 'en' supports strength 2 only "
-            f"(case-insensitive lower()-image); got {strength!r} — "
-            f"ICU tertiary ordering is not modeled")
+            f"collation locale 'en' supports strength 2 "
+            f"(case-insensitive lower()-image) and strength 1 "
+            f"(diacritic+case-insensitive primary fold); got "
+            f"{strength!r} — ICU tertiary ordering is not modeled")
     raise PipelineError(
-        f"collation locale {loc!r} is not supported; supported: "
-        f"'simple' (binary) and 'en' with strength 2 "
-        f"(case-insensitive)")
+        f"collation locale {loc!r} is not supported (its ICU "
+        f"tailoring cannot be honestly reproduced); supported: "
+        f"'simple' (binary) and 'en' with strength 2 or 1")
 
 
 def _collate_pair(col: Column, v):
@@ -406,7 +478,7 @@ def _collate_pair(col: Column, v):
     if not _ci():
         return col, v
     if isinstance(v, str):
-        return F.lower(col), v.lower()
+        return _fold_col(col), _fold_lit(v)
     if isinstance(v, (list, tuple)) and any(
             isinstance(x, str) for x in v):
         # only $eq/$ne/ordering against an array LITERAL land here;
@@ -435,7 +507,7 @@ def _collate_in(col: Column, v) -> Column:
             "collation: $in/$nin over a mixed string/non-string "
             "member list is not collation-rewritten; split into an "
             "$or of per-type clauses or drop the collation")
-    pred = F.lower(col).isin(*[s.lower() for s in strs])
+    pred = _fold_col(col).isin(*[_fold_lit(s) for s in strs])
     if None in v:
         pred = pred | col.isNull()
     return pred
@@ -455,7 +527,7 @@ def _collate_member_op(op: str, col: Column, v) -> Column:
         # elementwise lower() of the ARRAY column (F.lower on the
         # array itself would be a type error)
         return _MATCH_OPS["$all"](
-            F.transform(col, F.lower), [x.lower() for x in v])
+            F.transform(col, _fold_col), [_fold_lit(x) for x in v])
     pred = _collate_in(col, list(v))
     if op == "$in":
         return pred
@@ -875,8 +947,8 @@ def _ci_expr_in(spec: Any) -> Column:
         ]
         if len(lits) == len(members) and members:
             return F.array_contains(
-                F.array(*[F.lit(m.lower()) for m in lits]),
-                F.lower(compile_expr(needle)),
+                F.array(*[F.lit(_fold_lit(m)) for m in lits]),
+                _fold_col(compile_expr(needle)),
             )
         if not any(isinstance(m, str) for m in members):
             return F.array_contains(
@@ -2266,7 +2338,7 @@ def _compile_one_stage(
                 # key breaks CI ties deterministically (Mongo leaves
                 # the within-class order unspecified)
                 order_cols.append(
-                    F.lower(F.col(k)) if asc else F.desc(F.lower(F.col(k))))
+                    _fold_col(F.col(k)) if asc else F.desc(_fold_col(F.col(k))))
             order_cols.append(F.col(k) if asc else F.desc(k))
         df = df.orderBy(*order_cols)
     elif name == "$limit":
@@ -2297,7 +2369,7 @@ def _compile_one_stage(
             # CI collation: one group per lower()-image class; the
             # surfaced _id is the class's binary-minimum representative
             df = (
-                df.groupBy(F.lower(e).alias("__ci_id"))
+                df.groupBy(_fold_col(e).alias("__ci_id"))
                 .agg(F.min(e).alias("_id"),
                      F.count(F.lit(1)).alias("count"))
                 .orderBy(F.desc("count"), "__ci_id", "_id")
@@ -2801,7 +2873,7 @@ def _group(df: DataFrame, spec: dict, sort_keys) -> DataFrame:
             for k, v in id_spec.items():
                 e = compile_expr(v)
                 if _is_string_expr(df, e):
-                    group_cols.append(F.lower(e).alias(f"__ci_{k}"))
+                    group_cols.append(_fold_col(e).alias(f"__ci_{k}"))
                     rep_aggs.append(F.min(e).alias(k))
                 else:
                     group_cols.append(e.alias(k))
@@ -2820,7 +2892,7 @@ def _group(df: DataFrame, spec: dict, sort_keys) -> DataFrame:
         )
     key = compile_expr(id_spec)
     if _ci() and _is_string_expr(df, key):
-        out = df.groupBy(F.lower(key).alias("__ci_id")).agg(
+        out = df.groupBy(_fold_col(key).alias("__ci_id")).agg(
             F.min(key).alias("_id"), *aggs)
         return out.select(
             "_id", *[c for c in out.columns if c not in ("__ci_id", "_id")])
@@ -2933,9 +3005,9 @@ def _lookup(df: DataFrame, spec: dict, collections) -> DataFrame:
                 "be honored on one side only — cast the keys to a "
                 "common string type or drop the collation")
         ci_keys = ls and fs
-    _kx = (lambda c: F.lower(c)) if ci_keys else (lambda c: c)
+    _kx = (lambda c: _fold_col(c)) if ci_keys else (lambda c: c)
     _kxa = (
-        (lambda c: F.array_distinct(F.transform(c, F.lower)))
+        (lambda c: F.array_distinct(F.transform(c, _fold_col)))
         if ci_keys else (lambda c: F.array_distinct(c))
     )
 
@@ -3563,7 +3635,7 @@ def _current_collation() -> dict | None:
     sub-pipeline stage ($facet / $unionWith). Without this the
     recursive compile would push ci=False and the sub-pipeline would
     silently run binary under a requested CI collation (r10)."""
-    return {"locale": "en", "strength": 2} if _ci() else None
+    return {"locale": "en", "strength": _strength()} if _ci() else None
 
 
 def _union_with(df: DataFrame, spec, collections) -> DataFrame:
@@ -3604,14 +3676,14 @@ def _bucket(df: DataFrame, spec: dict) -> DataFrame:
                 "collation: $bucket with string boundaries over a "
                 "non-string groupBy never brackets any document; fix "
                 "the groupBy type or drop the collation")
-        lowered = [b.lower() for b in bounds]
+        lowered = [_fold_lit(b) for b in bounds]
         if any(a >= b for a, b in zip(lowered, lowered[1:])):
             raise PipelineError(
                 "collation: $bucket boundaries are not strictly "
                 "increasing under the case-insensitive collation "
                 "(lower()-image collision or reorder); adjust the "
                 "boundaries or drop the collation")
-        cmp_expr, cmp_bounds = F.lower(group_expr), lowered
+        cmp_expr, cmp_bounds = _fold_col(group_expr), lowered
     bucket = None
     for (lo, hi), out_id in zip(
         zip(cmp_bounds, cmp_bounds[1:]), bounds
@@ -3659,7 +3731,7 @@ def _bucket_auto(df: DataFrame, spec: dict) -> DataFrame:
         # e.g. rank "Banana" before "apple". The range split keys on
         # the lower() image, so a CI class never straddles a range.
         bucketed = scalable_ntile(
-            df.withColumn("__bkey_ci", F.lower(group_expr))
+            df.withColumn("__bkey_ci", _fold_col(group_expr))
             .withColumn("__bkey", group_expr),
             n, ["__bkey_ci", "__bkey"], bucket_col="__bucket",
         ).drop("__bkey_ci", "__bkey")
@@ -3667,8 +3739,8 @@ def _bucket_auto(df: DataFrame, spec: dict) -> DataFrame:
         # the (lower(v), v)-least/greatest member, so the surfaced
         # representative is deterministic as well
         id_struct = F.struct(
-            F.min_by(group_expr, F.struct(F.lower(group_expr), group_expr)).alias("min"),
-            F.max_by(group_expr, F.struct(F.lower(group_expr), group_expr)).alias("max"),
+            F.min_by(group_expr, F.struct(_fold_col(group_expr), group_expr)).alias("min"),
+            F.max_by(group_expr, F.struct(_fold_col(group_expr), group_expr)).alias("max"),
         ).alias("_id")
     else:
         bucketed = scalable_ntile(
@@ -4371,7 +4443,7 @@ def _window_spec(spec: dict, need_order: bool, df: DataFrame | None = None,
             raise PipelineError("$setWindowFields partitionBy must be a field path")
         p = part[1:]
         if _ci() and df is not None and _is_string_path(df, p):
-            keys.append(F.lower(F.col(p)))
+            keys.append(_fold_col(F.col(p)))
         else:
             keys.append(p)
     w = W.partitionBy(*keys) if keys else W.partitionBy()
@@ -4380,7 +4452,7 @@ def _window_spec(spec: dict, need_order: bool, df: DataFrame | None = None,
         for k, v in sort.items():
             asc = v >= 0
             if _ci() and df is not None and _is_string_path(df, k):
-                img = F.lower(F.col(k))
+                img = _fold_col(F.col(k))
                 order_cols.append(img if asc else F.desc(img))
                 if rank_ties:
                     continue
@@ -4429,7 +4501,7 @@ def _range_frame(window: dict, spec: dict, df: DataFrame):
     if keys and _ci() and _is_string_path(df, keys[0]):
         # CI collation: one window partition per lower()-image class
         # (mirrors _window_spec, r10)
-        keys = [F.lower(F.col(keys[0]))]
+        keys = [_fold_col(F.col(keys[0]))]
     w = W.partitionBy(*keys) if keys else W.partitionBy()
     t_ms = (_swf_sort_key(spec, df) * 1000).cast("long")
     return w.orderBy(t_ms).rangeBetween(

@@ -1057,6 +1057,72 @@ def q_collation_window(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# X7'' (r13): strength-1 collation — diacritic+case-insensitive primary
+# fold end-to-end. Accented case variants are synthesized from the
+# segment column (translate to á/é/í/ó/ú on one residue class, upper
+# on another), then $match($in) / $group / $sort run at strength 1:
+# all variants of a segment collapse into ONE primary class. The
+# DuckDB twin spells the fold as lower(strip_accents(...)) — identical
+# on this repertoire (pure combining-mark accents, no expansions or
+# undecomposable letters).
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_collation_diacritics",
+    oracle="""
+    WITH base AS (
+        SELECT CASE
+                 WHEN c_custkey % 3 = 0
+                   THEN translate(lower(c_mktsegment), 'aeiou', 'áéíóú')
+                 WHEN c_custkey % 3 = 1 THEN lower(c_mktsegment)
+                 ELSE c_mktsegment
+               END AS seg,
+               c_acctbal
+        FROM customer
+    ),
+    g AS (
+        SELECT min(seg) AS _id,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               __DSUM__ AS bal
+        FROM base
+        WHERE lower(strip_accents(seg)) IN ('building', 'machinery')
+        GROUP BY lower(strip_accents(seg))
+    )
+    SELECT _id, n, bal FROM g
+    ORDER BY lower(strip_accents(_id)), _id
+    """.replace("__DSUM__", dsum_sql('c_acctbal')),
+)
+def q_collation_diacritics(spark, sf_dir):
+    """Strength-1 collation end-to-end: diacritic-folded $in membership
+    → primary-class $group (accented/upper/lower variants collapse to
+    one class each, surfacing the binary-minimum representative) →
+    primary-order $sort. Scale note: the fold image is
+    lower→replace→translate — pure built-in string expressions inside
+    the same whole-stage-codegen span as the strength-2 lower() image;
+    no UDF, no extra shuffle, no new exchange."""
+    from mongo_olap_spark.plans.pipeline_compiler import compile_pipeline
+
+    c = load_table(spark, sf_dir, "customer")
+    base = c.select(
+        F.when(F.col("c_custkey") % 3 == 0,
+               F.translate(F.lower("c_mktsegment"), "aeiou", "áéíóú"))
+        .when(F.col("c_custkey") % 3 == 1, F.lower("c_mktsegment"))
+        .otherwise(F.col("c_mktsegment")).alias("seg"),
+        "c_acctbal",
+    )
+    return compile_pipeline(
+        base,
+        [
+            {"$match": {"seg": {"$in": ["BÚILDÍNG", "machinery"]}}},
+            {"$group": {"_id": "$seg", "n": {"$sum": 1},
+                        "bal": {"$sum": "$c_acctbal"}}},
+            {"$sort": {"_id": 1}},
+        ],
+        collation={"locale": "en", "strength": 1},
+    )
+
+
+# ---------------------------------------------------------------------------
 # S7 — $lookup with BOTH sides array-valued (r7 doc-granularity dedup
 # branch, r8: first oracle-gated query — a regression there was
 # previously invisible to CORRECTNESS). Semantics: a foreign doc

@@ -60,7 +60,6 @@ def test_simple_locale_is_binary(names):
 @pytest.mark.parametrize("collation", [
     {"strength": 2},                              # no locale
     {"locale": "en"},                             # no strength
-    {"locale": "en", "strength": 1},              # diacritic folding
     {"locale": "en", "strength": 3},              # tertiary
     {"locale": "fr", "strength": 2},              # ICU tailoring
     {"locale": "simple", "strength": 2},          # simple is binary
@@ -1000,3 +999,143 @@ def test_let_var_named_types_binds(mats):
     ).collect()
     got = {r.i: r.m for r in out}
     assert got == {1: 3, 2: 7}
+
+
+# ---------------------------------------------------------------------------
+# strength 1 — diacritic+case-insensitive primary fold (r13, VERDICT
+# r12 task 4). Same rewrite seams as strength 2; the image is
+# lower → DUCET expansions (ß/æ/œ) → canonical-decomposition base
+# fold. Letters WITHOUT a canonical decomposition (ø, ł, đ …) keep
+# their own primary weight — exactly the DUCET rule — so they must
+# NOT collapse onto their look-alikes.
+# ---------------------------------------------------------------------------
+
+S1 = {"locale": "en", "strength": 1}
+
+
+@pytest.fixture(scope="module")
+def accents(spark):
+    return spark.createDataFrame(
+        [("café", 1), ("CAFE", 2), ("Cafe", 3), ("café", 4),  # NFD
+         ("señor", 5), ("senor", 6),
+         ("straße", 7), ("strasse", 8),
+         ("Ølsen", 9), ("Olsen", 10),
+         ("æther", 11), ("aether", 12)],
+        "s string, v int").cache()
+
+
+def test_s1_match_eq_folds_diacritics(accents):
+    out = compile_pipeline(
+        accents, [{"$match": {"s": "café"}}], collation=S1).collect()
+    # precomposed, upper, title AND NFD-decomposed forms all match
+    assert sorted(r.v for r in out) == [1, 2, 3, 4]
+
+
+def test_s1_match_in_membership(accents):
+    out = compile_pipeline(
+        accents, [{"$match": {"s": {"$in": ["SEÑOR", "strasse"]}}}],
+        collation=S1).collect()
+    assert sorted(r.v for r in out) == [5, 6, 7, 8]
+
+
+def test_s1_group_collapses_primary_classes(accents):
+    out = compile_pipeline(
+        accents,
+        [{"$group": {"_id": "$s", "n": {"$sum": 1}}},
+         {"$sort": {"_id": 1}}],
+        collation=S1).collect()
+    got = {r._id: r.n for r in out}
+    # binary-min representative per primary class
+    assert got == {"CAFE": 4, "senor": 2, "strasse": 2,
+                   "Olsen": 1, "Ølsen": 1, "aether": 2}
+
+
+def test_s1_undecomposable_letters_keep_primary(accents):
+    # ø has NO canonical decomposition: DUCET gives it its own primary
+    # weight, so Ølsen ≠ Olsen at strength 1 (folding it would be the
+    # dishonest over-approximation the refuse-loudly convention bans)
+    out = compile_pipeline(
+        accents, [{"$match": {"s": "ølsen"}}], collation=S1).collect()
+    assert sorted(r.v for r in out) == [9]
+
+
+def test_s1_expansions(accents):
+    # DUCET primary expansions: ß≡ss, æ≡ae
+    out = compile_pipeline(
+        accents, [{"$match": {"s": "STRASSE"}}], collation=S1).collect()
+    assert sorted(r.v for r in out) == [7, 8]
+    out = compile_pipeline(
+        accents, [{"$match": {"s": "Æther"}}], collation=S1).collect()
+    assert sorted(r.v for r in out) == [11, 12]
+
+
+def test_s1_sort_primary_order(accents):
+    out = compile_pipeline(
+        accents,
+        [{"$match": {"s": {"$in": ["café", "señor", "Ølsen"]}}},
+         {"$group": {"_id": "$s", "n": {"$sum": 1}}},
+         {"$sort": {"_id": 1}}],
+        collation=S1).collect()
+    # primary order: cafe < senor < ølsen (ø sorts by its own char)
+    assert [r._id for r in out] == ["CAFE", "senor", "Ølsen"]
+
+
+def test_s1_lookup_joins_on_fold(spark, accents):
+    dim = spark.createDataFrame(
+        [("CAFE", "coffee"), ("senor", "person")], "k string, tag string")
+    out = compile_pipeline(
+        accents,
+        [{"$match": {"v": {"$lte": 6}}},
+         {"$lookup": {"from": "dim", "localField": "s",
+                      "foreignField": "k", "as": "m"}},
+         {"$project": {"v": 1, "n": {"$size": "$m"}, "_id": 0}}],
+        collections={"dim": dim}, collation=S1).collect()
+    got = {r.v: r.n for r in out}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1}
+
+
+def test_s1_bucket_brackets_on_fold(accents):
+    out = compile_pipeline(
+        accents,
+        [{"$bucket": {"groupBy": "$s", "boundaries": ["a", "p", "z"],
+                      "default": "other"}}],
+        collation=S1).collect()
+    got = {r._id: r["count"] for r in out}
+    # cafe/aether/Olsen fold under [a,p); señor/straße under [p,z);
+    # Ølsen's image keeps ø (own primary), whose codepoint sorts
+    # after z in the image order — default bucket (image-order
+    # semantics, same codepoint ordering the strength-2 lower()
+    # image uses)
+    assert got == {"a": 7, "p": 4, "other": 1}
+
+
+def test_s1_window_partitions_by_fold(accents):
+    out = compile_pipeline(
+        accents,
+        [{"$setWindowFields": {"partitionBy": "$s",
+                               "sortBy": {"v": 1},
+                               "output": {"k": {"$documentNumber": {}}}}},
+         {"$match": {"k": 1}},
+         {"$project": {"v": 1, "_id": 0}}],
+        collation=S1).collect()
+    # one rank-1 doc per primary class → 6 classes
+    assert sorted(r.v for r in out) == [1, 5, 7, 9, 10, 11]
+
+
+def test_s1_string_extremum_still_refuses(accents):
+    with pytest.raises(PipelineError, match="compare binary"):
+        compile_pipeline(
+            accents,
+            [{"$group": {"_id": None, "m": {"$max": "$s"}}}],
+            collation=S1)
+
+
+def test_s1_explain_sub_pipeline_inherits_strength(spark, accents):
+    # $facet/$unionWith recompile with _current_collation(): strength
+    # must survive the round-trip (not degrade to 2)
+    out = compile_pipeline(
+        accents,
+        [{"$facet": {"a": [{"$match": {"s": "café"}},
+                           {"$count": "n"}]}}],
+        collation=S1).collect()
+    assert out[0].a[0].n == 4
