@@ -43,7 +43,13 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from mongo_olap_spark.cube.spec import _GRANULARITIES, CubeSpec, Dimension, Measure
+from mongo_olap_spark.cube.spec import (
+    _DEFAULT_MAX_ITEMS,
+    _GRANULARITIES,
+    CubeSpec,
+    Dimension,
+    Measure,
+)
 from mongo_olap_spark.plans.router import AggregateRequest
 
 _GRAN_ORDER = {g: i for i, g in enumerate(_GRANULARITIES)}  # later = finer
@@ -56,6 +62,30 @@ class WorkloadQuery:
 
     request: AggregateRequest
     weight: float = 1.0
+
+
+@dataclass(frozen=True)
+class SketchAlternative:
+    """A FLAGGED bounded-state alternative for a query whose exact
+    two-level cube busts the cell budget (r13, VERDICT r12 task 5).
+
+    The exact routes for count-distinct / quantiles / top-k need the
+    measured column as a raw dimension — O(groups × column
+    cardinality) cells. When that cannot be afforded, the sketch
+    measure family answers the same question from O(groups) cells at
+    a documented error envelope. The advisor never auto-picks these
+    (the exact-vs-approximate trade is the operator's to make): the
+    recommendation is surfaced here with its envelope, and the
+    operator opts in by creating ``spec`` explicitly."""
+
+    query_index: int
+    #: cells the EXACT two-level candidate would have needed
+    exact_cells: int
+    #: ready-to-create sketch cube spec (bounded state per cell)
+    spec: CubeSpec
+    est_cells: int
+    #: per-measure error envelope, e.g. "u ≈ HLL lgk=12: ±1.6% rsd"
+    error_envelope: tuple[str, ...]
 
 
 @dataclass
@@ -72,6 +102,9 @@ class Advice:
     #: merged candidates dropped by ``max_candidates`` (each query's own
     #: signature is never dropped — ADVICE r8: no silent truncation)
     dropped_candidates: int = 0
+    #: flagged bounded-state recommendations for budget-priced-out
+    #: special-family queries — never auto-applied (r13)
+    sketch_alternatives: list[SketchAlternative] = field(default_factory=list)
 
     @property
     def coverage(self) -> float:
@@ -454,6 +487,46 @@ def advise(
         else:
             assignment[qi] = None
     chosen = [specs[ci] for ci in picked]
+
+    # 6. budget pressure on special-family queries (r13, VERDICT r12
+    # task 5): a count-distinct / quantile / top-k query left
+    # UNASSIGNED because its exact two-level candidate no longer fits
+    # the remaining budget gets a FLAGGED bounded-state alternative —
+    # the sketch-measure cube over the query's own group-by dims
+    # (O(groups) cells instead of O(groups × cardinality)), with its
+    # error envelope spelled out. Never auto-picked: exactness is the
+    # operator's trade to make.
+    sketch_alts: list[SketchAlternative] = []
+    if cell_budget is not None:
+        remaining = cell_budget - spent
+        pending = []
+        for qi, w in enumerate(wl):
+            if assignment[qi] is not None:
+                continue
+            own_spec = specs[cands.index(sigs[qi])]
+            if est[own_spec.name] <= remaining:
+                continue  # priced out it is not — some other refusal
+            alt = _sketch_spec(f"adv_sketch_{qi}", w.request)
+            if alt is not None:
+                pending.append((qi, est[own_spec.name], *alt))
+        if pending:
+            by_src: dict[str, list[int]] = {}
+            for i, (_, _, spec, _) in enumerate(pending):
+                by_src.setdefault(spec.source, []).append(i)
+            alt_cells: dict[int, int] = {}
+            for src, idxs in by_src.items():
+                counts, _ = estimate_cells_and_rows(
+                    sources[src], [pending[i][2] for i in idxs],
+                    sample_fraction=sample_fraction,
+                )
+                for i, c in zip(idxs, counts):
+                    alt_cells[i] = c
+            for i, (qi, exact_cells, spec, envelope) in enumerate(pending):
+                sketch_alts.append(SketchAlternative(
+                    query_index=qi, exact_cells=exact_cells, spec=spec,
+                    est_cells=alt_cells[i], error_envelope=envelope,
+                ))
+
     return Advice(
         cubes=chosen,
         assignment=assignment,
@@ -461,7 +534,92 @@ def advise(
         covered_weight=covered,
         total_weight=total_w,
         dropped_candidates=dropped,
+        sketch_alternatives=sketch_alts,
     )
+
+
+#: default HLL lgConfigK for flagged distinct alternatives (Spark's
+#: own hll_sketch_agg default): rsd ≈ 1.04 / sqrt(2^lgk)
+_SKETCH_LGK = 12
+#: default histogram bin count for flagged quantile alternatives
+_SKETCH_NBINS = 256
+
+
+def _sketch_spec(name: str, req: AggregateRequest) -> tuple[CubeSpec, tuple[str, ...]] | None:
+    """The bounded-state sketch twin of a special-family request, plus
+    its per-measure error envelope — or None when the request carries
+    a family with no honest sketch in the measure vocabulary
+    ($minN/$maxN order statistics and $topN/$bottomN-by-sort payloads
+    have no bounded mergeable summary here; offering one would be the
+    silent-approximation the refuse-loudly convention bans)."""
+    dims, seen = [], set()
+    for g in req.group_by:
+        path, gran = g if isinstance(g, tuple) else (g, None)
+        dn = _slug(path) if gran is None else f"{_slug(path)}_{gran}"
+        while dn in seen:
+            dn += "_"
+        seen.add(dn)
+        dims.append(Dimension(dn, path=path, granularity=gran))
+    meas: list[Measure] = [Measure("count_docs", "count")]
+    envelope: list[str] = []
+    for m in req.measures:
+        if isinstance(m, str):
+            return None
+        mname, op, *rest = m
+        path = rest[0] if rest else None
+        mn = _slug(mname)
+        while mn in seen:
+            mn += "_"
+        seen.add(mn)
+        if op == "count_distinct":
+            meas.append(Measure(mn, "distinct", path, lgk=_SKETCH_LGK))
+            rsd = 1.04 / math.sqrt(2 ** _SKETCH_LGK)
+            envelope.append(
+                f"{mn}: HLL lgk={_SKETCH_LGK} — ±{rsd:.1%} relative "
+                "standard error; union-mergeable, NOT delete-retractable "
+                "(deletes trigger bounded cell rescan)")
+        elif op == "quantile_exact":
+            # lo/hi are domain decisions the advisor cannot make from
+            # shape alone — the flagged spec ships with nbins and the
+            # formulaic envelope; the operator fills lo/hi from the
+            # column's domain before creating it. Spec-level
+            # validation enforces lo < hi at create time, so emit a
+            # unit placeholder range that MUST be edited (documented
+            # in the envelope, loudly).
+            meas.append(Measure(mn, "quantile", path, lo=0.0, hi=1.0,
+                                nbins=_SKETCH_NBINS))
+            envelope.append(
+                f"{mn}: fixed-bin histogram nbins={_SKETCH_NBINS} — "
+                "error ≤ one bin width (hi−lo)/nbins for in-range mass; "
+                "PLACEHOLDER lo=0, hi=1 — set lo/hi from the column's "
+                "domain before creating (out-of-range mass clamps to "
+                "the range edge); retractable under deletes")
+        elif op == "topn":
+            k = rest[1] if len(rest) > 1 else 5
+            meas.append(Measure(mn, "topk", path, k=int(k)))
+            envelope.append(
+                f"{mn}: bounded frequent-items map k={int(k)}, "
+                f"max_items={_DEFAULT_MAX_ITEMS} — EXACT while per-cell "
+                "cardinality ≤ max_items; beyond that, mergeable-summary "
+                "frequency error (Agarwal et al., PODS'12); not "
+                "delete-retractable")
+        elif op in ("count", "sum", "avg", "min", "max", "var_pop",
+                    "var_samp", "stddev_pop", "stddev_samp"):
+            if op in ("var_pop", "var_samp", "stddev_pop", "stddev_samp"):
+                meas.append(Measure(mn, "var_pop", path))
+            elif op == "count":
+                meas.append(Measure(mn, "count"))
+            else:
+                meas.append(Measure(mn, op, path))
+        else:
+            return None  # min_n/max_n/top_by/bottom_by: no honest sketch
+    if len(envelope) == 0:
+        return None  # nothing special-family — budget pressure on a
+        # plain aggregate has no sketch answer
+    return CubeSpec(
+        name=name, source=req.source, filter_sql=req.filter_sql or None,
+        dimensions=tuple(dims), measures=tuple(meas),
+    ), tuple(envelope)
 
 
 def _default_router_check(spec: CubeSpec, req: AggregateRequest) -> bool:

@@ -569,3 +569,84 @@ def test_engine_advise_cubes_special_family_pipelines(spark, events, tmp_path):
                                      "v": {"$push": "$value"}}}])],
             {"events": events},
         )
+
+
+# ---------------------------------------------------------------------------
+# r13 (VERDICT r12 task 5): budget pressure on special-family queries
+# — when the exact two-level cube busts the cell budget, the advice
+# carries a FLAGGED bounded-state sketch alternative with its error
+# envelope; never auto-picked.
+# ---------------------------------------------------------------------------
+
+def test_sketch_alternative_under_budget_pressure(spark, events):
+    wl = [AggregateRequest(
+        source="events", group_by=("event_type",),
+        measures=(("nu", "count_distinct", "user_id"),))]
+    # a budget well under the (event_type, user_id) two-level cell
+    # count: the exact candidate cannot be afforded
+    adv = advise(wl, {"events": events}, cell_budget=10)
+    assert adv.assignment[0] is None and adv.cubes == []
+    assert len(adv.sketch_alternatives) == 1
+    alt = adv.sketch_alternatives[0]
+    assert alt.query_index == 0
+    assert alt.exact_cells > 10  # why it was priced out
+    spec = alt.spec
+    assert {d.source_path for d in spec.dimensions} == {"event_type"}
+    ops = {m.op for m in spec.measures}
+    assert "distinct" in ops
+    (dm,) = [m for m in spec.measures if m.op == "distinct"]
+    assert dm.path == "user_id" and dm.lgk == 12
+    assert any("HLL" in e and "%" in e for e in alt.error_envelope)
+    # bounded state: O(groups), far under the exact candidate
+    assert alt.est_cells < alt.exact_cells
+    # the flagged spec is genuinely creatable and queryable
+    cells = build_cube(spark, spec, events)
+    assert cells.count() == events.select("event_type").distinct().count()
+
+
+def test_sketch_alternative_quantile_and_topn(spark, events):
+    wl = [
+        AggregateRequest(source="events", group_by=("event_type",),
+                         measures=(("p50", "quantile_exact", "value", 0.5),)),
+        AggregateRequest(source="events", group_by=("event_type",),
+                         measures=(("top", "topn", "user_id", 3),)),
+    ]
+    adv = advise(wl, {"events": events}, cell_budget=10)
+    alts = {a.query_index: a for a in adv.sketch_alternatives}
+    assert set(alts) == {0, 1}
+    qm = [m for m in alts[0].spec.measures if m.op == "quantile"][0]
+    assert qm.nbins == 256 and "PLACEHOLDER" in " ".join(alts[0].error_envelope)
+    tm = [m for m in alts[1].spec.measures if m.op == "topk"][0]
+    assert tm.path == "user_id" and tm.k == 3
+    assert any("max_items" in e for e in alts[1].error_envelope)
+
+
+def test_no_sketch_alternative_for_min_n(spark, events):
+    # $minN has no bounded mergeable summary in the measure vocabulary
+    # — offering one would be a silent approximation; the advice stays
+    # empty-handed (and honest) for that query
+    wl = [AggregateRequest(
+        source="events", group_by=("event_type",),
+        measures=(("lo", "min_n", "user_id", 2),))]
+    adv = advise(wl, {"events": events}, cell_budget=10)
+    assert adv.assignment[0] is None
+    assert adv.sketch_alternatives == []
+
+
+def test_no_sketch_alternative_when_budget_suffices(spark, events):
+    wl = [AggregateRequest(
+        source="events", group_by=("event_type",),
+        measures=(("nu", "count_distinct", "user_id"),))]
+    adv = advise(wl, {"events": events}, cell_budget=10_000_000)
+    assert adv.assignment[0] is not None
+    assert adv.sketch_alternatives == []
+
+
+def test_no_sketch_alternative_without_budget(spark, events):
+    # only BUDGET pressure triggers the flag — with no budget the
+    # exact candidate is always recommendable
+    wl = [AggregateRequest(
+        source="events", group_by=("event_type",),
+        measures=(("nu", "count_distinct", "user_id"),))]
+    adv = advise(wl, {"events": events})
+    assert adv.sketch_alternatives == []
