@@ -283,6 +283,21 @@ def simhash_signatures(
     return votes.select("id", sig.alias("sig"))
 
 
+#: byte-popcount lookup for the vectorized Hamming verify (numpy
+#: <2.0 has no bitwise_count)
+_POP8 = None
+
+
+def _pop8():
+    global _POP8
+    if _POP8 is None:
+        import numpy as np
+
+        _POP8 = np.unpackbits(
+            np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(1)
+    return _POP8
+
+
 def simhash_near_dup_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -293,7 +308,24 @@ def simhash_near_dup_pairs(
 ) -> DataFrame:
     """SimHash near-dup pairs: band the 64-bit signature into
     ``num_bands`` chunks (pigeonhole: distance ≤ max_hamming < num_bands
-    ⇒ some band identical), join per band, verify Hamming distance."""
+    ⇒ some band identical), then verify Hamming distance WITHIN each
+    (band, key) bucket.
+
+    r13 scale fix (sf10 decade probe): the old per-band candidate
+    self-join materialized every within-bucket pair THROUGH THE
+    SHUFFLE, and SimHash band keys are heavily skewed on real corpora
+    (similar docs vote similarly, so band values cluster — at 500k
+    synth docs the hottest 16-bit bucket held 13k docs ≈ 86M pairs per
+    band); the join's shuffle filled the disk. Verification now runs
+    inside the bucket: group by (band_id, band_key), one chunked
+    vectorized XOR + byte-popcount pass per bucket (Arrow
+    ``applyInPandas``), emitting ONLY pairs within ``max_hamming`` —
+    shuffle is O(postings), output O(answer). The within-bucket
+    pairwise term is inherent to pigeonhole banding (every same-key
+    pair must be distance-checked); it survives only as in-memory
+    vectorized CPU with a ~byte-ops constant, not as shuffle I/O."""
+    import pandas as pd  # noqa: F401 (Arrow path requirement)
+
     bits_per = 64 // num_bands
     base = simhash_signatures(docs, id_col, text_col)
     band_cols = []
@@ -309,27 +341,70 @@ def simhash_near_dup_pairs(
     banded = base.select("id", "sig", F.explode(F.array(*band_cols)).alias("band")).select(
         "id", "sig", "band.band_id", "band.band_key"
     )
-    a, b = banded.alias("a"), banded.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    return (
-        cand.withColumn("hamming", hamming64(F.col("sig_a"), F.col("sig_b")))
-        .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
-    )
+
+    def _bucket_pairs(ids, sigs, pop, out_a, out_b, out_h):
+        n = len(ids)
+        # chunk rows so the (chunk, n) XOR matrix stays ~128 MB even in
+        # a pathological bucket
+        chunk = max(64, (1 << 24) // n)
+        import numpy as np
+
+        for s in range(0, n, chunk):
+            x = sigs[s:s + chunk, None] ^ sigs[None, :]
+            h = pop[x.view(np.uint8)].reshape(x.shape[0], n, 8).sum(
+                axis=-1, dtype=np.int16)
+            keep_a, keep_b = np.nonzero(
+                (h <= max_hamming) & (ids[None, :] > ids[s:s + chunk, None]))
+            out_a.append(ids[s + keep_a])
+            out_b.append(ids[keep_b])
+            out_h.append(h[keep_a, keep_b].astype(np.int32))
+
+    def verify(batches):
+        # one pandas invocation per PARTITION, not per bucket: the key
+        # space is ~num_bands·2^bits_per buckets and per-group pandas
+        # overhead at 262k tiny groups dominated the wall (measured:
+        # applyInPandas 36 s vs 14 s at sf1) — so buckets co-locate via
+        # repartition(keys) and split in numpy inside the partition
+        import numpy as np
+        import pandas as pd
+
+        pdfs = list(batches)
+        empty = pd.DataFrame({
+            "id_a": np.array([], dtype=np.int64),
+            "id_b": np.array([], dtype=np.int64),
+            "hamming": np.array([], dtype=np.int32)})
+        if not pdfs:
+            yield empty
+            return
+        pdf = pd.concat(pdfs, ignore_index=True)
+        bid = pdf["band_id"].to_numpy(dtype=np.int64)
+        bkey = pdf["band_key"].to_numpy(dtype=np.int64)
+        ids = pdf["id"].to_numpy(dtype=np.int64)
+        sigs = pdf["sig"].to_numpy(dtype=np.int64)
+        order = np.lexsort((bkey, bid))
+        bid, bkey, ids, sigs = bid[order], bkey[order], ids[order], sigs[order]
+        cuts = np.flatnonzero((np.diff(bid) != 0) | (np.diff(bkey) != 0)) + 1
+        pop = _pop8()
+        out_a, out_b, out_h = [], [], []
+        for lo, hi in zip(np.r_[0, cuts], np.r_[cuts, len(ids)]):
+            if hi - lo >= 2:
+                _bucket_pairs(ids[lo:hi], sigs[lo:hi], pop,
+                              out_a, out_b, out_h)
+        if not out_a:
+            yield empty
+            return
+        yield pd.DataFrame({
+            "id_a": np.concatenate(out_a),
+            "id_b": np.concatenate(out_b),
+            "hamming": np.concatenate(out_h),
+        })
+
+    shuffle_parts = int(docs.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions", "32"))
+    pairs = banded.repartition(
+        shuffle_parts, "band_id", "band_key"
+    ).mapInPandas(verify, schema="id_a long, id_b long, hamming int")
+    return pairs.dropDuplicates(["id_a", "id_b"])
 
 
 def connected_components(

@@ -65,6 +65,9 @@ def test_no_rowwise_python_udf_in_native_queries(spark):
         "q_multimodal",
         "q_multimodal_decode",  # injected codec + pixel stats, both Arrow by design
         "q_dedup_embedding",
+        "q_dedup_simhash",  # r13: per-bucket vectorized Hamming verify
+        # (Arrow by design — the banded candidate JOIN materialized
+        # O(bucket²) shuffle rows on skewed band keys and died at sf10)
         "q_ivf_knn",
         "q_window_ema",
     )
