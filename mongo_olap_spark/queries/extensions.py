@@ -165,7 +165,30 @@ def q_dedup_ngram(spark, sf_dir):
 
 def _ngram_pairs(corpus, threshold: float = 0.5):
     """Exact Jaccard near-dup pairs over an inverted shingle index
-    (the q_dedup_ngram plan, factored for reuse by group resolution)."""
+    (the q_dedup_ngram plan, factored for reuse by group resolution).
+
+    The plan is a postings self-join + streaming count aggregate: the
+    join's row count is the candidate mass Σ_g df(g)², and every row
+    flows through a map-side-combined hash aggregate — nothing
+    per-pair is ever materialized (the r13 probe tried the
+    prefix-filter + array-verify alternative (SSJoin/PPJoin) and the
+    per-candidate ARRAY join wrote ~230 GB of shuffle at sf10; the
+    streaming count shape is strictly better here because candidates
+    sharing ≥1 rare shingle are the dominant mass, not hot-shingle
+    skew — the hottest prefix shingle at 500k docs has df=51).
+
+    r13 probe attribution — the growth law: the candidate mass is quadratic in
+      corpus density at FIXED vocabulary (df ∝ n ⇒ Σ df² ∝ n²/|grams|
+      — measured 19.1M at 50k docs → 1.57G at 500k = 82× across the
+      10× decade; wall grew 28×, sub-linear in the mass). This is the
+      cost of EXACT Jaccard semantics, not a plan defect; real
+      corpora grow vocabulary with size (Heaps' law) and sit far
+      below this synthetic fixed-vocab bound, and the documented
+      unbounded-corpus path is MinHash LSH (q_dedup_minhash: 3.2×
+      across the same decade). A length filter (t·|A| ≤ |B| ≤ |A|/t)
+      was tried and REMOVED: attaching n_sh to every posting row cost
+      3× at sf1 while the join's row production — not the aggregate —
+      is the bottleneck, so it bought nothing at sf10."""
     posts = dd.shingle_posts(corpus, ("doc_id", "source"), "text", 3)
     nsh = posts.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = posts.alias("a"), posts.alias("b")
