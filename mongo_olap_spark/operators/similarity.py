@@ -279,8 +279,8 @@ def embedding_near_dup_pairs(
     round_digits: int = 5,
     strategy: str = "auto",
     broadcast_limit: int = BROADCAST_LIMIT,
-    bits: int = 16,
-    num_bands: int = 4,
+    bits: int | None = None,
+    num_bands: int | None = None,
     dim: int = 64,
     seed: int = 42,
 ) -> DataFrame:
@@ -296,17 +296,50 @@ def embedding_near_dup_pairs(
     - ``"bucketed"`` — scale: SRP band keys block the corpus; each
       (band, key) bucket runs the same BLAS verify via
       ``applyInPandas``. No driver-side collect, shuffle O(n·bands);
-      recall follows the SRP banding curve (approximate — tune
-      bits/num_bands for the target threshold).
+      recall follows the SRP banding curve (approximate).
     - ``"auto"`` — one ``count()`` picks: ≤ ``broadcast_limit`` rows →
       exact broadcast; larger → bucketed. This is the size-based
       cutover of VERDICT r1 next-steps #1b.
+
+    ``bits``/``num_bands`` default to OCCUPANCY-ADAPTIVE sizing (r13,
+    sf10 probe): the old fixed 16-bit/4-band setting gave 4-bit band
+    keys — 16 buckets per band — so bucket occupancy, and with it the
+    per-bucket quadratic BLAS verify, grew linearly with the corpus
+    (52× wall across the 10× decade). The band width now targets
+    ~1000 vectors per bucket (``bits_per = log2(n/1000)``), making
+    per-band verify work ~linear in n, and the band count is chosen
+    from the SRP collision model ``p = 1 − arccos(t)/π`` to keep
+    banding recall ≥ 95% at the requested threshold
+    (``num_bands = ln(0.05)/ln(1 − p^bits_per)``, clamped to [4, 32])
+    — total work ∝ n^(1+log2(p⁻¹)·ε), sub-quadratic. Sizing needs one
+    plan-time ``count()`` (the same pattern as the adaptive range
+    join); pass explicit bits/num_bands to skip it.
     """
+    n = None
     if strategy == "auto":
-        strategy = "broadcast" if emb.count() <= broadcast_limit else "bucketed"
+        n = emb.count()
+        strategy = "broadcast" if n <= broadcast_limit else "bucketed"
     if strategy == "broadcast":
         return _near_dup_broadcast(emb, id_col, vec_col, threshold, round_digits)
     if strategy == "bucketed":
+        if bits is None or num_bands is None:
+            import math
+
+            if n is None:
+                n = emb.count()
+            p = 1.0 - math.acos(max(-1.0, min(1.0, threshold))) / math.pi
+            bits_per = max(4, math.ceil(math.log2(max(n, 1) / 1000.0)))
+            band_p = p ** bits_per
+            if num_bands is None:
+                # band_p ≈ 1 (threshold → 1): every qualifying pair
+                # collides in any band — the minimum band count holds
+                num_bands = (
+                    4 if band_p >= 1.0 - 1e-12 else
+                    max(4, min(32, math.ceil(
+                        math.log(0.05) / math.log(1.0 - band_p))))
+                )
+            if bits is None:
+                bits = bits_per * num_bands
         return _near_dup_bucketed(
             emb, id_col, vec_col, threshold, round_digits,
             bits=bits, num_bands=num_bands, dim=dim, seed=seed,
