@@ -47,6 +47,9 @@ Ops:
     explain            {source, pipeline}         → route/stages/refusals
     materialize        {source, pipeline}         → {version}
     read_collection    {name, limit?}             → rows payload
+    apply_cdc          {cube, batch, batch_id?}   → {applied}
+    advise             {workload, cell_budget?, apply?}
+                                                  → advice document
     shutdown                                      → "bye" (loop exits)
 
 Rows payload: {"columns": [...], "types": [simpleString...],
@@ -237,6 +240,76 @@ class OlapService:
             raise LookupError(
                 f"unknown collection {req['name']!r}") from None
         return self._rows_payload(df, req.get("limit", _DEFAULT_LIMIT))
+
+    def _op_apply_cdc(self, req):
+        """Apply one CDC batch (§3.2's entry point over the wire):
+        ``batch`` is a list of JSON documents carrying the source's
+        columns plus ``mult`` (+1 insert / −1 delete; an update is the
+        ±1 pair). Rows coerce against the SOURCE schema (ISO
+        timestamps/dates parsed) so wire ingestion and file ingestion
+        agree on types. createDataFrame, not an RDD: the service stays
+        inside the Connect-compatible API surface."""
+        from pyspark.sql.types import (
+            DateType,
+            IntegerType,
+            StructField,
+            StructType,
+            TimestampType,
+        )
+
+        name = _field(req, "cube")
+        spec = self.engine.catalog.get_spec(name)
+        rows = _field(req, "batch")
+        if not isinstance(rows, list) or not rows:
+            raise ValueError("apply_cdc: batch must be a non-empty list "
+                             "of {doc columns..., mult: ±1} objects")
+        batch_id = req.get("batch_id", 0)
+        src = self._source_df(spec.source)
+        schema = StructType(
+            list(src.schema.fields) + [StructField("mult", IntegerType())])
+
+        def coerce(v, dt):
+            if isinstance(v, str) and isinstance(dt, TimestampType):
+                return _dt.datetime.fromisoformat(v)
+            if isinstance(v, str) and isinstance(dt, DateType):
+                return _dt.date.fromisoformat(v)
+            return v
+
+        data = [
+            tuple(coerce(r.get(f.name), f.dataType) for f in schema.fields)
+            for r in rows
+        ]
+        batch = self.engine.spark.createDataFrame(data, schema)
+        self.engine.apply_cdc(name, batch, batch_id, source_for_repair=src)
+        return {"cube": name, "applied": len(rows), "batch_id": batch_id}
+
+    def _op_advise(self, req):
+        """Advisor over the wire: ``workload`` entries are
+        ``[source, pipeline]`` or ``[source, pipeline, weight]`` (the
+        same shapes ``OlapEngine.advise_cubes`` takes)."""
+        wl = [tuple(e) for e in _field(req, "workload")]
+        sources = {e[0]: self._source_df(e[0]) for e in wl}
+        advice = self.engine.advise_cubes(
+            wl, sources,
+            cell_budget=req.get("cell_budget"),
+            sample_fraction=req.get("sample_fraction"),
+            apply=bool(req.get("apply", False)),
+        )
+        return {
+            "cubes": [json.loads(c.to_json()) for c in advice.cubes],
+            "assignment": {str(k): v for k, v in advice.assignment.items()},
+            "est_cells": advice.est_cells,
+            "coverage": advice.coverage,
+            "dropped_candidates": advice.dropped_candidates,
+            "sketch_alternatives": [
+                {"query_index": a.query_index,
+                 "exact_cells": a.exact_cells,
+                 "spec": json.loads(a.spec.to_json()),
+                 "est_cells": a.est_cells,
+                 "error_envelope": list(a.error_envelope)}
+                for a in advice.sketch_alternatives
+            ],
+        }
 
     def _op_shutdown(self, req):
         return "bye"

@@ -290,3 +290,46 @@ def test_subprocess_stdio_lifecycle(tmp_path):
         if proc.poll() is None:
             proc.kill()
             proc.wait()
+
+
+def test_apply_cdc_over_the_wire(service, events):
+    service.handle({"op": "create_cube_from_pipeline", "name": "cdc_cube",
+                    "source": "events", "pipeline": PIPE})
+    before = service.handle({"op": "query", "cube": "cdc_cube",
+                             "group_by": ["et"], "measures": ["n"]})
+    b = {row[0]: row[1] for row in before["result"]["rows"]}
+    et = sorted(b)[0]
+    r = service.handle({"op": "apply_cdc", "cube": "cdc_cube",
+                        "batch": [{"event_id": 999999901,
+                                   "ts": "2024-01-02T03:04:05",
+                                   "event_type": et, "user_id": 7,
+                                   "value": 1.5, "mult": 1},
+                                  {"event_id": 999999902,
+                                   "ts": "2024-01-02T03:04:06",
+                                   "event_type": et, "user_id": 7,
+                                   "value": 2.5, "mult": 1}],
+                        "batch_id": 1})
+    assert r["ok"] and r["result"]["applied"] == 2
+    after = service.handle({"op": "query", "cube": "cdc_cube",
+                            "group_by": ["et"], "measures": ["n"]})
+    a = {row[0]: row[1] for row in after["result"]["rows"]}
+    assert a[et] == b[et] + 2
+    bad = service.handle({"op": "apply_cdc", "cube": "cdc_cube",
+                          "batch": []})
+    assert bad["error"]["code"] == "invalid"
+
+
+def test_advise_over_the_wire(service):
+    r = service.handle({"op": "advise",
+                        "workload": [["events", PIPE, 2.0]]})
+    assert r["ok"], r
+    out = r["result"]
+    assert len(out["cubes"]) == 1 and out["coverage"] == 1.0
+    assert out["cubes"][0]["source"] == "events"
+    assert out["assignment"]["0"] == out["cubes"][0]["name"]
+    # budget pressure on a special family surfaces the flagged sketch
+    r2 = service.handle({"op": "advise", "cell_budget": 5, "workload": [
+        ["events", [{"$group": {"_id": {"et": "$event_type"},
+                                "u": {"$addToSet": "$user_id"}}},
+                    {"$project": {"u": {"$size": "$u"}}}]]]})
+    assert r2["ok"], r2
