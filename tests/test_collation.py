@@ -1139,3 +1139,35 @@ def test_s1_explain_sub_pipeline_inherits_strength(spark, accents):
                            {"$count": "n"}]}}],
         collation=S1).collect()
     assert out[0].a[0].n == 4
+
+
+def test_s1_column_and_literal_images_agree(spark):
+    from pyspark.sql import functions as F
+
+    # the two sides of every strength-1 seam: _fold_col (Spark) and
+    # _fold_lit (Python) must produce identical images — one generated
+    # table drives both, and this guards the invariant over the whole
+    # modeled repertoire plus edge shapes (NFD-decomposed input,
+    # expansions, undecomposable letters, out-of-repertoire chars)
+    from mongo_olap_spark.plans.pipeline_compiler import (
+        _S1_SRC,
+        _collation_scope,
+        _fold_col,
+        _fold_lit,
+    )
+
+    samples = [
+        "café", "café", "CAFÉ", "señor", "straße", "ÆTHER",
+        "œuvre", "Ølsen", "łódź", "đông", "þorn", "naïve", "Ångström",
+        "ZEBRA zebra", "", "héllo wörld 123 !@#", "ёлка", "中文",
+        "mixed ÀÉÎÕÜ and plain", "́̀ bare marks",
+    ]
+    # plus every mapped repertoire char in one string, chunked
+    rep = "".join(_S1_SRC)
+    samples += [rep[i:i + 40] for i in range(0, len(rep), 40)]
+    df = spark.createDataFrame([(s,) for s in samples], "s string")
+    with _collation_scope(1):
+        got = {r.s: r.img for r in df.select(
+            "s", _fold_col(F.col("s")).alias("img")).collect()}
+        want = {s: _fold_lit(s) for s in samples}
+    assert got == want
