@@ -179,6 +179,70 @@ class OlapEngine:
                 self.catalog.create(spec, sources[spec.source])
         return advice
 
+    def apply_sketch_alternative(
+        self,
+        alt,
+        source: DataFrame,
+        *,
+        quantile_ranges: dict[str, tuple[float, float]] | None = None,
+    ) -> CubeSpec:
+        """Opt into a FLAGGED :class:`~mongo_olap_spark.plans.advisor.
+        SketchAlternative` (r14, VERDICT r13 task 6): materialize its
+        bounded-state spec so the router serves the priced-out query
+        from the sketch cube within the declared error envelope. The
+        advisor never auto-picks these — exactness is the operator's
+        trade to make; this method IS that opt-in.
+
+        Opting in has TWO explicit halves (the router never silently
+        degrades an exact ask to a sketch — that invariant stays):
+        materialize the spec here, then re-issue the query with the
+        sketch ops (count_distinct→distinct, quantile_exact→quantile,
+        topn→topk); ``plans.advisor.approx_request`` rewrites a
+        request's measures accordingly.
+
+        Quantile measures in a flagged spec carry PLACEHOLDER lo=0/hi=1
+        (the histogram range is a domain decision the advisor cannot
+        make from shape alone). Pass ``quantile_ranges={measure_name:
+        (lo, hi)}`` to set them, or leave None and the ranges are
+        auto-filled from ONE min/max scan of the source (the honest
+        default: the true domain, so no mass clamps; note a later
+        out-of-range insert still clamps per the envelope). Returns the
+        spec actually created (with ranges resolved)."""
+        import dataclasses
+
+        spec = alt.spec if hasattr(alt, "spec") else alt
+        q_meas = [m for m in spec.measures if m.op == "quantile"]
+        if q_meas:
+            ranges = dict(quantile_ranges or {})
+            missing = [m for m in q_meas if m.name not in ranges]
+            if missing:
+                aggs = []
+                for m in missing:
+                    aggs.append(F.min(F.expr(m.path)).alias(f"{m.name}__lo"))
+                    aggs.append(F.max(F.expr(m.path)).alias(f"{m.name}__hi"))
+                [row] = source.agg(*aggs).collect()
+                for m in missing:
+                    lo = row[f"{m.name}__lo"]
+                    hi = row[f"{m.name}__hi"]
+                    if lo is None or hi is None:
+                        raise ValueError(
+                            f"apply_sketch_alternative: cannot auto-range "
+                            f"quantile measure {m.name!r} — column "
+                            f"{m.path!r} is all-NULL; pass quantile_ranges")
+                    lo, hi = float(lo), float(hi)
+                    if not lo < hi:
+                        # constant column: any 1-wide range holds it
+                        hi = lo + 1.0
+                    ranges[m.name] = (lo, hi)
+            spec = dataclasses.replace(spec, measures=tuple(
+                dataclasses.replace(m, lo=ranges[m.name][0],
+                                    hi=ranges[m.name][1])
+                if m.op == "quantile" else m
+                for m in spec.measures
+            ))
+        self.catalog.create(spec, source)
+        return spec
+
     def list_cubes(self) -> list[str]:
         return self.catalog.list_cubes()
 
@@ -191,10 +255,12 @@ class OlapEngine:
 
     # -- incremental maintenance ------------------------------------------
     def apply_cdc(self, cube: str, batch: DataFrame, batch_id: int,
-                  source_for_repair: DataFrame | None = None) -> None:
-        """Apply one CDC batch (doc columns + mult ±1) synchronously."""
+                  source_for_repair: DataFrame | None = None) -> bool:
+        """Apply one CDC batch (doc columns + mult ±1) synchronously.
+        Returns True when applied, False when the idempotence watermark
+        skipped the batch as a replay (batch_id ≤ last committed)."""
         maint = self._maintainer(cube, source_for_repair)
-        maint.apply_batch(batch, batch_id)
+        return maint.apply_batch(batch, batch_id)
 
     def start_maintenance(self, cube: str, cdc_stream: DataFrame,
                           checkpoint_dir: str,

@@ -29,6 +29,7 @@ measured on SimHash at ~3× wall-time (see operators/dedup.py).
 from __future__ import annotations
 
 import hashlib
+import warnings
 from functools import reduce
 
 from pyspark.sql import DataFrame, Window as W
@@ -328,16 +329,39 @@ def embedding_near_dup_pairs(
             if n is None:
                 n = emb.count()
             p = 1.0 - math.acos(max(-1.0, min(1.0, threshold))) / math.pi
+            if p <= 0.0:
+                # threshold ≤ −1: SRP collision probability is 0 — no
+                # band count gives any recall. Refuse loudly (ADVICE
+                # r13) instead of dividing by log(1−0)=0 below; a
+                # match-everything threshold is an exact-scan ask.
+                raise ValueError(
+                    f"embedding_near_dup: threshold={threshold} gives SRP "
+                    "collision probability 0 — banding cannot bound recall; "
+                    "use strategy='broadcast' (exact) for match-all thresholds"
+                )
             bits_per = max(4, math.ceil(math.log2(max(n, 1) / 1000.0)))
             band_p = p ** bits_per
             if num_bands is None:
                 # band_p ≈ 1 (threshold → 1): every qualifying pair
                 # collides in any band — the minimum band count holds
-                num_bands = (
-                    4 if band_p >= 1.0 - 1e-12 else
-                    max(4, min(32, math.ceil(
-                        math.log(0.05) / math.log(1.0 - band_p))))
-                )
+                if band_p >= 1.0 - 1e-12:
+                    num_bands = 4
+                else:
+                    needed = math.ceil(math.log(0.05) / math.log(1.0 - band_p))
+                    num_bands = max(4, min(32, needed))
+                    if needed > 32:
+                        # the clamp binds: surface the true expected
+                        # banding recall instead of silently shipping
+                        # less than the documented ≥95% (ADVICE r13)
+                        recall = 1.0 - (1.0 - band_p) ** 32
+                        warnings.warn(
+                            f"embedding_near_dup: 32-band clamp binds at "
+                            f"threshold={threshold} (needed {needed} bands "
+                            f"for ≥95% recall); expected banding recall "
+                            f"≈{recall:.1%} — pass explicit num_bands or "
+                            "use strategy='broadcast' for exact results",
+                            stacklevel=2,
+                        )
             if bits is None:
                 bits = bits_per * num_bands
         return _near_dup_bucketed(

@@ -585,9 +585,12 @@ def _sketch_spec(name: str, req: AggregateRequest) -> tuple[CubeSpec, tuple[str,
             # column's domain before creating it. Spec-level
             # validation enforces lo < hi at create time, so emit a
             # unit placeholder range that MUST be edited (documented
-            # in the envelope, loudly).
+            # in the envelope, loudly). The REQUEST's quantile p (4th
+            # tuple element) becomes the measure's default q, so the
+            # approximate twin answers the same percentile (r14).
+            q = float(rest[1]) if len(rest) > 1 else None
             meas.append(Measure(mn, "quantile", path, lo=0.0, hi=1.0,
-                                nbins=_SKETCH_NBINS))
+                                nbins=_SKETCH_NBINS, q=q))
             envelope.append(
                 f"{mn}: fixed-bin histogram nbins={_SKETCH_NBINS} — "
                 "error ≤ one bin width (hi−lo)/nbins for in-range mass; "
@@ -605,9 +608,12 @@ def _sketch_spec(name: str, req: AggregateRequest) -> tuple[CubeSpec, tuple[str,
                 "delete-retractable")
         elif op in ("count", "sum", "avg", "min", "max", "var_pop",
                     "var_samp", "stddev_pop", "stddev_samp"):
-            if op in ("var_pop", "var_samp", "stddev_pop", "stddev_samp"):
-                meas.append(Measure(mn, "var_pop", path))
-            elif op == "count":
+            # dispersion variants all store the same (Σx, Σx², n)
+            # partials, but the spec must carry the REQUEST's own op so
+            # the flagged alternative routes/serves the priced-out query
+            # as-is (ADVICE r13 — a var_pop remap left the advertised
+            # spec not matching the original request without a rename)
+            if op == "count":
                 meas.append(Measure(mn, "count"))
             else:
                 meas.append(Measure(mn, op, path))
@@ -620,6 +626,42 @@ def _sketch_spec(name: str, req: AggregateRequest) -> tuple[CubeSpec, tuple[str,
         name=name, source=req.source, filter_sql=req.filter_sql or None,
         dimensions=tuple(dims), measures=tuple(meas),
     ), tuple(envelope)
+
+
+#: exact special-family ops → their bounded-state sketch twins
+_APPROX_OP = {"count_distinct": "distinct", "quantile_exact": "quantile",
+              "topn": "topk"}
+
+
+def approx_request(req: AggregateRequest) -> AggregateRequest:
+    """The approximate twin of a special-family request — the query to
+    send AFTER opting into a flagged :class:`SketchAlternative` (r14,
+    VERDICT r13 task 6).
+
+    The router never silently degrades an exact ask
+    (count_distinct/quantile_exact/topn) to a sketch estimate — that
+    invariant is load-bearing. Opting in therefore has TWO explicit
+    halves: materialize the flagged spec
+    (``OlapEngine.apply_sketch_alternative``) and re-issue the query
+    with the sketch ops (count_distinct→distinct,
+    quantile_exact→quantile, topn→topk). This helper does the measure
+    rewrite; a quantile's requested p rides on the sketch measure's
+    default ``q`` (set by :func:`_sketch_spec` from the same request),
+    and a topn's k stays in the request tuple."""
+    import dataclasses
+
+    meas = []
+    for m in req.measures:
+        if isinstance(m, tuple) and len(m) >= 2 and m[1] in _APPROX_OP:
+            name, op, *rest = m
+            if op == "topn":
+                meas.append((name, "topk", *rest))
+            else:
+                # path only: quantile p lives on the sketch measure's q
+                meas.append((name, _APPROX_OP[op], rest[0] if rest else None))
+        else:
+            meas.append(m)
+    return dataclasses.replace(req, measures=tuple(meas))
 
 
 def _default_router_check(spec: CubeSpec, req: AggregateRequest) -> bool:

@@ -17,8 +17,15 @@ Protocol (NDJSON — one JSON object per line, UTF-8):
                "error": {"code": "<code>", "message": "..."}}
 
 Spark's own logging goes to stderr; stdout carries protocol lines
-only. Responses are written in request order (the loop is
-synchronous — the reference's single-threaded event-loop shape).
+only. The stdio transport is synchronous — one request, one response,
+in order (the reference's single-threaded event-loop shape). The
+socket transport serves one thread per connection with a bounded
+reader-writer contract: read-only ops (query/explain/read) run
+concurrently, capped at ``_MAX_CONCURRENT_READS`` in-flight Spark
+actions (excess reads block — backpressure, not errors); mutating ops
+(create/drop/refresh/apply_cdc/materialize/advise) are exclusive, so
+a query never observes a cube mid-drop. Per-connection ordering is
+still request order (the handler loop is sequential per client).
 
 Error taxonomy (``error.code``) — the engine's refuse-loudly
 convention mapped onto wire codes, so a client can distinguish
@@ -50,6 +57,8 @@ Ops:
     apply_cdc          {cube, batch, batch_id?}   → {applied}
     advise             {workload, cell_budget?, apply?}
                                                   → advice document
+    apply_sketch_alternative {spec, quantile_ranges?}
+                                                  → {cube, cells, spec}
     shutdown                                      → "bye" (loop exits)
 
 Rows payload: {"columns": [...], "types": [simpleString...],
@@ -73,6 +82,7 @@ import base64
 import datetime as _dt
 import decimal
 import json
+import math
 import sys
 import threading
 
@@ -86,8 +96,12 @@ def _jsonable(v):
     ISO strings, Decimal → string (exactness survives the wire — the
     decimal-sum policy is the engine's correctness story; a float
     round-trip would undo it), bytes → base64, Row/struct → dict,
-    containers recursively."""
-    if v is None or isinstance(v, (bool, int, float, str)):
+    containers recursively. Non-finite floats map to null: strict JSON
+    has no NaN/Infinity tokens, and the layer's audience is non-Python
+    NDJSON clients whose parsers reject them (VERDICT r13)."""
+    if isinstance(v, float):
+        return v if math.isfinite(v) else None
+    if v is None or isinstance(v, (bool, int, str)):
         return v
     if isinstance(v, decimal.Decimal):
         return str(v)
@@ -110,6 +124,47 @@ class _BadRequest(Exception):
     protocol error (and vice versa)."""
 
 
+class _RWLock:
+    """Reader-writer lock for the service's concurrency contract
+    (VERDICT r13 task 7): read-only ops (query/explain/read) run
+    CONCURRENTLY — Spark schedules concurrent actions from multiple
+    threads fine — while mutating ops (create/drop/refresh/apply_cdc/
+    materialize/advise) are exclusive, serialized against both each
+    other and in-flight reads, so a query never observes a cube
+    mid-drop. Writer-preference is not implemented (reads are short,
+    aggregate-sized by construction); the stdio transport is a single
+    thread either way — this matters for the socket transport's
+    thread-per-connection model."""
+
+    def __init__(self):
+        self._cond = threading.Condition()
+        self._readers = 0
+        self._writer = False
+
+    def acquire_read(self):
+        with self._cond:
+            while self._writer:
+                self._cond.wait()
+            self._readers += 1
+
+    def release_read(self):
+        with self._cond:
+            self._readers -= 1
+            if not self._readers:
+                self._cond.notify_all()
+
+    def acquire_write(self):
+        with self._cond:
+            while self._writer or self._readers:
+                self._cond.wait()
+            self._writer = True
+
+    def release_write(self):
+        with self._cond:
+            self._writer = False
+            self._cond.notify_all()
+
+
 def _field(req, name):
     try:
         return req[name]
@@ -128,22 +183,47 @@ class OlapService:
     normalizes the events.ts physical forms). Resolution is cached —
     one logical plan per table per service lifetime."""
 
+    #: ops that never mutate engine state — they run under the shared
+    #: (concurrent) side of the RW lock; everything else is exclusive.
+    #: ``advise`` mutates only with apply=true, but classifying it by
+    #: request payload would make the concurrency contract data-
+    #: dependent — it stays exclusive.
+    _READ_OPS = frozenset({
+        "ping", "list_cubes", "query", "query_pipeline", "explain",
+        "read_collection",
+    })
+    #: bound on CONCURRENT read ops (socket transport): each read is a
+    #: Spark action on the shared session — a cap keeps a burst of
+    #: clients from queueing hundreds of jobs at once. Reads beyond the
+    #: cap block at the semaphore (backpressure), they don't error.
+    _MAX_CONCURRENT_READS = 8
+
     def __init__(self, engine, data_dir: str):
         self.engine = engine
         self.data_dir = data_dir
         self._sources: dict = {}
-        self._lock = threading.Lock()  # socket transport is threaded
+        self._rw = _RWLock()  # socket transport is threaded
+        self._read_slots = threading.BoundedSemaphore(
+            self._MAX_CONCURRENT_READS)
 
     # -- source resolution -------------------------------------------------
 
     def _source_df(self, name: str):
+        # concurrent readers may race on the cache dict: dict get/set
+        # are atomic under the GIL and a duplicate resolution is benign
+        # (same logical plan, last write wins) — no lock needed
         from mongo_olap_spark.sources.tables import TABLES, load_table
 
         if name in self._sources:
             return self._sources[name]
         try:
             df = self.engine.store.read(name)
-        except Exception:
+        except FileNotFoundError:
+            # only the store's missing-collection signal falls through
+            # to the table set — a genuine read failure on a
+            # materialized collection must surface as an error, not
+            # silently serve base-table data for a shadowing name
+            # (ADVICE r13)
             if name not in TABLES:
                 raise LookupError(
                     f"unknown source {name!r}: not a materialized "
@@ -236,7 +316,9 @@ class OlapService:
     def _op_read_collection(self, req):
         try:
             df = self.engine.store.read(_field(req, "name"))
-        except Exception:
+        except FileNotFoundError:
+            # missing-collection only: any other store failure is a
+            # genuine internal error, not not_found (ADVICE r13)
             raise LookupError(
                 f"unknown collection {req['name']!r}") from None
         return self._rows_payload(df, req.get("limit", _DEFAULT_LIMIT))
@@ -263,7 +345,17 @@ class OlapService:
         if not isinstance(rows, list) or not rows:
             raise ValueError("apply_cdc: batch must be a non-empty list "
                              "of {doc columns..., mult: ±1} objects")
-        batch_id = req.get("batch_id", 0)
+        # batch_id omitted → auto-increment past the cube's committed
+        # watermark, so a client streaming batches without ids never
+        # trips the idempotence skip (ADVICE r13: the old default of 0
+        # silently dropped every batch after the first while the
+        # response still claimed applied=N)
+        batch_id = req.get("batch_id")
+        if batch_id is None:
+            batch_id = self.engine.catalog.last_batch_id(name) + 1
+        elif not isinstance(batch_id, int):
+            raise _BadRequest(
+                f"apply_cdc: batch_id must be an int, got {batch_id!r}")
         src = self._source_df(spec.source)
         schema = StructType(
             list(src.schema.fields) + [StructField("mult", IntegerType())])
@@ -280,8 +372,12 @@ class OlapService:
             for r in rows
         ]
         batch = self.engine.spark.createDataFrame(data, schema)
-        self.engine.apply_cdc(name, batch, batch_id, source_for_repair=src)
-        return {"cube": name, "applied": len(rows), "batch_id": batch_id}
+        applied = self.engine.apply_cdc(
+            name, batch, batch_id, source_for_repair=src)
+        # honest wire contract: a replayed batch_id reports applied=0 +
+        # skipped_replay=true, never "rows applied" for a no-op
+        return {"cube": name, "applied": len(rows) if applied else 0,
+                "batch_id": batch_id, "skipped_replay": not applied}
 
     def _op_advise(self, req):
         """Advisor over the wire: ``workload`` entries are
@@ -311,6 +407,29 @@ class OlapService:
             ],
         }
 
+    def _op_apply_sketch_alternative(self, req):
+        """Opt into a FLAGGED sketch alternative from a prior ``advise``
+        response (r14): the client sends back the alternative's ``spec``
+        (as advertised, placeholders and all) and optionally
+        ``quantile_ranges: {measure: [lo, hi]}``; the engine resolves
+        placeholder histogram ranges (one min/max scan when omitted),
+        materializes the cube, and the priced-out query routes to it."""
+        from mongo_olap_spark.cube import CubeSpec
+
+        spec = _field(req, "spec")
+        spec = CubeSpec.from_json(
+            spec if isinstance(spec, str) else json.dumps(spec))
+        ranges = {
+            str(k): (float(v[0]), float(v[1]))
+            for k, v in (req.get("quantile_ranges") or {}).items()
+        }
+        created = self.engine.apply_sketch_alternative(
+            spec, self._source_df(spec.source),
+            quantile_ranges=ranges or None)
+        return {"cube": created.name,
+                "cells": self.engine.catalog.cell_count(created.name),
+                "spec": json.loads(created.to_json())}
+
     def _op_shutdown(self, req):
         return "bye"
 
@@ -334,8 +453,19 @@ class OlapService:
             ops = sorted(n[4:] for n in dir(self) if n.startswith("_op_"))
             return err("bad_request", f"unknown op {op!r}; ops: {ops}")
         try:
-            with self._lock:
-                result = fn(req)
+            if op in self._READ_OPS:
+                with self._read_slots:
+                    self._rw.acquire_read()
+                    try:
+                        result = fn(req)
+                    finally:
+                        self._rw.release_read()
+            else:
+                self._rw.acquire_write()
+                try:
+                    result = fn(req)
+                finally:
+                    self._rw.release_write()
         except PipelineError as e:
             return err("refused", str(e))
         except _BadRequest as e:
@@ -354,6 +484,29 @@ class OlapService:
 # ---------------------------------------------------------------------------
 # transports
 # ---------------------------------------------------------------------------
+
+def _dumps(resp: dict) -> str:
+    """Serialize one protocol line as STRICT JSON (``allow_nan=False``
+    — ``NaN``/``Infinity`` tokens are invalid JSON that non-Python
+    NDJSON clients reject at parse time, VERDICT r13). Row values are
+    already finite via :func:`_jsonable`; any non-finite float that
+    reaches here through another result shape (explain/advise
+    envelopes) is mapped to null by one recursive pass, never emitted
+    raw."""
+    try:
+        return json.dumps(resp, separators=(",", ":"), allow_nan=False)
+    except ValueError:
+        def finite(v):
+            if isinstance(v, float):
+                return v if math.isfinite(v) else None
+            if isinstance(v, dict):
+                return {k: finite(x) for k, x in v.items()}
+            if isinstance(v, (list, tuple)):
+                return [finite(x) for x in v]
+            return v
+        return json.dumps(finite(resp), separators=(",", ":"),
+                          allow_nan=False)
+
 
 def _handle_line(service: OlapService, line: str) -> tuple[dict, bool]:
     """Parse one protocol line, dispatch, and report whether the loop
@@ -380,7 +533,7 @@ def serve_stdio(service: OlapService, infile=None, outfile=None) -> None:
         if not line:
             continue
         resp, stop = _handle_line(service, line)
-        outfile.write(json.dumps(resp, separators=(",", ":")) + "\n")
+        outfile.write(_dumps(resp) + "\n")
         outfile.flush()
         if stop:
             break
@@ -402,9 +555,7 @@ def serve_socket(service: OlapService, host: str = "127.0.0.1",
                 if not line:
                     continue
                 resp, stop = _handle_line(service, line)
-                self.wfile.write(
-                    (json.dumps(resp, separators=(",", ":")) + "\n")
-                    .encode("utf-8"))
+                self.wfile.write((_dumps(resp) + "\n").encode("utf-8"))
                 self.wfile.flush()
                 if stop:
                     threading.Thread(target=server.shutdown,

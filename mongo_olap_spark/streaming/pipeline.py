@@ -63,9 +63,13 @@ class CubeMaintainer:
         self.stream_id = stream_id
 
     # -- the micro-batch body ---------------------------------------------
-    def apply_batch(self, batch: DataFrame, batch_id: int) -> None:
+    def apply_batch(self, batch: DataFrame, batch_id: int) -> bool:
+        """Apply one micro-batch. Returns True when the batch was
+        applied, False when the watermark skipped it as a replay — so a
+        caller (the service's apply_cdc, ADVICE r13) can report a
+        skipped replay honestly instead of claiming rows were applied."""
         if batch_id <= self.catalog.last_batch_id(self.spec.name, self.stream_id):
-            return  # replayed batch — idempotent skip
+            return False  # replayed batch — idempotent skip
         spec = self.spec
         levels = self.catalog.lattice_levels(spec.name)
         if levels is not None:
@@ -119,10 +123,11 @@ class CubeMaintainer:
             self.catalog.overwrite_cells(
                 spec.name, merged, batch_id=batch_id, stream_id=self.stream_id
             )
+        return True
 
     def _apply_batch_lattice(
         self, batch: DataFrame, batch_id: int, levels: list[tuple[str, ...]]
-    ) -> None:
+    ) -> bool:
         """Incremental maintenance of a multi-level (grouping-sets)
         cube: ONE signed grouping-sets aggregation of the micro-batch
         delivers deltas for every materialized level; the merge keys on
@@ -170,6 +175,7 @@ class CubeMaintainer:
             self.catalog.overwrite_cells(
                 spec.name, merged, batch_id=batch_id, stream_id=self.stream_id
             )
+        return True
 
     # -- stream wiring ------------------------------------------------------
     def start(self, cdc_stream: DataFrame, checkpoint_dir: str, **trigger):

@@ -20,6 +20,7 @@ from mongo_olap_spark.plans.advisor import (
     _merge,
     _sig_to_spec,
     advise,
+    approx_request,
     estimate_cells,
 )
 from mongo_olap_spark.plans.router import AggregateRequest, CubeRouter
@@ -650,3 +651,115 @@ def test_no_sketch_alternative_without_budget(spark, events):
         measures=(("nu", "count_distinct", "user_id"),))]
     adv = advise(wl, {"events": events})
     assert adv.sketch_alternatives == []
+
+
+# ---------------------------------------------------------------------------
+# r14 (VERDICT r13 task 6 + ADVICE r13): opting INTO a flagged sketch
+# alternative — the spec carries the request's own ops, materializes,
+# routes, and serves within its declared envelope.
+# ---------------------------------------------------------------------------
+
+def test_sketch_alternative_preserves_dispersion_op(spark, events):
+    # ADVICE r13: var/stddev variants share (Σx, Σx², n) storage but
+    # the flagged spec must carry the REQUEST's op so the advertised
+    # alternative serves the priced-out query as-is, no rename needed
+    wl = [AggregateRequest(
+        source="events", group_by=("event_type",),
+        measures=(("nu", "count_distinct", "user_id"),
+                  ("sd", "stddev_samp", "value")))]
+    adv = advise(wl, {"events": events}, cell_budget=10)
+    (alt,) = adv.sketch_alternatives
+    (sd,) = [m for m in alt.spec.measures if m.name == "sd"]
+    assert sd.op == "stddev_samp" and sd.path == "value"
+
+
+def test_apply_sketch_alternative_distinct_routes_and_serves(
+        spark, events, tmp_path):
+    from mongo_olap_spark.engine import OlapEngine
+
+    engine = OlapEngine(spark, str(tmp_path))
+    req = AggregateRequest(
+        source="events", group_by=("event_type",),
+        measures=(("nu", "count_distinct", "user_id"),))
+    adv = advise([req], {"events": events}, cell_budget=10)
+    assert adv.assignment[0] is None  # priced out
+    (alt,) = adv.sketch_alternatives
+
+    created = engine.apply_sketch_alternative(alt, events)
+    assert created.name in engine.list_cubes()
+
+    # the EXACT ask still refuses to degrade (load-bearing invariant) —
+    # opting in means asking the sketch op explicitly
+    assert engine.router.route(req).cube is None
+    approx = approx_request(req)
+    assert approx.measures == (("nu", "distinct", "user_id"),)
+    decision = engine.router.route(approx)
+    assert decision.cube == created.name, decision.reason
+
+    # ...and serves within the declared HLL envelope (lgk=12 →
+    # rsd ≈ 1.6%; assert 3σ ≈ 5%)
+    got = {r["event_type"]: r["nu"]
+           for r in engine.query(source="events",
+                                 group_by=["event_type"],
+                                 measures=list(approx.measures),
+                                 source_df=events).collect()}
+    exact = {r["event_type"]: r["nu"]
+             for r in events.groupBy("event_type")
+             .agg(F.countDistinct("user_id").alias("nu")).collect()}
+    assert set(got) == set(exact)
+    for et, e in exact.items():
+        assert abs(got[et] - e) <= max(1, 0.05 * e), (et, got[et], e)
+
+
+def test_apply_sketch_alternative_quantile_auto_ranges(
+        spark, events, tmp_path):
+    from mongo_olap_spark.engine import OlapEngine
+
+    engine = OlapEngine(spark, str(tmp_path))
+    req = AggregateRequest(
+        source="events", group_by=("event_type",),
+        measures=(("p50", "quantile_exact", "value", 0.5),))
+    adv = advise([req], {"events": events}, cell_budget=10)
+    (alt,) = adv.sketch_alternatives
+    (qm0,) = [m for m in alt.spec.measures if m.op == "quantile"]
+    assert (qm0.lo, qm0.hi) == (0.0, 1.0)  # the advertised placeholder
+
+    created = engine.apply_sketch_alternative(alt, events)
+    (qm,) = [m for m in created.measures if m.op == "quantile"]
+    [row] = events.agg(F.min("value").alias("lo"),
+                       F.max("value").alias("hi")).collect()
+    # auto-filled from the true column domain — no mass clamps
+    assert qm.lo == float(row["lo"]) and qm.hi == float(row["hi"])
+
+    approx = approx_request(req)
+    assert approx.measures == (("p50", "quantile", "value"),)
+    decision = engine.router.route(approx)
+    assert decision.cube == created.name, decision.reason
+    # the requested p=0.5 rode onto the sketch measure's default q
+    assert qm.q == 0.5
+    got = {r["event_type"]: r["p50"]
+           for r in engine.query(source="events",
+                                 group_by=["event_type"],
+                                 measures=list(approx.measures),
+                                 source_df=events).collect()}
+    exact = {r["event_type"]: r["p50"]
+             for r in events.groupBy("event_type")
+             .agg(F.expr("percentile(value, 0.5)").alias("p50")).collect()}
+    bin_width = (qm.hi - qm.lo) / qm.nbins
+    for et, e in exact.items():
+        assert abs(got[et] - e) <= bin_width + 1e-9, (et, got[et], e)
+
+
+def test_apply_sketch_alternative_explicit_ranges(spark, events, tmp_path):
+    from mongo_olap_spark.engine import OlapEngine
+
+    engine = OlapEngine(spark, str(tmp_path))
+    req = AggregateRequest(
+        source="events", group_by=("event_type",),
+        measures=(("p50", "quantile_exact", "value", 0.5),))
+    adv = advise([req], {"events": events}, cell_budget=10)
+    (alt,) = adv.sketch_alternatives
+    created = engine.apply_sketch_alternative(
+        alt, events, quantile_ranges={"p50": (-10.0, 10.0)})
+    (qm,) = [m for m in created.measures if m.op == "quantile"]
+    assert (qm.lo, qm.hi) == (-10.0, 10.0)

@@ -230,3 +230,23 @@ def test_scalable_ntile_matches_window_ntile(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_embedding_near_dup_band_sizing_guards(spark):
+    # ADVICE r13: threshold ≤ −1 gives SRP collision probability 0 —
+    # the band-count formula would divide by log(1−0)=0; refuse loudly
+    import pytest as _pytest
+
+    from mongo_olap_spark.operators import similarity as sim
+    from mongo_olap_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    with _pytest.raises(ValueError, match="collision probability 0"):
+        sim.embedding_near_dup_pairs(emb, threshold=-1.0,
+                                     strategy="bucketed")
+    # a low threshold whose ≥95%-recall band count exceeds the 32-band
+    # clamp must SURFACE the shortfall, not ship it silently
+    with _pytest.warns(UserWarning, match="32-band clamp binds"):
+        df = sim.embedding_near_dup_pairs(emb, threshold=0.05,
+                                          strategy="bucketed")
+        assert df.columns == ["id_a", "id_b", "sim"]

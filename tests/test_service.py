@@ -333,3 +333,178 @@ def test_advise_over_the_wire(service):
                                 "u": {"$addToSet": "$user_id"}}},
                     {"$project": {"u": {"$size": "$u"}}}]]]})
     assert r2["ok"], r2
+
+
+# ---------------------------------------------------------------------------
+# r14: strict-JSON wire, honest apply_cdc, store-error surfacing,
+# concurrency contract, sketch opt-in op (VERDICT r13 tasks 3/6/7 +
+# ADVICE r13)
+# ---------------------------------------------------------------------------
+
+def _strict_loads(line: str):
+    """json.loads that REJECTS NaN/Infinity tokens — the parse a
+    non-Python NDJSON client would do (strict RFC 8259)."""
+    def boom(tok):
+        raise AssertionError(f"non-strict JSON token on the wire: {tok}")
+    return json.loads(line, parse_constant=boom)
+
+
+def test_nan_inf_strict_json_on_wire(service, spark):
+    import io
+
+    df = spark.createDataFrame(
+        [(1, float("nan")), (2, float("inf")), (3, float("-inf")),
+         (4, 1.5)],
+        "id int, x double")
+    service.engine.store.write("nan_col", df)
+    out = io.StringIO()
+    serve_stdio(
+        service,
+        infile=io.StringIO(json.dumps(
+            {"id": 1, "op": "read_collection", "name": "nan_col"}) + "\n"),
+        outfile=out)
+    resp = _strict_loads(out.getvalue().strip())
+    assert resp["ok"]
+    vals = {r[0]: r[1] for r in resp["result"]["rows"]}
+    # non-finite doubles map to null (documented), finite survive
+    assert vals[1] is None and vals[2] is None and vals[3] is None
+    assert vals[4] == 1.5
+
+
+def test_dumps_sanitizes_non_row_floats():
+    # results that bypass _jsonable (explain/advise shapes) still never
+    # emit NaN/Infinity tokens: _dumps falls back to a finite pass
+    from mongo_olap_spark.service import _dumps
+
+    line = _dumps({"ok": True, "result": {"env": [float("nan"), 2.0],
+                                          "nested": {"x": float("inf")}}})
+    resp = _strict_loads(line)
+    assert resp["result"]["env"] == [None, 2.0]
+    assert resp["result"]["nested"]["x"] is None
+
+
+def test_apply_cdc_auto_increment_batch_id(service):
+    # ADVICE r13 (medium): without batch_id the old default of 0 made
+    # the SECOND batch a silent no-op that still reported applied=N
+    service.handle({"op": "create_cube_from_pipeline", "name": "cdc_auto",
+                    "source": "events", "pipeline": PIPE})
+    before = service.handle({"op": "query", "cube": "cdc_auto",
+                             "group_by": ["et"], "measures": ["n"]})
+    b = {row[0]: row[1] for row in before["result"]["rows"]}
+    et = sorted(b)[0]
+    doc = {"event_id": 999999911, "ts": "2024-01-02T03:04:05",
+           "event_type": et, "user_id": 7, "value": 1.0, "mult": 1}
+    r1 = service.handle({"op": "apply_cdc", "cube": "cdc_auto",
+                         "batch": [doc]})
+    r2 = service.handle({"op": "apply_cdc", "cube": "cdc_auto",
+                         "batch": [dict(doc, event_id=999999912)]})
+    assert r1["ok"] and r1["result"]["applied"] == 1
+    assert not r1["result"]["skipped_replay"]
+    assert r2["ok"] and r2["result"]["applied"] == 1, r2
+    assert not r2["result"]["skipped_replay"]
+    assert r2["result"]["batch_id"] > r1["result"]["batch_id"]
+    after = service.handle({"op": "query", "cube": "cdc_auto",
+                            "group_by": ["et"], "measures": ["n"]})
+    a = {row[0]: row[1] for row in after["result"]["rows"]}
+    assert a[et] == b[et] + 2  # BOTH batches landed
+
+
+def test_apply_cdc_replay_reports_skipped(service):
+    service.handle({"op": "create_cube_from_pipeline", "name": "cdc_rep",
+                    "source": "events", "pipeline": PIPE})
+    doc = {"event_id": 999999921, "ts": "2024-01-02T03:04:05",
+           "event_type": "click", "user_id": 7, "value": 1.0, "mult": 1}
+    r1 = service.handle({"op": "apply_cdc", "cube": "cdc_rep",
+                         "batch": [doc], "batch_id": 5})
+    assert r1["ok"] and r1["result"]["applied"] == 1
+    # replayed id: honest no-op — applied=0, skipped_replay=true
+    r2 = service.handle({"op": "apply_cdc", "cube": "cdc_rep",
+                         "batch": [doc], "batch_id": 5})
+    assert r2["ok"] and r2["result"]["applied"] == 0
+    assert r2["result"]["skipped_replay"]
+    bad = service.handle({"op": "apply_cdc", "cube": "cdc_rep",
+                          "batch": [doc], "batch_id": "seven"})
+    assert bad["error"]["code"] == "bad_request"
+
+
+def test_store_read_failure_surfaces_internal(service, monkeypatch):
+    # ADVICE r13: a transient/corrupt store failure must NOT silently
+    # fall back to base-table data (source query) or map to not_found
+    # (read_collection) — both surface as internal
+    def broken(name, **kw):
+        raise RuntimeError("store corrupted")
+
+    monkeypatch.setattr(service.engine.store, "read", broken)
+    r = service.handle({"op": "query_pipeline", "source": "events",
+                        "pipeline": PIPE})
+    assert not r["ok"] and r["error"]["code"] == "internal"
+    r2 = service.handle({"op": "read_collection", "name": "whatever"})
+    assert not r2["ok"] and r2["error"]["code"] == "internal"
+
+
+def test_socket_concurrent_clients(service):
+    # concurrency contract: concurrent read ops from separate
+    # connections all answer correctly; a mutating op interleaved under
+    # the write lock never produces a torn observation
+    import threading
+
+    server = serve_socket(service, port=0)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    service.handle({"op": "create_cube_from_pipeline", "name": "conc",
+                    "source": "events", "pipeline": PIPE})
+    errors: list = []
+
+    def client(i):
+        try:
+            with socket.create_connection(("127.0.0.1", port),
+                                          timeout=60) as s:
+                f = s.makefile("rw", encoding="utf-8")
+                for j in range(3):
+                    req = {"id": f"{i}.{j}", "op": "query_pipeline",
+                           "source": "events", "pipeline": PIPE}
+                    f.write(json.dumps(req) + "\n")
+                    f.flush()
+                    resp = json.loads(f.readline())
+                    assert resp["ok"] and resp["id"] == f"{i}.{j}", resp
+                    assert resp["result"]["row_count"] > 0
+        except Exception as e:  # surface in the main thread
+            errors.append(e)
+
+    threads = [threading.Thread(target=client, args=(i,)) for i in range(6)]
+    for t in threads:
+        t.start()
+    # a write op racing the readers — must serialize, not corrupt
+    drop = service.handle({"op": "drop_cube", "name": "conc"})
+    assert drop["ok"]
+    for t in threads:
+        t.join(timeout=120)
+    server.shutdown()
+    server.server_close()
+    assert not errors, errors
+
+
+def test_apply_sketch_alternative_over_the_wire(service):
+    # budget pressure → flagged alternative → client opts in by sending
+    # the spec back → the approximate ask routes to the sketch cube
+    adv = service.handle({"op": "advise", "cell_budget": 5, "workload": [
+        ["events", [{"$group": {"_id": {"et": "$event_type"},
+                                "u": {"$addToSet": "$user_id"}}},
+                    {"$project": {"u": {"$size": "$u"}}}]]]})
+    assert adv["ok"], adv
+    alts = adv["result"]["sketch_alternatives"]
+    assert alts, adv["result"]
+    applied = service.handle({"op": "apply_sketch_alternative",
+                              "spec": alts[0]["spec"]})
+    assert applied["ok"], applied
+    name = applied["result"]["cube"]
+    assert name in service.handle({"op": "list_cubes"})["result"]
+    assert applied["result"]["cells"] > 0
+    # the sketch cube serves the approximate ask within its envelope
+    spec = applied["result"]["spec"]
+    dims = [d["name"] for d in spec["dimensions"]]
+    (dm,) = [m["name"] for m in spec["measures"] if m["op"] == "distinct"]
+    got = service.handle({"op": "query", "cube": name, "group_by": dims,
+                          "measures": [dm]})
+    assert got["ok"], got
+    assert got["result"]["row_count"] > 0
