@@ -262,6 +262,55 @@ class OlapEngine:
         maint = self._maintainer(cube, source_for_repair)
         return maint.apply_batch(batch, batch_id)
 
+    def pump_cdc(self, cube: str, stream, *,
+                 max_changes: int = 10_000,
+                 max_batches: int | None = None,
+                 source_for_repair: DataFrame | None = None) -> dict:
+        """Drain a PULL-based change stream (a
+        :class:`~mongo_olap_spark.sources.adapters.ResumableChangeStream`)
+        into a cube, resuming from the cube's own committed watermark
+        (r14, VERDICT r13 task 4).
+
+        The resume token is PART OF the cube state: each applied batch
+        commits (cells + batch_id=token) atomically via the manifest
+        swap, and the next pump reads its ``resume_after`` back from
+        ``catalog.last_batch_id(cube, "pump")``. A pump killed between
+        apply and anything else therefore never double-applies (the
+        re-pulled batch's token ≤ watermark → ``apply_batch`` fences
+        it) and never skips (the token only advances on commit) —
+        exactly-once with NO external token store, which is how the
+        reference persists resume tokens alongside cube state.
+
+        Pumped batches ride a dedicated ``"pump"`` stream watermark so
+        they never collide with Spark-streaming maintenance (checkpoint
+        batch ids) or wire ``apply_cdc`` ids on the default stream.
+
+        Returns ``{"batches": n, "changes": n, "resume_token": tok}``.
+        """
+        from mongo_olap_spark.streaming.pipeline import CubeMaintainer
+
+        spec = self.catalog.get_spec(cube)
+        maint = CubeMaintainer(self.catalog, spec,
+                               source_for_repair=source_for_repair,
+                               stream_id="pump")
+        committed = self.catalog.last_batch_id(cube, "pump")
+        token = None if committed < 0 else committed
+        batches = changes = 0
+        while max_batches is None or batches < max_batches:
+            batch, tok = stream.read_change_stream(
+                self.spark, resume_after=token, max_changes=max_changes)
+            if tok is None or (token is not None and tok <= token):
+                break  # drained
+            n = batch.count()
+            if n == 0:
+                break
+            if maint.apply_batch(batch, tok):
+                batches += 1
+                changes += n
+            token = tok
+        return {"batches": batches, "changes": changes,
+                "resume_token": token}
+
     def start_maintenance(self, cube: str, cdc_stream: DataFrame,
                           checkpoint_dir: str,
                           source_for_repair: DataFrame | None = None, **trigger):

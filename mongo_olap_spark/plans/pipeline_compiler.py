@@ -415,6 +415,46 @@ _COLLATION_CI_STAGES = frozenset({
 })
 
 
+#: Latin-script locales whose CLDR collation is the ROOT (DUCET) order
+#: with no tailoring — for these, strength-1/2 semantics through the
+#: locale-agnostic fold of :func:`_fold_col` are honest: the primary
+#: fold IS their primary fold, and lower() IS their case fold (r14,
+#: VERDICT r13 task 5). Verified against CLDR common/collation: these
+#: locales have no <collation> tailoring file (or an empty standard
+#: one), so they inherit root.
+_UNTAILORED_LOCALES = frozenset({
+    "en", "de", "fr", "it", "nl", "pt", "id", "ms", "sw",
+})
+
+#: locales REFUSED BY NAME with the specific tailoring the DUCET fold
+#: would violate — silently collating these like 'en' is the silent-
+#: wrong-answer failure mode the refuse-loudly convention bans. Keyed
+#: by base tag or full tag (fr_CA: base fr is untailored, the CA
+#: variant is not).
+_TAILORED_LOCALES = {
+    "tr": "dotted/dotless-i case mapping: lower('I') is 'ı', not 'i'",
+    "az": "dotted/dotless-i case mapping (as Turkish)",
+    "lt": "dot-above accent/case tailoring on i/j",
+    "da": "æ/ø/å (and the 'aa' digraph) are primary letters after z",
+    "no": "æ/ø/å are primary letters after z",
+    "nb": "æ/ø/å are primary letters after z",
+    "nn": "æ/ø/å are primary letters after z",
+    "sv": "å/ä/ö are primary letters after z",
+    "fi": "å/ä/ö after z plus v=w primary equivalence",
+    "is": "accented vowels and þ/æ/ö are distinct primary letters",
+    "es": "ñ is a primary letter after n",
+    "pl": "ą/ć/ę/ł/ń/ó/ś/ź/ż are primary letters after their bases",
+    "cs": "ch is a primary digraph after h; č/ř/š/ž primaries",
+    "sk": "ch digraph and ä/ô primaries",
+    "hr": "dž/lj/nj are primary digraphs; č/ć/đ/š/ž primaries",
+    "hu": "cs/dzs/gy/ly/ny/sz/ty/zs are primary digraphs",
+    "ro": "ă/â/î/ș/ț are primary letters after their bases",
+    "vi": "đ is a primary letter; tone marks are secondary-tailored",
+    "eo": "ĉ/ĝ/ĥ/ĵ/ŝ/ŭ are primary letters after their bases",
+    "fr_CA": "backwards secondary level (accents compare from the end)",
+}
+
+
 def _parse_collation(collation) -> int:
     """Validate an aggregate-command ``collation`` document; return
     the modeled strength: 0 for binary (``simple``) compare, 2 for
@@ -422,14 +462,19 @@ def _parse_collation(collation) -> int:
     diacritic+case-insensitive primary-weight fold (r13).
 
     Modeled surface: ``{locale: "simple"}`` → pass-through;
-    ``{locale: "en", strength: 2}`` → case-insensitive via
-    ``lower()`` images of $match predicates, $group keys and $sort
-    keys; ``{locale: "en", strength: 1}`` → the same seams through
-    the DUCET-style diacritic fold of :func:`_fold_col` (documented
-    Latin repertoire; un-decomposable letters keep their own primary
-    weight, exactly as in the DUCET). Everything else (other locales'
-    ICU tailorings, strength ≥3 tertiary ordering, non-default option
-    flags) refuses by name.
+    ``{locale: L, strength: 2}`` for any UNTAILORED Latin-script
+    locale L (accept-list ``_UNTAILORED_LOCALES``; r14) →
+    case-insensitive via ``lower()`` images of $match predicates,
+    $group keys and $sort keys; ``{locale: L, strength: 1}`` → the
+    same seams through the DUCET-style diacritic fold of
+    :func:`_fold_col` (documented Latin repertoire; un-decomposable
+    letters keep their own primary weight, exactly as in the DUCET).
+    The fold is locale-AGNOSTIC — it is honest precisely for locales
+    whose CLDR collation is the untailored root order; locales with a
+    tailoring refuse by name with the specific violation
+    (``_TAILORED_LOCALES``), and unknown locales refuse generically.
+    Strength ≥3 tertiary ordering and non-default option flags refuse
+    by name.
     """
     if collation is None:
         return 0
@@ -454,18 +499,29 @@ def _parse_collation(collation) -> int:
                 "collation locale 'simple' is binary compare; "
                 "strength other than the default 3 is meaningless")
         return 0
-    if loc == "en":
+    base = loc.split("_")[0].split("-")[0]
+    if loc in _TAILORED_LOCALES or base in _TAILORED_LOCALES:
+        why = _TAILORED_LOCALES.get(loc) or _TAILORED_LOCALES[base]
+        raise PipelineError(
+            f"collation locale {loc!r} carries an ICU tailoring the "
+            f"locale-agnostic DUCET fold cannot honestly reproduce "
+            f"({why}); refusing rather than silently collating like "
+            f"'en'. Untailored Latin-script locales are accepted: "
+            f"{sorted(_UNTAILORED_LOCALES)}")
+    if base in _UNTAILORED_LOCALES:
         if strength in (1, 2):
             return strength
         raise PipelineError(
-            f"collation locale 'en' supports strength 2 "
+            f"collation locale {loc!r} supports strength 2 "
             f"(case-insensitive lower()-image) and strength 1 "
             f"(diacritic+case-insensitive primary fold); got "
             f"{strength!r} — ICU tertiary ordering is not modeled")
     raise PipelineError(
-        f"collation locale {loc!r} is not supported (its ICU "
-        f"tailoring cannot be honestly reproduced); supported: "
-        f"'simple' (binary) and 'en' with strength 2 or 1")
+        f"collation locale {loc!r} is not supported (not on the "
+        f"verified untailored accept-list — an unverified locale "
+        f"could carry a tailoring the DUCET fold would silently "
+        f"violate); supported: 'simple' (binary) and "
+        f"{sorted(_UNTAILORED_LOCALES)} with strength 2 or 1")
 
 
 def _collate_pair(col: Column, v):

@@ -1123,6 +1123,84 @@ def q_collation_diacritics(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# X7''' (r14, VERDICT r13 task 5): collation locale breadth — the
+# DUCET primary fold is locale-AGNOSTIC, so every UNTAILORED Latin-
+# script locale (accept-list) gets strength 1/2 honestly; this entry
+# exercises `{locale: "de", strength: 1}` end-to-end with German
+# umlaut/case variants (ä/ö/ü decompose to base+combining mark → fold
+# to a/o/u; ß expands to ss — both DUCET-exact for untailored de).
+# Tailored locales (da/sv/tr/…) refuse by name — pytested.
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_collation_locale_de",
+    oracle="""
+    WITH base AS (
+        SELECT CASE
+                 WHEN c_custkey % 4 = 0
+                   THEN translate(lower(c_mktsegment), 'aou', 'äöü')
+                     || '-ss'
+                 WHEN c_custkey % 4 = 1 THEN upper(c_mktsegment) || '-ß'
+                 WHEN c_custkey % 4 = 2 THEN lower(c_mktsegment) || '-ss'
+                 ELSE c_mktsegment || '-SS'
+               END AS seg,
+               c_acctbal
+        FROM customer
+    ),
+    folded AS (
+        SELECT seg, c_acctbal,
+               strip_accents(replace(lower(seg), 'ß', 'ss')) AS img
+        FROM base
+    ),
+    g AS (
+        SELECT min(seg) AS _id,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               __DSUM__ AS bal
+        FROM folded
+        WHERE img IN ('household-ss', 'automobile-ss')
+        GROUP BY img
+    )
+    SELECT _id, n, bal FROM g
+    ORDER BY strip_accents(replace(lower(_id), 'ß', 'ss')), _id
+    """.replace("__DSUM__", dsum_sql('c_acctbal')),
+)
+def q_collation_locale_de(spark, sf_dir):
+    """Strength-1 collation under ``{locale: "de"}`` (r14): German
+    data shapes — umlauts (combining-mark decompositions) and ß (DUCET
+    ss expansion) — fold into one primary class per segment through
+    the SAME locale-agnostic seams as 'en'; 'de' is on the untailored
+    accept-list because CLDR's standard German collation is the root
+    order (the phonebook tailoring ä=ae is a DIFFERENT collation and
+    would refuse). Plan shape identical to q_collation_diacritics:
+    fold = lower→replace→translate inside whole-stage codegen."""
+    from mongo_olap_spark.plans.pipeline_compiler import compile_pipeline
+
+    c = load_table(spark, sf_dir, "customer")
+    base = c.select(
+        F.when(F.col("c_custkey") % 4 == 0,
+               F.concat(F.translate(F.lower("c_mktsegment"),
+                                    "aou", "äöü"), F.lit("-ss")))
+        .when(F.col("c_custkey") % 4 == 1,
+              F.concat(F.upper("c_mktsegment"), F.lit("-ß")))
+        .when(F.col("c_custkey") % 4 == 2,
+              F.concat(F.lower("c_mktsegment"), F.lit("-ss")))
+        .otherwise(F.concat(F.col("c_mktsegment"), F.lit("-SS")))
+        .alias("seg"),
+        "c_acctbal",
+    )
+    return compile_pipeline(
+        base,
+        [
+            {"$match": {"seg": {"$in": ["HÖÜSEHÖLD-ß", "automobile-ss"]}}},
+            {"$group": {"_id": "$seg", "n": {"$sum": 1},
+                        "bal": {"$sum": "$c_acctbal"}}},
+            {"$sort": {"_id": 1}},
+        ],
+        collation={"locale": "de", "strength": 1},
+    )
+
+
+# ---------------------------------------------------------------------------
 # S7 — $lookup with BOTH sides array-valued (r7 doc-granularity dedup
 # branch, r8: first oracle-gated query — a regression there was
 # previously invisible to CORRECTNESS). Semantics: a foreign doc

@@ -1171,3 +1171,67 @@ def test_s1_column_and_literal_images_agree(spark):
             "s", _fold_col(F.col("s")).alias("img")).collect()}
         want = {s: _fold_lit(s) for s in samples}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# r14 (VERDICT r13 task 5): locale breadth — untailored Latin-script
+# locales ride the same locale-agnostic fold; tailored ones refuse BY
+# NAME with the specific violated tailoring.
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("loc", ["de", "fr", "it", "nl", "pt", "id",
+                                 "ms", "sw", "en"])
+@pytest.mark.parametrize("strength", [1, 2])
+def test_untailored_locale_accepted(accents, loc, strength):
+    out = compile_pipeline(
+        accents,
+        [{"$match": {"s": "CAFE"}}, {"$count": "n"}],
+        collation={"locale": loc, "strength": strength},
+    ).collect()
+    # strength 1 folds accents too (all 4 café variants), strength 2
+    # only case (the 2 unaccented ones)
+    assert out[0]["n"] == (4 if strength == 1 else 2)
+
+
+@pytest.mark.parametrize("loc,word", [
+    ("da", "after z"),            # æ/ø/å reorder
+    ("sv", "after z"),            # å/ä/ö reorder
+    ("tr", "dotless"),            # i/ı case mapping
+    ("az", "dotless"),
+    ("lt", "dot-above"),
+    ("fi", "v=w"),
+    ("is", "primary letters"),
+    ("es", "ñ"),
+    ("pl", "primary letters"),
+    ("cs", "digraph"),
+    ("sk", "digraph"),
+    ("hr", "digraph"),
+    ("hu", "digraph"),
+    ("ro", "primary letters"),
+    ("vi", "tone"),
+    ("eo", "primary letters"),
+    ("fr_CA", "backwards"),       # full-tag tailoring over untailored base
+    ("da_DK", "after z"),         # variant of a tailored base
+])
+def test_tailored_locale_refuses_by_name(accents, loc, word):
+    with pytest.raises(PipelineError) as e:
+        compile_pipeline(accents, [{"$match": {"s": "x"}}],
+                         collation={"locale": loc, "strength": 2})
+    msg = str(e.value)
+    assert loc in msg and word in msg  # names the locale AND the why
+
+
+def test_unknown_locale_refuses_generically(accents):
+    with pytest.raises(PipelineError, match="not on the verified"):
+        compile_pipeline(accents, [{"$match": {"s": "x"}}],
+                         collation={"locale": "zz", "strength": 2})
+
+
+def test_untailored_variant_tag_accepted(accents):
+    # en_GB / de_DE: base-tag acceptance — a region variant of an
+    # untailored locale is the same root order
+    for loc in ("en_GB", "de_DE", "fr-FR"):
+        out = compile_pipeline(
+            accents, [{"$match": {"s": "café"}}, {"$count": "n"}],
+            collation={"locale": loc, "strength": 1}).collect()
+        assert out[0]["n"] == 4

@@ -508,3 +508,50 @@ def test_apply_sketch_alternative_over_the_wire(service):
                           "measures": [dm]})
     assert got["ok"], got
     assert got["result"]["row_count"] > 0
+
+
+def test_pump_cdc_over_the_wire_kill_resume(service, spark, events, tmp_path):
+    # VERDICT r13 task 4 end-to-end through the service: a file-landed
+    # change stream pumps into a cube with resume from the cube's own
+    # manifest; a service restart (new OlapService over the same root)
+    # resumes exactly where the last pump committed.
+    from mongo_olap_spark.engine import OlapEngine
+    from mongo_olap_spark.streaming.cdc import cdc_from_events, net_events
+
+    cdc_path = str(tmp_path / "cdc_stream")
+    cdc_from_events(events).write.mode("overwrite").parquet(cdc_path)
+    n_changes = cdc_from_events(events).count()
+
+    service.handle({"op": "create_cube_from_pipeline", "name": "pumped",
+                    "source": "events", "pipeline": PIPE})
+    # zero out the initial build so the pump is the only writer of truth
+    service.engine.refresh_cube("pumped", events.limit(0))
+
+    total = 0
+    svc = service
+    while True:
+        r = svc.handle({"op": "pump_cdc", "cube": "pumped",
+                        "path": cdc_path, "max_changes": 400,
+                        "max_batches": 1})
+        assert r["ok"], r
+        if r["result"]["batches"] == 0:
+            break
+        total += r["result"]["changes"]
+        # service "kill": a fresh service+engine over the same root
+        svc = OlapService(OlapEngine(spark, str(service.engine.catalog.root)),
+                          service.data_dir)
+    assert total == n_changes
+
+    # the routed answer reflects the NET state (inserts minus deletes)
+    got = svc.handle({"op": "query_pipeline", "source": "events",
+                      "pipeline": PIPE})
+    assert got["ok"], got
+    from mongo_olap_spark.plans.pipeline_compiler import compile_pipeline
+
+    # decimal-exact values cross the wire as strings; compare as str
+    got_rows = sorted(tuple(str(v) for v in row)
+                      for row in got["result"]["rows"])
+    exp_rows = sorted(
+        (str(r["_id"]["et"]), str(r["n"]), str(r["total"]))
+        for r in compile_pipeline(net_events(events), PIPE).collect())
+    assert got_rows == exp_rows
