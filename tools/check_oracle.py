@@ -27,7 +27,13 @@ SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 # no-op token (round-6: a misspelled filter used to match nothing and
 # still print "115/115 passed" — unknown names now refuse loudly)
 ONLY: set[str] = set()
-for _a in sys.argv[2:]:
+EXCLUDE: set[str] = set()
+_args = list(sys.argv[2:])
+while "--exclude" in _args:
+    i = _args.index("--exclude")
+    EXCLUDE.update(_args[i + 1].replace(",", " ").split())
+    del _args[i:i + 2]
+for _a in _args:
     ONLY.update(x for x in _a.replace(",", " ").split() if x != "--only")
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
@@ -93,7 +99,13 @@ def main():
         if unknown:
             print(f"unknown query filter(s): {sorted(unknown)}")
             sys.exit(2)
-    selected = {k: v for k, v in qs.items() if not ONLY or k in ONLY}
+    if EXCLUDE:
+        unknown = EXCLUDE - set(qs)
+        if unknown:
+            print(f"unknown --exclude filter(s): {sorted(unknown)}")
+            sys.exit(2)
+    selected = {k: v for k, v in qs.items()
+                if (not ONLY or k in ONLY) and k not in EXCLUDE}
     failures = []
     for qid, fn in sorted(selected.items()):
         t0 = time.time()
@@ -117,7 +129,7 @@ def main():
         if not ok:
             failures.append(qid)
         print(f"{status:5s} {qid:24s} {msg}  ({time.time()-t0:.1f}s)")
-    tag = f" (filtered from {len(qs)})" if ONLY else ""
+    tag = f" (filtered from {len(qs)})" if ONLY or EXCLUDE else ""
     print(f"\n{len(selected) - len(failures)}/{len(selected)} passed{tag}")
     sys.exit(1 if failures else 0)
 
