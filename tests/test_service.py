@@ -555,3 +555,25 @@ def test_pump_cdc_over_the_wire_kill_resume(service, spark, events, tmp_path):
         (str(r["_id"]["et"]), str(r["n"]), str(r["total"]))
         for r in compile_pipeline(net_events(events), PIPE).collect())
     assert got_rows == exp_rows
+
+
+@pytest.mark.slow
+def test_full_query_surface_emits_strict_json(service, spark):
+    # VERDICT r13 task 3 "Done" criterion: zero non-Python-parseable
+    # lines over the FULL query surface. Every registered query's
+    # result goes through the service's rows-payload + line serializer
+    # and must parse under a strict RFC-8259 reader (NaN/Infinity
+    # tokens rejected).
+    import __spark_entry__ as ent
+    from mongo_olap_spark.service import _dumps
+
+    bad = []
+    for qid, fn in sorted(ent.queries().items()):
+        df = fn(spark, SF)
+        payload = service._rows_payload(df, 20)
+        line = _dumps({"id": qid, "ok": True, "result": payload})
+        try:
+            _strict_loads(line)
+        except AssertionError:
+            bad.append(qid)
+    assert bad == [], f"non-strict JSON on the wire for: {bad}"
