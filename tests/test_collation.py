@@ -61,7 +61,9 @@ def test_simple_locale_is_binary(names):
     {"strength": 2},                              # no locale
     {"locale": "en"},                             # no strength
     {"locale": "en", "strength": 3},              # tertiary
-    {"locale": "fr", "strength": 2},              # ICU tailoring
+    {"locale": "sv", "strength": 2},              # ICU tailoring (å/ä/ö
+    #   after z — fr moved to the ACCEPTED untailored set in r14;
+    #   test_untailored_locale_accepted covers it on the green side)
     {"locale": "simple", "strength": 2},          # simple is binary
     {"locale": "en", "strength": 2, "caseLevel": True},
     {"locale": "en", "strength": 2, "numericOrdering": True},

@@ -577,3 +577,155 @@ def test_full_query_surface_emits_strict_json(service, spark):
         except AssertionError:
             bad.append(qid)
     assert bad == [], f"non-strict JSON on the wire for: {bad}"
+
+
+# ---------------------------------------------------------------------------
+# subscribe — the push-shaped op (r14, VERDICT r13 "missing" #5)
+# ---------------------------------------------------------------------------
+
+def _land_cdc(events, tmp_path, name="cdc_push"):
+    from mongo_olap_spark.streaming.cdc import cdc_from_events
+
+    path = str(tmp_path / name)
+    cdc_from_events(events).write.mode("overwrite").parquet(path)
+    return path, cdc_from_events(events).count()
+
+
+def _fresh_cube(service, events, name):
+    service.handle({"op": "create_cube_from_pipeline", "name": name,
+                    "source": "events", "pipeline": PIPE})
+    # zero out the initial build so the pushed stream is the only
+    # writer of truth
+    service.engine.refresh_cube(name, events.limit(0))
+
+
+def test_subscribe_pushes_one_event_line_per_batch(service, events, tmp_path):
+    cdc_path, n_changes = _land_cdc(events, tmp_path)
+    _fresh_cube(service, events, "sub1")
+
+    lines = list(service.handle_stream(
+        {"id": 7, "op": "subscribe", "cube": "sub1", "path": cdc_path,
+         "max_changes": max(1, n_changes // 3)}))
+    batch_lines, final = lines[:-1], lines[-1]
+    assert len(batch_lines) >= 3  # max_changes forces several batches
+    assert all(l["ok"] and l["event"] == "batch" and l["id"] == 7
+               for l in batch_lines)
+    assert "event" not in final and final["ok"] and final["result"]["done"]
+    assert final["result"]["changes"] == n_changes
+    assert final["result"]["batches"] == len(batch_lines)
+    # tokens strictly increase: the client may persist ANY of them
+    toks = [l["result"]["resume_token"] for l in batch_lines]
+    assert toks == sorted(set(toks))
+    assert final["result"]["resume_token"] == toks[-1]
+
+    # the routed answer reflects the NET state, same truth as pump_cdc
+    from mongo_olap_spark.plans.pipeline_compiler import compile_pipeline
+    from mongo_olap_spark.streaming.cdc import net_events
+
+    got = service.handle({"op": "query_pipeline", "source": "events",
+                          "pipeline": PIPE})
+    got_rows = sorted(tuple(str(v) for v in row)
+                      for row in got["result"]["rows"])
+    exp_rows = sorted(
+        (str(r["_id"]["et"]), str(r["n"]), str(r["total"]))
+        for r in compile_pipeline(net_events(events), PIPE).collect())
+    assert got_rows == exp_rows
+
+
+def test_subscribe_resumes_from_committed_watermark(service, spark, events,
+                                                    tmp_path):
+    cdc_path, n_changes = _land_cdc(events, tmp_path)
+    _fresh_cube(service, events, "sub2")
+    per = max(1, n_changes // 4)
+
+    first = list(service.handle_stream(
+        {"op": "subscribe", "cube": "sub2", "path": cdc_path,
+         "max_changes": per, "max_batches": 2}))
+    assert first[-1]["result"]["batches"] == 2
+
+    # "disconnect": a fresh service+engine over the same root resumes
+    # from the cube's own committed watermark — no client token needed
+    svc2 = OlapService(
+        OlapEngine(spark, str(service.engine.catalog.root)),
+        service.data_dir)
+    rest = list(svc2.handle_stream(
+        {"op": "subscribe", "cube": "sub2", "path": cdc_path,
+         "max_changes": per}))
+    assert (first[-1]["result"]["changes"]
+            + rest[-1]["result"]["changes"]) == n_changes
+
+    # drained stream: re-subscribing pushes nothing, just the summary
+    again = list(svc2.handle_stream(
+        {"op": "subscribe", "cube": "sub2", "path": cdc_path}))
+    assert len(again) == 1 and again[0]["result"]["batches"] == 0
+
+
+def test_subscribe_over_socket_pushes_multiple_lines(service, events,
+                                                     tmp_path):
+    import threading
+
+    cdc_path, n_changes = _land_cdc(events, tmp_path)
+    _fresh_cube(service, events, "sub3")
+
+    server = serve_socket(service, port=0)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        with socket.create_connection(("127.0.0.1", port), timeout=60) as s:
+            f = s.makefile("rw", encoding="utf-8")
+            f.write(json.dumps({"id": 9, "op": "subscribe", "cube": "sub3",
+                                "path": cdc_path,
+                                "max_changes": max(1, n_changes // 3)})
+                    + "\n")
+            f.flush()
+            got, final = [], None
+            while True:
+                resp = json.loads(f.readline())
+                assert resp["id"] == 9 and resp["ok"], resp
+                if "event" not in resp:
+                    final = resp
+                    break
+                got.append(resp)
+            assert len(got) >= 3
+            assert final["result"]["done"]
+            assert final["result"]["changes"] == n_changes
+            # the connection still serves ordinary ops afterwards
+            f.write(json.dumps({"id": 10, "op": "ping"}) + "\n")
+            f.flush()
+            assert json.loads(f.readline())["result"] == "pong"
+    finally:
+        server.shutdown()
+        server.server_close()
+
+
+def test_subscribe_unknown_cube_is_one_error_line(service, tmp_path):
+    lines = list(service.handle_stream(
+        {"id": 1, "op": "subscribe", "cube": "ghost",
+         "path": str(tmp_path)}))
+    assert len(lines) == 1
+    assert not lines[0]["ok"]
+    assert lines[0]["error"]["code"] == "not_found"
+
+
+def test_subscribe_missing_path_is_bad_request(service, events):
+    _fresh_cube(service, events, "sub4")
+    lines = list(service.handle_stream(
+        {"op": "subscribe", "cube": "sub4"}))
+    assert len(lines) == 1
+    assert lines[0]["error"]["code"] == "bad_request"
+
+
+def test_handle_oneshot_drains_subscribe(service, events, tmp_path):
+    # in-process compatibility: handle() returns only the terminal
+    # response (the pump_cdc-shaped summary), never an event line
+    cdc_path, n_changes = _land_cdc(events, tmp_path)
+    _fresh_cube(service, events, "sub5")
+    r = service.handle({"op": "subscribe", "cube": "sub5",
+                        "path": cdc_path})
+    assert r["ok"] and "event" not in r
+    assert r["result"]["done"] and r["result"]["changes"] == n_changes
+
+
+def test_unknown_op_listing_advertises_subscribe(service):
+    r = service.handle({"op": "nope"})
+    assert "subscribe" in r["error"]["message"]
