@@ -1270,3 +1270,46 @@ def q_lookup_both_arrays(spark, sf_dir):
         ],
         collections={"nation_tagged": n},
     )
+
+
+# ---------------------------------------------------------------------------
+# source mixing (r14): WEIGHTED per-source sampling — the data-mixing
+# step of a training corpus pipeline ("keep 100% of src0-4, 50% of
+# src5-9, 25% of src10-14, 6.25% of the rest"). Same portability
+# policy as q_sample: the keep-decision is md5(doc_id)'s first 8 hex
+# digits compared against a per-source hex threshold — fixed-width
+# lowercase hex compares lexicographically == numerically in BOTH
+# engines, so the sampled row set is a pure function of the data
+# (identical across engines, partitionings, and runs; 'g0000000' sorts
+# above every hex digit = keep-all). Scale: map-only — one pure row
+# predicate over a pruned 2-column scan, zero shuffle, zero state; at
+# 100 TB this parallelizes embarrassingly and pushes the projection
+# into the parquet reader.
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_mix_weights",
+    oracle="""
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS h,
+             CASE CAST(substr(source, 4, 10) AS INT) // 5
+               WHEN 0 THEN 'g0000000'
+               WHEN 1 THEN '80000000'
+               WHEN 2 THEN '40000000'
+               ELSE '10000000' END AS thr
+      FROM documents
+    ) WHERE h < thr
+    """,
+)
+def q_mix_weights(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    grp = F.floor(F.substring("source", 4, 10).cast("int") / 5)
+    thr = (
+        F.when(grp == 0, "g0000000")   # rate 1.0 (keep all)
+        .when(grp == 1, "80000000")    # rate 0.5
+        .when(grp == 2, "40000000")    # rate 0.25
+        .otherwise("10000000")         # rate 0.0625
+    )
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8)
+    return d.filter(h < thr).select("doc_id", "source")

@@ -495,3 +495,32 @@ def test_corpus_matrix_ragged_fallback(spark):
     with _pytest.raises(ValueError):
         sim._corpus_matrix(df, "vec_id", "embedding")
     sim._MATRIX_CACHE.clear()
+
+
+def test_mix_weights_deterministic_and_rate_faithful(spark):
+    # q_mix_weights (r14): the weighted source-mixing sample must be a
+    # pure function of the data — identical across runs and
+    # partitionings — and its per-group keep rate must track the
+    # declared weight within binomial noise.
+    from mongo_olap_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.01"
+    a = {(r["doc_id"], r["source"])
+         for r in QUERIES["q_mix_weights"](spark, sf).collect()}
+    b = {(r["doc_id"], r["source"])
+         for r in QUERIES["q_mix_weights"](spark, sf).repartition(17).collect()}
+    assert a == b and a
+
+    import collections
+    per_grp = collections.Counter(int(s[3:]) // 5 for _, s in a)
+    totals = collections.Counter(
+        int(r["source"][3:]) // 5
+        for r in spark.read.parquet(f"{sf}/documents.parquet")
+                      .select("source").collect())
+    rates = {0: 1.0, 1: 0.5, 2: 0.25, 3: 0.0625}
+    for g, rate in rates.items():
+        n, k = totals[g], per_grp.get(g, 0)
+        sd = (n * rate * (1 - rate)) ** 0.5
+        assert abs(k - n * rate) <= max(4 * sd, 4), (g, k, n * rate)
+    # group 0 is keep-all: exact, not statistical
+    assert per_grp[0] == totals[0]
