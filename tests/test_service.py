@@ -729,3 +729,61 @@ def test_handle_oneshot_drains_subscribe(service, events, tmp_path):
 def test_unknown_op_listing_advertises_subscribe(service):
     r = service.handle({"op": "nope"})
     assert "subscribe" in r["error"]["message"]
+
+
+def test_subscribe_interleaves_with_concurrent_reads(service, events,
+                                                     tmp_path):
+    # While a subscribe stream applies batches on connection A, read
+    # ops on connection B keep being served — each batch holds the
+    # exclusive lock individually, so readers run BETWEEN batches and
+    # always observe a committed cube state (never an error).
+    import threading
+
+    cdc_path, n_changes = _land_cdc(events, tmp_path)
+    _fresh_cube(service, events, "sub6")
+
+    server = serve_socket(service, port=0)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+
+    read_errors, read_ok = [], [0]
+
+    def reader():
+        with socket.create_connection(("127.0.0.1", port), timeout=60) as s:
+            f = s.makefile("rw", encoding="utf-8")
+            for i in range(10):
+                f.write(json.dumps({"id": i, "op": "query_pipeline",
+                                    "source": "events",
+                                    "pipeline": PIPE}) + "\n")
+                f.flush()
+                r = json.loads(f.readline())
+                if r["ok"]:
+                    read_ok[0] += 1
+                else:
+                    read_errors.append(r)
+
+    try:
+        t = threading.Thread(target=reader)
+        with socket.create_connection(("127.0.0.1", port), timeout=120) as s:
+            f = s.makefile("rw", encoding="utf-8")
+            f.write(json.dumps({"id": 1, "op": "subscribe", "cube": "sub6",
+                                "path": cdc_path,
+                                "max_changes": max(1, n_changes // 5)})
+                    + "\n")
+            f.flush()
+            t.start()
+            batches = 0
+            while True:
+                resp = json.loads(f.readline())
+                assert resp["ok"], resp
+                if "event" not in resp:
+                    assert resp["result"]["changes"] == n_changes
+                    break
+                batches += 1
+        t.join(timeout=120)
+        assert not t.is_alive()
+        assert batches >= 4
+        assert read_errors == [] and read_ok[0] == 10
+    finally:
+        server.shutdown()
+        server.server_close()
