@@ -58,7 +58,8 @@ Ops:
     pump_cdc           {cube, path, max_changes?, max_batches?}
                                                   → {batches, changes,
                                                      resume_token}
-    subscribe          {cube, path, max_changes?, max_batches?}
+    subscribe          {cube, path, max_changes?, max_batches?,
+                        follow?: {poll_ms?, idle_timeout_ms?}}
                                                   → STREAMED (see below)
 
     advise             {workload, cell_budget?, apply?}
@@ -87,6 +88,14 @@ watermark (same exactly-once fence as ``pump_cdc``), so re-sending
 committed. Each batch applies under the exclusive side of the RW
 lock — concurrent reads on other connections interleave BETWEEN
 batches and always observe a committed cube state.
+
+By default the stream ends when the landed changes are drained.
+``follow`` turns it into a LIVE TAIL (Mongo's change-stream cursor
+blocks awaiting new events; the file-landed equivalent polls the
+landing directory): on drain, re-poll every ``poll_ms`` (default
+500) until ``idle_timeout_ms`` (default 10000) passes with no new
+changes, then emit the terminal summary. New files landed while
+following are pushed as they commit.
 
 Rows payload: {"columns": [...], "types": [simpleString...],
 "rows": [[...]...], "row_count": N, "truncated": bool}. ``limit``
@@ -564,6 +573,8 @@ class OlapService:
         pushes only uncommitted changes."""
         from mongo_olap_spark.sources.adapters import FileChangeStreamSource
 
+        import time
+
         try:
             name = _field(req, "cube")
             spec = self.engine.catalog.get_spec(name)
@@ -571,12 +582,22 @@ class OlapService:
             max_changes = int(req.get("max_changes", 10_000))
             mb = req.get("max_batches")
             max_batches = int(mb) if mb is not None else None
+            follow = req.get("follow")
+            if follow is not None and not isinstance(follow, dict):
+                raise _BadRequest("subscribe: follow must be an object "
+                                  "{poll_ms?, idle_timeout_ms?}")
+            poll_s = (float((follow or {}).get("poll_ms", 500)) / 1e3
+                      if follow is not None else None)
+            idle_budget_s = (float((follow or {}).get("idle_timeout_ms",
+                                                      10_000)) / 1e3
+                             if follow is not None else None)
             src = self._source_df(spec.source)
         except Exception as e:
             yield self._map_error(rid, e)
             return
         batches = changes = 0
         token = None
+        idle_since = None
         while max_batches is None or batches < max_batches:
             self._rw.acquire_write()
             try:
@@ -590,7 +611,17 @@ class OlapService:
                 self._rw.release_write()
             token = step["resume_token"]
             if step["batches"] == 0:
-                break  # drained
+                # drained. Not following → done; following → poll the
+                # landing directory until the idle budget runs out.
+                if poll_s is None:
+                    break
+                now = time.monotonic()
+                idle_since = idle_since if idle_since is not None else now
+                if now - idle_since >= idle_budget_s:
+                    break
+                time.sleep(poll_s)
+                continue
+            idle_since = None
             batches += 1
             changes += step["changes"]
             yield {"id": rid, "ok": True, "event": "batch",

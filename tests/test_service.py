@@ -787,3 +787,54 @@ def test_subscribe_interleaves_with_concurrent_reads(service, events,
     finally:
         server.shutdown()
         server.server_close()
+
+
+def test_subscribe_follow_tails_newly_landed_changes(service, spark, events,
+                                                     tmp_path):
+    # follow mode: the stream does not end at drain — it polls the
+    # landing directory and pushes changes landed AFTER the subscribe
+    # began, ending only when the idle budget passes with nothing new.
+    import threading
+    import time
+
+    from mongo_olap_spark.streaming.cdc import cdc_from_events
+
+    cdc = cdc_from_events(events).cache()
+    n_changes = cdc.count()
+    half = cdc.filter(f"change_id <= {n_changes // 2}")
+    rest = cdc.filter(f"change_id > {n_changes // 2}")
+    path = str(tmp_path / "cdc_follow")
+    half.write.mode("overwrite").parquet(path)
+
+    _fresh_cube(service, events, "sub7")
+
+    landed = threading.Event()
+
+    def late_lander():
+        time.sleep(1.0)  # after the first drain, inside the idle budget
+        rest.write.mode("append").parquet(path)
+        landed.set()
+
+    t = threading.Thread(target=late_lander)
+    t.start()
+    lines = list(service.handle_stream(
+        {"op": "subscribe", "cube": "sub7", "path": path,
+         "max_changes": max(1, n_changes // 4),
+         "follow": {"poll_ms": 100, "idle_timeout_ms": 8000}}))
+    t.join()
+    assert landed.is_set()
+    final = lines[-1]
+    assert final["ok"] and final["result"]["done"]
+    assert final["result"]["changes"] == n_changes, final
+    # the late-landed half arrived through the SAME stream
+    assert len(lines) - 1 == final["result"]["batches"] >= 2
+
+
+def test_subscribe_follow_bad_shape_is_bad_request(service, events,
+                                                   tmp_path):
+    _fresh_cube(service, events, "sub8")
+    lines = list(service.handle_stream(
+        {"op": "subscribe", "cube": "sub8", "path": str(tmp_path),
+         "follow": 5}))
+    assert len(lines) == 1
+    assert lines[0]["error"]["code"] == "bad_request"
