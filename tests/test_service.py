@@ -248,7 +248,15 @@ def test_socket_round_trip(service):
 # ---------------------------------------------------------------------------
 
 @pytest.mark.slow
-def test_subprocess_stdio_lifecycle(tmp_path):
+def test_subprocess_stdio_lifecycle(tmp_path, spark, events):
+    # land a CDC directory up front (the test session writes it; the
+    # SUBPROCESS service pushes it back over stdio via subscribe)
+    from mongo_olap_spark.streaming.cdc import cdc_from_events
+
+    cdc_path = str(tmp_path / "cdc_subproc")
+    cdc_from_events(events).write.mode("overwrite").parquet(cdc_path)
+    n_changes = cdc_from_events(events).count()
+
     proc = subprocess.Popen(
         [sys.executable, "-m", "mongo_olap_spark.service",
          "--data-dir", SF, "--root", str(tmp_path / "root"),
@@ -280,6 +288,25 @@ def test_subprocess_stdio_lifecycle(tmp_path):
         bad = rpc({"id": 4, "op": "query_pipeline", "source": "events",
                    "pipeline": [{"$indexStats": {}}]})
         assert bad["error"]["code"] == "refused"
+        # subscribe across the real process boundary: one request,
+        # several pushed NDJSON lines, then the event-less summary
+        proc.stdin.write(json.dumps(
+            {"id": 41, "op": "subscribe", "cube": "subproc_cube",
+             "path": cdc_path,
+             "max_changes": max(1, n_changes // 3)}) + "\n")
+        proc.stdin.flush()
+        pushed = 0
+        while True:
+            line = proc.stdout.readline()
+            assert line, "service died mid-subscribe"
+            resp = json.loads(line)
+            assert resp["id"] == 41 and resp["ok"], resp
+            if "event" not in resp:
+                assert resp["result"]["done"]
+                assert resp["result"]["changes"] == n_changes
+                assert resp["result"]["batches"] == pushed >= 3
+                break
+            pushed += 1
         d = rpc({"id": 5, "op": "drop_cube", "name": "subproc_cube"})
         assert d["ok"]
         assert rpc({"id": 6, "op": "list_cubes"})["result"] == []
