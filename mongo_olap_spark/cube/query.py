@@ -243,7 +243,14 @@ def measure_rollup_exprs(
             )
         elif m.op == "topk":
             # fold the cell maps, emit the measure's default top-k as
-            # ordered (item, count) structs
+            # ordered (item, count) structs. NOTE: the fold truncates
+            # to capacity at every merge step, so it is exact only
+            # while the UNION cardinality stays <= max_items;
+            # query_cube serves topk through the explode route instead
+            # (exact whenever the CELLS are exact — the r14 sf10 gate
+            # caught a wide rollup silently leaving the exact regime
+            # here). This expression remains for partial regrouping
+            # (cell-shaped outputs must stay bounded maps).
             out.append(
                 topk_entries_expr(
                     topk_union_agg(f"{n}_tk", m.capacity), m.default_k
@@ -271,6 +278,21 @@ def query_cube(
     may reference dimension columns only (it filters *cells*). When
     ``group_by`` is None, all dims are kept (pure slice — still
     re-aggregated so the output carries measure columns, not partials).
+
+    ``topk`` (frequent-items map) measures are served through the
+    explode route — maps explode to postings, a hash aggregate sums
+    per (group, item) with map-side combine, a windowed rank keeps k,
+    and the ordered entries reassemble per group — NOT by folding the
+    maps with mid-merge truncation. The fold is exact only while the
+    union cardinality stays <= the measure's capacity; the explode
+    route is exact whenever the CELLS are exact (per-cell cardinality
+    <= capacity), a strictly larger regime, and it is merge-order
+    deterministic. Scale: the fold holds O(cells_in_group * capacity)
+    entries in ONE aggregation buffer per group (a skew hazard at 1000
+    executors); the explode route shuffles the same mass as DISTRIBUTED
+    rows and its rank filter compiles to a partial WindowGroupLimit.
+    The r14 sf10 gate caught the fold undercounting a wide rollup
+    (150k distinct users folded through a 65536-entry map).
     """
     dims = spec.dim_names
     group_by = dims if group_by is None else group_by
@@ -280,7 +302,50 @@ def query_cube(
     df = cells
     if where is not None:
         df = df.filter(where)
-    return df.groupBy(*group_by).agg(*measure_rollup_exprs(spec, measures))
+    req = spec.measures if measures is None else [spec.measure(x) for x in measures]
+    topks = [m for m in req if m.op == "topk"]
+    if not topks:
+        return df.groupBy(*group_by).agg(*measure_rollup_exprs(spec, measures))
+
+    from pyspark.sql import Window
+
+    others = [m.name for m in req if m.op != "topk"]
+    if others:
+        base = df.groupBy(*group_by).agg(*measure_rollup_exprs(spec, others))
+    else:
+        # still one row per group: aggregate a throwaway count
+        base = df.groupBy(*group_by).agg(F.count(F.lit(1)).alias("__g")) \
+                 .drop("__g")
+    for m in topks:
+        col = f"{m.name}_tk"
+        posts = df.select(*group_by, F.explode(col).alias("__i", "__c"))
+        counted = posts.groupBy(*group_by, "__i").agg(
+            F.sum("__c").cast("long").alias("__cnt"))
+        part = [F.col(c) for c in group_by] if group_by else [F.lit(1)]
+        w = Window.partitionBy(*part).orderBy(
+            F.col("__cnt").desc(), F.col("__i").asc())
+        ranked = (counted.withColumn("__r", F.row_number().over(w))
+                  .filter(F.col("__r") <= m.default_k))
+        arr = ranked.groupBy(*group_by).agg(
+            F.transform(
+                F.array_sort(F.collect_list(
+                    F.struct(F.col("__r").alias("r"),
+                             F.col("__i").alias("item"),
+                             F.col("__cnt").alias("count")))),
+                lambda e: F.struct(e["item"].alias("item"),
+                                   e["count"].alias("count")),
+            ).alias(m.name))
+        if group_by:
+            base = base.join(arr, list(group_by), "left")
+        else:
+            base = base.crossJoin(arr)
+        # a group whose maps were all empty has no postings: surface
+        # the same empty array the fold route emitted, not NULL
+        base = base.withColumn(
+            m.name,
+            F.coalesce(F.col(m.name),
+                       F.array().cast(arr.schema[m.name].dataType)))
+    return base.select(*group_by, *[m.name for m in req])
 
 
 def distinct_rollup(

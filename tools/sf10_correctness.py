@@ -36,8 +36,9 @@ import os
 import subprocess
 import sys
 
+import numpy as np
+import pyarrow as pa
 import pyarrow.parquet as pq
-import pyarrow.compute as pc
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -68,7 +69,11 @@ def build_stratum(sf10: str, strat_dir: str) -> None:
     filtered = {t for t, _, _ in STRATA}
     for t, key, mod in STRATA:
         tab = pq.read_table(os.path.join(sf10, f"{t}.parquet"))
-        mask = pc.equal(pc.mod_checked(tab.column(key), mod), 0)
+        # numpy modulo: pyarrow.compute has no mod kernel in this
+        # version; a numpy mask keeps the pyarrow writer (and so the
+        # exact source schema) either way
+        keys = tab.column(key).to_numpy(zero_copy_only=False)
+        mask = pa.array(np.mod(keys, mod) == 0)
         pq.write_table(tab.filter(mask),
                        os.path.join(strat_dir, f"{t}.parquet"))
     for t in ALL_TABLES:
