@@ -337,3 +337,51 @@ def test_topk_estimates_rejects_bad_args(spark, events):
         topk_estimates(cells, USERS_TOPK_CUBE, "top_users", 0)
     with pytest.raises(ValueError, match="group_by not in cube dims"):
         topk_estimates(cells, USERS_TOPK_CUBE, "top_users", 3, ["nope"])
+
+
+def test_topk_serve_exact_when_cells_exact_but_union_exceeds_capacity(spark):
+    """r14 regression (found by the sf10 full-manifest gate): cells
+    within capacity, rollup union PAST capacity. The old fold route
+    truncated mid-merge and silently undercounted; the explode route
+    must stay exact in this regime — per-cell exactness is the only
+    precondition."""
+    import itertools
+
+    # 2 groups x 6 day-cells; 8 distinct users per cell, capacity 8 —
+    # each cell exact. Disjoint-ish user sets per day: the per-group
+    # union is 30 users >> capacity. User u appears (u % 7) + 1 times
+    # per (group, day) it belongs to, so counts differ across users
+    # and re-appearing users accumulate across days.
+    rows = []
+    for g, d, u in itertools.product(range(2), range(6), range(30)):
+        if (u + d) % 5 != 0:  # keep ~6 users per (g, d) cell
+            continue
+        for _ in range((u % 7) + 1):
+            rows.append((f"g{g}", d, f"u{u:02d}"))
+    df = spark.createDataFrame(rows, "event_type string, day int, user_id string")
+
+    tiny = CubeSpec(
+        name="tiny_union_overflow",
+        source="x",
+        dimensions=(Dimension("event_type"), Dimension("day")),
+        measures=(Measure("top_users", "topk", "user_id", k=3, max_items=8),),
+    )
+    cells = build_cube(spark, tiny, df)
+    # preconditions: every cell within capacity, group unions far past it
+    per_cell = df.groupBy("event_type", "day").agg(
+        F.countDistinct("user_id").alias("d")).collect()
+    assert all(r["d"] <= 8 for r in per_cell)
+    per_group = df.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("d")).collect()
+    assert all(r["d"] > 8 for r in per_group)
+
+    rolled = query_cube(cells, tiny, group_by=["event_type"],
+                        measures=["top_users"])
+    got = {
+        r["event_type"]: [(e["item"], e["count"]) for e in r["top_users"]]
+        for r in rolled.collect()
+    }
+    want: dict = {}
+    for r in direct_topk(df, 3, "event_type").collect():
+        want.setdefault(r["event_type"], []).append((r["user_id"], r["cnt"]))
+    assert got == want
