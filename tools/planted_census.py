@@ -20,11 +20,15 @@ do not need a SQL twin:
   independent closure oracle (the engine runs distributed min-label
   propagation; agreement pins the whole fixpoint);
 - ``q_dedup_simhash``'s banded+bucket-verified output is compared
-  bit-for-bit against a numpy brute force over ALL ~163G signature
-  pairs (signatures come from the engine's simhash64 column — the
-  differential subject is the banding/shuffle machinery, which is
-  what can break at scale; the hash itself is pinned by pytest at
-  small scale).
+  bit-for-bit against an INDEPENDENT numpy sort-based bander
+  (complete for hamming ≤ 3 by the same pigeonhole theorem, zero
+  shared code with the engine, O(n log n + candidates) instead of
+  the first attempt's 4-hour O(n²) brute force — SCALE.md r14), and
+  the census bander is itself cross-checked against a seeded
+  16k-row FULL-quadratic brute force (signatures come from the
+  engine's simhash64 column — the differential subject is the
+  banding/shuffle machinery, which is what can break at scale; the
+  hash itself is pinned by pytest at small scale).
 
 Each check prints an ``ok``/``FAIL`` line in the oracle-transcript
 format; exit code 1 on any failure.
@@ -301,10 +305,31 @@ def census_minhash(spark, sf_dir, base_texts):
 
 
 def census_simhash(spark, sf_dir):
-    """q_dedup_simhash vs numpy brute force over ALL signature pairs
-    (the banding + in-bucket verify must be BIT-EQUAL to brute force
-    for hamming ≤ 3 — the pigeonhole guarantee, now checked at the
-    full corpus, not a sample)."""
+    """q_dedup_simhash vs an INDEPENDENT single-process bander.
+
+    r14 lesson (SCALE.md): the first phase-C attempt brute-forced ALL
+    ~1.9e11 signature pairs — quadratic, ~4 h at sf10, and it would be
+    400 h at the next decade. A full-scale census must itself carry the
+    scale-safe shape. The pigeonhole theorem the engine relies on
+    (hamming ≤ 3 over 64 bits ⇒ at least one of 4 disjoint 16-bit
+    bands identical — 3 flipped bits cannot touch 4 disjoint bands) is
+    mathematics, not code; what can break at scale is the engine's
+    Spark-side banding/shuffle/in-bucket-verify machinery. So the
+    census re-derives the complete pair set with:
+
+    - an independent numpy SORT-based bander (argsort per band,
+      group-boundary split, chunked XOR + SWAR popcount inside each
+      group) — no Spark, no shared code with operators/dedup.py;
+      cost O(n log n + candidate pairs), linear-ish in the corpus;
+    - a seeded 16k-row FULL-quadratic brute force whose qualifying
+      pairs must be exactly the census bander's pairs restricted to
+      the sample — this validates the census bander itself (band
+      extraction, triangle bookkeeping) with zero banding assumptions.
+
+    The engine's ``sig`` column is the differential INPUT (the hash
+    function is pinned bit-exact by pytest at small scale); the
+    differential SUBJECT is everything downstream of it.
+    """
     import __spark_entry__ as ent
 
     from mongo_olap_spark.operators.dedup import simhash_signatures
@@ -321,9 +346,7 @@ def census_simhash(spark, sf_dir):
     ids, sigs = ids[order], sigs[order]
     n = len(ids)
 
-    # brute force: upper-triangle blocks of XOR + SWAR popcount
-    # (numpy 1.x has no bitwise_count; the 5-op SWAR form runs at
-    # memory bandwidth — ~150G pairs in minutes on this box)
+    # SWAR popcount (numpy 1.x has no bitwise_count)
     c1 = np.uint64(0x5555555555555555)
     c2 = np.uint64(0x3333333333333333)
     c4 = np.uint64(0x0F0F0F0F0F0F0F0F)
@@ -335,25 +358,67 @@ def census_simhash(spark, sf_dir):
         v = (v + (v >> np.uint64(4))) & c4
         return (v * cm) >> np.uint64(56)
 
+    # --- independent bander: 4 disjoint 16-bit bands, sort-grouped ---
     expect = set()
-    block = 1024
-    for s in range(0, n, block):
-        e = min(s + block, n)
-        # columns j > s only: every unordered pair visited exactly once
-        ham = pop64(sigs[s:e, None] ^ sigs[None, s:])
-        ham[:, :e - s][np.tril_indices(e - s)] = 64  # kill j <= i
-        rr, cc = np.nonzero(ham <= 3)
-        for r, c in zip(rr, cc):
-            a, b = ids[s + r], ids[s + c]
-            if a > b:
-                a, b = b, a
-            expect.add((int(a), int(b)))
+    cand_pairs = 0
+    for band in range(4):
+        key = ((sigs >> np.uint64(16 * band))
+               & np.uint64(0xFFFF)).astype(np.uint32)
+        korder = np.argsort(key, kind="stable")
+        ks = key[korder]
+        bounds = np.flatnonzero(
+            np.concatenate(([True], ks[1:] != ks[:-1], [True])))
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            m = int(e - s)
+            if m < 2:
+                continue
+            cand_pairs += m * (m - 1) // 2
+            idx = korder[s:e]
+            bsig = sigs[idx]
+            for cs in range(0, m, 2048):
+                ce = min(cs + 2048, m)
+                ham = pop64(bsig[cs:ce, None] ^ bsig[None, cs:])
+                sq = ce - cs
+                ham[:, :sq][np.tril_indices(sq)] = 64
+                rr, cc = np.nonzero(ham <= 3)
+                for r, c in zip(rr, cc):
+                    a = int(ids[idx[cs + r]])
+                    b = int(ids[idx[cs + c]])
+                    expect.add((a, b) if a < b else (b, a))
+
     ok = got == expect
     extra, miss = len(got - expect), len(expect - got)
     _report("census:q_dedup_simhash", ok,
-            f"banded == brute force over {n*(n-1)//2} pairs "
-            f"({len(expect)} qualifying)" if ok else
-            f"extra={extra} missing={miss}", t0)
+            f"engine == independent bander over {n} sigs "
+            f"({cand_pairs} candidates, {len(expect)} qualifying)"
+            if ok else f"extra={extra} missing={miss}", t0)
+
+    # --- brute-force cross-check of the census bander itself ---
+    t0 = time.time()
+    rng = np.random.default_rng(2026)
+    take = min(16384, n)
+    sel = np.sort(rng.choice(n, size=take, replace=False))
+    s_ids, s_sigs = ids[sel], sigs[sel]
+    brute = set()
+    for cs in range(0, take, 2048):
+        ce = min(cs + 2048, take)
+        ham = pop64(s_sigs[cs:ce, None] ^ s_sigs[None, cs:])
+        sq = ce - cs
+        ham[:, :sq][np.tril_indices(sq)] = 64
+        rr, cc = np.nonzero(ham <= 3)
+        for r, c in zip(rr, cc):
+            a = int(s_ids[cs + r])
+            b = int(s_ids[cs + c])
+            brute.add((a, b) if a < b else (b, a))
+    in_sample = set(s_ids.tolist())
+    banded_sub = {(a, b) for a, b in expect
+                  if a in in_sample and b in in_sample}
+    ok2 = brute == banded_sub
+    _report("census:simhash_brute_xcheck", ok2,
+            f"bander == full quadratic on {take}-row sample "
+            f"({len(brute)} pairs)" if ok2 else
+            f"brute={len(brute)} banded_sub={len(banded_sub)} "
+            f"sym_diff={len(brute ^ banded_sub)}", t0)
 
 
 def main() -> int:
@@ -366,8 +431,8 @@ def main() -> int:
     census_groups(spark, sf_dir, pairs, base_texts)
     census_minhash(spark, sf_dir, base_texts)
     census_simhash(spark, sf_dir)
-    n_ok = 5 - len(FAILED)
-    print(f"\n{n_ok}/5 census checks passed")
+    n_ok = 6 - len(FAILED)
+    print(f"\n{n_ok}/6 census checks passed")
     return 1 if FAILED else 0
 
 
