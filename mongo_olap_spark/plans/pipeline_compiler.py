@@ -167,6 +167,12 @@ class _bind:
 #: as _VAR_SCOPE.
 _COLLATION_SCOPE: list[int] = []
 
+#: parallel stack: the active locale's compiled tailoring (a
+#: ``_TailoredFold``) or None for untailored locales (r14 — locale
+#: breadth past the DUCET accept-list). Same single-threaded
+#: argument as _COLLATION_SCOPE.
+_COLLATION_FOLD_SCOPE: list = []
+
 
 def _ci() -> bool:
     """True under ANY non-binary collation — every strength-2 rewrite
@@ -179,15 +185,22 @@ def _strength() -> int:
     return _COLLATION_SCOPE[-1] if _COLLATION_SCOPE else 0
 
 
+def _tailoring():
+    return _COLLATION_FOLD_SCOPE[-1] if _COLLATION_FOLD_SCOPE else None
+
+
 class _collation_scope:
-    def __init__(self, ci: int):
+    def __init__(self, ci: int, fold=None):
         self.ci = ci
+        self.fold = fold
 
     def __enter__(self):
         _COLLATION_SCOPE.append(self.ci)
+        _COLLATION_FOLD_SCOPE.append(self.fold)
 
     def __exit__(self, *exc):
         _COLLATION_SCOPE.pop()
+        _COLLATION_FOLD_SCOPE.pop()
 
 
 # -- collation image (r13, VERDICT r12 task 4) ------------------------------
@@ -230,12 +243,130 @@ _S1_MAP = dict(zip(_S1_SRC, list(_S1_DST) + [""] * (len(_S1_SRC) - len(_S1_DST))
 _S1_EXPANSIONS = (("ß", "ss"), ("æ", "ae"), ("œ", "oe"))
 
 
+# -- tailored locales (r14: locale breadth past the DUCET accept-list) ------
+#
+# A CLDR tailoring the image fold CAN honestly reproduce is a pure
+# PRIMARY-level remap: new primary letters inserted after an existing
+# anchor (sv: …z < å < ä < ö), letters secondary-equal to an existing
+# letter (fi: w ≡ v), and digraph/expansion rules (da: aa ≡ å; sv/da:
+# þ ≡ th at the modeled strengths). Members map to image keys
+# ``anchor + chr(0xE000+i)`` — private-use suffixes — so the image's
+# BINARY order realizes the tailored primary order: "å…" folds to
+# "z…", after every "z…" string but before "{". Within-anchor
+# order is the suffix index; at strength 1, secondary-equal class
+# members share the class representative's key (sv: ä ≡ æ fold
+# together); at strength 2 each member keeps its own suffix (they are
+# unequal at strength 2, in tailored order). Two documented model
+# limits, both shared with the untailored fold: (a) image compare is
+# single-level, so primary-equal-but-secondary-different letters
+# deviate from full UCA order in mixed-suffix contexts exactly as
+# é/e already does at strength 2; (b) the modeled repertoire is the
+# spec below + the Latin fold table — PUA characters in DATA and
+# tailored letters outside the spec (e.g. Hungarian ő under sv)
+# compare per the root fold, not the locale's full CLDR file.
+
+_TAILORING_SPECS: dict[str, dict] = {
+    # CLDR es standard: &N<ñ
+    "es": {"after": {"n": [["ñ"]]}},
+    # CLDR pl standard: &A<ą &C<ć &E<ę &L<ł &N<ń &O<ó &S<ś &Z<ź<ż
+    "pl": {"after": {"a": [["ą"]], "c": [["ć"]], "e": [["ę"]],
+                     "l": [["ł"]], "n": [["ń"]], "o": [["ó"]],
+                     "s": [["ś"]], "z": [["ź"], ["ż"]]}},
+    # CLDR cs standard: &C<č &H<ch &R<ř &S<š &Z<ž ("ch" is a primary
+    # DIGRAPH after h — an after-insertion whose member is two chars)
+    "cs": {"after": {"c": [["č"]], "h": [["ch"]], "r": [["ř"]],
+                     "s": [["š"]], "z": [["ž"]]}},
+    # CLDR sv standard: &D<<đ<<ð; &t<<<þ/h; &Y<<ü;
+    # &[before 1]ǀ<å<ä<<æ<ö<<ø  (ä/æ and ö/ø secondary-equal pairs)
+    "sv": {"after": {"z": [["å"], ["ä", "æ"], ["ö", "ø"]]},
+           "equal": {"d": ["đ", "ð"], "y": ["ü"]},
+           "expand": [("þ", "th")]},
+    # CLDR da standard: &D<<đ<<ð; &t<<<þ/h; &Y<<ü;
+    # &[before 1]ǀ<æ<<ä<ø<<ö<å<<<aa  (aa TERTIARY-equal to å — an
+    # alias onto å's key at both modeled strengths; leftmost-greedy
+    # on longer runs, the documented model of the compound-boundary
+    # ambiguity real Danish dictionaries resolve by hand)
+    "da": {"after": {"z": [["æ", "ä"], ["ø", "ö"], ["å"]]},
+           "equal": {"d": ["đ", "ð"], "y": ["ü"]},
+           "expand": [("þ", "th")],
+           "alias": [("aa", "å")]},
+    # CLDR fi standard core: &V<<w; &Y<<ü;
+    # &[before 1]ǀ<å<ä<<æ<ö<<ø
+    "fi": {"after": {"z": [["å"], ["ä", "æ"], ["ö", "ø"]]},
+           "equal": {"v": ["w"], "y": ["ü"]}},
+    # CLDR ro standard: &A<ă<â &I<î &S<ș &T<ț; the legacy cedilla
+    # spellings ş/ţ (U+015F/U+0163) are equal to the comma-below
+    # letters at every strength (encoding variants, not letters)
+    "ro": {"after": {"a": [["ă"], ["â"]], "i": [["î"]],
+                     "s": [["ș"]], "t": [["ț"]]},
+           "alias": [("ş", "ș"), ("ţ", "ț")]},
+    # Esperanto: the circumflex/breve letters follow their bases by
+    # definition of the alphabet (&C<ĉ &G<ĝ &H<ĥ &J<ĵ &S<ŝ &U<ŭ)
+    "eo": {"after": {"c": [["ĉ"]], "g": [["ĝ"]], "h": [["ĥ"]],
+                     "j": [["ĵ"]], "s": [["ŝ"]], "u": [["ŭ"]]}},
+}
+# Norwegian (nb/nn and the macrolanguage tag) collates as Danish
+_TAILORING_SPECS["nb"] = _TAILORING_SPECS["nn"] = \
+    _TAILORING_SPECS["no"] = _TAILORING_SPECS["da"]
+
+
+class _TailoredFold:
+    """Compiled tailoring: ordered (src, dst) replaces per strength.
+    Longer sources first so digraphs (cs "ch", da "aa") consume their
+    letters before any single-char rule could."""
+
+    __slots__ = ("locale", "s1", "s2")
+
+    def __init__(self, locale: str, spec: dict):
+        s1: list[tuple[str, str]] = []
+        s2: list[tuple[str, str]] = []
+        for anchor, classes in spec.get("after", {}).items():
+            flat = 0
+            for cls in classes:
+                rep = anchor + chr(0xE000 + flat)
+                for j, m in enumerate(cls):
+                    s1.append((m, rep))
+                    s2.append((m, anchor + chr(0xE000 + flat + j)))
+                flat += len(cls)
+        for base, members in spec.get("equal", {}).items():
+            for i, m in enumerate(members):
+                s1.append((m, base))
+                s2.append((m, base + chr(0xE000 + i)))
+        for src, dst in spec.get("expand", []):
+            s1.append((src, dst))
+            s2.append((src, dst))
+        for src, target in spec.get("alias", []):
+            # tertiary-equal spelling: identical image to its target
+            # at every modeled strength (da: aa ≡ å)
+            s1.append((src, dict(s1)[target]))
+            s2.append((src, dict(s2)[target]))
+        key = lambda r: -len(r[0])  # noqa: E731 — longest-source-first
+        self.locale = locale
+        self.s1 = sorted(s1, key=key)
+        self.s2 = sorted(s2, key=key)
+
+    def replaces(self, strength: int) -> list[tuple[str, str]]:
+        return self.s1 if strength == 1 else self.s2
+
+
+_TAILORED_FOLDS = {loc: _TailoredFold(loc, spec)
+                   for loc, spec in _TAILORING_SPECS.items()}
+
+
 def _fold_col(col: Column) -> Column:
     """The active collation's image of a string column: lower() at
     strength 2; lower→expansions→translate diacritic fold at
-    strength 1. Pure built-in string expressions — stays inside
-    whole-stage codegen, no UDF, no extra shuffle."""
+    strength 1; under an accepted TAILORED locale, the locale's
+    primary remap runs between the two (after lower, before the
+    root fold — a tailored letter must reach its locale key before
+    the DUCET table could fold it to its base). Pure built-in string
+    expressions — stays inside whole-stage codegen, no UDF, no extra
+    shuffle."""
     col = F.lower(col)
+    tail = _tailoring()
+    if tail is not None:
+        for a, b in tail.replaces(_strength()):
+            col = F.replace(col, F.lit(a), F.lit(b))
     if _strength() != 1:
         return col
     for a, b in _S1_EXPANSIONS:
@@ -246,6 +377,10 @@ def _fold_col(col: Column) -> Column:
 def _fold_lit(s: str) -> str:
     """Python-side image of a literal — same table as :func:`_fold_col`."""
     s = s.lower()
+    tail = _tailoring()
+    if tail is not None:
+        for a, b in tail.replaces(_strength()):
+            s = s.replace(a, b)
     if _strength() != 1:
         return s
     for a, b in _S1_EXPANSIONS:
@@ -435,49 +570,39 @@ _TAILORED_LOCALES = {
     "tr": "dotted/dotless-i case mapping: lower('I') is 'ı', not 'i'",
     "az": "dotted/dotless-i case mapping (as Turkish)",
     "lt": "dot-above accent/case tailoring on i/j",
-    "da": "æ/ø/å (and the 'aa' digraph) are primary letters after z",
-    "no": "æ/ø/å are primary letters after z",
-    "nb": "æ/ø/å are primary letters after z",
-    "nn": "æ/ø/å are primary letters after z",
-    "sv": "å/ä/ö are primary letters after z",
-    "fi": "å/ä/ö after z plus v=w primary equivalence",
     "is": "accented vowels and þ/æ/ö are distinct primary letters",
-    "es": "ñ is a primary letter after n",
-    "pl": "ą/ć/ę/ł/ń/ó/ś/ź/ż are primary letters after their bases",
-    "cs": "ch is a primary digraph after h; č/ř/š/ž primaries",
     "sk": "ch digraph and ä/ô primaries",
     "hr": "dž/lj/nj are primary digraphs; č/ć/đ/š/ž primaries",
     "hu": "cs/dzs/gy/ly/ny/sz/ty/zs are primary digraphs",
-    "ro": "ă/â/î/ș/ț are primary letters after their bases",
     "vi": "đ is a primary letter; tone marks are secondary-tailored",
-    "eo": "ĉ/ĝ/ĥ/ĵ/ŝ/ŭ are primary letters after their bases",
     "fr_CA": "backwards secondary level (accents compare from the end)",
 }
 
 
-def _parse_collation(collation) -> int:
+def _parse_collation(collation) -> tuple[int, "_TailoredFold | None"]:
     """Validate an aggregate-command ``collation`` document; return
-    the modeled strength: 0 for binary (``simple``) compare, 2 for
-    the case-insensitive lower()-image rewrite, 1 for the
-    diacritic+case-insensitive primary-weight fold (r13).
+    ``(strength, tailoring)``: strength 0 for binary (``simple``)
+    compare, 2 for the case-insensitive lower()-image rewrite, 1 for
+    the diacritic+case-insensitive primary-weight fold (r13);
+    tailoring is the locale's compiled ``_TailoredFold`` when the
+    locale carries a CLDR tailoring the image fold honestly
+    reproduces (r14), else None.
 
     Modeled surface: ``{locale: "simple"}`` → pass-through;
-    ``{locale: L, strength: 2}`` for any UNTAILORED Latin-script
-    locale L (accept-list ``_UNTAILORED_LOCALES``; r14) →
-    case-insensitive via ``lower()`` images of $match predicates,
-    $group keys and $sort keys; ``{locale: L, strength: 1}`` → the
-    same seams through the DUCET-style diacritic fold of
-    :func:`_fold_col` (documented Latin repertoire; un-decomposable
-    letters keep their own primary weight, exactly as in the DUCET).
-    The fold is locale-AGNOSTIC — it is honest precisely for locales
-    whose CLDR collation is the untailored root order; locales with a
-    tailoring refuse by name with the specific violation
-    (``_TAILORED_LOCALES``), and unknown locales refuse generically.
-    Strength ≥3 tertiary ordering and non-default option flags refuse
-    by name.
+    ``{locale: L, strength: 2|1}`` for any UNTAILORED Latin-script
+    locale L (accept-list ``_UNTAILORED_LOCALES``) → lower()-image /
+    DUCET primary-fold rewrites of $match predicates, $group keys and
+    $sort keys; the same for the PRIMARY-REMAP tailored locales of
+    ``_TAILORING_SPECS`` (es/pl/cs/sv/da/nb/nn/no/fi/ro/eo), whose
+    tailoring rides the image as locale replaces. Locales whose
+    tailoring the image CANNOT honestly express (case-mapping
+    tailorings, doubled digraphs, backwards secondaries …) refuse by
+    name with the specific violation (``_TAILORED_LOCALES``); unknown
+    locales refuse generically. Strength ≥3 tertiary ordering and
+    non-default option flags refuse by name.
     """
     if collation is None:
-        return 0
+        return 0, None
     if not (isinstance(collation, dict) and "locale" in collation):
         raise PipelineError("collation must be a document with a 'locale'")
     for k, v in collation.items():
@@ -498,19 +623,22 @@ def _parse_collation(collation) -> int:
             raise PipelineError(
                 "collation locale 'simple' is binary compare; "
                 "strength other than the default 3 is meaningless")
-        return 0
+        return 0, None
     base = loc.split("_")[0].split("-")[0]
     if loc in _TAILORED_LOCALES or base in _TAILORED_LOCALES:
         why = _TAILORED_LOCALES.get(loc) or _TAILORED_LOCALES[base]
         raise PipelineError(
             f"collation locale {loc!r} carries an ICU tailoring the "
-            f"locale-agnostic DUCET fold cannot honestly reproduce "
-            f"({why}); refusing rather than silently collating like "
-            f"'en'. Untailored Latin-script locales are accepted: "
-            f"{sorted(_UNTAILORED_LOCALES)}")
-    if base in _UNTAILORED_LOCALES:
+            f"image fold cannot honestly reproduce ({why}); refusing "
+            f"rather than silently collating like 'en'. Accepted: "
+            f"untailored {sorted(_UNTAILORED_LOCALES)} and "
+            f"primary-remap tailored {sorted(_TAILORED_FOLDS)}")
+    fold = None
+    if base in _TAILORED_FOLDS and loc not in _UNTAILORED_LOCALES:
+        fold = _TAILORED_FOLDS.get(loc) or _TAILORED_FOLDS[base]
+    if base in _UNTAILORED_LOCALES or fold is not None:
         if strength in (1, 2):
-            return strength
+            return strength, fold
         raise PipelineError(
             f"collation locale {loc!r} supports strength 2 "
             f"(case-insensitive lower()-image) and strength 1 "
@@ -518,10 +646,11 @@ def _parse_collation(collation) -> int:
             f"{strength!r} — ICU tertiary ordering is not modeled")
     raise PipelineError(
         f"collation locale {loc!r} is not supported (not on the "
-        f"verified untailored accept-list — an unverified locale "
-        f"could carry a tailoring the DUCET fold would silently "
-        f"violate); supported: 'simple' (binary) and "
-        f"{sorted(_UNTAILORED_LOCALES)} with strength 2 or 1")
+        f"verified accept-lists — an unverified locale could carry "
+        f"a tailoring the image fold would silently violate); "
+        f"supported: 'simple' (binary), untailored "
+        f"{sorted(_UNTAILORED_LOCALES)} and primary-remap tailored "
+        f"{sorted(_TAILORED_FOLDS)} with strength 2 or 1")
 
 
 def _collate_pair(col: Column, v):
@@ -2292,8 +2421,8 @@ def compile_pipeline(
 
         with _bind_fields(_no_fields):
             top_bindings = {k: compile_expr(v) for k, v in let.items()}
-    ci = _parse_collation(collation)
-    with _bind(**top_bindings), _collation_scope(ci):
+    ci, fold = _parse_collation(collation)
+    with _bind(**top_bindings), _collation_scope(ci, fold):
         return _compile_stages(source, pipeline, collections)
 
 

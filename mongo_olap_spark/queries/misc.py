@@ -1201,6 +1201,88 @@ def q_collation_locale_de(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# X7'''' (r14 continued): TAILORED locale end-to-end — Danish is the
+# hardest accepted tailoring (æ/ø/å inserted after z in the OPPOSITE
+# order of Swedish, ä/ö folding into æ/ø as secondaries, and the
+# 'aa' digraph tertiary-equal to å). The fold rides the same image
+# seams: lower → locale replaces → [s1: root fold]; the oracle twin
+# applies the identical replace chain in SQL, PUA key chars inlined.
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_collation_locale_da",
+    oracle="""
+    WITH base AS (
+        SELECT CASE
+                 WHEN c_custkey % 4 = 0 THEN 'å-' || lower(c_mktsegment)
+                 WHEN c_custkey % 4 = 1 THEN 'AA-' || upper(c_mktsegment)
+                 WHEN c_custkey % 4 = 2 THEN 'Aa-' || lower(c_mktsegment)
+                 ELSE 'æ-' || c_mktsegment
+               END AS seg,
+               c_acctbal
+        FROM customer
+    ),
+    folded AS (
+        SELECT seg, c_acctbal,
+               replace(replace(replace(lower(seg),
+                       'aa', '__K4__'), 'å', '__K4__'),
+                       'æ', '__K0__') AS img
+        FROM base
+    ),
+    g AS (
+        SELECT min(seg) AS _id,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               __DSUM__ AS bal
+        FROM folded
+        WHERE img IN ('__K4__-building', '__K4__-machinery',
+                      '__K0__-automobile')
+        GROUP BY img
+    )
+    SELECT _id, n, bal FROM g
+    ORDER BY replace(replace(replace(lower(_id),
+             'aa', '__K4__'), 'å', '__K4__'), 'æ', '__K0__'), _id
+    """.replace("__DSUM__", dsum_sql('c_acctbal'))
+       .replace("__K4__", "z").replace("__K0__", "z"),
+)
+def q_collation_locale_da(spark, sf_dir):
+    """Strength-2 collation under ``{locale: "da"}`` (r14 tailored
+    accept-list): Danish data shapes — the å letter, its 'aa' digraph
+    spelling (tertiary-equal: Aarhus ≡ Århus at strength 2), and æ as
+    a primary letter after z. The three å-spelling arms fold into ONE
+    group per segment; the match literals exercise digraph
+    ('aa-building'), precomposed ('Å-MACHINERY') and æ forms; the
+    sort surfaces the tailored order (æ-groups before å-groups, both
+    after any ASCII segment). Plan shape: the tailored image is
+    lower → two F.replace calls — still one whole-stage-codegen span,
+    no UDF, no extra exchange vs the untailored strength-2 plan."""
+    from mongo_olap_spark.plans.pipeline_compiler import compile_pipeline
+
+    c = load_table(spark, sf_dir, "customer")
+    base = c.select(
+        F.when(F.col("c_custkey") % 4 == 0,
+               F.concat(F.lit("å-"), F.lower("c_mktsegment")))
+        .when(F.col("c_custkey") % 4 == 1,
+              F.concat(F.lit("AA-"), F.upper("c_mktsegment")))
+        .when(F.col("c_custkey") % 4 == 2,
+              F.concat(F.lit("Aa-"), F.lower("c_mktsegment")))
+        .otherwise(F.concat(F.lit("æ-"), F.col("c_mktsegment")))
+        .alias("seg"),
+        "c_acctbal",
+    )
+    return compile_pipeline(
+        base,
+        [
+            {"$match": {"seg": {"$in": ["aa-building", "Å-MACHINERY",
+                                        "æ-AUTOMOBILE"]}}},
+            {"$group": {"_id": "$seg", "n": {"$sum": 1},
+                        "bal": {"$sum": "$c_acctbal"}}},
+            {"$sort": {"_id": 1}},
+        ],
+        collation={"locale": "da", "strength": 2},
+    )
+
+
+# ---------------------------------------------------------------------------
 # S7 — $lookup with BOTH sides array-valued (r7 doc-granularity dedup
 # branch, r8: first oracle-gated query — a regression there was
 # previously invisible to CORRECTNESS). Semantics: a foreign doc

@@ -61,9 +61,10 @@ def test_simple_locale_is_binary(names):
     {"strength": 2},                              # no locale
     {"locale": "en"},                             # no strength
     {"locale": "en", "strength": 3},              # tertiary
-    {"locale": "sv", "strength": 2},              # ICU tailoring (å/ä/ö
-    #   after z — fr moved to the ACCEPTED untailored set in r14;
-    #   test_untailored_locale_accepted covers it on the green side)
+    {"locale": "tr", "strength": 2},              # ICU tailoring the image
+    #   fold cannot express (dotted/dotless-i CASE MAPPING — sv moved
+    #   to the ACCEPTED primary-remap tailored set in r14;
+    #   TestTailoredLocales covers it on the green side)
     {"locale": "simple", "strength": 2},          # simple is binary
     {"locale": "en", "strength": 2, "caseLevel": True},
     {"locale": "en", "strength": 2, "numericOrdering": True},
@@ -1196,31 +1197,23 @@ def test_untailored_locale_accepted(accents, loc, strength):
 
 
 @pytest.mark.parametrize("loc,word", [
-    ("da", "after z"),            # æ/ø/å reorder
-    ("sv", "after z"),            # å/ä/ö reorder
     ("tr", "dotless"),            # i/ı case mapping
     ("az", "dotless"),
     ("lt", "dot-above"),
-    ("fi", "v=w"),
     ("is", "primary letters"),
-    ("es", "ñ"),
-    ("pl", "primary letters"),
-    ("cs", "digraph"),
     ("sk", "digraph"),
     ("hr", "digraph"),
     ("hu", "digraph"),
-    ("ro", "primary letters"),
     ("vi", "tone"),
-    ("eo", "primary letters"),
     ("fr_CA", "backwards"),       # full-tag tailoring over untailored base
-    ("da_DK", "after z"),         # variant of a tailored base
+    ("tr_TR", "dotless"),         # variant of a refused base
 ])
 def test_tailored_locale_refuses_by_name(accents, loc, word):
     with pytest.raises(PipelineError) as e:
         compile_pipeline(accents, [{"$match": {"s": "x"}}],
                          collation={"locale": loc, "strength": 2})
     msg = str(e.value)
-    assert loc in msg and word in msg  # names the locale AND the why
+    assert loc.split("_")[0] in msg and word in msg  # locale AND why
 
 
 def test_unknown_locale_refuses_generically(accents):
@@ -1237,3 +1230,202 @@ def test_untailored_variant_tag_accepted(accents):
             accents, [{"$match": {"s": "café"}}, {"$count": "n"}],
             collation={"locale": loc, "strength": 1}).collect()
         assert out[0]["n"] == 4
+
+
+# ---------------------------------------------------------------------------
+# r14: ACCEPTED tailored locales — CLDR primary remaps riding the
+# image fold (es/pl/cs/sv/da/nb/nn/no/fi/ro/eo). Each test pins the
+# tailoring's load-bearing behavior: new primary letters sort AFTER
+# their anchor (not folded to the base as the root would), secondary-
+# equal letters fold together at strength 1 but stay distinct (in
+# tailored order) at strength 2, and digraph/alias rules apply at
+# both strengths.
+# ---------------------------------------------------------------------------
+
+def _sorted_names(spark, rows, collation):
+    df = spark.createDataFrame([(s,) for s in rows], "s string")
+    out = compile_pipeline(df, [{"$sort": {"s": 1}}], collation=collation)
+    return [r.s for r in out.collect()]
+
+
+def _groups(spark, rows, collation):
+    df = spark.createDataFrame([(s,) for s in rows], "s string")
+    out = compile_pipeline(
+        df, [{"$group": {"_id": "$s", "n": {"$sum": 1}}}],
+        collation=collation)
+    return {r._id: r.n for r in out.collect()}
+
+
+def test_sv_primary_letters_after_z(spark):
+    # Swedish: …z < å < ä < ö; the root fold would put Ängel with A
+    got = _sorted_names(
+        spark, ["Ärlig", "Zebra", "Ödla", "Ängel", "Åsna", "apa"],
+        {"locale": "sv", "strength": 1})
+    assert got == ["apa", "Zebra", "Åsna", "Ängel", "Ärlig", "Ödla"]
+
+
+def test_sv_ae_folds_with_a_umlaut_at_s1(spark):
+    # æ is secondary-equal to ä: one primary class at strength 1
+    g = _groups(spark, ["ära", "æra", "ÄRA"],
+                {"locale": "sv", "strength": 1})
+    assert len(g) == 1 and list(g.values()) == [3]
+
+
+def test_sv_ae_distinct_at_s2_but_after_z(spark):
+    # at strength 2 ä and æ are unequal (secondary) yet both sort
+    # after z in tailored order ä << æ … and before ö
+    got = _sorted_names(spark, ["öl", "æra", "ära", "zon"],
+                        {"locale": "sv", "strength": 2})
+    assert got == ["zon", "ära", "æra", "öl"]
+    g = _groups(spark, ["ära", "æra"], {"locale": "sv", "strength": 2})
+    assert len(g) == 2
+
+
+def test_sv_u_umlaut_is_y(spark):
+    # sv: ü secondary-equal to y, NOT folded to u as the root does
+    g = _groups(spark, ["byra", "büra"], {"locale": "sv", "strength": 1})
+    assert len(g) == 1
+    g = _groups(spark, ["bura", "büra"], {"locale": "sv", "strength": 1})
+    assert len(g) == 2
+
+
+def test_da_aa_is_aring_at_both_strengths(spark):
+    # Danish: 'aa' is tertiary-equal to å — equal at s1 AND s2
+    for strength in (1, 2):
+        g = _groups(spark, ["Aarhus", "Århus", "aarhus"],
+                    {"locale": "da", "strength": strength})
+        assert len(g) == 1, (strength, g)
+    # and å sorts LAST (after æ and ø), unlike Swedish
+    got = _sorted_names(spark, ["Åse", "Øre", "Æble", "zulu"],
+                        {"locale": "da", "strength": 1})
+    assert got == ["zulu", "Æble", "Øre", "Åse"]
+
+
+def test_da_vs_sv_opposite_secondary_pairs(spark):
+    # da: ä folds INTO æ; sv: æ folds INTO ä — same class either way
+    # at s1, but the ORDER of the z-groups differs: da æ<ø<å, sv å<ä<ö
+    da = _sorted_names(spark, ["åa", "æa", "øa"],
+                       {"locale": "da", "strength": 1})
+    sv = _sorted_names(spark, ["åa", "äa", "öa"],
+                       {"locale": "sv", "strength": 1})
+    assert da == ["æa", "øa", "åa"]
+    assert sv == ["åa", "äa", "öa"]
+
+
+def test_no_nb_nn_collate_as_danish(spark):
+    for loc in ("no", "nb", "nn", "nb_NO"):
+        g = _groups(spark, ["Aalesund", "Ålesund"],
+                    {"locale": loc, "strength": 2})
+        assert len(g) == 1, loc
+
+
+def test_fi_v_equals_w_at_s1(spark):
+    g = _groups(spark, ["vene", "wene"], {"locale": "fi", "strength": 1})
+    assert len(g) == 1
+    # but distinct at strength 2 (secondary difference), w after v
+    got = _sorted_names(spark, ["wene", "vene", "yö"],
+                        {"locale": "fi", "strength": 2})
+    assert got == ["vene", "wene", "yö"]
+
+
+def test_es_enye_after_n(spark):
+    # ñ is a primary letter between n and o — root would fold ñ→n
+    got = _sorted_names(spark, ["ñandú", "nube", "oso"],
+                        {"locale": "es", "strength": 1})
+    assert got == ["nube", "ñandú", "oso"]
+    # so "ñata" ≠ "nata" at strength 1 under es …
+    assert len(_groups(spark, ["ñata", "nata"],
+                       {"locale": "es", "strength": 1})) == 2
+    # … while under untailored 'en' the root fold makes them equal
+    assert len(_groups(spark, ["ñata", "nata"],
+                       {"locale": "en", "strength": 1})) == 1
+
+
+def test_pl_ogonek_letters_after_bases(spark):
+    got = _sorted_names(spark, ["żal", "zza", "źle", "łuk", "lza"],
+                        {"locale": "pl", "strength": 1})
+    assert got == ["lza", "łuk", "zza", "źle", "żal"]
+
+
+def test_cs_ch_digraph_after_h(spark):
+    # every ch-word sorts after every h-word and before i
+    got = _sorted_names(spark, ["chata", "hudba", "ironie", "hzzz"],
+                        {"locale": "cs", "strength": 1})
+    assert got == ["hudba", "hzzz", "chata", "ironie"]
+    # case-folded digraph too (lower() runs first)
+    g = _groups(spark, ["CHata", "chata"], {"locale": "cs", "strength": 2})
+    assert len(g) == 1
+
+
+def test_cs_hacek_letters(spark):
+    got = _sorted_names(spark, ["šok", "svět", "tak"],
+                        {"locale": "cs", "strength": 1})
+    assert got == ["svět", "šok", "tak"]
+
+
+def test_ro_cedilla_comma_alias(spark):
+    # legacy cedilla ş ≡ comma-below ș at every modeled strength
+    for strength in (1, 2):
+        g = _groups(spark, ["paşte", "paște"],
+                    {"locale": "ro", "strength": strength})
+        assert len(g) == 1, strength
+    got = _sorted_names(spark, ["șa", "sz", "ta"],
+                        {"locale": "ro", "strength": 1})
+    assert got == ["sz", "șa", "ta"]
+
+
+def test_eo_circumflex_letters(spark):
+    got = _sorted_names(spark, ["ĉu", "cz", "du"],
+                        {"locale": "eo", "strength": 1})
+    assert got == ["cz", "ĉu", "du"]
+
+
+def test_tailored_match_literal_folds_through_locale(spark):
+    # a $match literal folds through the SAME tailored image as the
+    # column — Århus matches aarhus under da
+    df = spark.createDataFrame(
+        [("Aarhus", 1), ("Århus", 2), ("Arhus", 3)], "s string, v int")
+    out = compile_pipeline(df, [{"$match": {"s": "århus"}}],
+                           collation={"locale": "da", "strength": 2})
+    assert sorted(r.v for r in out.collect()) == [1, 2]
+
+
+def test_tailored_bucket_boundaries(spark):
+    # $bucket string boundaries bracket the TAILORED image: a bucket
+    # [z, ö) under sv contains å and ä words (they sort after z)
+    df = spark.createDataFrame(
+        [("zon",), ("åsna",), ("ängel",), ("ödla",), ("apa",)],
+        "s string")
+    out = compile_pipeline(
+        df,
+        [{"$bucket": {"groupBy": "$s", "boundaries": ["a", "z", "ö"],
+                      "default": "rest"}}],
+        collation={"locale": "sv", "strength": 1})
+    got = {r._id: r["count"] for r in out.collect()}
+    assert got == {"a": 1, "z": 3, "rest": 1}  # zon+åsna+ängel in [z,ö)
+
+
+def test_tailored_column_and_literal_images_agree(spark):
+    from pyspark.sql import functions as F
+
+    from mongo_olap_spark.plans.pipeline_compiler import (
+        _TAILORED_FOLDS,
+        _collation_scope,
+        _fold_col,
+        _fold_lit,
+    )
+
+    samples = [
+        "Århus", "AARHUS", "aarhus", "Ængel", "ängel", "øre", "Ödla",
+        "chata", "CHATA", "Chléb", "żółć", "paşte", "paște", "ĉĝĥĵŝŭ",
+        "ñandú", "straße", "þorn", "Düsseldorf", "vw WV", "zzz{|}",
+        "", "plain ascii 123", "中文", "aaa", "aaaa",
+    ]
+    df = spark.createDataFrame([(s,) for s in samples], "s string")
+    for loc, fold in sorted(_TAILORED_FOLDS.items()):
+        for strength in (1, 2):
+            with _collation_scope(strength, fold):
+                got = {r.s: r.img for r in df.select(
+                    "s", _fold_col(F.col("s")).alias("img")).collect()}
+                want = {s: _fold_lit(s) for s in samples}
+            assert got == want, (loc, strength)
