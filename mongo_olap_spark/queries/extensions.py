@@ -1121,3 +1121,81 @@ def q_vector_search(spark, sf_dir):
             {"$project": {"vec_id": 1, "score": 1}},
         ],
     )
+
+
+# ---------------------------------------------------------------------------
+# X4''' (r14): deterministic corpus splits — the fold-assignment step
+# a training pipeline runs last. Plain split: engine-portable md5
+# draw per doc (zero shuffle); leakage-safe split: the draw hashes
+# the near-dup GROUP id so no dup pair straddles train/test.
+# ---------------------------------------------------------------------------
+
+_SPLIT_FRACTIONS = {"train": 0.8, "val": 0.1, "test": 0.1}
+#: 0.8·2^32 and 0.9·2^32 as 8-hex bounds — the same constants
+#: operators/splits._thresholds derives; inlined for the SQL twin
+_SPLIT_CASE_SQL = """CASE
+      WHEN substr(md5('{salt}' || CAST({key} AS VARCHAR)), 1, 8)
+           < 'cccccccc' THEN 'train'
+      WHEN substr(md5('{salt}' || CAST({key} AS VARCHAR)), 1, 8)
+           < 'e6666666' THEN 'val'
+      ELSE 'test' END"""
+
+
+@register(
+    "q_split",
+    oracle=f"""
+    WITH s AS (
+      SELECT {_SPLIT_CASE_SQL.format(salt='v1', key='doc_id')} AS split,
+             text
+      FROM documents
+    )
+    SELECT split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(text)) AS BIGINT) AS n_chars
+    FROM s GROUP BY split
+    """,
+)
+def q_split(spark, sf_dir):
+    """Deterministic 80/10/10 train/val/test assignment over the
+    documents table, summarized per fold. The assignment column is a
+    pure projection (md5 + CASE in one codegen span — no RNG state,
+    stable under repartitioning, reproducible from ANY engine with
+    md5); the summary is one keyed shuffle over 3 groups. At 100 TB
+    the assignment adds zero shuffle to whatever pipeline it ends."""
+    from mongo_olap_spark.operators.splits import deterministic_split
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    s = deterministic_split(d, "doc_id", _SPLIT_FRACTIONS, salt="v1")
+    return s.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text")).cast("long").alias("n_chars"),
+    )
+
+
+@register(
+    "q_split_leakage_safe",
+    oracle=_CC_ORACLE_PREFIX + f"""
+    SELECT doc_id, group_id,
+           {_SPLIT_CASE_SQL.format(salt='ls1', key='group_id')} AS split
+    FROM groups
+    """,
+)
+def q_split_leakage_safe(spark, sf_dir):
+    """Leakage-safe fold assignment: near-duplicate documents (ngram-
+    Jaccard dup groups over the constructed dup corpus) always land in
+    the SAME fold — the md5 draw hashes the group id, not the doc id,
+    so held-out evaluation can never see a near-copy of a training
+    document. Inherits the dedup pipeline's banded shuffles; the
+    assignment itself adds only the (doc_id → group_id) map join.
+    Differentially pinned: the same union-find closure the sf10
+    census re-derives, plus a pytest that NO group spans two folds."""
+    from mongo_olap_spark.operators.splits import leakage_safe_split
+
+    corpus = _full_dup_corpus(spark, sf_dir)
+    pairs = _ngram_pairs(corpus)
+    groups = dd.connected_components(
+        pairs, corpus.select(F.col("doc_id").alias("node"))
+    ).withColumnRenamed("node", "doc_id")
+    out = leakage_safe_split(corpus.select("doc_id"), groups,
+                             _SPLIT_FRACTIONS, salt="ls1")
+    return out.join(groups, "doc_id").select("doc_id", "group_id", "split")

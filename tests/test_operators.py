@@ -524,3 +524,102 @@ def test_mix_weights_deterministic_and_rate_faithful(spark):
         assert abs(k - n * rate) <= max(4 * sd, 4), (g, k, n * rate)
     # group 0 is keep-all: exact, not statistical
     assert per_grp[0] == totals[0]
+
+
+# ---------------------------------------------------------------------------
+# r14: deterministic + leakage-safe splits (operators/splits.py)
+# ---------------------------------------------------------------------------
+
+def test_split_fractions_validate():
+    import pytest as _pytest
+
+    from mongo_olap_spark.operators.splits import _thresholds
+
+    with _pytest.raises(ValueError, match="sum to 1"):
+        _thresholds({"train": 0.5, "test": 0.4})
+    with _pytest.raises(ValueError, match="non-negative"):
+        _thresholds({"train": 1.5, "test": -0.5})
+    with _pytest.raises(ValueError, match="at least one"):
+        _thresholds({})
+    # bounds are cumulative 8-hex, last fold open-ended
+    b = _thresholds({"train": 0.8, "val": 0.1, "test": 0.1})
+    assert b[0] == ("train", "cccccccc") and b[1] == ("val", "e6666666")
+
+
+def test_split_deterministic_and_fractional(spark):
+    import collections
+
+    from mongo_olap_spark.operators.splits import deterministic_split
+
+    df = spark.range(20_000).withColumnRenamed("id", "k")
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = {r.k: r.split for r in
+         deterministic_split(df, "k", fr, salt="s").collect()}
+    b = {r.k: r.split for r in
+         deterministic_split(df.repartition(13), "k", fr,
+                             salt="s").collect()}
+    assert a == b  # stable under repartitioning (no RNG state)
+    n = collections.Counter(a.values())
+    for fold, frac in fr.items():
+        exp = 20_000 * frac
+        sd = (20_000 * frac * (1 - frac)) ** 0.5
+        assert abs(n[fold] - exp) <= 5 * sd, (fold, n[fold], exp)
+    # a different salt reshuffles assignments
+    c = {r.k: r.split for r in
+         deterministic_split(df, "k", fr, salt="t").collect()}
+    assert c != a
+
+
+def test_leakage_safe_split_groups_stay_together(spark):
+    from mongo_olap_spark.operators.splits import leakage_safe_split
+
+    corpus = spark.range(3_000).select(F.col("id").alias("doc_id"))
+    # groups of 3: docs 3g, 3g+1, 3g+2 share group id 3g
+    groups = corpus.select(
+        "doc_id", (F.col("doc_id") - F.col("doc_id") % 3).alias("group_id"))
+    out = leakage_safe_split(corpus, groups,
+                             {"train": 0.8, "val": 0.1, "test": 0.1},
+                             salt="ls")
+    per_group = (out.join(groups, "doc_id")
+                 .groupBy("group_id")
+                 .agg(F.countDistinct("split").alias("n"))
+                 .agg(F.max("n")).collect()[0][0])
+    assert per_group == 1  # NO group straddles folds
+
+
+def test_leakage_safe_split_singleton_fallback(spark):
+    from mongo_olap_spark.operators.splits import (
+        leakage_safe_split,
+        split_column,
+    )
+
+    corpus = spark.range(100).select(F.col("id").alias("doc_id"))
+    # group map only covers even ids; odd ids must fall back to doc_id
+    groups = corpus.filter(F.col("doc_id") % 2 == 0).select(
+        "doc_id", F.lit(0).cast("long").alias("group_id"))
+    fr = {"a": 0.5, "b": 0.5}
+    got = {r.doc_id: r.split for r in
+           leakage_safe_split(corpus, groups, fr, salt="x").collect()}
+    want_odd = {r.doc_id: r.s for r in
+                corpus.filter(F.col("doc_id") % 2 == 1).select(
+                    "doc_id",
+                    split_column("doc_id", fr, salt="x").alias("s"))
+                .collect()}
+    evens = {got[k] for k in got if k % 2 == 0}
+    assert len(evens) == 1                      # all share group 0's fold
+    for k, s in want_odd.items():
+        assert got[k] == s                      # singletons hash their id
+
+
+def test_q_split_leakage_safe_property(spark):
+    # end-to-end: over the REAL dup corpus, no ngram dup group spans
+    # two folds, and every corpus doc is assigned exactly once
+    from mongo_olap_spark.queries import QUERIES
+
+    out = QUERIES["q_split_leakage_safe"](spark, "/root/testdata/sf0.001")
+    rows = out.collect()
+    assert len(rows) == len({r.doc_id for r in rows})
+    by_group = {}
+    for r in rows:
+        by_group.setdefault(r.group_id, set()).add(r.split)
+    assert all(len(s) == 1 for s in by_group.values())

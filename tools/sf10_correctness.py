@@ -48,6 +48,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 HEAVY = [
     "q_dedup_ngram", "q_dup_groups", "q_dedup_keep",
     "q_dedup_embedding", "q_pipeline_lookup_range",
+    "q_split_leakage_safe",  # r14: rides the same ngram pair mass
 ]
 
 #: (table, key column, modulus) — 10% deterministic keyspace strata;
