@@ -484,6 +484,22 @@ class CubeCatalog(TableFormatAdapter):
         m = self.manifest(name)
         return 0 if m is None else m["version"]
 
+    def list_versions(self, name: str) -> list[int]:
+        """Committed snapshot versions with a readable manifest,
+        ascending — the time-travel surface. A listed version's DATA
+        may still have been reclaimed by ``vacuum`` (only the CURRENT
+        manifest pins files); ``OlapEngine.query(as_of=…)`` checks the
+        referenced directories before serving, so a reclaimed snapshot
+        refuses instead of reading a partial cube."""
+        d = os.path.join(self._dir(name), "manifests")
+        if not os.path.isdir(d):
+            return []
+        out = []
+        for f in os.listdir(d):
+            if f.startswith("v") and f.endswith(".json") and f[1:-5].isdigit():
+                out.append(int(f[1:-5]))
+        return sorted(out)
+
     # -- storage ---------------------------------------------------------
     def partition_dim(self, spec: CubeSpec) -> str | None:
         """Coarsest time dimension = the physical partition key."""

@@ -342,6 +342,7 @@ class OlapEngine:
         source_df: DataFrame | None = None,
         tail: DataFrame | None = None,
         time_range: tuple | None = None,
+        as_of: int | None = None,
     ) -> DataFrame:
         """Answer an aggregate request.
 
@@ -359,9 +360,58 @@ class OlapEngine:
         ``cells_in_range`` — only matching partition directories are
         read (file-level pruning), then the exact dim filter applies
         on top for sub-partition precision.
+
+        ``as_of`` (cube mode, r14): serve from the PINNED snapshot
+        version instead of the current manifest — reproducible reads
+        (a training run records the version it consumed; re-running
+        months later reads identical cells, whatever CDC applied
+        since). Snapshot manifests are immutable and data directories
+        are content-addressed, so this is a metadata choice, not a
+        copy. Refuses loudly when the version was never committed or
+        ``vacuum`` already reclaimed files only it references —
+        never a silent empty/partial answer — and refuses to combine
+        with ``tail``/``time_range`` (a historical snapshot plus a
+        LIVE tail or the CURRENT partition listing would mix epochs).
         """
         if cube is not None:
             spec = self.catalog.get_spec(cube)
+            if as_of is not None:
+                if tail is not None or time_range is not None:
+                    raise ValueError(
+                        "query: as_of= cannot combine with tail= or "
+                        "time_range= — the tail and the partition-range "
+                        "listing are CURRENT-epoch state; mixing them "
+                        "with a historical snapshot silently answers "
+                        "from two points in time"
+                    )
+                import os
+
+                m = self.catalog.manifest(cube, as_of)
+                if m is None:
+                    raise ValueError(
+                        f"query: cube {cube!r} has no committed snapshot "
+                        f"version {as_of} (available: "
+                        f"{self.catalog.list_versions(cube)})"
+                    )
+                missing = [
+                    p["path"] for p in m.get("partitions", {}).values()
+                    if not os.path.isdir(
+                        os.path.join(self.catalog._dir(cube), p["path"]))
+                ]
+                if missing:
+                    raise ValueError(
+                        f"query: snapshot version {as_of} of cube "
+                        f"{cube!r} is no longer readable — vacuum "
+                        f"reclaimed {len(missing)} data director"
+                        f"{'y' if len(missing) == 1 else 'ies'} only it "
+                        f"referenced (e.g. {missing[0]!r}); pinned "
+                        "readers need a vacuum grace window "
+                        "(vacuum(min_age_s=…))"
+                    )
+                return query_cube(
+                    self.catalog.cells(cube, version=as_of), spec,
+                    group_by=group_by, where=where, measures=measures,
+                )
             if time_range is not None:
                 from pyspark.sql import functions as F
 

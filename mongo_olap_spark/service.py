@@ -49,7 +49,11 @@ Ops:
     drop_cube          {name}                     → {dropped}
     refresh_cube       {name}                     → {cube, cells}
     query              {cube?|source?, group_by?, where?, measures?,
-                        limit?}                   → rows payload
+                        limit?, as_of?}           → rows payload
+                        (as_of: pinned snapshot version — cube mode
+                         only; reclaimed/unknown versions refuse)
+    list_versions      {name}                     → {cube, versions,
+                                                     current}
     query_pipeline     {source, pipeline, limit?} → rows payload
     explain            {source, pipeline}         → route/stages/refusals
     materialize        {source, pipeline}         → {version}
@@ -226,7 +230,7 @@ class OlapService:
     #: dependent — it stays exclusive.
     _READ_OPS = frozenset({
         "ping", "list_cubes", "query", "query_pipeline", "explain",
-        "read_collection",
+        "read_collection", "list_versions",
     })
     #: bound on CONCURRENT read ops (socket transport): each read is a
     #: Spark action on the shared session — a cap keeps a burst of
@@ -323,6 +327,14 @@ class OlapService:
         return {"cube": name, "cells": cells.count()}
 
     def _op_query(self, req):
+        as_of = req.get("as_of")
+        if as_of is not None and not isinstance(as_of, int):
+            raise _BadRequest(
+                f"query: as_of must be an int snapshot version, "
+                f"got {as_of!r}")
+        if as_of is not None and not req.get("cube"):
+            raise _BadRequest(
+                "query: as_of pins a CUBE snapshot version; pass cube=")
         df = self.engine.query(
             cube=req.get("cube"),
             source=req.get("source"),
@@ -332,8 +344,17 @@ class OlapService:
                       for m in (req.get("measures") or [])] or None,
             source_df=(self._source_df(_field(req, "source"))
                        if req.get("source") else None),
+            as_of=as_of,
         )
         return self._rows_payload(df, req.get("limit", _DEFAULT_LIMIT))
+
+    def _op_list_versions(self, req):
+        name = _field(req, "name")
+        if name not in self.engine.catalog.list_cubes():
+            raise KeyError(f"cube {name!r} not found")
+        return {"cube": name,
+                "versions": self.engine.catalog.list_versions(name),
+                "current": self.engine.catalog.current_version(name)}
 
     def _op_query_pipeline(self, req):
         df = self.engine.query_pipeline(

@@ -256,3 +256,83 @@ def test_engine_explain(spark, sf_dir, tmp_path):
     assert "global window" in rep8["stages"][0]["warning"]
     assert "exhaustive" in rep8["stages"][1]["note"]
     assert "whenMatched=replace" in rep8["stages"][2]["note"]
+
+
+# ---------------------------------------------------------------------------
+# r14: snapshot time travel — as_of pins a committed version
+# ---------------------------------------------------------------------------
+
+def test_as_of_serves_pinned_snapshot(engine, events):
+    engine.create_cube(EVENTS_CUBE, events)
+    v1 = engine.catalog.current_version("events_daily")
+    before = rows_set(engine.query(cube="events_daily",
+                                   group_by=["event_type"]))
+
+    # CDC moves the cube forward; the pinned version must not move
+    cdc = cdc_from_events(events)
+    engine.apply_cdc("events_daily",
+                     cdc.filter(F.col("op") == "delete"), 0)
+    after = rows_set(engine.query(cube="events_daily",
+                                  group_by=["event_type"]))
+    assert after != before  # the deletes changed the live answer
+
+    pinned = rows_set(engine.query(cube="events_daily",
+                                   group_by=["event_type"], as_of=v1))
+    assert pinned == before
+    # current version serves the live answer through as_of too
+    v2 = engine.catalog.current_version("events_daily")
+    assert v2 > v1
+    assert rows_set(engine.query(cube="events_daily",
+                                 group_by=["event_type"],
+                                 as_of=v2)) == after
+    assert engine.catalog.list_versions("events_daily") == [v1, v2]
+
+
+def test_as_of_unknown_version_refuses(engine, events):
+    engine.create_cube(EVENTS_CUBE, events)
+    with pytest.raises(ValueError, match="no committed snapshot"):
+        engine.query(cube="events_daily", as_of=999)
+
+
+def test_as_of_refuses_mixed_epochs(engine, events):
+    engine.create_cube(EVENTS_CUBE, events)
+    v = engine.catalog.current_version("events_daily")
+    with pytest.raises(ValueError, match="as_of.*tail|tail.*as_of"):
+        engine.query(cube="events_daily", as_of=v, tail=events.limit(1))
+    with pytest.raises(ValueError, match="time_range"):
+        engine.query(cube="events_daily", as_of=v,
+                     time_range=("2024-01-01", "2024-01-02"))
+
+
+def test_as_of_vacuumed_version_refuses(engine, events):
+    engine.create_cube(EVENTS_CUBE, events)
+    v1 = engine.catalog.current_version("events_daily")
+    # a refresh rewrites the snapshot; vacuum then reclaims v1's files
+    # AND prunes its history manifest, so the version disappears from
+    # the time-travel surface entirely
+    engine.refresh_cube("events_daily", events)
+    engine.catalog.vacuum("events_daily")
+    assert engine.catalog.list_versions("events_daily") == [v1 + 1]
+    with pytest.raises(ValueError, match="no committed snapshot"):
+        engine.query(cube="events_daily", as_of=v1)
+    # the live read is untouched
+    assert engine.query(cube="events_daily").count() > 0
+
+
+def test_as_of_partially_reclaimed_version_refuses(engine, events):
+    # the crash window vacuum cannot close: data directory gone but
+    # the history manifest still present — as_of must refuse with the
+    # vacuum diagnosis, never serve a silently partial (here: empty)
+    # snapshot
+    import os
+    import shutil
+
+    engine.create_cube(EVENTS_CUBE, events)
+    v1 = engine.catalog.current_version("events_daily")
+    engine.refresh_cube("events_daily", events)
+    m1 = engine.catalog.manifest("events_daily", v1)
+    for p in m1["partitions"].values():
+        shutil.rmtree(os.path.join(engine.catalog._dir("events_daily"),
+                                   p["path"]), ignore_errors=True)
+    with pytest.raises(ValueError, match="vacuum reclaimed"):
+        engine.query(cube="events_daily", as_of=v1)

@@ -865,3 +865,52 @@ def test_subscribe_follow_bad_shape_is_bad_request(service, events,
          "follow": 5}))
     assert len(lines) == 1
     assert lines[0]["error"]["code"] == "bad_request"
+
+
+# ---------------------------------------------------------------------------
+# r14: time travel over the wire — query as_of + list_versions
+# ---------------------------------------------------------------------------
+
+def test_query_as_of_and_list_versions(service):
+    service.handle({"op": "create_cube_from_pipeline", "name": "tt_cube",
+                    "source": "events", "pipeline": PIPE})
+    v = service.handle({"op": "list_versions", "name": "tt_cube"})
+    assert v["ok"] and v["result"]["versions"] == [1]
+    assert v["result"]["current"] == 1
+
+    before = service.handle({"op": "query", "cube": "tt_cube",
+                             "group_by": ["et"], "measures": ["n"]})
+    b = {row[0]: row[1] for row in before["result"]["rows"]}
+    et = sorted(b)[0]
+    service.handle({"op": "apply_cdc", "cube": "tt_cube", "batch_id": 1,
+                    "batch": [{"event_id": 999999801,
+                               "ts": "2024-01-02T03:04:05",
+                               "event_type": et, "user_id": 7,
+                               "value": 1.5, "mult": 1}]})
+
+    v2 = service.handle({"op": "list_versions", "name": "tt_cube"})
+    assert v2["result"]["versions"] == [1, 2]
+    assert v2["result"]["current"] == 2
+
+    pinned = service.handle({"op": "query", "cube": "tt_cube", "as_of": 1,
+                             "group_by": ["et"], "measures": ["n"]})
+    p = {row[0]: row[1] for row in pinned["result"]["rows"]}
+    assert p == b  # the pinned snapshot did not move
+    live = service.handle({"op": "query", "cube": "tt_cube",
+                           "group_by": ["et"], "measures": ["n"]})
+    assert {row[0]: row[1]
+            for row in live["result"]["rows"]}[et] == b[et] + 1
+
+
+def test_query_as_of_refusals(service):
+    service.handle({"op": "create_cube_from_pipeline", "name": "tt2",
+                    "source": "events", "pipeline": PIPE})
+    r = service.handle({"op": "query", "cube": "tt2", "as_of": "one"})
+    assert not r["ok"] and r["error"]["code"] == "bad_request"
+    r = service.handle({"op": "query", "source": "events", "as_of": 1})
+    assert not r["ok"] and r["error"]["code"] == "bad_request"
+    r = service.handle({"op": "query", "cube": "tt2", "as_of": 99})
+    assert not r["ok"] and r["error"]["code"] == "invalid"
+    assert "no committed snapshot" in r["error"]["message"]
+    r = service.handle({"op": "list_versions", "name": "ghost"})
+    assert not r["ok"] and r["error"]["code"] == "not_found"
