@@ -192,6 +192,139 @@ def image_stats(decoded: DataFrame) -> DataFrame:
     return decoded.mapInPandas(fn, schema=IMAGE_STATS_SCHEMA)
 
 
+def resize_image(decoded: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Nearest-neighbor resize over the raw interleaved buffer — a
+    REAL resize (numpy index gather inside the Arrow stage), not a
+    stub: NN needs no image library. The stage shape is exactly where
+    a production pipeline swaps in PIL/libvips LANCZOS — same input
+    schema, same output schema, same batching. Source index per
+    output coordinate is ``(i · src) // out`` (the standard
+    non-centered NN grid), so every output pixel has a closed form an
+    oracle can recompute."""
+    import numpy as np
+    import pandas as pd
+
+    def fn(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out_px = []
+            for px, w, h, c in zip(pdf["pixels"], pdf["width"],
+                                   pdf["height"], pdf["channels"]):
+                a = np.frombuffer(px, np.uint8).reshape(int(h), int(w), int(c))
+                yi = (np.arange(out_h) * int(h)) // out_h
+                xi = (np.arange(out_w) * int(w)) // out_w
+                out_px.append(a[yi][:, xi].tobytes())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "width": out_w,
+                    "height": out_h,
+                    "channels": pdf["channels"],
+                    "pixels": out_px,
+                }
+            )
+
+    return decoded.mapInPandas(fn, schema=DECODED_SCHEMA)
+
+
+#: sample_frames output: one row per KEPT frame
+FRAMES_SCHEMA = (
+    "doc_id BIGINT, frame_idx INT, width INT, height INT, "
+    "channels INT, pixels BINARY"
+)
+
+#: frame_stats output
+FRAME_STATS_SCHEMA = "doc_id BIGINT, frame_idx INT, mean_pixel DOUBLE"
+
+
+def sample_frames(
+    df: DataFrame,
+    *,
+    width: int,
+    height: int,
+    channels: int = 3,
+    every_k: int = 2,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Frame-sample a raw video buffer (concatenated fixed-size
+    frames, the decoded-video layout): keep every ``every_k``-th
+    frame, one output row per kept frame. The slice is a zero-copy
+    view per frame inside the Arrow batch; a real deployment swaps
+    the raw-buffer framing for an ffmpeg demux inside the SAME stage
+    shape (that dependency is the documented environment block — the
+    framing math, schema, and fan-out are fully exercised here).
+    Fan-out note for 100 TB: output rows ≈ input_frames / every_k;
+    chain ``repartition_by_bytes`` BEFORE this stage so the exploded
+    frames stay within task memory."""
+    frame_bytes = width * height * channels
+
+    import pandas as pd
+
+    def fn(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            ids, fidx, px = [], [], []
+            for did, buf in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(buf)
+                n = len(b) // frame_bytes
+                for f in range(0, n, every_k):
+                    ids.append(int(did))
+                    fidx.append(f)
+                    px.append(b[f * frame_bytes:(f + 1) * frame_bytes])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(fidx, dtype="int32"),
+                    "width": pd.Series([width] * len(ids), dtype="int32"),
+                    "height": pd.Series([height] * len(ids), dtype="int32"),
+                    "channels": pd.Series([channels] * len(ids),
+                                          dtype="int32"),
+                    "pixels": px,
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(fn, schema=FRAMES_SCHEMA)
+
+
+def frame_stats(frames: DataFrame) -> DataFrame:
+    """Per-frame mean pixel over sampled frames — the feature stage
+    chained after ``sample_frames`` (same numpy-over-buffer shape as
+    ``image_stats``, keeping the frame index)."""
+    import numpy as np
+    import pandas as pd
+
+    def fn(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            means = [
+                float(np.frombuffer(px, dtype=np.uint8).mean()) if len(px) else 0.0
+                for px in pdf["pixels"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "frame_idx": pdf["frame_idx"].astype("int32"),
+                    "mean_pixel": pd.Series(means, dtype="float64"),
+                }
+            )
+
+    return frames.mapInPandas(fn, schema=FRAME_STATS_SCHEMA)
+
+
+def synth_video_payload(
+    df: DataFrame, id_col: str = "doc_id", n_frames: int = 4
+) -> DataFrame:
+    """Testbed raw-video synthesis, fully JVM-side: ``n_frames``
+    concatenated 4×4 RGB frames where byte ``i`` of the WHOLE buffer
+    is ``(doc_id + i) % 256`` — frame ``f`` therefore starts at the
+    closed-form seed ``(doc_id + 48·f) % 256``, recomputable by an
+    ANSI oracle."""
+    total = n_frames * 48
+    pix_hex = F.expr(
+        f"concat_ws('', transform(sequence(0, {total - 1}), "
+        f"i -> lpad(hex(pmod({id_col} + i, 256)), 2, '0')))"
+    )
+    return df.withColumn("payload", F.unhex(pix_hex))
+
+
 def synth_ppm_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Testbed payload synthesis, fully JVM-side: a 4×4 P6 image whose
     pixel bytes follow ``(doc_id + i) % 256`` — so every decoded

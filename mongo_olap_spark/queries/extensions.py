@@ -1199,3 +1199,59 @@ def q_split_leakage_safe(spark, sf_dir):
     out = leakage_safe_split(corpus.select("doc_id"), groups,
                              _SPLIT_FRACTIONS, salt="ls1")
     return out.join(groups, "doc_id").select("doc_id", "group_id", "split")
+
+
+# ---------------------------------------------------------------------------
+# X5' (r14): the remaining multimodal checklist stages — resize and
+# frame-sample — with closed-form oracles over the synthetic rasters
+# (pixel i of doc's buffer = (doc_id + i) % 256, so every resampled
+# statistic is ANSI-recomputable).
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_multimodal_resize",
+    # 4×4 → 2×2 nearest-neighbor: source rows/cols (i·4)//2 = {0, 2};
+    # kept raster indices (y·4+x)·3+c for y,x ∈ {0,2}, c ∈ 0..2
+    oracle="""
+    SELECT doc_id,
+           2 AS width, 2 AS height, 3 AS channels,
+           list_sum(list_transform(
+             [0,1,2, 6,7,8, 24,25,26, 30,31,32],
+             i -> (doc_id + i) % 256)) / 12.0 AS mean_pixel
+    FROM documents
+    """,
+)
+def q_multimodal_resize(spark, sf_dir):
+    """Decode → RESIZE → feature, all Arrow-batched: the 4×4 synthetic
+    PPM downsamples to 2×2 by nearest neighbor (a real numpy gather —
+    the stage a production pipeline swaps for LANCZOS), then the mean-
+    pixel feature runs over the resized buffer. The oracle recomputes
+    the exact 12 surviving pixel values from the closed-form raster."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    decoded = mm.decode_image(mm.synth_ppm_payload(d), codec=mm.ppm_codec)
+    return mm.image_stats(mm.resize_image(decoded, 2, 2))
+
+
+@register(
+    "q_multimodal_frames",
+    # 4 frames of 48 bytes; every_k=2 keeps frames {0, 2}; frame f's
+    # bytes are (doc_id + 48f + i) % 256 for i in 0..47
+    oracle="""
+    SELECT doc_id, f AS frame_idx,
+           list_sum(list_transform(range(0, 48),
+             i -> (doc_id + 48 * f + i) % 256)) / 48.0 AS mean_pixel
+    FROM documents, (SELECT unnest([0, 2]) AS f)
+    """,
+)
+def q_multimodal_frames(spark, sf_dir):
+    """Raw-video FRAME-SAMPLE → per-frame feature: a 4-frame raw
+    buffer keeps every 2nd frame (one output row per kept frame —
+    the fan-out stage; `repartition_by_bytes` precedes it at scale),
+    then per-frame mean pixel. The ffmpeg demux this stands in for is
+    the documented environment block; the framing math, fan-out
+    schema, and Arrow batching are fully exercised and oracle-exact."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    frames = mm.sample_frames(
+        mm.synth_video_payload(d, n_frames=4),
+        width=4, height=4, channels=3, every_k=2)
+    return mm.frame_stats(frames)

@@ -623,3 +623,68 @@ def test_q_split_leakage_safe_property(spark):
     for r in rows:
         by_group.setdefault(r.group_id, set()).add(r.split)
     assert all(len(s) == 1 for s in by_group.values())
+
+
+# ---------------------------------------------------------------------------
+# r14: multimodal resize + frame-sample (operators/multimodal.py)
+# ---------------------------------------------------------------------------
+
+def test_resize_image_nearest_neighbor_exact(spark):
+    import numpy as np
+
+    from mongo_olap_spark.operators import multimodal as mm
+
+    d = spark.range(5).select(F.col("id").alias("doc_id"))
+    decoded = mm.decode_image(mm.synth_ppm_payload(d), codec=mm.ppm_codec)
+    out = {r.doc_id: r for r in mm.resize_image(decoded, 2, 2).collect()}
+    for did in range(5):
+        src = np.array([(did + i) % 256 for i in range(48)],
+                       np.uint8).reshape(4, 4, 3)
+        want = src[[0, 2]][:, [0, 2]].tobytes()
+        r = out[did]
+        assert (r.width, r.height, r.channels) == (2, 2, 3)
+        assert bytes(r.pixels) == want
+
+
+def test_resize_image_upsample(spark):
+    # NN upsample 4x4 -> 8x8 repeats each source pixel 2x2
+    import numpy as np
+
+    from mongo_olap_spark.operators import multimodal as mm
+
+    d = spark.range(1).select(F.col("id").alias("doc_id"))
+    decoded = mm.decode_image(mm.synth_ppm_payload(d), codec=mm.ppm_codec)
+    r = mm.resize_image(decoded, 8, 8).collect()[0]
+    src = np.arange(48, dtype=np.uint8).reshape(4, 4, 3)
+    want = src[(np.arange(8) * 4) // 8][:, (np.arange(8) * 4) // 8]
+    assert bytes(r.pixels) == want.tobytes()
+    assert (r.width, r.height) == (8, 8)
+
+
+def test_sample_frames_slicing_and_fanout(spark):
+    from mongo_olap_spark.operators import multimodal as mm
+
+    d = spark.range(3).select(F.col("id").alias("doc_id"))
+    frames = mm.sample_frames(
+        mm.synth_video_payload(d, n_frames=5),
+        width=4, height=4, channels=3, every_k=2).collect()
+    # 5 frames, every 2nd -> indices 0, 2, 4 per doc
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for did, rows in by_doc.items():
+        assert sorted(r.frame_idx for r in rows) == [0, 2, 4]
+        for r in rows:
+            want = bytes((did + 48 * r.frame_idx + i) % 256
+                         for i in range(48))
+            assert bytes(r.pixels) == want
+
+
+def test_sample_frames_every_k_one_keeps_all(spark):
+    from mongo_olap_spark.operators import multimodal as mm
+
+    d = spark.range(2).select(F.col("id").alias("doc_id"))
+    n = mm.sample_frames(
+        mm.synth_video_payload(d, n_frames=4),
+        width=4, height=4, channels=3, every_k=1).count()
+    assert n == 8
