@@ -36,6 +36,12 @@ GUARDED = [
     # from O(groups·k) into O(cells)); stddev pins the single-aggregate
     # dispersion rollup; extremes pins the bounded boundary-cell shape
     "q_cube_topn_exact", "q_cube_stddev", "q_cube_extremes",
+    # r14 additions: q_split pins the zero-shuffle assignment (md5 +
+    # CASE in one codegen span — one exchange for the 3-group agg,
+    # no Python stage); q_multimodal_frames pins the single
+    # chained-mapInPandas fan-out (a second Python stage or an
+    # exchange appearing between synth and stats fails the diff)
+    "q_split", "q_multimodal_frames",
 ]
 
 
