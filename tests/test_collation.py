@@ -1429,3 +1429,46 @@ def test_tailored_column_and_literal_images_agree(spark):
                     "s", _fold_col(F.col("s")).alias("img")).collect()}
                 want = {s: _fold_lit(s) for s in samples}
             assert got == want, (loc, strength)
+
+
+def test_tailored_images_agree_on_random_corpus(spark):
+    # seeded random sweep over a hostile alphabet: every tailored
+    # letter + digraph trigger, DUCET-fold letters, combining marks,
+    # PUA characters appearing in DATA (outside the modeled
+    # repertoire — must pass through both sides identically), and
+    # case edges like İ/ı whose lower() could diverge between
+    # Python and the JVM. The invariant is the one every rewrite seam
+    # rests on: Spark column image ≡ Python literal image.
+    import random
+
+    from pyspark.sql import functions as F
+
+    from mongo_olap_spark.plans.pipeline_compiler import (
+        _TAILORED_FOLDS,
+        _collation_scope,
+        _fold_col,
+        _fold_lit,
+    )
+
+    alphabet = (
+        "abcdefghijklmnopqrstuvwxyz AZ09"
+        "åäöæøüűőđðþß ñ ąćęłńóśźż čřšž ăâîșțşţ ĉĝĥĵŝŭ"
+        "éèêëàçïí İı"
+        "{|}~"
+        "́̈"  # combining acute / diaeresis
+    )
+    rng = random.Random(2026)
+    samples = ["".join(rng.choice(alphabet)
+                       for _ in range(rng.randint(0, 24)))
+               for _ in range(400)]
+    # force digraph triggers into some samples
+    samples += [a + b for a in ("aa", "ch", "þ", "aaa", "cch")
+                for b in ("", "a", "å", "h", "aa")]
+    df = spark.createDataFrame([(s,) for s in samples], "s string")
+    for loc, fold in sorted(_TAILORED_FOLDS.items()):
+        for strength in (1, 2):
+            with _collation_scope(strength, fold):
+                got = [r.img for r in df.select(
+                    _fold_col(F.col("s")).alias("img")).collect()]
+                want = [_fold_lit(s) for s in samples]
+            assert got == want, (loc, strength)
