@@ -64,6 +64,8 @@ def test_no_rowwise_python_udf_in_native_queries(spark):
     ARROW_OK = (
         "q_multimodal",
         "q_multimodal_decode",  # injected codec + pixel stats, both Arrow by design
+        "q_multimodal_resize",  # r14: decode → NN resize → stats, Arrow chain
+        "q_multimodal_frames",  # r14: frame-sample fan-out + per-frame stats
         "q_dedup_embedding",
         "q_dedup_simhash",  # r13: per-bucket vectorized Hamming verify
         # (Arrow by design — the banded candidate JOIN materialized
