@@ -1188,17 +1188,28 @@ def q_split_leakage_safe(spark, sf_dir):
     document. Inherits the dedup pipeline's banded shuffles; the
     assignment itself adds only the (doc_id → group_id) map join.
     Differentially pinned: the same union-find closure the sf10
-    census re-derives, plus a pytest that NO group spans two folds."""
-    from mongo_olap_spark.operators.splits import leakage_safe_split
+    census re-derives, plus a pytest that NO group spans two folds.
+
+    Plan note: connected components already emits every corpus node
+    with its group id, so the split column applies DIRECTLY to that
+    frame (operators/splits.split_column — the same expression
+    leakage_safe_split composes). The first cut instead joined the
+    corpus to the groups frame and then re-joined groups for the
+    group_id column — executing the whole pairs+CC subplan twice
+    (7.7 s → ~3.9 s at sf0.1; the general operator, whose group map
+    may be partial, keeps its join + singleton fallback and is
+    pytested on its own)."""
+    from mongo_olap_spark.operators.splits import split_column
 
     corpus = _full_dup_corpus(spark, sf_dir)
     pairs = _ngram_pairs(corpus)
     groups = dd.connected_components(
         pairs, corpus.select(F.col("doc_id").alias("node"))
     ).withColumnRenamed("node", "doc_id")
-    out = leakage_safe_split(corpus.select("doc_id"), groups,
-                             _SPLIT_FRACTIONS, salt="ls1")
-    return out.join(groups, "doc_id").select("doc_id", "group_id", "split")
+    return groups.select(
+        "doc_id", "group_id",
+        split_column("group_id", _SPLIT_FRACTIONS, salt="ls1")
+        .alias("split"))
 
 
 # ---------------------------------------------------------------------------
