@@ -336,3 +336,30 @@ def test_as_of_partially_reclaimed_version_refuses(engine, events):
                                    p["path"]), ignore_errors=True)
     with pytest.raises(ValueError, match="vacuum reclaimed"):
         engine.query(cube="events_daily", as_of=v1)
+
+
+def test_as_of_soak_every_snapshot_stays_pinned(engine, events):
+    # time travel × IVM: drive a multi-batch CDC run, capturing the
+    # LIVE answer after every committed batch; at the end, every
+    # historical version must reproduce its captured answer exactly —
+    # snapshot immutability under ongoing maintenance, the property a
+    # reproducible training run relies on.
+    engine.create_cube(EVENTS_CUBE, events.limit(0))
+    cdc = cdc_from_events(events).withColumn(
+        "slot", (F.col("change_id") % 6).cast("int")).cache()
+    captured = {}
+    for b in range(6):
+        applied = engine.apply_cdc(
+            "events_daily", cdc.filter(F.col("slot") == b).drop("slot"), b)
+        assert applied
+        v = engine.catalog.current_version("events_daily")
+        captured[v] = rows_set(engine.query(cube="events_daily",
+                                            group_by=["event_type"]))
+    cdc.unpersist()
+    assert len(captured) == 6  # every batch committed a new version
+    # answers did change across the run (deletes + inserts landed)
+    assert len({frozenset(r) for r in captured.values()}) > 1
+    for v, want in captured.items():
+        got = rows_set(engine.query(cube="events_daily",
+                                    group_by=["event_type"], as_of=v))
+        assert got == want, f"version {v} drifted"
