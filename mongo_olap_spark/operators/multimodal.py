@@ -265,6 +265,16 @@ def sample_frames(
             ids, fidx, px = [], [], []
             for did, buf in zip(pdf[id_col], pdf[payload_col]):
                 b = bytes(buf)
+                # refuse loudly on a payload that is not a whole
+                # number of frames — a silent `//` truncation would
+                # hide a caller-side width/height/channels mismatch
+                # (ADVICE r14).
+                if len(b) % frame_bytes != 0:
+                    raise ValueError(
+                        f"sample_frames: doc {int(did)} payload is "
+                        f"{len(b)} bytes, not a multiple of "
+                        f"width*height*channels={frame_bytes} — "
+                        f"dimension/payload mismatch")
                 n = len(b) // frame_bytes
                 for f in range(0, n, every_k):
                     ids.append(int(did))

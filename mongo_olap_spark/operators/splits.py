@@ -54,25 +54,43 @@ def _thresholds(fractions: dict[str, float]) -> list[tuple[str, str]]:
 
 
 def split_column(key: Column | str, fractions: dict[str, float],
-                 salt: str = "") -> Column:
+                 salt: str = "", on_null: str = "error") -> Column:
     """Fold-name column for ``key`` under ``fractions`` (name →
     fraction, summing to 1; dict order defines the threshold order,
-    so the same dict always yields the same assignment)."""
+    so the same dict always yields the same assignment).
+
+    NULL keys refuse loudly by default (ADVICE r14): ``md5(concat(
+    salt, NULL))`` is NULL, so every ``when()`` guard is NULL and the
+    otherwise-chain would silently pool every null-keyed row into the
+    LAST declared fold — typically 'test' — skewing the fractions.
+    ``on_null='error'`` raises at execution time naming the problem;
+    ``on_null='null'`` assigns NULL (the row surfaces, callers filter
+    or repair explicitly)."""
+    if on_null not in ("error", "null"):
+        raise ValueError(f"on_null must be 'error' or 'null', got {on_null!r}")
     c = F.col(key) if isinstance(key, str) else key
     h = F.substring(F.md5(F.concat(F.lit(salt), c.cast("string"))), 1, 8)
     bounds = _thresholds(fractions)
     expr = F.lit(bounds[-1][0])  # remainder fold
     for name, ub in reversed(bounds[:-1]):
         expr = F.when(h < ub, name).otherwise(expr)
-    return expr
+    if on_null == "error":
+        null_arm = F.raise_error(F.lit(
+            "split_column: NULL split key — every null-keyed row would "
+            "silently land in the last declared fold; pass a non-null "
+            "key (coalesce it) or on_null='null'"))
+    else:
+        null_arm = F.lit(None).cast("string")
+    return F.when(c.isNull(), null_arm).otherwise(expr)
 
 
 def deterministic_split(df: DataFrame, key: str,
                         fractions: dict[str, float], salt: str = "",
-                        out: str = "split") -> DataFrame:
+                        out: str = "split",
+                        on_null: str = "error") -> DataFrame:
     """``df`` + a ``split`` column assigned by ``key`` alone — stable
     under repartitioning, re-runs, and engine changes."""
-    return df.withColumn(out, split_column(key, fractions, salt))
+    return df.withColumn(out, split_column(key, fractions, salt, on_null))
 
 
 def leakage_safe_split(corpus: DataFrame, groups: DataFrame,

@@ -252,7 +252,7 @@ _S1_EXPANSIONS = (("ß", "ss"), ("æ", "ae"), ("œ", "oe"))
 # þ ≡ th at the modeled strengths). Members map to image keys
 # ``anchor + chr(0xE000+i)`` — private-use suffixes — so the image's
 # BINARY order realizes the tailored primary order: "å…" folds to
-# "z…", after every "z…" string but before "{". Within-anchor
+# "z<U+E000>...", after every "z..." string but before "{". Within-anchor
 # order is the suffix index; at strength 1, secondary-equal class
 # members share the class representative's key (sv: ä ≡ æ fold
 # together); at strength 2 each member keeps its own suffix (they are

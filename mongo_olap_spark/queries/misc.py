@@ -1242,7 +1242,11 @@ def q_collation_locale_de(spark, sf_dir):
     ORDER BY replace(replace(replace(lower(_id),
              'aa', '__K4__'), 'å', '__K4__'), 'æ', '__K0__'), _id
     """.replace("__DSUM__", dsum_sql('c_acctbal'))
-       .replace("__K4__", "z").replace("__K0__", "z"),
+       # PUA anchor-suffix keys (U+E004 / U+E000) written as explicit
+    # escapes so the codepoints are visible in diffs and cannot be
+    # stripped by an editor/formatter that normalizes non-printing
+    # characters (ADVICE r14).
+    .replace("__K4__", "z" + chr(0xE004)).replace("__K0__", "z" + chr(0xE000)),
 )
 def q_collation_locale_da(spark, sf_dir):
     """Strength-2 collation under ``{locale: "da"}`` (r14 tailored

@@ -328,7 +328,10 @@ class OlapService:
 
     def _op_query(self, req):
         as_of = req.get("as_of")
-        if as_of is not None and not isinstance(as_of, int):
+        # bool subclasses int in Python, so {"as_of": true} would
+        # otherwise be treated as snapshot version 1 (ADVICE r14).
+        if as_of is not None and (not isinstance(as_of, int)
+                                  or isinstance(as_of, bool)):
             raise _BadRequest(
                 f"query: as_of must be an int snapshot version, "
                 f"got {as_of!r}")

@@ -1454,7 +1454,8 @@ def test_tailored_images_agree_on_random_corpus(spark):
         "abcdefghijklmnopqrstuvwxyz AZ09"
         "åäöæøüűőđðþß ñ ąćęłńóśźż čřšž ăâîșțşţ ĉĝĥĵŝŭ"
         "éèêëàçïí İı"
-        "{|}~"
+        "\ue000\ue001\ue004"  # PUA probes, explicit escapes (ADVICE r14)
+        "{|}~"
         "́̈"  # combining acute / diaeresis
     )
     rng = random.Random(2026)

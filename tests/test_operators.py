@@ -680,6 +680,44 @@ def test_sample_frames_slicing_and_fanout(spark):
             assert bytes(r.pixels) == want
 
 
+def test_split_null_key_refuses_loudly(spark):
+    """ADVICE r14: NULL keys must not silently pool into the last
+    declared fold — default refuses at execution time; on_null='null'
+    surfaces them as NULL assignments."""
+    import pytest as _pytest
+    from pyspark.sql import Row
+
+    from mongo_olap_spark.operators.splits import (deterministic_split,
+                                                   split_column)
+
+    df = spark.createDataFrame([Row(k="a"), Row(k=None), Row(k="b")])
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    with _pytest.raises(Exception, match="NULL split key"):
+        deterministic_split(df, "k", fr).collect()
+    rows = {r.k: r.split for r in
+            df.withColumn("split",
+                          split_column("k", fr, on_null="null")).collect()}
+    assert rows[None] is None
+    assert rows["a"] is not None and rows["b"] is not None
+    with _pytest.raises(ValueError, match="on_null"):
+        split_column("k", fr, on_null="bogus")
+
+
+def test_sample_frames_partial_frame_refuses(spark):
+    """ADVICE r14: a payload that is not a whole number of frames is a
+    caller-side dimension mismatch — raise, never truncate."""
+    import pytest as _pytest
+
+    from mongo_olap_spark.operators import multimodal as mm
+
+    d = spark.range(1).select(F.col("id").alias("doc_id"))
+    vids = mm.synth_video_payload(d, n_frames=2)  # 2*48 bytes at 4x4x3
+    with _pytest.raises(Exception, match="not a multiple"):
+        # claim 5x4x3=60-byte frames over a 96-byte payload
+        mm.sample_frames(vids, width=5, height=4, channels=3,
+                         every_k=1).collect()
+
+
 def test_sample_frames_every_k_one_keeps_all(spark):
     from mongo_olap_spark.operators import multimodal as mm
 

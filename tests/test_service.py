@@ -909,6 +909,9 @@ def test_query_as_of_refusals(service):
     assert not r["ok"] and r["error"]["code"] == "bad_request"
     r = service.handle({"op": "query", "source": "events", "as_of": 1})
     assert not r["ok"] and r["error"]["code"] == "bad_request"
+    # bool subclasses int: {"as_of": true} must not pin version 1
+    r = service.handle({"op": "query", "cube": "tt2", "as_of": True})
+    assert not r["ok"] and r["error"]["code"] == "bad_request"
     r = service.handle({"op": "query", "cube": "tt2", "as_of": 99})
     assert not r["ok"] and r["error"]["code"] == "invalid"
     assert "no committed snapshot" in r["error"]["message"]
