@@ -1266,3 +1266,62 @@ def q_multimodal_frames(spark, sf_dir):
         mm.synth_video_payload(d, n_frames=4),
         width=4, height=4, channels=3, every_k=2)
     return mm.frame_stats(frames)
+
+
+# ---------------------------------------------------------------------------
+# X4''''' (r15): tokenizer-grade packing — deterministic byte-level
+# BPE (operators/bpe.py) trained on the corpus itself, then the same
+# prefix-sum packing layout as q_pack but over BPE TOKEN counts. No
+# ANSI oracle exists for the merge recurrence (it is inherently
+# iterative), so both queries are rows-only at the driver; the hard
+# evidence is pytest: an INDEPENDENT naive O(V^2) reference trainer
+# and a per-word reference encoder reproduce the engine's merges and
+# token streams hash-exactly (tests/test_bpe.py), plus lossless
+# roundtrip and repartition-stability properties.
+# ---------------------------------------------------------------------------
+
+_BPE_MERGES = 120
+
+
+@register("q_bpe_vocab")
+def q_bpe_vocab(spark, sf_dir):
+    """Learned BPE merge table over the documents corpus: one
+    distributed word-frequency agg (the only corpus-sized pass), then
+    the deterministic dict-side merge loop — (count DESC, pair ASC)
+    ranking, no RNG — emitting (rank, left, right, token, token_id).
+    Scale shape: driver work is bounded by DISTINCT words (Heaps-law
+    sub-linear), not corpus rows; the max_words cap reports retained
+    coverage instead of truncating silently."""
+    from mongo_olap_spark.operators import bpe
+
+    d = load_table(spark, sf_dir, "documents").select("text")
+    vocab = bpe.train_bpe_on(d, n_merges=_BPE_MERGES)
+    return bpe.merges_table(spark, vocab).orderBy("rank")
+
+
+@register("q_pack_bpe")
+def q_pack_bpe(spark, sf_dir, bin_tokens: int = 2048):
+    """Sequence packing by TOKENIZER tokens: the corpus' own BPE vocab
+    (same deterministic trainer as q_bpe_vocab) encodes every doc in
+    one Arrow-batched stage (per-executor word cache — Zipf collapses
+    repeats to dict hits), then the q_pack prefix-sum layout assigns
+    (bin_id, bin_offset) per doc within its source stream. The window
+    is the only shuffle beyond training's word count; the encode stage
+    is map-only. This is the production packing shape: bins hold
+    exactly bin_tokens BPE tokens, not whitespace words."""
+    from pyspark.sql import Window as W
+
+    from mongo_olap_spark.operators import bpe
+
+    d = load_table(spark, sf_dir, "documents")
+    vocab = bpe.train_bpe_on(d.select("text"), n_merges=_BPE_MERGES)
+    enc = bpe.encode_tokens_column(d, vocab, "text", out="tokens")
+    n = F.size("tokens").cast("long")
+    w = W.partitionBy("source").orderBy("doc_id").rowsBetween(
+        W.unboundedPreceding, 0)
+    start = (F.sum(n).over(w) - n).alias("start_tok")
+    return enc.select("doc_id", "source", n.alias("n_tokens"), start).select(
+        "doc_id", "source", "n_tokens",
+        F.floor(F.col("start_tok") / bin_tokens).alias("bin_id"),
+        (F.col("start_tok") % bin_tokens).alias("bin_offset"),
+    )

@@ -72,6 +72,7 @@ def test_no_rowwise_python_udf_in_native_queries(spark):
         # O(bucket²) shuffle rows on skewed band keys and died at sf10)
         "q_ivf_knn",
         "q_window_ema",
+        "q_pack_bpe",  # r15: BPE encode is the declared Arrow stage
     )
     for qid in QUERIES:
         plan = plan_of(spark, qid)

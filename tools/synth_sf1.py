@@ -145,14 +145,41 @@ def synth(out_dir: str, mult: float, seed: int, src: str) -> dict:
     schema = pa.schema([("o_orderkey", pa.int64()), ("o_custkey", pa.int64()),
                         ("o_orderstatus", pa.string()), ("o_totalprice", pa.float64()),
                         ("o_orderdate", pa.timestamp("us")), ("o_orderpriority", pa.string())])
-    counts["orders"] = _write(out_dir, "orders", schema, [
-        np.arange(n_orders, dtype=np.int64),
-        rng.integers(0, n_cust, n_orders),
-        [ORDERSTATUS[i] for i in rng.integers(0, 3, n_orders)],
-        np.round(rng.uniform(1000, 500000, n_orders), 2),
-        _dates_us(rng, n_orders, "1995-01-01", "2001-08-01"),
-        [PRIORITIES[i] for i in rng.integers(0, 5, n_orders)],
-    ])
+    if mult <= 100:
+        # monolithic path — byte-identical to every committed sf1/sf10
+        # transcript; do not change the draw order here
+        counts["orders"] = _write(out_dir, "orders", schema, [
+            np.arange(n_orders, dtype=np.int64),
+            rng.integers(0, n_cust, n_orders),
+            [ORDERSTATUS[i] for i in rng.integers(0, 3, n_orders)],
+            np.round(rng.uniform(1000, 500000, n_orders), 2),
+            _dates_us(rng, n_orders, "1995-01-01", "2001-08-01"),
+            [PRIORITIES[i] for i in rng.integers(0, 5, n_orders)],
+        ])
+    else:
+        # r15 sf100 path: 150M rows do not fit as python string lists —
+        # stream in chunks through ParquetWriter with vectorized string
+        # pools (same value domains; chunked draw order differs from
+        # the monolithic path, which only matters for NEW multipliers)
+        status_pool = np.array(ORDERSTATUS)
+        prio_pool = np.array(PRIORITIES)
+        with pq.ParquetWriter(os.path.join(out_dir, "orders.parquet"), schema) as w:
+            done = 0
+            while done < n_orders:
+                n = min(5_000_000, n_orders - done)
+                cols = [
+                    np.arange(done, done + n, dtype=np.int64),
+                    rng.integers(0, n_cust, n),
+                    status_pool[rng.integers(0, 3, n)],
+                    np.round(rng.uniform(1000, 500000, n), 2),
+                    _dates_us(rng, n, "1995-01-01", "2001-08-01"),
+                    prio_pool[rng.integers(0, 5, n)],
+                ]
+                w.write_table(pa.Table.from_arrays(
+                    [pa.array(c, type=f.type) for c, f in zip(cols, schema)],
+                    schema=schema))
+                done += n
+        counts["orders"] = n_orders
 
     # --- lineitem (chunked) ---
     schema = pa.schema([("l_orderkey", pa.int64()), ("l_partkey", pa.int64()),
@@ -191,14 +218,39 @@ def synth(out_dir: str, mult: float, seed: int, src: str) -> dict:
     t_lo = np.datetime64("2024-01-01T00:00:00", "us").astype("int64")
     t_hi = np.datetime64("2024-01-31T00:00:00", "us").astype("int64")
     ts = np.sort(rng.integers(t_lo, t_hi, n_events))
-    counts["events"] = _write(out_dir, "events", schema, [
-        np.arange(n_events, dtype=np.int64),
-        ts,
-        rng.integers(0, int(1500 * mult), n_events),
-        [EVENT_TYPES[i] for i in rng.integers(0, 5, n_events)],
-        np.round(rng.exponential(50.0, n_events), 2),
-        [json.dumps({"k": int(k)}) for k in rng.integers(0, 100, n_events)],
-    ])
+    if mult <= 100:
+        # monolithic path — byte-identical to committed sf1/sf10
+        counts["events"] = _write(out_dir, "events", schema, [
+            np.arange(n_events, dtype=np.int64),
+            ts,
+            rng.integers(0, int(1500 * mult), n_events),
+            [EVENT_TYPES[i] for i in rng.integers(0, 5, n_events)],
+            np.round(rng.exponential(50.0, n_events), 2),
+            [json.dumps({"k": int(k)}) for k in rng.integers(0, 100, n_events)],
+        ])
+    else:
+        # r15 sf100 path: 100M rows, chunked; props built with
+        # np.char so no per-row python json.dumps (same '{"k": N}'
+        # wire format — json.dumps({"k": 5}) == '{"k": 5}')
+        etype_pool = np.array(EVENT_TYPES)
+        with pq.ParquetWriter(os.path.join(out_dir, "events.parquet"), schema) as w:
+            done = 0
+            while done < n_events:
+                n = min(5_000_000, n_events - done)
+                ks = rng.integers(0, 100, n)
+                cols = [
+                    np.arange(done, done + n, dtype=np.int64),
+                    ts[done:done + n],
+                    rng.integers(0, int(1500 * mult), n),
+                    etype_pool[rng.integers(0, 5, n)],
+                    np.round(rng.exponential(50.0, n), 2),
+                    np.char.add(np.char.add('{"k": ', ks.astype("U3")), "}"),
+                ]
+                w.write_table(pa.Table.from_arrays(
+                    [pa.array(c, type=f.type) for c, f in zip(cols, schema)],
+                    schema=schema))
+                done += n
+        counts["events"] = n_events
 
     # --- documents (vocab extracted from the source sf dir) ---
     #
