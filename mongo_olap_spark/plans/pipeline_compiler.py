@@ -304,6 +304,27 @@ _TAILORING_SPECS: dict[str, dict] = {
     # definition of the alphabet (&C<ĉ &G<ĝ &H<ĥ &J<ĵ &S<ŝ &U<ŭ)
     "eo": {"after": {"c": [["ĉ"]], "g": [["ĝ"]], "h": [["ĥ"]],
                      "j": [["ĵ"]], "s": [["ŝ"]], "u": [["ŭ"]]}},
+    # CLDR tr standard (r15, VERDICT r14 task 3): &C<ç &G<ğ &H<ı
+    # (dotless ı is a primary letter BETWEEN h and i) &O<ö &S<ş &U<ü,
+    # plus the dotted/dotless-i CASE tailoring that kept tr on the
+    # refuse list through r14: uppercase İ is tertiary-equal to i and
+    # uppercase I is tertiary-equal to ı (&i<<<İ, &ı<<<I). The case
+    # map is a PRE-LOWER replace pair (İ→i, I→ı): after it no İ/I
+    # remains, so root lower() — which would wrongly map I→i and
+    # İ→i+U+0307 — never sees them. Exactly the compiled-replace
+    # machinery the r14 primary remaps use, one seam earlier.
+    "tr": {"pre": [("İ", "i"), ("I", "ı")],
+           "after": {"c": [["ç"]], "g": [["ğ"]], "h": [["ı"]],
+                     "o": [["ö"]], "s": [["ş"]], "u": [["ü"]]}},
+    # CLDR az standard: the Azerbaijani alphabet order (a b c ç d e ə
+    # f g ğ h x ı i j k q l m n o ö p r s ş t u ü v y z) — Turkish's
+    # letters plus ə after e, and the ASCII letters x (after h, before
+    # ı) and q (after k) REMAPPED from their root positions; same
+    # dotted/dotless-i case tailoring as tr.
+    "az": {"pre": [("İ", "i"), ("I", "ı")],
+           "after": {"c": [["ç"]], "e": [["ə"]], "g": [["ğ"]],
+                     "h": [["x"], ["ı"]], "k": [["q"]],
+                     "o": [["ö"]], "s": [["ş"]], "u": [["ü"]]}},
 }
 # Norwegian (nb/nn and the macrolanguage tag) collates as Danish
 _TAILORING_SPECS["nb"] = _TAILORING_SPECS["nn"] = \
@@ -315,11 +336,14 @@ class _TailoredFold:
     Longer sources first so digraphs (cs "ch", da "aa") consume their
     letters before any single-char rule could."""
 
-    __slots__ = ("locale", "s1", "s2")
+    __slots__ = ("locale", "s1", "s2", "pre")
 
     def __init__(self, locale: str, spec: dict):
         s1: list[tuple[str, str]] = []
         s2: list[tuple[str, str]] = []
+        # case-mapping tailorings run BEFORE lower() (tr/az İ→i, I→ı):
+        # root lower() would destroy the dotted/dotless distinction
+        self.pre: list[tuple[str, str]] = list(spec.get("pre", []))
         for anchor, classes in spec.get("after", {}).items():
             flat = 0
             for cls in classes:
@@ -362,8 +386,11 @@ def _fold_col(col: Column) -> Column:
     the DUCET table could fold it to its base). Pure built-in string
     expressions — stays inside whole-stage codegen, no UDF, no extra
     shuffle."""
-    col = F.lower(col)
     tail = _tailoring()
+    if tail is not None:
+        for a, b in tail.pre:  # pre-lower case tailoring (tr/az)
+            col = F.replace(col, F.lit(a), F.lit(b))
+    col = F.lower(col)
     if tail is not None:
         for a, b in tail.replaces(_strength()):
             col = F.replace(col, F.lit(a), F.lit(b))
@@ -376,8 +403,11 @@ def _fold_col(col: Column) -> Column:
 
 def _fold_lit(s: str) -> str:
     """Python-side image of a literal — same table as :func:`_fold_col`."""
-    s = s.lower()
     tail = _tailoring()
+    if tail is not None:
+        for a, b in tail.pre:
+            s = s.replace(a, b)
+    s = s.lower()
     if tail is not None:
         for a, b in tail.replaces(_strength()):
             s = s.replace(a, b)
@@ -567,8 +597,8 @@ _UNTAILORED_LOCALES = frozenset({
 #: by base tag or full tag (fr_CA: base fr is untailored, the CA
 #: variant is not).
 _TAILORED_LOCALES = {
-    "tr": "dotted/dotless-i case mapping: lower('I') is 'ı', not 'i'",
-    "az": "dotted/dotless-i case mapping (as Turkish)",
+    # tr/az moved to _TAILORING_SPECS in r15: their blocking
+    # dotted/dotless-i case mapping is a PRE-LOWER replace pair
     "lt": "dot-above accent/case tailoring on i/j",
     "is": "accented vowels and þ/æ/ö are distinct primary letters",
     "sk": "ch digraph and ä/ô primaries",

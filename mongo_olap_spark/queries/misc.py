@@ -1287,6 +1287,99 @@ def q_collation_locale_da(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# X7''''' (r15, VERDICT r14 task 3): tr accepted — the dotted/dotless-i
+# case tailoring rides a PRE-LOWER replace pair (İ→i, I→ı), then the
+# same primary-remap image as es/da (ç/ğ/ı/ö/ş/ü after c/g/h/o/s/u).
+# The oracle twin applies the identical pre-replace → lower → replace
+# chain in SQL, PUA key chars built with chr() so they stay visible.
+# ---------------------------------------------------------------------------
+
+# strength-2 tr image keys (anchor + PUA suffix), hand-derived:
+_TR_KI = "h" + chr(0xE000)   # ı → after h
+_TR_KS = "s" + chr(0xE000)   # ş → after s
+_TR_FOLD_SQL = (
+    "replace(replace(replace(replace(replace(replace("
+    "lower(replace(replace({col}, 'İ', 'i'), 'I', 'ı')),"
+    " 'ç', 'c' || chr(57344)), 'ğ', 'g' || chr(57344)),"
+    " 'ı', 'h' || chr(57344)), 'ö', 'o' || chr(57344)),"
+    " 'ş', 's' || chr(57344)), 'ü', 'u' || chr(57344))"
+)
+
+
+@register(
+    "q_collation_locale_tr",
+    oracle="""
+    WITH base AS (
+        SELECT CASE
+                 WHEN c_custkey % 4 = 0 THEN 'ışık-' || lower(c_mktsegment)
+                 WHEN c_custkey % 4 = 1 THEN 'IŞIK-' || lower(c_mktsegment)
+                 WHEN c_custkey % 4 = 2 THEN 'izmir-' || lower(c_mktsegment)
+                 ELSE 'İZMİR-' || lower(c_mktsegment)
+               END AS seg,
+               c_acctbal
+        FROM customer
+    ),
+    folded AS (
+        SELECT seg, c_acctbal, __FOLD_SEG__ AS img FROM base
+    ),
+    g AS (
+        SELECT min(seg) AS _id,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               __DSUM__ AS bal
+        FROM folded
+        WHERE img IN ('__ISIK__-building', 'izmir-automobile')
+        GROUP BY img
+    )
+    SELECT _id, n, bal FROM g
+    ORDER BY __FOLD_ID__, _id
+    """.replace("__DSUM__", dsum_sql('c_acctbal'))
+       .replace("__FOLD_SEG__", _TR_FOLD_SQL.format(col="seg"))
+       .replace("__FOLD_ID__", _TR_FOLD_SQL.format(col="_id"))
+       .replace("__ISIK__", _TR_KI + _TR_KS + _TR_KI + "k"),
+)
+def q_collation_locale_tr(spark, sf_dir):
+    """Strength-2 collation under ``{locale: "tr"}`` (r15 accepted
+    tailoring): Turkish data shapes — the dotless-i case pairs
+    (ışık ≡ IŞIK but ≢ isik; izmir ≡ İZMİR) that kept tr refused
+    through r14, folded by the pre-lower İ→i / I→ı replaces, plus the
+    primary letters ş (after s) and ı (after h). Segments stay
+    lowercase in every arm ON PURPOSE: Turkish case-folds EVERY
+    uppercase I (AUTOMOBILE ≡ automobıle, NOT automobile), so an
+    upper(segment) arm would be a DIFFERENT primary class — the first
+    cut of this query tripped exactly that, and both engines agreed
+    it should (the faithful behavior). The match literals exercise
+    both uppercase spellings; the sort surfaces the tailored
+    order (the ı-group's h-anchored image before the i-group). Plan
+    shape: two extra F.replace calls ahead of lower() — still one
+    whole-stage-codegen span, no UDF, no extra exchange."""
+    from mongo_olap_spark.plans.pipeline_compiler import compile_pipeline
+
+    c = load_table(spark, sf_dir, "customer")
+    base = c.select(
+        F.when(F.col("c_custkey") % 4 == 0,
+               F.concat(F.lit("ışık-"), F.lower("c_mktsegment")))
+        .when(F.col("c_custkey") % 4 == 1,
+              F.concat(F.lit("IŞIK-"), F.lower("c_mktsegment")))
+        .when(F.col("c_custkey") % 4 == 2,
+              F.concat(F.lit("izmir-"), F.lower("c_mktsegment")))
+        .otherwise(F.concat(F.lit("İZMİR-"), F.lower("c_mktsegment")))
+        .alias("seg"),
+        "c_acctbal",
+    )
+    return compile_pipeline(
+        base,
+        [
+            {"$match": {"seg": {"$in": ["IŞIK-building",
+                                        "İZMİR-automobile"]}}},
+            {"$group": {"_id": "$seg", "n": {"$sum": 1},
+                        "bal": {"$sum": "$c_acctbal"}}},
+            {"$sort": {"_id": 1}},
+        ],
+        collation={"locale": "tr", "strength": 2},
+    )
+
+
+# ---------------------------------------------------------------------------
 # S7 — $lookup with BOTH sides array-valued (r7 doc-granularity dedup
 # branch, r8: first oracle-gated query — a regression there was
 # previously invisible to CORRECTNESS). Semantics: a foreign doc

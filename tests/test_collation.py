@@ -61,10 +61,10 @@ def test_simple_locale_is_binary(names):
     {"strength": 2},                              # no locale
     {"locale": "en"},                             # no strength
     {"locale": "en", "strength": 3},              # tertiary
-    {"locale": "tr", "strength": 2},              # ICU tailoring the image
-    #   fold cannot express (dotted/dotless-i CASE MAPPING — sv moved
-    #   to the ACCEPTED primary-remap tailored set in r14;
-    #   TestTailoredLocales covers it on the green side)
+    {"locale": "hu", "strength": 2},              # ICU tailoring the image
+    #   fold cannot express (doubled digraphs — tr moved to the
+    #   ACCEPTED tailored set in r15 via its pre-lower case replaces;
+    #   the accepted-locale tests cover it on the green side)
     {"locale": "simple", "strength": 2},          # simple is binary
     {"locale": "en", "strength": 2, "caseLevel": True},
     {"locale": "en", "strength": 2, "numericOrdering": True},
@@ -1197,8 +1197,6 @@ def test_untailored_locale_accepted(accents, loc, strength):
 
 
 @pytest.mark.parametrize("loc,word", [
-    ("tr", "dotless"),            # i/ı case mapping
-    ("az", "dotless"),
     ("lt", "dot-above"),
     ("is", "primary letters"),
     ("sk", "digraph"),
@@ -1206,7 +1204,7 @@ def test_untailored_locale_accepted(accents, loc, strength):
     ("hu", "digraph"),
     ("vi", "tone"),
     ("fr_CA", "backwards"),       # full-tag tailoring over untailored base
-    ("tr_TR", "dotless"),         # variant of a refused base
+    ("lt_LT", "dot-above"),       # variant of a refused base
 ])
 def test_tailored_locale_refuses_by_name(accents, loc, word):
     with pytest.raises(PipelineError) as e:
@@ -1378,6 +1376,85 @@ def test_eo_circumflex_letters(spark):
     got = _sorted_names(spark, ["ĉu", "cz", "du"],
                         {"locale": "eo", "strength": 1})
     assert got == ["cz", "ĉu", "du"]
+
+
+# ---------------------------------------------------------------------------
+# r15 (VERDICT r14 task 3): tr/az accepted — the dotted/dotless-i
+# case tailoring is a PRE-LOWER compiled replace pair (İ→i, I→ı);
+# everything below it is the same primary-remap machinery as es/da.
+# ---------------------------------------------------------------------------
+
+def test_tr_dotless_i_case_pairs(spark):
+    # uppercase I pairs with ı; uppercase İ pairs with i — the exact
+    # mapping root lower() gets wrong (I→i, İ→i+U+0307)
+    for strength in (1, 2):
+        g = _groups(spark, ["mısır", "MISIR"],
+                    {"locale": "tr", "strength": strength})
+        assert len(g) == 1, (strength, g)
+        g = _groups(spark, ["divan", "DİVAN"],
+                    {"locale": "tr", "strength": strength})
+        assert len(g) == 1, (strength, g)
+        # and the two i-letters are DISTINCT primaries
+        g = _groups(spark, ["sıra", "sira"],
+                    {"locale": "tr", "strength": strength})
+        assert len(g) == 2, (strength, g)
+
+
+def test_tr_dotless_i_between_h_and_i(spark):
+    # alphabet order: … h < ı < i < j …
+    got = _sorted_names(spark, ["iğne", "ısı", "hata", "jet"],
+                        {"locale": "tr", "strength": 1})
+    assert got == ["hata", "ısı", "iğne", "jet"]
+
+
+def test_tr_primary_letters_after_anchors(spark):
+    # ç/ğ/ö/ş/ü are primary letters after c/g/o/s/u — the root fold
+    # would collapse each into its base
+    got = _sorted_names(spark, ["çay", "cam", "dam"],
+                        {"locale": "tr", "strength": 1})
+    assert got == ["cam", "çay", "dam"]
+    got = _sorted_names(spark, ["şok", "son", "tam"],
+                        {"locale": "tr", "strength": 1})
+    assert got == ["son", "şok", "tam"]
+    assert len(_groups(spark, ["şaka", "saka"],
+                       {"locale": "tr", "strength": 1})) == 2
+    # … while untailored 'en' folds ş into s at strength 1
+    assert len(_groups(spark, ["şaka", "saka"],
+                       {"locale": "en", "strength": 1})) == 1
+
+
+def test_tr_match_literal_folds_case_tailoring(spark):
+    # a $match literal written in uppercase Turkish matches the
+    # lowercase spelling: ISPARTA ≡ ısparta (never "isparta")
+    df = spark.createDataFrame(
+        [("ısparta", 1), ("isparta", 2), ("ISPARTA", 3)],
+        "s string, v int")
+    out = compile_pipeline(df, [{"$match": {"s": "ISPARTA"}}],
+                           collation={"locale": "tr", "strength": 2})
+    assert sorted(r.v for r in out.collect()) == [1, 3]
+
+
+def test_tr_variant_tag_accepted(spark):
+    g = _groups(spark, ["mısır", "MISIR"],
+                {"locale": "tr_TR", "strength": 2})
+    assert len(g) == 1
+
+
+def test_az_alphabet_remaps(spark):
+    # az: ə after e; x REMAPPED after h (root puts x after w);
+    # q REMAPPED after k; ı between x and i
+    got = _sorted_names(spark, ["əl", "ev", "fil"],
+                        {"locale": "az", "strength": 1})
+    assert got == ["ev", "əl", "fil"]
+    got = _sorted_names(spark, ["xan", "hal", "ılıq", "il"],
+                        {"locale": "az", "strength": 1})
+    assert got == ["hal", "xan", "ılıq", "il"]
+    got = _sorted_names(spark, ["qaz", "kal", "lal"],
+                        {"locale": "az", "strength": 1})
+    assert got == ["kal", "qaz", "lal"]
+    # same dotless-i case pairs as tr
+    g = _groups(spark, ["QIZ", "qız"], {"locale": "az", "strength": 2})
+    assert len(g) == 1
 
 
 def test_tailored_match_literal_folds_through_locale(spark):
