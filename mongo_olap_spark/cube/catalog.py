@@ -297,7 +297,21 @@ class CubeCatalog(TableFormatAdapter):
             if os.path.exists(self._spec_path(d))
         )
 
-    def get_spec(self, name: str) -> CubeSpec:
+    def get_spec(self, name: str, version: int | None = None) -> CubeSpec:
+        """The cube's spec — current, or as of a pinned snapshot
+        ``version`` (r15 spec evolution): every snapshot commit embeds
+        its spec in the manifest, so a time-travel read resolves the
+        spec that WROTE those cells, not whatever the cube evolved to
+        since. Manifests from before r15 (or a version=None current
+        read) fall back to the spec.json file."""
+        if version is not None:
+            m = self.manifest(name, version)
+            if m is None:
+                raise ValueError(
+                    f"cube {name!r} has no committed snapshot version "
+                    f"{version} (available: {self.list_versions(name)})")
+            if m.get("spec"):
+                return CubeSpec.from_json(m["spec"])
         with open(self._spec_path(name)) as f:
             return CubeSpec.from_json(f.read())
 
@@ -346,6 +360,103 @@ class CubeCatalog(TableFormatAdapter):
         spec = self.get_spec(name)
         cells = build_cube(self.spark, spec, source)
         self._write_snapshot(spec, cells, lattice=self.lattice_levels(name) is not None)
+        return self.cells(name)
+
+    def evolve(self, name: str, *, add: tuple = (), drop: tuple = (),
+               source: DataFrame | None = None) -> DataFrame:
+        """Add/drop measures on a LIVE cube without rebuilding the
+        surviving measures (r15, VERDICT r14 task 4 — the config-driven
+        reference implicitly does this when a cube config changes).
+
+        - **drop**: a projection of the current cell table — the
+          dropped measures' storage columns disappear; nothing is
+          re-aggregated.
+        - **add**: ONE source scan pruned to the new measures' input
+          columns (+ dims) aggregates the new partials, then a
+          cells-sized null-safe join grafts them onto the existing
+          cells. Existing partials are carried by the join, never
+          recomputed — the cost is O(source scan of the new columns) +
+          O(cells), not a full rebuild of every measure.
+
+        The evolved table commits as a NEW snapshot version whose
+        manifest embeds the NEW spec; every older snapshot stays
+        pinned with the spec that wrote it (``get_spec(version=…)``),
+        so time travel across the evolution answers with the
+        HISTORICAL measure set. IVM picks the new spec up on its next
+        batch (``commit_partitions`` re-reads the spec).
+
+        Contract: ``source`` must be the source state the cube
+        currently reflects (same contract as :meth:`refresh`), and
+        writes must be quiesced around the call (the service runs it
+        under its exclusive write lock) — evolve reads the current
+        cells and commits a full snapshot, so a concurrent CDC commit
+        in between would be overwritten.
+        """
+        from dataclasses import replace as _dc_replace
+
+        from mongo_olap_spark.cube.build import _measure_aggs
+
+        spec = self.get_spec(name)
+        if self.lattice_levels(name) is not None:
+            raise ValueError(
+                f"evolve: cube {name!r} is a lattice — evolving a "
+                f"grouping-sets cube means re-declaring its levels; "
+                f"use create_lattice/refresh instead")
+        add, drop = tuple(add), tuple(drop)
+        if not add and not drop:
+            raise ValueError("evolve: nothing to do (empty add and drop)")
+        have = {m.name for m in spec.measures}
+        unknown = [d for d in drop if d not in have]
+        if unknown:
+            raise ValueError(
+                f"evolve: cube {name!r} has no measure(s) {unknown} "
+                f"to drop (measures: {sorted(have)})")
+        taken = have | {d.name for d in spec.dimensions}
+        clash = [m.name for m in add if m.name in taken]
+        if clash:
+            raise ValueError(
+                f"evolve: added measure name(s) {clash} collide with "
+                f"existing dims/measures of cube {name!r}")
+        kept = tuple(m for m in spec.measures if m.name not in set(drop))
+        new_spec = _dc_replace(spec, measures=kept + add)  # validates
+        cells = self.cells(name)
+        dropped_cols = [c for d in drop
+                        for c in spec.measure(d).storage_cols()]
+        new_cells = cells.drop(*dropped_cols) if dropped_cols else cells
+        if add:
+            if source is None:
+                raise ValueError(
+                    "evolve: adding measures requires source= (the "
+                    "backfill scan for the new partials)")
+            df = source
+            if spec.filter_sql:
+                df = df.filter(spec.filter_sql)
+            dims = [d.expr() for d in spec.dimensions]
+            aggs = [a for m in add for a in _measure_aggs(m)]
+            backfill = df.groupBy(*dims).agg(*aggs)
+            bf_cols = [c for m in add for c in m.storage_cols()]
+            if spec.dimensions:
+                cond = None
+                for dn in spec.dim_names:
+                    # null-safe: NULL dim values are real group keys
+                    c = new_cells[dn].eqNullSafe(backfill[dn])
+                    cond = c if cond is None else (cond & c)
+                new_cells = new_cells.join(backfill, cond, "left").select(
+                    *[new_cells[c] for c in new_cells.columns],
+                    *[backfill[c] for c in bf_cols])
+            else:
+                new_cells = new_cells.crossJoin(backfill.select(*bf_cols))
+            for m in add:
+                for c in m.storage_cols():
+                    if c.endswith("_cnt"):
+                        # a join miss (group gone from the source) is
+                        # an empty group for the new measure: count 0,
+                        # sums stay NULL — build_cube's empty shape
+                        new_cells = new_cells.withColumn(
+                            c, F.coalesce(F.col(c), F.lit(0).cast("long")))
+        self._write_snapshot(new_spec, new_cells)
+        with open(self._spec_path(name), "w") as f:
+            f.write(new_spec.to_json())
         return self.cells(name)
 
     # -- reads ----------------------------------------------------------
@@ -433,8 +544,19 @@ class CubeCatalog(TableFormatAdapter):
     def _read_partitions(
         self, name: str, keys: list[str] | None, *, version: int | None = None
     ) -> DataFrame:
-        schema = self._cell_schema(name)
         m = self.manifest(name, version)
+        # r15: a snapshot reads with the schema that WROTE it — after
+        # an evolve() the current schema.json gains/loses measure
+        # columns, and reading an old snapshot through it would null
+        # out added columns and (worse) silently prune dropped ones a
+        # historical spec still references. Manifests from before r15
+        # fall back to the file.
+        if m and m.get("schema"):
+            from pyspark.sql.types import StructType
+
+            schema = StructType.fromJson(m["schema"])
+        else:
+            schema = self._cell_schema(name)
         parts = (m or {}).get("partitions", {})
         if keys is not None:
             parts = {k: v for k, v in parts.items() if k in set(keys)}
@@ -597,6 +719,12 @@ class CubeCatalog(TableFormatAdapter):
                         "version": (prev or {}).get("version", 0) + 1,
                         "partitions": entries,
                         "level_counts": level_counts,
+                        # r15: spec AND cell schema travel WITH the
+                        # snapshot, so time travel across a later
+                        # evolve() resolves the spec that wrote these
+                        # cells and reads them with their own schema
+                        "spec": spec.to_json(),
+                        "schema": cells.schema.jsonValue(),
                         **_merge_batch_ids(prev, batch_id, stream_id),
                     },
                 )
@@ -680,6 +808,10 @@ class CubeCatalog(TableFormatAdapter):
                 "version": prev["version"] + 1,
                 "partitions": partitions,
                 "level_counts": level_counts,
+                **({"spec": prev["spec"]} if prev.get("spec")
+                   else {"spec": spec.to_json()}),
+                **({"schema": prev["schema"]} if prev.get("schema")
+                   else {"schema": self._cell_schema(name).jsonValue()}),
                 **_merge_batch_ids(prev, batch_id, stream_id),
             }
             try:

@@ -253,6 +253,18 @@ class OlapEngine:
     def refresh_cube(self, name: str, source: DataFrame) -> DataFrame:
         return self.catalog.refresh(name, source)
 
+    def evolve_cube(self, name: str, *, add: list | None = None,
+                    drop: list | None = None,
+                    source: DataFrame | None = None) -> DataFrame:
+        """Add/drop measures on a live cube without rebuilding the
+        surviving ones (catalog.evolve). The cached maintainer is
+        invalidated so the next CDC batch aggregates the NEW measure
+        set; old snapshots stay pinned with their own specs."""
+        out = self.catalog.evolve(name, add=tuple(add or ()),
+                                  drop=tuple(drop or ()), source=source)
+        self._maintainers.pop(name, None)
+        return out
+
     # -- incremental maintenance ------------------------------------------
     def apply_cdc(self, cube: str, batch: DataFrame, batch_id: int,
                   source_for_repair: DataFrame | None = None) -> bool:
@@ -374,7 +386,11 @@ class OlapEngine:
         LIVE tail or the CURRENT partition listing would mix epochs).
         """
         if cube is not None:
-            spec = self.catalog.get_spec(cube)
+            # r15: a pinned snapshot resolves the spec that WROTE it —
+            # time travel across a later evolve_cube() answers with the
+            # historical measure set, not the current one
+            spec = self.catalog.get_spec(
+                cube, version=as_of if as_of is not None else None)
             if as_of is not None:
                 if tail is not None or time_range is not None:
                     raise ValueError(

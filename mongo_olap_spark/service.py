@@ -326,6 +326,37 @@ class OlapService:
         cells = self.engine.refresh_cube(name, self._source_df(spec.source))
         return {"cube": name, "cells": cells.count()}
 
+    def _op_evolve_cube(self, req):
+        """r15: add/drop measures on a live cube. Runs under the
+        service's exclusive write lock, which IS the quiesced-writes
+        contract catalog.evolve documents. ``add`` is a list of
+        measure docs (same shape as create_cube's spec measures);
+        ``drop`` a list of measure names."""
+        from mongo_olap_spark.cube.spec import Measure
+
+        name = _field(req, "name")
+        if name not in self.engine.list_cubes():
+            raise LookupError(f"unknown cube {name!r}")
+        add_docs = req.get("add") or []
+        drop = req.get("drop") or []
+        if not isinstance(add_docs, list) or not isinstance(drop, list):
+            raise _BadRequest("evolve_cube: add/drop must be lists")
+        if not all(isinstance(d, str) for d in drop):
+            raise _BadRequest("evolve_cube: drop must be measure names")
+        try:
+            add = [Measure(**d) for d in add_docs]
+        except TypeError as exc:  # unknown/missing measure-doc keys
+            raise _BadRequest(
+                f"evolve_cube: bad measure doc: {exc}") from exc
+        spec = self.engine.catalog.get_spec(name)
+        source = self._source_df(spec.source) if add else None
+        cells = self.engine.evolve_cube(name, add=add, drop=drop,
+                                        source=source)
+        return {"cube": name, "cells": cells.count(),
+                "version": self.engine.catalog.current_version(name),
+                "measures": [m.name for m in
+                             self.engine.catalog.get_spec(name).measures]}
+
     def _op_query(self, req):
         as_of = req.get("as_of")
         # bool subclasses int in Python, so {"as_of": true} would

@@ -363,3 +363,135 @@ def test_as_of_soak_every_snapshot_stays_pinned(engine, events):
         got = rows_set(engine.query(cube="events_daily",
                                     group_by=["event_type"], as_of=v))
         assert got == want, f"version {v} drifted"
+
+
+# ---------------------------------------------------------------------------
+# r15: cube spec evolution — add/drop measures on a LIVE cube without
+# rebuilding the surviving ones; snapshots stay pinned with THEIR spec
+# ---------------------------------------------------------------------------
+
+def _evolved_spec(add=(), drop=()):
+    from dataclasses import replace
+
+    kept = tuple(m for m in EVENTS_CUBE.measures if m.name not in set(drop))
+    return replace(EVENTS_CUBE, measures=kept + tuple(add))
+
+
+def test_evolve_add_measure_equals_rebuild(engine, events):
+    from mongo_olap_spark.cube.spec import Measure
+
+    engine.create_cube(EVENTS_CUBE, events)
+    add = [Measure("max_value", "max", "value"),
+           Measure("sd_value", "stddev_pop", "value")]
+    engine.evolve_cube("events_daily", add=add, source=events)
+
+    new_spec = _evolved_spec(add=add)
+    want = query_cube(build_cube(engine.spark, new_spec, events), new_spec,
+                      group_by=["event_type"],
+                      measures=["n", "total_value", "avg_value",
+                                "max_value", "sd_value"])
+    got = engine.query(cube="events_daily", group_by=["event_type"],
+                       measures=["n", "total_value", "avg_value",
+                                 "max_value", "sd_value"])
+    assert rows_set(got) == rows_set(want)
+
+
+def test_evolve_drop_measure(engine, events):
+    engine.create_cube(EVENTS_CUBE, events)
+    engine.evolve_cube("events_daily", drop=["avg_value"])
+    spec = engine.catalog.get_spec("events_daily")
+    assert [m.name for m in spec.measures] == ["n", "total_value"]
+    # surviving measures still answer exactly
+    want = query_cube(build_cube(engine.spark, _evolved_spec(
+        drop=["avg_value"]), events), _evolved_spec(drop=["avg_value"]),
+        group_by=["event_type"], measures=["n", "total_value"])
+    got = engine.query(cube="events_daily", group_by=["event_type"],
+                       measures=["n", "total_value"])
+    assert rows_set(got) == rows_set(want)
+    # the dropped measure refuses by name
+    with pytest.raises(Exception, match="avg_value"):
+        engine.query(cube="events_daily", group_by=["event_type"],
+                     measures=["avg_value"]).collect()
+
+
+def test_evolve_time_travel_pins_old_spec(engine, events):
+    from mongo_olap_spark.cube.spec import Measure
+
+    engine.create_cube(EVENTS_CUBE, events)
+    v1 = engine.catalog.current_version("events_daily")
+    pre = rows_set(engine.query(cube="events_daily",
+                                group_by=["event_type"],
+                                measures=["avg_value"]))
+
+    # evolve TWICE: add a measure, then drop one the old spec had
+    engine.evolve_cube("events_daily",
+                       add=[Measure("max_value", "max", "value")],
+                       source=events)
+    v2 = engine.catalog.current_version("events_daily")
+    engine.evolve_cube("events_daily", drop=["avg_value"])
+    v3 = engine.catalog.current_version("events_daily")
+    assert v1 < v2 < v3
+
+    # v1: the historical spec has avg_value but NOT max_value
+    assert rows_set(engine.query(cube="events_daily",
+                                 group_by=["event_type"],
+                                 measures=["avg_value"], as_of=v1)) == pre
+    with pytest.raises(Exception, match="max_value"):
+        engine.query(cube="events_daily", group_by=["event_type"],
+                     measures=["max_value"], as_of=v1).collect()
+    # v2: both exist (avg not yet dropped, max already added)
+    assert rows_set(engine.query(cube="events_daily",
+                                 group_by=["event_type"],
+                                 measures=["avg_value"], as_of=v2)) == pre
+    engine.query(cube="events_daily", group_by=["event_type"],
+                 measures=["max_value"], as_of=v2).collect()
+    # v3 (current): avg_value refuses, max_value serves
+    with pytest.raises(Exception, match="avg_value"):
+        engine.query(cube="events_daily", group_by=["event_type"],
+                     measures=["avg_value"], as_of=v3).collect()
+
+
+def test_evolve_then_ivm_picks_up_new_measure(engine, events):
+    from mongo_olap_spark.cube.spec import Measure
+
+    even = events.filter(F.col("event_id") % 2 == 0)
+    odd = events.filter(F.col("event_id") % 2 == 1)
+    engine.create_cube(EVENTS_CUBE, even)
+    add = [Measure("max_value", "max", "value")]
+    engine.evolve_cube("events_daily", add=add, source=even)
+    # next CDC batch must aggregate the NEW measure set
+    engine.apply_cdc("events_daily", odd.withColumn("mult", F.lit(1)), 1)
+
+    new_spec = _evolved_spec(add=add)
+    want = query_cube(build_cube(engine.spark, new_spec, events), new_spec,
+                      group_by=["event_type"],
+                      measures=["n", "total_value", "max_value"])
+    got = engine.query(cube="events_daily", group_by=["event_type"],
+                       measures=["n", "total_value", "max_value"])
+    assert rows_set(got) == rows_set(want)
+
+
+def test_evolve_validations(engine, events, tmp_path):
+    from mongo_olap_spark.cube.spec import CubeSpec, Dimension, Measure
+
+    engine.create_cube(EVENTS_CUBE, events)
+    with pytest.raises(ValueError, match="nothing to do"):
+        engine.evolve_cube("events_daily")
+    with pytest.raises(ValueError, match="no measure"):
+        engine.evolve_cube("events_daily", drop=["ghost"])
+    with pytest.raises(ValueError, match="collide"):
+        engine.evolve_cube("events_daily",
+                           add=[Measure("n", "count")], source=events)
+    with pytest.raises(ValueError, match="at least one measure"):
+        engine.evolve_cube("events_daily",
+                           drop=["n", "total_value", "avg_value"])
+    with pytest.raises(ValueError, match="source="):
+        engine.evolve_cube("events_daily",
+                           add=[Measure("mx", "max", "value")])
+    # lattice cubes refuse by name
+    lat = CubeSpec(name="lat_ev", source="events",
+                   dimensions=(Dimension("event_type"),),
+                   measures=(Measure("n", "count"),))
+    engine.catalog.create_lattice(lat, events)
+    with pytest.raises(ValueError, match="lattice"):
+        engine.evolve_cube("lat_ev", drop=["n"])

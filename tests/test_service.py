@@ -902,6 +902,46 @@ def test_query_as_of_and_list_versions(service):
             for row in live["result"]["rows"]}[et] == b[et] + 1
 
 
+def test_evolve_cube_over_the_wire(service):
+    """r15: evolve_cube op — add/drop measures on a live cube; old
+    snapshots stay queryable with their own measure set via as_of."""
+    service.handle({"op": "create_cube_from_pipeline", "name": "ev_cube",
+                    "source": "events", "pipeline": PIPE})
+    r = service.handle({"op": "query", "cube": "ev_cube"})
+    assert r["ok"]
+    v1 = service.handle({"op": "list_versions",
+                         "name": "ev_cube"})["result"]["versions"][-1]
+
+    r = service.handle({"op": "evolve_cube", "name": "ev_cube",
+                        "add": [{"name": "mx", "op": "max",
+                                 "path": "value"}]})
+    assert r["ok"], r
+    assert "mx" in r["result"]["measures"]
+    r = service.handle({"op": "query", "cube": "ev_cube",
+                        "measures": ["mx"]})
+    assert r["ok"] and r["result"]["rows"]
+    # the pre-evolve snapshot refuses the new measure...
+    r = service.handle({"op": "query", "cube": "ev_cube",
+                        "measures": ["mx"], "as_of": v1})
+    assert not r["ok"] and "mx" in r["error"]["message"]
+    # ...and still serves its own
+    r = service.handle({"op": "query", "cube": "ev_cube", "as_of": v1})
+    assert r["ok"] and r["result"]["rows"]
+
+    # bad requests map to the taxonomy
+    r = service.handle({"op": "evolve_cube", "name": "ghost",
+                        "drop": ["x"]})
+    assert not r["ok"] and r["error"]["code"] == "not_found"
+    r = service.handle({"op": "evolve_cube", "name": "ev_cube"})
+    assert not r["ok"] and r["error"]["code"] == "invalid"  # engine check
+    r = service.handle({"op": "evolve_cube", "name": "ev_cube",
+                        "add": [{"name": "zz", "op": "bogus"}]})
+    assert not r["ok"] and r["error"]["code"] == "invalid"  # Measure check
+    r = service.handle({"op": "evolve_cube", "name": "ev_cube",
+                        "add": "mx"})
+    assert not r["ok"] and r["error"]["code"] == "bad_request"
+
+
 def test_query_as_of_refusals(service):
     service.handle({"op": "create_cube_from_pipeline", "name": "tt2",
                     "source": "events", "pipeline": PIPE})
