@@ -319,6 +319,108 @@ def test_subprocess_stdio_lifecycle(tmp_path, spark, events):
             proc.wait()
 
 
+@pytest.mark.slow
+def test_cold_restart_two_process_lifetimes(tmp_path, spark, events):
+    """r15 (VERDICT r14 task 5): the catalog is disk-backed by
+    construction — prove the FULL story across two real subprocess
+    lifetimes over ONE root: kill the first service (SIGKILL, no
+    graceful shutdown), start a brand-new process on the same root,
+    and verify routed queries, time travel, and pump_cdc resume from
+    the committed watermark with zero re-registration."""
+    from pyspark.sql import functions as F
+
+    from mongo_olap_spark.plans.pipeline_compiler import compile_pipeline
+    from mongo_olap_spark.streaming.cdc import cdc_from_events, net_events
+
+    # the pumped tail is a DISJOINT id range (shifted +10M), so the
+    # expected final state is closed-form: events + net(shifted)
+    shifted = events.withColumn(
+        "event_id", (F.col("event_id") + 10_000_000))
+    cdc_path = str(tmp_path / "cdc_cold")
+    cdc_from_events(shifted).write.mode("overwrite").parquet(cdc_path)
+    n_changes = cdc_from_events(shifted).count()
+    root = str(tmp_path / "cold_root")
+
+    def start():
+        return subprocess.Popen(
+            [sys.executable, "-m", "mongo_olap_spark.service",
+             "--data-dir", SF, "--root", root,
+             "--master", "local[2]", "--shuffle-partitions", "4"],
+            stdin=subprocess.PIPE, stdout=subprocess.PIPE,
+            stderr=subprocess.DEVNULL, text=True, cwd="/root/repo",
+        )
+
+    def rpc(proc, req):
+        proc.stdin.write(json.dumps(req) + "\n")
+        proc.stdin.flush()
+        line = proc.stdout.readline()
+        assert line, "service died"
+        return json.loads(line)
+
+    # ---- lifetime 1: create, pump PART of the stream, hard-kill ----
+    p1 = start()
+    try:
+        c = rpc(p1, {"id": 1, "op": "create_cube_from_pipeline",
+                     "name": "coldcube", "source": "events",
+                     "pipeline": PIPE})
+        assert c["ok"], c
+        v1 = rpc(p1, {"id": 2, "op": "list_versions",
+                      "name": "coldcube"})["result"]["current"]
+        pinned = rpc(p1, {"id": 3, "op": "query", "cube": "coldcube",
+                          "as_of": v1})["result"]["rows"]
+        r = rpc(p1, {"id": 4, "op": "pump_cdc", "cube": "coldcube",
+                     "path": cdc_path, "max_changes": 600,
+                     "max_batches": 1})
+        assert r["ok"] and r["result"]["batches"] == 1, r
+        pumped_1 = r["result"]["changes"]
+        assert 0 < pumped_1 < n_changes  # genuinely mid-stream
+    finally:
+        p1.kill()  # cold kill: no shutdown op, no flush
+        p1.wait()
+
+    # ---- lifetime 2: a NEW process over the SAME root ----
+    p2 = start()
+    try:
+        # zero re-registration: the cube is simply there
+        assert rpc(p2, {"id": 10, "op": "list_cubes"})["result"] == [
+            "coldcube"]
+        e = rpc(p2, {"id": 11, "op": "explain", "source": "events",
+                     "pipeline": PIPE})
+        assert e["result"]["route"]["cube"] == "coldcube"
+        # time travel: the pre-pump snapshot is byte-stable across
+        # the process boundary
+        again = rpc(p2, {"id": 12, "op": "query", "cube": "coldcube",
+                         "as_of": v1})["result"]["rows"]
+        assert sorted(map(str, again)) == sorted(map(str, pinned))
+        # pump resumes from the COMMITTED watermark: drain the rest
+        pumped_2 = 0
+        while True:
+            r = rpc(p2, {"id": 13, "op": "pump_cdc", "cube": "coldcube",
+                         "path": cdc_path, "max_changes": 600})
+            assert r["ok"], r
+            if r["result"]["batches"] == 0:
+                break
+            pumped_2 += r["result"]["changes"]
+        assert pumped_1 + pumped_2 == n_changes  # exactly once, no gap
+        got = rpc(p2, {"id": 14, "op": "query_pipeline",
+                       "source": "events", "pipeline": PIPE})
+        got_rows = sorted(tuple(str(v) for v in row)
+                          for row in got["result"]["rows"])
+        exp = compile_pipeline(
+            events.unionByName(net_events(shifted)), PIPE).collect()
+        exp_rows = sorted(
+            (str(r["_id"]["et"]), str(r["n"]), str(r["total"]))
+            for r in exp)
+        assert got_rows == exp_rows
+        assert rpc(p2, {"id": 15, "op": "shutdown"})["result"] == "bye"
+        p2.stdin.close()
+        assert p2.wait(timeout=120) == 0
+    finally:
+        if p2.poll() is None:
+            p2.kill()
+            p2.wait()
+
+
 def test_apply_cdc_over_the_wire(service, events):
     service.handle({"op": "create_cube_from_pipeline", "name": "cdc_cube",
                     "source": "events", "pipeline": PIPE})
