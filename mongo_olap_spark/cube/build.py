@@ -79,7 +79,12 @@ def _measure_aggs(m: Measure, mult: str | None = None) -> list:
         if m.op == "distinct":
             return [_hll_agg(F.when(sign > 0, src), m).alias(f"{n}_hll")]
         if m.op == "topk":
-            return [_topk_agg(m, mult=mult).alias(f"{n}_tk")]
+            # mass partial rides along (insert rows only, like the map)
+            return [
+                _topk_agg(m, mult=mult).alias(f"{n}_tk"),
+                F.sum(F.when((sign > 0) & src.isNotNull(), sign)
+                      .otherwise(F.lit(0))).cast("long").alias(f"{n}_tkn"),
+            ]
         if m.op == "quantile":
             # signed bin counts: insert adds, delete retracts — the
             # histogram sketch IS retraction-maintainable (integer
@@ -102,7 +107,15 @@ def _measure_aggs(m: Measure, mult: str | None = None) -> list:
     if m.op == "distinct":
         return [_hll_agg(src, m).alias(f"{n}_hll")]
     if m.op == "topk":
-        return [_topk_agg(m).alias(f"{n}_tk")]
+        # {n}_tkn = the cell's true item mass (non-null rows): the
+        # serve compares it to the map's Σcounts — equality certifies
+        # the frequent-items sketch never purged, i.e. the EXACT
+        # regime (r15, found at sf100: a saturated approx_top_k
+        # returns an EMPTY result, not a truncated one)
+        return [
+            _topk_agg(m).alias(f"{n}_tk"),
+            F.count(src).alias(f"{n}_tkn"),
+        ]
     if m.op == "quantile":
         return [_hist_agg(src, m).alias(f"{n}_hist")]
     raise AssertionError(m.op)

@@ -107,6 +107,12 @@ def merge_cells(
                     .otherwise(F.zip_with(cc, dc, lambda x, y: x + y))
                     .alias(col)
                 )
+            elif col.endswith("_tkn"):
+                # topk mass partial: plain signed long addition (the
+                # serve's exact-regime certificate must track the maps)
+                out.append((F.coalesce(cc, F.lit(0))
+                            + F.coalesce(dc, F.lit(0)))
+                           .cast("long").alias(col))
             elif col.endswith("_tk"):
                 # mergeable-summary union: per-item count sum, truncate
                 # back to capacity (deterministic tie-break). Insert

@@ -271,6 +271,7 @@ def query_cube(
     group_by: list[str] | None = None,
     where: Column | str | None = None,
     measures: list[str] | None = None,
+    on_inexact: str = "error",
 ) -> DataFrame:
     """Answer an aggregate query from cube cells.
 
@@ -293,7 +294,23 @@ def query_cube(
     rows and its rank filter compiles to a partial WindowGroupLimit.
     The r14 sf10 gate caught the fold undercounting a wide rollup
     (150k distinct users folded through a 65536-entry map).
+
+    ``on_inexact`` (r15): the serve certifies the exact regime by MASS
+    CONSERVATION — each topk cell stores the true non-null row mass
+    (``{m}_tkn``, maintained by build/IVM alongside the map); the
+    merged map's Σcounts must equal Σmass per group. The sf100 probe
+    found the regime exit is not graceful truncation: a saturated
+    ``approx_top_k`` (Datasketches frequent-items) PURGES and can
+    return an EMPTY result — served silently, that is a wrong answer
+    with no signal. Default ``'error'`` raises at execution naming the
+    measure and the remedies (raise max_items; materialize the exact
+    two-level ``topk_rollup`` cube — the route the router already
+    uses for $topN; or opt into ``on_inexact='sketch'`` for the
+    documented bounded-error serve).
     """
+    if on_inexact not in ("error", "sketch"):
+        raise ValueError(
+            f"on_inexact must be 'error' or 'sketch', got {on_inexact!r}")
     dims = spec.dim_names
     group_by = dims if group_by is None else group_by
     unknown = set(group_by) - set(dims)
@@ -345,6 +362,40 @@ def query_cube(
             m.name,
             F.coalesce(F.col(m.name),
                        F.array().cast(arr.schema[m.name].dataType)))
+        if on_inexact == "error":
+            # mass conservation: the merged map's Σcounts must equal
+            # the cells' true row mass, or the sketch purged somewhere
+            # (exact-regime exit). Guard rides the measure column so
+            # column pruning can never drop it.
+            got = counted.groupBy(*group_by).agg(
+                F.sum("__cnt").cast("long").alias(f"__got_{m.name}"))
+            want = df.groupBy(*group_by).agg(
+                F.sum(f"{m.name}_tkn").cast("long")
+                .alias(f"__want_{m.name}"))
+            if group_by:
+                base = (base.join(got, list(group_by), "left")
+                        .join(want, list(group_by), "left"))
+            else:
+                base = base.crossJoin(got).crossJoin(want)
+            mismatch = (F.coalesce(F.col(f"__got_{m.name}"), F.lit(0))
+                        != F.coalesce(F.col(f"__want_{m.name}"), F.lit(0)))
+            base = base.withColumn(
+                m.name,
+                F.when(mismatch, F.raise_error(F.concat(
+                    F.lit(f"topk measure {m.name!r}: frequent-items "
+                          f"map lost mass ("),
+                    F.coalesce(F.col(f"__got_{m.name}"), F.lit(0)),
+                    F.lit(" of "),
+                    F.coalesce(F.col(f"__want_{m.name}"), F.lit(0)),
+                    F.lit(f" rows) — a cell's cardinality exceeded "
+                          f"max_items={m.capacity} and approx_top_k "
+                          f"purged (it can return EMPTY, not merely "
+                          f"truncated). Raise max_items, materialize "
+                          f"the exact two-level topk_rollup cube, or "
+                          f"pass on_inexact='sketch' for the "
+                          f"bounded-error serve."))))
+                .otherwise(F.col(m.name)))
+            base = base.drop(f"__got_{m.name}", f"__want_{m.name}")
     return base.select(*group_by, *[m.name for m in req])
 
 
@@ -997,6 +1048,8 @@ def combine_cells(spec: CubeSpec, *frames: DataFrame) -> DataFrame:
                 aggs.append(F.hll_union_agg(col).alias(col))
             elif col.endswith("_hist"):
                 aggs.append(hist_sum_expr(col, int(m.nbins)).alias(col))
+            elif col.endswith("_tkn"):
+                aggs.append(F.sum(col).cast("long").alias(col))
             elif col.endswith("_tk"):
                 # the fold truncates at each merge step; single-map
                 # groups are already within capacity by construction

@@ -228,7 +228,12 @@ class Measure:
             "max": [f"{n}_max"],
             "distinct": [f"{n}_hll"],
             "quantile": [f"{n}_hist"],
-            "topk": [f"{n}_tk"],
+            # r15: the map travels with its MASS (signed count of
+            # non-null source rows) — serve-time mass conservation is
+            # the exact-regime certificate (sf100 found approx_top_k
+            # returning EMPTY once frequent-items purges: a silent
+            # wrong answer without the check)
+            "topk": [f"{n}_tk", f"{n}_tkn"],
             # the whole dispersion family shares one storage shape; a
             # single set of partials answers var/stddev, pop/samp alike
             "var_pop": [f"{n}_sum", f"{n}_sum2", f"{n}_cnt"],

@@ -615,22 +615,54 @@ USERS_TOPK_CUBE = CubeSpec(
 def q_cube_topn(spark, sf_dir):
     """Top-3 users per event type from frequent-items cube cells: the
     per-day maps union per-item (never a source rescan), the top-k
-    reads off the merged map. Oracle-gated because the capacity keeps
-    every tested SF in the exact regime (see USERS_TOPK_CUBE note)."""
+    reads off the merged map — WHEN the cube certifies the exact
+    regime. r15 (sf100 probe): per-cell user cardinality (~360k)
+    exceeded max_items=65536 there and a saturated approx_top_k
+    returns an EMPTY map (frequent-items purge), so the old serve
+    silently emitted zero rows. The production pattern now: a
+    cells-sized mass-conservation precheck (one tiny job over O(cells)
+    rows — plan-time metadata in the house sense) picks the cube serve
+    when exact, else recomputes the exact top-k from the source
+    (groupBy + WindowGroupLimit rank — O(distinct pairs) shuffle, the
+    plan a 100 TB deployment wants for ad-hoc exact heavy-hitters).
+    Either route is exact, so the oracle stays hash-exact at EVERY
+    scale; a direct cube serve in the purged regime refuses loudly
+    (cube/query.query_cube on_inexact)."""
+    from pyspark.sql import Window as W
+
     e = load_table(spark, sf_dir, "events")
     cells = build_cube(spark, USERS_TOPK_CUBE, e)
-    rolled = query_cube(
-        cells, USERS_TOPK_CUBE, group_by=["event_type"], measures=["top_users"]
+    cells.persist()
+    chk = cells.agg(
+        F.sum(F.expr(
+            "aggregate(map_values(top_users_tk), 0L, (s, v) -> s + v)"))
+        .alias("got"),
+        F.sum("top_users_tkn").alias("want"),
+    ).collect()[0]
+    if (chk["got"] or 0) == (chk["want"] or 0):
+        rolled = query_cube(
+            cells, USERS_TOPK_CUBE, group_by=["event_type"],
+            measures=["top_users"]
+        )
+        ex = rolled.select(
+            "event_type", F.posexplode("top_users").alias("pos", "e")
+        )
+        return ex.select(
+            "event_type",
+            (F.col("pos") + 1).cast("long").alias("rank"),
+            F.col("e.item").alias("user_id"),
+            F.col("e.count").alias("cnt"),
+        )
+    counted = (
+        e.filter(F.col("user_id").isNotNull())
+        .groupBy("event_type", "user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    ex = rolled.select(
-        "event_type", F.posexplode("top_users").alias("pos", "e")
-    )
-    return ex.select(
-        "event_type",
-        (F.col("pos") + 1).cast("long").alias("rank"),
-        F.col("e.item").alias("user_id"),
-        F.col("e.count").alias("cnt"),
-    )
+    w = W.partitionBy("event_type").orderBy(
+        F.col("cnt").desc(), F.col("user_id").asc())
+    return (counted.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= 3)
+            .select("event_type", "rank", "user_id", "cnt"))
 
 
 @register(

@@ -385,3 +385,93 @@ def test_topk_serve_exact_when_cells_exact_but_union_exceeds_capacity(spark):
     for r in direct_topk(df, 3, "event_type").collect():
         want.setdefault(r["event_type"], []).append((r["user_id"], r["cnt"]))
     assert got == want
+
+
+def test_topk_purged_regime_refuses_loudly(spark):
+    """r15 regression (found by the sf100 probe): per-cell cardinality
+    past max_items makes approx_top_k PURGE — at sf100 it returned an
+    EMPTY map, and the serve silently emitted zero top-k rows. The
+    mass-conservation guard (Σ map counts vs the {m}_tkn cell mass)
+    must refuse loudly by default and serve only under an explicit
+    on_inexact='sketch' opt-in."""
+    # one cell, 64 distinct singleton users, capacity 2: guaranteed
+    # purge territory for the frequent-items sketch
+    rows = [("a", f"u{u:03d}") for u in range(64)]
+    df = spark.createDataFrame(rows, "event_type string, user_id string")
+    tiny = CubeSpec(
+        name="tiny_purge",
+        source="x",
+        dimensions=(Dimension("event_type"),),
+        measures=(Measure("top_users", "topk", "user_id", k=2,
+                          max_items=2),),
+    )
+    cells = build_cube(spark, tiny, df)
+    # the mass column records the truth even when the map lost it
+    c = cells.collect()[0]
+    assert c["top_users_tkn"] == 64
+    assert len(c["top_users_tk"]) < 64
+
+    with pytest.raises(Exception, match="lost mass|max_items"):
+        query_cube(cells, tiny, group_by=["event_type"],
+                   measures=["top_users"]).collect()
+    # explicit opt-in serves the documented bounded-error answer
+    out = query_cube(cells, tiny, group_by=["event_type"],
+                     measures=["top_users"],
+                     on_inexact="sketch").collect()
+    assert len(out) == 1
+    with pytest.raises(ValueError, match="on_inexact"):
+        query_cube(cells, tiny, measures=["top_users"],
+                   on_inexact="bogus")
+
+
+def test_topk_mass_column_tracks_build_merge_recompute(spark, events):
+    """{m}_tkn stays equal to the cells' true non-null row mass through
+    build, insert merge, and the delete-repair recompute."""
+    half = events.filter(F.col("event_id") % 2 == 0)
+    rest = events.filter(F.col("event_id") % 2 == 1)
+    cells = build_cube(spark, USERS_TOPK_CUBE, half)
+    want_half = half.filter(F.col("user_id").isNotNull()).count()
+    assert cells.agg(F.sum("top_users_tkn")).collect()[0][0] == want_half
+
+    deltas = delta_cells(USERS_TOPK_CUBE, rest.withColumn("mult", F.lit(1)))
+    merged = merge_cells(cells, deltas, USERS_TOPK_CUBE)
+    want_all = events.filter(F.col("user_id").isNotNull()).count()
+    assert merged.agg(F.sum("top_users_tkn")).collect()[0][0] == want_all
+
+    # guarded serve agrees with the direct recomputation after merge
+    rolled = query_cube(merged, USERS_TOPK_CUBE, group_by=["event_type"],
+                        measures=["top_users"])
+    got = {r["event_type"]: [(e["item"], e["count"]) for e in r["top_users"]]
+           for r in rolled.collect()}
+    want: dict = {}
+    for r in direct_topk(events, 3, "event_type").collect():
+        want.setdefault(r["event_type"], []).append((r["user_id"], r["cnt"]))
+    assert got == want
+
+
+def test_q_cube_topn_falls_back_to_exact_past_capacity(spark, monkeypatch):
+    """The registered query's production pattern: cells-sized mass
+    precheck, exact source recompute when the sketch purged — the
+    answer stays hash-exact at EVERY scale."""
+    import mongo_olap_spark.queries.core as core
+    from mongo_olap_spark.queries import QUERIES
+
+    tiny = CubeSpec(
+        name=core.USERS_TOPK_CUBE.name,
+        source=core.USERS_TOPK_CUBE.source,
+        dimensions=core.USERS_TOPK_CUBE.dimensions,
+        measures=(Measure("n", "count"),
+                  Measure("top_users", "topk", "user_id", k=3,
+                          max_items=3)),
+    )
+    monkeypatch.setattr(core, "USERS_TOPK_CUBE", tiny)
+    got = {(r.event_type, r.rank, r.user_id, r.cnt)
+           for r in QUERIES["q_cube_topn"](
+               spark, "/root/testdata/sf0.001").collect()}
+    from mongo_olap_spark.sources.tables import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "events")
+    want = {(r.event_type, r.rank, r.user_id, r.cnt)
+            for r in direct_topk(e, 3, "event_type")
+            .withColumn("rank", F.col("rank").cast("long")).collect()}
+    assert got == want

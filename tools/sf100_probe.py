@@ -69,13 +69,16 @@ PHASE_A = [
     "q_incr_insert", "q_incr_delete", "q_incr_update",
     # small-output window-family queries
     "q_window_rank", "q_fill", "q_fill_linear", "q_densify",
-    "q_funnel", "q_retention", "q_sessionize",
+    "q_funnel", "q_retention",
 ]
 
 #: phase W — O(N)-output window suite, digest twins
 PHASE_W = [
     "q_window_frame", "q_window_lag", "q_window_covar",
     "q_window_deriv", "q_window_median", "q_ntile", "q_asof",
+    # ~1 session per event at sf100 (sparse per-user streams): a
+    # 100M-row output — digest it, don't pandas it
+    "q_sessionize",
 ]
 
 FAILED: list[str] = []
