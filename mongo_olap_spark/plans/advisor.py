@@ -342,6 +342,7 @@ def advise(
     sample_fraction: float | None = None,
     max_candidates: int = 64,
     maintenance_weight: float = 0.0,
+    serve_overhead_rows: int = 0,
     router_check=None,
 ) -> Advice:
     """Recommend cubes for a workload under an optional total-cell
@@ -358,6 +359,20 @@ def advise(
     cells costs per unit cell". 0 (default) reproduces plain HRU'96;
     a cube whose upkeep outcosts its query savings is never
     recommended at any positive setting that reflects the CDC rate.
+
+    ``serve_overhead_rows`` (r15, calibration-derived): a cube serve
+    pays a FIXED cost the rows-saved proxy ignores — manifest/partition
+    listing and many-small-file cell reads — so below some absolute
+    scale a recommended cube is a net latency LOSS even though it
+    scans fewer rows (tools/advisor_calib.py measured routed slower
+    than direct for 4/5 queries at local sf1, where a 1M-row codegen
+    scan beats a 30-partition cell read). Expressed in row units
+    (fixed_serve_seconds / per-row scan seconds — ADVISOR_CALIB.json
+    carries the measured constants for this box): each served query's
+    benefit is charged the floor, so cubes that cannot beat their own
+    serve overhead are never recommended. 0 (default) keeps the pure
+    HRU model — the right setting is deployment-specific and at
+    100 TB the floor is negligible relative to scans.
 
     ``router_check(spec, request) -> bool`` overrides the serving test
     (default: the real CubeRouter predicate via a throwaway catalog-less
@@ -456,9 +471,10 @@ def advise(
             # not actionable — without the margin a cube as big as the
             # rows it displaces can be picked on estimator jitter
             benefit = sum(
-                w.weight * (cost[qi] - cells)
+                w.weight * (cost[qi] - cells - serve_overhead_rows)
                 for qi, w in enumerate(wl)
-                if serves[ci][qi] and cost[qi] > cells * 1.1
+                if serves[ci][qi]
+                and cost[qi] > cells * 1.1 + serve_overhead_rows
             )
             # net of maintenance: upkeep scales with state size (the
             # signed merge rewrites touched partitions), so a cube
@@ -473,7 +489,10 @@ def advise(
         spent += est[specs[best].name]
         for qi in range(len(wl)):
             if serves[best][qi]:
-                cost[qi] = min(cost[qi], est[specs[best].name])
+                # residual cost of a served query includes the fixed
+                # serve floor — a second cube must beat cells + floor
+                cost[qi] = min(cost[qi],
+                               est[specs[best].name] + serve_overhead_rows)
 
     # 5. assignment: each query → cheapest picked cube serving it
     assignment: dict[int, str | None] = {}

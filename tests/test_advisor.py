@@ -346,6 +346,30 @@ def test_advise_maintenance_weight_prunes_marginal_cubes(spark, events):
     assert extreme.cubes == []
 
 
+def test_advise_serve_overhead_floor_prunes_small_wins(spark, events):
+    """r15 (calibration probe): a cube serve pays a fixed floor the
+    rows-saved proxy ignores (ADVISOR_CALIB.json measured routed
+    SLOWER than direct for 4/5 queries at local sf1). With the floor
+    charged in row units, a cube that cannot beat its own serve
+    overhead is never recommended; at 0 behavior is plain HRU."""
+    hi = _req(group_by=("event_type",), measures=(("n", "count"),))
+    lo = _req(group_by=("user_id", ("ts", "day")),
+              measures=(("n", "count"),))
+    plain = advise([hi, lo], {"events": events})
+    assert plain.assignment[0] is not None and plain.assignment[1] is not None
+
+    # sf0.001 events = 1000 rows: the marginal (user_id, day) cube
+    # saves ~550 rows/query — a 600-row floor kills it, while the
+    # 5-cell event_type cube (saves ~995) survives
+    mid = advise([hi, lo], {"events": events}, serve_overhead_rows=600)
+    assert mid.assignment[0] is not None
+    assert mid.assignment[1] is None
+
+    # a floor above every possible saving recommends nothing
+    none = advise([hi, lo], {"events": events}, serve_overhead_rows=10_000)
+    assert none.cubes == []
+
+
 # ---------------------------------------------------------------------------
 # C19/C20 two-level decomposition in the workload (r9)
 # ---------------------------------------------------------------------------
