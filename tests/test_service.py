@@ -421,6 +421,42 @@ def test_cold_restart_two_process_lifetimes(tmp_path, spark, events):
             p2.wait()
 
 
+def test_rwlock_write_preference_under_reader_storm():
+    """r15 regression (found by tools/soak_service.py): without writer
+    preference, overlapping read sections admitted forever starve a
+    waiting writer — a dashboard polling queries blocked CDC ingestion
+    indefinitely. A writer arriving under a continuous reader storm
+    must acquire promptly (new readers queue behind it)."""
+    import threading
+    import time
+
+    from mongo_olap_spark.service import _RWLock
+
+    lock = _RWLock()
+    stop = threading.Event()
+
+    def reader_storm():
+        while not stop.is_set():
+            lock.acquire_read()
+            time.sleep(0.05)  # read sections overlap continuously
+            lock.release_read()
+
+    readers = [threading.Thread(target=reader_storm, daemon=True)
+               for _ in range(4)]
+    for t in readers:
+        t.start()
+    time.sleep(0.2)  # storm established
+    t0 = time.time()
+    lock.acquire_write()
+    waited = time.time() - t0
+    lock.release_write()
+    stop.set()
+    for t in readers:
+        t.join(timeout=5)
+    # without preference this waits forever; with it, one read section
+    assert waited < 2.0, f"writer starved {waited:.1f}s under readers"
+
+
 def test_apply_cdc_over_the_wire(service, events):
     service.handle({"op": "create_cube_from_pipeline", "name": "cdc_cube",
                     "source": "events", "pipeline": PIPE})
