@@ -274,6 +274,14 @@ def encode_tokens_column(df: DataFrame, vocab: BpeVocab,
     return df.withColumn(out, _encode(F.col(text_col)))
 
 
+def decode_tokens(ids: list[int], vocab: BpeVocab) -> str:
+    """Lossless inverse of :func:`encode_word`/the encode column for
+    one word's ids: concatenate token byte strings, decode UTF-8.
+    (Whitespace is the pre-tokenizer's, not the tokens' — callers
+    rejoin words with the separator they split on.)"""
+    return b"".join(vocab.token_bytes(t) for t in ids).decode("utf-8")
+
+
 def merges_table(spark, vocab: BpeVocab) -> DataFrame:
     """The learned merges as a DataFrame ``(rank, left, right, token,
     token_id)`` — byte strings decoded with backslash-escapes so

@@ -639,6 +639,10 @@ def q_cube_topn(spark, sf_dir):
         .alias("got"),
         F.sum("top_users_tkn").alias("want"),
     ).collect()[0]
+    if (chk["got"] or 0) != (chk["want"] or 0):
+        # sketch purged: the cached cells are not part of the exact
+        # fallback's plan — release them before the source recompute
+        cells.unpersist()
     if (chk["got"] or 0) == (chk["want"] or 0):
         rolled = query_cube(
             cells, USERS_TOPK_CUBE, group_by=["event_type"],

@@ -147,6 +147,12 @@ def test_encode_matches_reference_and_roundtrips():
             "utf-8"), w
 
 
+def test_decode_tokens_inverse():
+    v = bpe.train_bpe(CORPUS, n_merges=12)
+    for w in ["newest", "zürich", "", "low"]:
+        assert bpe.decode_tokens(bpe.encode_word(w, v.ranks), v) == w
+
+
 def test_encode_training_words_compress():
     v = bpe.train_bpe(CORPUS, n_merges=12)
     # frequent training words must actually merge below byte length
