@@ -1316,11 +1316,17 @@ def q_pack_bpe(spark, sf_dir, bin_tokens: int = 2048):
     d = load_table(spark, sf_dir, "documents")
     vocab = bpe.train_bpe_on(d.select("text"), n_merges=_BPE_MERGES)
     enc = bpe.encode_tokens_column(d, vocab, "text", out="tokens")
-    n = F.size("tokens").cast("long")
+    # materialize ONLY the token count before the window: the first
+    # cut referenced size(tokens) inside the window frame and Catalyst
+    # shuffled the full token ARRAYS through the exchange — at 100 TB
+    # that is the corpus riding a shuffle whose consumer needs one
+    # long per doc (seen in .explain: tokens#... in the Exchange input)
+    slim = enc.select(
+        "doc_id", "source", F.size("tokens").cast("long").alias("n_tokens"))
     w = W.partitionBy("source").orderBy("doc_id").rowsBetween(
         W.unboundedPreceding, 0)
-    start = (F.sum(n).over(w) - n).alias("start_tok")
-    return enc.select("doc_id", "source", n.alias("n_tokens"), start).select(
+    start = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("start_tok")
+    return slim.select("doc_id", "source", "n_tokens", start).select(
         "doc_id", "source", "n_tokens",
         F.floor(F.col("start_tok") / bin_tokens).alias("bin_id"),
         (F.col("start_tok") % bin_tokens).alias("bin_offset"),
