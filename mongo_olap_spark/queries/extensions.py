@@ -7,9 +7,12 @@ the multimodal binary-column plumbing.
 
 The on-disk ``documents`` table has no duplicates (all 500 texts are
 distinct), so dedup queries build a *deterministic* duplicated corpus
-inline — exact copies for ``doc_id % 7 == 0`` (ids +1_000_000) and
+inline — exact copies for ``doc_id % 7 == 0`` (ids +off) and
 near-copies with the last 3 words dropped for ``doc_id % 11 == 0``
-(ids +2_000_000). Both engines construct the identical corpus, so the
+(ids +2·off), where off = next power of 10 above max(doc_id), floored
+at 1_000_000 (the historical constant — unchanged at every scale up
+to sf10; sf100's 5M ids needed +10M — see _dup_offset).
+Both engines construct the identical corpus, so the
 oracle checks the full dedup semantics, not just plumbing.
 """
 
@@ -31,27 +34,56 @@ from mongo_olap_spark.sources.tables import load_table
 # duplicated-corpus constructors (Spark + SQL twins)
 # ---------------------------------------------------------------------------
 
+#: r15 (found by the sf100 census): the constructed-copy id bands were
+#: FIXED +1M/+2M — sf100's 5M base doc_ids collided with them, so a
+#: "copy" could alias a real document and every census truth broke.
+#: The offset is now the next power of 10 above max(doc_id), floored
+#: at the legacy 1_000_000 so every scale the driver ships (and
+#: sf1/sf10, max id 499_999) keeps the EXACT historical ids — all
+#: committed transcripts remain valid; sf100 gets +10M/+20M. Both
+#: engines compute the identical closed form (decimal digit count is
+#: integer-exact on both sides).
+
+_OFF_SQL = ("(SELECT GREATEST(1000000, CAST(POWER(10, LENGTH(CAST("
+            "COALESCE(MAX(doc_id), 0) AS VARCHAR))) AS BIGINT)) "
+            "FROM documents)")
+
+_OFF_CACHE: dict[str, int] = {}
+
+
+def _dup_offset(spark, sf_dir) -> int:
+    got = _OFF_CACHE.get(sf_dir)
+    if got is None:
+        mx = (load_table(spark, sf_dir, "documents")
+              .agg(F.max("doc_id")).first()[0])
+        got = max(1_000_000, 10 ** len(str(int(mx or 0))))
+        _OFF_CACHE[sf_dir] = got
+    return got
+
+
 def _dup_corpus(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    off = _dup_offset(spark, sf_dir)
     exact_copies = d.filter(F.col("doc_id") % 7 == 0).withColumn(
-        "doc_id", F.col("doc_id") + 1_000_000
+        "doc_id", F.col("doc_id") + F.lit(off)
     )
     return d.unionByName(exact_copies)
 
 
-_DUP_CORPUS_SQL = """
+_DUP_CORPUS_SQL = f"""
     SELECT doc_id, text, source FROM documents
     UNION ALL
-    SELECT doc_id + 1000000, text, source FROM documents WHERE doc_id % 7 = 0
+    SELECT doc_id + {_OFF_SQL}, text, source FROM documents WHERE doc_id % 7 = 0
 """
 
 
 def _near_dup_corpus(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    off = _dup_offset(spark, sf_dir)
     toks = F.split("text", " ")
     near = (
         d.filter(F.col("doc_id") % 11 == 0)
-        .withColumn("doc_id", F.col("doc_id") + 2_000_000)
+        .withColumn("doc_id", F.col("doc_id") + F.lit(2 * off))
         .withColumn(
             "text",
             F.concat_ws(" ", F.slice(toks, 1, F.greatest(F.size(toks) - 3, F.lit(1)))),
@@ -702,12 +734,12 @@ def q_unigram_logprob(spark, sf_dir):
 # all.
 # ---------------------------------------------------------------------------
 
-_FULL_DUP_CORPUS_SQL = """
+_FULL_DUP_CORPUS_SQL = f"""
     SELECT doc_id, text, source FROM documents
     UNION ALL
-    SELECT doc_id + 1000000, text, source FROM documents WHERE doc_id % 7 = 0
+    SELECT doc_id + {_OFF_SQL}, text, source FROM documents WHERE doc_id % 7 = 0
     UNION ALL
-    SELECT doc_id + 2000000,
+    SELECT doc_id + 2 * {_OFF_SQL},
            array_to_string(list_slice(string_split(text, ' '), 1,
              greatest(len(string_split(text, ' ')) - 3, 1)), ' ') AS text,
            source
@@ -770,13 +802,14 @@ def _full_dup_corpus(spark, sf_dir):
     """Base docs + exact copies (+1M ids) + truncated near-copies
     (+2M ids) — exact and near dups chain into one component."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    off = _dup_offset(spark, sf_dir)
     exact = d.filter(F.col("doc_id") % 7 == 0).withColumn(
-        "doc_id", F.col("doc_id") + 1_000_000
+        "doc_id", F.col("doc_id") + F.lit(off)
     )
     toks = F.split("text", " ")
     near = (
         d.filter(F.col("doc_id") % 11 == 0)
-        .withColumn("doc_id", F.col("doc_id") + 2_000_000)
+        .withColumn("doc_id", F.col("doc_id") + F.lit(2 * off))
         .withColumn(
             "text",
             F.concat_ws(" ", F.slice(toks, 1, F.greatest(F.size(toks) - 3, F.lit(1)))),

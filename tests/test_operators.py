@@ -703,6 +703,43 @@ def test_split_null_key_refuses_loudly(spark):
         split_column("k", fr, on_null="bogus")
 
 
+def test_dup_offset_scale_aware(spark, tmp_path):
+    """r15 (found by the sf100 census): the constructed-copy id bands
+    must clear the base id space at ANY scale — next power of 10 above
+    max(doc_id), floored at the legacy 1M (so every scale the driver
+    ships keeps its historical ids)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mongo_olap_spark.queries.extensions import (_dup_corpus,
+                                                     _dup_offset)
+
+    def mk(name, max_id):
+        d = str(tmp_path / name)
+        import os
+        os.makedirs(d, exist_ok=True)
+        ids = [0, 7, max_id]
+        pq.write_table(pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array([f"t {i} x" for i in ids]),
+            "lang": pa.array(["en"] * 3),
+            "source": pa.array(["s0"] * 3),
+            "n_chars": pa.array([5] * 3, pa.int64()),
+        }), f"{d}/documents.parquet")
+        return d
+
+    small = mk("small", 499)
+    assert _dup_offset(spark, small) == 1_000_000  # legacy floor
+    big = mk("big", 4_999_999)
+    assert _dup_offset(spark, big) == 10_000_000
+    # and the constructed corpus never collides with base ids
+    ids = [r.doc_id for r in _dup_corpus(spark, big).collect()]
+    base = {0, 7, 4_999_999}
+    copies = set(ids) - base
+    assert copies and all(i > 4_999_999 for i in copies)
+    assert len(ids) == len(set(ids))  # no aliasing
+
+
 def test_sample_frames_partial_frame_refuses(spark):
     """ADVICE r14: a payload that is not a whole number of frames is a
     caller-side dimension mismatch — raise, never truncate."""

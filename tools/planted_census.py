@@ -79,6 +79,15 @@ def _load_docs(sf_dir: str):
     return dict(zip(ids, texts)), dict(zip(ids, srcs))
 
 
+def _dup_off(base_texts: dict) -> int:
+    """The constructed-copy id offset — the SAME closed form the
+    engine's corpus constructors use (queries/extensions._dup_offset):
+    next power of 10 above max(doc_id), floored at the legacy 1M
+    (r15: sf100's 5M base ids collided with the fixed +1M/+2M bands
+    and every census truth aliased real documents)."""
+    return max(1_000_000, 10 ** len(str(max(base_texts))))
+
+
 def _planted(sf_dir: str):
     p = os.path.join(sf_dir, "planted_pairs.parquet")
     if not os.path.exists(p):
@@ -99,12 +108,14 @@ def census_ngram(spark, sf_dir, base_texts, base_srcs):
     pairs = {(int(a), int(b)): float(j)
              for a, b, j in zip(out["id_a"], out["id_b"], out["jaccard"])}
 
-    # corpus text/source lookup incl. the +1M exact copies
+    # corpus text/source lookup incl. the +off exact copies
+    off = _dup_off(base_texts)
+
     def text(i):
-        return base_texts[i - 1_000_000] if i >= 1_000_000 else base_texts[i]
+        return base_texts[i - off] if i >= off else base_texts[i]
 
     def src(i):
-        return base_srcs[i - 1_000_000] if i >= 1_000_000 else base_srcs[i]
+        return base_srcs[i - off] if i >= off else base_srcs[i]
 
     tri_cache: dict = {}
 
@@ -120,7 +131,7 @@ def census_ngram(spark, sf_dir, base_texts, base_srcs):
         or j < 0.5
     )
     # recall 1: constructed exact copies (same source by construction)
-    cons = [(d, d + 1_000_000) for d in base_texts if d % 7 == 0]
+    cons = [(d, d + off) for d in base_texts if d % 7 == 0]
     miss_c = sum(1 for p in cons
                  if p not in pairs or abs(pairs[p] - 1.0) > 1e-12)
     # recall 2: synthesizer-planted same-source pairs with true J>=0.5
@@ -171,12 +182,14 @@ def census_groups(spark, sf_dir, pairs, base_texts):
 
     e_out = _ngram_pairs(_full_dup_corpus(spark, sf_dir)).toPandas()
 
+    off = _dup_off(base_texts)
+
     def text(i):
-        if i >= 2_000_000:
-            toks = base_texts[i - 2_000_000].split(" ")
+        if i >= 2 * off:
+            toks = base_texts[i - 2 * off].split(" ")
             return " ".join(toks[:max(len(toks) - 3, 1)])
-        if i >= 1_000_000:
-            return base_texts[i - 1_000_000]
+        if i >= off:
+            return base_texts[i - off]
         return base_texts[i]
 
     tri_cache: dict = {}
@@ -197,10 +210,10 @@ def census_groups(spark, sf_dir, pairs, base_texts):
     # exact copy and every %11 truncation with J>=0.5 must be an edge
     eset = set(edges)
     miss = sum(1 for d in base_texts if d % 7 == 0
-               and (d, d + 1_000_000) not in eset)
+               and (d, d + off) not in eset)
     for d in base_texts:
         if d % 11 == 0:
-            a, b = d, d + 2_000_000
+            a, b = d, d + 2 * off
             if _jaccard(tri(a), tri(b)) >= 0.5 and (a, b) not in eset:
                 miss += 1
 
@@ -264,9 +277,11 @@ def census_minhash(spark, sf_dir, base_texts):
     pairs = {(int(a), int(b)): float(j)
              for a, b, j in zip(out["id_a"], out["id_b"], out["jaccard"])}
 
+    off = _dup_off(base_texts)
+
     def text(i):
-        if i >= 2_000_000:
-            toks = base_texts[i - 2_000_000].split(" ")
+        if i >= 2 * off:
+            toks = base_texts[i - 2 * off].split(" ")
             return " ".join(toks[:max(len(toks) - 3, 1)])
         return base_texts[i]
 
@@ -285,7 +300,7 @@ def census_minhash(spark, sf_dir, base_texts):
     for d in base_texts:
         if d % 11 != 0:
             continue
-        a, b = d, d + 2_000_000
+        a, b = d, d + 2 * off
         tj = _jaccard(tri(a), tri(b))
         if tj < 0.5:
             continue
