@@ -312,6 +312,35 @@ class CubeCatalog(TableFormatAdapter):
                     f"{version} (available: {self.list_versions(name)})")
             if m.get("spec"):
                 return CubeSpec.from_json(m["spec"])
+            # pre-embedding manifest: the spec.json FILE is only a safe
+            # stand-in if the spec never changed after this version. An
+            # evolve() leaves detectable evidence — its manifest is
+            # marked ("evolved": true, r16) and intermediate manifests
+            # may embed a spec that disagrees with the file — and
+            # resolving version N against a post-evolve measure set is
+            # exactly the mismatch spec embedding was added to prevent,
+            # so refuse loudly on either signal.
+            with open(self._spec_path(name)) as f:
+                current = f.read()
+            newer = [self.manifest(name, v)
+                     for v in self.list_versions(name) if v > version]
+            embedded = {json.dumps(json.loads(n["spec"]), sort_keys=True)
+                        for n in newer if n and n.get("spec")}
+            cur_key = json.dumps(json.loads(current), sort_keys=True)
+            evolved_later = any(n.get("evolved") for n in newer if n)
+            if evolved_later or embedded - {cur_key}:
+                raise ValueError(
+                    f"cube {name!r}: snapshot version {version} predates "
+                    f"spec embedding and the cube's spec CHANGED in a "
+                    f"later version (evolve) — the current spec.json "
+                    f"does not describe these cells. Pin a version "
+                    f"whose manifest embeds its spec, or refresh().")
+            import warnings
+            warnings.warn(
+                f"cube {name!r}: snapshot version {version} predates "
+                f"spec embedding; serving it with the current spec.json "
+                f"(no later spec change detected)", stacklevel=2)
+            return CubeSpec.from_json(current)
         with open(self._spec_path(name)) as f:
             return CubeSpec.from_json(f.read())
 
@@ -386,11 +415,14 @@ class CubeCatalog(TableFormatAdapter):
         batch (``commit_partitions`` re-reads the spec).
 
         Contract: ``source`` must be the source state the cube
-        currently reflects (same contract as :meth:`refresh`), and
-        writes must be quiesced around the call (the service runs it
-        under its exclusive write lock) — evolve reads the current
-        cells and commits a full snapshot, so a concurrent CDC commit
-        in between would be overwritten.
+        currently reflects (same contract as :meth:`refresh`). The
+        read→commit window is CAS-guarded (r16): a concurrent CDC
+        commit makes a drop-only evolve REBASE onto the winner's
+        cells, and an add-measure evolve REFUSE with
+        ``CommitConflict`` (its backfill no longer matches the cube
+        state) — it is never silently overwritten. The service still
+        runs evolve under its exclusive write lock, which avoids the
+        refusal path entirely.
         """
         from dataclasses import replace as _dc_replace
 
@@ -419,42 +451,75 @@ class CubeCatalog(TableFormatAdapter):
                 f"existing dims/measures of cube {name!r}")
         kept = tuple(m for m in spec.measures if m.name not in set(drop))
         new_spec = _dc_replace(spec, measures=kept + add)  # validates
-        cells = self.cells(name)
+        if add and source is None:
+            raise ValueError(
+                "evolve: adding measures requires source= (the "
+                "backfill scan for the new partials)")
         dropped_cols = [c for d in drop
                         for c in spec.measure(d).storage_cols()]
-        new_cells = cells.drop(*dropped_cols) if dropped_cols else cells
-        if add:
-            if source is None:
-                raise ValueError(
-                    "evolve: adding measures requires source= (the "
-                    "backfill scan for the new partials)")
-            df = source
-            if spec.filter_sql:
-                df = df.filter(spec.filter_sql)
-            dims = [d.expr() for d in spec.dimensions]
-            aggs = [a for m in add for a in _measure_aggs(m)]
-            backfill = df.groupBy(*dims).agg(*aggs)
-            bf_cols = [c for m in add for c in m.storage_cols()]
-            if spec.dimensions:
-                cond = None
-                for dn in spec.dim_names:
-                    # null-safe: NULL dim values are real group keys
-                    c = new_cells[dn].eqNullSafe(backfill[dn])
-                    cond = c if cond is None else (cond & c)
-                new_cells = new_cells.join(backfill, cond, "left").select(
-                    *[new_cells[c] for c in new_cells.columns],
-                    *[backfill[c] for c in bf_cols])
-            else:
-                new_cells = new_cells.crossJoin(backfill.select(*bf_cols))
-            for m in add:
-                for c in m.storage_cols():
-                    if c.endswith("_cnt"):
-                        # a join miss (group gone from the source) is
-                        # an empty group for the new measure: count 0,
-                        # sums stay NULL — build_cube's empty shape
-                        new_cells = new_cells.withColumn(
-                            c, F.coalesce(F.col(c), F.lit(0).cast("long")))
-        self._write_snapshot(new_spec, new_cells)
+        # r16 (VERDICT r15 task 4): the read→commit window is guarded
+        # by a version CAS (expected_prev_version) instead of relying
+        # on the caller to quiesce writes. On drift: a DROP-only
+        # evolve rebases — re-read the winner's cells and re-project
+        # (always sound: projection commutes with any concurrent
+        # merge). An ADD cannot rebase, because its backfill was
+        # aggregated from a `source` snapshot that no longer matches
+        # the advanced cube state — grafting it would mis-state the
+        # new measures for whatever the winner changed — so it
+        # refuses loudly; never does either path silently drop the
+        # concurrent batch (the pre-r16 behavior).
+        for attempt in range(_MAX_COMMIT_RETRIES):
+            base = (self.manifest(name) or {}).get("version", 0)
+            cells = self.cells(name)
+            new_cells = cells.drop(*dropped_cols) if dropped_cols else cells
+            if add:
+                df = source
+                if spec.filter_sql:
+                    df = df.filter(spec.filter_sql)
+                dims = [d.expr() for d in spec.dimensions]
+                aggs = [a for m in add for a in _measure_aggs(m)]
+                backfill = df.groupBy(*dims).agg(*aggs)
+                bf_cols = [c for m in add for c in m.storage_cols()]
+                if spec.dimensions:
+                    cond = None
+                    for dn in spec.dim_names:
+                        # null-safe: NULL dim values are real group keys
+                        c = new_cells[dn].eqNullSafe(backfill[dn])
+                        cond = c if cond is None else (cond & c)
+                    new_cells = new_cells.join(backfill, cond, "left").select(
+                        *[new_cells[c] for c in new_cells.columns],
+                        *[backfill[c] for c in bf_cols])
+                else:
+                    new_cells = new_cells.crossJoin(backfill.select(*bf_cols))
+                for m in add:
+                    for c in m.storage_cols():
+                        if c.endswith("_cnt"):
+                            # a join miss (group gone from the source)
+                            # is an empty group for the new measure:
+                            # count 0, sums stay NULL — build_cube's
+                            # empty shape
+                            new_cells = new_cells.withColumn(
+                                c, F.coalesce(F.col(c),
+                                              F.lit(0).cast("long")))
+            try:
+                self._write_snapshot(new_spec, new_cells,
+                                     extra={"evolved": True},
+                                     expected_prev_version=base)
+                break
+            except CommitConflict:
+                if add:
+                    raise CommitConflict(
+                        f"evolve: cube {name!r} advanced past version "
+                        f"{base} while adding measures — the backfill "
+                        f"source no longer matches the cube state. "
+                        f"Quiesce writes (the service's evolve_cube "
+                        f"runs under its exclusive lock) and retry "
+                        f"with a fresh source.") from None
+                _conflict_backoff(attempt)
+        else:
+            raise CommitConflict(
+                f"evolve: {name}: gave up after {_MAX_COMMIT_RETRIES} "
+                f"rebases")
         with open(self._spec_path(name), "w") as f:
             f.write(new_spec.to_json())
         return self.cells(name)
@@ -701,13 +766,33 @@ class CubeCatalog(TableFormatAdapter):
         lattice: bool = False,
         batch_id: int | None = None,
         stream_id: str = "default",
+        extra: dict | None = None,
+        expected_prev_version: int | None = None,
     ) -> None:
         """Full snapshot: all partitions from this write. Data is
         written once (writer-unique dir); only the cheap manifest CAS
-        rebases and retries on a concurrent commit."""
+        rebases and retries on a concurrent commit. ``extra`` merges
+        additional manifest keys (evolve marks its commit so pinned
+        reads of pre-embedding versions can detect a later spec
+        change).
+
+        ``expected_prev_version`` (r16): a full snapshot whose cells
+        were DERIVED from a prior version (evolve reads the current
+        cells) must not blind-rebase — retrying the same cells on top
+        of a concurrent commit would silently drop that commit's
+        batch. With the expectation set, a version drift raises
+        ``CommitConflict`` to the caller, who re-reads and recomputes
+        (a true rebase) or surfaces the refusal."""
         with open(self._schema_path(spec.name), "w") as f:
             json.dump(cells.schema.jsonValue(), f)
         prev = self.manifest(spec.name)
+        if (expected_prev_version is not None
+                and (prev or {}).get("version", 0) != expected_prev_version):
+            raise CommitConflict(
+                f"{spec.name}: expected to commit on top of version "
+                f"{expected_prev_version} but the cube is at "
+                f"{(prev or {}).get('version', 0)} — a concurrent "
+                f"writer committed; re-read and recompute")
         rel_dir = self._next_write_dir(spec.name, (prev or {}).get("version", 0) + 1)
         entries = self._write_data(spec, cells, rel_dir, lattice=lattice)
         level_counts = _sum_level_rows(entries) if lattice else None
@@ -726,10 +811,16 @@ class CubeCatalog(TableFormatAdapter):
                         "spec": spec.to_json(),
                         "schema": cells.schema.jsonValue(),
                         **_merge_batch_ids(prev, batch_id, stream_id),
+                        **(extra or {}),
                     },
                 )
                 return
             except CommitConflict:
+                if expected_prev_version is not None:
+                    # these cells were computed against the expected
+                    # base; committing them on a different head would
+                    # drop the winner's batch — the caller rebases
+                    raise
                 _conflict_backoff(attempt)
                 prev = self.manifest(spec.name)
         raise CommitConflict(

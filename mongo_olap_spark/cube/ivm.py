@@ -71,8 +71,14 @@ def merge_cells(
     are NULL by construction; the level id disambiguates them from
     genuinely-NULL dim values).
     """
+    from mongo_olap_spark.cube.query import upgrade_legacy_cells
+
     dims = [*spec.dim_names, *extra_keys]
-    c, d = cells.alias("c"), deltas.alias("d")
+    # pre-r15 snapshots lack the topk mass column; synthesize NULL so
+    # the merge resolves — NULL + delta mass stays NULL ("unknown"),
+    # which the certified serve refuses by name (query_cube __leg)
+    c = upgrade_legacy_cells(cells, spec).alias("c")
+    d = upgrade_legacy_cells(deltas, spec).alias("d")
     if dims:
         cond = reduce(
             lambda a, b: a & b,
@@ -108,11 +114,21 @@ def merge_cells(
                     .alias(col)
                 )
             elif col.endswith("_tkn"):
-                # topk mass partial: plain signed long addition (the
-                # serve's exact-regime certificate must track the maps)
-                out.append((F.coalesce(cc, F.lit(0))
-                            + F.coalesce(dc, F.lit(0)))
-                           .cast("long").alias(col))
+                # topk mass partial: signed long addition — but a side
+                # whose ROW is present (its {m}_tk map is non-null)
+                # with a NULL mass is a LEGACY cell ("mass unknown",
+                # upgrade_legacy_cells); propagate NULL so the merged
+                # cube stays uncertifiable instead of minting a
+                # definite-looking undercount. A side absent from the
+                # full-outer join (map NULL too) contributes 0.
+                tk_c, tk_d = F.col(f"c.{col[:-1]}"), F.col(f"d.{col[:-1]}")
+                cm = F.when(tk_c.isNotNull() & cc.isNull(),
+                            F.lit(None).cast("long")
+                            ).otherwise(F.coalesce(cc, F.lit(0)))
+                dm = F.when(tk_d.isNotNull() & dc.isNull(),
+                            F.lit(None).cast("long")
+                            ).otherwise(F.coalesce(dc, F.lit(0)))
+                out.append((cm + dm).cast("long").alias(col))
             elif col.endswith("_tk"):
                 # mergeable-summary union: per-item count sum, truncate
                 # back to capacity (deterministic tie-break). Insert

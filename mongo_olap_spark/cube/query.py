@@ -265,6 +265,33 @@ def measure_rollup_exprs(
     return out
 
 
+def upgrade_legacy_cells(cells: DataFrame, spec: CubeSpec) -> DataFrame:
+    """Resolve cell tables written before a storage column existed.
+
+    The only storage column ever added after GA is the topk mass
+    partial ``{m}_tkn`` (r15's exactness certificate). Snapshots
+    persisted before it lack the column, so any plan that selects
+    ``m.storage_cols()`` — the serve's certificate, IVM's merge,
+    combine/hybrid regrouping — would die with an unresolved-column
+    AnalysisException. Synthesize NULL instead: NULL is "mass
+    unknown", which downstream treats as UNCERTIFIABLE (the certified
+    serve refuses loudly, never silently passes) while the
+    ``on_inexact='sketch'`` route and all non-topk measures keep
+    working on legacy state unchanged. Any other missing storage
+    column is a real schema mismatch and still fails naturally.
+    """
+    missing = [
+        c
+        for m in spec.measures
+        if m.op == "topk"
+        for c in m.storage_cols()
+        if c.endswith("_tkn") and c not in cells.columns
+    ]
+    for c in missing:
+        cells = cells.withColumn(c, F.lit(None).cast("long"))
+    return cells
+
+
 def query_cube(
     cells: DataFrame,
     spec: CubeSpec,
@@ -316,7 +343,7 @@ def query_cube(
     unknown = set(group_by) - set(dims)
     if unknown:
         raise ValueError(f"group_by not in cube dims: {sorted(unknown)}")
-    df = cells
+    df = upgrade_legacy_cells(cells, spec)
     if where is not None:
         df = df.filter(where)
     req = spec.measures if measures is None else [spec.measure(x) for x in measures]
@@ -369,19 +396,35 @@ def query_cube(
             # column pruning can never drop it.
             got = counted.groupBy(*group_by).agg(
                 F.sum("__cnt").cast("long").alias(f"__got_{m.name}"))
+            # __leg counts cells whose mass is NULL — legacy snapshots
+            # written before the r15 mass column (upgrade_legacy_cells
+            # synthesizes NULL = "mass unknown"). A group touching even
+            # one such cell is UNCERTIFIABLE: its Σmass undercounts,
+            # so refuse by name instead of reporting a bogus mass loss.
+            mass = F.col(f"{m.name}_tkn")
             want = df.groupBy(*group_by).agg(
-                F.sum(f"{m.name}_tkn").cast("long")
-                .alias(f"__want_{m.name}"))
+                F.sum(mass).cast("long").alias(f"__want_{m.name}"),
+                F.sum(F.when(mass.isNull(), 1).otherwise(0))
+                .cast("long").alias(f"__leg_{m.name}"))
             if group_by:
                 base = (base.join(got, list(group_by), "left")
                         .join(want, list(group_by), "left"))
             else:
                 base = base.crossJoin(got).crossJoin(want)
+            legacy = (F.coalesce(F.col(f"__leg_{m.name}"), F.lit(0))
+                      > F.lit(0))
             mismatch = (F.coalesce(F.col(f"__got_{m.name}"), F.lit(0))
                         != F.coalesce(F.col(f"__want_{m.name}"), F.lit(0)))
             base = base.withColumn(
                 m.name,
-                F.when(mismatch, F.raise_error(F.concat(
+                F.when(legacy, F.raise_error(F.lit(
+                    f"topk measure {m.name!r}: cells written before "
+                    f"the exactness certificate (no {m.name}_tkn mass "
+                    f"column) cannot certify the exact regime. "
+                    f"refresh()/rebuild the cube to mint the mass "
+                    f"column, or pass on_inexact='sketch' for the "
+                    f"documented bounded-error serve.")))
+                .when(mismatch, F.raise_error(F.concat(
                     F.lit(f"topk measure {m.name!r}: frequent-items "
                           f"map lost mass ("),
                     F.coalesce(F.col(f"__got_{m.name}"), F.lit(0)),
@@ -395,7 +438,8 @@ def query_cube(
                           f"pass on_inexact='sketch' for the "
                           f"bounded-error serve."))))
                 .otherwise(F.col(m.name)))
-            base = base.drop(f"__got_{m.name}", f"__want_{m.name}")
+            base = base.drop(f"__got_{m.name}", f"__want_{m.name}",
+                             f"__leg_{m.name}")
     return base.select(*group_by, *[m.name for m in req])
 
 
@@ -1030,8 +1074,9 @@ def combine_cells(spec: CubeSpec, *frames: DataFrame) -> DataFrame:
     if not frames:
         raise ValueError("combine_cells needs at least one frame")
     cols = spec.dim_names + [c for m in spec.measures for c in m.storage_cols()]
-    df = frames[0].select(*cols)
-    for f in frames[1:]:
+    up = [upgrade_legacy_cells(f, spec) for f in frames]
+    df = up[0].select(*cols)
+    for f in up[1:]:
         df = df.unionByName(f.select(*cols))
     aggs: list[Column] = []
     for m in spec.measures:
@@ -1049,7 +1094,15 @@ def combine_cells(spec: CubeSpec, *frames: DataFrame) -> DataFrame:
             elif col.endswith("_hist"):
                 aggs.append(hist_sum_expr(col, int(m.nbins)).alias(col))
             elif col.endswith("_tkn"):
-                aggs.append(F.sum(col).cast("long").alias(col))
+                # a legacy cell (row present — non-null {m}_tk map —
+                # but NULL mass) poisons the group's mass to NULL
+                # ("unknown") instead of letting F.sum skip it and
+                # mint a definite-looking undercount
+                leg = F.when(F.col(col[:-1]).isNotNull()
+                             & F.col(col).isNull(), 1).otherwise(0)
+                aggs.append(
+                    F.when(F.sum(leg) > 0, F.lit(None).cast("long"))
+                    .otherwise(F.sum(col).cast("long")).alias(col))
             elif col.endswith("_tk"):
                 # the fold truncates at each merge step; single-map
                 # groups are already within capacity by construction
@@ -1088,5 +1141,6 @@ def hybrid_query(
 
     tail_cells = build_cube(tail.sparkSession, spec, tail)
     cols = spec.dim_names + [c for m in spec.measures for c in m.storage_cols()]
-    combined = cells.select(*cols).unionByName(tail_cells.select(*cols))
+    combined = (upgrade_legacy_cells(cells, spec).select(*cols)
+                .unionByName(tail_cells.select(*cols)))
     return query_cube(combined, spec, group_by=group_by, measures=measures)

@@ -51,6 +51,7 @@ from pyspark.sql import types as T
 __all__ = [
     "word_frequencies", "train_bpe", "train_bpe_on", "encode_word",
     "encode_tokens_column", "merges_table", "BpeVocab",
+    "encode_cache_stats", "vocab_cache_key", "decode_tokens",
 ]
 
 
@@ -122,7 +123,19 @@ def train_bpe(word_freqs: list[tuple[str, int]], n_merges: int,
     each merge touches only the words that contain its pair — the
     classic subword-nmt optimization; total work is O(Σ|word| +
     merges · touched-words), never O(V · merges).
+
+    Merge selection rides a LAZY-DELETE HEAP (r16): every live
+    (pair, count) keeps an entry keyed ``(-count, pair)``; count
+    changes push a fresh entry and orphan the old one, which is
+    discarded on pop when it disagrees with the live dict. The first
+    FRESH pop is therefore exactly ``min(pair_counts.items(), key=
+    (-count, pair))`` — identical deterministic order to the r15
+    full-scan — at O(log |pairs|) per selection instead of O(|pairs|):
+    the difference between minutes and driver-hours at a production
+    32k-merge train over ≥1M distinct words (SCALE_PROBE_BPE.json).
     """
+    import heapq
+
     ordered = sorted(word_freqs, key=lambda kv: (-kv[1], kv[0]))
     words: list[tuple[bytes, ...]] = [
         tuple(bytes([b]) for b in w.encode("utf-8")) for w, _ in ordered
@@ -131,12 +144,20 @@ def train_bpe(word_freqs: list[tuple[str, int]], n_merges: int,
 
     pair_counts: dict[tuple[bytes, bytes], int] = {}
     where: dict[tuple[bytes, bytes], set[int]] = {}
+    changed: set[tuple[bytes, bytes]] = set()
 
     def _account(idx: int, sign: int) -> None:
         w, c = words[idx], counts[idx]
         for i in range(len(w) - 1):
             p = (w[i], w[i + 1])
-            pair_counts[p] = pair_counts.get(p, 0) + sign * c
+            nc = pair_counts.get(p, 0) + sign * c
+            if nc:
+                pair_counts[p] = nc
+            else:
+                # exact eviction at zero keeps the dict = live pairs
+                # (the r15 O(pairs) end-of-loop rebuild is gone)
+                pair_counts.pop(p, None)
+            changed.add(p)
             if sign > 0:
                 where.setdefault(p, set()).add(idx)
             # negative side: leave the index entry; a stale index hit
@@ -145,12 +166,20 @@ def train_bpe(word_freqs: list[tuple[str, int]], n_merges: int,
 
     for idx in range(len(words)):
         _account(idx, +1)
+    changed.clear()
+
+    heap: list[tuple[int, tuple[bytes, bytes]]] = [
+        (-c, p) for p, c in pair_counts.items()
+    ]
+    heapq.heapify(heap)
 
     merges: list[tuple[bytes, bytes]] = []
     seen_pairs: set[tuple[bytes, bytes]] = set()
-    while len(merges) < n_merges and pair_counts:
-        best = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))
-        pair, cnt = best
+    while len(merges) < n_merges and heap:
+        negc, pair = heapq.heappop(heap)
+        if pair_counts.get(pair) != -negc:
+            continue  # orphaned entry (count changed or pair evicted)
+        cnt = -negc
         if cnt < min_count:
             break
         # a byte-identical pair can re-emerge after unrelated merges
@@ -171,7 +200,12 @@ def train_bpe(word_freqs: list[tuple[str, int]], n_merges: int,
             _account(idx, +1)
         where.pop(pair, None)
         pair_counts.pop(pair, None)
-        pair_counts = {p: c for p, c in pair_counts.items() if c > 0}
+        changed.discard(pair)
+        for p in changed:
+            c = pair_counts.get(p)
+            if c:
+                heapq.heappush(heap, (-c, p))
+        changed.clear()
     return BpeVocab(merges)
 
 
@@ -184,12 +218,19 @@ def train_bpe_on(df: DataFrame, text_col: str = "text",
     word ASC) — a capped plan-time sample in the house sense, never
     corpus-sized. Retained occurrence coverage is computed exactly
     and carried on the returned vocab."""
-    freq = word_frequencies(df, text_col)
-    tot_row = freq.agg(
-        F.sum("n").alias("tot"), F.count(F.lit(1)).alias("v")).collect()[0]
-    total, v_size = int(tot_row["tot"] or 0), int(tot_row["v"])
-    top = (freq.orderBy(F.desc("n"), "word").limit(max_words)
-           .collect())
+    freq = word_frequencies(df, text_col).persist()
+    try:
+        # two actions share the one corpus-sized explode+count: the
+        # persist keeps "the only corpus-sized pass" contract true
+        # (unpersisted, the totals agg and the top slice each rescan)
+        tot_row = freq.agg(
+            F.sum("n").alias("tot"),
+            F.count(F.lit(1)).alias("v")).collect()[0]
+        total, v_size = int(tot_row["tot"] or 0), int(tot_row["v"])
+        top = (freq.orderBy(F.desc("n"), "word").limit(max_words)
+               .collect())
+    finally:
+        freq.unpersist()
     pairs = [(r["word"], int(r["n"])) for r in top]
     kept = sum(c for _, c in pairs)
     vocab = train_bpe(pairs, n_merges, min_count)
@@ -238,6 +279,36 @@ def encode_word(word: str,
     return ids
 
 
+#: per-PROCESS word→tokens caches, one per vocabulary (keyed by a
+#: digest of the merge list so two vocabs never cross-pollinate).
+#: Living at module scope, a cache survives across Arrow batches for
+#: the lifetime of the Python worker process — Spark reuses workers
+#: (``spark.python.worker.reuse`` default), so on a long encode job
+#: this IS the per-executor cache the docstring promises; the r15
+#: version sat inside the UDF body and reset every ~10k-row batch,
+#: re-encoding hot words once per batch instead of once per worker.
+_ENCODE_CACHES: dict[str, dict[str, list[int]]] = {}
+#: ``vocab_key -> [hits, misses]`` — cheap counters so a probe can
+#: MEASURE the cross-batch hit rate instead of asserting it.
+_ENCODE_STATS: dict[str, list[int]] = {}
+#: flush-on-full cap: bounds worker memory at any corpus size; Zipf
+#: refills the hot head within a batch after a flush
+_ENCODE_CACHE_CAP = 1 << 19
+
+
+def vocab_cache_key(vocab: BpeVocab) -> str:
+    """Stable digest of the merge list — the cache identity."""
+    import hashlib
+
+    h = hashlib.md5()
+    for a, b in vocab.merges:
+        h.update(a)
+        h.update(b"\x00")
+        h.update(b)
+        h.update(b"\x01")
+    return h.hexdigest()
+
+
 def encode_tokens_column(df: DataFrame, vocab: BpeVocab,
                          text_col: str = "text",
                          out: str = "tokens") -> DataFrame:
@@ -246,14 +317,18 @@ def encode_tokens_column(df: DataFrame, vocab: BpeVocab,
     One Arrow-batched pandas_udf (vectorized transfer, no per-row
     Python UDF); the merge table rides the closure (a few KB — it is
     ``n_merges`` byte-pairs, broadcast to executors by task
-    serialization) and a per-executor word cache collapses Zipf
-    repetition to dict hits."""
+    serialization) and a per-worker-process word cache (module scope,
+    so it persists ACROSS Arrow batches) collapses Zipf repetition to
+    dict hits. Hit/miss counters are kept per vocabulary; see
+    :func:`encode_cache_stats`."""
     ranks = vocab.ranks
+    vkey = vocab_cache_key(vocab)
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf(T.ArrayType(T.IntegerType()))
     def _encode(texts):  # type: ignore[no-untyped-def]
-        cache: dict[str, list[int]] = {}
+        cache = _ENCODE_CACHES.setdefault(vkey, {})
+        stats = _ENCODE_STATS.setdefault(vkey, [0, 0])
 
         def enc(t):  # noqa: ANN001
             if t is None:
@@ -264,14 +339,52 @@ def encode_tokens_column(df: DataFrame, vocab: BpeVocab,
                     continue
                 got = cache.get(w)
                 if got is None:
+                    stats[1] += 1
                     got = encode_word(w, ranks)
+                    if len(cache) >= _ENCODE_CACHE_CAP:
+                        cache.clear()
                     cache[w] = got
+                else:
+                    stats[0] += 1
                 toks.extend(got)
             return toks
 
         return texts.map(enc)
 
     return df.withColumn(out, _encode(F.col(text_col)))
+
+
+def encode_cache_stats(spark, n_probes: int = 256) -> dict:
+    """Best-effort encode-cache statistics, summed over the Python
+    worker processes a small probe job lands on (workers are reused,
+    so the counters persist between jobs). Diagnostic only — exact on
+    local mode with enough probes, a sample on a real cluster."""
+    sc = spark.sparkContext
+
+    def _probe(_it):  # noqa: ANN001
+        import os
+
+        yield (os.getpid(),
+               {k: tuple(v) for k, v in _ENCODE_STATS.items()})
+
+    seen: dict[int, dict] = {}
+    for pid, st in (sc.parallelize(range(n_probes), n_probes)
+                    .mapPartitions(_probe).collect()):
+        seen[pid] = st
+    agg: dict[str, list[int]] = {}
+    for st in seen.values():
+        for k, (h, m) in st.items():
+            a = agg.setdefault(k, [0, 0])
+            a[0] += h
+            a[1] += m
+    return {
+        "workers_probed": len(seen),
+        "by_vocab": {
+            k: {"hits": h, "misses": m,
+                "hit_rate": (h / (h + m)) if h + m else None}
+            for k, (h, m) in agg.items()
+        },
+    }
 
 
 def decode_tokens(ids: list[int], vocab: BpeVocab) -> str:

@@ -651,12 +651,20 @@ def q_cube_topn(spark, sf_dir):
         ex = rolled.select(
             "event_type", F.posexplode("top_users").alias("pos", "e")
         )
-        return ex.select(
+        out = ex.select(
             "event_type",
             (F.col("pos") + 1).cast("long").alias("rank"),
             F.col("e.item").alias("user_id"),
             F.col("e.count").alias("cnt"),
         )
+        # the serve output is bounded (k per event_type); materialize
+        # it off the cached cells so the persist is released in BOTH
+        # branches — the lazy return used to leak the cache for the
+        # session whenever the exact regime held (every sf up to 10)
+        rows = out.collect()
+        schema = out.schema
+        cells.unpersist()
+        return spark.createDataFrame(rows, schema=schema)
     counted = (
         e.filter(F.col("user_id").isNotNull())
         .groupBy("event_type", "user_id")

@@ -495,3 +495,114 @@ def test_evolve_validations(engine, events, tmp_path):
     engine.catalog.create_lattice(lat, events)
     with pytest.raises(ValueError, match="lattice"):
         engine.evolve_cube("lat_ev", drop=["n"])
+
+
+def test_pinned_read_on_preembedding_manifest(engine, events):
+    """r16 (ADVICE r15): a manifest written before spec embedding
+    (simulated by stripping the embedded spec) must NOT silently
+    resolve against a post-evolve spec.json. No evolve → warning +
+    file fallback; evolve after the pinned version → loud refusal."""
+    import json as _json
+    import warnings as _warnings
+
+    from mongo_olap_spark.cube.spec import Measure
+
+    engine.create_cube(EVENTS_CUBE, events)
+    cat = engine.catalog
+    v1 = cat.current_version("events_daily")
+    # simulate a pre-r15 commit: drop the embedded spec from v1
+    path = cat._hist_path("events_daily", v1)
+    with open(path) as f:
+        m = _json.load(f)
+    m.pop("spec", None)
+    with open(path, "w") as f:
+        _json.dump(m, f)
+
+    # no spec change since v1: fallback works, but says so
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        spec = cat.get_spec("events_daily", version=v1)
+    assert {x.name for x in spec.measures} == {
+        x.name for x in EVENTS_CUBE.measures}
+    assert any("predates spec embedding" in str(w.message) for w in caught)
+
+    # an evolve AFTER v1 makes the file a wrong stand-in: refuse
+    engine.evolve_cube("events_daily",
+                       add=[Measure("max_value", "max", "value")],
+                       source=events)
+    with pytest.raises(ValueError, match="spec CHANGED"):
+        cat.get_spec("events_daily", version=v1)
+
+
+def test_evolve_drop_rebases_over_concurrent_cdc(engine, events, monkeypatch):
+    """r16 (VERDICT r15 task 4): a CDC batch landing in evolve's
+    read→commit window is NOT silently dropped. Drop-only evolve
+    rebases: the committed cells reflect BOTH the concurrent batch and
+    the projection."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    even = events.filter(F.col("event_id") % 2 == 0)
+    odd = events.filter(F.col("event_id") % 2 == 1)
+    engine.create_cube(EVENTS_CUBE, even)
+    cat = engine.catalog
+
+    orig = cat._write_snapshot
+    fired = {"n": 0}
+
+    def hooked(spec, cells, **kw):
+        if fired["n"] == 0 and kw.get("expected_prev_version") is not None:
+            fired["n"] += 1
+            # a CDC commit lands between evolve's read and its commit
+            engine.apply_cdc("events_daily",
+                             odd.withColumn("mult", F.lit(1)), 7)
+        return orig(spec, cells, **kw)
+
+    monkeypatch.setattr(cat, "_write_snapshot", hooked)
+    engine.evolve_cube("events_daily", drop=["avg_value"])
+    assert fired["n"] == 1
+
+    new_spec = _evolved_spec(drop=["avg_value"])
+    want = query_cube(build_cube(engine.spark, new_spec, events), new_spec,
+                      group_by=["event_type"])
+    got = engine.query(cube="events_daily", group_by=["event_type"])
+    assert rows_set(got) == rows_set(want)
+
+
+def test_evolve_add_refuses_on_concurrent_cdc(engine, events, monkeypatch):
+    """Add-measure evolve cannot rebase (its backfill was aggregated
+    from a source snapshot the concurrent batch invalidated): it must
+    refuse loudly, leaving the cube with the old spec AND the winner's
+    batch intact."""
+    from mongo_olap_spark.cube.catalog import CommitConflict
+    from mongo_olap_spark.cube.spec import Measure
+    from pyspark.sql import functions as F  # noqa: F811
+
+    even = events.filter(F.col("event_id") % 2 == 0)
+    odd = events.filter(F.col("event_id") % 2 == 1)
+    engine.create_cube(EVENTS_CUBE, even)
+    cat = engine.catalog
+
+    orig = cat._write_snapshot
+    fired = {"n": 0}
+
+    def hooked(spec, cells, **kw):
+        if fired["n"] == 0 and kw.get("expected_prev_version") is not None:
+            fired["n"] += 1
+            engine.apply_cdc("events_daily",
+                             odd.withColumn("mult", F.lit(1)), 7)
+        return orig(spec, cells, **kw)
+
+    monkeypatch.setattr(cat, "_write_snapshot", hooked)
+    with pytest.raises(CommitConflict, match="advanced past"):
+        engine.evolve_cube("events_daily",
+                           add=[Measure("max_value", "max", "value")],
+                           source=even)
+
+    # old spec intact, concurrent batch NOT dropped
+    spec = cat.get_spec("events_daily")
+    assert {m.name for m in spec.measures} == {
+        m.name for m in EVENTS_CUBE.measures}
+    want = query_cube(build_cube(engine.spark, EVENTS_CUBE, events),
+                      EVENTS_CUBE, group_by=["event_type"])
+    got = engine.query(cube="events_daily", group_by=["event_type"])
+    assert rows_set(got) == rows_set(want)
