@@ -327,8 +327,18 @@ def encode_tokens_column(df: DataFrame, vocab: BpeVocab,
 
     @pandas_udf(T.ArrayType(T.IntegerType()))
     def _encode(texts):  # type: ignore[no-untyped-def]
-        cache = _ENCODE_CACHES.setdefault(vkey, {})
-        stats = _ENCODE_STATS.setdefault(vkey, [0, 0])
+        # IMPORTANT: reach the caches through the IMPORTED module, not
+        # bare globals. A nested function is cloudpickled BY VALUE and
+        # its captured globals land in a fresh dict on the worker — a
+        # bare `_ENCODE_CACHES` there is a per-UDF COPY that neither
+        # persists across jobs nor is visible to encode_cache_stats.
+        # The import resolves to the worker's live module singleton,
+        # which outlives the task (workers are reused).
+        from mongo_olap_spark.operators import bpe as _b
+
+        cache = _b._ENCODE_CACHES.setdefault(vkey, {})
+        stats = _b._ENCODE_STATS.setdefault(vkey, [0, 0])
+        cap = _b._ENCODE_CACHE_CAP
 
         def enc(t):  # noqa: ANN001
             if t is None:
@@ -341,7 +351,7 @@ def encode_tokens_column(df: DataFrame, vocab: BpeVocab,
                 if got is None:
                     stats[1] += 1
                     got = encode_word(w, ranks)
-                    if len(cache) >= _ENCODE_CACHE_CAP:
+                    if len(cache) >= cap:
                         cache.clear()
                     cache[w] = got
                 else:
@@ -356,21 +366,34 @@ def encode_tokens_column(df: DataFrame, vocab: BpeVocab,
 
 def encode_cache_stats(spark, n_probes: int = 256) -> dict:
     """Best-effort encode-cache statistics, summed over the Python
-    worker processes a small probe job lands on (workers are reused,
-    so the counters persist between jobs). Diagnostic only — exact on
-    local mode with enough probes, a sample on a real cluster."""
-    sc = spark.sparkContext
+    worker processes a small probe job lands on. The probe rides a
+    pandas_udf so it shares the ARROW worker pool the encode stage ran
+    in (RDD tasks use a separate pool and would see nothing); workers
+    are reused, so the counters persist between jobs. Diagnostic only —
+    exact on local mode with enough probes, a sample on a cluster."""
+    import json as _json
 
-    def _probe(_it):  # noqa: ANN001
+    import pandas as pd
+    from pyspark.sql.functions import col, pandas_udf
+
+    @pandas_udf(T.StringType())
+    def _probe(x):  # type: ignore[no-untyped-def]
         import os
 
-        yield (os.getpid(),
-               {k: tuple(v) for k, v in _ENCODE_STATS.items()})
+        from mongo_olap_spark.operators import bpe as _b
+
+        payload = _json.dumps({
+            "pid": os.getpid(),
+            "stats": {k: list(v) for k, v in _b._ENCODE_STATS.items()},
+        })
+        return pd.Series([payload] * len(x))
 
     seen: dict[int, dict] = {}
-    for pid, st in (sc.parallelize(range(n_probes), n_probes)
-                    .mapPartitions(_probe).collect()):
-        seen[pid] = st
+    rows = (spark.range(n_probes).repartition(n_probes)
+            .select(_probe(col("id")).alias("s")).collect())
+    for r in rows:
+        d = _json.loads(r["s"])
+        seen[d["pid"]] = d["stats"]
     agg: dict[str, list[int]] = {}
     for st in seen.values():
         for k, (h, m) in st.items():

@@ -325,7 +325,38 @@ _TAILORING_SPECS: dict[str, dict] = {
            "after": {"c": [["ç"]], "e": [["ə"]], "g": [["ğ"]],
                      "h": [["x"], ["ı"]], "k": [["q"]],
                      "o": [["ö"]], "s": [["ş"]], "u": [["ü"]]}},
+    # CLDR is standard (r16, fourth wave): the accented vowels and
+    # ð/þ/æ/ö are DISTINCT PRIMARY letters of the Icelandic alphabet
+    # (&[before 1]b<á ≡ after-a here; &[before 1]e<ð; … &[before 1]ǀ
+    # <þ<æ<<ä<ö<<ø — the same end-of-alphabet anchor shape as sv/da,
+    # with ä secondary-equal to æ and ø secondary-equal to ö). The
+    # r14/r15 refusal ("accented vowels are distinct primaries") was
+    # an unshipped-wave marker, not an impossibility: the shape is
+    # exactly the es/pl primary remap.
+    "is": {"after": {"a": [["á"]], "d": [["ð"]], "e": [["é"]],
+                     "i": [["í"]], "o": [["ó"]], "u": [["ú"]],
+                     "y": [["ý"]],
+                     "z": [["þ"], ["æ", "ä"], ["ö", "ø"]]}},
+    # CLDR sk standard: &A<ä &C<č &H<ch &O<ô &S<š &Z<ž — the cs 'ch'
+    # digraph shape plus ä/ô primaries (ď/ĺ/ľ/ň/ŕ/ť stay secondary
+    # per root, like cs's ď/ť/ň)
+    "sk": {"after": {"a": [["ä"]], "c": [["č"]], "h": [["ch"]],
+                     "o": [["ô"]], "s": [["š"]], "z": [["ž"]]}},
+    # CLDR hr standard: &C<č<ć &D<dž<đ &L<lj &N<nj &S<š &Z<ž. The
+    # two-char digraphs ride the same longest-source-first replaces
+    # as cs "ch"/da "aa"; the Unicode compatibility digraph
+    # codepoints ǆ/ǉ/ǌ (U+01C6/01C9/01CC — every case form lower()s
+    # to these) are tertiary-equal spellings aliased onto the digraph
+    # keys. Like ICU, every 'lj'/'nj' letter pair collates as the
+    # digraph (no morpheme-boundary exceptions).
+    "hr": {"after": {"c": [["č"], ["ć"]], "d": [["dž"], ["đ"]],
+                     "l": [["lj"]], "n": [["nj"]], "s": [["š"]],
+                     "z": [["ž"]]},
+           "alias": [("ǆ", "dž"), ("ǉ", "lj"), ("ǌ", "nj")]},
 }
+# Bosnian and Serbian-Latin collate with the same digraph tailoring
+# as Croatian (CLDR bs.xml / sr_Latn: identical standard rules)
+_TAILORING_SPECS["bs"] = _TAILORING_SPECS["hr"]
 # Norwegian (nb/nn and the macrolanguage tag) collates as Danish
 _TAILORING_SPECS["nb"] = _TAILORING_SPECS["nn"] = \
     _TAILORING_SPECS["no"] = _TAILORING_SPECS["da"]
@@ -597,15 +628,24 @@ _UNTAILORED_LOCALES = frozenset({
 #: by base tag or full tag (fr_CA: base fr is untailored, the CA
 #: variant is not).
 _TAILORED_LOCALES = {
-    # tr/az moved to _TAILORING_SPECS in r15: their blocking
-    # dotted/dotless-i case mapping is a PRE-LOWER replace pair
-    "lt": "dot-above accent/case tailoring on i/j",
-    "is": "accented vowels and þ/æ/ö are distinct primary letters",
-    "sk": "ch digraph and ä/ô primaries",
-    "hr": "dž/lj/nj are primary digraphs; č/ć/đ/š/ž primaries",
-    "hu": "cs/dzs/gy/ly/ny/sz/ty/zs are primary digraphs",
-    "vi": "đ is a primary letter; tone marks are secondary-tailored",
-    "fr_CA": "backwards secondary level (accents compare from the end)",
+    # tr/az moved to _TAILORING_SPECS in r15; is/sk/hr (and bs) in
+    # r16 — their shapes were always expressible by the compiled
+    # replaces. What remains is refused for a STATED structural
+    # reason, not backlog (USAGE.md "Refused locales — why", r16):
+    "lt": "dot-above accent/case tailoring on i/j is defined on "
+          "combining-mark SEQUENCES (context-sensitive secondary "
+          "weights) a context-free string image cannot express",
+    "hu": "cs/dzs/gy/ly/ny/sz/ty/zs are primary digraphs whose "
+          "DOUBLED contractions (ccs≡cs+cs, ddzs, ggy, lly, nny, "
+          "ssz, tty, zzs) need overlap-resolution semantics beyond "
+          "the verified longest-source-first replace model",
+    "vi": "đ/ă/â/ê/ô/ơ/ư are primary letters under a ~134-entry "
+          "precomposed vowel+tone repertoire with secondary-"
+          "tailored tone marks; the table exceeds what this image "
+          "can claim as verified",
+    "fr_CA": "backwards secondary level (accents compare from the "
+             "END of the string — provably not order-embeddable in "
+             "any per-character forward image)",
 }
 
 

@@ -1364,3 +1364,272 @@ def q_pack_bpe(spark, sf_dir, bin_tokens: int = 2048):
         F.floor(F.col("start_tok") / bin_tokens).alias("bin_id"),
         (F.col("start_tok") % bin_tokens).alias("bin_offset"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X4'''' (r16, VERDICT r15 task 3): the END-TO-END LLM training-data
+# pipeline — clean → exact-dedup(keep) → decontaminate → quality
+# filter → mix → split — as ONE declared query, proving the operators
+# COMPOSE (the thing a real user does first). The deterministic spine
+# is fully ANSI-expressible, so the whole chain is oracle-gated
+# hash-exact; the subword tail (BPE-encode → pack) is the companion
+# q_pipeline_llm_pack below (rows-only by design, layout-invariant
+# pytest — same policy as q_pack_bpe).
+#
+# Scale shape, stage by stage (the 100 TB argument):
+#   clean        map-only projection (regex scrub + normalize)
+#   dedup keep   ONE keyed shuffle on md5(clean_text); survivor =
+#                smallest doc_id per hash group (row_number window)
+#   decontam     eval postings BROADCAST (benchmarks are small);
+#                corpus-side probe is map-side, the only shuffle is
+#                the O(|matches|) pair agg — never O(corpus²)
+#   quality      map-only array expressions
+#   mix          map-only md5-threshold sampling, zero shuffle
+#   split        map-only md5 fold draw, zero shuffle
+#   summary      one 12-group agg
+# Net: TWO corpus-sized shuffles (dedup key, match agg) for the whole
+# pipeline — everything else rides map-side in codegen spans.
+# ---------------------------------------------------------------------------
+
+#: PII scrub → lower → collapse-whitespace → trim, DuckDB twin of
+#: operators/text.clean_text (same construct set as q_text_clean)
+_CLEAN_SQL = """trim(regexp_replace(lower(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace({col},
+            '[a-z0-9._%+\\-]+@[a-z0-9.\\-]+\\.[a-z][a-z]+', '<EMAIL>', 'g'),
+          '[0-9]{{6,}}', '<NUM>', 'g'),
+        '\\+?[0-9][0-9 ()\\-]{{5,}}[0-9]', '<PHONE>', 'g')
+    ), '\\s+', ' ', 'g'))"""
+
+_SHINGLE5_T_SQL = """
+      SELECT {id} AS sid, list_distinct(list_transform(
+               range(1, greatest(len(string_split(t, ' ')) - 4, 1) + 1),
+               i -> concat_ws(' ', string_split(t, ' ')[i],
+                                   string_split(t, ' ')[i+1],
+                                   string_split(t, ' ')[i+2],
+                                   string_split(t, ' ')[i+3],
+                                   string_split(t, ' ')[i+4])
+             )) AS shingles
+      FROM {src}
+"""
+
+_LLM_SPINE_SQL = f"""
+    WITH clean AS (
+      SELECT doc_id, source, {_CLEAN_SQL.format(col='text')} AS t
+      FROM documents
+    ),
+    ded AS (
+      SELECT doc_id, source, t FROM (
+        SELECT doc_id, source, t,
+               row_number() OVER (PARTITION BY md5(t)
+                                  ORDER BY doc_id) AS rn
+        FROM clean
+      ) WHERE rn = 1
+    ),
+    sh AS ({_SHINGLE5_T_SQL.format(id='doc_id', src='ded')}),
+    evsh AS ({_SHINGLE5_T_SQL.format(
+        id='doc_id', src="clean WHERE doc_id % 50 = 0")}),
+    p AS (SELECT sid AS doc_id, unnest(shingles) AS s FROM sh),
+    ev AS (SELECT sid AS eval_id, unnest(shingles) AS s FROM evsh),
+    contaminated AS (
+      SELECT DISTINCT doc_id FROM (
+        SELECT p.doc_id, ev.eval_id FROM p JOIN ev ON p.s = ev.s
+        GROUP BY p.doc_id, ev.eval_id HAVING COUNT(*) >= 3)
+    ),
+    surv AS (
+      SELECT * FROM ded
+      WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+    ),
+    q AS (
+      SELECT doc_id, source, t,
+             len(string_split(t, ' ')) AS n_tokens,
+             (CAST(length(t) AS DOUBLE) - (len(string_split(t, ' ')) - 1))
+               / len(string_split(t, ' ')) AS avg_token_len,
+             CAST(len(list_filter(string_split(t, ' '),
+                  x -> list_contains(['the','of','and','a','to','in',
+                                      'is','it','that','for'], x)))
+                  AS DOUBLE) / len(string_split(t, ' ')) AS stopword_ratio
+      FROM surv
+    ),
+    kept AS (
+      SELECT * FROM q
+      WHERE n_tokens >= 30 AND stopword_ratio >= 0.03
+        AND avg_token_len <= 8
+    ),
+    mixed AS (
+      SELECT *, CAST(substr(source, 4, 10) AS INT) // 5 AS source_grp
+      FROM kept
+      WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+            CASE CAST(substr(source, 4, 10) AS INT) // 5
+              WHEN 0 THEN 'g0000000'
+              WHEN 1 THEN '80000000'
+              WHEN 2 THEN '40000000'
+              ELSE '10000000' END
+    ),
+    final AS (
+      SELECT *, {_SPLIT_CASE_SQL.format(salt='llm1', key='doc_id')} AS split
+      FROM mixed
+    )
+"""
+
+
+def _llm_spine(spark, sf_dir):
+    """The Spark side of the deterministic pipeline spine: one row per
+    surviving training document with (doc_id, source, t, source_grp,
+    split). Shared by q_pipeline_llm (oracle-gated summary) and
+    q_pipeline_llm_pack (BPE tail)."""
+    from mongo_olap_spark.operators.splits import split_column
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text")
+    clean = d.select("doc_id", "source", tx.clean_text("text").alias("t"))
+    # exact-dedup keep: survivor = smallest doc_id per cleaned-text
+    # hash group (one keyed shuffle; the window partitions are dup
+    # groups — bounded, never a hot key)
+    wn = W.partitionBy(F.md5("t")).orderBy("doc_id")
+    ded = (clean.withColumn("rn", F.row_number().over(wn))
+           .filter(F.col("rn") == 1).drop("rn"))
+    # decontaminate vs the (small, broadcast) benchmark set: the eval
+    # copy is every doc_id % 50 == 0 of the CLEANED corpus, matched on
+    # ≥3 shared distinct 5-gram shingles (q_decontaminate semantics)
+    posts = dd.shingle_posts(ded, ("doc_id",), "t", 5)
+    evals = clean.filter(F.col("doc_id") % 50 == 0)
+    ev_posts = (dd.shingle_posts(evals, ("doc_id",), "t", 5)
+                .withColumnsRenamed({"doc_id": "eval_id", "h": "eh"}))
+    contaminated = (
+        posts.join(F.broadcast(ev_posts), F.col("h") == F.col("eh"))
+        .groupBy("doc_id", "eval_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= 3)
+        .select("doc_id").distinct())
+    surv = ded.join(contaminated, "doc_id", "left_anti")
+    kept = surv.filter(F.size(tx.quality_flags("t")) == 0)
+    grp = F.floor(F.substring("source", 4, 10).cast("int") / 5)
+    thr = (
+        F.when(grp == 0, "g0000000")   # rate 1.0 (keep all)
+        .when(grp == 1, "80000000")    # rate 0.5
+        .when(grp == 2, "40000000")    # rate 0.25
+        .otherwise("10000000")         # rate 0.0625
+    )
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8)
+    mixed = kept.filter(h < thr).withColumn(
+        "source_grp", grp.cast("long"))
+    return mixed.withColumn(
+        "split", split_column("doc_id", _SPLIT_FRACTIONS, salt="llm1"))
+
+
+@register(
+    "q_pipeline_llm",
+    oracle=_LLM_SPINE_SQL + """
+    SELECT split, CAST(source_grp AS BIGINT) AS source_grp,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(length(t)) AS BIGINT) AS n_chars,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_toks
+    FROM final GROUP BY split, source_grp
+    """,
+)
+def q_pipeline_llm(spark, sf_dir):
+    final = _llm_spine(spark, sf_dir)
+    return final.groupBy("split", "source_grp").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("t")).cast("long").alias("n_chars"),
+        F.sum(tx.token_count("t").cast("long")).cast("long")
+        .alias("n_toks"),
+    )
+
+
+@register("q_pipeline_llm_pack")
+def q_pipeline_llm_pack(spark, sf_dir, bin_tokens: int = 2048):
+    """The pipeline's subword tail: BPE-train on the surviving TRAIN
+    fold only (no eval/test leakage into the tokenizer), Arrow-encode,
+    pack into fixed bins per source stream (q_pack_bpe layout). Rows-
+    only by design — the BPE merge recurrence has no ANSI twin; the
+    spine feeding it IS oracle-gated (q_pipeline_llm) and the packed
+    layout invariants are pytested (tests/test_bpe.py)."""
+    from mongo_olap_spark.operators import bpe
+
+    train = _llm_spine(spark, sf_dir).filter(
+        F.col("split") == "train").select("doc_id", "source", "t")
+    vocab = bpe.train_bpe_on(train.select("t"), "t",
+                             n_merges=_BPE_MERGES)
+    enc = bpe.encode_tokens_column(train, vocab, "t", out="tokens")
+    slim = enc.select(
+        "doc_id", "source",
+        F.size("tokens").cast("long").alias("n_tokens"))
+    w = W.partitionBy("source").orderBy("doc_id").rowsBetween(
+        W.unboundedPreceding, 0)
+    start = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias(
+        "start_tok")
+    return slim.select("doc_id", "source", "n_tokens", start).select(
+        "doc_id", "source", "n_tokens",
+        F.floor(F.col("start_tok") / bin_tokens).alias("bin_id"),
+        (F.col("start_tok") % bin_tokens).alias("bin_offset"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X12' (r16, VERDICT r15 task 5): training samples in TOKEN-ID space —
+# chunking and vocabulary coverage re-based on BPE tokens, so the
+# sample-generation path is subword end-to-end (q_chunk/q_vocab keep
+# their whitespace variants for the ANSI oracle). Rows-only by design;
+# layout invariants pytested like q_pack_bpe.
+# ---------------------------------------------------------------------------
+
+@register("q_chunk_bpe")
+def q_chunk_bpe(spark, sf_dir, size: int = 32, stride: int = 24):
+    """Fixed-size token-id windows (size 32, stride 24, overlapping)
+    over the BPE-encoded corpus — the training-sample generator in
+    token space. One Arrow encode stage, then native sequence() +
+    explode + slice on the id array: the chunk fan-out is distributed
+    with the rows, never a driver loop. Each chunk carries a decimal
+    checksum of its ids so the pytest can pin chunk CONTENT (slice
+    alignment), not just counts."""
+    from mongo_olap_spark.operators import bpe
+
+    d = load_table(spark, sf_dir, "documents")
+    vocab = bpe.train_bpe_on(d.select("text"), n_merges=_BPE_MERGES)
+    enc = bpe.encode_tokens_column(d, vocab, "text", out="toks")
+    n = F.size("toks")
+    with_idx = enc.select(
+        "doc_id", "toks",
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), F.floor((n - 1) / stride))
+        ).alias("chunk_idx"),
+    )
+    start = F.col("chunk_idx") * stride
+    chunk = F.slice("toks", (start + 1).cast("int"), size)
+    return with_idx.select(
+        "doc_id",
+        "chunk_idx",
+        F.size(chunk).cast("int").alias("n_tok"),
+        F.aggregate(chunk, F.lit(0).cast("long"),
+                    lambda acc, x: acc + x.cast("long"))
+        .alias("tok_sum"),
+    )
+
+
+@register("q_vocab_bpe")
+def q_vocab_bpe(spark, sf_dir, k: int = 200):
+    """Vocabulary coverage over TOKEN IDS: frequency of each BPE token
+    id across the encoded corpus with cumulative coverage share — the
+    token-space twin of q_vocab (which counts whitespace words). The
+    explode rides int32 ids, not strings; one count shuffle + one tiny
+    window over k rows."""
+    from pyspark.sql import Window as Wk
+
+    from mongo_olap_spark.operators import bpe
+
+    d = load_table(spark, sf_dir, "documents")
+    vocab = bpe.train_bpe_on(d.select("text"), n_merges=_BPE_MERGES)
+    enc = bpe.encode_tokens_column(d, vocab, "text", out="toks")
+    freq = (enc.select(F.explode("toks").alias("token_id"))
+            .groupBy("token_id").agg(F.count(F.lit(1)).alias("n")))
+    tot = freq.agg(F.sum("n").alias("total"))
+    wk = Wk.orderBy(F.desc("n"), "token_id").rowsBetween(
+        Wk.unboundedPreceding, 0)
+    return (freq.crossJoin(F.broadcast(tot))
+            .select("token_id", "n",
+                    (F.sum("n").over(wk).cast("double")
+                     / F.col("total").cast("double")).alias("coverage"))
+            .orderBy(F.desc("n"), "token_id").limit(k))

@@ -1492,3 +1492,97 @@ def q_mix_weights(spark, sf_dir):
     )
     h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8)
     return d.filter(h < thr).select("doc_id", "source")
+
+
+# ---------------------------------------------------------------------------
+# X7'''''' (r16, VERDICT r15 task 6 — fourth tailoring wave): hr
+# accepted — the dž/lj/nj primary DIGRAPHS ride the same
+# longest-source-first compiled replaces as cs "ch"/da "aa", and the
+# Unicode compatibility digraph codepoints (ǆ/ǉ/ǌ, every case form
+# lower()s onto them) alias onto the two-char keys. is/sk landed in
+# the same wave (pure primary remaps — pytest-pinned; this query
+# pins the digraph machinery end-to-end against the SQL twin).
+# ---------------------------------------------------------------------------
+
+# strength-2 hr image: digraphs first (so 'ž' cannot eat the ž of
+# 'dž'), then the compat codepoints, then the single-letter primaries
+_HR_FOLD_SQL = (
+    "replace(replace(replace(replace(replace(replace(replace(replace("
+    "replace(replace(replace(lower({col}),"
+    " 'dž', 'd' || chr(57344)), 'lj', 'l' || chr(57344)),"
+    " 'nj', 'n' || chr(57344)), 'ǆ', 'd' || chr(57344)),"
+    " 'ǉ', 'l' || chr(57344)), 'ǌ', 'n' || chr(57344)),"
+    " 'č', 'c' || chr(57344)), 'ć', 'c' || chr(57345)),"
+    " 'đ', 'd' || chr(57345)), 'š', 's' || chr(57344)),"
+    " 'ž', 'z' || chr(57344))"
+)
+
+
+@register(
+    "q_collation_locale_hr",
+    oracle="""
+    WITH base AS (
+        SELECT CASE
+                 WHEN c_custkey % 4 = 0 THEN 'njiva-' || lower(c_mktsegment)
+                 WHEN c_custkey % 4 = 1 THEN 'ǊIVA-' || upper(c_mktsegment)
+                 WHEN c_custkey % 4 = 2 THEN 'noć-' || lower(c_mktsegment)
+                 ELSE 'luka-' || lower(c_mktsegment)
+               END AS seg,
+               c_acctbal
+        FROM customer
+    ),
+    folded AS (
+        SELECT seg, c_acctbal, __FOLD_SEG__ AS img FROM base
+    ),
+    g AS (
+        SELECT min(seg) AS _id,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               __DSUM__ AS bal
+        FROM folded
+        WHERE img IN ('n' || chr(57344) || 'iva-building',
+                      'noc' || chr(57345) || '-automobile')
+        GROUP BY img
+    )
+    SELECT _id, n, bal FROM g
+    ORDER BY __FOLD_ID__, _id
+    """.replace("__DSUM__", dsum_sql('c_acctbal'))
+       .replace("__FOLD_SEG__", _HR_FOLD_SQL.format(col="seg"))
+       .replace("__FOLD_ID__", _HR_FOLD_SQL.format(col="_id")),
+)
+def q_collation_locale_hr(spark, sf_dir):
+    """Strength-2 collation under ``{locale: "hr"}`` (r16 fourth
+    tailoring wave): Croatian digraph shapes — the two-char letter nj
+    and its single-codepoint compatibility spelling (ǌiva ≡ njiva;
+    the ǊIVA arm exercises the U+01CA case form through lower()),
+    plus ć as a primary after č's class. The sort surfaces the
+    load-bearing digraph order: 'noć-…' sorts BEFORE 'njiva-…'
+    because nj is a primary letter AFTER n's whole single-letter
+    range (counterintuitive to a binary compare, which would put
+    'nj' < 'no'). Plan shape: the tailored image is lower → a chain
+    of F.replace calls — one whole-stage-codegen span, no UDF, no
+    extra exchange vs the untailored strength-2 plan."""
+    from mongo_olap_spark.plans.pipeline_compiler import compile_pipeline
+
+    c = load_table(spark, sf_dir, "customer")
+    base = c.select(
+        F.when(F.col("c_custkey") % 4 == 0,
+               F.concat(F.lit("njiva-"), F.lower("c_mktsegment")))
+        .when(F.col("c_custkey") % 4 == 1,
+              F.concat(F.lit("ǊIVA-"), F.upper("c_mktsegment")))
+        .when(F.col("c_custkey") % 4 == 2,
+              F.concat(F.lit("noć-"), F.lower("c_mktsegment")))
+        .otherwise(F.concat(F.lit("luka-"), F.lower("c_mktsegment")))
+        .alias("seg"),
+        "c_acctbal",
+    )
+    return compile_pipeline(
+        base,
+        [
+            {"$match": {"seg": {"$in": ["ǌiva-building",
+                                        "noć-automobile"]}}},
+            {"$group": {"_id": "$seg", "n": {"$sum": 1},
+                        "bal": {"$sum": "$c_acctbal"}}},
+            {"$sort": {"_id": 1}},
+        ],
+        collation={"locale": "hr", "strength": 2},
+    )

@@ -249,3 +249,95 @@ def test_q_bpe_vocab_shape(spark):
     for r in rows:
         assert r.token == r.left + r.right
         assert r.token_id == 256 + r.rank
+
+
+def test_q_pipeline_llm_pack_layout_and_fold_purity(spark):
+    """The composite pipeline's pack stage: (a) q_pack_bpe layout
+    invariants hold (contiguous prefix-sum stream per source), (b) the
+    packed doc set is EXACTLY the spine's train fold — no val/test doc
+    ever reaches the tokenizer or the bins (leakage check)."""
+    from mongo_olap_spark.queries import QUERIES
+    from mongo_olap_spark.queries.extensions import _llm_spine
+
+    rows = QUERIES["q_pipeline_llm_pack"](spark, SF).collect()
+    assert rows
+    by_src = {}
+    for r in rows:
+        assert 0 <= r.bin_offset < 2048
+        assert r.n_tokens > 0
+        by_src.setdefault(r.source, []).append(r)
+    for src, rs in by_src.items():
+        rs.sort(key=lambda r: r.doc_id)
+        run = 0
+        for r in rs:
+            assert r.bin_id * 2048 + r.bin_offset == run
+            run += r.n_tokens
+    spine = _llm_spine(spark, SF).select("doc_id", "split").collect()
+    train_ids = {r.doc_id for r in spine if r.split == "train"}
+    packed_ids = {r.doc_id for r in rows}
+    assert packed_ids == train_ids
+
+
+def test_q_chunk_bpe_reconstructs_token_stream(spark):
+    """Token-space chunking: per doc, chunk indices are contiguous,
+    n_tok = min(size, total - idx*stride), and each chunk's id-sum
+    equals the reference slice of an independent encode — content, not
+    just counts."""
+    from mongo_olap_spark.queries import QUERIES
+
+    size, stride = 32, 24
+    d = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text")
+    vocab = bpe.train_bpe_on(d.select("text"), n_merges=120)
+    ref = {}
+    for r in d.collect():
+        ids = []
+        for w in r.text.split(" "):
+            if w:
+                ids.extend(ref_encode(w, vocab.merges))
+        ref[r.doc_id] = ids
+
+    rows = QUERIES["q_chunk_bpe"](spark, SF).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == {d_ for d_, ids in ref.items() if ids}
+    for doc_id, rs in by_doc.items():
+        ids = ref[doc_id]
+        total = len(ids)
+        rs.sort(key=lambda r: r.chunk_idx)
+        assert [r.chunk_idx for r in rs] == list(range(len(rs)))
+        assert len(rs) == (total - 1) // stride + 1
+        for r in rs:
+            start = r.chunk_idx * stride
+            want = ids[start:start + size]
+            assert r.n_tok == len(want)
+            assert r.tok_sum == sum(want)
+
+
+def test_q_vocab_bpe_coverage_matches_reference(spark):
+    """Token-id vocabulary: frequencies equal an independent encode's
+    id counts; coverage is the cumulative share in (n DESC, id ASC)
+    order and ends at 1.0 when every id fits in the top-k."""
+    from collections import Counter
+
+    from mongo_olap_spark.queries import QUERIES
+
+    d = spark.read.parquet(f"{SF}/documents.parquet").select("text")
+    vocab = bpe.train_bpe_on(d, n_merges=120)
+    counts: Counter = Counter()
+    for r in d.collect():
+        for w in r.text.split(" "):
+            if w:
+                counts.update(ref_encode(w, vocab.merges))
+
+    rows = QUERIES["q_vocab_bpe"](spark, SF).collect()
+    got = {r.token_id: r.n for r in rows}
+    assert got == dict(counts) or all(
+        counts[t] == n for t, n in got.items())
+    cov = [r.coverage for r in rows]
+    assert all(b > a for a, b in zip(cov, cov[1:]))
+    if len(rows) == len(counts):  # every id fits in top-k
+        assert abs(cov[-1] - 1.0) < 1e-9
+    ns = [r.n for r in rows]
+    assert ns == sorted(ns, reverse=True)

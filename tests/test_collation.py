@@ -1197,14 +1197,16 @@ def test_untailored_locale_accepted(accents, loc, strength):
 
 
 @pytest.mark.parametrize("loc,word", [
-    ("lt", "dot-above"),
-    ("is", "primary letters"),
-    ("sk", "digraph"),
-    ("hr", "digraph"),
-    ("hu", "digraph"),
+    # r16: is/sk/hr moved to the ACCEPTED tailored set (wave 4); each
+    # remaining refusal must name its locale AND the STRUCTURAL
+    # blocker (USAGE.md "Refused locales — why")
+    ("lt", "combining-mark"),
+    ("hu", "DOUBLED"),
     ("vi", "tone"),
     ("fr_CA", "backwards"),       # full-tag tailoring over untailored base
-    ("lt_LT", "dot-above"),       # variant of a refused base
+    ("lt_LT", "combining-mark"),  # variant of a refused base
+    ("hu_HU", "overlap"),
+    ("vi_VN", "precomposed"),
 ])
 def test_tailored_locale_refuses_by_name(accents, loc, word):
     with pytest.raises(PipelineError) as e:
@@ -1550,3 +1552,77 @@ def test_tailored_images_agree_on_random_corpus(spark):
                     _fold_col(F.col("s")).alias("img")).collect()]
                 want = [_fold_lit(s) for s in samples]
             assert got == want, (loc, strength)
+
+
+# ---------------------------------------------------------------------------
+# r16: fourth tailoring wave — is / sk / hr (+bs alias). Each test
+# pins the load-bearing CLDR rule: new primary letters sort AFTER
+# their anchor (the root fold would bury them in the base letter),
+# digraphs consume their letter pairs, secondary-equal pairs fold at
+# strength 1 only, and the Unicode compatibility digraph codepoints
+# alias onto the two-char spellings.
+# ---------------------------------------------------------------------------
+
+
+def test_is_primary_letters_order(spark):
+    # Icelandic: a < á < b, d < ð < e, ... z < þ < æ < ö
+    got = _sorted_names(
+        spark, ["æð", "Þór", "öl", "zon", "ask", "Ár", "bú",
+                "dalur", "ðe", "efni"],
+        {"locale": "is", "strength": 1})
+    assert got == ["ask", "Ár", "bú", "dalur", "ðe", "efni",
+                   "zon", "Þór", "æð", "öl"]
+
+
+def test_is_secondary_pairs_fold_at_s1_only(spark):
+    g = _groups(spark, ["æra", "ära"], {"locale": "is", "strength": 1})
+    assert len(g) == 1                       # ä ≡ æ at strength 1
+    g = _groups(spark, ["æra", "ära"], {"locale": "is", "strength": 2})
+    assert len(g) == 2                       # distinct at strength 2
+    g = _groups(spark, ["öl", "øl"], {"locale": "is", "strength": 1})
+    assert len(g) == 1                       # ø ≡ ö at strength 1
+
+
+def test_sk_digraph_and_primaries(spark):
+    # Slovak: a < ä, c < č, h < ch < i, o < ô; ch consumes its pair
+    got = _sorted_names(
+        spark, ["ihla", "chata", "hora", "čaj", "cena", "dub",
+                "ôsmy", "oko", "pes", "mäso", "mzda", "matka"],
+        {"locale": "sk", "strength": 1})
+    # NOTE ä is a primary letter AFTER a (not after z): every "mä…"
+    # word sorts after every "ma…" word but before "mb…"–"mz…"
+    assert got == ["cena", "čaj", "dub", "hora", "chata", "ihla",
+                   "matka", "mäso", "mzda", "oko", "ôsmy", "pes"]
+
+
+def test_hr_digraphs_and_primaries(spark):
+    # Croatian: c < č < ć, d < dž < đ, lu… < lj, nu… < nj, s < š,
+    # z < ž — digraph letters sort AFTER every single-letter string
+    # of their anchor
+    got = _sorted_names(
+        spark, ["đak", "džep", "dom", "ćup", "čast", "cura",
+                "ljeto", "luk", "njiva", "noć", "šal", "sat",
+                "žar", "zob"],
+        {"locale": "hr", "strength": 1})
+    assert got == ["cura", "čast", "ćup", "dom", "džep", "đak",
+                   "luk", "ljeto", "noć", "njiva", "sat", "šal",
+                   "zob", "žar"]
+
+
+def test_hr_compat_digraph_codepoints_alias(spark):
+    # U+01C6/01C9/01CC (and their case forms via lower()) are
+    # tertiary-equal spellings of the two-char digraphs
+    for strength in (1, 2):
+        g = _groups(spark, ["ǆep", "džep", "Ǆep"],
+                    {"locale": "hr", "strength": strength})
+        assert len(g) == 1, (strength, g)
+    g = _groups(spark, ["ǉeto", "ljeto"], {"locale": "hr", "strength": 2})
+    assert len(g) == 1
+    g = _groups(spark, ["ǌiva", "njiva"], {"locale": "hr", "strength": 2})
+    assert len(g) == 1
+
+
+def test_bs_collates_like_hr(spark):
+    got = _sorted_names(spark, ["njiva", "noć", "luk", "ljeto"],
+                        {"locale": "bs", "strength": 2})
+    assert got == ["luk", "ljeto", "noć", "njiva"]

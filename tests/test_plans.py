@@ -73,6 +73,11 @@ def test_no_rowwise_python_udf_in_native_queries(spark):
         "q_ivf_knn",
         "q_window_ema",
         "q_pack_bpe",  # r15: BPE encode is the declared Arrow stage
+        # r16: the subword tail / token-space queries ride the same
+        # declared Arrow encode stage
+        "q_pipeline_llm_pack",
+        "q_chunk_bpe",
+        "q_vocab_bpe",
     )
     for qid in QUERIES:
         plan = plan_of(spark, qid)
