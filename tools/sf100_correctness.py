@@ -99,6 +99,9 @@ ROWS_ONLY = [
     "q_agg_approx", "q_bpe_vocab", "q_cube_distinct", "q_cube_quantile",
     "q_dedup_minhash", "q_dedup_simhash", "q_ivf_knn", "q_knn_lsh",
     "q_lang_id", "q_pack_bpe", "q_sliding_window",
+    # r16 additions (BPE tail / token-space — layout pytests carry
+    # correctness; the oracle-gated spine is q_pipeline_llm, direct)
+    "q_pipeline_llm_pack", "q_chunk_bpe", "q_vocab_bpe",
 ]
 
 FAILED: list[str] = []

@@ -16,7 +16,16 @@ deployment runs:
   subscriber at once — the committed watermark must make their
   combined application exactly-once;
 - READER clients interleave queries against every cube throughout;
-- VACUUM fires on every cube mid-stream (grace-windowed).
+- VACUUM fires on every cube mid-stream (grace-windowed);
+- r16 (VERDICT r15 task 7): an EVOLVE fires mid-stream — a fifth cube
+  carries an extra ``avg`` measure that is DROPPED over the wire
+  while its follower tails and pumps run. Asserted: the evolve
+  commits (the service's exclusive lock serializes it against pumps;
+  the r16 CAS would refuse, never overwrite, without it), the
+  surviving measures keep serving, the dropped measure refuses BY
+  NAME immediately after, the PRE-evolve snapshot still answers the
+  dropped measure via as_of time travel (pinned spec), and the
+  follower's exactly-once tally is unaffected by the evolution.
 
 Asserted, not eyeballed:
   (a) exactly-once per subscriber: each clean consumer's summed
@@ -119,11 +128,18 @@ def main() -> int:
     seg_rows = n_events // args.segments
     total_changes = cdc_from_events(events).count()
 
-    cubes = ["soak_follow", "soak_chunky", "soak_abrupt", "soak_shared"]
+    cubes = ["soak_follow", "soak_chunky", "soak_abrupt", "soak_shared",
+             "soak_evolve"]
+    evolve_pipe = [{"$group": {"_id": {"et": "$event_type"},
+                               "n": {"$sum": 1},
+                               "total": {"$sum": "$value"},
+                               "avg": {"$avg": "$value"}}}]
     boot = Client(port)
     for c in cubes:
         r = boot.rpc({"id": f"mk_{c}", "op": "create_cube_from_pipeline",
-                      "name": c, "source": "events", "pipeline": PIPE})
+                      "name": c, "source": "events",
+                      "pipeline": evolve_pipe if c == "soak_evolve"
+                      else PIPE})
         assert r["ok"], r
         # zero the initial build: the landed stream is the one truth
         engine.refresh_cube(c, events.limit(0))
@@ -277,7 +293,13 @@ def main() -> int:
 
     def vacuumer():
         while not stop_aux.is_set():
+            # soak_evolve is excluded: the evolve phase's pinned
+            # time-travel assertion needs the PRE-evolve snapshot
+            # alive (vacuum reclaiming it is a legitimate, separately
+            # tested refusal — not what this soak measures)
             for c in cubes:
+                if c == "soak_evolve":
+                    continue
                 try:
                     engine.catalog.vacuum(c, min_age_s=10)
                     vacuums["n"] += 1
@@ -285,7 +307,58 @@ def main() -> int:
                     violate(f"vacuum {c}: {e}")
             time.sleep(3)
 
-    threads = [
+    evolve_stats: dict = {}
+
+    def evolver():
+        """Mid-stream spec evolution over the wire, while the cube's
+        follower tails and its pumps run."""
+        while (landed["segments"] < max(2, args.segments // 2)
+               and not writer_done.is_set()):
+            time.sleep(0.3)
+        # the pinned-read assertion needs a PRE-evolve snapshot with
+        # real cells: wait for the follower to have applied >=1 batch
+        # (create=1, zero-refresh=2, first pump commit=3)
+        t_wait = time.time()
+        while (engine.catalog.current_version("soak_evolve") < 3
+               and time.time() - t_wait < 60):
+            time.sleep(0.3)
+        cl = Client(port)
+        pre = engine.catalog.current_version("soak_evolve")
+        r = cl.rpc({"id": 1, "op": "evolve_cube", "name": "soak_evolve",
+                    "drop": ["avg"]})
+        if not r["ok"]:
+            violate(f"evolve_cube failed mid-stream: {r}")
+            cl.close()
+            return
+        evolve_stats.update(
+            pre_version=pre, post_version=r["result"]["version"],
+            measures=r["result"]["measures"],
+            at_segment=landed["segments"])
+        if "avg" in r["result"]["measures"]:
+            violate("evolve reported 'avg' still present")
+        q = cl.rpc({"id": 2, "op": "query", "cube": "soak_evolve",
+                    "group_by": ["et"], "measures": ["n", "total"]})
+        if not q["ok"]:
+            violate(f"post-evolve surviving measures refused: {q}")
+        qa = cl.rpc({"id": 3, "op": "query", "cube": "soak_evolve",
+                     "group_by": ["et"], "measures": ["avg"]})
+        if qa.get("ok"):
+            violate("dropped measure 'avg' still served post-evolve")
+        elif "avg" not in str(qa.get("error", "")):
+            violate(f"dropped-measure refusal does not name it: {qa}")
+        tt = cl.rpc({"id": 4, "op": "query", "cube": "soak_evolve",
+                     "as_of": pre, "group_by": ["et"],
+                     "measures": ["avg"]})
+        if not tt.get("ok"):
+            violate(f"time travel to pre-evolve 'avg' failed: {tt}")
+        else:
+            evolve_stats["pinned_avg_groups"] = len(tt["result"]["rows"])
+            if pre >= 3 and not tt["result"]["rows"]:
+                violate("pinned pre-evolve read returned no groups "
+                        "despite applied batches")
+        cl.close()
+
+    main_threads = [
         threading.Thread(target=land_segments),
         threading.Thread(target=follow_consumer,
                          args=("soak_follow", "follow")),
@@ -295,23 +368,28 @@ def main() -> int:
         threading.Thread(target=follow_consumer,
                          args=("soak_shared", "follow")),
         threading.Thread(target=shared_writer, args=("soak_shared",)),
+        threading.Thread(target=follow_consumer,
+                         args=("soak_evolve", "follow")),
+        threading.Thread(target=evolver),
+    ]
+    aux_threads = [
         threading.Thread(target=reader, daemon=True),
         threading.Thread(target=reader, daemon=True),
         threading.Thread(target=vacuumer, daemon=True),
     ]
-    for t in threads[:6]:
-        t.start()
-    for t in threads[6:]:
+    for t in main_threads + aux_threads:
         t.start()
     deadline = time.time() + 600
-    for t in threads[:6]:
+    for t in main_threads:
         t.join(timeout=max(1.0, deadline - time.time()))
         if t.is_alive():
             violate(f"stall: {t} did not finish within the wall budget")
     stop_aux.set()
 
-    # (a) exactly-once per clean subscriber
-    for c in ("soak_follow", "soak_chunky"):
+    # (a) exactly-once per clean subscriber — the evolved cube's
+    # follower included: the mid-stream spec change must not cost or
+    # duplicate a batch
+    for c in ("soak_follow", "soak_chunky", "soak_evolve"):
         if results.get(c, {}).get("changes") != total_changes:
             violate(f"{c}: consumed {results.get(c, {}).get('changes')} "
                     f"of {total_changes} changes")
@@ -355,6 +433,7 @@ def main() -> int:
         "consumers": results,
         "reader_queries_ok": reader_stats["ok"],
         "vacuum_passes": vacuums["n"],
+        "evolve": evolve_stats,
         "violations": VIOLATIONS,
         "wall_s": round(time.time() - t_start, 1),
     }
