@@ -1381,13 +1381,15 @@ def q_pack_bpe(spark, sf_dir, bin_tokens: int = 2048):
 #   dedup keep   ONE keyed shuffle on md5(clean_text); survivor =
 #                smallest doc_id per hash group (row_number window)
 #   decontam     eval postings BROADCAST (benchmarks are small);
-#                corpus-side probe is map-side, the only shuffle is
-#                the O(|matches|) pair agg — never O(corpus²)
+#                shingling windows the exploded token stream per doc
+#                (one token-stream shuffle); the probe is map-side
+#                and the pair agg is O(|matches|) — never O(corpus²)
 #   quality      map-only array expressions
 #   mix          map-only md5-threshold sampling, zero shuffle
 #   split        map-only md5 fold draw, zero shuffle
 #   summary      one 12-group agg
-# Net: TWO corpus-sized shuffles (dedup key, match agg) for the whole
+# Net: TWO corpus-sized shuffles (the dedup key over rows, the
+# shingle window over tokens) + an O(matches) agg for the whole
 # pipeline — everything else rides map-side in codegen spans.
 # ---------------------------------------------------------------------------
 
@@ -1427,7 +1429,7 @@ _LLM_SPINE_SQL = f"""
         FROM clean
       ) WHERE rn = 1
     ),
-    sh AS ({_SHINGLE5_T_SQL.format(id='doc_id', src='ded')}),
+    sh AS ({_SHINGLE5_T_SQL.format(id='doc_id', src='clean')}),
     evsh AS ({_SHINGLE5_T_SQL.format(
         id='doc_id', src="clean WHERE doc_id % 50 = 0")}),
     p AS (SELECT sid AS doc_id, unnest(shingles) AS s FROM sh),
@@ -1492,8 +1494,15 @@ def _llm_spine(spark, sf_dir):
            .filter(F.col("rn") == 1).drop("rn"))
     # decontaminate vs the (small, broadcast) benchmark set: the eval
     # copy is every doc_id % 50 == 0 of the CLEANED corpus, matched on
-    # ≥3 shared distinct 5-gram shingles (q_decontaminate semantics)
-    posts = dd.shingle_posts(ded, ("doc_id",), "t", 5)
+    # ≥3 shared distinct 5-gram shingles (q_decontaminate semantics).
+    # Posts come from CLEAN, not DED: a dup twin has identical
+    # shingles (identical cleaned text), so the contaminated-id set
+    # restricted to dedup survivors is the same either way, and
+    # probing pre-dedup keeps the dedup window subplan from executing
+    # TWICE (Spark re-executes a DataFrame re-joined into its own
+    # lineage — the first cut showed both WindowGroupLimit chains in
+    # the physical plan; at 100 TB that is the corpus shuffled twice)
+    posts = dd.shingle_posts(clean, ("doc_id",), "t", 5)
     evals = clean.filter(F.col("doc_id") % 50 == 0)
     ev_posts = (dd.shingle_posts(evals, ("doc_id",), "t", 5)
                 .withColumnsRenamed({"doc_id": "eval_id", "h": "eh"}))
