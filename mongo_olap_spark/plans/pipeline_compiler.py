@@ -390,11 +390,22 @@ class _TailoredFold:
         for src, dst in spec.get("expand", []):
             s1.append((src, dst))
             s2.append((src, dst))
+        def _img(target: str, table: list[tuple[str, str]]) -> str:
+            # the image the member replaces would give this string —
+            # longest-source-first, same discipline as the runtime
+            for a, b in sorted(table, key=lambda r: -len(r[0])):
+                target = target.replace(a, b)
+            return target
+
         for src, target in spec.get("alias", []):
             # tertiary-equal spelling: identical image to its target
-            # at every modeled strength (da: aa ≡ å)
-            s1.append((src, dict(s1)[target]))
-            s2.append((src, dict(s2)[target]))
+            # at every modeled strength. The target may be a single
+            # member (da: aa ≡ å) or a CONCATENATION of members
+            # (hu r16: ccs ≡ cs+cs — the doubled-digraph expansion),
+            # so its image is computed by the member replaces rather
+            # than a dict lookup.
+            s1.append((src, _img(target, s1)))
+            s2.append((src, _img(target, s2)))
         key = lambda r: -len(r[0])  # noqa: E731 — longest-source-first
         self.locale = locale
         self.s1 = sorted(s1, key=key)
@@ -635,10 +646,12 @@ _TAILORED_LOCALES = {
     "lt": "dot-above accent/case tailoring on i/j is defined on "
           "combining-mark SEQUENCES (context-sensitive secondary "
           "weights) a context-free string image cannot express",
-    "hu": "cs/dzs/gy/ly/ny/sz/ty/zs are primary digraphs whose "
-          "DOUBLED contractions (ccs≡cs+cs, ddzs, ggy, lly, nny, "
-          "ssz, tty, zzs) need overlap-resolution semantics beyond "
-          "the verified longest-source-first replace model",
+    "hu": "cs/dz/dzs/gy/ly/ny/sz/ty/zs primary digraphs include "
+          "STRADDLING pairs (sz/zs, dz/zs): collation needs "
+          "leftmost-longest segmentation, but any fixed global "
+          "replace order mis-segments one of the DOUBLED-contraction "
+          "contexts (counterexample zszs vs szsz — machine-checked "
+          "in tests/test_collation.py)",
     "vi": "đ/ă/â/ê/ô/ơ/ư are primary letters under a ~134-entry "
           "precomposed vowel+tone repertoire with secondary-"
           "tailored tone marks; the table exceeds what this image "

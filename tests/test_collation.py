@@ -1201,11 +1201,11 @@ def test_untailored_locale_accepted(accents, loc, strength):
     # remaining refusal must name its locale AND the STRUCTURAL
     # blocker (USAGE.md "Refused locales — why")
     ("lt", "combining-mark"),
-    ("hu", "DOUBLED"),
+    ("hu", "STRADDLING"),
     ("vi", "tone"),
     ("fr_CA", "backwards"),       # full-tag tailoring over untailored base
     ("lt_LT", "combining-mark"),  # variant of a refused base
-    ("hu_HU", "overlap"),
+    ("hu_HU", "zszs"),
     ("vi_VN", "precomposed"),
 ])
 def test_tailored_locale_refuses_by_name(accents, loc, word):
@@ -1626,3 +1626,140 @@ def test_bs_collates_like_hr(spark):
     got = _sorted_names(spark, ["njiva", "noć", "luk", "ljeto"],
                         {"locale": "bs", "strength": 2})
     assert got == ["luk", "ljeto", "noć", "njiva"]
+
+
+# ---------------------------------------------------------------------------
+# r16: the refuse-list is load-bearing — machine-checked arguments
+# ---------------------------------------------------------------------------
+
+
+def _hu_candidate_fold():
+    """The hu tailoring AS IT WOULD BE SPEC'D if the replace model
+    could carry it — the subject of the impossibility witness below.
+    CLDR hu standard: nine primary digraphs plus tertiary-equal
+    doubled contractions (ccs ≡ cs+cs, …)."""
+    from mongo_olap_spark.plans.pipeline_compiler import _TailoredFold
+
+    return _TailoredFold("hu", {
+        "after": {"c": [["cs"]], "d": [["dz"], ["dzs"]],
+                  "g": [["gy"]], "l": [["ly"]], "n": [["ny"]],
+                  "o": [["ö", "ő"]], "s": [["sz"]], "t": [["ty"]],
+                  "u": [["ü", "ű"]], "z": [["zs"]]},
+        "alias": [("ccs", "cscs"), ("ddz", "dzdz"),
+                  ("ddzs", "dzsdzs"), ("ggy", "gygy"),
+                  ("lly", "lyly"), ("nny", "nyny"), ("ssz", "szsz"),
+                  ("tty", "tyty"), ("zzs", "zszs")],
+    })
+
+
+def _longest_match_image(s: str, units: dict) -> str:
+    """Independent ICU-style reference: segment by the LONGEST defined
+    contraction at each position, left to right, emit unit keys."""
+    s = s.lower()
+    out, i = [], 0
+    while i < len(s):
+        for length in (4, 3, 2, 1):
+            seg = s[i:i + length]
+            if length == 1:
+                out.append(units.get(seg, seg))
+                i += 1
+                break
+            if seg in units:
+                out.append(units[seg])
+                i += length
+                break
+    return "".join(out)
+
+
+def test_hu_doubled_digraphs_impossibility_witness():
+    """WHY hu stays refused (r16): collation segmentation is
+    leftmost-LONGEST, but ordered global replaces process one pattern
+    at a time. Hungarian's straddling pairs (sz/zs) make the two
+    models provably diverge: whichever of 'sz'/'zs' replaces first,
+    one of zszs (= zs|zs) / szsz (= sz|sz) is mis-segmented — so no
+    fixed replace order can carry the tailoring. The counterexamples
+    are pinned here; if a future rework (e.g. a real tokenizing
+    expression) lands, this test is the acceptance suite to flip."""
+    fold = _hu_candidate_fold()
+    units = dict(fold.replaces(2))
+
+    def engine_image(s):
+        s = s.lower()
+        for a, b in fold.replaces(2):
+            s = s.replace(a, b)
+        return s
+
+    diverged = {w for w in ("zszs", "szsz", "zssz", "szzs", "dzzs")
+                if engine_image(w) != _longest_match_image(w, units)}
+    assert diverged, (
+        "the replace model now matches leftmost-longest segmentation "
+        "on the straddle cases — hu may be shippable; re-run the full "
+        "fuzz and revisit the refusal")
+    # and the mutual exclusion: swapping the sz/zs replace order fixes
+    # zszs but breaks szsz (no order works)
+    def image_with(first, second, w):
+        w = w.lower()
+        for a, b in ((first, units[first]), (second, units[second])):
+            w = w.replace(a, b)
+        return w
+
+    assert image_with("sz", "zs", "zszs") != _longest_match_image(
+        "zszs", units)
+    assert image_with("zs", "sz", "szsz") != _longest_match_image(
+        "szsz", units)
+
+
+def test_shipped_tailorings_have_no_straddling_sources():
+    """The structural property that KEEPS the shipped locales safe:
+    across each locale's replace sources, no proper suffix of one
+    pattern is a proper prefix of another (a straddle would let an
+    earlier global replace consume letters a later leftmost-longest
+    match needs — the hu failure mode). Sole exception: a pattern
+    self-straddling on ONE letter (da 'aa') is leftmost-greedy in
+    both models, hence consistent."""
+    from mongo_olap_spark.plans.pipeline_compiler import _TAILORED_FOLDS
+
+    for loc, fold in _TAILORED_FOLDS.items():
+        srcs = [a for a, _ in fold.replaces(2) if len(a) > 1]
+        for p1 in srcs:
+            for p2 in srcs:
+                for k in range(1, min(len(p1), len(p2))):
+                    if p1 != p2 and p1.endswith(p2[:k]):
+                        raise AssertionError(
+                            f"{loc}: {p1!r} suffix straddles "
+                            f"{p2!r} prefix — replace order would "
+                            f"mis-segment some input")
+
+
+def test_fold_lit_matches_longest_match_reference_on_shipped():
+    """Differential fuzz: for every SHIPPED tailored locale, the
+    global-replace image equals the independent leftmost-longest
+    reference on randomized words over the locale's own letters —
+    the straddle-freedom above is what makes this hold."""
+    import random
+
+    from mongo_olap_spark.plans.pipeline_compiler import _TAILORED_FOLDS
+
+    rng = random.Random(2026)
+    for loc, fold in _TAILORED_FOLDS.items():
+        units = dict(fold.replaces(2))
+        letters = sorted({c for a in units for c in a}) + list("abcz")
+        pre = list(fold.pre)
+
+        def engine_image(s):
+            for a, b in pre:
+                s = s.replace(a, b)
+            s = s.lower()
+            for a, b in fold.replaces(2):
+                s = s.replace(a, b)
+            return s
+
+        def ref_image(s):
+            for a, b in pre:
+                s = s.replace(a, b)
+            return _longest_match_image(s, units)
+
+        for _ in range(1500):
+            w = "".join(rng.choice(letters)
+                        for _ in range(rng.randint(1, 10)))
+            assert engine_image(w) == ref_image(w), (loc, w)
