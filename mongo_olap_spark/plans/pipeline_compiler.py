@@ -357,6 +357,57 @@ _TAILORING_SPECS: dict[str, dict] = {
 # Bosnian and Serbian-Latin collate with the same digraph tailoring
 # as Croatian (CLDR bs.xml / sr_Latn: identical standard rules)
 _TAILORING_SPECS["bs"] = _TAILORING_SPECS["hr"]
+
+
+def _vi_spec() -> dict:
+    """CLDR vi standard, GENERATED from Unicode data (r16, fifth
+    wave). Two channels, both riding the same compiled replaces:
+
+    - PRIMARY letters of the Vietnamese alphabet: a < ă < â, d < đ,
+      e < ê, o < ô < ơ, u < ư. Their image suffixes start at U+E010
+      (second slot U+E020) so every SECONDARY tone suffix
+      (U+E001–U+E005) sorts below them — ``ạ < ă`` and ``ặ < â``
+      come out of plain binary order.
+    - TONE forms: every precomposed vowel+tone codepoint maps to its
+      base letter's primary image plus a tone suffix in the CLDR/
+      TCVN 5712 secondary order ngang(none) < huyền(grave) <
+      hỏi(hook above) < ngã(tilde) < sắc(acute) < nặng(dot below).
+      At strength 1 the tone folds away (base image only). The 60
+      codepoints are derived by NFC-composing base × tone-mark with
+      ``unicodedata`` — the repertoire cannot be mistyped; the only
+      memory-bearing claims are the alphabet order and the tone
+      order above, both asserted by the ordering pytests.
+
+    No multi-character sources, so the straddle hazard that blocks
+    hu is structurally absent (guarded by the no-straddle test).
+    """
+    import unicodedata as ud
+
+    prim: dict[str, tuple[str, str]] = {}  # letter -> (s1/s2 image)
+    for anchor, letters in (("a", ["ă", "â"]), ("d", ["đ"]),
+                            ("e", ["ê"]), ("o", ["ô", "ơ"]),
+                            ("u", ["ư"])):
+        for k, letter in enumerate(letters):
+            img = anchor + chr(0xE010 + k * 0x10)
+            prim[letter] = (img, img)
+    #: CLDR/TCVN tone order; suffixes E001..E005 < E010 (primaries)
+    tones = ["̀", "̉", "̃", "́", "̣"]
+    raw: list[tuple[str, str, str]] = [
+        (letter, im1, im2) for letter, (im1, im2) in prim.items()
+    ]
+    for base in ["a", "ă", "â", "e", "ê", "i", "o", "ô", "ơ",
+                 "u", "ư", "y"]:
+        b1, b2 = prim.get(base, (base, base))
+        for i, mark in enumerate(tones):
+            composed = ud.normalize("NFC", base + mark)
+            if len(composed) != 1:  # pragma: no cover — all exist
+                raise AssertionError(
+                    f"vi: no precomposed form for {base!r}+{mark!r}")
+            raw.append((composed, b1, b2 + chr(0xE001 + i)))
+    return {"raw": raw}
+
+
+_TAILORING_SPECS["vi"] = _vi_spec()
 # Norwegian (nb/nn and the macrolanguage tag) collates as Danish
 _TAILORING_SPECS["nb"] = _TAILORING_SPECS["nn"] = \
     _TAILORING_SPECS["no"] = _TAILORING_SPECS["da"]
@@ -406,6 +457,13 @@ class _TailoredFold:
             # than a dict lookup.
             s1.append((src, _img(target, s1)))
             s2.append((src, _img(target, s2)))
+        # fully explicit replaces for tailorings the class/equal
+        # channels cannot encode without suffix collisions (vi r16:
+        # tone marks are SECONDARY suffixes under anchors that also
+        # carry primary after-insertions). Generated, not hand-typed.
+        for src, d1, d2 in spec.get("raw", []):
+            s1.append((src, d1))
+            s2.append((src, d2))
         key = lambda r: -len(r[0])  # noqa: E731 — longest-source-first
         self.locale = locale
         self.s1 = sorted(s1, key=key)
@@ -652,10 +710,6 @@ _TAILORED_LOCALES = {
           "replace order mis-segments one of the DOUBLED-contraction "
           "contexts (counterexample zszs vs szsz — machine-checked "
           "in tests/test_collation.py)",
-    "vi": "đ/ă/â/ê/ô/ơ/ư are primary letters under a ~134-entry "
-          "precomposed vowel+tone repertoire with secondary-"
-          "tailored tone marks; the table exceeds what this image "
-          "can claim as verified",
     "fr_CA": "backwards secondary level (accents compare from the "
              "END of the string — provably not order-embeddable in "
              "any per-character forward image)",

@@ -1200,13 +1200,14 @@ def test_untailored_locale_accepted(accents, loc, strength):
     # r16: is/sk/hr moved to the ACCEPTED tailored set (wave 4); each
     # remaining refusal must name its locale AND the STRUCTURAL
     # blocker (USAGE.md "Refused locales — why")
+    # r16: is/sk/hr (wave 4) and vi (wave 5, generated tone table)
+    # moved to the ACCEPTED tailored set; each remaining refusal must
+    # name its locale AND the STRUCTURAL blocker
     ("lt", "combining-mark"),
     ("hu", "STRADDLING"),
-    ("vi", "tone"),
     ("fr_CA", "backwards"),       # full-tag tailoring over untailored base
     ("lt_LT", "combining-mark"),  # variant of a refused base
     ("hu_HU", "zszs"),
-    ("vi_VN", "precomposed"),
 ])
 def test_tailored_locale_refuses_by_name(accents, loc, word):
     with pytest.raises(PipelineError) as e:
@@ -1763,3 +1764,67 @@ def test_fold_lit_matches_longest_match_reference_on_shipped():
             w = "".join(rng.choice(letters)
                         for _ in range(rng.randint(1, 10)))
             assert engine_image(w) == ref_image(w), (loc, w)
+
+
+# ---------------------------------------------------------------------------
+# r16 fifth wave: vi — primary vowel letters + generated secondary
+# tone table (the repertoire is NFC-composed from unicodedata, so the
+# memory-bearing claims are only the alphabet order and the TCVN tone
+# order, both pinned here)
+# ---------------------------------------------------------------------------
+
+
+def test_vi_alphabet_and_tone_order(spark):
+    # a < à < ả < ã < á < ạ < ă < ằ < ặ < â < ấ < b (strength 2)
+    rows = ["ba", "bà", "bả", "bã", "bá", "bạ", "bă", "bằ", "bặ",
+            "bâ", "bấ", "bb"]
+    shuffled = list(reversed(rows))
+    got = _sorted_names(spark, shuffled, {"locale": "vi", "strength": 2})
+    assert got == rows
+
+
+def test_vi_primary_letters_survive_s1(spark):
+    # tones fold at strength 1; ă/â/ê/ô/ơ/ư/đ stay distinct primaries
+    g = _groups(spark, ["mà", "mạ", "ma"], {"locale": "vi", "strength": 1})
+    assert len(g) == 1
+    g = _groups(spark, ["ma", "mă", "mâ"], {"locale": "vi", "strength": 1})
+    assert len(g) == 3
+    g = _groups(spark, ["mo", "mô", "mơ"], {"locale": "vi", "strength": 1})
+    assert len(g) == 3
+    g = _groups(spark, ["do", "đo"], {"locale": "vi", "strength": 1})
+    assert len(g) == 2
+    # a tone form of a TAILORED base folds to that base, never to 'a'
+    g = _groups(spark, ["mặ", "mă"], {"locale": "vi", "strength": 1})
+    assert len(g) == 1
+    g = _groups(spark, ["mặ", "ma"], {"locale": "vi", "strength": 1})
+    assert len(g) == 2
+
+
+def test_vi_match_and_case_through_pipeline(spark):
+    # NOTE ệ is ê + tone: a PRIMARY letter distinct from e at every
+    # strength — "viet nam" matches at neither; the tone-only variant
+    # "vịet nam" (ị = i + dot, i untailored) folds in at strength 1
+    df = spark.createDataFrame(
+        [("Việt Nam",), ("VIỆT NAM",), ("viet nam",), ("vịệt nam",)],
+        "s string")
+    out = compile_pipeline(
+        df, [{"$match": {"s": "việt nam"}}, {"$count": "n"}],
+        collation={"locale": "vi", "strength": 2}).collect()
+    assert out[0]["n"] == 2          # case folds; tones/letters distinct
+    out = compile_pipeline(
+        df, [{"$match": {"s": "việt nam"}}, {"$count": "n"}],
+        collation={"locale": "vi", "strength": 1}).collect()
+    assert out[0]["n"] == 3          # strength 1 folds the tones too
+
+
+def test_vi_repertoire_is_generated_complete():
+    # every (base, tone) pair has a single precomposed codepoint and a
+    # replace entry at both strengths — 60 tone forms + 7 primaries
+    import mongo_olap_spark.plans.pipeline_compiler as pc
+
+    fold = pc._TAILORED_FOLDS["vi"]
+    assert len(fold.s2) == len(fold.s1) == 67
+    srcs = {a for a, _ in fold.s2}
+    assert {"ă", "â", "đ", "ê", "ô", "ơ", "ư"} <= srcs
+    for ch in "ặạắẳẵằấầẩẫậệễềểếịỉĩìíộổỗồốợờởỡớựừửữứỵỳỷỹý":
+        assert ch in srcs, ch
