@@ -1586,3 +1586,92 @@ def q_collation_locale_hr(spark, sf_dir):
         ],
         collation={"locale": "hr", "strength": 2},
     )
+
+
+# ---------------------------------------------------------------------------
+# X7''''''' (r16, fifth tailoring wave): vi accepted — primary vowel
+# letters + the GENERATED precomposed vowel+tone table (secondary tone
+# suffixes in TCVN order). The twin folds exactly the codepoints the
+# arms use (ệ = ê-primary + nặng-tone; ị = i + nặng-tone), PUA keys as
+# chr() escapes: ê-image suffix = chr(57360) (U+E010), nặng suffix =
+# chr(57349) (U+E005).
+# ---------------------------------------------------------------------------
+
+_VI_FOLD_SQL = (
+    "replace(replace(lower({col}),"
+    " 'ệ', 'e' || chr(57360) || chr(57349)),"
+    " 'ị', 'i' || chr(57349))"
+)
+
+
+@register(
+    "q_collation_locale_vi",
+    oracle="""
+    WITH base AS (
+        SELECT CASE
+                 WHEN c_custkey % 4 = 0 THEN 'việt-' || lower(c_mktsegment)
+                 WHEN c_custkey % 4 = 1 THEN 'VIỆT-' || lower(c_mktsegment)
+                 WHEN c_custkey % 4 = 2 THEN 'vịet-' || lower(c_mktsegment)
+                 ELSE 'viet-' || lower(c_mktsegment)
+               END AS seg,
+               c_acctbal
+        FROM customer
+    ),
+    folded AS (
+        SELECT seg, c_acctbal, __FOLD_SEG__ AS img FROM base
+    ),
+    g AS (
+        SELECT min(seg) AS _id,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               __DSUM__ AS bal
+        FROM folded
+        WHERE img IN ('vie' || chr(57360) || chr(57349) || 't-building',
+                      'viet-automobile',
+                      'vi' || chr(57349) || 'et-machinery')
+        GROUP BY img
+    )
+    SELECT _id, n, bal FROM g
+    ORDER BY __FOLD_ID__, _id
+    """.replace("__DSUM__", dsum_sql('c_acctbal'))
+       .replace("__FOLD_SEG__", _VI_FOLD_SQL.format(col="seg"))
+       .replace("__FOLD_ID__", _VI_FOLD_SQL.format(col="_id")),
+)
+def q_collation_locale_vi(spark, sf_dir):
+    """Strength-2 collation under ``{locale: "vi"}`` (r16 fifth
+    tailoring wave): Vietnamese data shapes — ệ is the PRIMARY letter
+    ê carrying the nặng tone (việt ≡ VIỆT through lower(), but ≢
+    viet at any strength: ê is a distinct letter), while ị is the
+    untailored base i plus a tone (vịet ≢ viet at strength 2, ≡ at
+    strength 1). The match literals exercise the uppercase spelling,
+    the plain-ASCII word, and the tone-on-untailored-base form as
+    three DISTINCT strength-2 classes; the sort surfaces the tone
+    suffix order — ị's image is i+U+E005, AFTER every plain "i…"
+    string, so viet-… < vịet-… < việt-… comes out of plain binary
+    image order on both engines. Plan shape: two F.replace calls
+    after lower() — one codegen span, no UDF, no extra exchange."""
+    from mongo_olap_spark.plans.pipeline_compiler import compile_pipeline
+
+    c = load_table(spark, sf_dir, "customer")
+    base = c.select(
+        F.when(F.col("c_custkey") % 4 == 0,
+               F.concat(F.lit("việt-"), F.lower("c_mktsegment")))
+        .when(F.col("c_custkey") % 4 == 1,
+              F.concat(F.lit("VIỆT-"), F.lower("c_mktsegment")))
+        .when(F.col("c_custkey") % 4 == 2,
+              F.concat(F.lit("vịet-"), F.lower("c_mktsegment")))
+        .otherwise(F.concat(F.lit("viet-"), F.lower("c_mktsegment")))
+        .alias("seg"),
+        "c_acctbal",
+    )
+    return compile_pipeline(
+        base,
+        [
+            {"$match": {"seg": {"$in": ["VIỆT-building",
+                                        "viet-automobile",
+                                        "vịet-machinery"]}}},
+            {"$group": {"_id": "$seg", "n": {"$sum": 1},
+                        "bal": {"$sum": "$c_acctbal"}}},
+            {"$sort": {"_id": 1}},
+        ],
+        collation={"locale": "vi", "strength": 2},
+    )
