@@ -335,12 +335,46 @@ class CubeCatalog(TableFormatAdapter):
                     f"later version (evolve) — the current spec.json "
                     f"does not describe these cells. Pin a version "
                     f"whose manifest embeds its spec, or refresh().")
+            # the two manifest signals above miss ONE corner: an
+            # evolve committed by r15-era code (no "evolved" mark) on
+            # top of a pre-embedding version, where every embedded
+            # spec equals the rewritten spec.json. But evolve only
+            # ever ADDS or DROPS measures — it always changes the
+            # cell storage columns — and the pinned version's parquet
+            # footers record the columns that were actually written,
+            # so a column-set mismatch against the current spec is
+            # PROOF the spec changed after this version. One driver-
+            # side footer read of one partition file.
+            cand = CubeSpec.from_json(current)
+            parts = m.get("partitions") or {}
+            part = next(iter(parts.values()), None) \
+                if isinstance(parts, dict) else (parts or [None])[0]
+            if part:
+                path = os.path.join(self._dir(name), part["path"])
+                actual = {f.name for f in
+                          self.spark.read.parquet(path).schema.fields}
+                expected = set(cand.dim_names)
+                for ms in cand.measures:
+                    expected.update(ms.storage_cols())
+                # lattice/bookkeeping columns (__level, …) are not
+                # spec-derived; ignore them on the actual side
+                actual = {c for c in actual if not c.startswith("__")}
+                if actual != expected:
+                    raise ValueError(
+                        f"cube {name!r}: snapshot version {version} "
+                        f"predates spec embedding and its cell columns "
+                        f"{sorted(actual)} do not match the current "
+                        f"spec's {sorted(expected)} — the spec changed "
+                        f"after this version (an evolve committed by a "
+                        f"pre-marking engine). Pin a version whose "
+                        f"manifest embeds its spec, or refresh().")
             import warnings
             warnings.warn(
                 f"cube {name!r}: snapshot version {version} predates "
                 f"spec embedding; serving it with the current spec.json "
-                f"(no later spec change detected)", stacklevel=2)
-            return CubeSpec.from_json(current)
+                f"(no later spec change detected; cell columns match)",
+                stacklevel=2)
+            return cand
         with open(self._spec_path(name)) as f:
             return CubeSpec.from_json(f.read())
 
@@ -501,6 +535,24 @@ class CubeCatalog(TableFormatAdapter):
                             new_cells = new_cells.withColumn(
                                 c, F.coalesce(F.col(c),
                                               F.lit(0).cast("long")))
+                        elif c.endswith("_tkn"):
+                            # topk mass: a join-miss group has ZERO
+                            # mass — NULL is reserved for "mass
+                            # unknown" (pre-certificate legacy cells)
+                            # and would make the serve refuse a
+                            # freshly-evolved cube as legacy
+                            new_cells = new_cells.withColumn(
+                                c, F.coalesce(F.col(c),
+                                              F.lit(0).cast("long")))
+                        elif c.endswith("_tk"):
+                            # topk map: empty map, matching the shape
+                            # build_cube emits for a group with no
+                            # non-null values
+                            dt = new_cells.schema[c].dataType
+                            new_cells = new_cells.withColumn(
+                                c, F.coalesce(
+                                    F.col(c),
+                                    F.expr("map()").cast(dt)))
             try:
                 self._write_snapshot(new_spec, new_cells,
                                      extra={"evolved": True},
@@ -783,8 +835,6 @@ class CubeCatalog(TableFormatAdapter):
         batch. With the expectation set, a version drift raises
         ``CommitConflict`` to the caller, who re-reads and recomputes
         (a true rebase) or surfaces the refusal."""
-        with open(self._schema_path(spec.name), "w") as f:
-            json.dump(cells.schema.jsonValue(), f)
         prev = self.manifest(spec.name)
         if (expected_prev_version is not None
                 and (prev or {}).get("version", 0) != expected_prev_version):
@@ -814,6 +864,13 @@ class CubeCatalog(TableFormatAdapter):
                         **(extra or {}),
                     },
                 )
+                # the schema FILE is only the fallback for pre-r15
+                # manifests without an embedded schema; write it after
+                # the commit lands so a refused CAS (evolve racing a
+                # CDC pump) cannot leave it describing columns that
+                # were never committed
+                with open(self._schema_path(spec.name), "w") as f:
+                    json.dump(cells.schema.jsonValue(), f)
                 return
             except CommitConflict:
                 if expected_prev_version is not None:

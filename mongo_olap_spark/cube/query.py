@@ -396,15 +396,23 @@ def query_cube(
             # column pruning can never drop it.
             got = counted.groupBy(*group_by).agg(
                 F.sum("__cnt").cast("long").alias(f"__got_{m.name}"))
-            # __leg counts cells whose mass is NULL — legacy snapshots
-            # written before the r15 mass column (upgrade_legacy_cells
-            # synthesizes NULL = "mass unknown"). A group touching even
-            # one such cell is UNCERTIFIABLE: its Σmass undercounts,
-            # so refuse by name instead of reporting a bogus mass loss.
+            # __leg counts cells with a MAP but no mass — legacy
+            # snapshots written before the r15 mass column
+            # (upgrade_legacy_cells synthesizes NULL = "mass
+            # unknown"). A group touching even one such cell is
+            # UNCERTIFIABLE: its Σmass undercounts, so refuse by name
+            # instead of reporting a bogus mass loss. The map-non-null
+            # conjunct matters (same convention as combine_cells /
+            # merge_cells): an evolve(add=topk) join-miss row written
+            # by pre-fix code carries NULL map AND NULL mass — that is
+            # an EMPTY group (no postings, zero mass), not a legacy
+            # cell, and must serve an empty array rather than refuse.
             mass = F.col(f"{m.name}_tkn")
+            tk_cell = F.col(f"{m.name}_tk")
             want = df.groupBy(*group_by).agg(
                 F.sum(mass).cast("long").alias(f"__want_{m.name}"),
-                F.sum(F.when(mass.isNull(), 1).otherwise(0))
+                F.sum(F.when(tk_cell.isNotNull() & mass.isNull(), 1)
+                      .otherwise(0))
                 .cast("long").alias(f"__leg_{m.name}"))
             if group_by:
                 base = (base.join(got, list(group_by), "left")

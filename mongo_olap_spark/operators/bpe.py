@@ -294,6 +294,13 @@ _ENCODE_STATS: dict[str, list[int]] = {}
 #: flush-on-full cap: bounds worker memory at any corpus size; Zipf
 #: refills the hot head within a batch after a flush
 _ENCODE_CACHE_CAP = 1 << 19
+#: bound on DISTINCT vocabularies cached per worker process: a
+#: long-lived session that trains many vocabs (each q_*_bpe query
+#: trains its own) would otherwise accumulate one up-to-2^19-entry
+#: dict per vocab for the worker's lifetime. Oldest-first eviction
+#: (dict insertion order); the tiny hit/miss counters are kept for
+#: every vocab so probes still see evicted-vocab totals.
+_ENCODE_VOCAB_CAP = 4
 
 
 def vocab_cache_key(vocab: BpeVocab) -> str:
@@ -336,7 +343,11 @@ def encode_tokens_column(df: DataFrame, vocab: BpeVocab,
         # which outlives the task (workers are reused).
         from mongo_olap_spark.operators import bpe as _b
 
-        cache = _b._ENCODE_CACHES.setdefault(vkey, {})
+        cache = _b._ENCODE_CACHES.get(vkey)
+        if cache is None:
+            while len(_b._ENCODE_CACHES) >= _b._ENCODE_VOCAB_CAP:
+                _b._ENCODE_CACHES.pop(next(iter(_b._ENCODE_CACHES)))
+            cache = _b._ENCODE_CACHES[vkey] = {}
         stats = _b._ENCODE_STATS.setdefault(vkey, [0, 0])
         cap = _b._ENCODE_CACHE_CAP
 

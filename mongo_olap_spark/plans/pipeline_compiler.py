@@ -443,10 +443,23 @@ class _TailoredFold:
             s2.append((src, dst))
         def _img(target: str, table: list[tuple[str, str]]) -> str:
             # the image the member replaces would give this string —
-            # longest-source-first, same discipline as the runtime
+            # longest-source-first, same discipline as the runtime.
+            # The sentinel probe restores the r15 dict-lookup's
+            # spec-definition-time validation: every char of the
+            # target must be consumed by a member rule, or a typo'd
+            # alias target would silently mint a partially-folded
+            # (wrong) image instead of failing at construction.
+            img = target
+            probe = target
             for a, b in sorted(table, key=lambda r: -len(r[0])):
-                target = target.replace(a, b)
-            return target
+                img = img.replace(a, b)
+                probe = probe.replace(a, "\x00")
+            if any(ch != "\x00" for ch in probe):
+                raise KeyError(
+                    f"{locale}: alias target {target!r} is not fully "
+                    f"covered by tailored members "
+                    f"(unconsumed: {[c for c in probe if c != chr(0)]})")
+            return img
 
         for src, target in spec.get("alias", []):
             # tertiary-equal spelling: identical image to its target

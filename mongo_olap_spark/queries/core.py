@@ -633,38 +633,43 @@ def q_cube_topn(spark, sf_dir):
     e = load_table(spark, sf_dir, "events")
     cells = build_cube(spark, USERS_TOPK_CUBE, e)
     cells.persist()
-    chk = cells.agg(
-        F.sum(F.expr(
-            "aggregate(map_values(top_users_tk), 0L, (s, v) -> s + v)"))
-        .alias("got"),
-        F.sum("top_users_tkn").alias("want"),
-    ).collect()[0]
-    if (chk["got"] or 0) != (chk["want"] or 0):
-        # sketch purged: the cached cells are not part of the exact
-        # fallback's plan — release them before the source recompute
+    # try/finally: any failure between persist and the branch decision
+    # (executor loss, OOM, a certificate raise in the serve) must not
+    # leave the cells pinned in executor memory for the session
+    exact = False
+    try:
+        chk = cells.agg(
+            F.sum(F.expr(
+                "aggregate(map_values(top_users_tk), 0L, (s, v) -> s + v)"))
+            .alias("got"),
+            F.sum("top_users_tkn").alias("want"),
+        ).collect()[0]
+        exact = (chk["got"] or 0) == (chk["want"] or 0)
+        if exact:
+            rolled = query_cube(
+                cells, USERS_TOPK_CUBE, group_by=["event_type"],
+                measures=["top_users"]
+            )
+            ex = rolled.select(
+                "event_type", F.posexplode("top_users").alias("pos", "e")
+            )
+            out = ex.select(
+                "event_type",
+                (F.col("pos") + 1).cast("long").alias("rank"),
+                F.col("e.item").alias("user_id"),
+                F.col("e.count").alias("cnt"),
+            )
+            # the serve output is bounded (k per event_type);
+            # materialize it off the cached cells so the persist is
+            # released in BOTH branches — the lazy return used to leak
+            # the cache for the session whenever the exact regime held
+            rows = out.collect()
+            schema = out.schema
+            return spark.createDataFrame(rows, schema=schema)
+    finally:
+        # exact route: result already materialized. purged route: the
+        # cached cells are not part of the exact fallback's plan.
         cells.unpersist()
-    if (chk["got"] or 0) == (chk["want"] or 0):
-        rolled = query_cube(
-            cells, USERS_TOPK_CUBE, group_by=["event_type"],
-            measures=["top_users"]
-        )
-        ex = rolled.select(
-            "event_type", F.posexplode("top_users").alias("pos", "e")
-        )
-        out = ex.select(
-            "event_type",
-            (F.col("pos") + 1).cast("long").alias("rank"),
-            F.col("e.item").alias("user_id"),
-            F.col("e.count").alias("cnt"),
-        )
-        # the serve output is bounded (k per event_type); materialize
-        # it off the cached cells so the persist is released in BOTH
-        # branches — the lazy return used to leak the cache for the
-        # session whenever the exact regime held (every sf up to 10)
-        rows = out.collect()
-        schema = out.schema
-        cells.unpersist()
-        return spark.createDataFrame(rows, schema=schema)
     counted = (
         e.filter(F.col("user_id").isNotNull())
         .groupBy("event_type", "user_id")

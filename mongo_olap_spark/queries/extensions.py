@@ -1600,11 +1600,17 @@ def q_chunk_bpe(spark, sf_dir, size: int = 32, stride: int = 24):
     vocab = bpe.train_bpe_on(d.select("text"), n_merges=_BPE_MERGES)
     enc = bpe.encode_tokens_column(d, vocab, "text", out="toks")
     n = F.size("toks")
+    # guard n == 0 (a doc whose every word is empty encodes to zero
+    # tokens): sequence(0, floor(-1/stride)) = sequence(0, -1) would
+    # DESCEND ([0, -1] — Spark defaults step to -1 when start > stop)
+    # and emit two bogus chunk rows; an empty array explodes to none
+    idx = F.when(
+        n > 0,
+        F.sequence(F.lit(0).cast("long"), F.floor((n - 1) / stride)),
+    ).otherwise(F.array().cast("array<long>"))
     with_idx = enc.select(
         "doc_id", "toks",
-        F.explode(
-            F.sequence(F.lit(0).cast("long"), F.floor((n - 1) / stride))
-        ).alias("chunk_idx"),
+        F.explode(idx).alias("chunk_idx"),
     )
     start = F.col("chunk_idx") * stride
     chunk = F.slice("toks", (start + 1).cast("int"), size)

@@ -1644,11 +1644,19 @@ def q_collation_locale_vi(spark, sf_dir):
     untailored base i plus a tone (vịet ≢ viet at strength 2, ≡ at
     strength 1). The match literals exercise the uppercase spelling,
     the plain-ASCII word, and the tone-on-untailored-base form as
-    three DISTINCT strength-2 classes; the sort surfaces the tone
-    suffix order — ị's image is i+U+E005, AFTER every plain "i…"
-    string, so viet-… < vịet-… < việt-… comes out of plain binary
-    image order on both engines. Plan shape: two F.replace calls
-    after lower() — one codegen span, no UDF, no extra exchange."""
+    three DISTINCT strength-2 classes; the sort is plain binary order
+    over the images on both engines: viet-… ("viet") < việt-…
+    ("vie"+U+E010+U+E005+"t") < vịet-… ("vi"+U+E005+"et"), because
+    'e' < U+E005 decides at position 2. NOTE the documented
+    single-level model deviation: full CLDR/ICU vi compares all
+    primaries first (viet < vịet by tones, both < việt since e < ê),
+    i.e. it SWAPS the last two — the engine's strength-2 compare is
+    one-level image order, deviating in mixed-suffix contexts exactly
+    as untailored é/e does (pipeline_compiler.py "two documented
+    model limits"); tests/test_collation.py pins the engine order so
+    this docstring cannot drift from behavior. Plan shape: two
+    F.replace calls after lower() — one codegen span, no UDF, no
+    extra exchange."""
     from mongo_olap_spark.plans.pipeline_compiler import compile_pipeline
 
     c = load_table(spark, sf_dir, "customer")

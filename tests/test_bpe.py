@@ -341,3 +341,28 @@ def test_q_vocab_bpe_coverage_matches_reference(spark):
         assert abs(cov[-1] - 1.0) < 1e-9
     ns = [r.n for r in rows]
     assert ns == sorted(ns, reverse=True)
+
+
+def test_q_chunk_bpe_empty_doc_emits_no_rows(spark, tmp_path):
+    """r16 review fix: a doc whose every word is empty encodes to zero
+    tokens, and F.sequence(0, floor(-1/stride)) DESCENDS ([0, -1] —
+    Spark defaults step to -1 when start > stop), which used to mint
+    two bogus chunk rows with n_tok=0. Zero-token docs must emit no
+    chunks at all."""
+    import pandas as pd
+
+    from mongo_olap_spark.queries import QUERIES
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["a real document with several words here ok", "", "   "],
+        "lang": ["en"] * 3,
+        "source": ["src0"] * 3,
+        "n_chars": [43, 0, 3],
+    })
+    docs.to_parquet(tmp_path / "documents.parquet", index=False)
+
+    rows = QUERIES["q_chunk_bpe"](spark, str(tmp_path)).collect()
+    assert {r.doc_id for r in rows} == {1}
+    assert all(r.n_tok > 0 for r in rows)
+    assert all(r.chunk_idx >= 0 for r in rows)

@@ -1646,10 +1646,12 @@ def _hu_candidate_fold():
                   "g": [["gy"]], "l": [["ly"]], "n": [["ny"]],
                   "o": [["ö", "ő"]], "s": [["sz"]], "t": [["ty"]],
                   "u": [["ü", "ű"]], "z": [["zs"]]},
-        "alias": [("ccs", "cscs"), ("ddz", "dzdz"),
-                  ("ddzs", "dzsdzs"), ("ggy", "gygy"),
-                  ("lly", "lyly"), ("nny", "nyny"), ("ssz", "szsz"),
-                  ("tty", "tyty"), ("zzs", "zszs")],
+        # the doubled-contraction aliases (ccs ≡ cscs, …) are OMITTED
+        # here: their straddling targets (szsz, zszs) now refuse at
+        # _TailoredFold CONSTRUCTION (r16 alias-coverage validation —
+        # asserted separately in the witness test below), so this
+        # candidate carries only the digraph channel, which already
+        # diverges from leftmost-longest on the straddle words.
     })
 
 
@@ -1680,7 +1682,21 @@ def test_hu_doubled_digraphs_impossibility_witness():
     one of zszs (= zs|zs) / szsz (= sz|sz) is mis-segmented — so no
     fixed replace order can carry the tailoring. The counterexamples
     are pinned here; if a future rework (e.g. a real tokenizing
-    expression) lands, this test is the acceptance suite to flip."""
+    expression) lands, this test is the acceptance suite to flip.
+
+    r16: the doubled-contraction aliases (ssz ≡ sz+sz, zzs ≡ zs+zs)
+    now refuse at CONSTRUCTION — their targets straddle under the
+    replace model, so the alias-coverage validation cannot consume
+    them — a machine-checked witness one layer earlier than the
+    runtime divergence below."""
+    from mongo_olap_spark.plans.pipeline_compiler import _TailoredFold
+
+    with pytest.raises(KeyError, match="not fully covered"):
+        _TailoredFold("hu", {
+            "after": {"s": [["sz"]], "z": [["zs"]]},
+            "alias": [("ssz", "szsz"), ("zzs", "zszs")],
+        })
+
     fold = _hu_candidate_fold()
     units = dict(fold.replaces(2))
 
@@ -1828,3 +1844,44 @@ def test_vi_repertoire_is_generated_complete():
     assert {"ă", "â", "đ", "ê", "ô", "ơ", "ư"} <= srcs
     for ch in "ặạắẳẵằấầẩẫậệễềểếịỉĩìíộổỗồốợờởỡớựừửữứỵỳỷỹý":
         assert ch in srcs, ch
+
+
+def test_vi_mixed_suffix_order_is_the_single_level_model(spark):
+    """r16 review fix: the engine's strength-2 compare is ONE-level
+    image order, so in mixed-suffix contexts it deviates from full
+    CLDR vi exactly as untailored é/e does. Pin the engine's actual
+    relative order of the q_collation_locale_vi classes — viet <
+    việt < vịet ('e' < U+E005 decides at position 2; full CLDR would
+    give viet < vịet < việt) — so the query docstring's claim cannot
+    drift from behavior again."""
+    got = _sorted_names(spark, ["vịet", "viet", "việt"],
+                        {"locale": "vi", "strength": 2})
+    assert got == ["viet", "việt", "vịet"]
+    # same deviation class, untailored: 'é' keeps its own codepoint
+    # at strength 2, so "éa" sorts after "eb" though CLDR-fr puts
+    # primary e,a < e,b
+    got = _sorted_names(spark, ["éa", "eb"],
+                        {"locale": "fr", "strength": 2})
+    assert got == ["eb", "éa"]
+
+
+def test_alias_target_must_be_fully_covered():
+    """r16 review fix: a typo'd alias target (not a concatenation of
+    tailored members) must fail at _TailoredFold construction, not
+    silently mint a partially-folded image."""
+    import pytest
+
+    import mongo_olap_spark.plans.pipeline_compiler as pc
+
+    with pytest.raises(KeyError, match="not fully covered"):
+        pc._TailoredFold("xx", {
+            "after": {"n": [["nj"]]},
+            "alias": [("ǌ", "nk")],     # 'k' is covered by no rule
+        })
+    # the legitimate shapes still build: single member (da aa≡å) and
+    # concatenation-of-members targets
+    ok = pc._TailoredFold("yy", {
+        "after": {"a": [["å"]], "n": [["nj"]]},
+        "alias": [("aa", "å"), ("ǌǌ", "njnj")],
+    })
+    assert any(src == "ǌǌ" for src, _ in ok.s2)

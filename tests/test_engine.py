@@ -606,3 +606,106 @@ def test_evolve_add_refuses_on_concurrent_cdc(engine, events, monkeypatch):
                       EVENTS_CUBE, group_by=["event_type"])
     got = engine.query(cube="events_daily", group_by=["event_type"])
     assert rows_set(got) == rows_set(want)
+
+
+def test_evolve_add_topk_join_miss_serves_empty(engine, events):
+    """r16 review fix: a group present in the cube but absent from the
+    evolve source used to leave the new topk measure's map AND mass
+    NULL — which the serve's legacy detector then mis-diagnosed as a
+    pre-certificate cube and refused. A join-miss group is an EMPTY
+    group (no postings, zero mass): it must serve an empty array and
+    the covered groups must still certify exactly."""
+    from mongo_olap_spark.cube.spec import Measure
+
+    engine.create_cube(EVENTS_CUBE, events)
+    types = [r[0] for r in events.select("event_type").distinct().collect()]
+    assert len(types) >= 2
+    covered, missing = sorted(types)[0], sorted(types)[1:]
+    engine.evolve_cube(
+        "events_daily",
+        add=[Measure("top_users", "topk", "user_id", k=3)],
+        source=events.filter(F.col("event_type") == covered))
+
+    got = engine.query(cube="events_daily", group_by=["event_type"],
+                       measures=["top_users"]).collect()
+    by_type = {r["event_type"]: r["top_users"] for r in got}
+    assert by_type[covered], "covered group must serve a non-empty top-k"
+    for t in missing:
+        assert by_type[t] == [], (
+            f"join-miss group {t!r} must serve an empty array, "
+            f"not refuse as legacy")
+
+
+def test_refused_cas_does_not_clobber_schema_file(engine, events):
+    """r16 review fix: _write_snapshot wrote cells_schema.json BEFORE
+    the expected_prev_version CAS check, so a refused evolve left the
+    fallback schema file describing columns that were never
+    committed. The file must only change when a commit lands."""
+    import pytest
+
+    from mongo_olap_spark.cube.catalog import CommitConflict
+
+    engine.create_cube(EVENTS_CUBE, events)
+    cat = engine.catalog
+    schema_path = cat._schema_path("events_daily")
+    with open(schema_path) as f:
+        before = f.read()
+
+    cells = cat.cells("events_daily").withColumn(
+        "phantom_cnt", F.lit(0).cast("long"))
+    with pytest.raises(CommitConflict):
+        cat._write_snapshot(EVENTS_CUBE, cells,
+                            expected_prev_version=999)
+    with open(schema_path) as f:
+        after = f.read()
+    assert after == before
+    assert "phantom_cnt" not in after
+
+
+def test_get_spec_refuses_unmarked_evolve_via_column_drift(engine, events):
+    """r16 review fix: an evolve committed by r15-era code left no
+    'evolved' mark and rewrote spec.json, so a pinned read of a
+    pre-embedding version silently resolved against the post-evolve
+    spec. The column-drift check closes it: evolve always changes the
+    cell storage columns, and the pinned version's parquet footers
+    record what was actually written."""
+    import json as _json
+
+    import pytest
+
+    from mongo_olap_spark.cube.spec import Measure
+
+    engine.create_cube(EVENTS_CUBE, events)
+    cat = engine.catalog
+    # simulate a pre-embedding v1 (r14-era manifest: no spec/schema)
+    for p in (cat._hist_path("events_daily", 1),
+              cat._manifest_path("events_daily")):
+        with open(p) as f:
+            m = _json.load(f)
+        m.pop("spec", None)
+        m.pop("schema", None)
+        with open(p, "w") as f:
+            _json.dump(m, f)
+    # simulate an r15-era evolve: real evolve, then strip the r16 mark
+    # (and the embedded spec evidence) from its manifest
+    engine.evolve_cube("events_daily",
+                       add=[Measure("max_value", "max", "value")],
+                       source=events)
+    for p in (cat._hist_path("events_daily", 2),
+              cat._manifest_path("events_daily")):
+        with open(p) as f:
+            m = _json.load(f)
+        m.pop("evolved", None)
+        m.pop("spec", None)
+        m.pop("schema", None)
+        with open(p, "w") as f:
+            _json.dump(m, f)
+
+    with pytest.raises(ValueError, match="cell columns"):
+        cat.get_spec("events_daily", version=1)
+    # an UN-evolved pre-embedding cube still serves with the warning
+    # (columns match), so the benign upgrade path is unbroken
+    with open(cat._hist_path("events_daily", 2)) as f:
+        m2 = _json.load(f)
+    spec2 = cat.get_spec("events_daily")  # current = post-evolve
+    assert {mm.name for mm in spec2.measures} >= {"max_value"}
