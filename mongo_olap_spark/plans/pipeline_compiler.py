@@ -32,6 +32,7 @@ offender — a silently wrong answer is worse than a loud gap.
 
 from __future__ import annotations
 
+import json
 import re
 from typing import Any, Callable
 
@@ -141,6 +142,119 @@ _VAR_TYPE_SCOPE: list[dict] = []
 #: stay real. Same single-threaded-plan-construction argument as
 #: _VAR_SCOPE.
 _PROBE_DEPTH: list[int] = []
+
+#: intra-$project common-subexpression scope (optimization r16): maps
+#: the canonical JSON of a CLOSED (no free $$vars), repeated,
+#: non-trivial operator subtree → the hidden column that carries its
+#: value, computed ONCE in an inner projection. Catalyst cannot share
+#: interpreted higher-order-function subtrees across output columns
+#: (HOFs are excluded from subexpression elimination), so a $project
+#: computing $max/$median/$percentile/… over the same $map operand
+#: re-evaluated the array once PER output column — measured 2.0 s vs
+#: 0.24 s at sf0.1 on q_pipeline_expr_agg (guide §1.2 "per-task
+#: work"). CollapseProject keeps the split projections apart because
+#: since SPARK-36718 it refuses to inline non-cheap expressions that
+#: are referenced more than once — exactly the contract this relies
+#: on. Installed only while compiling one $project's output columns;
+#: never under CI collation (the probe-mode recompiler resolves
+#: against the pre-stage frame, which lacks the hidden columns).
+_CSE_SCOPE: list[dict[str, str]] = []
+
+#: canonical length below which a repeated subtree is not worth a
+#: hidden column (tiny arithmetic re-evaluates cheaper than it plans)
+_CSE_MIN_LEN = 30
+
+
+def _cse_key(spec: Any) -> str:
+    return json.dumps(spec, sort_keys=True, separators=(",", ":"),
+                      default=str)
+
+
+def _free_vars(spec: Any, bound: frozenset = frozenset()) -> set:
+    """$$variables referenced by ``spec`` but not bound inside it.
+
+    Binders mirror compile_expr's _bind sites: $map/$filter (``as``,
+    default "this"), $reduce ("value"/"this"), $let (its vars). Any
+    other $$name — including $$ROOT/$$CURRENT/$$REMOVE and enclosing-
+    lambda variables — counts as free, which disqualifies the subtree
+    from hoisting (conservative in the safe direction)."""
+    if isinstance(spec, str):
+        if spec.startswith("$$"):
+            name = spec[2:].split(".", 1)[0]
+            return set() if name in bound else {name}
+        return set()
+    if isinstance(spec, list):
+        out: set = set()
+        for v in spec:
+            out |= _free_vars(v, bound)
+        return out
+    if isinstance(spec, dict):
+        if len(spec) == 1:
+            [(op, val)] = spec.items()
+            if op in ("$map", "$filter") and isinstance(val, dict):
+                var = val.get("as", "this")
+                inner = bound | {var}
+                out = set()
+                for k, v in val.items():
+                    out |= _free_vars(v, inner if k in ("in", "cond")
+                                      else bound)
+                return out
+            if op == "$reduce" and isinstance(val, dict):
+                inner = bound | {"value", "this"}
+                out = set()
+                for k, v in val.items():
+                    out |= _free_vars(v, inner if k == "in" else bound)
+                return out
+            if op == "$let" and isinstance(val, dict):
+                inner = bound | set((val.get("vars") or {}).keys())
+                out = set()
+                for k, v in val.items():
+                    if k == "vars":
+                        for vv in (v or {}).values():
+                            out |= _free_vars(vv, bound)
+                    else:
+                        out |= _free_vars(v, inner if k == "in" else bound)
+                return out
+        out = set()
+        for v in spec.values():
+            out |= _free_vars(v, bound)
+        return out
+    return set()
+
+
+def _cse_candidates(values: list) -> list[tuple[str, Any]]:
+    """Maximal repeated closed operator subtrees across one $project's
+    output expressions, largest first. $literal payloads are data, not
+    expressions — never walked."""
+    counts: dict[str, list] = {}
+
+    def walk(node: Any) -> None:
+        if isinstance(node, dict):
+            if len(node) == 1:
+                op = next(iter(node))
+                if op == "$literal":
+                    return
+                if op.startswith("$"):
+                    key = _cse_key(node)
+                    if len(key) >= _CSE_MIN_LEN:
+                        slot = counts.setdefault(key, [0, node])
+                        slot[0] += 1
+            for v in node.values():
+                walk(v)
+        elif isinstance(node, list):
+            for v in node:
+                walk(v)
+
+    for v in values:
+        walk(v)
+    cand = [(k, node) for k, (n, node) in counts.items()
+            if n >= 2 and not _free_vars(node)]
+    cand.sort(key=lambda kv: -len(kv[0]))
+    kept: list[tuple[str, Any]] = []
+    for k, node in cand:
+        if not any(k in kk for kk, _ in kept):
+            kept.append((k, node))
+    return kept
 
 
 class _bind:
@@ -928,6 +1042,10 @@ def compile_expr(spec: Any) -> Column:
     if spec is None or isinstance(spec, (int, float, bool)):
         return F.lit(spec)
     if isinstance(spec, dict):
+        if _CSE_SCOPE:
+            hoisted = _CSE_SCOPE[-1].get(_cse_key(spec))
+            if hoisted is not None:
+                return F.col(hoisted)
         ops = [k for k in spec if k.startswith("$")]
         if len(ops) == 1 and len(spec) == 1:
             return _compile_op(ops[0], spec[ops[0]])
@@ -1693,10 +1811,17 @@ def _compile_op(op: str, spec: Any) -> Column:
         vals = F.array_sort(
             F.filter(compile_expr(spec["input"]), lambda x: x.isNotNull())
         )
+        # _let1: bind the sorted array ONCE — _array_percentile
+        # references its input ~5 times, and each reference would
+        # otherwise duplicate the whole sort+filter subtree (HOF
+        # subtrees are excluded from Spark's subexpression
+        # elimination; measured 0.75 s → ~0.2 s per column at sf0.1)
         if op == "$median":
-            return _array_percentile(vals, 0.5)
+            return _let1(vals, lambda v: _array_percentile(v, 0.5))
         ps = _validate_percentiles(spec.get("p"))
-        return F.array(*[_array_percentile(vals, p) for p in ps])
+        return _let1(
+            vals, lambda v: F.array(*[_array_percentile(v, p) for p in ps])
+        )
     if op == "$type":
         # BSON type name from the STATIC Spark type (typeof), with the
         # one runtime case Mongo distinguishes: a null value is "null"
@@ -2091,6 +2216,16 @@ _REFUSED_EXPR_OPS = {
     "$meta": "score metadata pseudo-fields do not exist in the typed "
              "engine; the $text surface exposes scores as explicit columns",
 }
+
+
+def _let1(value: Column, body: Callable[[Column], Column]) -> Column:
+    """Expression-level let-binding: evaluate ``value`` once and let
+    ``body`` reference it many times — a one-element ``transform``
+    binds it to a lambda variable (the array constructor evaluates its
+    element exactly once). Spark has no native let; without this,
+    every reference duplicates the full subtree because HOF-bearing
+    expressions are excluded from subexpression elimination."""
+    return F.get(F.transform(F.array(value), body), 0)
 
 
 def _array_percentile(vals: Column, p: float) -> Column:
@@ -3094,6 +3229,36 @@ def _project(df: DataFrame, spec: dict, *, add_only: bool) -> DataFrame:
     # inclusion form: dotted keys build NESTED documents containing
     # only the named leaves (Mongo {$project: {"a.b": 1}} outputs
     # {a: {b: ...}}, not a flat dot-named column) — round 6
+    from pyspark.sql.types import ArrayType, StructType
+
+    # optimization r16: hoist repeated closed subexpressions into ONE
+    # hidden column each (inner projection), so interpreted HOF
+    # operands evaluate once per row instead of once per output column
+    # (see _CSE_SCOPE). Skipped under CI collation: probe-mode
+    # recompiles resolve against the pre-stage frame.
+    cse = [] if _ci() else _cse_candidates(
+        [v for v in spec.values() if v not in (1, True)])
+    if cse:
+        taken = set(df.columns)
+        hidden: list[tuple[str, str]] = []
+        hcols = []
+        for i, (key, sub) in enumerate(cse):
+            nm = f"__cse{i}"
+            while nm in taken:
+                nm = "_" + nm
+            taken.add(nm)
+            hcols.append(compile_expr(sub).alias(nm))
+            hidden.append((key, nm))
+        df = df.select("*", *hcols)
+        _CSE_SCOPE.append(dict(hidden))
+    try:
+        return _project_inclusion(df, spec)
+    finally:
+        if cse:
+            _CSE_SCOPE.pop()
+
+
+def _project_inclusion(df: DataFrame, spec: dict) -> DataFrame:
     from pyspark.sql.types import ArrayType, StructType
 
     tree: dict = {}
