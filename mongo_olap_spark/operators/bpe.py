@@ -220,15 +220,23 @@ def train_bpe_on(df: DataFrame, text_col: str = "text",
     and carried on the returned vocab."""
     freq = word_frequencies(df, text_col).persist()
     try:
-        # two actions share the one corpus-sized explode+count: the
-        # persist keeps "the only corpus-sized pass" contract true
-        # (unpersisted, the totals agg and the top slice each rescan)
-        tot_row = freq.agg(
-            F.sum("n").alias("tot"),
-            F.count(F.lit(1)).alias("v")).collect()[0]
-        total, v_size = int(tot_row["tot"] or 0), int(tot_row["v"])
+        # one action in the common case (optimization r16): when the
+        # top slice comes back under the cap it IS the whole
+        # vocabulary, so totals/coverage derive from the collected
+        # rows and the separate totals job never runs. Only a
+        # cap-saturated collect needs the exact totals aggregate — and
+        # the persist keeps "the only corpus-sized pass" contract true
+        # there (unpersisted, that second action would rescan).
         top = (freq.orderBy(F.desc("n"), "word").limit(max_words)
                .collect())
+        if len(top) >= max_words:
+            tot_row = freq.agg(
+                F.sum("n").alias("tot"),
+                F.count(F.lit(1)).alias("v")).collect()[0]
+            total, v_size = int(tot_row["tot"] or 0), int(tot_row["v"])
+        else:
+            total = sum(int(r["n"]) for r in top)
+            v_size = len(top)
     finally:
         freq.unpersist()
     pairs = [(r["word"], int(r["n"])) for r in top]

@@ -614,62 +614,52 @@ USERS_TOPK_CUBE = CubeSpec(
 )
 def q_cube_topn(spark, sf_dir):
     """Top-3 users per event type from frequent-items cube cells: the
-    per-day maps union per-item (never a source rescan), the top-k
-    reads off the merged map — WHEN the cube certifies the exact
-    regime. r15 (sf100 probe): per-cell user cardinality (~360k)
-    exceeded max_items=65536 there and a saturated approx_top_k
-    returns an EMPTY map (frequent-items purge), so the old serve
-    silently emitted zero rows. The production pattern now: a
-    cells-sized mass-conservation precheck (one tiny job over O(cells)
-    rows — plan-time metadata in the house sense) picks the cube serve
-    when exact, else recomputes the exact top-k from the source
+    per-day maps explode+re-rank per-item (never a source rescan) —
+    WHEN the cube certifies the exact regime. r15 (sf100 probe):
+    per-cell user cardinality (~360k) exceeded max_items=65536 there
+    and a saturated approx_top_k returns an EMPTY map (frequent-items
+    purge), so an uncertified serve silently emitted zero rows.
+
+    Optimization r16: the serve's own per-group mass-conservation
+    certificate (query_cube on_inexact='error' — the guard rides the
+    measure column in-plan) subsumes the separate persisted precheck
+    this query used to run, so the exact regime now costs ONE source
+    aggregation pass with no cells persist and no extra driver round
+    trip (was: persist + precheck job + serve job — 2.26 s → ~1.1 s at
+    sf0.1). The purged regime surfaces as the certificate raise at
+    collect time; catching it selects the exact source top-k fallback
     (groupBy + WindowGroupLimit rank — O(distinct pairs) shuffle, the
     plan a 100 TB deployment wants for ad-hoc exact heavy-hitters).
-    Either route is exact, so the oracle stays hash-exact at EVERY
-    scale; a direct cube serve in the purged regime refuses loudly
-    (cube/query.query_cube on_inexact)."""
+    Per-cell map mass never exceeds the cell's true row mass, so the
+    old global-sum precheck and the serve's per-group certificate
+    accept exactly the same states — either route stays exact and the
+    oracle hash-exact at EVERY scale."""
     from pyspark.sql import Window as W
 
     e = load_table(spark, sf_dir, "events")
     cells = build_cube(spark, USERS_TOPK_CUBE, e)
-    cells.persist()
-    # try/finally: any failure between persist and the branch decision
-    # (executor loss, OOM, a certificate raise in the serve) must not
-    # leave the cells pinned in executor memory for the session
-    exact = False
     try:
-        chk = cells.agg(
-            F.sum(F.expr(
-                "aggregate(map_values(top_users_tk), 0L, (s, v) -> s + v)"))
-            .alias("got"),
-            F.sum("top_users_tkn").alias("want"),
-        ).collect()[0]
-        exact = (chk["got"] or 0) == (chk["want"] or 0)
-        if exact:
-            rolled = query_cube(
-                cells, USERS_TOPK_CUBE, group_by=["event_type"],
-                measures=["top_users"]
-            )
-            ex = rolled.select(
-                "event_type", F.posexplode("top_users").alias("pos", "e")
-            )
-            out = ex.select(
-                "event_type",
-                (F.col("pos") + 1).cast("long").alias("rank"),
-                F.col("e.item").alias("user_id"),
-                F.col("e.count").alias("cnt"),
-            )
-            # the serve output is bounded (k per event_type);
-            # materialize it off the cached cells so the persist is
-            # released in BOTH branches — the lazy return used to leak
-            # the cache for the session whenever the exact regime held
-            rows = out.collect()
-            schema = out.schema
-            return spark.createDataFrame(rows, schema=schema)
-    finally:
-        # exact route: result already materialized. purged route: the
-        # cached cells are not part of the exact fallback's plan.
-        cells.unpersist()
+        rolled = query_cube(
+            cells, USERS_TOPK_CUBE, group_by=["event_type"],
+            measures=["top_users"]
+        )
+        ex = rolled.select(
+            "event_type", F.posexplode("top_users").alias("pos", "e")
+        )
+        out = ex.select(
+            "event_type",
+            (F.col("pos") + 1).cast("long").alias("rank"),
+            F.col("e.item").alias("user_id"),
+            F.col("e.count").alias("cnt"),
+        )
+        # the serve output is bounded (k per event_type): materialize
+        # it so a purged-regime certificate raise is caught HERE, not
+        # in the caller's action
+        rows = out.collect()
+        return spark.createDataFrame(rows, schema=out.schema)
+    except Exception as err:  # certificate raise → exact fallback
+        if "topk measure" not in str(err):
+            raise
     counted = (
         e.filter(F.col("user_id").isNotNull())
         .groupBy("event_type", "user_id")

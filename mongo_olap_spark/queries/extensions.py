@@ -1558,8 +1558,18 @@ def q_pipeline_llm_pack(spark, sf_dir, bin_tokens: int = 2048):
     layout invariants are pytested (tests/test_bpe.py)."""
     from mongo_olap_spark.operators import bpe
 
+    # localCheckpoint: the surviving train fold feeds TWO consumers —
+    # the BPE-train action (word frequencies, runs now) and the
+    # returned encode+pack plan (runs at the caller's action). Without
+    # it the whole clean→dedup→decontaminate→quality→mix→split spine
+    # (two corpus-sized shuffles) executes twice; materializing the
+    # fold once costs one local write + read of the surviving rows
+    # (~40% of the corpus) instead (guide §5 localCheckpoint; measured
+    # 2.32 s → ~1.5 s at sf0.1). Same trade at 100 TB: a checkpoint
+    # write of survivors vs re-running every spine shuffle.
     train = _llm_spine(spark, sf_dir).filter(
-        F.col("split") == "train").select("doc_id", "source", "t")
+        F.col("split") == "train").select("doc_id", "source", "t"
+                                          ).localCheckpoint()
     vocab = bpe.train_bpe_on(train.select("t"), "t",
                              n_merges=_BPE_MERGES)
     enc = bpe.encode_tokens_column(train, vocab, "t", out="tokens")
