@@ -211,11 +211,122 @@ def cell_aggs(spec: CubeSpec, mult: str | None = None) -> list:
     return aggs
 
 
+#: measure ops whose storage partials re-aggregate EXACTLY through an
+#: intermediate grouping level (decimal/integer sums, min/max) — the
+#: gate for the two-level histogram build below. distinct/topk stay
+#: single-level: their sketch bytes are representation-sensitive to
+#: the merge path even when estimates agree.
+_REAGG_OPS = frozenset(
+    {"count", "sum", "avg", "min", "max", "quantile",
+     "var_pop", "var_samp", "stddev_pop", "stddev_samp"}
+)
+
+
+def _merge_measure_aggs(m: Measure, mult: str | None) -> list:
+    """Second-level aggregates that merge one measure's level-1
+    storage partials without changing value, dtype, OR nullability.
+
+    Nullability parity matters: the single-level build's count-shaped
+    partials come from ``F.count`` (non-nullable) in the unsigned
+    build but ``F.sum`` (nullable) in the signed delta path — the
+    coalesce mirrors exactly that split, so cell schemas written by
+    either plan are byte-identical. The coalesce can never fire on a
+    live group (level 1 always emits a non-null count partial)."""
+    n = m.name
+    zero = F.lit(0)
+    cnt = (F.sum(f"{n}_cnt") if mult is not None
+           else F.coalesce(F.sum(f"{n}_cnt"), zero))
+    if m.op == "count":
+        return [cnt.cast("long").alias(f"{n}_cnt")]
+    if m.op == "sum":
+        return [F.sum(f"{n}_sum").cast(SUM_DECIMAL).alias(f"{n}_sum")]
+    if m.op == "avg":
+        return [
+            F.sum(f"{n}_sum").cast(SUM_DECIMAL).alias(f"{n}_sum"),
+            cnt.cast("long").alias(f"{n}_cnt"),
+        ]
+    if m.op == "min":
+        return [F.min(f"{n}_min").alias(f"{n}_min")]
+    if m.op == "max":
+        return [F.max(f"{n}_max").alias(f"{n}_max")]
+    if m.op in ("var_pop", "var_samp", "stddev_pop", "stddev_samp"):
+        return [
+            F.sum(f"{n}_sum").cast(SUM_DECIMAL).alias(f"{n}_sum"),
+            F.sum(f"{n}_sum2").cast(SUM_DECIMAL).alias(f"{n}_sum2"),
+            cnt.cast("long").alias(f"{n}_cnt"),
+        ]
+    raise AssertionError(m.op)
+
+
+def _hist_two_level(df: DataFrame, spec: CubeSpec,
+                    mult: str | None) -> DataFrame:
+    """Histogram cube build as (dims, bin) → dims (optimization r16).
+
+    The single-level ``_hist_agg`` evaluates nbins + 2 CASE aggregates
+    per source row — ~100 extra branchy ops/row that dominate the scan
+    stage (measured 1.27 s vs 0.14 s for the plain agg at sf0.1, and
+    the same per-row multiplier at 100 TB). Grouping by (dims, bin)
+    first costs one bin computation per row; the second level then
+    rebuilds the bin vector from O(|cells|·nbins) tiny rows. Both
+    levels are map-side-combined hash aggregates; the extra exchange
+    carries cells·bins rows — noise next to the source. Cell values
+    and dtypes are bit-identical to the single-level build (integer
+    sums reorder freely), pinned by tests/test_cube_quantile.py.
+
+    Gated to specs with exactly ONE quantile measure and otherwise
+    exactly re-aggregable measures (``_REAGG_OPS``); everything else
+    keeps the single-level plan.
+    """
+    qm = next(m for m in spec.measures if m.op == "quantile")
+    lo, hi, nb = float(qm.lo), float(qm.hi), int(qm.nbins)
+    w = (hi - lo) / nb
+    s = f"({qm.source_path})"
+    bin_sql = (
+        f"(CASE WHEN {s} IS NULL THEN CAST(NULL AS INT) "
+        f"ELSE least({nb + 1}, greatest(0, "
+        f"CAST(floor((CAST({s} AS DOUBLE) - {lo!r}D) / {w!r}D) + 1 AS INT))) END)"
+    )
+    wsql = "1L" if mult is None else f"CAST({mult} AS BIGINT)"
+    dims = [d.expr() for d in spec.dimensions]
+    dim_names = [d.name for d in spec.dimensions]
+    lvl1_aggs = [F.expr(f"sum({wsql})").alias("__rows")]
+    for m in spec.measures:
+        if m.op != "quantile":
+            lvl1_aggs.extend(_measure_aggs(m, mult))
+    lvl1 = df.groupBy(*dims, F.expr(bin_sql).alias("__bin")).agg(*lvl1_aggs)
+    # bin-vector rebuild: key-addressed map lookup, so merge order
+    # never matters; one F.expr string (py4j plan-time cost — see
+    # _hist_agg's docstring)
+    # outer CAST: nullability parity with the single-level build
+    # (array of sums has nullable elements; the coalesce'd transform
+    # elements would read non-nullable)
+    hist = F.expr(
+        f"CAST(transform(sequence(0, {nb + 1}), i -> coalesce(element_at("
+        "map_from_entries(array_agg(CASE WHEN __bin IS NOT NULL THEN "
+        "struct(__bin, __rows) END)), CAST(i AS INT)), 0L)) "
+        "AS ARRAY<BIGINT>)"
+    )
+    lvl2_aggs: list = []
+    for m in spec.measures:
+        if m.op == "quantile":
+            lvl2_aggs.append(hist.alias(f"{m.name}_hist"))
+        else:
+            lvl2_aggs.extend(_merge_measure_aggs(m, mult))
+    return lvl1.groupBy(*dim_names).agg(*lvl2_aggs)
+
+
+def _hist_two_level_ok(spec: CubeSpec) -> bool:
+    ops = [m.op for m in spec.measures]
+    return ops.count("quantile") == 1 and set(ops) <= _REAGG_OPS
+
+
 def build_cube(spark: SparkSession, spec: CubeSpec, source: DataFrame) -> DataFrame:
     """Materialize the cube cells for ``spec`` from ``source``."""
     df = source
     if spec.filter_sql:
         df = df.filter(spec.filter_sql)
+    if _hist_two_level_ok(spec):
+        return _hist_two_level(df, spec, mult=None)
     dims = [d.expr() for d in spec.dimensions]
     df = df.groupBy(*dims).agg(*cell_aggs(spec))
     return df
@@ -231,5 +342,7 @@ def delta_cells(spec: CubeSpec, cdc: DataFrame, mult_col: str = "mult") -> DataF
     df = cdc
     if spec.filter_sql:
         df = df.filter(spec.filter_sql)
+    if _hist_two_level_ok(spec):
+        return _hist_two_level(df, spec, mult=mult_col)
     dims = [d.expr() for d in spec.dimensions]
     return df.groupBy(*dims).agg(*cell_aggs(spec, mult=mult_col))

@@ -122,8 +122,17 @@ def srp_signatures(
         *([F.col(vec_col).alias("vec")] if carry_vec else []),
         F.posexplode(F.col(vec_col)).alias("pos", "v"),
     )
+    # each projection as ONE F.expr SQL string, not per-element Column
+    # calls: F.lit(64-int plane) + element_at built ~64 py4j round
+    # trips PER BIT, so constructing two banded sides cost ~2.3 s of
+    # driver plan time against 0.6 s of execution at sf0.1 (the
+    # build._hist_agg lesson; optimization r16). Same expression, same
+    # double math — the literal array just parses in one shot.
     aggs = [
-        F.sum(F.col("v").cast("double") * F.element_at(F.lit(row), F.col("pos") + 1)).alias(f"_s{b}")
+        F.expr(
+            "sum(CAST(v AS DOUBLE) * element_at("
+            f"array({','.join(str(x) for x in row)}), pos + 1))"
+        ).alias(f"_s{b}")
         for b, row in enumerate(planes)
     ]
     if carry_vec:
