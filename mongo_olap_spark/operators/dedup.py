@@ -45,35 +45,47 @@ def shingle_posts(
     """Distinct k-shingle postings as 8-byte hashes: one row per
     (ids…, shingle-hash).
 
-    The scale shape for everything shingle-based: posexplode the
-    token stream, window-lead the next k−1 tokens, hash the tuple —
-    every expression whole-stage-codegen (no per-element lambda; a
+    The scale shape for everything shingle-based: slide a k-wide
+    window over the token array with ``slice`` + ``arrays_zip`` (one
+    native expression per row — no per-element lambda; a
     ``transform``-built shingle array is interpreted per element and
-    ~4× slower measured at sf0.1), and the posting that rides every
-    downstream shuffle is an int64, not a 20–40-byte string. Docs
-    shorter than k tokens contribute one whole-text shingle
-    (concat_ws skips the null leads), matching the array-based
+    ~4× slower measured at sf0.1), explode the zipped windows, hash
+    the k token fields in codegen. Entirely map-side: the r16 rewrite
+    removed the posexplode + per-doc ``lead`` window the first cut
+    used, which shuffled and sorted every TOKEN row by doc id just to
+    line up neighbors — at 100 TB that exchange carried the tokenized
+    corpus once per call. The only remaining shuffle is the final
+    ``distinct`` over int64 postings (which the window version paid
+    too). Hash values are bit-identical to the lead-window build
+    (same xxhash64 over the same k string args), so every downstream
+    signature/band/pair is unchanged. Docs shorter than k tokens
+    contribute one whole-text shingle, matching the array-based
     fallback semantics.
     """
-    from pyspark.sql import Window as W
-
-    toks = docs.select(
-        *id_cols, F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "tok")
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    m = F.greatest(n - (k - 1), F.lit(0))  # number of full k-shingles
+    ztype = "array<struct<" + ",".join(f"s{j}:string" for j in range(k)) + ">>"
+    # k parallel slices offset by one token each; arrays_zip lines up
+    # element i of each slice into one struct = the shingle at pos i
+    full = F.arrays_zip(*[F.slice(toks, j + 1, m) for j in range(k)]).cast(ztype)
+    short = F.when(
+        n < k,
+        F.array(
+            F.struct(
+                F.concat_ws(" ", toks).alias("s0"),
+                *[F.lit(None).cast("string").alias(f"s{j}") for j in range(1, k)],
+            )
+        ),
+    ).otherwise(F.array().cast(ztype))
+    rows = docs.select(
+        *id_cols, F.explode(F.concat(full, short)).alias("z")
     )
-    w = W.partitionBy(*id_cols).orderBy("pos")
-    lead_names = [f"t{j}" for j in range(1, k)]
-    trip = toks.select(
-        *id_cols,
-        "pos",
-        "tok",
-        *[F.lead("tok", j).over(w).alias(n) for n, j in zip(lead_names, range(1, k))],
-    )
-    last = F.col(lead_names[-1])
-    full_hash = F.xxhash64("tok", *lead_names)
-    short_hash = F.xxhash64(F.concat_ws(" ", "tok", *lead_names[:-1]))
+    last = F.col(f"z.s{k-1}")
+    full_hash = F.xxhash64(*[F.col(f"z.s{j}") for j in range(k)])
+    short_hash = F.xxhash64(F.col("z.s0"))
     return (
-        trip.filter(last.isNotNull() | (F.col("pos") == 0))
-        .select(
+        rows.select(
             *id_cols,
             F.when(last.isNotNull(), full_hash).otherwise(short_hash).alias("h"),
         )

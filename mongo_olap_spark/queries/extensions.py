@@ -185,8 +185,8 @@ def q_dedup_ngram(spark, sf_dir):
     # materialize when they share ≥1 shingle — required by j ≥ 0.5),
     # count shared postings, derive jaccard from set sizes. Shuffle is
     # O(postings), never O(block²) like an all-pairs block join.
-    # Postings are built by dd.shingle_posts (posexplode + lead
-    # windows, codegen end-to-end) and carry xxhash64 int64 keys, not
+    # Postings are built by dd.shingle_posts (map-side slice +
+    # arrays_zip windows, codegen end-to-end) and carry xxhash64 int64 keys, not
     # shingle strings: the self-join shuffles 8-byte keys instead of
     # 20-40-byte strings — measured ~4x faster posting build at sf0.1
     # and a halved-plus exchange at 100 TB. Hash collisions
@@ -847,7 +847,11 @@ def q_dedup_keep(spark, sf_dir):
     # canonical survivor per dup group: longest text, then smallest id
     # (deterministic). The group dim is tiny relative to the corpus, so
     # the join shuffles |corpus| rows once; the window partitions are
-    # dup groups (bounded), never a hot key.
+    # dup groups (bounded), never a hot key. r16: the survivor rule
+    # only reads LENGTHS, so the corpus side is projected to
+    # (doc_id, length(text)) BEFORE the join — the exchange (or the
+    # broadcast the local planner picks) carries 16-byte rows, never
+    # the text payload (guide §2.3: shuffle metadata, not payloads).
     from pyspark.sql import Window
 
     corpus = _full_dup_corpus(spark, sf_dir)
@@ -855,9 +859,10 @@ def q_dedup_keep(spark, sf_dir):
     groups = dd.connected_components(
         pairs, corpus.select(F.col("doc_id").alias("node"))
     ).withColumnRenamed("node", "doc_id")
-    joined = groups.join(corpus, "doc_id")
+    lens = corpus.select("doc_id", F.length("text").alias("_tlen"))
+    joined = groups.join(lens, "doc_id")
     w = Window.partitionBy("group_id").orderBy(
-        F.length("text").desc(), F.col("doc_id")
+        F.col("_tlen").desc(), F.col("doc_id")
     )
     return (
         joined.select(

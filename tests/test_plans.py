@@ -172,8 +172,11 @@ def test_unigram_logprob_broadcasts_freq_table(spark, sf_dir):
 
 
 def test_shingle_posts_codegen_no_lambda(spark, sf_dir):
-    """The shingle posting builder must stay lambda-free (posexplode +
-    lead windows + xxhash64 — all codegen) and emit int64 keys."""
+    """The shingle posting builder must stay lambda-free (slice +
+    arrays_zip + xxhash64 — all native, no per-element lambda), emit
+    int64 keys, and build shingles MAP-SIDE: no window/exchange before
+    the distinct (the r16 rewrite removed the posexplode + lead-window
+    build that shuffled every token row)."""
     from mongo_olap_spark.operators.dedup import shingle_posts
     from mongo_olap_spark.sources.tables import load_table
 
@@ -182,6 +185,9 @@ def test_shingle_posts_codegen_no_lambda(spark, sf_dir):
     plan = posts._jdf.queryExecution().executedPlan().toString()
     assert "lambdafunction" not in plan.lower()
     assert "Python" not in plan
+    # map-side build: exactly ONE exchange (the distinct), no window
+    assert "Window" not in plan
+    assert plan.count("Exchange") == 1
 
 
 def test_decontaminate_probes_broadcast_index(spark):
