@@ -335,7 +335,14 @@ def simhash_near_dup_pairs(
     shuffle is O(postings), output O(answer). The within-bucket
     pairwise term is inherent to pigeonhole banding (every same-key
     pair must be distance-checked); it survives only as in-memory
-    vectorized CPU with a ~byte-ops constant, not as shuffle I/O."""
+    vectorized CPU with a ~byte-ops constant, not as shuffle I/O.
+
+    Optimization r17: a qualifying pair is emitted ONLY from its
+    first colliding band (both signatures are present in the bucket,
+    so each bucket decides locally) — exactly-once globally, which
+    removes the trailing O(answer) ``dropDuplicates`` exchange the
+    multi-band emission needed. Output-set equality with the old plan
+    is pinned by tests/test_operators.py."""
     import pandas as pd  # noqa: F401 (Arrow path requirement)
 
     bits_per = 64 // num_bands
@@ -354,19 +361,37 @@ def simhash_near_dup_pairs(
         "id", "sig", "band.band_id", "band.band_key"
     )
 
-    def _bucket_pairs(ids, sigs, pop, out_a, out_b, out_h):
+    def _bucket_pairs(ids, sigs, band_id, pop, out_a, out_b, out_h):
         n = len(ids)
         # chunk rows so the (chunk, n) XOR matrix stays ~128 MB even in
         # a pathological bucket
         chunk = max(64, (1 << 24) // n)
         import numpy as np
 
+        band_mask = np.int64((1 << bits_per) - 1)
         for s in range(0, n, chunk):
             x = sigs[s:s + chunk, None] ^ sigs[None, :]
             h = pop[x.view(np.uint8)].reshape(x.shape[0], n, 8).sum(
                 axis=-1, dtype=np.int16)
             keep_a, keep_b = np.nonzero(
                 (h <= max_hamming) & (ids[None, :] > ids[s:s + chunk, None]))
+            # first-colliding-band emission (optimization r17): a pair
+            # within max_hamming collides in EVERY band where its sig
+            # bits agree, so the old plan emitted it once per such band
+            # and paid an O(answer) dropDuplicates exchange to merge.
+            # Both full signatures are in the bucket, so each bucket
+            # can decide locally whether IT is the pair's first
+            # colliding band — emit only then: exactly-once globally,
+            # no dedup shuffle. (Band b collides ⟺ bits
+            # [b·bits_per, (b+1)·bits_per) of the XOR are zero; the
+            # arithmetic shift's sign-fill is masked off.)
+            xv = x[keep_a, keep_b]
+            first = np.full(xv.shape, num_bands, dtype=np.int64)
+            for b in range(num_bands - 1, -1, -1):
+                hit = ((xv >> np.int64(b * bits_per)) & band_mask) == 0
+                first = np.where(hit, b, first)
+            mine = first == band_id
+            keep_a, keep_b = keep_a[mine], keep_b[mine]
             out_a.append(ids[s + keep_a])
             out_b.append(ids[keep_b])
             out_h.append(h[keep_a, keep_b].astype(np.int32))
@@ -400,7 +425,7 @@ def simhash_near_dup_pairs(
         out_a, out_b, out_h = [], [], []
         for lo, hi in zip(np.r_[0, cuts], np.r_[cuts, len(ids)]):
             if hi - lo >= 2:
-                _bucket_pairs(ids[lo:hi], sigs[lo:hi], pop,
+                _bucket_pairs(ids[lo:hi], sigs[lo:hi], int(bid[lo]), pop,
                               out_a, out_b, out_h)
         if not out_a:
             yield empty
@@ -413,10 +438,12 @@ def simhash_near_dup_pairs(
 
     shuffle_parts = int(docs.sparkSession.conf.get(
         "spark.sql.shuffle.partitions", "32"))
-    pairs = banded.repartition(
+    # no dropDuplicates: first-colliding-band emission (see
+    # _bucket_pairs) makes each pair exactly-once globally, removing
+    # the old O(answer) dedup exchange (guide §2.4)
+    return banded.repartition(
         shuffle_parts, "band_id", "band_key"
     ).mapInPandas(verify, schema="id_a long, id_b long, hamming int")
-    return pairs.dropDuplicates(["id_a", "id_b"])
 
 
 def connected_components(
@@ -437,13 +464,54 @@ def connected_components(
     group id. Mirrors the reference's dup-group resolution step
     (pairs → clusters) [REF: fill — see SURVEY.md §0].
 
-    Scale notes: each round is ONE shuffle of |E| (join edges with
-    labels) plus two of |V| (the min step and a pointer-jump/path-
-    halving self-join) — no all-pairs blowup. The pointer jump makes
-    rounds O(log diameter), so even adversarially DEEP dup graphs
-    (a 10,000-member chain: every doc near-dups only its neighbors)
-    converge in ~15 rounds — the skew guard is the chain-topology
-    test in tests/test_skew.py. Edges and per-round labels are
+    Scale notes (r16 shape, tightened in optimization r17): each round
+    is ONE shuffle of |E| partial-aggregates (join edges with labels +
+    union-groupBy min) plus two |V| pointer-jump self-joins — no
+    all-pairs blowup. r17 changes, each motivated by guide §2.4
+    (remove shuffles outright) and §2.6 (per-round driver barriers):
+
+    - **Edges are hash-partitioned by the join key ONCE** (repartition
+      by ``dst`` after the first materialization). ``LogicalRDD``
+      preserves the partitioning, so every round's edges⋈labels join
+      reuses it and only the |V| labels side exchanges — the old plan
+      re-shuffled |E| every round. The partition count is
+      scale-adaptive (~2M edge rows per partition, capped at the
+      session's shuffle partitions, floor 1): a constant tuned for
+      local mode would under-split a 100 TB dup subgraph, and the
+      session constant (32 locally) would fan a few thousand local
+      edge rows across 32 tasks per round — measured as more wall
+      than the exchange it saves (AQE coalesces the old plan's tiny
+      per-round exchanges, but cannot coalesce a join pinned to a
+      fixed-width RDD layout).
+    - **Round 1 is fused into initialization**: label(v) =
+      min(v, min over neighbors) is a plain aggregate over edges — no
+      self-labels frame, no join for the first round.
+    - **The min step is union+groupBy** (labels ∪ neighbor-labels →
+      min per node) instead of join-then-least — one exchange fewer
+      per round than the old left-join formulation.
+    - **Adaptive pointer jumping** (comp ← comp[comp]): labels only
+      ever decrease toward a reachable node, so jumping stays inside
+      the component. Rounds 1–2 jump once (real dup graphs are
+      shallow — banded near-dup edges give diameter ≤ 2-3, and a
+      second jump there is a pure extra |V| self-join); from round 3
+      on — the graph has proven deep — the jump doubles, so label
+      distance shrinks ~4× per round and a 10,000-member chain (every
+      doc near-dups only its neighbors — the adversarial-depth skew
+      guard in tests/test_skew.py) still converges in ~9 rounds
+      instead of O(diameter). Each jump is one |V| self-join, V = the
+      dup subgraph only.
+    - **Convergence = monotone label-sum fixpoint**: labels strictly
+      decrease element-wise until the fixpoint, so Σcomp (exact, in
+      decimal) is strictly decreasing and equality between rounds ⟺
+      every label unchanged. The sum rides the same action that
+      materializes the round's localCheckpoint — no old_comp
+      bookkeeping column, no filter+count plan per round.
+
+    Iteration runs ONLY over nodes that touch an edge. In a
+    deduplicated corpus almost every doc is a singleton; keeping them
+    out of the loop shrinks every per-round shuffle from |corpus| to
+    |dup subgraph| (orders of magnitude at 100 TB). Singletons rejoin
+    as their own group at the end. Edges and per-round labels are
     ``localCheckpoint``-ed: lineage stays O(1) instead of growing one
     join per round, and the (possibly expensive) pair-generation plan
     upstream runs exactly once. (Alternating large/small-star —
@@ -458,65 +526,67 @@ def connected_components(
     """
     if max_iter < 1:
         raise ValueError("connected_components: max_iter must be >= 1")
+    spark = pairs.sparkSession
+    max_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     half = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     edges = half.unionByName(
         half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint()
-    # Iterate ONLY over nodes that touch an edge. In a deduplicated
-    # corpus almost every doc is a singleton; keeping them out of the
-    # loop shrinks every per-round shuffle from |corpus| to |dup
-    # subgraph| (orders of magnitude at 100 TB). Singletons rejoin as
-    # their own group at the end, costing one broadcast-ish left join.
-    # eager=False: materialization piggybacks on the first round's
-    # convergence count instead of costing a separate job per round
-    labels = edges.select(
-        F.col("src").alias("node"), F.col("src").alias("comp")
-    ).distinct().localCheckpoint(eager=False)
-    for _ in range(max_iter):
-        nbr_min = (
-            edges.join(
-                labels.withColumnRenamed("node", "dst_node"),
-                F.col("dst") == F.col("dst_node"),
-            )
-            .groupBy("src")
-            .agg(F.min("comp").alias("nbr_comp"))
-            .withColumnRenamed("src", "node")
-        )
-        stepped = labels.join(nbr_min, "node", "left").select(
-            "node",
-            F.col("comp").alias("old_comp"),
-            F.least(F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))).alias("comp"),
-        )
-        # pointer-jump (path halving): comp <- comp[comp]. Labels only
-        # ever decrease toward a reachable node, so jumping through the
-        # label of one's label stays inside the component; combined
-        # with the neighbor-min step it makes rounds O(log diameter)
-        # instead of O(diameter) — a 10,000-member chain converges in
-        # ~15 rounds, not 10,000 (tests/test_skew.py chain-topology
-        # guard). Cost: one extra |V| self-join per round, V = the dup
-        # subgraph only.
-        jump = stepped.select(
+    ).localCheckpoint()  # run the (expensive) pair plan exactly once
+    n_edges = edges.count()  # cheap: counts the materialized RDD
+    nparts = max(1, min(max_parts, -(-n_edges // 2_000_000)))
+    edges = edges.repartition(nparts, "dst").localCheckpoint()
+
+    def _sum_of(df: DataFrame):
+        # exact Σcomp: decimal(38,0) holds 10^12 int64 labels with room
+        return df.agg(F.sum(F.col("comp").cast("decimal(38,0)"))).collect()[0][0]
+
+    def _jumped(df: DataFrame) -> DataFrame:
+        jump = df.select(
             F.col("node").alias("j_node"), F.col("comp").alias("j_comp"))
-        stepped = (
-            stepped.join(jump, F.col("comp") == F.col("j_node"), "left")
-            .select(
-                "node",
-                "old_comp",
-                F.least(F.col("comp"), F.coalesce("j_comp", F.col("comp"))).alias("comp"),
-            )
-            .localCheckpoint(eager=False)
+        return df.join(jump, F.col("comp") == F.col("j_node"), "left").select(
+            "node",
+            F.least(F.col("comp"), F.coalesce("j_comp", F.col("comp"))).alias("comp"),
         )
-        changed = stepped.filter(F.col("comp") != F.col("old_comp")).count()
-        labels = stepped.select("node", "comp")
-        if changed == 0:
+
+    # round 1, fused: min(self, neighbors) needs no join when labels
+    # are still self-labels — it is a single aggregate over edges
+    labels = (
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("_m"))
+        .select(
+            F.col("src").alias("node"),
+            F.least(F.col("src"), F.col("_m")).alias("comp"),
+        )
+    )
+    labels = _jumped(labels).localCheckpoint(eager=False)
+    prev_sum = _sum_of(labels)
+    converged = prev_sum is None  # empty dup subgraph: nothing to do
+    for rnd in range(2, max_iter + 1):
+        if converged:
             break
-    else:
+        nbr = edges.join(
+            labels.withColumnRenamed("node", "dst_node"),
+            F.col("dst") == F.col("dst_node"),
+        ).select(F.col("src").alias("node"), "comp")
+        stepped = (
+            labels.unionByName(nbr)
+            .groupBy("node")
+            .agg(F.min("comp").alias("comp"))
+        )
+        stepped = _jumped(stepped)
+        if rnd >= 3:  # deep graph: double the jump (see docstring)
+            stepped = _jumped(stepped)
+        labels = stepped.localCheckpoint(eager=False)
+        new_sum = _sum_of(labels)
+        converged = new_sum == prev_sum
+        prev_sum = new_sum
+    if not converged:
         # an unconverged result would silently split components —
         # refuse loudly; a legitimate deep graph needs a bigger budget
         # (or the large/small-star variant noted above)
         raise RuntimeError(
             f"connected_components: no fixpoint after {max_iter} rounds "
-            f"({changed} labels still changing) — raise max_iter"
+            f"(label sum {prev_sum} still moving) — raise max_iter"
         )
     return (
         nodes.select(F.col(node_col).alias("node"))

@@ -72,6 +72,43 @@ def test_simhash_deterministic(spark, docs):
     assert a == b
 
 
+def test_simhash_first_band_emission_exactly_once(spark, docs):
+    """Optimization r17 pin: first-colliding-band emission must yield
+    each qualifying pair EXACTLY once (no dropDuplicates in the plan),
+    and the pair set must equal the brute-force reference — all
+    (id_a < id_b) within max_hamming sharing ≥ 1 band."""
+    corpus = _planted_near_dups(docs.limit(150))
+    max_hamming, num_bands = 10, 8
+    got_rows = dd.simhash_near_dup_pairs(
+        corpus, max_hamming=max_hamming, num_bands=num_bands
+    ).collect()
+    got = [(r.id_a, r.id_b) for r in got_rows]
+    assert len(got) == len(set(got)), "pair emitted from more than one band"
+
+    sigs = {r.id: r.sig for r in dd.simhash_signatures(corpus).collect()}
+    bits = 64 // num_bands
+    mask = (1 << bits) - 1
+
+    def bands(s):
+        return [(s >> (b * bits)) & mask for b in range(num_bands)]
+
+    ids = sorted(sigs)
+    want = set()
+    for i, a in enumerate(ids):
+        ba = bands(sigs[a])
+        for b_ in ids[i + 1:]:
+            x = sigs[a] ^ sigs[b_]
+            if bin(x & ((1 << 64) - 1)).count("1") <= max_hamming and any(
+                p == q for p, q in zip(ba, bands(sigs[b_]))
+            ):
+                want.add((a, b_))
+    assert set(got) == want
+    # hamming column must agree with the signature distance
+    for r in got_rows:
+        x = (sigs[r.id_a] ^ sigs[r.id_b]) & ((1 << 64) - 1)
+        assert r.hamming == bin(x).count("1")
+
+
 def test_word_shingles_short_doc(spark):
     df = spark.createDataFrame([("a b",), ("x",)], ["text"])
     out = df.select(dd.word_shingles("text", 3).alias("sh")).collect()
