@@ -46,27 +46,53 @@ def graph_lookup(
         F.col(start_col).alias("start_key"), F.col(start_col).alias("node")
     )
     seen = frontier  # visited set, start nodes included
+
+    def _expand(fr: DataFrame) -> DataFrame:
+        nxt = fr.join(edges, fr.node == edges[src_col]).select(
+            "start_key", F.col(dst_col).alias("node")
+        )
+        if dedupe:
+            # only NEWLY discovered pairs continue: min-depth falls out
+            # of BFS order, and cyclic graphs terminate
+            nxt = nxt.dropDuplicates(["start_key", "node"]).join(
+                seen, ["start_key", "node"], "left_anti")
+        return nxt
+
     out: DataFrame | None = None
     depth = 0
     while max_depth is None or depth < max_depth:
-        depth += 1
-        nxt = (
-            frontier.join(edges, frontier.node == edges[src_col])
-            .select("start_key", F.col(dst_col).alias("node"))
-        )
-        if dedupe:
-            nxt = nxt.dropDuplicates(["start_key", "node"])
-            # only NEWLY discovered pairs continue: min-depth falls out
-            # of BFS order, and cyclic graphs terminate
-            nxt = nxt.join(seen, ["start_key", "node"], "left_anti")
-        nxt = nxt.localCheckpoint(eager=True)  # cut lineage growth per hop
-        if nxt.isEmpty():
+        # optimization r17 (guide §2.6 — halve the per-round driver
+        # barriers): TWO hops per round. hop2 expands hop1 inside the
+        # same query, subtracting hop1 itself (a node reachable at
+        # both d+1 and d+2 keeps its shallower depth); both hops
+        # materialize in ONE localCheckpoint action — hop1's
+        # dropDuplicates exchange is computed once and read back by
+        # the hop2 branch via ReusedExchange. Rounds (checkpoint +
+        # isEmpty + seen maintenance) drop from maxDepth to
+        # ceil(maxDepth/2).
+        hop1 = _expand(frontier)
+        two = (max_depth is None or depth + 2 <= max_depth) and dedupe
+        if two:
+            hop2 = _expand(hop1).join(hop1, ["start_key", "node"],
+                                      "left_anti")
+            step = hop1.withColumn("depth", F.lit(depth + 1)).unionByName(
+                hop2.withColumn("depth", F.lit(depth + 2)))
+        else:
+            step = hop1.withColumn("depth", F.lit(depth + 1))
+        step = step.localCheckpoint(eager=True)  # cut lineage per round
+        if step.isEmpty():
             break
-        step = nxt.withColumn("depth", F.lit(depth))
         out = step if out is None else out.unionByName(step)
+        nodes_new = step.select("start_key", "node")
         if dedupe:
-            seen = seen.unionByName(nxt).localCheckpoint(eager=True)
-        frontier = nxt
+            # lazy checkpoint: the union materializes inside the next
+            # round's checkpoint action instead of costing its own job
+            seen = seen.unionByName(nodes_new).localCheckpoint(eager=False)
+        depth += 2 if two else 1
+        frontier = step.filter(F.col("depth") == depth).select(
+            "start_key", "node")
+        if two and frontier.isEmpty():
+            break
     if out is None:
         # schema mirrors the live-path output: start/node keep their
         # REAL types (a string-keyed graph with zero reachable hops
