@@ -144,9 +144,15 @@ _VAR_TYPE_SCOPE: list[dict] = []
 _PROBE_DEPTH: list[int] = []
 
 #: intra-$project common-subexpression scope (optimization r16): maps
-#: the canonical JSON of a CLOSED (no free $$vars), repeated,
-#: non-trivial operator subtree → the hidden column that carries its
-#: value, computed ONCE in an inner projection. Catalyst cannot share
+#: ``id()`` of every occurrence NODE of a CLOSED (no free $$vars),
+#: repeated, non-trivial operator subtree → the hidden column that
+#: carries its value, computed ONCE in an inner projection. (r17: the
+#: scope used to key on the canonical JSON and re-canonicalize EVERY
+#: dict compile_expr visited while installed — O(spec²) serialization
+#: per $project at plan time, the same failure mode the r16 SRP fix
+#: removed. The occurrence ids are collected during the one candidates
+#: walk; the nodes stay alive for the whole $project compile — the
+#: spec tree owns them — so an id hit IS the walked node, no aliasing.) Catalyst cannot share
 #: interpreted higher-order-function subtrees across output columns
 #: (HOFs are excluded from subexpression elimination), so a $project
 #: computing $max/$median/$percentile/… over the same $map operand
@@ -158,7 +164,7 @@ _PROBE_DEPTH: list[int] = []
 #: on. Installed only while compiling one $project's output columns;
 #: never under CI collation (the probe-mode recompiler resolves
 #: against the pre-stage frame, which lacks the hidden columns).
-_CSE_SCOPE: list[dict[str, str]] = []
+_CSE_SCOPE: list[dict[int, str]] = []
 
 #: canonical length below which a repeated subtree is not worth a
 #: hidden column (tiny arithmetic re-evaluates cheaper than it plans)
@@ -222,10 +228,15 @@ def _free_vars(spec: Any, bound: frozenset = frozenset()) -> set:
     return set()
 
 
-def _cse_candidates(values: list) -> list[tuple[str, Any]]:
+def _cse_candidates(
+    values: list, occ_ids: dict[str, list[int]] | None = None
+) -> list[tuple[str, Any]]:
     """Maximal repeated closed operator subtrees across one $project's
     output expressions, largest first. $literal payloads are data, not
-    expressions — never walked."""
+    expressions — never walked. With ``occ_ids``, records ``id()`` of
+    every occurrence node per kept key so the compile-time scope can
+    look occurrences up by identity instead of re-canonicalizing
+    (see _CSE_SCOPE)."""
     counts: dict[str, list] = {}
 
     def walk(node: Any) -> None:
@@ -237,8 +248,9 @@ def _cse_candidates(values: list) -> list[tuple[str, Any]]:
                 if op.startswith("$"):
                     key = _cse_key(node)
                     if len(key) >= _CSE_MIN_LEN:
-                        slot = counts.setdefault(key, [0, node])
+                        slot = counts.setdefault(key, [0, node, []])
                         slot[0] += 1
+                        slot[2].append(id(node))
             for v in node.values():
                 walk(v)
         elif isinstance(node, list):
@@ -247,13 +259,15 @@ def _cse_candidates(values: list) -> list[tuple[str, Any]]:
 
     for v in values:
         walk(v)
-    cand = [(k, node) for k, (n, node) in counts.items()
+    cand = [(k, node, ids) for k, (n, node, ids) in counts.items()
             if n >= 2 and not _free_vars(node)]
     cand.sort(key=lambda kv: -len(kv[0]))
     kept: list[tuple[str, Any]] = []
-    for k, node in cand:
+    for k, node, ids in cand:
         if not any(k in kk for kk, _ in kept):
             kept.append((k, node))
+            if occ_ids is not None:
+                occ_ids[k] = ids
     return kept
 
 
@@ -1043,7 +1057,7 @@ def compile_expr(spec: Any) -> Column:
         return F.lit(spec)
     if isinstance(spec, dict):
         if _CSE_SCOPE:
-            hoisted = _CSE_SCOPE[-1].get(_cse_key(spec))
+            hoisted = _CSE_SCOPE[-1].get(id(spec))
             if hoisted is not None:
                 return F.col(hoisted)
         ops = [k for k in spec if k.startswith("$")]
@@ -3236,11 +3250,12 @@ def _project(df: DataFrame, spec: dict, *, add_only: bool) -> DataFrame:
     # operands evaluate once per row instead of once per output column
     # (see _CSE_SCOPE). Skipped under CI collation: probe-mode
     # recompiles resolve against the pre-stage frame.
+    occ_ids: dict[str, list[int]] = {}
     cse = [] if _ci() else _cse_candidates(
-        [v for v in spec.values() if v not in (1, True)])
+        [v for v in spec.values() if v not in (1, True)], occ_ids)
     if cse:
         taken = set(df.columns)
-        hidden: list[tuple[str, str]] = []
+        by_id: dict[int, str] = {}
         hcols = []
         for i, (key, sub) in enumerate(cse):
             nm = f"__cse{i}"
@@ -3248,9 +3263,10 @@ def _project(df: DataFrame, spec: dict, *, add_only: bool) -> DataFrame:
                 nm = "_" + nm
             taken.add(nm)
             hcols.append(compile_expr(sub).alias(nm))
-            hidden.append((key, nm))
+            for oid in occ_ids[key]:
+                by_id[oid] = nm
         df = df.select("*", *hcols)
-        _CSE_SCOPE.append(dict(hidden))
+        _CSE_SCOPE.append(by_id)
     try:
         return _project_inclusion(df, spec)
     finally:

@@ -112,3 +112,58 @@ def test_project_cse_inside_lambda_still_correct(docs):
     got = {r["doc_id"]: r for r in out.collect()}
     assert got[1]["sum_len"] == 10
     assert got[1]["twice"] == [2, 4, 6, 8]
+
+
+def test_cse_key_not_recomputed_at_compile_time(docs, monkeypatch):
+    """Optimization r17: the compile-time scope looks occurrences up
+    by node identity — _cse_key (O(subtree) JSON canonicalization)
+    runs ONLY during the single candidates walk, never again while the
+    scope is installed. The old per-visit lookup was O(spec²) at plan
+    time on machine-generated specs."""
+    import mongo_olap_spark.plans.pipeline_compiler as pc
+
+    project = {
+        "doc_id": 1,
+        "max_len": {"$max": LL},
+        "min_len": {"$min": LL},
+        "sum_len": {"$sum": LL},
+    }
+    values = [v for v in project.values() if v not in (1, True)]
+
+    calls = {"n": 0}
+    orig = pc._cse_key
+
+    def counting(spec):
+        calls["n"] += 1
+        return orig(spec)
+
+    monkeypatch.setattr(pc, "_cse_key", counting)
+    pc._cse_candidates(values)
+    walk_only = calls["n"]
+    assert walk_only > 0
+
+    calls["n"] = 0
+    compile_pipeline(docs, [{"$project": project}])
+    # full compile = exactly the one candidates walk, nothing more
+    assert calls["n"] == walk_only
+
+
+def test_cse_thousand_node_project_compiles_near_linear(docs):
+    """A machine-generated $project with ~1000 operator nodes must
+    compile without quadratic canonicalization blowup (loose absolute
+    bound — the py4j column construction dominates a healthy run)."""
+    import time
+
+    project = {"doc_id": 1}
+    for i in range(120):
+        # two occurrences each of 60 distinct 4-node subtrees → every
+        # one is a hoist candidate; ~1000 dict nodes total
+        sub = {"$add": [{"$strLenCP": {"$ifNull": ["$text", f"pad-{i % 60}"]}},
+                        i % 60]}
+        project[f"c{i}"] = sub
+    t0 = time.perf_counter()
+    out = compile_pipeline(docs, [{"$project": project}])
+    dt = time.perf_counter() - t0
+    assert dt < 30.0, f"$project compile took {dt:.1f}s"
+    row = {r["doc_id"]: r for r in out.collect()}[1]
+    assert row["c0"] == 13 and row["c61"] == 13 + 1
