@@ -258,6 +258,20 @@ def _merge_measure_aggs(m: Measure, mult: str | None) -> list:
     raise AssertionError(m.op)
 
 
+def _bin_idx_sql(m: Measure) -> str:
+    """SQL for a quantile measure's bin index (NULL source → NULL bin;
+    under/overflow clamped to the flanking buckets) — the same
+    expression ``_hist_agg`` branches on per bucket."""
+    lo, hi, nb = float(m.lo), float(m.hi), int(m.nbins)
+    w = (hi - lo) / nb
+    s = f"({m.source_path})"
+    return (
+        f"(CASE WHEN {s} IS NULL THEN CAST(NULL AS INT) "
+        f"ELSE least({nb + 1}, greatest(0, "
+        f"CAST(floor((CAST({s} AS DOUBLE) - {lo!r}D) / {w!r}D) + 1 AS INT))) END)"
+    )
+
+
 def _hist_two_level(df: DataFrame, spec: CubeSpec,
                     mult: str | None) -> DataFrame:
     """Histogram cube build as (dims, bin) → dims (optimization r16).
@@ -273,11 +287,21 @@ def _hist_two_level(df: DataFrame, spec: CubeSpec,
     and dtypes are bit-identical to the single-level build (integer
     sums reorder freely), pinned by tests/test_cube_quantile.py.
 
-    Gated to specs with exactly ONE quantile measure and otherwise
-    exactly re-aggregable measures (``_REAGG_OPS``); everything else
-    keeps the single-level plan.
+    Gated to specs whose measures are all exactly re-aggregable
+    (``_REAGG_OPS``) with ≥ 1 quantile measure; everything else keeps
+    the single-level plan. r17 generalization: N quantile measures
+    group level 1 by one ``__bin_<name>`` column per measure — the
+    level-1 cell fan-out is ∏(nbins+2) per (dims) group, which the
+    gate caps (see ``_hist_two_level_ok``) so the two-level plan never
+    exceeds the per-row CASE-bank cost it replaces. The single-measure
+    plan is byte-identical to r16 (map-addressed rebuild); the multi
+    path rebuilds each histogram with a CASE bank at LEVEL 2, where it
+    runs over |cells|·∏bins tiny rows instead of every source row.
     """
-    qm = next(m for m in spec.measures if m.op == "quantile")
+    qms = [m for m in spec.measures if m.op == "quantile"]
+    if len(qms) > 1:
+        return _hist_two_level_multi(df, spec, qms, mult)
+    qm = qms[0]
     lo, hi, nb = float(qm.lo), float(qm.hi), int(qm.nbins)
     w = (hi - lo) / nb
     s = f"({qm.source_path})"
@@ -315,9 +339,59 @@ def _hist_two_level(df: DataFrame, spec: CubeSpec,
     return lvl1.groupBy(*dim_names).agg(*lvl2_aggs)
 
 
+def _hist_two_level_multi(df: DataFrame, spec: CubeSpec,
+                          qms: list, mult: str | None) -> DataFrame:
+    """N-quantile two-level build (see ``_hist_two_level``)."""
+    wsql = "1L" if mult is None else f"CAST({mult} AS BIGINT)"
+    dims = [d.expr() for d in spec.dimensions]
+    dim_names = [d.name for d in spec.dimensions]
+    bin_cols = [
+        F.expr(_bin_idx_sql(m)).alias(f"__bin_{m.name}") for m in qms
+    ]
+    lvl1_aggs = [F.expr(f"sum({wsql})").alias("__rows")]
+    for m in spec.measures:
+        if m.op != "quantile":
+            lvl1_aggs.extend(_measure_aggs(m, mult))
+    lvl1 = df.groupBy(*dims, *bin_cols).agg(*lvl1_aggs)
+    lvl2_aggs: list = []
+    for m in spec.measures:
+        if m.op == "quantile":
+            nb = int(m.nbins)
+            # same CASE-bank construct as the single-level _hist_agg
+            # (identical dtype/nullability), but over level-1 rows:
+            # |cells|·∏bins instead of every source row
+            elems = ", ".join(
+                f"sum(CASE WHEN __bin_{m.name} = {i} THEN __rows "
+                f"ELSE 0L END)"
+                for i in range(nb + 2)
+            )
+            lvl2_aggs.append(
+                F.expr(f"array({elems})").alias(f"{m.name}_hist"))
+        else:
+            lvl2_aggs.extend(_merge_measure_aggs(m, mult))
+    return lvl1.groupBy(*dim_names).agg(*lvl2_aggs)
+
+
+#: level-1 fan-out cap for the multi-quantile two-level build: the
+#: per-(dims) bin-combination count ∏(nbins+2) must stay far below a
+#: typical cell's row count for level 1 to shrink the data
+_HIST_MULTI_FANOUT_CAP = 4096
+
+
 def _hist_two_level_ok(spec: CubeSpec) -> bool:
     ops = [m.op for m in spec.measures]
-    return ops.count("quantile") == 1 and set(ops) <= _REAGG_OPS
+    nq = ops.count("quantile")
+    if nq == 0 or not set(ops) <= _REAGG_OPS:
+        return False
+    if nq == 1:
+        return True  # r16 gate: unconditional, plan byte-identical
+    fanout = 1
+    for m in spec.measures:
+        if m.op == "quantile":
+            fanout *= int(m.nbins) + 2
+            if fanout > _HIST_MULTI_FANOUT_CAP:
+                return False
+    return True
 
 
 def build_cube(spark: SparkSession, spec: CubeSpec, source: DataFrame) -> DataFrame:

@@ -382,3 +382,59 @@ def test_router_serves_multi_p_percentile(spark, events, tmp_path):
         measures=(("qs", "quantile_exact", "value", (0.5, 2.0)),),
     )
     assert router.route(bad).cube is None
+
+
+def test_multi_quantile_two_level_build_bit_identical(spark, events):
+    """Optimization r17 (VERDICT r16 #6): a spec with TWO quantile
+    measures now takes the two-level (dims, bin₁, bin₂) build; cells
+    must be BIT-identical (values and dtypes) to the single-level
+    CASE-bank plan, on both the build and the signed-delta path."""
+    from mongo_olap_spark.cube.build import (
+        _hist_two_level_ok,
+        cell_aggs,
+    )
+
+    spec = CubeSpec(
+        name="multi_hist_probe",
+        source="events",
+        dimensions=(Dimension("event_type"),),
+        measures=(
+            Measure("n", "count"),
+            Measure("p50_value", "quantile", "value",
+                    lo=0.0, hi=1000.0, nbins=100),
+            Measure("p50_user", "quantile", "user_id % 17",
+                    lo=0.0, hi=17.0, nbins=17),
+            Measure("avg_value", "avg", "value"),
+        ),
+    )
+    assert _hist_two_level_ok(spec)
+
+    got = build_cube(spark, spec, events)
+    want = events.groupBy(
+        *[d.expr() for d in spec.dimensions]).agg(*cell_aggs(spec))
+    assert got.schema == want.schema
+    assert hist_cells_set(got) == hist_cells_set(want)
+
+    cdc = events.withColumn(
+        "mult", F.when(F.col("event_id") % 3 == 0, -1).otherwise(1))
+    got_d = delta_cells(spec, cdc)
+    want_d = cdc.groupBy(
+        *[d.expr() for d in spec.dimensions]).agg(*cell_aggs(spec, mult="mult"))
+    assert got_d.schema == want_d.schema
+    assert hist_cells_set(got_d) == hist_cells_set(want_d)
+
+
+def test_multi_quantile_fanout_cap_keeps_single_level():
+    """∏(nbins+2) above the cap must refuse the two-level plan."""
+    from mongo_olap_spark.cube.build import _hist_two_level_ok
+
+    big = CubeSpec(
+        name="fanout_probe",
+        source="events",
+        dimensions=(Dimension("event_type"),),
+        measures=(
+            Measure("a", "quantile", "value", lo=0.0, hi=1.0, nbins=100),
+            Measure("b", "quantile", "value", lo=0.0, hi=1.0, nbins=100),
+        ),
+    )
+    assert not _hist_two_level_ok(big)  # 102·102 > 4096
