@@ -25,6 +25,14 @@ from pyspark.sql import functions as F
 
 from mongo_olap_spark.cube.spec import CubeSpec, Measure
 
+#: unique token prefixing every in-plan topk exactness-certificate
+#: raise_error message. Callers that catch the raise to select an
+#: exact-source fallback (q_cube_topn) MUST match this token, not the
+#: prose — an unrelated error whose message happens to mention "topk
+#: measure" must propagate, not silently trigger a full source
+#: recompute (optimization r17, VERDICT r16 item 5).
+TOPK_CERT_SENTINEL = "[TOPK-CERT-E417]"
+
 
 def hist_sum_expr(col: str, nbins: int) -> Column:
     """Roll histogram cells up to a group: element-wise sum of the
@@ -426,14 +434,16 @@ def query_cube(
             base = base.withColumn(
                 m.name,
                 F.when(legacy, F.raise_error(F.lit(
-                    f"topk measure {m.name!r}: cells written before "
+                    f"{TOPK_CERT_SENTINEL} topk measure {m.name!r}: "
+                    f"cells written before "
                     f"the exactness certificate (no {m.name}_tkn mass "
                     f"column) cannot certify the exact regime. "
                     f"refresh()/rebuild the cube to mint the mass "
                     f"column, or pass on_inexact='sketch' for the "
                     f"documented bounded-error serve.")))
                 .when(mismatch, F.raise_error(F.concat(
-                    F.lit(f"topk measure {m.name!r}: frequent-items "
+                    F.lit(f"{TOPK_CERT_SENTINEL} topk measure "
+                          f"{m.name!r}: frequent-items "
                           f"map lost mass ("),
                     F.coalesce(F.col(f"__got_{m.name}"), F.lit(0)),
                     F.lit(" of "),

@@ -658,7 +658,12 @@ def q_cube_topn(spark, sf_dir):
         rows = out.collect()
         return spark.createDataFrame(rows, schema=out.schema)
     except Exception as err:  # certificate raise → exact fallback
-        if "topk measure" not in str(err):
+        from mongo_olap_spark.cube.query import TOPK_CERT_SENTINEL
+
+        # match the unique sentinel, not prose: an unrelated error
+        # that merely mentions "topk measure" must propagate instead
+        # of silently recomputing from source (r17, VERDICT r16 #5)
+        if TOPK_CERT_SENTINEL not in str(err):
             raise
     counted = (
         e.filter(F.col("user_id").isNotNull())

@@ -477,6 +477,42 @@ def test_q_cube_topn_falls_back_to_exact_past_capacity(spark, monkeypatch):
     assert got == want
 
 
+def test_q_cube_topn_unrelated_error_propagates(spark, monkeypatch):
+    """Optimization r17 (VERDICT r16 #5): the exact-source fallback
+    fires ONLY on the sentinel-tagged certificate raise. An unrelated
+    error whose message merely mentions "topk measure" must propagate,
+    not silently trigger a full source recompute."""
+    import mongo_olap_spark.queries.core as core
+    from mongo_olap_spark.queries import QUERIES
+
+    def boom(*a, **kw):
+        raise RuntimeError("unrelated failure mentioning topk measure")
+
+    monkeypatch.setattr(core, "query_cube", boom)
+    with pytest.raises(RuntimeError, match="unrelated failure"):
+        QUERIES["q_cube_topn"](spark, "/root/testdata/sf0.001")
+
+
+def test_topk_certificate_raise_carries_sentinel(spark, events):
+    """Both certificate raise paths are tagged with the unique token
+    the fallback matches."""
+    from mongo_olap_spark.cube.query import TOPK_CERT_SENTINEL
+
+    spec = CubeSpec(
+        name="sentinel_probe",
+        source="events",
+        dimensions=(Dimension("event_type"),),
+        measures=(Measure("n", "count"),
+                  Measure("top_users", "topk", "user_id", k=3,
+                          max_items=3)),
+    )
+    cells = build_cube(spark, spec, events)
+    with pytest.raises(Exception, match="TOPK-CERT-E417"):
+        query_cube(cells, spec, group_by=["event_type"],
+                   measures=["top_users"]).collect()
+    assert TOPK_CERT_SENTINEL in "[TOPK-CERT-E417]"
+
+
 # ---------------------------------------------------------------------------
 # legacy snapshots: cells written before the r15 {m}_tkn mass column
 # ---------------------------------------------------------------------------
