@@ -95,6 +95,25 @@ def main() -> None:
         },
     }
     print(json.dumps(out))
+    # r17 (VERDICT r16 item 2): the full JSON line above is one huge
+    # line, and the driver's stdout tail-capture truncates it from the
+    # front — r16 lost all per-query visibility (PERF_r16 per_query:
+    # {}). Additions-only repair: ALSO write the per-query dict to a
+    # sibling artifact file, and echo it as short chunked lines that
+    # survive any tail capture. The two pre-existing lines (full JSON +
+    # compact trailer) are byte-identical to r16.
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_perquery.json"), "w") as fh:
+            json.dump(out, fh, indent=1)
+    except OSError:
+        pass  # read-only checkout: stdout chunks below still carry it
+    qids = sorted(timings)
+    for i in range(0, len(qids), 20):
+        print(json.dumps({
+            "metric": "perquery_chunk", "i": i // 20, "sf": sf,
+            "queries": {q: timings[q] for q in qids[i:i + 20]},
+        }))
     # compact headline as the LAST line: tail-capture of the (long)
     # full JSON line above truncates from the front, losing the
     # leading "value" — this trailer always survives (judge r6 task 6)
