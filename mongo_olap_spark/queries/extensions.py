@@ -395,7 +395,14 @@ def q_quality_score(spark, sf_dir):
 
 @register("q_lang_id")
 def q_lang_id(spark, sf_dir):
-    d = load_table(spark, sf_dir, "documents")
+    # r17: per-doc trigram scoring is the cost; a one-file corpus
+    # scans as ONE task and serializes it (sf1: c8 == c32 == 8.1 s).
+    # spread_small_scan floors the map parallelism at core count when
+    # (and only when) the scan layout is narrower — no-op at scale.
+    from mongo_olap_spark.sources.tables import spread_small_scan
+
+    d = spread_small_scan(
+        load_table(spark, sf_dir, "documents"), "doc_id")
     return d.select(
         "doc_id",
         "lang",

@@ -87,6 +87,34 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread_small_scan(df: DataFrame, key: str) -> DataFrame:
+    """Scale-adaptive map-parallelism floor for per-row-EXPENSIVE
+    compute over small scans (optimization r17, guide §6).
+
+    A mid-size corpus that fits one parquet file under
+    ``spark.sql.files.maxPartitionBytes`` (or one row group — Spark
+    assigns a row group to the single split holding its midpoint)
+    scans as ONE task, so a per-document compute pipeline (trigram
+    scoring, shingle hashing) runs serially no matter how many cores
+    the cluster has — measured at sf1: q_lang_id c8 ≈ c32 (8.1 s
+    both). When the scan's parallelism is below half the default
+    parallelism, hash-repartition by the table key (deterministic —
+    NOT round-robin, which pays a full-row sort for retry safety) to
+    the core count. At 100 TB the scan has thousands of splits and
+    this is a no-op — the gate derives from the actual layout, never
+    a local constant. Use only where per-row compute dominates: the
+    exchange moves the corpus once, which must be cheaper than the
+    serialized compute it unlocks.
+    """
+    from pyspark.sql import functions as F
+
+    spark = df.sparkSession
+    cores = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() * 2 <= cores:
+        return df.repartition(cores, F.col(key))
+    return df
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
 
