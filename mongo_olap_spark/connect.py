@@ -106,6 +106,11 @@ CONNECT_MATRIX = {
         "works", "readStream/foreachBatch are Connect API"),
     "session_log_level": (
         "fallback", "sparkContext.setLogLevel skipped; use server conf"),
+    "spread_small_scan": (
+        "fallback",
+        "scan-partition probe needs .rdd/defaultParallelism; under "
+        "Connect the layout floor is skipped (df returned unchanged) — "
+        "repartition explicitly if the corpus is one file"),
 }
 
 

@@ -108,7 +108,13 @@ def spread_small_scan(df: DataFrame, key: str) -> DataFrame:
     """
     from pyspark.sql import functions as F
 
+    from mongo_olap_spark.connect import is_connect
+
     spark = df.sparkSession
+    if is_connect(spark):
+        # audited fallback (CONNECT_MATRIX["spread_small_scan"]): the
+        # layout probe needs classic APIs; skip the floor under Connect
+        return df
     cores = spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() * 2 <= cores:
         return df.repartition(cores, F.col(key))

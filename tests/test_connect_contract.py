@@ -119,6 +119,8 @@ _AUDITED_FILES = {
     "plans/fingerprint.py",   # refuses (test tooling)
     "sources/collections.py",  # refuses with schema= recipe
     "sources/json_props.py",  # rdd path with documented fallback
+    "sources/tables.py",      # spread_small_scan layout probe: audited
+                              # fallback (no-op under Connect)
     # localCheckpoint is Connect API since Spark 4.0 — these only
     # match the token scan via comments/docstrings:
     "operators/dedup.py",
